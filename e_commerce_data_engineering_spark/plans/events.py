@@ -1,0 +1,150 @@
+"""Event-stream analytics over the ``events`` table (SURVEY §2.9 batch
+views; the streaming variants of the same logic live in ``streaming/``).
+
+Covers: JSON prop extraction (reference F23 / S2), tumbling time-window
+aggregation, gap-based sessionization (lag + cumulative-sum pattern),
+and exact-median stats — all shuffle-on-key operations that scale
+linearly with the event volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..sources.tables import load_table
+from .money import dmoney, fround, money_avg, money_sum, sql_fround, sql_money_avg
+from .registry import query
+
+SESSION_GAP_MS = 30 * 60 * 1000  # 30-minute inactivity gap
+
+
+@query(
+    "e01_json_extract",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           {sql_fround("CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*)", 4)} AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON-in-string prop extraction (reference F23: json.loads per row "
+    "→ F.get_json_object, JVM-side).",
+)
+def e01_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        fround(F.sum(k).cast("double") / F.count(F.lit(1)), 4).alias("avg_k"),
+    )
+
+
+@query(
+    "e02_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour window aggregation (batch twin of the streaming "
+    "windowed agg, SURVEY §2.9).",
+)
+def e02_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), money_sum(dmoney("value")).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+@query(
+    "e03_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > {SESSION_GAP_MS}
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    ),
+    per_session AS (
+        SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT)      AS n_sessions,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+           {sql_fround("CAST(SUM(n_events) AS DOUBLE) / COUNT(*)", 4)} AS avg_session_events
+    FROM per_session
+    GROUP BY user_id
+    """,
+    doc="Gap-based sessionization: lag(ts) → new-session flag → cumulative "
+    "sum as session id (classic Spark sessionization pattern; the "
+    "streaming twin uses session_window).",
+)
+def e03_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    prev_ms = F.lag(ms).over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(prev_ms.isNull() | ((ms - prev_ms) > SESSION_GAP_MS), 1).otherwise(0).alias(
+            "new_session"
+        ),
+    )
+    wsum = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    sessions = flagged.select("user_id", F.sum("new_session").over(wsum).alias("session_id"))
+    per_session = sessions.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        fround(F.sum("n_events").cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_session_events"
+        ),
+    )
+
+
+@query(
+    "e04_event_type_stats",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MIN(value) AS DOUBLE) AS min_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value,
+           {sql_money_avg("CAST(value AS DECIMAL(12,2))")} AS avg_value,
+           {sql_fround("CAST(quantile_cont(value, 0.5) AS DOUBLE)", 4)} AS median_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Per-type stats incl. exact interpolated median (Spark percentile "
+    "⇔ DuckDB quantile_cont).",
+)
+def e04_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        money_avg(dmoney("value")).alias("avg_value"),
+        fround(F.percentile("value", F.lit(0.5)), 4).alias("median_value"),
+    )

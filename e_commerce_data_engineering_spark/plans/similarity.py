@@ -1,0 +1,153 @@
+"""Similarity-search queries over ``embeddings`` (SURVEY §2.11).
+
+Brute-force cosine top-k is the exact baseline (oracle-checked: both
+engines left-fold the same 64 doubles in the same order, so the scores
+are bit-identical). The scale path (LSH-bucketed ANN, avoiding the full
+cross product) lives in ``operators/similarity.py``.
+
+Cross-vector averages (centroids, norm stats) quantize each element to
+1e-6 *before* summing: per-element quantization is engine-identical,
+and the integer sum is order-independent — a raw float AVG is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..sources.tables import load_table
+from .money import fround, sql_fround
+from .registry import query
+
+EMBEDDING_DIM = 64  # driver testdata: embeddings.embedding is list<float>[64]
+TOP_K = 5
+N_QUERY_VECS = 5  # vec_id < 5 are the probe set
+_Q = 1_000_000.0  # quantization scale for order-independent float sums
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product in double precision — same accumulation
+    order as the DuckDB oracle's list_reduce, so results match exactly."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def quantized(v: Column) -> Column:
+    """floor(v·1e6 + 0.5) as bigint — exact, summable in any order."""
+    return F.floor(v.cast("double") * _Q + F.lit(0.5))
+
+
+_SQL_DOT_QC = (
+    f"list_reduce(list_transform(generate_series(1, {EMBEDDING_DIM}),"
+    " i -> CAST(q_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)), (a,b) -> a+b)"
+)
+
+
+def _sql_norm(alias: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform(generate_series(1, {EMBEDDING_DIM}),"
+        f" i -> CAST({alias}[i] AS DOUBLE) * CAST({alias}[i] AS DOUBLE)), (a,b) -> a+b))"
+    )
+
+
+_SQL_NORM_Q = _sql_norm("q_emb")
+_SQL_NORM_C = _sql_norm("c_emb")
+_SQL_NORM_E = _sql_norm("embedding")
+
+
+@query(
+    "s01_label_centroids",
+    oracle=f"""
+    SELECT label, CAST(dim AS INTEGER) AS dim,
+           {sql_fround(f"CAST(SUM(CAST(FLOOR(CAST(embedding[dim + 1] AS DOUBLE) * {_Q} + 0.5) AS BIGINT)) AS DOUBLE) / {_Q} / COUNT(*)", 4)} AS centroid
+    FROM embeddings, range(0, {EMBEDDING_DIM}) t(dim)
+    GROUP BY label, dim
+    """,
+    doc="Per-label centroid via posexplode + groupBy(label, dim) — the "
+    "distributed way to average vectors (no driver-side collect). "
+    "Elements quantized to 1e-6 for order-independent summation.",
+)
+def s01_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            fround(
+                F.sum(quantized(F.col("v"))).cast("double") / _Q / F.count(F.lit(1)), 4
+            ).alias("centroid")
+        )
+    )
+
+
+@query(
+    "s02_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+    c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+    pairs AS (
+        SELECT q_id, c_id,
+               {_SQL_DOT_QC} / ({_SQL_NORM_Q} * {_SQL_NORM_C}) AS cos_sim
+        FROM q CROSS JOIN c
+        WHERE q_id <> c_id
+    )
+    SELECT q_id, c_id, {sql_fround("cos_sim", 6)} AS cos_sim, CAST(rn AS INTEGER) AS rn
+    FROM (
+        SELECT q_id, c_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rn
+        FROM pairs
+    ) ranked
+    WHERE rn <= {TOP_K}
+    """,
+    doc="Brute-force cosine top-k ANN baseline: broadcast the probe set, "
+    "score every candidate, per-query window rank. The exact-oracle "
+    "gold standard the LSH variant is recall-measured against.",
+)
+def s02_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    # Probe set is small → broadcast; candidates stream by partition.
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("q_id") != F.col("c_id"))
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / (
+        l2_norm(F.col("q_emb")) * l2_norm(F.col("c_emb"))
+    )
+    ranked = pairs.select("q_id", "c_id", cos.alias("cos_sim")).withColumn(
+        "rn", F.row_number().over(W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "c_id"))
+    )
+    return ranked.filter(F.col("rn") <= TOP_K).select(
+        "q_id", "c_id", fround(F.col("cos_sim"), 6).alias("cos_sim"), "rn"
+    )
+
+
+@query(
+    "s03_norm_stats",
+    oracle=f"""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           {sql_fround(f"CAST(SUM(CAST(FLOOR({_SQL_NORM_E} * {_Q} + 0.5) AS BIGINT)) AS DOUBLE) / {_Q} / COUNT(*)", 4)} AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    doc="Per-label vector-norm stats (embedding hygiene check); norms "
+    "quantized to 1e-6 before averaging for order independence.",
+)
+def s03_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        fround(
+            F.sum(quantized(l2_norm(F.col("embedding")))).cast("double") / _Q / F.count(F.lit(1)),
+            4,
+        ).alias("avg_norm"),
+    )

@@ -1,0 +1,208 @@
+"""Text / training-data pipeline queries over ``documents``
+(SURVEY §2.11): token stats, language stats, exact dedup, shingle
+fingerprinting, n-gram Jaccard near-dup pairs, quality scoring,
+language-ID. MinHash-LSH and SimHash (non-SQL-expressible banding) live
+in ``operators/dedup.py`` with rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+from ..sources.tables import load_table
+from .money import fround, sql_fround
+from .registry import query
+
+# DuckDB-side tokenization mirroring functions.text.tokens
+_DUCK_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+@query(
+    "t01_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER)                AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique,
+           {sql_fround("CAST(list_reduce(list_transform(toks, x -> len(x)), (a, b) -> a + b) AS DOUBLE) / len(toks)", 4)} AS avg_token_len
+    FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents) t
+    """,
+    doc="Per-doc token counting via higher-order functions (no UDF, no shuffle).",
+)
+def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        X.token_count(toks).alias("n_tokens"),
+        X.unique_token_count(toks).alias("n_unique"),
+        fround(
+            X.total_chars(toks).cast("double") / X.token_count(toks), 4
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "t02_lang_source_stats",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT)                    AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT)                AS total_chars,
+           {sql_fround(f"CAST(SUM(len({_DUCK_TOKS})) AS DOUBLE) / COUNT(*)", 4)} AS avg_tokens
+    FROM documents
+    GROUP BY lang, source
+    """,
+    doc="Corpus composition rollup by language × source.",
+)
+def t02_lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        fround(
+            F.sum(F.size(X.tokens(F.col("text")))).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_tokens"),
+    )
+
+
+@query(
+    "t03_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           CAST(COUNT(*) AS BIGINT)  AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(*) > 1
+    """,
+    doc="Exact dedup via content-hash groupBy: duplicate groups + the "
+    "kept representative (min doc_id). SURVEY §2.11.",
+)
+def t03_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query(
+    "t04_shingle_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_min(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           )) AS fingerprint
+    FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents) t
+    WHERE len(toks) >= 3
+    """,
+    doc="Rolling 3-gram shingle fingerprint (min-md5 = 1-perm MinHash): "
+    "deterministic, portable doc signature.",
+)
+def t04_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", X.min_shingle_fingerprint(F.col("toks")).alias("fingerprint"))
+    )
+
+
+@query(
+    "t05_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, list_distinct({_DUCK_TOKS}) AS ts
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {sql_fround("CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))", 4)} AS jaccard
+    FROM toks a JOIN toks b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+          / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.5
+    """,
+    doc="Token-set Jaccard near-dup pairs, blocked by source to bound the "
+    "pair space (the blocking key is the scale lever: at 100 TB swap "
+    "source for LSH band buckets — operators/dedup.py).",
+)
+def t05_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.array_distinct(X.tokens(F.col("text"))).alias("ts"))
+    a = toks.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"), F.col("ts").alias("ts_a")
+    )
+    b = toks.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"), F.col("ts").alias("ts_b")
+    )
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    union = F.size("ts_a") + F.size("ts_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, (F.col("src_a") == F.col("src_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", fround(jac, 4).alias("jaccard"))
+    )
+
+
+@query(
+    "t06_quality_score",
+    oracle=f"""
+    SELECT doc_id, n_tokens, stop_ratio, avg_token_len,
+           {sql_fround("0.4 * LEAST(n_tokens / 20.0, 1.0) + 0.4 * (1.0 - stop_ratio) + 0.2 * LEAST(avg_token_len / 8.0, 1.0)", 4)} AS quality
+    FROM (
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               {sql_fround("CAST(len(list_filter(toks, x -> x IN ('the','a','of','to','and','in','is'))) AS DOUBLE) / len(toks)", 4)} AS stop_ratio,
+               {sql_fround("CAST(list_reduce(list_transform(toks, x -> len(x)), (a,b) -> a+b) AS DOUBLE) / len(toks)", 4)} AS avg_token_len
+        FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents) t
+    ) m
+    """,
+    doc="Heuristic doc quality score: length coverage, stopword mass, "
+    "token-length sanity (SURVEY §2.11 text analysis).",
+)
+def t06_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    m = d.select(
+        "doc_id",
+        X.token_count(toks).alias("n_tokens"),
+        fround(X.stopword_count(toks).cast("double") / X.token_count(toks), 4).alias("stop_ratio"),
+        fround(X.total_chars(toks).cast("double") / X.token_count(toks), 4).alias("avg_token_len"),
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "stop_ratio",
+        "avg_token_len",
+        X.quality_score(F.col("n_tokens"), F.col("stop_ratio"), F.col("avg_token_len")).alias(
+            "quality"
+        ),
+    )
+
+
+@query(
+    "t07_lang_id",
+    oracle=f"""
+    SELECT lang,
+           CASE WHEN list_contains(toks, 'the') AND list_contains(toks, 'data') THEN 'en'
+                WHEN list_contains(toks, 'the') THEN 'en_weak'
+                ELSE 'unknown' END AS predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT lang, {_DUCK_TOKS} AS toks FROM documents) t
+    GROUP BY 1, 2
+    """,
+    doc="Language-ID heuristic confusion counts (labeled lang × predicted).",
+)
+def t07_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    return (
+        d.select("lang", X.predict_lang(toks).alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+    )
