@@ -1,0 +1,118 @@
+"""Structured Streaming twin of the batch pipeline (SURVEY §2.9, §3.2).
+
+The reference's trigger model — one Lambda invocation per S3
+`ObjectCreated` on raw/ (EventBridge rule, `lambda policy…txt:41-56`) —
+maps 1:1 onto Spark's **file source**: new-file discovery IS the
+trigger. `Trigger.AvailableNow` drains everything that has arrived
+(batch-like, used in tests); default micro-batches give the continuous
+behavior. Checkpointed offsets + an idempotent sink upgrade the
+reference's duplicate-on-reprocess semantics (processor:196-203) to
+exactly-once.
+
+The transformation is the SAME code as batch (`process_raw` inside
+``foreachBatch``): one definition of validate/enrich, two drivers —
+that's the batch/stream parity guarantee, and foreachBatch lets the
+invalid rows fan out to the quarantine sink in the same epoch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..pipeline import process_raw, with_processing_partitions
+from ..schemas import RAW_ORDER_SCHEMA_PERMISSIVE
+
+
+def read_raw_stream(spark: SparkSession, raw_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over the raw/ prefix (SURVEY §2.1 S3)."""
+    reader = (
+        spark.readStream.schema(RAW_ORDER_SCHEMA_PERMISSIVE)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(raw_dir)
+
+
+def start_processing_stream(
+    spark: SparkSession,
+    raw_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    quarantine_dir: str | None = None,
+    available_now: bool = False,
+    output_format: str = "json",
+) -> StreamingQuery:
+    """raw/ → validate → enrich → processed/ (+ quarantine/), streaming.
+
+    ``observe`` metrics replace the reference's print counters
+    (processor:184-194 → StreamingQueryListener-visible).
+    """
+    stream = read_raw_stream(spark, raw_dir).observe(
+        "ingest",
+        F.count(F.lit(1)).alias("rows"),
+        F.count(F.col("_corrupt_record")).alias("corrupt_lines"),
+    )
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        processed, invalid, corrupt = process_raw(batch_df)
+        (
+            with_processing_partitions(processed)
+            .write.mode("append")
+            .partitionBy("year", "month", "day")
+            .format(output_format)
+            .save(out_dir)
+        )
+        if quarantine_dir is not None:
+            (
+                with_processing_partitions(invalid.withColumn("errors", F.to_json("errors")))
+                .write.mode("append")
+                .partitionBy("year", "month", "day")
+                .format(output_format)
+                .save(quarantine_dir)
+            )
+        batch_df.unpersist()
+
+    writer = stream.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming twin of plans.events.e02: watermarked tumbling-window
+    counts per event_type; late rows beyond the watermark are dropped
+    (the reference has no late-data story at all — SURVEY §2.9)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def sessionized_event_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap-sessionization via native session_window (the
+    batch twin computes sessions with lag+cumsum, plans.events.e03)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
