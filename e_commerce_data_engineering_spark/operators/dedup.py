@@ -1,0 +1,179 @@
+"""Deduplication operators for the training-data surface (SURVEY §2.11):
+exact, MinHash-LSH near-dup, SimHash near-dup — all pure Catalyst
+expressions (hashing, HOFs, self-joins); no Python in the hot path.
+
+Scale design: LSH banding turns the O(n²) pair problem into a
+shuffle-on-bucket problem — candidate pairs only form inside a
+(band, band_hash) bucket, so cost tracks the true near-dup density.
+The final exact-Jaccard verification touches candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+_MAX_LONG = (1 << 63) - 1
+
+
+def shingles_of(text: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingles of a whitespace-tokenized text column.
+    Caller notes: rows with < n tokens yield an empty array."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + o) for o in range(n)]))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def dedupe_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id representative per identical text (hash-groupBy;
+    one shuffle on the 128-bit content hash)."""
+    h = F.md5(F.col(text_col).cast("binary"))
+    keepers = (
+        df.select(F.col(id_col), h.alias("_h"))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keepers, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """num_hashes-permutation MinHash as array<long>: perm i =
+    min over shingles of xxhash64(i, shingle). Empty shingle set →
+    sentinel MAX_LONG signature."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.aggregate(
+            shingle_col,
+            F.lit(_MAX_LONG),
+            lambda acc, s: F.least(acc, F.xxhash64(i, s)),
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH with exact-Jaccard
+    verification → (id_a, id_b, jaccard).
+
+    rows/band r = num_hashes/bands; candidate recall follows the usual
+    1-(1-s^r)^b S-curve. Verification recomputes true Jaccard on the
+    shingle sets, so false positives from banding never escape.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("_id"), shingles_of(F.col(text_col), shingle_n).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    sig = base.select("_id", "_sh", minhash_signature(F.col("_sh"), num_hashes).alias("_sig"))
+
+    banded = sig.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(b, F.slice(F.col("_sig"), b * r + 1, r)),
+            )
+        ).alias("_band", "_bucket"),
+    )
+    a = banded.select(F.col("_id").alias("id_a"), "_band", "_bucket")
+    b = banded.select(F.col("_id").alias("id_b"), "_band", "_bucket")
+    candidates = (
+        a.join(b, ["_band", "_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sh = sig.select("_id", "_sh")
+    verified = (
+        candidates.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size("_sh_a") + F.size("_sh_b") - inter
+    jac = inter.cast("double") / union
+    return verified.filter(jac >= jaccard_threshold).select(
+        "id_a", "id_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over whitespace tokens: per bit j, sign of
+    Σ_tokens (bit_j(xxhash64(token)) ? +1 : −1); bits packed with OR
+    (no arithmetic overflow under ANSI mode).
+
+    Shift counts must be Python literals (shiftright takes int), so the
+    bit loop unrolls to 64 aggregate expressions over the pre-hashed
+    token array — all JVM-side."""
+    hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
+
+    def _vote_fn(j: int):
+        # closure, NOT a default arg: pyspark derives HOF lambda arity
+        # from the signature, so an extra defaulted param would misbind
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    sim = F.lit(0).cast("bigint")
+    for j in range(64):
+        vote = F.aggregate(hashes, F.lit(0), _vote_fn(j))
+        bit = (1 << j) if j < 63 else -(1 << 63)  # two's-complement top bit
+        sim = sim.bitwiseOR(
+            F.when(vote >= 0, F.lit(bit).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        )
+    return sim
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming → (id_a, id_b,
+    hamming). Blocking: split the 64-bit hash into 4 16-bit chunks —
+    by pigeonhole any pair within distance 3 shares ≥1 exact chunk, so
+    candidates form only inside chunk buckets (same LSH-style scale
+    story as MinHash banding)."""
+    sigs = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sim"))
+    chunk_keys = F.array(
+        *[F.shiftright(F.col("_sim"), c * 16).bitwiseAND(F.lit(0xFFFF)) for c in range(4)]
+    )
+    chunked = sigs.select("_id", "_sim", F.posexplode(chunk_keys).alias("_chunk", "_key"))
+    a = chunked.select(F.col("_id").alias("id_a"), F.col("_sim").alias("_sim_a"), "_chunk", "_key")
+    b = chunked.select(F.col("_id").alias("id_b"), F.col("_sim").alias("_sim_b"), "_chunk", "_key")
+    return (
+        a.join(b, ["_chunk", "_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("_sim_a"), F.col("_sim_b")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (SURVEY §2.11).
+
+Two tiers:
+* ``cosine_topk`` — exact brute force: broadcast the (small) probe set,
+  score all candidates, window-rank. O(|Q|·n); the recall oracle.
+* ``lsh_cosine_topk`` — random-hyperplane LSH: candidates only where a
+  probe and a vector share a bucket in ≥1 table, then exact re-rank.
+  At 100 TB this replaces the full scan with a bucket-join whose cost
+  tracks bucket occupancy; planes are seeded Python constants baked
+  into the plan (broadcast literals, no state).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query → (q_id, vec_id, cos_sim, rn)."""
+    q = queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_q"))
+    c = candidates.select(F.col(id_col), F.col(vec_col).alias("_c"))
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col(query_id_col) != F.col(id_col))
+    scored = pairs.select(
+        query_id_col, id_col, cosine(F.col("_q"), F.col("_c")).alias("cos_sim")
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def _hyperplanes(n_tables: int, n_planes: int, dim: int, seed: int) -> list[list[list[float]]]:
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
+
+
+def hyperplane_buckets(
+    vec: Column, planes: list[list[list[float]]]
+) -> Column:
+    """array<bigint>: one sign-pattern bucket id per table."""
+    table_buckets = []
+    for table in planes:
+        bucket = F.lit(0).cast("bigint")
+        for j, plane in enumerate(table):
+            d = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(w)) for w in plane]),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket.bitwiseOR(
+                F.when(d >= 0, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            )
+        table_buckets.append(bucket)
+    return F.array(*table_buckets)
+
+
+def lsh_cosine_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 4,
+    n_planes: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: bucket-join candidates (any shared table
+    bucket) → exact cosine re-rank → (q_id, vec_id, cos_sim, rn).
+
+    Expected recall grows with n_tables, bucket selectivity with
+    n_planes; measure against cosine_topk (tests do)."""
+    planes = _hyperplanes(n_tables, n_planes, dim, seed)
+
+    def buckets(df: DataFrame, idc: str) -> DataFrame:
+        return df.select(
+            F.col(idc),
+            F.col(vec_col).alias(f"_v_{idc}"),
+            F.posexplode(hyperplane_buckets(F.col(vec_col), planes)).alias("_table", "_bucket"),
+        )
+
+    qb = buckets(queries.select(F.col(id_col).alias("q_id"), vec_col), "q_id")
+    cb = buckets(candidates, id_col)
+    cand_pairs = (
+        qb.join(cb, ["_table", "_bucket"])
+        .filter(F.col("q_id") != F.col(id_col))
+        .select("q_id", "_v_q_id", id_col, f"_v_{id_col}")
+        .distinct()
+    )
+    scored = cand_pairs.select(
+        "q_id",
+        id_col,
+        cosine(F.col("_v_q_id"), F.col(f"_v_{id_col}")).alias("cos_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -1,0 +1,147 @@
+"""Advanced-operator queries: as-of join (DuckDB ASOF oracle), pivot,
+correlated-subquery shape, and the rows-only LSH/multimodal entries
+(banding randomness is not SQL-expressible; their correctness is
+pytest-verified against exact baselines instead — tests/test_operators.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join_backward
+from ..operators.dedup import minhash_lsh_pairs, simhash_pairs
+from ..operators.multimodal import decode_asset, make_fake_assets
+from ..operators.similarity import lsh_cosine_topk
+from ..sources.tables import load_table
+from .money import dmoney, sql_money_sum
+from .registry import query
+
+
+@query(
+    "a01_asof_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.ts AS click_ts,
+           CAST(epoch_ms(e.ts) - epoch_ms(c.ts) AS BIGINT) AS ms_since_click
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    doc="As-of join: each error event matched to the user's most recent "
+    "click. Spark side = union+window nearest-predecessor operator "
+    "(operators/asof.py); oracle = DuckDB native ASOF JOIN.",
+)
+def a01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join_backward(
+        errors, clicks, on="user_id", left_time="ts", right_time="ts", payload_cols=[]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("_asof_time").alias("click_ts"),
+        (
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            - F.unix_millis(F.col("_asof_time").cast("timestamp"))
+        ).alias("ms_since_click"),
+    )
+
+
+@query(
+    "q21_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_money_sum("CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END")} AS "O",
+           {sql_money_sum("CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END")} AS "F"
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Pivot (wide conditional aggregation) via DataFrame .pivot.",
+)
+def q21_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    out = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum(dmoney("l_quantity")), 2).cast("double"))
+    )
+    return out
+
+
+@query(
+    "q22_correlated_subquery",
+    oracle="""
+    SELECT p_partkey, p_type, p_retailprice
+    FROM part
+    WHERE p_retailprice > (
+        SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        FROM part p2 WHERE p2.p_type = part.p_type
+    )
+    """,
+    doc="Correlated scalar subquery (parts above their type's average "
+    "price); Spark side decorrelated to a join — what Catalyst does "
+    "anyway. Exact-decimal average keeps the boundary deterministic.",
+)
+def q22_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    avg_per_type = p.groupBy(F.col("p_type").alias("_t")).agg(
+        (F.sum(dmoney("p_retailprice")).cast("double") / F.count(F.lit(1))).alias("_avg")
+    )
+    return (
+        p.join(F.broadcast(avg_per_type), F.col("p_type") == F.col("_t"))
+        .filter(F.col("p_retailprice") > F.col("_avg"))
+        .select("p_partkey", "p_type", "p_retailprice")
+    )
+
+
+@query(
+    "d01_minhash_lsh_pairs",
+    oracle=None,  # banding candidate generation is not SQL-expressible;
+    # recall vs the exact-Jaccard baseline is asserted in tests/test_operators.py
+    doc="MinHash-LSH near-duplicate pairs over documents (64 perms, 16 "
+    "bands, exact-Jaccard verification at 0.5).",
+)
+def d01_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.5)
+
+
+@query(
+    "d02_simhash_pairs",
+    oracle=None,
+    doc="SimHash near-duplicate pairs (Hamming ≤ 3, 16-bit chunk blocking).",
+)
+def d02_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+@query(
+    "s04_lsh_cosine_topk",
+    oracle=None,  # approximate by construction; recall vs s02 asserted in tests
+    doc="LSH-bucketed approximate cosine top-k (random hyperplanes, "
+    "12 tables × 3 planes — sized for this corpus's near-random "
+    "embeddings) — the scale path for s02.",
+)
+def s04_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return lsh_cosine_topk(e, q, k=5, dim=64, n_tables=12, n_planes=3)
+
+
+@query(
+    "m01_multimodal_decode",
+    oracle=None,  # synthetic binary assets, not a driver table
+    doc="Multimodal plumbing: binary assets → mapInPandas decode (fake "
+    "codec) → per-modality rollup. Proves the Arrow-batch UDF path.",
+)
+def m01_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = make_fake_assets(spark, 120)
+    decoded = decode_asset(assets, fake=True)
+    return decoded.groupBy("modality").agg(
+        F.count("*").alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.countDistinct("checksum").alias("distinct_checksums"),
+    )

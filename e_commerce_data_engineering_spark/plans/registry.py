@@ -56,6 +56,7 @@ def _load_all_modules() -> None:
     from . import events  # noqa: F401
     from . import text  # noqa: F401
     from . import similarity  # noqa: F401
+    from . import advanced  # noqa: F401
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

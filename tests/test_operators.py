@@ -1,0 +1,191 @@
+"""Operator correctness: LSH recall vs exact baselines, SimHash
+properties, as-of join vs brute force, dedup with injected duplicates,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from e_commerce_data_engineering_spark.operators.asof import asof_join_backward
+from e_commerce_data_engineering_spark.operators.dedup import (
+    dedupe_exact,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    simhash64,
+)
+from e_commerce_data_engineering_spark.operators.multimodal import (
+    decode_asset,
+    extract_features,
+    make_fake_assets,
+    sample_video_frames,
+)
+from e_commerce_data_engineering_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from e_commerce_data_engineering_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+def _docs_with_dupes(spark):
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    dupes = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = d.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("tail_token")).alias("text"),
+    )
+    return d.unionByName(dupes).unionByName(near)
+
+
+def test_exact_dedupe_removes_injected_copies(spark):
+    corpus = _docs_with_dupes(spark)
+    n_orig = 500
+    deduped = dedupe_exact(corpus, "doc_id", "text")
+    # exact copies (10) removed; near-dupes (10, one extra token) kept
+    assert deduped.count() == n_orig + 10
+    assert deduped.filter(F.col("doc_id") >= 100000).filter(F.col("doc_id") < 200000).count() == 0
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    corpus = _docs_with_dupes(spark)
+    pairs = minhash_lsh_pairs(corpus, "doc_id", "text", jaccard_threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # every exact copy pair (jaccard 1.0) must be found
+    for i in range(10):
+        assert (i, i + 100000) in found, f"exact dup pair {i} missed"
+    # near pairs (one appended token, jaccard ≈ n/(n+1) ≈ 0.94) — LSH at
+    # 16 bands × 4 rows has ≈1-(1-0.94^4)^16 ≈ 1.0 recall
+    near_found = sum(1 for i in range(10, 20) if (i, i + 200000) in found)
+    assert near_found >= 9
+    # verification: every reported pair has jaccard >= threshold
+    assert all(r["jaccard"] >= 0.5 for r in pairs)
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=3, text="the quick brown fox jumps over the lazy cat"),
+            Row(doc_id=4, text="completely different words appear in this one entirely"),
+        ]
+    )
+    sims = {r["doc_id"]: r["s"] for r in df.select("doc_id", simhash64(F.col("text")).alias("s")).collect()}
+    assert sims[1] == sims[2]  # identical text → identical hash
+    ham13 = bin(sims[1] ^ sims[3]).count("1")
+    ham14 = bin(sims[1] ^ sims[4]).count("1")
+    assert ham13 < ham14, f"one-word change ({ham13}) should beat disjoint text ({ham14})"
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()}
+    assert (1, 2) in pairs
+
+
+# ---------------------------------------------------------------------------
+# Similarity
+# ---------------------------------------------------------------------------
+
+def test_lsh_recall_vs_exact(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=5)
+    # testdata embeddings are near-random (top-5 cosine ≈ 0.26-0.43), the
+    # hard LSH regime: short hashes + many tables for recall
+    approx = lsh_cosine_topk(emb, queries, k=5, dim=64, n_tables=12, n_planes=3)
+    ex = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    ap = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.7, f"LSH recall {recall:.2f} too low"
+    # and the LSH candidate set must actually prune the space
+    n_scored = approx.count()
+    assert n_scored <= 20 * 5
+
+
+def test_exact_topk_self_excluded_and_ranked(spark):
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    rows = cosine_topk(emb, q, k=3).orderBy("rn").collect()
+    assert [r["rn"] for r in rows] == [1, 2, 3]
+    assert all(r["vec_id"] != 0 for r in rows)
+    sims = [r["cos_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# As-of join
+# ---------------------------------------------------------------------------
+
+def test_asof_join_matches_bruteforce(spark):
+    ev = load_table(spark, SF, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+
+    got = {
+        r["event_id"]: r["_asof_time"]
+        for r in asof_join_backward(
+            errors, clicks, "user_id", "ts", "ts", payload_cols=[]
+        ).collect()
+    }
+    # brute force: max click ts <= error ts per (event)
+    e = errors.alias("e")
+    c = clicks.alias("c")
+    brute = (
+        e.join(c, (F.col("e.user_id") == F.col("c.user_id")) & (F.col("c.ts") <= F.col("e.ts")))
+        .groupBy("e.event_id")
+        .agg(F.max("c.ts").alias("want"))
+        .collect()
+    )
+    want = {r["event_id"]: r["want"] for r in brute}
+    assert got == want
+
+
+def test_asof_left_keeps_unmatched(spark):
+    left = spark.createDataFrame([Row(k=1, t=5, v="a"), Row(k=2, t=1, v="b")])
+    right = spark.createDataFrame([Row(k=1, t2=3, payload="x")])
+    out = asof_join_backward(left, right, "k", "t", "t2", payload_cols=["payload"], how="left")
+    rows = {r["k"]: r["payload"] for r in out.collect()}
+    assert rows == {1: "x", 2: None}
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+def test_multimodal_decode_fake(spark):
+    assets = make_fake_assets(spark, 60)
+    decoded = decode_asset(assets, fake=True)
+    rows = decoded.collect()
+    assert len(rows) == 60
+    by_mod = {r["modality"] for r in rows}
+    assert by_mod == {"image", "audio", "video"}
+    assert all(r["n_bytes"] > 128 and r["width"] is not None for r in rows)
+
+
+def test_multimodal_decode_real_raises(spark):
+    assets = make_fake_assets(spark, 3)
+    with pytest.raises(NotImplementedError):
+        decode_asset(assets, fake=False)
+
+
+def test_multimodal_features_deterministic(spark):
+    assets = make_fake_assets(spark, 30)
+    f1 = {r["asset_id"]: tuple(r["feature"]) for r in extract_features(assets).collect()}
+    f2 = {r["asset_id"]: tuple(r["feature"]) for r in extract_features(assets.repartition(7)).collect()}
+    assert f1 == f2  # partition-layout independent
+    assert all(len(v) == 16 for v in f1.values())
+    # unit-normalized
+    assert all(abs(sum(x * x for x in v) - 1.0) < 1e-3 for v in f1.values())
+
+
+def test_video_frame_sampling(spark):
+    assets = make_fake_assets(spark, 30)
+    frames = sample_video_frames(assets, every_ms=250)
+    per_asset = {r["asset_id"]: r["n"] for r in frames.groupBy("asset_id").agg(F.count("*").alias("n")).collect()}
+    metas = {r["asset_id"]: r["meta"]["duration_ms"] for r in assets.filter(F.col("modality") == "video").select("asset_id", "meta").collect()}
+    assert set(per_asset) == set(metas)
+    for aid, dur in metas.items():
+        assert per_asset[aid] == dur // 250 + 1
