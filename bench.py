@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline query set at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "headline_total_sec", "value": N, "unit": "sec",
+   "queries": {"q01_pricing_summary": s, ...}, "sf": 0.1}
+
+Timing = full query execution to a count()-style action (results
+materialized, driver-side transfer excluded). One warm-up query first
+so JVM/codegen warm-up isn't billed to the first headline entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from e_commerce_data_engineering_spark.plans.registry import all_queries  # noqa: E402
+from e_commerce_data_engineering_spark.session import get_spark  # noqa: E402
+
+# Headline set: the heavier/shape-diverse queries (joins, windows,
+# dedup, ANN, sessionization) — the ones whose plans matter at scale.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_nation_revenue",
+    "q06_mktsegment_revenue",
+    "q07_distinct_agg",
+    "q14_range_join",
+    "q16_window_rank",
+    "q17_window_running",
+    "e02_tumbling_window",
+    "e03_sessionize",
+    "r06_discount_pattern",
+    "t01_token_stats",
+    "t05_ngram_jaccard_pairs",
+    "d03_minhash_dedupe",
+    "s02_cosine_topk",
+    "a01_asof_join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="bench")
+    queries = all_queries()
+
+    # warm-up: JVM, codegen, parquet footer caches
+    queries["q06_mktsegment_revenue"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.count()  # materialize the full result (plans end in agg/limit)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join_backward
-from ..operators.dedup import minhash_lsh_pairs, simhash_pairs
+from ..operators.dedup import minhash_dedupe, minhash_lsh_pairs, simhash_pairs
 from ..operators.multimodal import decode_asset, make_fake_assets
 from ..operators.similarity import lsh_cosine_topk
 from ..sources.tables import load_table
@@ -106,6 +106,19 @@ def q22_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d01_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.5)
+
+
+@query(
+    "d03_minhash_dedupe",
+    oracle=None,
+    doc="Greedy LSH dedup without pair enumeration (the pair list is "
+    "O(n²) on this near-dup-dense corpus; the keep/drop decision is "
+    "linear-ish). Returns per-lang survivor counts.",
+)
+def d03_minhash_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    kept = minhash_dedupe(d, "doc_id", "text")
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
 
 
 @query(

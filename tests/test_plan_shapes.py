@@ -1,0 +1,79 @@
+"""Physical-plan assertions (the 100 TB checklist): filters reach the
+parquet scan, column pruning works, fixed-size dims broadcast, top-k
+avoids a global sort, semi/anti joins stay semi/anti. These lock in
+plan properties that correctness tests can't see."""
+
+from __future__ import annotations
+
+import pytest
+
+from e_commerce_data_engineering_spark.plans.registry import all_queries
+
+QUERIES = all_queries()
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q02_filter_project")
+    assert "PushedFilters: [" in plan and "IsNotNull(l_shipdate)" in plan, plan
+    # column pruning: untouched wide columns must not be read
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema and "l_suppkey" not in read_schema
+
+
+def test_fixed_dims_broadcast(spark):
+    plan = plan_of(spark, "q05_region_nation_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # nation + region
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "q15_topk_orders")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort [" not in plan  # no global sort node
+
+
+def test_semi_anti_join_physical(spark):
+    assert "LeftSemi" in plan_of(spark, "q11_semi_join")
+    assert "LeftAnti" in plan_of(spark, "q12_anti_join")
+
+
+def test_aggregate_pushes_partial(spark):
+    # hash aggregate with partial (map-side) phase before the shuffle
+    plan = plan_of(spark, "q01_pricing_summary")
+    # two HashAggregates around one Exchange = partial (map-side) + final
+    agg_idx = [i for i, l in enumerate(plan.splitlines()) if "HashAggregate" in l]
+    exch_idx = [i for i, l in enumerate(plan.splitlines()) if "Exchange" in l]
+    assert len(agg_idx) >= 2 and len(exch_idx) >= 1
+    assert agg_idx[0] < exch_idx[0] < agg_idx[-1]
+
+
+def test_adaptive_enabled(spark):
+    plan = plan_of(spark, "q06_mktsegment_revenue")
+    assert "AdaptiveSparkPlan" in plan
+
+
+def test_probe_set_broadcast_in_ann(spark):
+    plan = plan_of(spark, "s02_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_no_python_udf_in_analytics_plans(spark):
+    """The parity pipeline's Arrow UDF is opt-in; the analytics surface
+    must stay fully JVM-side (SURVEY §2.10)."""
+    for name in (
+        "q01_pricing_summary",
+        "q05_region_nation_revenue",
+        "t01_token_stats",
+        "s02_cosine_topk",
+        "e03_sessionize",
+    ):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
