@@ -57,6 +57,7 @@ def _load_all_modules() -> None:
     from . import text  # noqa: F401
     from . import similarity  # noqa: F401
     from . import advanced  # noqa: F401
+    from . import scalar_batteries  # noqa: F401
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,220 @@
+"""Scalar-function and remaining-operator batteries rounding out
+SURVEY §2 coverage: math, regex/string matching, interval arithmetic,
+UNION DISTINCT, HAVING, approximate aggregates, and the end-to-end
+generator→enrichment pipeline entry."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .money import sql_fround, fround
+from .registry import query
+
+
+@query(
+    "q23_math_funcs",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_extendedprice - 50000.0)            AS abs_diff,
+           {sql_fround("SQRT(l_extendedprice)", 4)}  AS sqrt_price,
+           {sql_fround("LN(l_extendedprice)", 6)}    AS ln_price,
+           {sql_fround("POWER(l_discount, 2)", 6)}   AS disc_sq,
+           GREATEST(l_quantity, 25.0)                AS qty_floor25,
+           LEAST(l_quantity, 25.0)                   AS qty_cap25,
+           CAST(CEIL(l_extendedprice) AS BIGINT)     AS price_ceil,
+           CAST(FLOOR(l_extendedprice) AS BIGINT)    AS price_floor,
+           MOD(CAST(l_orderkey AS BIGINT), 7)        AS key_mod7
+    FROM lineitem
+    WHERE l_linenumber = 1 AND l_extendedprice > 0
+    """,
+    doc="Math scalar battery: abs/sqrt/ln/power/greatest/least/ceil/"
+    "floor/mod (SURVEY §2.8 — reference uses only abs, processor:116).",
+)
+def q23_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter((F.col("l_linenumber") == 1) & (F.col("l_extendedprice") > 0))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.abs(F.col("l_extendedprice") - 50000.0).alias("abs_diff"),
+            fround(F.sqrt("l_extendedprice"), 4).alias("sqrt_price"),
+            fround(F.log("l_extendedprice"), 6).alias("ln_price"),
+            fround(F.pow("l_discount", 2), 6).alias("disc_sq"),
+            F.greatest("l_quantity", F.lit(25.0)).alias("qty_floor25"),
+            F.least("l_quantity", F.lit(25.0)).alias("qty_cap25"),
+            F.ceil("l_extendedprice").alias("price_ceil"),
+            F.floor("l_extendedprice").alias("price_floor"),
+            F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_mod7"),
+        )
+    )
+
+
+@query(
+    "q24_regex_like",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand,
+           (p_name LIKE '%re%')                           AS has_re,
+           regexp_matches(p_type, '^(PROMO|ECONOMY)')     AS is_promo_eco,
+           regexp_extract(p_brand, '([0-9]+)', 1)         AS brand_num,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')    AS devoweled
+    FROM part
+    WHERE p_size >= 10
+    """,
+    doc="Pattern matching: LIKE, regexp match/extract/replace (§2.8 — "
+    "not in reference; Athena surface requires them).",
+)
+def q24_regex_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_size") >= 10)
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            F.col("p_name").like("%re%").alias("has_re"),
+            F.col("p_type").rlike("^(PROMO|ECONOMY)").alias("is_promo_eco"),
+            F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+            F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        )
+    )
+
+
+@query(
+    "q25_interval_arith",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 90 DAY                      AS due_date,
+           o_orderdate - INTERVAL 1 MONTH                     AS prev_month,
+           CAST(DATE_TRUNC('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start,
+           CAST(DATE_DIFF('day', o_orderdate, TIMESTAMP '2000-01-01') AS INTEGER) AS days_to_y2k,
+           CAST(EXTRACT(DOY FROM o_orderdate) AS INTEGER)     AS day_of_year,
+           CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
+    FROM orders
+    WHERE o_orderstatus = 'P'
+    """,
+    doc="Interval/date arithmetic battery: +interval, date_trunc, "
+    "datediff, dayofyear, last_day (§2.8 F20 generalized).",
+)
+def q25_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "P")
+        .select(
+            "o_orderkey",
+            (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+            (F.col("o_orderdate") - F.expr("INTERVAL 1 MONTH")).alias("prev_month"),
+            F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
+            F.datediff(F.lit("2000-01-01").cast("timestamp"), F.col("o_orderdate")).alias(
+                "days_to_y2k"
+            ),
+            F.dayofyear("o_orderdate").alias("day_of_year"),
+            # cast to timestamp on both sides: DATE vs TIMESTAMP hash differently
+            F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        )
+    )
+
+
+@query(
+    "q26_union_distinct",
+    oracle="""
+    SELECT c FROM (
+        SELECT o_custkey AS c FROM orders WHERE o_orderpriority = '1-URGENT'
+        UNION
+        SELECT o_custkey AS c FROM orders WHERE o_totalprice > 400000
+    ) t
+    """,
+    doc="UNION DISTINCT (vs q18's UNION ALL/INTERSECT/EXCEPT) — §2.7.",
+)
+def q26_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("c"))
+    b = o.filter(F.col("o_totalprice") > 400000).select(F.col("o_custkey").alias("c"))
+    return a.union(b).distinct()
+
+
+@query(
+    "q27_having",
+    oracle=f"""
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_fround("CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)", 4)} AS avg_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING COUNT(*) > 100 AND SUM(CAST(l_quantity AS DECIMAL(12,2))) > 500
+    """,
+    doc="Post-aggregation HAVING filter with exact-decimal guard (§2.4).",
+)
+def q27_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .money import dmoney
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(dmoney("l_quantity")).alias("_qty_sum"),
+        )
+        .filter((F.col("n_items") > 100) & (F.col("_qty_sum") > 500))
+        .select(
+            "l_suppkey",
+            "n_items",
+            fround(F.col("_qty_sum").cast("double") / F.col("n_items"), 4).alias("avg_qty"),
+        )
+    )
+
+
+@query(
+    "x01_approx_distinct",
+    oracle=None,  # HLL sketches differ across engines by design;
+    # tests/test_approx.py bounds the error against the exact count
+    doc="approx_count_distinct (HyperLogLog++) per returnflag — the "
+    "100 TB path for distinct counting (exact twin: q07).",
+)
+def x01_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    )
+
+
+@query(
+    "x02_approx_quantiles",
+    oracle=None,  # sketch-based; bounded vs exact in tests/test_approx.py
+    doc="percentile_approx p50/p95/p99 of order value — the sketch path "
+    "for quantiles at scale (exact twin: e04's median).",
+)
+def x02_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5).alias("p50"),
+        F.percentile_approx("o_totalprice", 0.95).alias("p95"),
+        F.percentile_approx("o_totalprice", 0.99).alias("p99"),
+    )
+
+
+@query(
+    "p01_generate_enrich",
+    oracle=None,  # synthetic source, not a driver table (rows-only)
+    doc="End-to-end reference pipeline at analytics scale: seeded "
+    "generator → validation → 29-col enrichment → classification "
+    "rollup (SURVEY §3.1+§3.2 fused; parity pinned by golden tests).",
+)
+def p01_generate_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from ..functions.enrich import enrich
+    from ..functions.validate import split_valid
+    from ..sources.generator import generate_orders
+
+    now = dt.datetime(2026, 8, 13, 12, 0, 0, tzinfo=dt.timezone.utc)
+    raw = generate_orders(spark, 2000, seed=123, now=now)
+    valid, _invalid = split_valid(raw)
+    enriched = enrich(valid, exact_rounding=False)  # pure-codegen path
+    return enriched.groupBy("order_value_class", "customer_segment", "delivery_priority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("total_amount"), 2).alias("revenue"),
+    )

@@ -1,0 +1,89 @@
+"""Source/sink coverage (SURVEY §2.1): format round-trips of the order
+schema (JSONL byte-parity path + columnar internals), Hive partition
+discovery + pruning, and corrupt-record permissive semantics (tested
+in test_reference_parity.test_corrupt_line_handling)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from pyspark.sql import functions as F
+
+from e_commerce_data_engineering_spark.pipeline import with_processing_partitions
+from e_commerce_data_engineering_spark.schemas import RAW_ORDER_SCHEMA
+from e_commerce_data_engineering_spark.sources.generator import generate_orders
+
+NOW = dt.datetime(2026, 8, 10, 12, 0, 0, tzinfo=dt.timezone.utc)
+
+
+def _orders(spark, n=60):
+    return generate_orders(spark, n, seed=3, now=NOW)
+
+
+def _sorted_json(df):
+    return sorted(
+        json.dumps(json.loads(s), sort_keys=True) for s in df.toJSON().collect()
+    )
+
+
+def test_roundtrip_parquet_json_csv_orc(spark, tmp_path):
+    src = _orders(spark)
+    want = _sorted_json(src)
+    # parquet + orc: full nested schema
+    for fmt in ("parquet", "orc"):
+        p = str(tmp_path / fmt)
+        src.write.format(fmt).save(p)
+        got = _sorted_json(spark.read.format(fmt).load(p))
+        assert got == want, fmt
+    # json: declared schema on read (schema-on-read like the reference)
+    p = str(tmp_path / "json")
+    src.write.json(p)
+    got = _sorted_json(spark.read.schema(RAW_ORDER_SCHEMA).json(p))
+    assert got == want
+    # csv: flat columns only (csv can't nest; items dropped)
+    flat = src.drop("items")
+    p = str(tmp_path / "csv")
+    flat.write.option("header", True).csv(p)
+    back = spark.read.option("header", True).schema(flat.schema).csv(p)
+    assert _sorted_json(back) == _sorted_json(flat)
+
+
+def test_partition_discovery_and_pruning(spark, tmp_path):
+    """Hive-style year=/month=/day= layout (S5): partition columns are
+    discovered on read, and a partition filter prunes the scan."""
+    out = str(tmp_path / "out")
+    for day, seed in (("2026-08-10", 1), ("2026-08-11", 2)):
+        now = dt.datetime.fromisoformat(day + "T00:00:00+00:00")
+        df = with_processing_partitions(generate_orders(spark, 30, seed=seed, now=now), now)
+        df.write.mode("append").partitionBy("year", "month", "day").parquet(out)
+
+    back = spark.read.parquet(out)
+    assert {"year", "month", "day"} <= set(back.columns)
+    assert back.count() == 60
+    one_day = back.filter(F.col("day") == "10")
+    assert one_day.count() == 30
+    plan = one_day._jdf.queryExecution().explainString(
+        one_day._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # partition pruning: the day filter appears as a PartitionFilter,
+    # not a post-scan Filter
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_jsonl_line_format_matches_reference(spark, tmp_path):
+    """Sink byte-format check: one JSON object per line, parseable by
+    the reference's per-line json.loads (processor:176-182)."""
+    p = str(tmp_path / "jsonl")
+    _orders(spark, 10).coalesce(1).write.json(p)
+    import glob
+
+    files = glob.glob(f"{p}/part-*.json")
+    assert files
+    with open(files[0]) as f:
+        lines = [line for line in f if line.strip()]
+    assert len(lines) == 10
+    for line in lines:
+        o = json.loads(line)
+        assert o["order_id"].startswith("ORD-")
+        assert isinstance(o["items"], list) and o["items"]
