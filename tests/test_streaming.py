@@ -136,6 +136,80 @@ def test_windowed_counts_with_watermark_drops_late_rows(spark, tmp_path):
     assert all(et != "late" for (_, et) in rows), rows
 
 
+def test_streaming_dedup_with_watermark(spark, tmp_path):
+    """Stateful streaming dedup: duplicate event ids arriving within
+    the watermark horizon are dropped exactly once (the state-store
+    path the reference lacks entirely — SURVEY §2.9 'State')."""
+    import pyspark.sql.types as T2
+
+    schema = T2.StructType(
+        [
+            T2.StructField("ts", T2.TimestampType(), False),
+            T2.StructField("event_id", T2.LongType(), False),
+        ]
+    )
+    src = tmp_path / "dupsrc"
+    src.mkdir()
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (base + dt.timedelta(minutes=m), eid)
+        for m, eid in [(0, 1), (1, 2), (2, 1), (3, 3), (4, 2), (5, 4)]
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / "p1"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_out").collect())
+    assert got == [1, 2, 3, 4]
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState custom operator: per-user accumulators
+    carry across micro-batches via the state store."""
+    from e_commerce_data_engineering_spark.streaming.stateful import running_user_totals
+
+    schema = EVENT_SCHEMA
+    src = tmp_path / "statesrc"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_state")
+
+    collected = []
+
+    def _run():
+        # memory sink can't recover from a checkpoint; foreachBatch can,
+        # which is what exercises cross-restart state restoration here.
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            running_user_totals(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _id: collected.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = [_event(0, user=1, value=2.0), _event(1, user=1, value=3.0), _event(2, user=2, value=5.0)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(str(src))
+    _run()
+    b2 = [_event(3, user=1, value=10.0)]
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(str(src))
+    _run()  # state restored from checkpoint → user 1 continues at 2 events
+
+    latest = {}
+    for r in collected:  # update-mode rows in batch order; last snapshot wins
+        latest[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert latest[1] == (3, 15.0), collected
+    assert latest[2] == (1, 5.0), collected
+
+
 def test_session_window_stream(spark, tmp_path):
     src = tmp_path / "sess"
     src.mkdir()
