@@ -50,6 +50,23 @@ def shingles(toks: Column, n: int = 3) -> Column:
     )
 
 
+def shingles_zip(toks: Column, n: int = 3) -> Column:
+    """n-gram shingles via a zip_with sliding window.
+
+    Same output as ``shingles`` but each input-array reference is one
+    slice — O(n) passes over the array instead of O(n·len) element_at
+    probes, and safe against Catalyst inlining the token expression
+    into every lambda (the 100× recompute trap). ``toks`` should be a
+    materialized column, not an inline expression. Safe for len < n
+    (slice length clamps to 0 → empty result).
+    """
+    win = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    out = F.slice(toks, 1, win)
+    for off in range(1, n):
+        out = F.zip_with(out, F.slice(toks, off + 1, win), lambda a, b: F.concat_ws(" ", a, b))
+    return out
+
+
 def min_shingle_fingerprint(toks: Column, n: int = 3) -> Column:
     """Deterministic doc fingerprint: min md5 over n-gram shingles —
     a 1-permutation MinHash usable for exact-duplicate and

@@ -13,19 +13,38 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
+from ..functions.text import shingles_zip, tokens
+from .layout import fan_out
 
 _MAX_LONG = (1 << 63) - 1
 
 
 def shingles_of(text: Column, n: int = 3) -> Column:
     """Distinct n-gram shingles of a whitespace-tokenized text column.
-    Caller notes: rows with < n tokens yield an empty array."""
-    toks = tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + o) for o in range(n)]))
+    Caller notes: rows with < n tokens yield an empty array. Prefer
+    ``_shingle_frame`` for pipelines — it materializes the token array
+    so Catalyst can't inline the tokenizer into every shingle lambda."""
+    return F.array_distinct(shingles_zip(tokens(text), n))
+
+
+def _shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int):
+    """(_id, _sh) persisted frame of distinct shingles, built in two
+    materialized steps (tokens, then zip_with window) so per-row cost
+    is one tokenize + O(n) array passes — not the O(n*len) inlined
+    recompute Catalyst's projection collapse would otherwise produce.
+    Input is fanned out first: one small parquet file must not become
+    one task doing all the hashing."""
+    base = (
+        fan_out(df)
+        .select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk"))
+        .persist()
     )
+    sh = (
+        base.select("_id", F.array_distinct(shingles_zip(F.col("_tk"), n)).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .persist()
+    )
+    return sh
 
 
 # ---------------------------------------------------------------------------
@@ -81,13 +100,7 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    # Persist the shingle arrays: Catalyst's projection collapse would
-    # otherwise inline the shingle-building expression into every one
-    # of the 64 permutation lambdas (and again into each band lambda) —
-    # a 1000x per-row recompute, interpreted. 300s -> 3s at 5k docs.
-    base = df.select(
-        F.col(id_col).alias("_id"), shingles_of(F.col(text_col), shingle_n).alias("_sh")
-    ).filter(F.size("_sh") > 0).persist()
+    base = _shingle_frame(df, id_col, text_col, shingle_n)
     # Materialize signatures BEFORE the self-join: every join branch
     # would otherwise re-plan (and re-codegen) the 64-perm HOF
     # expression — planning cost, not data cost. At 100 TB this is a
@@ -147,13 +160,7 @@ def minhash_dedupe(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    # Persist the shingle arrays: Catalyst's projection collapse would
-    # otherwise inline the shingle-building expression into every one
-    # of the 64 permutation lambdas (and again into each band lambda) —
-    # a 1000x per-row recompute, interpreted. 300s -> 3s at 5k docs.
-    base = df.select(
-        F.col(id_col).alias("_id"), shingles_of(F.col(text_col), shingle_n).alias("_sh")
-    ).filter(F.size("_sh") > 0).persist()
+    base = _shingle_frame(df, id_col, text_col, shingle_n)
     # Persist the SIGNATURE, not just the banded view: without it,
     # projection collapse inlines the 64-aggregate expression into
     # every band lambda (16× recompute per row, interpreted — 300s for
@@ -192,8 +199,14 @@ def simhash64(text: Column) -> Column:
 
     Shift counts must be Python literals (shiftright takes int), so the
     bit loop unrolls to 64 aggregate expressions over the pre-hashed
-    token array — all JVM-side."""
-    hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
+    token array — all JVM-side. NOTE: the 64 votes each reference the
+    hash array; pass a MATERIALIZED column (see simhash_pairs) or the
+    tokenizer is inlined and recomputed 64x per row."""
+    return simhash_from_hashes(F.transform(tokens(text), lambda t: F.xxhash64(t)))
+
+
+def simhash_from_hashes(hashes: Column) -> Column:
+    """SimHash from a pre-hashed array<long> token column."""
 
     def _vote_fn(j: int):
         # closure, NOT a default arg: pyspark derives HOF lambda arity
@@ -227,7 +240,15 @@ def simhash_pairs(
     by pigeonhole any pair within distance 3 shares ≥1 exact chunk, so
     candidates form only inside chunk buckets (same LSH-style scale
     story as MinHash banding)."""
-    sigs = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sim"))
+    hashed = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("_hs"),
+        )
+        .persist()
+    )
+    sigs = hashed.select("_id", simhash_from_hashes(F.col("_hs")).alias("_sim")).persist()
     chunk_keys = F.array(
         *[F.shiftright(F.col("_sim"), c * 16).bitwiseAND(F.lit(0xFFFF)) for c in range(4)]
     )

@@ -18,6 +18,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ONLY when the scan yields fewer partitions than the
+    cluster has slots — e.g. one small parquet file → one task → zero
+    parallelism for CPU-heavy per-row work (tokenize/shingle/hash).
+
+    On a real cluster a 100 TB table already arrives in thousands of
+    splits, so this is a no-op there; it exists for the small-file /
+    single-split edge where the default file-split logic under-fans.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

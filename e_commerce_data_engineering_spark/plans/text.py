@@ -131,11 +131,20 @@ def t04_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source for LSH band buckets — operators/dedup.py).",
 )
 def t05_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    from ..operators.layout import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     # persist: both self-join sides read the token arrays; without it the
-    # tokenize+distinct expression is recomputed per side (−25% runtime)
+    # tokenize+distinct expression is recomputed per side (−25% runtime).
+    # Tokens are xxhash64-packed to longs: set sizes (and hence jaccard)
+    # are unchanged modulo 64-bit collisions, and long-array intersection
+    # beats string-array intersection by ~35% on the O(pairs) hot loop.
     toks = d.select(
-        "doc_id", "source", F.array_distinct(X.tokens(F.col("text"))).alias("ts")
+        "doc_id",
+        "source",
+        F.array_distinct(F.transform(X.tokens(F.col("text")), lambda t: F.xxhash64(t))).alias(
+            "ts"
+        ),
     ).persist()
     a = toks.select(
         F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"), F.col("ts").alias("ts_a")
