@@ -40,7 +40,9 @@ HEADLINE = [
     "t01_token_stats",
     "t05_ngram_jaccard_pairs",
     "d03_minhash_dedupe",
+    "d04_embedding_neardup",
     "s02_cosine_topk",
+    "s05_ivf_cosine_topk",
     "a01_asof_join",
 ]
 

@@ -128,3 +128,107 @@ def lsh_cosine_topk(
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def ivf_index(
+    vectors: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF (inverted-file) index: KMeans-partition the vector space into
+    nlist cells; each vector lands in its nearest cell.
+
+    Returns (assigned_vectors_with_cell, centroid_list). The centroid
+    table is tiny (nlist x dim) and lives driver-side / broadcast — at
+    100 TB the assignment pass is one map over the data (no shuffle),
+    and the assigned table is written out partitioned BY cell so a
+    probe reads only nprobe/nlist of the data (partition pruning).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from .layout import fan_out
+
+    # fan out: a single-split parquet scan would train KMeans on one core.
+    # maxIter=5: centroids only steer probe pruning — recall comes from
+    # the exact re-rank — so full convergence buys nothing here.
+    train = fan_out(vectors).select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=nlist, seed=seed, maxIter=5).fit(train)
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    assigned = vectors.withColumn("_cell", nearest_cell(F.col(vec_col), centroids))
+    return assigned, centroids
+
+
+def nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """int cell id = argmin over centroids of squared L2 distance —
+    pure expression (codegen), no UDF; centroids are plan literals."""
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(w)) for w in c]),
+                lambda x, w: (x.cast("double") - w) * (x.cast("double") - w),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in centroids
+    ]
+    arr = F.array(*dists)
+    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+
+
+def ivf_cosine_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via IVF probing: score only vectors whose cell
+    is one of the query's nprobe nearest cells, exact re-rank inside.
+
+    Recall vs brute force rises with nprobe (nprobe=nlist is exact).
+    Scale: candidates are pre-assigned once (ivf_index), probes touch
+    nprobe/nlist of the corpus; the centroid argmin is O(nlist*dim)
+    per row of plan-literal arithmetic."""
+    assigned, centroids = ivf_index(candidates, nlist, id_col, vec_col, seed)
+    assigned = assigned.persist()
+
+    # nprobe nearest cells per query: explode centroid distances, rank
+    cdists = [
+        (i, F.aggregate(
+            F.zip_with(
+                F.col("_qv"),
+                F.array(*[F.lit(float(w)) for w in c]),
+                lambda x, w: (x.cast("double") - w) * (x.cast("double") - w),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ))
+        for i, c in enumerate(centroids)
+    ]
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv")).persist()
+    probes = (
+        q.select(
+            "q_id",
+            "_qv",
+            F.posexplode(F.array(*[d for _, d in cdists])).alias("_cell", "_dist"),
+        )
+        .withColumn("_rk", F.row_number().over(W.partitionBy("q_id").orderBy("_dist", "_cell")))
+        .filter(F.col("_rk") <= nprobe)
+        .select("q_id", "_qv", "_cell")
+    )
+    pairs = (
+        F.broadcast(probes)
+        .join(assigned.select(id_col, F.col(vec_col).alias("_cv"), "_cell"), "_cell")
+        .filter(F.col("q_id") != F.col(id_col))
+    )
+    scored = pairs.select("q_id", id_col, cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"))
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -145,6 +145,21 @@ def s04_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s05_ivf_cosine_topk",
+    oracle=None,  # approximate by construction; recall vs s02 asserted in tests
+    doc="IVF approximate cosine top-k: KMeans cells + nprobe-nearest-"
+    "cell probing, exact re-rank inside probed cells — the partition-"
+    "pruning ANN scale path (operators/similarity.ivf_cosine_topk).",
+)
+def s05_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_cosine_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return ivf_cosine_topk(e, q, k=5, nlist=16, nprobe=6)
+
+
+@query(
     "m01_multimodal_decode",
     oracle=None,  # synthetic binary assets, not a driver table
     doc="Multimodal plumbing: binary assets → mapInPandas decode (fake "

@@ -151,3 +151,61 @@ def s03_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_norm"),
     )
+
+
+NEARDUP_COS = 0.35  # testdata has no true dups; 0.35 selects the ~0.1% tail
+
+_SQL_UNIT = (
+    "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS u "
+    "FROM (SELECT vec_id, embedding, " + _sql_norm("embedding") + " AS nrm FROM embeddings) t"
+)
+_SQL_DOT_U = (
+    f"list_reduce(list_transform(generate_series(1, {EMBEDDING_DIM}),"
+    " i -> u_a[i] * u_b[i]), (a,b) -> a+b)"
+)
+
+
+@query(
+    "d04_embedding_neardup",
+    oracle=f"""
+    WITH unit AS ({_SQL_UNIT}),
+    a AS (SELECT vec_id AS vec_a, u AS u_a FROM unit),
+    b AS (SELECT vec_id AS vec_b, u AS u_b FROM unit)
+    SELECT vec_a, vec_b, {sql_fround(_SQL_DOT_U, 6)} AS cos_sim
+    FROM a JOIN b ON vec_a < vec_b
+    WHERE {_SQL_DOT_U} >= {NEARDUP_COS}
+    """,
+    doc="Embedding-cosine near-duplicate pairs (exact): vectors are "
+    "unit-normalized ONCE (O(n) folds), then each pair costs a single "
+    "left-fold dot product — not dot+2 norms per pair. The oracle "
+    "normalizes identically so the folds stay bit-identical. At "
+    "100 TB run the LSH candidate generator "
+    "(operators/similarity.lsh_cosine_topk) first and this exact "
+    "verifier on candidates only.",
+)
+def d04_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import fan_out
+
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    # two materialized steps so the norm lands as a plain column and is
+    # NOT inlined into the per-element division lambda (64x recompute)
+    nrm = e.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("_n")).persist()
+    unit = nrm.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / F.col("_n")).alias("u"),
+    ).persist()
+    a = unit.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("u_a"))
+    b = unit.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("u_b"))
+    cos = dot_d(F.col("u_a"), F.col("u_b"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= NEARDUP_COS)
+        .select("vec_a", "vec_b", fround(cos, 6).alias("cos_sim"))
+    )
+
+
+def dot_d(a: Column, b: Column) -> Column:
+    """Dot product of two double arrays (no per-element cast)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )

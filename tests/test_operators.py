@@ -105,6 +105,51 @@ def test_lsh_recall_vs_exact(spark):
     assert n_scored <= 20 * 5
 
 
+def test_ivf_recall_vs_exact(spark):
+    from e_commerce_data_engineering_spark.operators.similarity import ivf_cosine_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=5)
+    # near-random embeddings: true neighbors scatter across cells, so
+    # recall tracks nprobe/nlist; probe enough cells to clear 0.6
+    approx = ivf_cosine_topk(emb, queries, k=5, nlist=8, nprobe=4)
+    ex = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    ap = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} too low"
+
+
+def test_embedding_neardup_symmetric_exact(spark):
+    """d04 finds exactly the >= threshold pairs (vs a collected check)."""
+    import itertools
+    import math
+
+    from e_commerce_data_engineering_spark.plans.similarity import (
+        NEARDUP_COS,
+        d04_embedding_neardup,
+    )
+
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in d04_embedding_neardup(spark, SF).collect()
+    }
+    rows = load_table(spark, SF, "embeddings").select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: r["embedding"] for r in rows}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    want = {
+        (i, j)
+        for i, j in itertools.combinations(sorted(vecs), 2)
+        if cos(vecs[i], vecs[j]) >= NEARDUP_COS
+    }
+    # float-boundary pairs may differ by an ulp; demand near-total agreement
+    assert len(got ^ want) <= max(1, len(want) // 100), (len(got), len(want))
+
+
 def test_exact_topk_self_excluded_and_ranked(spark):
     emb = load_table(spark, SF, "embeddings")
     q = emb.filter(F.col("vec_id") == 0)
