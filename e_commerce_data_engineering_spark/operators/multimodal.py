@@ -160,3 +160,47 @@ def sample_video_frames(assets: DataFrame, every_ms: int = 250) -> DataFrame:
         ).alias("frame_ms"),
     )
     return frames
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("content", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_image(assets: DataFrame, max_side: int = 256, fake: bool = False) -> DataFrame:
+    """Image resize plumbing via mapInPandas: bytes in → resized bytes
+    out, aspect ratio preserved, only rows exceeding ``max_side``
+    rewritten. Real resampling needs Pillow (absent here): fake=True
+    rewrites the synthetic payload header with the clamped dimensions
+    and passes bytes through, which keeps schema/batching/partition
+    behavior identical to the real operator.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "Image resize requires Pillow/libvips, not present in this "
+            "container. Use fake=True for the header-rewrite stand-in, or "
+            "plug a real resampler into _resize_batch."
+        )
+
+    def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(content)
+                if b[:4] == _MAGIC:
+                    w, h, seed, i = struct.unpack("<iiqq", b[4:28])
+                    scale = max_side / max(w, h) if max(w, h) > max_side else 1.0
+                    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                    b = _MAGIC + struct.pack("<iiqq", nw, nh, seed, i) + b[28:]
+                else:
+                    nw = nh = None
+                out.append((asset_id, nw, nh, b))
+            yield pd.DataFrame(out, columns=["asset_id", "width", "height", "content"])
+
+    imgs = assets.filter(F.col("modality") == "image").select("asset_id", "content")
+    return imgs.mapInPandas(_resize_batch, RESIZED_SCHEMA)

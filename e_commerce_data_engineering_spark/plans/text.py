@@ -219,3 +219,39 @@ def t07_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "predicted_lang")
         .agg(F.count("*").alias("n"))
     )
+
+
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"  # BPE-style pre-tokenizer classes
+
+
+@query(
+    "t08_subword_tokens",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(lower(text), '{_BPE_RE}'))) AS BIGINT) AS subword_tokens,
+           CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS ws_tokens,
+           {sql_fround(f"CAST(SUM(len(regexp_extract_all(lower(text), '{_BPE_RE}'))) AS DOUBLE) / SUM(len({_DUCK_TOKS}))", 4)} AS subword_ratio
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Token counting two ways (SURVEY §2.11): whitespace words vs a "
+    "BPE-style regex pre-tokenization (letter runs / digit runs / "
+    "punctuation singletons) — the ratio approximates tokens-per-word "
+    "for budget estimation. Counts are exact ints; only the final "
+    "ratio is floating point.",
+)
+def t08_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sub = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_RE), F.lit(0)))
+    ws = F.size(X.tokens(F.col("text")))
+    return (
+        d.select("source", sub.alias("_sub"), ws.alias("_ws"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_sub").alias("subword_tokens"),
+            F.sum("_ws").alias("ws_tokens"),
+            fround(F.sum("_sub").cast("double") / F.sum("_ws"), 4).alias("subword_ratio"),
+        )
+    )

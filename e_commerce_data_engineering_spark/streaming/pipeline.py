@@ -116,3 +116,15 @@ def sessionized_event_counts(
             "n_events",
         )
     )
+
+
+def enriched_event_stream(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich each event with its user's dimension
+    row. The static side is broadcast — a stream-side lookup with no
+    stream shuffle and no state store (the static plan is re-resolved
+    per micro-batch, so slowly-changing dims pick up updates). This is
+    the streaming twin of the reference's catalog lookup (SURVEY §2.3
+    J1) and the canonical streaming-enrichment shape at 100 TB: keep
+    dims broadcastable or pre-bucket both sides.
+    """
+    return events.join(F.broadcast(user_dim), "user_id", "left")

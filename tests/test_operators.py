@@ -234,3 +234,22 @@ def test_video_frame_sampling(spark):
     assert set(per_asset) == set(metas)
     for aid, dur in metas.items():
         assert per_asset[aid] == dur // 250 + 1
+
+
+def test_multimodal_resize_fake(spark):
+    from e_commerce_data_engineering_spark.operators.multimodal import resize_image
+
+    assets = make_fake_assets(spark, 60)
+    resized = resize_image(assets, max_side=64, fake=True).collect()
+    n_images = assets.filter(F.col("modality") == "image").count()
+    assert len(resized) == n_images > 0
+    assert all(max(r["width"], r["height"]) <= 64 for r in resized)
+    # bytes survive the trip and headers reflect the clamped dims
+    assert all(len(r["content"]) > 28 for r in resized)
+
+
+def test_multimodal_resize_real_raises(spark):
+    from e_commerce_data_engineering_spark.operators.multimodal import resize_image
+
+    with pytest.raises(NotImplementedError):
+        resize_image(make_fake_assets(spark, 5), fake=False)

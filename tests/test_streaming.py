@@ -233,3 +233,27 @@ def test_session_window_stream(spark, tmp_path):
     # still be open depending on final watermark — assert the closed ones
     assert ("2026-01-01T00:00:00", 3) in done
     assert ("2026-01-01T01:30:00", 2) in done
+
+
+def test_stream_static_broadcast_join(spark, tmp_path):
+    from e_commerce_data_engineering_spark.streaming.pipeline import enriched_event_stream
+
+    src = tmp_path / "enr"
+    src.mkdir()
+    evs = [_event(m, user=u) for m, u in [(0, 1), (1, 2), (2, 1), (3, 9)]]
+    spark.createDataFrame(evs, EVENT_SCHEMA).write.parquet(str(src / "p1"))
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(src / "*"))
+    q = (
+        enriched_event_stream(stream, dim)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enr_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r["user_id"], r["tier"]) for r in spark.sql("SELECT user_id, tier FROM enr_out").collect()}
+    assert rows == {(1, "gold"), (2, "silver"), (9, None)}
