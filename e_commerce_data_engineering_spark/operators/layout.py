@@ -71,3 +71,33 @@ def salted_join(
     )
     out = l.join(r, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    file_format: str = "parquet",
+) -> int:
+    """Small-files compaction: rewrite a directory of many small files
+    into ceil(total_bytes / target_file_bytes) files of ~target size.
+
+    Streaming sinks and per-trigger micro-batches accrete thousands of
+    tiny files; scans then pay per-file open/footer costs and lose
+    split parallelism. Compaction is the standing maintenance job of
+    any 100 TB lake. Size-based (not count-based): file count is
+    computed from actual input bytes, so the same call works at any
+    scale. Returns the number of output files written.
+    """
+    df = spark.read.format(file_format).load(path)
+    # input size from the files the scan actually resolved
+    statuses = (
+        spark._jvm.org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark._jsc.hadoopConfiguration())
+        .globStatus(spark._jvm.org.apache.hadoop.fs.Path(path + "/*"))
+    )
+    total_bytes = sum(f.getLen() for f in statuses if f.isFile())
+    n_files = max(1, -(-total_bytes // target_file_bytes))
+    df.repartition(n_files).write.mode("overwrite").format(file_format).save(out_path)
+    return n_files

@@ -85,32 +85,48 @@ def run_batch(
     """Full reference-equivalent run. ``output_format='parquet'`` is the
     columnar upgrade for the analytics surface (json = byte-level
     reference parity)."""
+    from pyspark.sql import Observation
+
     raw = read_raw_jsonl(spark, in_path)
     processed, invalid, corrupt = process_raw(raw)
 
+    # observe(): row counters ride along with the write action instead
+    # of re-scanning afterwards (A6 metrics; the reference's processed/
+    # rejected counters, processor:184-194). At 100 TB a metrics
+    # .count() is a full extra pass — observation is free.
     out_path = quarantine_path = None
     if out_dir:
         out_path = out_dir
+        obs_p = Observation()
         (
             with_processing_partitions(processed, now)
+            .observe(obs_p, F.count(F.lit(1)).alias("n"))
             .write.mode("append")
             .partitionBy("year", "month", "day")
             .format(output_format)
             .save(out_dir)
         )
+        n_processed = obs_p.get["n"]
+    else:
+        n_processed = processed.count()
     if quarantine_dir:
         quarantine_path = quarantine_dir
+        obs_q = Observation()
         (
             with_processing_partitions(invalid.withColumn("errors", F.to_json("errors")), now)
+            .observe(obs_q, F.count(F.lit(1)).alias("n"))
             .write.mode("append")
             .partitionBy("year", "month", "day")
             .format(output_format)
             .save(quarantine_dir)
         )
+        n_invalid = obs_q.get["n"]
+    else:
+        n_invalid = invalid.count()
 
     return BatchResult(
-        total_processed=processed.count(),
-        invalid_orders=invalid.count(),
+        total_processed=n_processed,
+        invalid_orders=n_invalid,
         corrupt_lines=corrupt.count(),
         output_path=out_path,
         quarantine_path=quarantine_path,

@@ -87,3 +87,33 @@ def test_jsonl_line_format_matches_reference(spark, tmp_path):
         o = json.loads(line)
         assert o["order_id"].startswith("ORD-")
         assert isinstance(o["items"], list) and o["items"]
+
+
+def test_run_batch_metrics_and_partitioned_sink(spark, tmp_path):
+    """run_batch returns the reference Lambda's response counters
+    (observation-collected during the write, not re-scanned) and lays
+    out year=/month=/day= Hive partitions."""
+    import datetime as dt
+    import glob
+    import json as _json
+
+    from e_commerce_data_engineering_spark.pipeline import run_batch
+    from e_commerce_data_engineering_spark.sources.generator import generate_orders
+
+    lines = generate_orders(spark, 30, seed=11).toJSON().collect()
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    bad_valid_json = _json.dumps({"order_id": "", "total_amount": -3.0})
+    (raw / "a.jsonl").write_text("\n".join(lines) + "\nnot json at all\n" + bad_valid_json + "\n")
+
+    now = dt.datetime(2026, 2, 3, tzinfo=dt.timezone.utc)
+    res = run_batch(
+        spark,
+        str(raw),
+        out_dir=str(tmp_path / "processed"),
+        quarantine_dir=str(tmp_path / "quarantine"),
+        now=now,
+    )
+    assert (res.total_processed, res.invalid_orders, res.corrupt_lines) == (30, 1, 1)
+    assert glob.glob(str(tmp_path / "processed" / "year=2026" / "month=02" / "day=03" / "*.json"))
+    assert glob.glob(str(tmp_path / "quarantine" / "year=2026" / "month=02" / "day=03" / "*.json"))

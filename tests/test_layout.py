@@ -71,3 +71,21 @@ def test_salted_join_matches_plain_join(spark):
         F.count("*").alias("c")
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_compact_files(spark, tmp_path):
+    from e_commerce_data_engineering_spark.operators.layout import compact_files
+
+    src = str(tmp_path / "many")
+    # 40 tiny files (the streaming-sink accretion shape)
+    spark.range(0, 4000).repartition(40).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(src + "/part-*")) == 40
+    out = str(tmp_path / "compacted")
+    n = compact_files(spark, src, out, target_file_bytes=1 << 30)
+    assert n == 1
+    assert len(glob.glob(out + "/part-*")) == 1
+    # content preserved
+    assert spark.read.parquet(out).count() == 4000
+    assert spark.read.parquet(out).agg({"id": "sum"}).first()[0] == sum(range(4000))
