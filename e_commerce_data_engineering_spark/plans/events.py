@@ -148,3 +148,84 @@ def e04_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_avg(dmoney("value")).alias("avg_value"),
         fround(F.percentile("value", F.lit(0.5)), 4).alias("median_value"),
     )
+
+
+@query(
+    "e05_multi_granularity_rollup",
+    oracle=f"""
+    SELECT COALESCE(CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR), 'ALL')  AS day,
+           COALESCE(CAST(date_trunc('hour', ts) AS VARCHAR), 'ALL') AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_fround("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)", 2)} AS total_value
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+    """,
+    doc="Hypertable-style multi-granularity time rollup: one pass emits "
+    "hour, day, and grand-total tiers via ROLLUP (partial aggregation "
+    "makes the coarser tiers nearly free — the continuous-aggregate "
+    "pattern at 100 TB).",
+)
+def e05_multi_granularity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.date_trunc("day", "ts").alias("_d"),
+            F.date_trunc("hour", "ts").alias("_h"),
+            "value",
+        )
+        .rollup("_d", "_h")
+        .agg(
+            F.count("*").alias("n"),
+            fround(F.sum(dmoney("value")).cast("double"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("_d").cast("string"), F.lit("ALL")).alias("day"),
+            F.coalesce(F.col("_h").cast("string"), F.lit("ALL")).alias("hour"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q33_map_funcs",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           array_to_string(list_sort(array_agg(event_type)), ',') AS keys,
+           CAST(SUM(n) AS BIGINT)                                 AS total_events,
+           CAST(COALESCE(SUM(n) FILTER (event_type = 'click'), 0) AS BIGINT) AS clicks,
+           CAST(COUNT(*) AS INTEGER)                              AS n_types,
+           BOOL_OR(event_type = 'error')                          AS has_error
+    FROM c GROUP BY user_id
+    """,
+    doc="Map-function battery (§2.8 beyond-construction): per-user "
+    "event_type→count map built with map_from_entries, then consumed "
+    "via map_keys / map_values / element_at / size / "
+    "map_contains_key. Oracle computes the same semantics "
+    "relationally (maps canonicalized through sorted keys).",
+)
+def q33_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    m = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("event_type", "n")))
+            ).alias("m")
+        )
+    )
+    return m.select(
+        "user_id",
+        F.array_join(F.map_keys("m"), ",").alias("keys"),
+        F.aggregate(F.map_values("m"), F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "total_events"
+        ),
+        F.coalesce(F.element_at("m", F.lit("click")), F.lit(0).cast("bigint")).alias("clicks"),
+        F.size("m").alias("n_types"),
+        F.map_contains_key("m", F.lit("error")).alias("has_error"),
+    )
