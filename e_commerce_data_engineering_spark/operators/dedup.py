@@ -262,3 +262,88 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected-components dedup (transitive closure over candidate pairs)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) labels via iterative min-label propagation —
+    the Pregel-style pattern (GraphX's CC without GraphX): each round,
+    every node takes the min of its own label and its neighbors'; fixed
+    point = connected components.
+
+    Converges in O(component diameter) rounds — near-dup chains are
+    shallow, so a handful of shuffles in practice. Each round is one
+    join + one groupBy over the edge list; edges and the current label
+    frame are persisted so round N doesn't replay rounds 1..N-1 (the
+    lineage would otherwise grow exponentially). Driver involvement is
+    one convergence count() per round, never row data.
+    """
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id")).persist()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(
+                labels.select(F.col("id").alias("src"), F.col("label").alias("src_label")),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min("src_label").alias("min_neigh"))
+            .select(F.col("dst").alias("id"), "min_neigh")
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("min_neigh", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.select("id", F.col("label").alias("old")), "id")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def minhash_dedupe_cc(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Full transitive dedup: LSH pairs → verified Jaccard edges →
+    connected components → keep the min-id doc per component (plus all
+    docs in no component). Unlike the greedy ``minhash_dedupe``, a
+    chain A~B~C collapses to exactly one keeper even when A and C
+    share no bucket.
+    """
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n, jaccard_threshold
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    keepers_in_comp = comp.groupBy("label").agg(F.min("id").alias(id_col)).select(id_col)
+    drop = comp.select(F.col("id").alias(id_col)).exceptAll(keepers_in_comp)
+    return df.join(drop, id_col, "left_anti")

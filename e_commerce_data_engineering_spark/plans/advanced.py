@@ -122,6 +122,23 @@ def d03_minhash_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d05_cc_dedupe",
+    oracle=None,  # iterative label propagation — not SQL-expressible;
+    # tests/test_operators.py verifies against a union-find ground truth
+    doc="Transitive (connected-components) dedup: LSH pairs → min-label "
+    "propagation to a fixed point → one keeper per duplicate chain. "
+    "Returns per-lang survivor counts (compare d03: greedy keeps chain "
+    "fragments; CC collapses them).",
+)
+def d05_cc_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_dedupe_cc
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = minhash_dedupe_cc(d, "doc_id", "text")
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+@query(
     "d02_simhash_pairs",
     oracle=None,
     doc="SimHash near-duplicate pairs (Hamming ≤ 3, 16-bit chunk blocking).",

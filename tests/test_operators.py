@@ -253,3 +253,41 @@ def test_multimodal_resize_real_raises(spark):
 
     with pytest.raises(NotImplementedError):
         resize_image(make_fake_assets(spark, 5), fake=False)
+
+
+def test_connected_components_dedup_transitive(spark):
+    """CC dedup collapses whole duplicate chains; verified against a
+    driver-side union-find over the SAME verified pair list."""
+    from e_commerce_data_engineering_spark.operators.dedup import (
+        minhash_dedupe_cc,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    kept = {r["doc_id"] for r in minhash_dedupe_cc(docs, "doc_id", "text").collect()}
+
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").select("id_a", "id_b").collect()
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for x in parent:
+        comps.setdefault(find(x), set()).add(x)
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    in_comp = set(parent)
+    expected = (all_ids - in_comp) | {min(c) for c in comps.values()}
+    assert kept == expected
+    assert len(pairs) > 0  # the corpus actually has near-dups
