@@ -255,3 +255,29 @@ def t08_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.sum("_sub").cast("double") / F.sum("_ws"), 4).alias("subword_ratio"),
         )
     )
+
+
+T09_THRESHOLD = 0.8
+
+
+@query(
+    "t09_similarity_join",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, list_distinct({_DUCK_TOKS}) AS ts FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           {sql_fround("CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))", 4)} AS jaccard
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+          / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= {T09_THRESHOLD}
+    """,
+    doc="Exact corpus-wide set-similarity join via prefix filtering "
+    "(AllPairs/PPJoin): candidates only where rarest-token prefixes "
+    "collide — identical output to the brute-force oracle without the "
+    "O(n²) pair scan (operators/setjoin.py).",
+)
+def t09_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.setjoin import jaccard_similarity_join
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_similarity_join(d, "doc_id", "text", T09_THRESHOLD)
+    return pairs.select("id_a", "id_b", fround(F.col("jaccard"), 4).alias("jaccard"))
