@@ -39,6 +39,7 @@ HEADLINE = [
     "r06_discount_pattern",
     "t01_token_stats",
     "t05_ngram_jaccard_pairs",
+    "t09_similarity_join",
     "d03_minhash_dedupe",
     "d04_embedding_neardup",
     "s02_cosine_topk",

@@ -291,3 +291,31 @@ def test_connected_components_dedup_transitive(spark):
     expected = (all_ids - in_comp) | {min(c) for c in comps.values()}
     assert kept == expected
     assert len(pairs) > 0  # the corpus actually has near-dups
+
+
+def test_ppjoin_exact_vs_bruteforce(spark):
+    """Prefix+length+positional filtering must lose NOTHING: compare the
+    full pair set against a driver-side brute force at a different
+    threshold than the registered query uses."""
+    from e_commerce_data_engineering_spark.operators.setjoin import jaccard_similarity_join
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in jaccard_similarity_join(docs, "doc_id", "text", 0.6).collect()
+    }
+    toks = {
+        r["doc_id"]: set(r["text"].split())
+        for r in docs.collect()
+    }
+    want = set()
+    ids = sorted(toks)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(toks[a] & toks[b])
+            if inter == 0:
+                continue
+            jac = inter / (len(toks[a]) + len(toks[b]) - inter)
+            if jac >= 0.6:
+                want.add((a, b, round(jac, 9)))
+    assert got == want
