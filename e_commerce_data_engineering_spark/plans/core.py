@@ -144,6 +144,39 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q04_priority_with_returns",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1994-01-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order-priority checking): correlated EXISTS "
+    "against the fact table — Catalyst rewrites it to a left-semi "
+    "join, so the subquery costs one shuffle, not one probe per row.",
+)
+def q04_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE o.o_orderdate >= DATE '1994-01-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+          )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
     "q05_region_nation_revenue",
     oracle=f"""
     SELECT n_name,
