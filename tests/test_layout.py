@@ -89,3 +89,24 @@ def test_compact_files(spark, tmp_path):
     # content preserved
     assert spark.read.parquet(out).count() == 4000
     assert spark.read.parquet(out).agg({"id": "sum"}).first()[0] == sum(range(4000))
+
+
+def test_upsert_parquet_keeps_latest(spark, tmp_path):
+    from e_commerce_data_engineering_spark.operators.layout import upsert_parquet
+
+    tgt = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")], "k long, ver long, val string"
+    )
+    n = upsert_parquet(spark, tgt, base, "k", "ver")
+    assert n == 3
+    # update k=2 with higher version, same-version tie on k=3 (update wins),
+    # stale update on k=1 (ignored), brand-new k=4
+    upd = spark.createDataFrame(
+        [(2, 5, "b2"), (3, 1, "c2"), (1, 0, "stale"), (4, 1, "d")],
+        "k long, ver long, val string",
+    )
+    n = upsert_parquet(spark, tgt, upd, "k", "ver")
+    assert n == 4
+    got = {(r["k"], r["ver"], r["val"]) for r in spark.read.parquet(tgt).collect()}
+    assert got == {(1, 1, "a"), (2, 5, "b2"), (3, 1, "c2"), (4, 1, "d")}
