@@ -229,3 +229,30 @@ def q33_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("m").alias("n_types"),
         F.map_contains_key("m", F.lit("error")).alias("has_error"),
     )
+
+
+@query(
+    "e06_sliding_window",
+    oracle=f"""
+    WITH expanded AS (
+        SELECT time_bucket(INTERVAL '15 minutes', ts) - i * INTERVAL '15 minutes' AS window_start,
+               event_type, value
+        FROM events, range(0, 4) t(i)
+    )
+    SELECT window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_fround("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)", 2)} AS total_value
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+    doc="Sliding (hopping) 1h/15min window aggregation: each event lands "
+    "in 4 overlapping windows (F.window with slideDuration). Oracle "
+    "expands events x 4 hop offsets relationally.",
+)
+def e06_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), money_sum(dmoney("value")).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )

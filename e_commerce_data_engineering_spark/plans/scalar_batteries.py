@@ -375,3 +375,64 @@ def x03_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk_all").alias("estimated_distinct_texts"),
         "sum_exact",
     )
+
+
+_VQ = 100  # value quantization: cents (values are 2dp money-like doubles)
+
+
+@query(
+    "q34_corr_stddev_exact",
+    oracle=f"""
+    WITH q AS (
+        SELECT event_type,
+               CAST(FLOOR(value * {_VQ} + 0.5) AS BIGINT)              AS x,
+               CAST(FLOOR(CAST(user_id AS DOUBLE) * {_VQ} + 0.5) AS BIGINT) AS y
+        FROM events
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS HUGEINT) AS sxx, CAST(SUM(y * y) AS HUGEINT) AS syy,
+               CAST(SUM(x * y) AS HUGEINT) AS sxy
+        FROM q GROUP BY event_type
+    )
+    SELECT event_type, n,
+           {sql_fround(f"sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1)) / {_VQ}", 4)} AS stddev_value,
+           {sql_fround("(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))", 4)} AS corr_value_user
+    FROM s
+    """,
+    doc="Correlation/stddev with DETERMINISTIC cross-engine results: both "
+    "moments come from exact integer sums (values quantized to cents), "
+    "so parallel summation order can't perturb them — the one-pass "
+    "co-moment formulas built-in corr()/stddev() use are order-"
+    "dependent in the last ulps and hash-unstable across engines. "
+    "Decimal(38) sums hold to ~1e25 rows of cent-quantized moments.",
+)
+def q34_corr_stddev_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    x = F.floor(F.col("value") * _VQ + F.lit(0.5)).cast("long")
+    y = F.floor(F.col("user_id").cast("double") * _VQ + F.lit(0.5)).cast("long")
+    q = e.select("event_type", x.alias("x"), y.alias("y"))
+    dec = "decimal(38,0)"
+    s = q.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (F.col(c).cast("double") for c in ("sxx", "syy", "sxy"))
+    return s.select(
+        "event_type",
+        "n",
+        fround(F.sqrt((sxx - sx * F.col("sx") / n) / (n - 1)) / _VQ, 4).alias("stddev_value"),
+        fround(
+            (n * sxy - sx * F.col("sy"))
+            / F.sqrt((n * sxx - sx * F.col("sx")) * (n * syy - sy * F.col("sy"))),
+            4,
+        ).alias("corr_value_user"),
+    )
