@@ -320,3 +320,66 @@ def t10_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= QUOTA_PER_LANG)
         .drop("rk")
     )
+
+
+_Q_NORM = (
+    "sqrt(list_reduce(list_transform(generate_series(1, 64),"
+    " i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a,b) -> a+b))"
+)
+
+
+@query(
+    "t11_training_assembly",
+    oracle=f"""
+    WITH m AS (
+        SELECT d.doc_id, d.lang, d.source,
+               CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_tokens,
+               {sql_fround("CAST(len(list_filter(" + _DUCK_TOKS + ", x -> x IN ('the','a','of','to','and','in','is'))) AS DOUBLE) / len(" + _DUCK_TOKS + ")", 4)} AS stop_ratio,
+               {sql_fround("CAST(list_reduce(list_transform(" + _DUCK_TOKS + ", x -> len(x)), (a,b) -> a+b) AS DOUBLE) / len(" + _DUCK_TOKS + ")", 4)} AS avg_token_len,
+               {sql_fround(_Q_NORM, 4)} AS emb_norm,
+               {_Q_NORM} AS raw_norm
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    )
+    SELECT doc_id, lang, source, n_tokens,
+           {sql_fround("0.4 * LEAST(n_tokens / 20.0, 1.0) + 0.4 * (1.0 - stop_ratio) + 0.2 * LEAST(avg_token_len / 8.0, 1.0)", 4)} AS quality,
+           emb_norm
+    FROM m
+    WHERE n_tokens >= 10 AND raw_norm > 0.0
+    """,
+    doc="Training-example assembly: text quality metrics joined with the "
+    "embedding-side hygiene check in one pass (documents ⋈ embeddings "
+    "on id — co-partitionable at 100 TB by bucketing both on the id). "
+    "This is the curation query a data pipeline runs before export.",
+)
+def t11_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import l2_norm
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    toks = X.tokens(F.col("text"))
+    metrics = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        X.token_count(toks).alias("n_tokens"),
+        X.quality_score(
+            X.token_count(toks),
+            fround(X.stopword_count(toks).cast("double") / X.token_count(toks), 4),
+            fround(X.total_chars(toks).cast("double") / X.token_count(toks), 4),
+        ).alias("_q_raw"),
+        fround(X.stopword_count(toks).cast("double") / X.token_count(toks), 4).alias("_stop"),
+        fround(X.total_chars(toks).cast("double") / X.token_count(toks), 4).alias("_atl"),
+    )
+    emb = e.select("vec_id", l2_norm(F.col("embedding")).alias("_norm"))
+    joined = metrics.join(emb, metrics.doc_id == emb.vec_id)
+    return (
+        joined.filter((F.col("n_tokens") >= 10) & (F.col("_norm") > 0.0))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            X.quality_score(F.col("n_tokens"), F.col("_stop"), F.col("_atl")).alias("quality"),
+            fround(F.col("_norm"), 4).alias("emb_norm"),
+        )
+    )
