@@ -128,3 +128,46 @@ def enriched_event_stream(events: DataFrame, user_dim: DataFrame) -> DataFrame:
     dims broadcastable or pre-bucket both sides.
     """
     return events.join(F.broadcast(user_dim), "user_id", "left")
+
+
+def stream_stream_interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: purchase attributed to a same-user
+    click that happened up to ``within`` before it. Both sides carry
+    watermarks and the join condition bounds event-time distance, so
+    the state store can expire rows once the watermark passes —
+    unbounded-state joins are refused by Spark for good reason at
+    100 TB. State size tracks the active window, not the stream length.
+    """
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        "click_value",
+        "purchase_value",
+    )

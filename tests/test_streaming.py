@@ -257,3 +257,39 @@ def test_stream_static_broadcast_join(spark, tmp_path):
     q.awaitTermination(120)
     rows = {(r["user_id"], r["tier"]) for r in spark.sql("SELECT user_id, tier FROM enr_out").collect()}
     assert rows == {(1, "gold"), (2, "silver"), (9, None)}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    from e_commerce_data_engineering_spark.streaming.pipeline import (
+        stream_stream_interval_join,
+    )
+
+    csrc = tmp_path / "clicks"
+    psrc = tmp_path / "purchases"
+    csrc.mkdir(), psrc.mkdir()
+    clicks = [_event(m, user=u, etype="click") for m, u in [(0, 1), (10, 2), (100, 1)]]
+    # purchases: u1@20 joins click@0 (20min gap); u2@50 misses (40min);
+    # u1@110 joins click@100 (10min) AND is outside click@0's window
+    purchases = [
+        _event(20, user=1, etype="purchase", value=9.0),
+        _event(50, user=2, etype="purchase", value=7.0),
+        _event(110, user=1, etype="purchase", value=5.0),
+    ]
+    spark.createDataFrame(clicks, EVENT_SCHEMA).write.parquet(str(csrc / "p"))
+    spark.createDataFrame(purchases, EVENT_SCHEMA).write.parquet(str(psrc / "p"))
+    cs = spark.readStream.schema(EVENT_SCHEMA).parquet(str(csrc / "*"))
+    ps = spark.readStream.schema(EVENT_SCHEMA).parquet(str(psrc / "*"))
+    q = (
+        stream_stream_interval_join(cs, ps, within="30 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["user_id"], r["click_ts"].minute, r["purchase_ts"].minute, r["purchase_value"])
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+    assert rows == {(1, 0, 20, 9.0), (1, 40, 50, 5.0)}, rows
