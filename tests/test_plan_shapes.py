@@ -77,3 +77,23 @@ def test_no_python_udf_in_analytics_plans(spark):
     ):
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_exists_rewrites_to_semi_join(spark):
+    plan = plan_of(spark, "q04_priority_with_returns")
+    assert "LeftSemi" in plan, plan
+
+
+def test_similarity_join_avoids_cartesian(spark):
+    """The PPJoin candidate generator must be an equi-join on prefix
+    tokens — never a cross/nested-loop pair enumeration."""
+    plan = plan_of(spark, "t09_similarity_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_neardup_is_broadcast_nested_loop(spark):
+    """d04 IS the exact O(n^2) definition — its plan should broadcast
+    the small side rather than shuffle a cross product."""
+    plan = plan_of(spark, "d04_embedding_neardup")
+    assert "BroadcastNestedLoopJoin" in plan, plan
