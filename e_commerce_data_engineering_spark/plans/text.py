@@ -383,3 +383,47 @@ def t11_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.col("_norm"), 4).alias("emb_norm"),
         )
     )
+
+
+SHARD_TOKEN_BUDGET = 2000
+
+
+@query(
+    "t12_token_budget_packing",
+    oracle=f"""
+    WITH c AS (
+        SELECT doc_id, lang,
+               CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
+               SUM(CAST(len({_DUCK_TOKS}) AS BIGINT)) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM documents
+    )
+    SELECT lang,
+           CAST(FLOOR((cum - n_tokens) / {SHARD_TOKEN_BUDGET}) AS INTEGER) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+    FROM c
+    GROUP BY 1, 2
+    """,
+    doc="Sequence-packing shard assignment: docs stream into fixed "
+    "token-budget shards per language via running-sum window + floor "
+    "division (each shard holds ~budget tokens; a doc starts a new "
+    "shard when the budget would overflow at its start offset). The "
+    "export-sharding step of a training pipeline — one window shuffle "
+    "on the stratum key.",
+)
+def t12_token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(X.tokens(F.col("text"))).cast("bigint")
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = d.select("doc_id", "lang", n.alias("n_tokens")).withColumn("cum", F.sum("n_tokens").over(w))
+    shard = F.floor((F.col("cum") - F.col("n_tokens")) / SHARD_TOKEN_BUDGET).cast("int")
+    return (
+        c.select("lang", shard.alias("shard"), "n_tokens")
+        .groupBy("lang", "shard")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("shard_tokens"))
+    )
