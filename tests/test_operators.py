@@ -319,3 +319,29 @@ def test_ppjoin_exact_vs_bruteforce(spark):
             if jac >= 0.6:
                 want.add((a, b, round(jac, 9)))
     assert got == want
+
+
+def test_shingles_zip_edge_cases(spark):
+    from e_commerce_data_engineering_spark.functions.text import shingles_zip, tokens
+
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("",), ("single",), ("x  y   z",)], "text string"
+    )
+    got = [
+        r["sh"]
+        for r in df.select(shingles_zip(tokens(F.col("text")), 3).alias("sh")).collect()
+    ]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == []  # fewer tokens than n
+    assert got[2] == []
+    assert got[3] == []
+    assert got[4] == ["x y z"]  # multi-space runs collapse
+
+
+def test_fan_out_is_noop_on_wide_input(spark):
+    from e_commerce_data_engineering_spark.operators.layout import fan_out
+
+    wide = spark.range(0, 1000).repartition(64)
+    assert fan_out(wide) is wide  # already >= defaultParallelism: untouched
+    narrow = spark.range(0, 1000).coalesce(1)
+    assert fan_out(narrow).rdd.getNumPartitions() >= narrow.rdd.getNumPartitions()
