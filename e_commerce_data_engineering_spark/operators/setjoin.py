@@ -23,21 +23,31 @@ def jaccard_similarity_join(
     id_col: str,
     text_col: str,
     threshold: float,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """All pairs with token-set Jaccard >= threshold → (id_a, id_b,
     jaccard). Exact (verified), corpus-wide (no blocking key needed).
 
     Pipeline: hash tokens to longs → global token frequencies → order
     each doc's tokens rarest-first (freq, then hash, a total order) →
-    prefix = the first |ts| - ceil(t*|ts|) + 1 tokens → inverted-index
+    prefix = the first |ts| - ceil(t*|ts|) + 1 tokens — inverted-index
     join on prefix tokens → exact Jaccard on full sets. Shuffle volume
     tracks prefix-token bucket occupancy — rare tokens by construction
     — not n².
+
+    ``group_cols``: optional extra equi-keys — pairs must agree on them
+    (e.g. a `source` column). They ride the inverted-index join key, so
+    the prefix/length/positional filters prune within each group and
+    the pair space never crosses groups. The frequency ordering stays
+    global (any consistent total order is correct for the prefix-filter
+    guarantee; global frequency just minimizes candidates).
     """
+    groups = list(group_cols or [])
     base = (
         fan_out(df)
         .select(
             F.col(id_col).alias("_id"),
+            *groups,
             F.array_distinct(
                 F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
             ).alias("_ts"),
@@ -45,13 +55,13 @@ def jaccard_similarity_join(
         .filter(F.size("_ts") > 0)
         .persist()
     )
-    tok = base.select("_id", F.explode("_ts").alias("_tok"))
+    tok = base.select("_id", *groups, F.explode("_ts").alias("_tok"))
     freq = tok.groupBy("_tok").agg(F.count("*").alias("_freq"))
     # rarest-first total order per doc: sort (freq, token-hash) structs,
     # then strip back to token hashes
     ordered = (
         tok.join(freq, "_tok")
-        .groupBy("_id")
+        .groupBy("_id", *groups)
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("_freq", "_tok"))), lambda s: s["_tok"]
@@ -68,14 +78,23 @@ def jaccard_similarity_join(
     prefix_len = n - req + 1
     prefix = ordered.select(
         F.col("_id"),
+        *groups,
         n.alias("_n"),
         F.posexplode(F.slice("_ts", 1, prefix_len)).alias("_pos", "_tok"),
     )
     a = prefix.select(
-        F.col("_id").alias("id_a"), F.col("_n").alias("_na"), F.col("_pos").alias("_pa"), "_tok"
+        F.col("_id").alias("id_a"),
+        *groups,
+        F.col("_n").alias("_na"),
+        F.col("_pos").alias("_pa"),
+        "_tok",
     )
     b = prefix.select(
-        F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), F.col("_pos").alias("_pb"), "_tok"
+        F.col("_id").alias("id_b"),
+        *groups,
+        F.col("_n").alias("_nb"),
+        F.col("_pos").alias("_pb"),
+        "_tok",
     )
     # PPJoin filters, applied inside the bucket join BEFORE the distinct:
     # * length: Jac>=t forces t*|A| <= |B| <= |A|/t;
@@ -84,7 +103,7 @@ def jaccard_similarity_join(
     #   Jac>=t needs overlap >= t/(1+t)*(|A|+|B|).
     alpha = F.ceil((F.col("_na") + F.col("_nb")) * F.lit(t / (1.0 + t)) - F.lit(1e-9))
     cands = (
-        a.join(b, "_tok")
+        a.join(b, ["_tok", *groups])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             (F.col("_nb") >= F.ceil(F.col("_na") * F.lit(t) - F.lit(1e-9)))
@@ -96,7 +115,7 @@ def jaccard_similarity_join(
         .select("id_a", "id_b")
         .distinct()
     )
-    sets = ordered
+    sets = ordered.select("_id", "_ts")
     verified = cands.join(
         sets.select(F.col("_id").alias("id_a"), F.col("_ts").alias("_ts_a")), "id_a"
     ).join(sets.select(F.col("_id").alias("id_b"), F.col("_ts").alias("_ts_b")), "id_b")

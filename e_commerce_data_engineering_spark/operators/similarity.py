@@ -130,6 +130,83 @@ def lsh_cosine_topk(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+def block_pair_join(
+    df: DataFrame,
+    id_col: str,
+    n_blocks: int | None = None,
+    payload_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """EXACT distributed all-pairs: every unordered row pair meets
+    exactly once, via an equi-join on a block-pair key — no broadcast,
+    no nested-loop join, memory per task bounded by block size.
+
+    Each row hashes to one of B blocks; a row in block b enters the
+    join once per block-pair (i, j), i <= j, that b participates in
+    (as the i-side for j in [b, B) and the j-side for i in [0, b]).
+    Joining the two sides on the scalar key i*B+j makes block i × block
+    j meet exactly once; the caller's `id_a < id_b` filter dedupes the
+    diagonal. Costs: shuffle O(n·(B+1)) rows, compute O(n²/2) pairs
+    spread over B(B+1)/2 independent tasks, peak task memory two
+    blocks. B trades shuffle volume against task granularity — pick
+    ~sqrt(2·target_tasks).
+
+    Why this and not LSH when the caller needs EXACT pairs at a loose
+    threshold: hyperplane-LSH collision probability per plane is
+    1 - θ/π; at cos=0.35 (θ≈69.7°) that is 0.61, so any (tables,
+    planes) sized for near-complete recall generates MORE candidate
+    pairs than brute force — LSH only wins when cos→1 (true near-dup
+    territory; see lsh_cosine_topk). Exactness at a loose threshold is
+    inherently O(n²) compute; what must NOT be O(n²) is any single
+    task's memory or one driver-side broadcast — this operator bounds
+    both.
+
+    Returns pairs (id_a, id_b, <payload>_a, <payload>_b).
+    """
+    spark = df.sparkSession
+    B = n_blocks or max(4, int((2 * spark.sparkContext.defaultParallelism * 4) ** 0.5))
+    cols = [F.col(id_col).alias("_bid"), *[F.col(c) for c in payload_cols]]
+    src = df.select(*cols).withColumn(
+        "_blk", F.pmod(F.xxhash64(F.col("_bid")), F.lit(B)).cast("int")
+    )
+    # pk(i, j) = i*B + j for block pair i <= j
+    i_side = src.withColumn(
+        "_pk",
+        F.explode(F.sequence(F.col("_blk") * B + F.col("_blk"), F.col("_blk") * B + F.lit(B - 1))),
+    )
+    j_side = src.withColumn(
+        "_pk",
+        F.explode(F.sequence(F.col("_blk"), F.col("_blk") * B + F.col("_blk"), F.lit(B))),
+    )
+    a = i_side.select(
+        F.col("_bid").alias("id_a"),
+        F.col("_blk").alias("_blk_a"),
+        *[F.col(c).alias(f"{c}_a") for c in payload_cols],
+        "_pk",
+    )
+    b = j_side.select(
+        F.col("_bid").alias("id_b"),
+        F.col("_blk").alias("_blk_b"),
+        *[F.col(c).alias(f"{c}_b") for c in payload_cols],
+        "_pk",
+    )
+    joined = a.join(b, "_pk")
+    # cross-block pairs arrive exactly once (arbitrary orientation);
+    # only the diagonal block needs the id dedup. Canonicalize so the
+    # output contract is id_a < id_b regardless of block orientation.
+    kept = joined.filter(
+        (F.col("_blk_a") != F.col("_blk_b")) | (F.col("id_a") < F.col("id_b"))
+    )
+    swap = F.col("id_a") > F.col("id_b")
+    out_cols = [
+        F.when(swap, F.col("id_b")).otherwise(F.col("id_a")).alias("id_a"),
+        F.when(swap, F.col("id_a")).otherwise(F.col("id_b")).alias("id_b"),
+    ]
+    for c in payload_cols:
+        out_cols.append(F.when(swap, F.col(f"{c}_b")).otherwise(F.col(f"{c}_a")).alias(f"{c}_a"))
+        out_cols.append(F.when(swap, F.col(f"{c}_a")).otherwise(F.col(f"{c}_b")).alias(f"{c}_b"))
+    return kept.select(*out_cols)
+
+
 def ivf_index(
     vectors: DataFrame,
     nlist: int = 16,

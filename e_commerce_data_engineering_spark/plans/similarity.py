@@ -178,13 +178,19 @@ _SQL_DOT_U = (
     doc="Embedding-cosine near-duplicate pairs (exact): vectors are "
     "unit-normalized ONCE (O(n) folds), then each pair costs a single "
     "left-fold dot product — not dot+2 norms per pair. The oracle "
-    "normalizes identically so the folds stay bit-identical. At "
-    "100 TB run the LSH candidate generator "
-    "(operators/similarity.lsh_cosine_topk) first and this exact "
-    "verifier on candidates only.",
+    "normalizes identically so the folds stay bit-identical. The pair "
+    "space is covered by a distributed block-pair equi-join "
+    "(operators/similarity.block_pair_join): no broadcast, no nested-"
+    "loop, per-task memory bounded by block size — the plan shape that "
+    "survives 100×. Exactness at this loose threshold (0.35, θ≈70°) "
+    "is inherently O(n²) compute — hyperplane-LSH collision prob/plane "
+    "is 0.61 there, so recall-complete LSH would generate MORE pairs "
+    "than brute force; LSH is the right candidate generator only in "
+    "true near-dup territory (cos→1, lsh_cosine_topk).",
 )
 def d04_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.layout import fan_out
+    from ..operators.similarity import block_pair_join
 
     e = fan_out(load_table(spark, sf_dir, "embeddings"))
     # two materialized steps so the norm lands as a plain column and is
@@ -194,13 +200,15 @@ def d04_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double") / F.col("_n")).alias("u"),
     ).persist()
-    a = unit.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("u_a"))
-    b = unit.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("u_b"))
+    pairs = block_pair_join(unit, "vec_id", payload_cols=("u",))
     cos = dot_d(F.col("u_a"), F.col("u_b"))
     return (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .filter(cos >= NEARDUP_COS)
-        .select("vec_a", "vec_b", fround(cos, 6).alias("cos_sim"))
+        pairs.filter(cos >= NEARDUP_COS)
+        .select(
+            F.col("id_a").alias("vec_a"),
+            F.col("id_b").alias("vec_b"),
+            fround(cos, 6).alias("cos_sim"),
+        )
     )
 
 

@@ -126,39 +126,22 @@ def t04_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
           / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.5
     """,
-    doc="Token-set Jaccard near-dup pairs, blocked by source to bound the "
-    "pair space (the blocking key is the scale lever: at 100 TB swap "
-    "source for LSH band buckets — operators/dedup.py).",
+    doc="Token-set Jaccard near-dup pairs within each source, via the "
+    "same prefix-filtered exact set-similarity join as t09 (AllPairs/"
+    "PPJoin) with `source` as an extra equi-key: candidates form only "
+    "where rarest-token prefixes collide inside a source — never the "
+    "O(n²) per-block self-join, so one hot source at 100× stays "
+    "bounded by prefix-bucket occupancy (operators/setjoin.py).",
 )
 def t05_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.layout import fan_out
+    from ..operators.setjoin import jaccard_similarity_join
 
-    d = fan_out(load_table(spark, sf_dir, "documents"))
-    # persist: both self-join sides read the token arrays; without it the
-    # tokenize+distinct expression is recomputed per side (−25% runtime).
-    # Tokens are xxhash64-packed to longs: set sizes (and hence jaccard)
-    # are unchanged modulo 64-bit collisions, and long-array intersection
-    # beats string-array intersection by ~35% on the O(pairs) hot loop.
-    toks = d.select(
-        "doc_id",
-        "source",
-        F.array_distinct(F.transform(X.tokens(F.col("text")), lambda t: F.xxhash64(t))).alias(
-            "ts"
-        ),
-    ).persist()
-    a = toks.select(
-        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"), F.col("ts").alias("ts_a")
-    )
-    b = toks.select(
-        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"), F.col("ts").alias("ts_b")
-    )
-    inter = F.size(F.array_intersect("ts_a", "ts_b"))
-    union = F.size("ts_a") + F.size("ts_b") - inter
-    jac = inter.cast("double") / union
-    return (
-        a.join(b, (F.col("src_a") == F.col("src_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b", fround(jac, 4).alias("jaccard"))
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_similarity_join(d, "doc_id", "text", 0.5, group_cols=["source"])
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        fround(F.col("jaccard"), 4).alias("jaccard"),
     )
 
 

@@ -345,3 +345,19 @@ def test_fan_out_is_noop_on_wide_input(spark):
     assert fan_out(wide) is wide  # already >= defaultParallelism: untouched
     narrow = spark.range(0, 1000).coalesce(1)
     assert fan_out(narrow).rdd.getNumPartitions() >= narrow.rdd.getNumPartitions()
+
+
+def test_block_pair_join_covers_every_pair_exactly_once(spark):
+    """Every unordered id pair must appear exactly once, canonicalized
+    to id_a < id_b — across blocks and inside the diagonal block."""
+    from e_commerce_data_engineering_spark.operators.similarity import block_pair_join
+
+    n = 61
+    df = spark.range(n).select(F.col("id").alias("vec_id"), (F.col("id") * 10).alias("payload"))
+    pairs = block_pair_join(df, "vec_id", n_blocks=5, payload_cols=("payload",)).collect()
+    got = [(r["id_a"], r["id_b"]) for r in pairs]
+    assert len(got) == len(set(got)) == n * (n - 1) // 2
+    assert all(a < b for a, b in got)
+    # payloads must ride with their ids through canonicalization
+    for r in pairs:
+        assert r["payload_a"] == r["id_a"] * 10 and r["payload_b"] == r["id_b"] * 10

@@ -92,8 +92,19 @@ def test_similarity_join_avoids_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_embedding_neardup_is_broadcast_nested_loop(spark):
-    """d04 IS the exact O(n^2) definition — its plan should broadcast
-    the small side rather than shuffle a cross product."""
+def test_embedding_neardup_is_distributed_equi_join(spark):
+    """d04 is exact all-pairs, but the pair space must be covered by the
+    block-pair EQUI-join (operators/similarity.block_pair_join): no
+    broadcast of the whole table, no nested-loop — per-task memory is
+    bounded by block size, so the plan survives 100x."""
     plan = plan_of(spark, "d04_embedding_neardup")
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ngram_jaccard_pairs_is_equi_join_only(spark):
+    """t05 must use the prefix-filtered set-similarity join inside each
+    source block — never a per-block O(n^2) theta-join."""
+    plan = plan_of(spark, "t05_ngram_jaccard_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
