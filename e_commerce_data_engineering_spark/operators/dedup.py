@@ -27,24 +27,67 @@ def shingles_of(text: Column, n: int = 3) -> Column:
     return F.array_distinct(shingles_zip(tokens(text), n))
 
 
-def _shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int):
+# Session-scoped shared frames: the d-family queries (LSH pairs, greedy
+# dedupe, CC dedupe) all start from the same shingle + signature build —
+# the expensive half of every run. Keyed by (applicationId, caller key,
+# params) so a full-inventory sweep builds them once, not once per
+# query. At 100 TB the equivalent is writing the signature table out
+# once and reading it from every consumer.
+_FRAME_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cached(df: DataFrame, key: tuple | None, build) -> DataFrame:
+    if key is None:
+        return build()
+    full_key = (df.sparkSession.sparkContext.applicationId, *key)
+    if full_key not in _FRAME_CACHE:
+        _FRAME_CACHE[full_key] = build()
+    return _FRAME_CACHE[full_key]
+
+
+def _shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, n: int, cache_key: str | None = None
+):
     """(_id, _sh) persisted frame of distinct shingles, built in two
     materialized steps (tokens, then zip_with window) so per-row cost
     is one tokenize + O(n) array passes — not the O(n*len) inlined
     recompute Catalyst's projection collapse would otherwise produce.
     Input is fanned out first: one small parquet file must not become
     one task doing all the hashing."""
-    base = (
-        fan_out(df)
-        .select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk"))
-        .persist()
-    )
-    sh = (
-        base.select("_id", F.array_distinct(shingles_zip(F.col("_tk"), n)).alias("_sh"))
-        .filter(F.size("_sh") > 0)
-        .persist()
-    )
-    return sh
+
+    def build():
+        base = (
+            fan_out(df)
+            .select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk"))
+            .persist()
+        )
+        return (
+            base.select("_id", F.array_distinct(shingles_zip(F.col("_tk"), n)).alias("_sh"))
+            .filter(F.size("_sh") > 0)
+            .persist()
+        )
+
+    key = ("shingles", cache_key, id_col, text_col, n) if cache_key else None
+    return _cached(df, key, build)
+
+
+def _signature_frame(
+    base: DataFrame, num_hashes: int, cache_key: str | None = None
+) -> DataFrame:
+    """(_id, _sh, _sig) persisted MinHash signatures over a shingle
+    frame. Materialized BEFORE any self-join: every join branch would
+    otherwise re-plan (and re-codegen) the 64-perm HOF expression —
+    and Catalyst's projection collapse would inline it into every band
+    lambda (16× recompute per row, interpreted — 300 s for 5 k docs vs
+    3 s materialized)."""
+
+    def build():
+        return base.select(
+            "_id", "_sh", minhash_signature(F.col("_sh"), num_hashes).alias("_sig")
+        ).persist()
+
+    key = ("sig", cache_key, num_hashes) if cache_key else None
+    return _cached(base, key, build)
 
 
 # ---------------------------------------------------------------------------
@@ -90,6 +133,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH with exact-Jaccard
     verification → (id_a, id_b, jaccard).
@@ -99,15 +143,33 @@ def minhash_lsh_pairs(
     shingle sets, so false positives from banding never escape.
     """
     assert num_hashes % bands == 0
+    key = (
+        ("lsh_pairs", cache_key, num_hashes, bands, shingle_n, jaccard_threshold)
+        if cache_key
+        else None
+    )
+    return _cached(
+        df,
+        key,
+        lambda: _minhash_lsh_pairs_build(
+            df, id_col, text_col, num_hashes, bands, shingle_n, jaccard_threshold, cache_key
+        ).persist(),
+    )
+
+
+def _minhash_lsh_pairs_build(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    jaccard_threshold: float,
+    cache_key: str | None,
+) -> DataFrame:
     r = num_hashes // bands
-    base = _shingle_frame(df, id_col, text_col, shingle_n)
-    # Materialize signatures BEFORE the self-join: every join branch
-    # would otherwise re-plan (and re-codegen) the 64-perm HOF
-    # expression — planning cost, not data cost. At 100 TB this is a
-    # parquet write of the signature table; locally a persist suffices.
-    sig = base.select(
-        "_id", "_sh", minhash_signature(F.col("_sh"), num_hashes).alias("_sig")
-    ).persist()
+    base = _shingle_frame(df, id_col, text_col, shingle_n, cache_key)
+    sig = _signature_frame(base, num_hashes, cache_key)
 
     banded = sig.select(
         "_id",
@@ -147,6 +209,7 @@ def minhash_dedupe(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Greedy LSH dedup WITHOUT pair enumeration → surviving rows.
 
@@ -160,14 +223,8 @@ def minhash_dedupe(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    base = _shingle_frame(df, id_col, text_col, shingle_n)
-    # Persist the SIGNATURE, not just the banded view: without it,
-    # projection collapse inlines the 64-aggregate expression into
-    # every band lambda (16× recompute per row, interpreted — 300s for
-    # 5k docs vs 3s materialized).
-    sig = base.select(
-        "_id", minhash_signature(F.col("_sh"), num_hashes).alias("_sig")
-    ).persist()
+    base = _shingle_frame(df, id_col, text_col, shingle_n, cache_key)
+    sig = _signature_frame(base, num_hashes, cache_key)
     banded = sig.select(
         "_id",
         F.posexplode(
@@ -206,23 +263,38 @@ def simhash64(text: Column) -> Column:
 
 
 def simhash_from_hashes(hashes: Column) -> Column:
-    """SimHash from a pre-hashed array<long> token column."""
+    """SimHash from a pre-hashed array<long> token column.
 
-    def _vote_fn(j: int):
-        # closure, NOT a default arg: pyspark derives HOF lambda arity
-        # from the signature, so an extra defaulted param would misbind
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    Per bit j: sign of Σ_tokens (bit_j set ? +1 : −1); the bit masks
+    live in ONE array<bigint> plan literal (top bit is the negative
+    two's-complement value), so the whole 64-bit vote is a single
+    nested-HOF expression — the 64-way unrolled alternative costs one
+    py4j round-trip per expression node (~seconds of driver time per
+    plan build). Selected masks are summed: distinct powers of two, so
+    sum == OR, and adding the negative top mask cannot overflow under
+    ANSI mode."""
+    from .similarity import const_array
 
-    sim = F.lit(0).cast("bigint")
-    for j in range(64):
-        vote = F.aggregate(hashes, F.lit(0), _vote_fn(j))
-        bit = (1 << j) if j < 63 else -(1 << 63)  # two's-complement top bit
-        sim = sim.bitwiseOR(
-            F.when(vote >= 0, F.lit(bit).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        )
-    return sim
+    masks = const_array(
+        [(1 << j) if j < 63 else -(1 << 63) for j in range(64)], "bigint"
+    )
+    return F.aggregate(
+        F.transform(
+            masks,
+            lambda m: F.when(
+                F.aggregate(
+                    hashes,
+                    F.lit(0),
+                    lambda acc, h: acc
+                    + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+                )
+                >= 0,
+                m,
+            ).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -234,24 +306,40 @@ def simhash_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming → (id_a, id_b,
-    hamming). Blocking: split the 64-bit hash into 4 16-bit chunks —
-    by pigeonhole any pair within distance 3 shares ≥1 exact chunk, so
-    candidates form only inside chunk buckets (same LSH-style scale
-    story as MinHash banding)."""
-    hashed = (
-        fan_out(df)
-        .select(
-            F.col(id_col).alias("_id"),
-            F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("_hs"),
+    hamming). Blocking: split the 64-bit hash into max_hamming+1
+    equal-width chunks — by pigeonhole a pair within the distance bound
+    has fewer differing bits than chunks, so it shares ≥1 exact chunk
+    and candidates form only inside chunk buckets (same LSH-style scale
+    story as MinHash banding). Deriving the chunk count from the bound
+    keeps the guarantee for ANY max_hamming (a fixed 4-chunk split is
+    only complete up to distance 3)."""
+    n_chunks = max_hamming + 1
+    assert n_chunks <= 64, "max_hamming must leave at least 1 bit per chunk"
+    # even bit split covering all 64 bits: chunk c = bits [64c/n, 64(c+1)/n)
+    bounds = [(64 * c // n_chunks, 64 * (c + 1) // n_chunks) for c in range(n_chunks)]
+
+    def build():
+        hashed = (
+            fan_out(df)
+            .select(
+                F.col(id_col).alias("_id"),
+                F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("_hs"),
+            )
+            .persist()
         )
-        .persist()
-    )
-    sigs = hashed.select("_id", simhash_from_hashes(F.col("_hs")).alias("_sim")).persist()
-    chunk_keys = F.array(
-        *[F.shiftright(F.col("_sim"), c * 16).bitwiseAND(F.lit(0xFFFF)) for c in range(4)]
-    )
+        return hashed.select("_id", simhash_from_hashes(F.col("_hs")).alias("_sim")).persist()
+
+    sigs = _cached(df, ("simhash", cache_key, id_col, text_col) if cache_key else None, build)
+    def chunk(lo: int, hi: int):
+        c = F.shiftright(F.col("_sim"), lo)
+        # full-width chunk (max_hamming=0) needs no mask — and its mask
+        # literal would overflow a signed 64-bit int under ANSI mode
+        return c if hi - lo == 64 else c.bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+
+    chunk_keys = F.array(*[chunk(lo, hi) for lo, hi in bounds])
     chunked = sigs.select("_id", "_sim", F.posexplode(chunk_keys).alias("_chunk", "_key"))
     a = chunked.select(F.col("_id").alias("id_a"), F.col("_sim").alias("_sim_a"), "_chunk", "_key")
     b = chunked.select(F.col("_id").alias("id_b"), F.col("_sim").alias("_sim_b"), "_chunk", "_key")
@@ -295,6 +383,8 @@ def connected_components(
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id")).persist()
     )
+    store = labels  # the actually-persisted frame (labels may be a projection of it)
+    changed = 1
     for _ in range(max_iter):
         neigh = (
             sym.join(
@@ -305,23 +395,39 @@ def connected_components(
             .agg(F.min("src_label").alias("min_neigh"))
             .select(F.col("dst").alias("id"), "min_neigh")
         )
+        # one join per round: the new label AND the moved flag come out
+        # of the same labels ⋈ neigh pass (a second labels join merely
+        # to diff old vs new would double the per-round shuffle count —
+        # round latency is the whole cost of this loop on sparse edges)
         new_labels = (
             labels.join(neigh, "id", "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce("min_neigh", "label")).alias("label"),
+                (F.coalesce("min_neigh", "label") < F.col("label")).alias("_moved"),
             )
             .persist()
         )
-        changed = (
-            new_labels.join(labels.select("id", F.col("label").alias("old")), "id")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_labels.filter(F.col("_moved")).count()
+        store.unpersist()
+        store = new_labels
+        labels = new_labels.drop("_moved")
         if changed == 0:
             break
+    else:
+        # loop exhausted max_iter with labels still moving: a component
+        # of diameter > max_iter would be silently split — downstream
+        # dedup would then KEEP extra duplicates with no signal. Refuse
+        # to be silent about it.
+        import warnings
+
+        warnings.warn(
+            f"connected_components: labels still changing after {max_iter} "
+            f"iterations ({changed} moved last round) — components with "
+            f"diameter > max_iter are split; raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
@@ -333,6 +439,7 @@ def minhash_dedupe_cc(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Full transitive dedup: LSH pairs → verified Jaccard edges →
     connected components → keep the min-id doc per component (plus all
@@ -341,7 +448,7 @@ def minhash_dedupe_cc(
     share no bucket.
     """
     pairs = minhash_lsh_pairs(
-        df, id_col, text_col, num_hashes, bands, shingle_n, jaccard_threshold
+        df, id_col, text_col, num_hashes, bands, shingle_n, jaccard_threshold, cache_key
     ).select("id_a", "id_b")
     comp = connected_components(pairs)
     keepers_in_comp = comp.groupBy("label").agg(F.min("id").alias(id_col)).select(id_col)

@@ -83,7 +83,11 @@ def make_fake_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                 ("fake", w, h, 16000 if modality == "audio" else None, 1000 + i, ),
             )
         )
-    return spark.createDataFrame(rows, ASSET_SCHEMA)
+    # partition count proportional to data size: a tiny demo frame must
+    # not fan out to defaultParallelism Arrow workers (worker startup
+    # would dwarf the work); a real asset table arrives pre-split.
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, n // 32))
+    return spark.createDataFrame(rows, ASSET_SCHEMA).coalesce(n_parts)
 
 
 def decode_asset(assets: DataFrame, fake: bool = False) -> DataFrame:

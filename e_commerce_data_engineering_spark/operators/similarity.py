@@ -12,11 +12,27 @@ Two tiers:
 
 from __future__ import annotations
 
+import json
 import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
+
+
+def const_array(values, element_type: str = "double") -> Column:
+    """Plan-literal (possibly nested) double array, shipped as ONE json
+    string and parsed JVM-side. Building the same literal from
+    ``F.array(*[F.lit(w) ...])`` costs one py4j round-trip per element
+    — ~10 s of pure driver-side Python for a 36×64 plane set — while a
+    json literal is a single call and Catalyst constant-folds the
+    parse. Purely a plan-construction fix; the executed plan is the
+    same folded literal either way."""
+
+    def typ(v):
+        return f"array<{typ(v[0])}>" if isinstance(v, (list, tuple)) else element_type
+
+    return F.from_json(F.lit(json.dumps(values)), typ(values))
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -65,27 +81,36 @@ def _hyperplanes(n_tables: int, n_planes: int, dim: int, seed: int) -> list[list
 def hyperplane_buckets(
     vec: Column, planes: list[list[list[float]]]
 ) -> Column:
-    """array<bigint>: one sign-pattern bucket id per table."""
-    table_buckets = []
-    for table in planes:
-        bucket = F.lit(0).cast("bigint")
-        for j, plane in enumerate(table):
-            d = F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(float(w)) for w in plane]),
-                    lambda x, w: x.cast("double") * w,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bucket = bucket.bitwiseOR(
-                F.when(d >= 0, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(
-                    F.lit(0).cast("bigint")
-                )
-            )
-        table_buckets.append(bucket)
-    return F.array(*table_buckets)
+    """array<bigint>: one sign-pattern bucket id per table.
+
+    All tables' buckets come from ONE nested-HOF expression over a 3D
+    plan literal (tables × planes × dim): per table, each plane votes
+    its power-of-two weight when the dot product is non-negative, and
+    the weights sum to the bucket id. Map-side only — no shuffle, no
+    UDF — and the plan is O(1) expression nodes regardless of table
+    count."""
+    n_planes = len(planes[0])
+    bit_weights = const_array([float(1 << j) for j in range(n_planes)])
+    return F.transform(
+        const_array(planes),
+        lambda table: F.aggregate(
+            F.zip_with(
+                table,
+                bit_weights,
+                lambda plane, w: F.when(
+                    F.aggregate(
+                        F.zip_with(vec, plane, lambda x, p: x.cast("double") * p),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    >= 0,
+                    w,
+                ).otherwise(F.lit(0.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).cast("bigint"),
+    )
 
 
 def lsh_cosine_topk(
@@ -259,7 +284,52 @@ def ivf_index(
         # empty cells keep their previous centroid
         centroids = [by_cell.get(i, c) for i, c in enumerate(centroids)]
     assigned = vectors.withColumn("_cell", make_cell_assigner(centroids)(F.col(vec_col)))
+    fanned.unpersist()
     return assigned, centroids
+
+
+# (applicationId, cache_key, nlist, seed) -> (persisted assigned frame, centroids).
+# The index is the expensive half of IVF (an assignment pass + bounded
+# driver collects); probes are cheap. Caching it per session is the
+# in-memory analog of writing the assigned table out partitioned-by-cell
+# (write_ivf_index) — build once, probe many.
+_IVF_CACHE: dict[tuple, tuple[DataFrame, list[list[float]]]] = {}
+
+
+def cached_ivf_index(
+    vectors: DataFrame,
+    nlist: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+    cache_key: str,
+) -> tuple[DataFrame, list[list[float]]]:
+    key = (vectors.sparkSession.sparkContext.applicationId, cache_key, nlist, seed)
+    if key not in _IVF_CACHE:
+        assigned, centroids = ivf_index(vectors, nlist, id_col, vec_col, seed)
+        _IVF_CACHE[key] = (assigned.persist(), centroids)
+    return _IVF_CACHE[key]
+
+
+def write_ivf_index(
+    assigned: DataFrame, centroids: list[list[float]], path: str
+) -> None:
+    """Materialize an IVF index: the assigned vector table written
+    partitioned BY cell (a probe then reads only its nprobe cells —
+    partition pruning at the file level) plus the nlist×dim centroid
+    table as a sidecar."""
+    spark = assigned.sparkSession
+    assigned.write.mode("overwrite").partitionBy("_cell").parquet(f"{path}/assigned")
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def read_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+    assigned = spark.read.parquet(f"{path}/assigned")
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    return assigned, [list(r["centroid"]) for r in rows]
 
 
 def make_cell_assigner(centroids: list[list[float]]):
@@ -285,22 +355,24 @@ def make_cell_assigner(centroids: list[list[float]]):
     return pandas_udf("int")(assign)
 
 
+def centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<double> of squared L2 distances to each centroid — pure
+    expression over a 2D plan literal (no UDF, no py4j per-element
+    literal construction)."""
+    return F.transform(
+        const_array(centroids),
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda x, w: (x.cast("double") - w) * (x.cast("double") - w)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
 def nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
     """int cell id = argmin over centroids of squared L2 distance —
     pure expression (codegen), no UDF; centroids are plan literals."""
-    dists = [
-        F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(float(w)) for w in c]),
-                lambda x, w: (x.cast("double") - w) * (x.cast("double") - w),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        for c in centroids
-    ]
-    arr = F.array(*dists)
+    arr = centroid_dists(vec, centroids)
     return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
 
 
@@ -313,36 +385,36 @@ def ivf_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    index: tuple[DataFrame, list[list[float]]] | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF probing: score only vectors whose cell
     is one of the query's nprobe nearest cells, exact re-rank inside.
 
     Recall vs brute force rises with nprobe (nprobe=nlist is exact).
-    Scale: candidates are pre-assigned once (ivf_index), probes touch
-    nprobe/nlist of the corpus; the centroid argmin is O(nlist*dim)
-    per row of plan-literal arithmetic."""
-    assigned, centroids = ivf_index(candidates, nlist, id_col, vec_col, seed)
-    assigned = assigned.persist()
+    Scale: the index (cell-assigned vectors + centroids) is built ONCE
+    — pass ``index`` from read_ivf_index/build, or ``cache_key`` to
+    reuse a per-session build — and probes touch nprobe/nlist of the
+    corpus; the centroid argmin is O(nlist*dim) per row of plan-literal
+    arithmetic. Rebuilding per query call is the anti-pattern (a full
+    assignment pass per probe batch)."""
+    if index is not None:
+        assigned, centroids = index
+    elif cache_key is not None:
+        assigned, centroids = cached_ivf_index(
+            candidates, nlist, id_col, vec_col, seed, cache_key
+        )
+    else:
+        assigned, centroids = ivf_index(candidates, nlist, id_col, vec_col, seed)
+        assigned = assigned.persist()
 
     # nprobe nearest cells per query: explode centroid distances, rank
-    cdists = [
-        (i, F.aggregate(
-            F.zip_with(
-                F.col("_qv"),
-                F.array(*[F.lit(float(w)) for w in c]),
-                lambda x, w: (x.cast("double") - w) * (x.cast("double") - w),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ))
-        for i, c in enumerate(centroids)
-    ]
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv")).persist()
     probes = (
         q.select(
             "q_id",
             "_qv",
-            F.posexplode(F.array(*[d for _, d in cdists])).alias("_cell", "_dist"),
+            F.posexplode(centroid_dists(F.col("_qv"), centroids)).alias("_cell", "_dist"),
         )
         .withColumn("_rk", F.row_number().over(W.partitionBy("q_id").orderBy("_dist", "_cell")))
         .filter(F.col("_rk") <= nprobe)

@@ -105,7 +105,9 @@ def q22_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d01_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.5)
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.5, cache_key=sf_dir
+    )
 
 
 @query(
@@ -117,7 +119,7 @@ def d01_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d03_minhash_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    kept = minhash_dedupe(d, "doc_id", "text")
+    kept = minhash_dedupe(d, "doc_id", "text", cache_key=sf_dir)
     return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
 
 
@@ -134,7 +136,7 @@ def d05_cc_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_dedupe_cc
 
     d = load_table(spark, sf_dir, "documents")
-    kept = minhash_dedupe_cc(d, "doc_id", "text")
+    kept = minhash_dedupe_cc(d, "doc_id", "text", cache_key=sf_dir)
     return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
 
 
@@ -145,7 +147,7 @@ def d05_cc_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d02_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(d, "doc_id", "text", max_hamming=3)
+    return simhash_pairs(d, "doc_id", "text", max_hamming=3, cache_key=sf_dir)
 
 
 @query(
@@ -166,14 +168,17 @@ def s04_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # approximate by construction; recall vs s02 asserted in tests
     doc="IVF approximate cosine top-k: KMeans cells + nprobe-nearest-"
     "cell probing, exact re-rank inside probed cells — the partition-"
-    "pruning ANN scale path (operators/similarity.ivf_cosine_topk).",
+    "pruning ANN scale path (operators/similarity.ivf_cosine_topk). "
+    "The index is built once per session (cache_key) — the in-memory "
+    "analog of write_ivf_index's partitioned-by-cell table; probes "
+    "never pay the assignment pass again.",
 )
 def s05_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_cosine_topk
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    return ivf_cosine_topk(e, q, k=5, nlist=16, nprobe=6)
+    return ivf_cosine_topk(e, q, k=5, nlist=16, nprobe=6, cache_key=sf_dir)
 
 
 @query(
