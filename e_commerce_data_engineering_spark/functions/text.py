@@ -11,9 +11,46 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Tiny stopword list for quality/lang heuristics (matches the synthetic
-# vocabulary of the test corpus; swap for a real list in production).
-STOPWORDS_EN = ("the", "a", "of", "to", "and", "in", "is")
+# Snowball (Porter) English stopword list — the standard public list
+# shipped with Snowball/Lucene/NLTK (public-domain word list). Used by
+# the quality score's stopword-mass term; the DuckDB oracles generate
+# their IN-lists from this same tuple (sql_word_list), so both engines
+# always agree.
+STOPWORDS_EN = (
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves",
+    "you", "your", "yours", "yourself", "yourselves",
+    "he", "him", "his", "himself", "she", "her", "hers", "herself",
+    "it", "its", "itself", "they", "them", "their", "theirs", "themselves",
+    "what", "which", "who", "whom", "this", "that", "these", "those",
+    "am", "is", "are", "was", "were", "be", "been", "being",
+    "have", "has", "had", "having", "do", "does", "did", "doing",
+    "a", "an", "the", "and", "but", "if", "or", "because", "as",
+    "until", "while", "of", "at", "by", "for", "with", "about",
+    "against", "between", "into", "through", "during", "before",
+    "after", "above", "below", "to", "from", "up", "down", "in",
+    "out", "on", "off", "over", "under", "again", "further", "then",
+    "once", "here", "there", "when", "where", "why", "how", "all",
+    "any", "both", "each", "few", "more", "most", "other", "some",
+    "such", "no", "nor", "not", "only", "own", "same", "so", "than",
+    "too", "very", "s", "t", "can", "will", "just", "don", "should",
+    "now",
+)
+
+# Per-language high-frequency marker words for the lang-ID heuristic —
+# the classic function-word profile approach (stopword-list language
+# identification). Tuple order = tie-break precedence.
+LANG_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("the", "and", "of", "to", "in", "is", "you", "that", "it", "for")),
+    ("fr", ("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour")),
+    ("de", ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu")),
+    ("es", ("el", "los", "las", "y", "en", "un", "una", "es", "que", "para")),
+)
+
+
+def sql_word_list(words: tuple[str, ...]) -> str:
+    """SQL IN-list literal for a word tuple (single source of truth for
+    the DuckDB oracle strings)."""
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in words)
 
 
 def tokens(text: Column) -> Column:
@@ -92,14 +129,32 @@ def quality_score(n_toks: Column, stop_ratio: Column, avg_token_len: Column) -> 
 
 
 def predict_lang(toks: Column) -> Column:
-    """Stopword-presence language-ID heuristic (deterministic, SQL-portable).
-
-    The synthetic corpus shares one vocabulary, so this exercises the
-    *plumbing* (per-doc classification at scale); swap the rule table
-    for real per-language n-gram stats in production.
+    """Function-word-profile language ID (deterministic, SQL-portable):
+    count marker-word hits per language (LANG_MARKERS), predict the
+    argmax — ties broken by table order, zero hits everywhere →
+    'unknown'. Pure integer comparisons, so the DuckDB oracle
+    (sql_predict_lang) matches exactly.
     """
-    return (
-        F.when(F.array_contains(toks, "the") & F.array_contains(toks, "data"), "en")
-        .when(F.array_contains(toks, "the"), "en_weak")
-        .otherwise("unknown")
+    hits = [
+        (lang, F.size(F.filter(toks, lambda x: x.isin(*words))))
+        for lang, words in LANG_MARKERS
+    ]
+    mx = F.greatest(*[h for _, h in hits]) if len(hits) > 1 else hits[0][1]
+    out = F.lit("unknown")
+    # build the when-chain in REVERSE so earlier languages win ties
+    for lang, h in reversed(hits):
+        out = F.when((mx > 0) & (h == mx), lang).otherwise(out)
+    return out
+
+
+def sql_predict_lang(toks_expr: str) -> str:
+    """DuckDB mirror of predict_lang over a list expression."""
+    hit = {
+        lang: f"len(list_filter({toks_expr}, x -> x IN ({sql_word_list(words)})))"
+        for lang, words in LANG_MARKERS
+    }
+    mx = "greatest(" + ", ".join(hit.values()) + ")"
+    branches = " ".join(
+        f"WHEN {mx} > 0 AND {hit[lang]} = {mx} THEN '{lang}'" for lang, _ in LANG_MARKERS
     )
+    return f"CASE {branches} ELSE 'unknown' END"

@@ -17,6 +17,8 @@ from .registry import query
 
 # DuckDB-side tokenization mirroring functions.text.tokens
 _DUCK_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+# stopword IN-list generated from the SAME tuple the Spark side uses
+_SQL_STOPS = X.sql_word_list(X.STOPWORDS_EN)
 
 
 @query(
@@ -153,7 +155,7 @@ def t05_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT doc_id,
                CAST(len(toks) AS INTEGER) AS n_tokens,
-               {sql_fround("CAST(len(list_filter(toks, x -> x IN ('the','a','of','to','and','in','is'))) AS DOUBLE) / len(toks)", 4)} AS stop_ratio,
+               {sql_fround(f"CAST(len(list_filter(toks, x -> x IN ({_SQL_STOPS}))) AS DOUBLE) / len(toks)", 4)} AS stop_ratio,
                {sql_fround("CAST(list_reduce(list_transform(toks, x -> len(x)), (a,b) -> a+b) AS DOUBLE) / len(toks)", 4)} AS avg_token_len
         FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents) t
     ) m
@@ -185,14 +187,16 @@ def t06_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t07_lang_id",
     oracle=f"""
     SELECT lang,
-           CASE WHEN list_contains(toks, 'the') AND list_contains(toks, 'data') THEN 'en'
-                WHEN list_contains(toks, 'the') THEN 'en_weak'
-                ELSE 'unknown' END AS predicted_lang,
+           {X.sql_predict_lang("toks")} AS predicted_lang,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM (SELECT lang, {_DUCK_TOKS} AS toks FROM documents) t
     GROUP BY 1, 2
     """,
-    doc="Language-ID heuristic confusion counts (labeled lang × predicted).",
+    doc="Language-ID confusion counts (labeled lang × predicted): "
+    "function-word-profile scoring over per-language marker tables "
+    "(functions/text.LANG_MARKERS) — argmax of marker hits, ties by "
+    "table precedence, no hits → unknown. The oracle CASE expression "
+    "is generated from the same marker tables.",
 )
 def t07_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -317,7 +321,7 @@ _Q_NORM = (
     WITH m AS (
         SELECT d.doc_id, d.lang, d.source,
                CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_tokens,
-               {sql_fround("CAST(len(list_filter(" + _DUCK_TOKS + ", x -> x IN ('the','a','of','to','and','in','is'))) AS DOUBLE) / len(" + _DUCK_TOKS + ")", 4)} AS stop_ratio,
+               {sql_fround("CAST(len(list_filter(" + _DUCK_TOKS + ", x -> x IN (" + _SQL_STOPS + "))) AS DOUBLE) / len(" + _DUCK_TOKS + ")", 4)} AS stop_ratio,
                {sql_fround("CAST(list_reduce(list_transform(" + _DUCK_TOKS + ", x -> len(x)), (a,b) -> a+b) AS DOUBLE) / len(" + _DUCK_TOKS + ")", 4)} AS avg_token_len,
                {sql_fround(_Q_NORM, 4)} AS emb_norm,
                {_Q_NORM} AS raw_norm
@@ -409,4 +413,101 @@ def t12_token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select("lang", shard.alias("shard"), "n_tokens")
         .groupBy("lang", "shard")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("shard_tokens"))
+    )
+
+
+@query(
+    "t13_repetition_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+    bi AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ts) - 1),
+                                     i -> ts[i] || ' ' || ts[i+1])) AS bg
+        FROM toks WHERE len(ts) >= 2
+    ),
+    per AS (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT)   AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_unique_bigrams,
+           {sql_fround("1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c)", 4)} AS dup_bigram_ratio,
+           CAST(MAX(c) AS BIGINT)   AS top_bigram_n,
+           {sql_fround("CAST(MAX(c) AS DOUBLE) / SUM(c)", 4)} AS top_bigram_ratio
+    FROM per
+    GROUP BY doc_id
+    """,
+    doc="Repetition-based quality signals (the Gopher-rules family): "
+    "per-doc duplicate-bigram mass and most-frequent-bigram share — "
+    "high values flag boilerplate/spam for corpus filtering. Explode "
+    "bigrams → count per (doc, bigram) → per-doc rollup: two partial-"
+    "aggregation-friendly shuffles keyed by doc, no UDF.",
+)
+def t13_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", X.tokens(F.col("text")).alias("_tk")).filter(
+        F.size("_tk") >= 2
+    )
+    bi = base.select("doc_id", F.explode(X.shingles_zip(F.col("_tk"), 2)).alias("bg"))
+    per = bi.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    return per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count("*").alias("n_unique_bigrams"),
+        fround(1.0 - F.count(F.lit(1)).cast("double") / F.sum("c"), 4).alias(
+            "dup_bigram_ratio"
+        ),
+        F.max("c").alias("top_bigram_n"),
+        fround(F.max("c").cast("double") / F.sum("c"), 4).alias("top_bigram_ratio"),
+    )
+
+
+CONTAM_NGRAM = 8
+CONTAM_BENCH_DOCS = 20  # doc_id < 20 stands in for the benchmark/eval set
+
+
+@query(
+    "t14_contamination_check",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(ts) - {CONTAM_NGRAM - 1}),
+                   i -> md5(list_aggregate(ts[i:i+{CONTAM_NGRAM - 1}], 'string_agg', ' '))
+               ))) AS g
+        FROM toks WHERE len(ts) >= {CONTAM_NGRAM}
+    ),
+    bench  AS (SELECT doc_id AS bench_doc,  g FROM grams WHERE doc_id < {CONTAM_BENCH_DOCS}),
+    corpus AS (SELECT doc_id AS corpus_doc, g FROM grams WHERE doc_id >= {CONTAM_BENCH_DOCS})
+    SELECT corpus_doc, bench_doc, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+    FROM corpus JOIN bench USING (g)
+    GROUP BY 1, 2
+    """,
+    doc="Benchmark-contamination screening: corpus docs sharing any "
+    f"{CONTAM_NGRAM}-gram with the eval set (doc_id < "
+    f"{CONTAM_BENCH_DOCS} stands in) — the standard n-gram-overlap "
+    "decontamination pass before training. Inverted-index equi-join on "
+    "hashed n-grams: shuffle volume tracks n-gram collisions (true "
+    "contamination), never the corpus×bench cross product.",
+)
+def t14_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    base = d.select("doc_id", X.tokens(F.col("text")).alias("_tk")).filter(
+        F.size("_tk") >= CONTAM_NGRAM
+    ).persist()
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.transform(X.shingles_zip(F.col("_tk"), CONTAM_NGRAM), F.md5))
+        ).alias("g"),
+    )
+    bench = grams.filter(F.col("doc_id") < CONTAM_BENCH_DOCS).select(
+        F.col("doc_id").alias("bench_doc"), "g"
+    )
+    corpus = grams.filter(F.col("doc_id") >= CONTAM_BENCH_DOCS).select(
+        F.col("doc_id").alias("corpus_doc"), "g"
+    )
+    return corpus.join(bench, "g").groupBy("corpus_doc", "bench_doc").agg(
+        F.count("*").alias("n_shared_ngrams")
     )

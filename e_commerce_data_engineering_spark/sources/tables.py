@@ -59,3 +59,56 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
     catalog the DuckDB oracle does."""
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def register_persistent_catalog(
+    spark: SparkSession, sf_dir: str, database: str = "ecom"
+) -> None:
+    """Register the star schema as PERSISTENT external tables — the
+    Spark analog of the reference's Glue Crawler → Data Catalog → Athena
+    path (/root/reference/README.md:24): crawl once, then any session
+    queries `database.table` by name with no path knowledge.
+
+    Requires a Hive-backed session (``get_catalog_spark`` /
+    ``enableHiveSupport``): the default in-memory catalog drops metadata
+    at session exit, Hive+Derby persists it across processes. Tables are
+    EXTERNAL (metadata only — no data copy, drops never delete parquet).
+
+    ``events`` is exposed as a persistent VIEW over the raw external
+    table because the source parquet is TIMESTAMP(NANOS): the view does
+    the nanos→micros conversion, but the reading session must still set
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` (a view cannot carry
+    session conf; get_catalog_spark sets it).
+    """
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    for n in TABLES:
+        target = f"{database}.{'events_raw' if n == 'events' else n}"
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {target} USING parquet "
+            f"LOCATION '{sf_dir}/{n}.parquet'"
+        )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.sql(
+        f"CREATE OR REPLACE VIEW {database}.events AS "
+        f"SELECT * EXCEPT (ts), timestamp_micros(ts div 1000) AS ts "
+        f"FROM {database}.events_raw"
+    )
+
+
+def get_catalog_spark(warehouse_dir: str, metastore_dir: str, **kwargs) -> SparkSession:
+    """Session wired to a persistent Hive/Derby catalog at the given
+    locations. Pair with ``register_persistent_catalog``; a later
+    process pointed at the same dirs sees the same tables."""
+    from ..session import get_spark
+
+    return get_spark(
+        extra_conf={
+            "spark.sql.catalogImplementation": "hive",
+            "spark.sql.warehouse.dir": warehouse_dir,
+            "javax.jdo.option.ConnectionURL": (
+                f"jdbc:derby:;databaseName={metastore_dir};create=true"
+            ),
+            "spark.sql.legacy.parquet.nanosAsLong": "true",
+        },
+        **kwargs,
+    )

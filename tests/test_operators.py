@@ -361,3 +361,63 @@ def test_block_pair_join_covers_every_pair_exactly_once(spark):
     # payloads must ride with their ids through canonicalization
     for r in pairs:
         assert r["payload_a"] == r["id_a"] * 10 and r["payload_b"] == r["id_b"] * 10
+
+
+def test_ivf_index_roundtrip_and_partition_pruning(spark, tmp_path):
+    """write_ivf_index materializes the assigned table partitioned by
+    cell; probing through the on-disk index must (a) return the same
+    results as the in-memory build and (b) prune the scan to the probed
+    cells (PartitionFilters on _cell)."""
+    from e_commerce_data_engineering_spark.operators.similarity import (
+        ivf_cosine_topk,
+        ivf_index,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    assigned, centroids = ivf_index(emb, nlist=8)
+    write_ivf_index(assigned, centroids, str(tmp_path / "ivf"))
+    disk_index = read_ivf_index(spark, str(tmp_path / "ivf"))
+    mem = ivf_cosine_topk(emb, queries, k=5, nlist=8, nprobe=4, index=(assigned.persist(), centroids))
+    dsk = ivf_cosine_topk(emb, queries, k=5, nlist=8, nprobe=4, index=disk_index)
+    assert {(r["q_id"], r["vec_id"]) for r in mem.collect()} == {
+        (r["q_id"], r["vec_id"]) for r in dsk.collect()
+    }
+    # a direct cell probe over the disk index must partition-prune
+    probe = disk_index[0].filter(F.col("_cell").isin(1, 3))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_cell" in plan, plan
+
+
+def test_simhash_pigeonhole_complete_for_larger_bound(spark):
+    """Chunk blocking derived from max_hamming must find EVERY pair
+    within the bound — compare against an unblocked brute-force count
+    at max_hamming=5 (would lose pairs under the old fixed 4-chunk
+    split)."""
+    from e_commerce_data_engineering_spark.operators.dedup import (
+        hamming64,
+        simhash_from_hashes,
+        simhash_pairs,
+    )
+    from e_commerce_data_engineering_spark.functions.text import tokens
+
+    docs = load_table(spark, SF, "documents").limit(150)
+    blocked = simhash_pairs(docs, "doc_id", "text", max_hamming=5)
+    got = {(r["id_a"], r["id_b"]) for r in blocked.collect()}
+    sigs = docs.select(
+        "doc_id",
+        simhash_from_hashes(F.transform(tokens(F.col("text")), lambda t: F.xxhash64(t))).alias(
+            "_sim"
+        ),
+    ).persist()
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("_sim").alias("_sa"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("_sim").alias("_sb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(hamming64(F.col("_sa"), F.col("_sb")) <= 5)
+    )
+    want = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+    assert got == want
