@@ -21,12 +21,14 @@ from e_commerce_data_engineering_spark.plans.registry import all_oracles, all_qu
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    Revenue rollup per market segment: fact ⋈ dim join + multi-agg
-    (SURVEY §7.2 slice 0).
+    Training-example assembly (t11): text quality metrics (token stats,
+    Snowball-stopword mass, length sanity) joined with embedding-side
+    hygiene (L2 norm) in one documents ⋈ embeddings pass — the curation
+    query an LLM-data pipeline runs before export, all JVM-side HOFs.
     """
-    from e_commerce_data_engineering_spark.plans.core import q06_mktsegment_revenue
+    from e_commerce_data_engineering_spark.plans.text import t11_training_assembly
 
-    return q06_mktsegment_revenue(spark, "/root/testdata/sf0.001")
+    return t11_training_assembly(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
