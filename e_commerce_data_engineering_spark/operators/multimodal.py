@@ -6,16 +6,24 @@ sidecar metadata, partitioned by modality). Heavy per-asset work runs
 as Arrow-batched ``mapInPandas`` so bytes never round-trip through
 Python row-at-a-time.
 
-The decode step is STUBBED: image/audio codecs (Pillow, ffmpeg, …) are
-not in this container. ``decode_asset`` raises NotImplementedError
-unless ``fake=True``, which parses our deterministic synthetic payload
-header instead — the Spark-side plumbing (schemas, batching, partition
-behavior) is real and tested either way.
+Decode tiers (this container has no Pillow/ffmpeg):
+
+* REAL, stdlib-only: PNG (IHDR dimensions, bit depth), JPEG (SOF-scan
+  dimensions), WAV (header + frame count via ``wave`` — sample rate,
+  duration). These are genuine decoders over genuine bytes.
+* FAKE: the deterministic synthetic payload for formats that need a
+  pixel/AV codec (video, resampling) — gated by ``fake=True``.
+* Pixel-level work (``resize_image`` real path) still raises
+  NotImplementedError: resampling needs Pillow/libvips.
 """
 
 from __future__ import annotations
 
+import io
+import math
 import struct
+import wave
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -48,12 +56,89 @@ DECODED_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType(), False),
         T.StructField("modality", T.StringType(), False),
+        T.StructField("format", T.StringType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
         T.StructField("n_bytes", T.IntegerType(), False),
         T.StructField("checksum", T.LongType(), False),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# Real stdlib encoders/decoders (no Pillow/ffmpeg required)
+# ---------------------------------------------------------------------------
+
+def png_bytes(w: int, h: int, seed: int = 0) -> bytes:
+    """A VALID deterministic RGBA PNG (stdlib zlib + crc32)."""
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)  # 8-bit RGBA
+    raw = b"".join(
+        b"\x00"
+        + bytes(
+            v
+            for x in range(w)
+            for v in ((x * 7 + y * 13 + seed) % 256, (x * 31 + seed) % 256, (y * 17) % 256, 255)
+        )
+        for y in range(h)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def wav_bytes(sample_rate: int, duration_ms: int, freq_hz: float, amp: float = 0.5) -> bytes:
+    """A VALID mono 16-bit PCM WAV sine tone (stdlib wave)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        n = sample_rate * duration_ms // 1000
+        w.writeframes(
+            b"".join(
+                struct.pack("<h", int(32767 * amp * math.sin(2 * math.pi * freq_hz * i / sample_rate)))
+                for i in range(n)
+            )
+        )
+    return buf.getvalue()
+
+
+def parse_asset_bytes(b: bytes) -> tuple[str, int | None, int | None, int | None, int | None]:
+    """(format, width, height, sample_rate, duration_ms) from real
+    container headers — PNG IHDR, JPEG SOF marker scan, WAV/RIFF via
+    the wave module. Unknown payloads classify as 'unknown' (quarantine
+    downstream) rather than failing the batch."""
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", b[16:24])
+        return ("png", w, h, None, None)
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(b) and b[i] == 0xFF:
+            marker, seglen = b[i + 1], struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return ("jpeg", w, h, None, None)
+            i += 2 + seglen
+        return ("jpeg", None, None, None, None)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        with wave.open(io.BytesIO(b)) as w:
+            sr = w.getframerate()
+            return ("wav", None, None, sr, int(w.getnframes() * 1000 / sr))
+    return ("unknown", None, None, None, None)
 
 FEATURE_DIM = 16
 FEATURE_SCHEMA = T.StructType(
@@ -90,19 +175,45 @@ def make_fake_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, ASSET_SCHEMA).coalesce(n_parts)
 
 
+def make_real_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Mixed-modality assets with GENUINE container bytes where stdlib
+    can encode them: images are valid PNGs, audio is valid 16-bit PCM
+    WAV; video keeps the synthetic FAKE payload (no stdlib video
+    codec). Deterministic per (n, seed)."""
+    rows = []
+    for i in range(n):
+        modality = ("image", "audio", "video")[i % 3]
+        if modality == "image":
+            w, h = 4 + i % 13, 3 + i % 9
+            payload = png_bytes(w, h, seed + i)
+            meta = ("png", w, h, None, None)
+        elif modality == "audio":
+            sr = 8000 if i % 2 else 16000
+            dur = 50 + (i % 5) * 10
+            payload = wav_bytes(sr, dur, 220.0 + 5 * i)
+            meta = ("wav", None, None, sr, dur)
+        else:
+            w, h = 64 + (i * 7) % 512, 64 + (i * 13) % 512
+            payload = (
+                _MAGIC
+                + struct.pack("<iiqq", w, h, seed, i)
+                + bytes((i + j) % 251 for j in range(128))
+            )
+            meta = ("fake", w, h, None, 1000 + i)
+        rows.append((i, modality, payload, meta))
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, n // 32))
+    return spark.createDataFrame(rows, ASSET_SCHEMA).coalesce(n_parts)
+
+
 def decode_asset(assets: DataFrame, fake: bool = False) -> DataFrame:
     """Decode binary → structural info via mapInPandas (Arrow batches).
 
-    Real codecs are unavailable in this environment: ``fake=False``
-    raises NotImplementedError at plan-build time (fail fast, not per
-    task); ``fake=True`` parses the synthetic payload header.
+    PNG/JPEG/WAV payloads are decoded for REAL (stdlib header parsers,
+    parse_asset_bytes) — no codec library needed for container-level
+    structure. ``fake=True`` additionally accepts the synthetic FAKE
+    payload (the stand-in for formats whose pixel/AV decode would need
+    Pillow/ffmpeg); anything unrecognized classifies as 'unknown'.
     """
-    if not fake:
-        raise NotImplementedError(
-            "Image/audio decode requires codec libraries not present in this "
-            "container. Use fake=True for the deterministic synthetic decoder, "
-            "or plug a real decoder into _decode_batch."
-        )
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -111,16 +222,21 @@ def decode_asset(assets: DataFrame, fake: bool = False) -> DataFrame:
                 pdf["asset_id"], pdf["modality"], pdf["content"]
             ):
                 b = bytes(content)
-                if b[:4] == _MAGIC:
+                if fake and b[:4] == _MAGIC:
                     w, h, _seed, _i = struct.unpack("<iiqq", b[4:28])
-                else:  # unknown payload: structural fallback only
-                    w = h = None
+                    fmt, sr, dur = "fake", None, None
+                else:
+                    fmt, w, h, sr, dur = parse_asset_bytes(b)
                 checksum = 0
                 for byte in b:
                     checksum = (checksum * 31 + byte) % (1 << 61)
-                out.append((asset_id, modality, w, h, len(b), checksum))
+                out.append((asset_id, modality, fmt, w, h, sr, dur, len(b), checksum))
             yield pd.DataFrame(
-                out, columns=["asset_id", "modality", "width", "height", "n_bytes", "checksum"]
+                out,
+                columns=[
+                    "asset_id", "modality", "format", "width", "height",
+                    "sample_rate", "duration_ms", "n_bytes", "checksum",
+                ],
             )
 
     return assets.mapInPandas(_decode_batch, DECODED_SCHEMA)

@@ -184,14 +184,22 @@ def s05_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "m01_multimodal_decode",
     oracle=None,  # synthetic binary assets, not a driver table
-    doc="Multimodal plumbing: binary assets → mapInPandas decode (fake "
-    "codec) → per-modality rollup. Proves the Arrow-batch UDF path.",
+    doc="Multimodal decode over GENUINE container bytes: images are "
+    "valid PNGs and audio valid PCM WAVs (stdlib-encoded), decoded for "
+    "real by stdlib header parsers inside Arrow mapInPandas batches "
+    "(PNG IHDR / JPEG SOF / RIFF-WAVE — operators/multimodal.py); "
+    "video keeps the synthetic payload (pixel/AV codecs absent in this "
+    "container). Rollup by modality × decoded format.",
 )
 def m01_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assets = make_fake_assets(spark, 120)
+    from ..operators.multimodal import make_real_assets
+
+    assets = make_real_assets(spark, 120)
     decoded = decode_asset(assets, fake=True)
-    return decoded.groupBy("modality").agg(
+    return decoded.groupBy("modality", "format").agg(
         F.count("*").alias("n"),
         F.sum("n_bytes").alias("total_bytes"),
         F.countDistinct("checksum").alias("distinct_checksums"),
+        F.max("width").alias("max_width"),
+        F.max("sample_rate").alias("max_sample_rate"),
     )
