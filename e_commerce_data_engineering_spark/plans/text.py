@@ -511,3 +511,78 @@ def t14_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.join(bench, "g").groupBy("corpus_doc", "bench_doc").agg(
         F.count("*").alias("n_shared_ngrams")
     )
+
+
+SPLIT_VAL_PCT, SPLIT_TEST_PCT = 10, 10  # % of each stratum
+
+
+@query(
+    "t15_train_val_test_split",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT lang,
+               CASE WHEN ((doc_id % 2147483648) * 2654435761 + 11) % 100 < {SPLIT_TEST_PCT} THEN 'test'
+                    WHEN ((doc_id % 2147483648) * 2654435761 + 11) % 100 < {SPLIT_TEST_PCT + SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'train' END AS split
+        FROM documents
+    )
+    SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM tagged GROUP BY 1, 2
+    """,
+    doc="Deterministic train/val/test assignment: each doc's split is a "
+    "pure function of its id (multiplicative hash mod 100 against "
+    "percentage cut-points) — stable across runs, partitionings, and "
+    "engines, unlike randomSplit. The split column is computable at "
+    "read time anywhere in the pipeline; output is the per-stratum "
+    "audit rollup.",
+)
+def t15_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # same explicit hash as t10: engine-portable, overflow-safe under ANSI
+    h = F.pmod(F.pmod(F.col("doc_id"), F.lit(2**31)) * F.lit(2654435761) + 11, F.lit(100))
+    split = (
+        F.when(h < SPLIT_TEST_PCT, "test")
+        .when(h < SPLIT_TEST_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("train")
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_NUM_RE = "[0-9]+"
+_CAPWORD_RE = "[A-Z][a-z]+"
+
+
+@query(
+    "t16_redaction_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_NUM_RE}')) AS INTEGER)     AS n_numbers,
+           CAST(len(regexp_extract_all(text, '{_CAPWORD_RE}')) AS INTEGER) AS n_capwords,
+           md5(regexp_replace(regexp_replace(text, '{_NUM_RE}', '<NUM>', 'g'),
+                              '{_CAPWORD_RE}', '<NAME>', 'g'))             AS redacted_hash
+    FROM documents
+    """,
+    doc="PII-style scrubbing pass (the shape of a real pre-training "
+    "redaction job): count number-runs and capitalized-word tokens, "
+    "then emit the hash of the text with both classes replaced by "
+    "placeholder tags. Pure JVM regex per row, no shuffle; both "
+    "engines run the identical pattern + replacement so the redacted "
+    "hashes must agree.",
+)
+def t16_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _NUM_RE, "<NUM>"), _CAPWORD_RE, "<NAME>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_NUM_RE), F.lit(0))).alias("n_numbers"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_CAPWORD_RE), F.lit(0))).alias(
+            "n_capwords"
+        ),
+        F.md5(redacted.cast("binary")).alias("redacted_hash"),
+    )
