@@ -203,3 +203,27 @@ def m01_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("width").alias("max_width"),
         F.max("sample_rate").alias("max_sample_rate"),
     )
+
+
+@query(
+    "m02_audio_signal_stats",
+    oracle=None,  # synthetic binary assets, not a driver table
+    doc="REAL PCM signal analysis over WAV bytes (stdlib wave + numpy "
+    "in Arrow batches): per-sample-rate rollup of RMS level, zero-"
+    "crossing rate, and peak amplitude — the silence/clipping hygiene "
+    "screen of an audio curation pipeline "
+    "(operators/multimodal.extract_audio_features).",
+)
+def m02_audio_signal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_audio_features, make_real_assets
+
+    assets = make_real_assets(spark, 120).filter(F.col("modality") == "audio")
+    feats = extract_audio_features(assets)
+    return feats.groupBy("sample_rate").agg(
+        F.count("*").alias("n_assets"),
+        F.round(F.avg("rms"), 4).alias("avg_rms"),
+        F.round(F.avg(F.col("zero_crossings").cast("double") / F.col("n_samples")), 4).alias(
+            "avg_zcr"
+        ),
+        F.round(F.max("peak"), 4).alias("max_peak"),
+    )

@@ -453,3 +453,34 @@ def test_simhash_pigeonhole_complete_for_larger_bound(spark):
     )
     want = {(r["id_a"], r["id_b"]) for r in brute.collect()}
     assert got == want
+
+
+def test_audio_features_match_signal_theory(spark):
+    """PCM analysis of a known sine tone: RMS == amp/sqrt(2), zero
+    crossings == 2 * freq * duration, peak == amp (within tolerance)."""
+    import math
+
+    from e_commerce_data_engineering_spark.operators.multimodal import (
+        extract_audio_features,
+        make_real_assets,
+    )
+
+    assets = make_real_assets(spark, 30)
+    feats = {r["asset_id"]: r for r in extract_audio_features(assets).collect()}
+    metas = {r["asset_id"]: r["meta"] for r in assets.collect()}
+    n_audio = 0
+    for aid, m in metas.items():
+        r = feats[aid]
+        if m["format"] != "wav":
+            assert r["rms"] is None  # non-audio rows yield nulls
+            continue
+        n_audio += 1
+        amp, freq = 0.5, 220.0 + 5 * aid
+        assert r["sample_rate"] == m["sample_rate"]
+        assert abs(r["rms"] - amp / math.sqrt(2)) < 0.02, (aid, r["rms"])
+        assert abs(r["peak"] - amp) < 0.02
+        expect_zc = 2 * freq * m["duration_ms"] / 1000.0
+        assert abs(r["zero_crossings"] - expect_zc) <= max(4, 0.1 * expect_zc), (
+            aid, r["zero_crossings"], expect_zc,
+        )
+    assert n_audio >= 9
