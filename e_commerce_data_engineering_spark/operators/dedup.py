@@ -380,8 +380,16 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # init = the first propagation round, uncounted: label = min(id,
+    # direct neighbors). Near-dup components are mostly diameter 1-2,
+    # so this converges one counted round earlier (each counted round
+    # costs a full join+count job — the dominant loop cost on sparse
+    # edge lists).
     labels = (
-        sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id")).persist()
+        sym.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("_mn"))
+        .select("id", F.least(F.col("id"), F.col("_mn")).alias("label"))
+        .persist()
     )
     store = labels  # the actually-persisted frame (labels may be a projection of it)
     changed = 1
