@@ -436,3 +436,67 @@ def q34_corr_stddev_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("corr_value_user"),
     )
+
+
+@query(
+    "q35_median_mode_window",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_mktsegment, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS rn,
+               COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM customer
+    ),
+    med AS (
+        SELECT c_mktsegment, c_acctbal AS median_bal
+        FROM ranked WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)
+    ),
+    freq AS (
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt
+        FROM customer GROUP BY 1, 2
+    ),
+    mode_ AS (
+        SELECT c_mktsegment, c_nationkey AS mode_nation
+        FROM (
+            SELECT c_mktsegment, c_nationkey,
+                   ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY cnt DESC, c_nationkey) AS rk
+            FROM freq
+        ) t WHERE rk = 1
+    )
+    SELECT med.c_mktsegment, median_bal, CAST(mode_nation AS BIGINT) AS mode_nation
+    FROM med JOIN mode_ ON med.c_mktsegment = mode_.c_mktsegment
+    """,
+    doc="Exact distributed median and mode WITHOUT engine-specific "
+    "aggregate functions: engine median() semantics diverge on "
+    "even-count groups (interpolation vs element pick), so the lower "
+    "median is taken as the rank-ceil(n/2) element via a row_number "
+    "window with a deterministic tiebreak, and mode as the "
+    "count-desc/key-asc rank-1 row — identical semantics on any "
+    "engine by construction. One window shuffle + one groupBy.",
+)
+def q35_median_mode_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wn = W.partitionBy("c_mktsegment")
+    ranked = c.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.ceil(F.col("n") / 2.0).cast("bigint")
+    ).select("c_mktsegment", F.col("c_acctbal").alias("median_bal"))
+    freq = c.groupBy("c_mktsegment", "c_nationkey").agg(F.count("*").alias("cnt"))
+    rk = F.row_number().over(
+        W.partitionBy("c_mktsegment").orderBy(F.col("cnt").desc(), "c_nationkey")
+    )
+    mode_ = (
+        freq.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("c_mktsegment", F.col("c_nationkey").cast("bigint").alias("mode_nation"))
+    )
+    return med.join(mode_, "c_mktsegment")
