@@ -110,3 +110,35 @@ def test_upsert_parquet_keeps_latest(spark, tmp_path):
     assert n == 4
     got = {(r["k"], r["ver"], r["val"]) for r in spark.read.parquet(tgt).collect()}
     assert got == {(1, 1, "a"), (2, 5, "b2"), (3, 1, "c2"), (4, 1, "d")}
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Lake reality: later batches add columns. mergeSchema reconciles
+    the union schema and older files read the new column as null —
+    the read-side half of schema evolution (write-side is additive by
+    construction with parquet)."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(f"{p}/batch1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.parquet(f"{p}/batch2")
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(p)
+    )
+    assert set(merged.columns) >= {"id", "v", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
+    # and upsert over the evolved table keeps the wide schema
+    from e_commerce_data_engineering_spark.operators.layout import upsert_parquet
+
+    updates = spark.createDataFrame(
+        [(1, "a2", 1.0, 2)], "id long, v string, score double, version int"
+    )
+    base = merged.withColumn("version", F.lit(1))
+    base.write.mode("overwrite").parquet(f"{p}_target")
+    n = upsert_parquet(spark, f"{p}_target", updates, "id", "version")
+    assert n == 2
+    out = {r["id"]: (r["v"], r["score"]) for r in spark.read.parquet(f"{p}_target").collect()}
+    assert out[1] == ("a2", 1.0) and out[2] == ("b", 9.5)
