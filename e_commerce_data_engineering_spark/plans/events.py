@@ -256,3 +256,68 @@ def e06_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), money_sum(dmoney("value")).alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
     )
+
+
+@query(
+    "e07_funnel_stages",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        FROM events GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND s1.t_view IS NOT NULL AND e.ts >= s1.t_view
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s2.t_click
+        GROUP BY e.user_id
+    )
+    SELECT CAST(COUNT(s1.t_view) AS BIGINT)                       AS n_view,
+           CAST(COUNT(s2.t_click) AS BIGINT)                      AS n_click_after_view,
+           CAST(COUNT(s3.t_purchase) AS BIGINT)                   AS n_purchase_after_click,
+           CAST(SUM(epoch_ms(s3.t_purchase) - epoch_ms(s1.t_view)) AS BIGINT) AS total_conversion_ms
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+    doc="Sequential conversion funnel (view → click → purchase): per "
+    "user, first view, first click at-or-after it, first purchase "
+    "at-or-after that click — three conditional-min aggregations "
+    "chained by equi-joins on user_id (each partial-agg friendly, all "
+    "co-partitionable on the user key at 100 TB). Counts per stage "
+    "plus total view→purchase conversion time in exact integer ms.",
+)
+def e07_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1.filter(F.col("t_view").isNotNull()), "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    joined = s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+    return joined.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click_after_view"),
+        F.count("t_purchase").alias("n_purchase_after_click"),
+        F.sum(
+            F.unix_millis(F.col("t_purchase").cast("timestamp"))
+            - F.unix_millis(F.col("t_view").cast("timestamp"))
+        ).alias("total_conversion_ms"),
+    )
