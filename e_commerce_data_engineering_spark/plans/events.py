@@ -321,3 +321,43 @@ def e07_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_millis(F.col("t_view").cast("timestamp"))
         ).alias("total_conversion_ms"),
     )
+
+
+_WEEK_MS = 7 * 86400 * 1000
+
+
+@query(
+    "e08_cohort_retention",
+    oracle=f"""
+    WITH weeks AS (
+        SELECT user_id, CAST(FLOOR(epoch_ms(ts) / {_WEEK_MS}) AS BIGINT) AS week
+        FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id),
+    activity AS (SELECT DISTINCT user_id, week FROM weeks)
+    SELECT cohort_week,
+           CAST(a.week - c.cohort_week AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM activity a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix: users bucketed by first-activity week, "
+    "counted in each subsequent week they return. Weeks are absolute "
+    "epoch-week indexes (floor(epoch_ms / week_ms)) rather than "
+    "calendar truncation, so both engines agree without sharing "
+    "week-start conventions. Two aggregations + one equi-join, all "
+    "keyed on user_id — co-partitionable at 100 TB.",
+)
+def e08_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    weeks = ev.select(
+        "user_id",
+        F.floor(F.unix_millis(F.col("ts").cast("timestamp")) / _WEEK_MS).alias("week"),
+    )
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = weeks.distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
