@@ -361,3 +361,87 @@ def e08_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+PATH_TOP_K = 10
+
+
+@query(
+    "e09_session_paths",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > {30 * 60 * 1000}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_type, ts, event_id,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {PATH_TOP_K}
+    """,
+    doc="Session path-sequence mining: gap-sessionize (same rule as "
+    "e03), concatenate each session's ordered event types into a path "
+    "string, rank the most common paths — the navigation-pattern query "
+    "behind funnel design. Ordering inside the aggregate is made "
+    "deterministic on both engines by sorting (ts, event_id) structs "
+    "before joining (Spark collect_list has no ORDER BY; array_sort "
+    "of structs is the portable equivalent of DuckDB's ordered "
+    "string_agg).",
+)
+def e09_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    prev_ms = F.lag(ms).over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(prev_ms.isNull() | ((ms - prev_ms) > SESSION_GAP_MS), 1).otherwise(0).alias(
+            "new_session"
+        ),
+    )
+    wsum = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sessions = flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("new_session").over(wsum).alias("session_id"),
+    )
+    paths = sessions.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(PATH_TOP_K)
+    )
