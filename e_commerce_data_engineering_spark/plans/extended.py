@@ -1,0 +1,552 @@
+"""Extended relational + pipeline queries (round 2 widening).
+
+TPC-H-shaped multi-join analytics the core battery didn't yet cover
+(Q7 volume-shipping, Q9 product-profit, Q21 waiting-supplier
+EXISTS/NOT-EXISTS, Q22 scalar-subquery + anti-join), exact interpolated
+percentiles, n-gram frequency mining, document-length histograms,
+event-rate anomaly detection, and pairwise centroid similarity.
+
+Reference scope: the Athena/Glue analytics surface of the reference
+(`/root/reference/README.md:24`) is ANSI SQL over the catalog; these
+queries extend the same surface with the standard decision-support
+shapes. Cross-engine determinism follows plans/money.py (exact decimal
+money math) and plans/similarity.py (integer-quantized float sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .money import (
+    dfrac,
+    dmoney,
+    fround,
+    money_avg,
+    money_sum,
+    sql_dfrac,
+    sql_dmoney,
+    sql_fround,
+    sql_money_avg,
+    sql_money_sum,
+)
+from .registry import query
+from .similarity import EMBEDDING_DIM
+
+_DISC_PRICE = f"{sql_dmoney('l_extendedprice')} * (1 - {sql_dfrac('l_discount')})"
+
+
+# ---------------------------------------------------------------------------
+# q36 — TPC-H Q7 analog: volume shipping between nation pairs
+# ---------------------------------------------------------------------------
+
+@query(
+    "q36_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           {sql_money_sum(_DISC_PRICE)} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: cross-border shipping volume by (supplier "
+    "nation, customer nation, ship year). Two broadcast dim joins "
+    "(nation twice under different aliases) around the fact-fact "
+    "lineitem-orders shuffle join; the shipdate filter is pushed to "
+    "the parquet scan so only 2 of 7 years are read.",
+)
+def q36_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(money_sum(dmoney("l_extendedprice") * (1 - dfrac("l_discount"))).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q37 — TPC-H Q9 analog: product-line profit by supplier nation and year
+# ---------------------------------------------------------------------------
+
+# No partsupp table in the testdata star schema, so supply cost is
+# modeled as 60% of p_retailprice (exact decimal both engines).
+_COST = f"CAST(0.60 AS DECIMAL(4,2)) * {sql_dmoney('p_retailprice')} * {sql_dmoney('l_quantity')}"
+_AMOUNT = f"({_DISC_PRICE} - {_COST})"
+
+
+@query(
+    "q37_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           {sql_money_sum(_AMOUNT)} AS sum_profit
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_type = 'PROMO'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 shape: profit (discounted revenue minus modeled "
+    "supply cost) per supplier nation per order year, restricted to "
+    "one product line. part/supplier/nation are broadcast dims; the "
+    "p_type filter prunes ~5/6 of parts before the fact join.",
+)
+def q37_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    amount = dmoney("l_extendedprice") * (1 - dfrac("l_discount")) - (
+        F.lit("0.60").cast("decimal(4,2)") * dmoney("p_retailprice") * dmoney("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(money_sum(amount).alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q38 — TPC-H Q21 analog: suppliers who kept multi-supplier orders waiting
+# ---------------------------------------------------------------------------
+
+_LATE = "l_shipdate > o_orderdate + INTERVAL 60 DAY"
+
+
+@query(
+    "q38_waiting_suppliers",
+    oracle=f"""
+    WITH late AS (
+        SELECT l_orderkey, l_suppkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F' AND {_LATE}
+    )
+    SELECT s_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+    )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape: for finalized orders shipped >60 days after "
+    "the order date, count — per supplier — the late line items where "
+    "some other supplier participated in the order (EXISTS) but no "
+    "other supplier was also late (NOT EXISTS). Spark plan: the late "
+    "set is computed once and reused for the semi and anti joins; "
+    "supplier is a broadcast dim.",
+)
+def q38_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l1 = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        l1.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q39 — TPC-H Q22 analog: wealthy customers with no orders, by nation
+# ---------------------------------------------------------------------------
+
+@query(
+    "q39_sales_opportunity",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           {sql_money_sum(sql_dmoney("c_acctbal"))} AS totacctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (
+        SELECT CAST(AVG({sql_dmoney("c_acctbal")}) AS DOUBLE)
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q22 shape: customers whose balance beats the positive-"
+    "balance average but who never ordered, rolled up by nation. The "
+    "scalar subquery becomes a 1-row broadcast cross join; the NOT "
+    "EXISTS becomes a left-anti join against orders keys.",
+)
+def q39_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    threshold = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg(dmoney("c_acctbal")).cast("double").alias("thresh"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("thresh"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            money_sum(dmoney("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q40 — exact interpolated percentiles (engine-portable)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q40_percentiles",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_fround("CAST(quantile_cont(l_extendedprice, 0.50) AS DOUBLE)", 4)} AS p50,
+           {sql_fround("CAST(quantile_cont(l_extendedprice, 0.90) AS DOUBLE)", 4)} AS p90,
+           {sql_fround("CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE)", 4)} AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact linear-interpolated percentiles per group: Spark "
+    "percentile() and DuckDB quantile_cont() both define the p-th "
+    "percentile at fractional index p*(n-1) with linear interpolation, "
+    "so on identical input doubles they agree to the rounded 4dp. "
+    "Spark computes this with a single exact-percentile aggregate (no "
+    "window materialization; one shuffle on the group key).",
+)
+def q40_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        fround(F.expr("percentile(l_extendedprice, 0.50)"), 4).alias("p50"),
+        fround(F.expr("percentile(l_extendedprice, 0.90)"), 4).alias("p90"),
+        fround(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t17 — top-k bigrams per language (n-gram frequency mining)
+# ---------------------------------------------------------------------------
+
+_TOP_BIGRAMS_K = 10
+
+
+@query(
+    "t17_top_bigrams",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    bigrams AS (
+        SELECT lang, unnest([t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t) - 1)]) AS bigram
+        FROM toks
+    ),
+    counted AS (
+        SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM bigrams
+        GROUP BY lang, bigram
+    )
+    SELECT lang, bigram, cnt, CAST(rn AS INTEGER) AS rn
+    FROM (
+        SELECT lang, bigram, cnt,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS rn
+        FROM counted
+    ) ranked
+    WHERE rn <= {_TOP_BIGRAMS_K}
+    """,
+    doc="N-gram frequency mining: word bigrams per document via "
+    "zip_with over shifted token slices (no UDF, no explode-then-"
+    "window recompute), counted per language, top-10 by count with a "
+    "deterministic bigram tiebreak. The per-language rank window "
+    "shuffles only the counted aggregate, not the exploded bigrams.",
+)
+def t17_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.split(F.lower("text"), " ").alias("t"))
+    bigrams = toks.select(
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram"),
+    )
+    counted = bigrams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "bigram")
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_BIGRAMS_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# t18 — document-length histogram (fixed boundaries: portable, exact)
+# ---------------------------------------------------------------------------
+
+_BUCKETS = (64, 128, 256, 512, 1024)
+
+
+def _sql_bucket() -> str:
+    whens = " ".join(
+        f"WHEN n_chars < {b} THEN '<{b}'" for b in _BUCKETS
+    )
+    return f"CASE {whens} ELSE '>={_BUCKETS[-1]}' END"
+
+
+@query(
+    "t18_length_histogram",
+    oracle=f"""
+    SELECT lang,
+           {_sql_bucket()} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {sql_money_avg("n_chars")} AS avg_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    doc="Corpus length profile: fixed-boundary histogram of document "
+    "size per language (CASE ladder, not log2 — float log at power-of-"
+    "two boundaries is an engine-portability hazard). Integer sums are "
+    "exact, so avg_chars is deterministic.",
+)
+def t18_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.lit(f">={_BUCKETS[-1]}")
+    for b in reversed(_BUCKETS):
+        bucket = F.when(F.col("n_chars") < b, f"<{b}").otherwise(bucket)
+    return (
+        docs.groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            money_avg(F.col("n_chars")).alias("avg_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# e10 — hourly event-rate anomaly via exact-moment z-scores
+# ---------------------------------------------------------------------------
+
+_Z_CUT = 2.0
+
+
+@query(
+    "e10_rate_anomaly",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(SUM(cnt) AS BIGINT) AS s1,
+               CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+        FROM hourly
+        GROUP BY event_type
+    )
+    SELECT h.event_type, h.hour_ts, h.cnt,
+           {sql_fround(
+               "(h.cnt - CAST(s.s1 AS DOUBLE) / s.n_hours)"
+               " / sqrt((s.s2 - CAST(s.s1 AS DOUBLE) * s.s1 / s.n_hours) / (s.n_hours - 1))",
+               4,
+           )} AS zscore
+    FROM hourly h JOIN stats s ON h.event_type = s.event_type
+    WHERE s.n_hours > 1
+      AND abs(h.cnt - CAST(s.s1 AS DOUBLE) / s.n_hours)
+          > {_Z_CUT} * sqrt((s.s2 - CAST(s.s1 AS DOUBLE) * s.s1 / s.n_hours) / (s.n_hours - 1))
+    """,
+    doc="Event-rate anomaly detection: hourly counts per event type, "
+    "then z-scores against that type's mean/stddev. Moments come from "
+    "exact integer sums (s1, s2 as BIGINT) so the variance is bit-"
+    "deterministic across engines and partition orders — stddev_samp "
+    "on doubles would not be. Rows with |z| > 2 are flagged. Two "
+    "shuffles: the hourly rollup and the per-type moment rollup "
+    "(broadcast back onto hourly).",
+)
+def e10_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_hours")
+    var = (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n_hours")) / (
+        F.col("n_hours") - 1
+    )
+    sd = F.sqrt(var)
+    return (
+        hourly.join(
+            F.broadcast(stats.withColumnRenamed("event_type", "s_event_type")),
+            F.col("event_type") == F.col("s_event_type"),
+        )
+        .filter((F.col("n_hours") > 1) & (F.abs(F.col("cnt") - mean) > _Z_CUT * sd))
+        .select(
+            "event_type",
+            "hour_ts",
+            "cnt",
+            fround((F.col("cnt") - mean) / sd, 4).alias("zscore"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# s06 — pairwise cosine similarity between label centroids
+# ---------------------------------------------------------------------------
+
+_CQ = 10_000.0  # centroid quantization: 4 decimal places, exact in BIGINT
+
+
+@query(
+    "s06_centroid_distances",
+    oracle=f"""
+    WITH exploded AS (
+        SELECT label, dim,
+               CAST(FLOOR(CAST(embedding[dim + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS vq
+        FROM embeddings, range(0, {EMBEDDING_DIM}) t(dim)
+    ),
+    centroids AS (
+        SELECT label, dim,
+               CAST(FLOOR(CAST(SUM(vq) AS DOUBLE) / 1000000.0 / COUNT(*) * {_CQ} + 0.5) AS BIGINT) AS cq
+        FROM exploded
+        GROUP BY label, dim
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           {sql_fround(
+               "CAST(SUM(a.cq * b.cq) AS DOUBLE)"
+               " / (sqrt(CAST(SUM(a.cq * a.cq) AS DOUBLE)) * sqrt(CAST(SUM(b.cq * b.cq) AS DOUBLE)))",
+               6,
+           )} AS cos_sim
+    FROM centroids a JOIN centroids b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY a.label, b.label
+    """,
+    doc="Cluster-geometry summary: cosine similarity between every "
+    "pair of label centroids. Centroids are quantized to 4dp BIGINTs "
+    "before the pairwise dot product, so every sum is exact integer "
+    "arithmetic and the result is bit-deterministic across engines "
+    "and partition orders. The pair join is on `dim` (64 values × "
+    "labels) — tiny, broadcast; output is labels-choose-2 rows.",
+)
+def s06_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label",
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("v").cast("double") * 1_000_000.0 + F.lit(0.5)).alias("vq"),
+    )
+    centroids = exploded.groupBy("label", "dim").agg(
+        F.floor(
+            F.sum("vq").cast("double") / 1_000_000.0 / F.count(F.lit(1)) * _CQ + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("cq")
+    )
+    a = centroids.select(
+        F.col("label").alias("label_a"), F.col("dim").alias("dim_a"), F.col("cq").alias("cq_a")
+    )
+    b = centroids.select(
+        F.col("label").alias("label_b"), F.col("dim").alias("dim_b"), F.col("cq").alias("cq_b")
+    )
+    pairs = a.join(
+        b, (F.col("dim_a") == F.col("dim_b")) & (F.col("label_a") < F.col("label_b"))
+    )
+    return pairs.groupBy("label_a", "label_b").agg(
+        fround(
+            F.sum(F.col("cq_a") * F.col("cq_b")).cast("double")
+            / (
+                F.sqrt(F.sum(F.col("cq_a") * F.col("cq_a")).cast("double"))
+                * F.sqrt(F.sum(F.col("cq_b") * F.col("cq_b")).cast("double"))
+            ),
+            6,
+        ).alias("cos_sim")
+    )

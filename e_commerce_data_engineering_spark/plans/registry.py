@@ -58,6 +58,7 @@ def _load_all_modules() -> None:
     from . import similarity  # noqa: F401
     from . import advanced  # noqa: F401
     from . import scalar_batteries  # noqa: F401
+    from . import extended  # noqa: F401
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
