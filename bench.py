@@ -35,12 +35,14 @@ HEADLINE = [
     "q07_distinct_agg",
     "q14_range_join",
     "q16_window_rank",
+    "q36_nation_volume",
     "q17_window_running",
     "e02_tumbling_window",
     "e03_sessionize",
     "r06_discount_pattern",
     "t01_token_stats",
     "t05_ngram_jaccard_pairs",
+    "t17_top_bigrams",
     "t09_similarity_join",
     "d03_minhash_dedupe",
     "d04_embedding_neardup",
