@@ -550,3 +550,144 @@ def s06_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# q41 — trailing-30-day customer revenue (RANGE window frame)
+# ---------------------------------------------------------------------------
+
+_TRAIL_DAYS = 30
+
+
+@query(
+    "q41_trailing_revenue",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           CAST(ROUND(SUM({sql_dmoney("o_totalprice")}) OVER (
+               PARTITION BY o_custkey
+               ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               RANGE BETWEEN {_TRAIL_DAYS} PRECEDING AND CURRENT ROW
+           ), 2) AS DOUBLE) AS trailing_30d
+    FROM orders
+    """,
+    doc="RANGE-frame window (the frame the row-based q17 can't express): "
+    "per order, the customer's total order value over the trailing 30 "
+    "days including same-day peers. The order key is a timezone-free "
+    "epoch-day index (order dates are date-granular; epoch *seconds* "
+    "would make the frame boundary DST-sensitive). RANGE frames are "
+    "value-bounded, so ties are included identically on every engine. "
+    "One shuffle on o_custkey; the frame scan is a per-partition "
+    "sliding-sum, exact via decimal.",
+)
+def q41_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.col("o_orderdate").cast("date")))
+        .rangeBetween(-_TRAIL_DAYS, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum(dmoney("o_totalprice")).over(w), 2).cast("double").alias("trailing_30d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q42 — revenue share of region (partition-total window, ratio-to-report)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q42_revenue_share",
+    oracle=f"""
+    WITH nat AS (
+        SELECT r_name AS region, n_name AS nation,
+               {sql_money_sum(_DISC_PRICE)} AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT region, nation, revenue,
+           {sql_fround("revenue / SUM(revenue) OVER (PARTITION BY region)", 6)} AS share
+    FROM nat
+    """,
+    doc="Ratio-to-report: each nation's share of its region's revenue "
+    "via an unframed partition-total window over the 25-row rollup "
+    "(the window runs on the aggregate, never the fact table). The "
+    "share division happens after both operands are exact-decimal "
+    "rounded, so it is bit-deterministic.",
+)
+def q42_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nat = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(money_sum(dmoney("l_extendedprice") * (1 - dfrac("l_discount"))).alias("revenue"))
+    )
+    w = Window.partitionBy("region")
+    return nat.select(
+        "region",
+        "nation",
+        "revenue",
+        fround(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# e11 — SCD2-style user state intervals (change capture → versioned rows)
+# ---------------------------------------------------------------------------
+
+@query(
+    "e11_user_state_intervals",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts AS valid_from, event_id
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER w2 AS valid_to,
+           CAST(ROW_NUMBER() OVER w2 AS INTEGER) AS version
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    """,
+    doc="Slowly-changing-dimension (type 2) build from an event log: "
+    "collapse each user's event stream into versioned state intervals "
+    "[valid_from, valid_to) that open whenever event_type changes. "
+    "The change-detection lag and the interval-closing lead share one "
+    "user_id shuffle; (ts, event_id) is the total order so ties are "
+    "deterministic. The open current state has valid_to = NULL.",
+)
+def e11_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("int").alias("version"),
+    )
