@@ -108,3 +108,27 @@ def test_ngram_jaccard_pairs_is_equi_join_only(spark):
     plan = plan_of(spark, "t05_ngram_jaccard_pairs")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_nation_volume_broadcasts_all_dims(spark):
+    # q36 joins 4 dims around the lineitem-orders fact join: every dim
+    # side must broadcast, and nothing may degrade to a nested loop.
+    plan = plan_of(spark, "q36_nation_volume")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_waiting_suppliers_keeps_semi_and_anti(spark):
+    # q38's EXISTS / NOT EXISTS must stay semi + anti joins (a rewrite
+    # to inner join + dedup would double-count late line items).
+    plan = plan_of(spark, "q38_waiting_suppliers")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_trailing_window_single_shuffle(spark):
+    # q41's RANGE-frame window needs exactly one exchange (on
+    # o_custkey) — the frame itself is a per-partition sliding sum.
+    df = QUERIES["q41_trailing_revenue"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
