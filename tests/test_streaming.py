@@ -293,3 +293,64 @@ def test_stream_stream_interval_join(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ssj_out").collect()
     }
     assert rows == {(1, 0, 20, 9.0), (1, 40, 50, 5.0)}, rows
+
+
+def test_streaming_upsert_converges_to_keep_latest(spark, tmp_path):
+    """foreachBatch CDC merge: change files drain one per micro-batch
+    into a keep-latest parquet table; a checkpointed re-run with no new
+    files leaves the table untouched (idempotent merge = effective
+    exactly-once table state)."""
+    import os
+    import time
+
+    from e_commerce_data_engineering_spark.streaming.pipeline import start_upsert_stream
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    f1 = src / "c1.jsonl"
+    f2 = src / "c2.jsonl"
+    f1.write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"k": "a", "v": 1.0, "ver": 1},
+                {"k": "b", "v": 2.0, "ver": 1},
+                {"k": "c", "v": 3.0, "ver": 1},
+            ]
+        )
+    )
+    f2.write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"k": "b", "v": 20.0, "ver": 2},   # update
+                {"k": "d", "v": 4.0, "ver": 1},    # insert
+                {"k": "c", "v": -1.0, "ver": 0},   # stale: must lose
+            ]
+        )
+    )
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))  # deterministic file order
+    os.utime(f2, (now, now))
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("ver", T.LongType()),
+        ]
+    )
+    target = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_upsert_stream(spark, str(src), target, ckpt, "k", "ver", schema)
+    q.awaitTermination(120)
+
+    got = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(target).collect()}
+    assert got == {"a": (1.0, 1), "b": (20.0, 2), "c": (3.0, 1), "d": (4.0, 1)}
+
+    # restart with same checkpoint, no new files: table must not change
+    before = sorted(map(tuple, spark.read.parquet(target).collect()))
+    q2 = start_upsert_stream(spark, str(src), target, ckpt, "k", "ver", schema)
+    q2.awaitTermination(120)
+    after = sorted(map(tuple, spark.read.parquet(target).collect()))
+    assert before == after
