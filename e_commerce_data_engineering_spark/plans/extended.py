@@ -691,3 +691,79 @@ def e11_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w2).alias("valid_to"),
         F.row_number().over(w2).cast("int").alias("version"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t19 — TF-IDF top terms per source (corpus-level term weighting)
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 10
+
+
+@query(
+    "t19_tfidf_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, source, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY 1, 2, 3
+    ),
+    df AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.source, tf.term,
+               {sql_fround("SUM(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)))", 4)} AS tfidf
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        GROUP BY tf.source, tf.term
+    )
+    SELECT source, term, tfidf, CAST(rn AS INTEGER) AS rn
+    FROM (
+        SELECT source, term, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY tfidf DESC, term) AS rn
+        FROM scored
+    ) ranked
+    WHERE rn <= {_TFIDF_K}
+    """,
+    doc="Corpus TF-IDF: per-document term frequencies, corpus document "
+    "frequencies (smoothed ln((N+1)/(df+1))), summed per source, top-"
+    "10 terms each. The plan is three hash aggregations — (doc, term), "
+    "(term), (source, term) — with the tiny df table joined back "
+    "broadcast and N as a 1-row cross join; the rank window runs on "
+    "the per-source aggregate only. This is the standard distributed "
+    "TF-IDF shape: nothing is collected, every stage is partial-agg "
+    "friendly.",
+)
+def t19_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df.withColumnRenamed("term", "df_term")),
+                F.col("term") == F.col("df_term"))
+        .crossJoin(F.broadcast(n))
+        .groupBy("source", "term")
+        .agg(
+            fround(
+                F.sum(
+                    F.col("tf")
+                    * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                ),
+                4,
+            ).alias("tfidf")
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= _TFIDF_K)
+    )
