@@ -767,3 +767,99 @@ def t19_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= _TFIDF_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q43 — month-over-month revenue growth (lag over an aggregate)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q43_mom_growth",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(month(o_orderdate) AS INTEGER) AS o_month,
+               {sql_money_sum(sql_dmoney("o_totalprice"))} AS revenue
+        FROM orders
+        GROUP BY 1, 2
+    )
+    SELECT o_year, o_month, revenue,
+           LAG(revenue) OVER w AS prev_revenue,
+           {sql_fround("(revenue - LAG(revenue) OVER w) / LAG(revenue) OVER w", 6)} AS mom_pct
+    FROM monthly
+    WINDOW w AS (ORDER BY o_year, o_month)
+    """,
+    doc="Period-over-period: monthly revenue with the previous month's "
+    "value and percent change via lag over the aggregate. The window "
+    "is unpartitioned but runs on ~80 pre-aggregated rows (one per "
+    "month) — the single-partition window after a full groupBy "
+    "reduction is the correct shape; lag over the raw fact table "
+    "would not be. Division happens after both operands are exact-"
+    "decimal rounded, so the ratio is deterministic.",
+)
+def q43_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.month("o_orderdate").cast("int").alias("o_month"),
+    ).agg(money_sum(dmoney("o_totalprice")).alias("revenue"))
+    w = Window.orderBy("o_year", "o_month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "o_year",
+        "o_month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        fround((F.col("revenue") - prev) / prev, 6).alias("mom_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q44 — gaps and islands: consecutive-day ordering streaks per customer
+# ---------------------------------------------------------------------------
+
+@query(
+    "q44_order_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT o_custkey,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d
+        FROM orders
+    ),
+    grouped AS (
+        SELECT o_custkey, d,
+               d - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY d) AS grp
+        FROM days
+    )
+    SELECT o_custkey,
+           CAST(MIN(d) AS BIGINT) AS start_day,
+           CAST(MAX(d) AS BIGINT) AS end_day,
+           CAST(COUNT(*) AS BIGINT) AS streak_days
+    FROM grouped
+    GROUP BY o_custkey, grp
+    HAVING COUNT(*) >= 2
+    """,
+    doc="Gaps-and-islands: maximal runs of consecutive order days per "
+    "customer via the classic day-index-minus-row-number grouping "
+    "(consecutive days share a constant difference). Day indexes are "
+    "timezone-free epoch days. One shuffle on o_custkey serves the "
+    "distinct, the window, and the island rollup; runs of a single "
+    "day are filtered out.",
+)
+def q44_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    days = orders.select(
+        "o_custkey", F.unix_date(F.col("o_orderdate").cast("date")).alias("d")
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    grouped = days.withColumn("grp", F.col("d") - F.row_number().over(w))
+    return (
+        grouped.groupBy("o_custkey", "grp")
+        .agg(
+            F.min("d").cast("bigint").alias("start_day"),
+            F.max("d").cast("bigint").alias("end_day"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .filter(F.col("streak_days") >= 2)
+        .drop("grp")
+    )

@@ -1,0 +1,20 @@
+"""README inventory counts must match the live registry — the counts
+drifted once (round-1 advice); this pins them to the source of truth."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from e_commerce_data_engineering_spark.plans.registry import QUERIES, all_queries
+
+README = Path(__file__).resolve().parent.parent / "README.md"
+
+
+def test_readme_counts_match_registry():
+    all_queries()
+    n_q = len(QUERIES)
+    n_o = sum(1 for q in QUERIES.values() if q.oracle is not None)
+    text = README.read_text()
+    assert f"({n_q} queries)" in text, f"README query count != {n_q}"
+    assert f"`queries()` ({n_q}) and `oracle_sql()` ({n_o} DuckDB twins)" in text
+    assert f"({n_o} of {n_q})" in text
