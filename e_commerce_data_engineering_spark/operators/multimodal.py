@@ -12,9 +12,12 @@ Decode tiers (this container has no Pillow/ffmpeg):
   dimensions), WAV (header + frame count via ``wave`` — sample rate,
   duration). These are genuine decoders over genuine bytes.
 * FAKE: the deterministic synthetic payload for formats that need a
-  pixel/AV codec (video, resampling) — gated by ``fake=True``.
-* Pixel-level work (``resize_image`` real path) still raises
-  NotImplementedError: resampling needs Pillow/libvips.
+  pixel/AV codec (video) — gated by ``fake=True``.
+* Pixel-level work is REAL for PNG: a full stdlib decoder (zlib
+  inflate + scanline unfilter for all five PNG filter types) feeds a
+  numpy nearest-neighbor resampler and the PNG re-encoder
+  (``png_decode`` / ``resize_nearest`` / ``png_bytes``). JPEG pixel
+  decode still needs libjpeg — those rows pass through unchanged.
 """
 
 from __future__ import annotations
@@ -92,6 +95,93 @@ def png_bytes(w: int, h: int, seed: int = 0) -> bytes:
         )
         for y in range(h)
     )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode(b: bytes):
+    """REAL stdlib PNG decode → numpy (h, w, 4) uint8 array. Supports
+    8-bit RGBA (the profile ``png_bytes`` emits) with the full filter
+    spec: scanlines may use any of None/Sub/Up/Average/Paeth, so this
+    reads PNGs from any conforming encoder, not just our own."""
+    import numpy as np
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, w = 8, b"", 0
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if typ == b"IHDR":
+            w, h, depth, color = struct.unpack(">IIBB", data[:10])
+            if depth != 8 or color != 6:
+                raise ValueError(f"unsupported PNG profile depth={depth} color={color}")
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride, bpp = w * 4, 4
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1)
+        cur = line.astype(np.int32)
+        if ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (cur + prev) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                bb = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, 4)
+
+
+def resize_nearest(arr, new_w: int, new_h: int):
+    """Nearest-neighbor resample of an (h, w, c) array: pure numpy
+    index mapping (pixel-center sampling), no interpolation libs."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    ys = np.minimum((np.arange(new_h) + 0.5) * h / new_h, h - 1).astype(np.int64)
+    xs = np.minimum((np.arange(new_w) + 0.5) * w / new_w, w - 1).astype(np.int64)
+    return arr[ys][:, xs]
+
+
+def png_encode(arr) -> bytes:
+    """(h, w, 4) uint8 array → valid RGBA PNG (filter 0 scanlines)."""
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    h, w = arr.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -339,33 +429,38 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_image(assets: DataFrame, max_side: int = 256, fake: bool = False) -> DataFrame:
-    """Image resize plumbing via mapInPandas: bytes in → resized bytes
-    out, aspect ratio preserved, only rows exceeding ``max_side``
-    rewritten. Real resampling needs Pillow (absent here): fake=True
-    rewrites the synthetic payload header with the clamped dimensions
-    and passes bytes through, which keeps schema/batching/partition
-    behavior identical to the real operator.
+    """Image resize via mapInPandas: bytes in → resized bytes out,
+    aspect ratio preserved, only rows exceeding ``max_side``
+    rewritten. The real path is a GENUINE pixel pipeline for PNG:
+    stdlib decode (``png_decode``, all five scanline filters) →
+    numpy nearest-neighbor resample → PNG re-encode. JPEG pixel decode
+    needs libjpeg (absent here) so JPEG rows pass through unchanged
+    with their original dimensions; ``fake=True`` keeps the synthetic-
+    payload header-rewrite path for plumbing tests.
     """
-    if not fake:
-        raise NotImplementedError(
-            "Image resize requires Pillow/libvips, not present in this "
-            "container. Use fake=True for the header-rewrite stand-in, or "
-            "plug a real resampler into _resize_batch."
-        )
+
+    def _new_dims(w: int, h: int) -> tuple[int, int]:
+        scale = max_side / max(w, h) if max(w, h) > max_side else 1.0
+        return max(1, int(w * scale)), max(1, int(h * scale))
 
     def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
                 b = bytes(content)
-                if b[:4] == _MAGIC:
+                if fake and b[:4] == _MAGIC:
                     w, h, seed, i = struct.unpack("<iiqq", b[4:28])
-                    scale = max_side / max(w, h) if max(w, h) > max_side else 1.0
-                    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                    nw, nh = _new_dims(w, h)
                     b = _MAGIC + struct.pack("<iiqq", nw, nh, seed, i) + b[28:]
+                    out.append((asset_id, nw, nh, b))
+                    continue
+                fmt, w, h, _, _ = parse_asset_bytes(b)
+                if fmt == "png" and max(w, h) > max_side:
+                    nw, nh = _new_dims(w, h)
+                    b = png_encode(resize_nearest(png_decode(b), nw, nh))
+                    out.append((asset_id, nw, nh, b))
                 else:
-                    nw = nh = None
-                out.append((asset_id, nw, nh, b))
+                    out.append((asset_id, w, h, b))
             yield pd.DataFrame(out, columns=["asset_id", "width", "height", "content"])
 
     imgs = assets.filter(F.col("modality") == "image").select("asset_id", "content")

@@ -280,11 +280,103 @@ def test_multimodal_resize_fake(spark):
     assert all(len(r["content"]) > 28 for r in resized)
 
 
-def test_multimodal_resize_real_raises(spark):
-    from e_commerce_data_engineering_spark.operators.multimodal import resize_image
+def test_png_decode_roundtrip_and_all_filter_types():
+    """png_decode must invert png_bytes exactly, and must unfilter
+    scanlines written with EVERY PNG filter type (0-4) — i.e. it reads
+    conforming PNGs from any encoder, not just our filter-0 writer."""
+    import struct as st
+    import zlib as zl
 
-    with pytest.raises(NotImplementedError):
-        resize_image(make_fake_assets(spark, 5), fake=False)
+    import numpy as np
+
+    from e_commerce_data_engineering_spark.operators.multimodal import (
+        png_bytes,
+        png_decode,
+        png_encode,
+    )
+
+    arr = png_decode(png_bytes(13, 7, seed=3))
+    assert arr.shape == (7, 13, 4)
+    for y in range(7):
+        for x in range(13):
+            assert tuple(arr[y, x]) == (
+                (x * 7 + y * 13 + 3) % 256,
+                (x * 31 + 3) % 256,
+                (y * 17) % 256,
+                255,
+            )
+    # re-encode → decode is identity
+    assert (png_decode(png_encode(arr)) == arr).all()
+
+    # hand-build an image whose scanline y uses filter type y % 5
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(5, 6, 4), dtype=np.uint8)
+    bpp, stride = 4, 6 * 4
+    raw = b""
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(5):
+        cur = img[y].reshape(-1).astype(np.int32)
+        f = y % 5
+        filt = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[x] = (cur[x] - pred) & 0xFF
+        raw += bytes([f]) + filt.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(typ, data):
+        return st.pack(">I", len(data)) + typ + data + st.pack(">I", zl.crc32(typ + data) & 0xFFFFFFFF)
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", st.pack(">IIBBBBB", 6, 5, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zl.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert (png_decode(png) == img).all()
+
+
+def test_multimodal_resize_real_png_pixels(spark):
+    """The real resize path decodes genuine PNGs, resamples pixels
+    nearest-neighbor, and re-encodes valid PNGs within max_side."""
+    import numpy as np
+
+    from e_commerce_data_engineering_spark.operators.multimodal import (
+        make_real_assets,
+        parse_asset_bytes,
+        png_decode,
+        resize_image,
+        resize_nearest,
+    )
+
+    assets = make_real_assets(spark, 30)
+    originals = {
+        r["asset_id"]: bytes(r["content"])
+        for r in assets.filter(F.col("modality") == "image").collect()
+    }
+    resized = resize_image(assets, max_side=24).collect()
+    assert len(resized) == len(originals) > 0
+    for r in resized:
+        fmt, w, h, _, _ = parse_asset_bytes(bytes(r["content"]))
+        assert fmt == "png" and (w, h) == (r["width"], r["height"])
+        assert max(w, h) <= 24
+        src = png_decode(originals[r["asset_id"]])
+        expect = resize_nearest(src, w, h) if src.shape[:2] != (h, w) else src
+        assert (png_decode(bytes(r["content"])) == np.asarray(expect)).all()
 
 
 def test_connected_components_dedup_transitive(spark):
