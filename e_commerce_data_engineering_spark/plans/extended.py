@@ -863,3 +863,40 @@ def q44_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("streak_days") >= 2)
         .drop("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# q45 — latest order per customer (keep-latest full row, DISTINCT ON shape)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q45_latest_order",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, o_orderstatus
+    FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, o_orderstatus,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC
+               ) AS rn
+        FROM orders
+    ) t
+    WHERE rn = 1
+    """,
+    doc="Keep-latest-full-row per key (the DISTINCT ON / deduplication "
+    "shape every CDC consumer needs): each customer's most recent "
+    "order with all its columns, o_orderkey as the deterministic "
+    "tiebreak for same-day orders. Unlike max_by (q31) this carries "
+    "the entire row. One shuffle on o_custkey; at scale this is the "
+    "same plan as the layout upsert's merge window.",
+)
+def q45_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus")
+    )
