@@ -900,3 +900,240 @@ def q45_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# q46 — TPC-H Q6 analog: forecast revenue change
+# ---------------------------------------------------------------------------
+
+@query(
+    "q46_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_money_sum(f"{sql_dmoney('l_extendedprice')} * {sql_dfrac('l_discount')}")}
+               AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: revenue a discount-policy change would free "
+    "up — a pure scan-filter-aggregate with NO join and NO shuffle "
+    "beyond the final single-row combine. All three predicates reach "
+    "the parquet scan (range literals, not year(), so pushdown "
+    "survives) and partial sums combine map-side; at 100 TB this is "
+    "the cheapest query shape there is.",
+)
+def q46_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            money_sum(dmoney("l_extendedprice") * dfrac("l_discount")).alias(
+                "revenue_delta"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q47 — TPC-H Q15 analog: top supplier(s) by quarterly revenue
+# ---------------------------------------------------------------------------
+
+@query(
+    "q47_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {sql_money_sum(_DISC_PRICE)} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM revenue JOIN supplier ON supplier_no = s_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape: supplier(s) with the maximum revenue for one "
+    "quarter. The revenue CTE aggregates the fact once; the scalar max "
+    "is a one-row broadcast (cross) join against that small aggregate "
+    "— never a second fact scan — and the supplier dim is broadcast. "
+    "Keeps ALL tied suppliers, exactly like the spec's view form.",
+)
+def q47_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        money_sum(dmoney("l_extendedprice") * (1 - dfrac("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q48 — TPC-H Q17 analog: small-quantity-order revenue
+# ---------------------------------------------------------------------------
+
+@query(
+    "q48_small_qty_revenue",
+    oracle=f"""
+    SELECT {sql_fround(f"CAST(SUM({sql_dmoney('l_extendedprice')}) AS DOUBLE) / 7.0", 2)}
+               AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l_quantity < CAST(0.2 AS DOUBLE) * (
+          SELECT AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey
+      )
+    """,
+    doc="TPC-H Q17 shape: average yearly revenue lost to small-quantity "
+    "orders of one brand. The correlated per-part average becomes a "
+    "window AVG over l_partkey computed AFTER the broadcast semi-join "
+    "to the brand's parts — the average is over every lineitem of "
+    "those parts (the join keeps them all), so it equals the oracle's "
+    "correlated subquery while scanning the fact once. Quantities are "
+    "integer-valued doubles, so sum/count is exact on both engines.",
+)
+def q48_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    joined = li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    return (
+        joined.withColumn("_avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("_avg_qty"))
+        .agg(
+            fround(
+                F.sum(dmoney("l_extendedprice")).cast("double") / F.lit(7.0), 2
+            ).alias("avg_yearly")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q49 — TPC-H Q18 analog: large-volume customers
+# ---------------------------------------------------------------------------
+
+_BIG_ORDER_QTY = 150
+
+
+@query(
+    "q49_big_orders",
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           o_totalprice,
+           SUM(l_quantity) AS total_qty
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2, 3, 4, 5
+    HAVING SUM(l_quantity) > {_BIG_ORDER_QTY}
+    """,
+    doc="TPC-H Q18 shape: customers who placed orders totalling more "
+    f"than {_BIG_ORDER_QTY} units. The quantity rollup happens on "
+    "lineitem ALONE (one shuffle on l_orderkey) and the HAVING filter "
+    "prunes ~98% of orders BEFORE any join — the surviving few join "
+    "orders on the same key and broadcast-join customer. Aggregating "
+    "after the 3-way join (the naive HAVING plan) would shuffle the "
+    "full fact twice.",
+)
+def q49_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > _BIG_ORDER_QTY)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q50 — TPC-H Q10 analog: returned-item reporting (top 20 customers)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q50_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name AS nation,
+           {sql_money_sum(_DISC_PRICE)} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: the 20 customers who returned the most "
+    "revenue in one year. Return-flag and orderdate filters reach "
+    "their scans; nation is broadcast; the top-20 compiles to "
+    "TakeOrderedAndProject (per-partition heaps, no global sort), "
+    "with c_custkey as the deterministic tie-break so the result set "
+    "is engine-stable.",
+)
+def q50_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"), F.col("n_name").alias("nation")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "nation")
+        .agg(money_sum(dmoney("l_extendedprice") * (1 - dfrac("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )

@@ -586,3 +586,72 @@ def t16_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.md5(redacted.cast("binary")).alias("redacted_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t20 — corpus duplicate-n-gram rate per source (dedup-quality metric)
+# ---------------------------------------------------------------------------
+
+DUPGRAM_N = 5
+
+
+@query(
+    "t20_dup_ngram_rate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_DUCK_TOKS} AS ts FROM documents),
+    grams AS (
+        SELECT doc_id, source,
+               unnest(list_transform(
+                   generate_series(1, len(ts) - {DUPGRAM_N - 1}),
+                   i -> md5(list_aggregate(ts[i:i+{DUPGRAM_N - 1}], 'string_agg', ' '))
+               )) AS g
+        FROM toks WHERE len(ts) >= {DUPGRAM_N}
+    ),
+    per_src AS (
+        SELECT g, source, COUNT(*) AS cnt FROM grams GROUP BY 1, 2
+    ),
+    tagged AS (
+        SELECT source, cnt, SUM(cnt) OVER (PARTITION BY g) AS total_cnt
+        FROM per_src
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN total_cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+               AS dup_instances,
+           CAST(SUM(cnt) AS BIGINT) AS total_instances,
+           {sql_fround("CAST(SUM(CASE WHEN total_cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)"
+                       " / CAST(SUM(cnt) AS DOUBLE)", 6)} AS dup_rate
+    FROM tagged GROUP BY source
+    """,
+    doc=f"Duplicate-{DUPGRAM_N}-gram rate per source — the corpus-level "
+    "dedup-quality metric of Lee et al. 2022 ('Deduplicating Training "
+    "Data Makes Language Models Better', §4): what fraction of all "
+    f"{DUPGRAM_N}-gram INSTANCES occur more than once corpus-wide. "
+    "Positional n-grams (not per-doc distinct) so verbatim repeats "
+    "count every time. Scale shape: n-grams pre-aggregate to "
+    "(gram, source) counts BEFORE the global-count window, so the "
+    "expensive shuffle moves one row per distinct (gram, source) — "
+    "not one per instance — and the final rollup is 10-ish rows.",
+)
+def t20_dup_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import fan_out
+    from pyspark.sql import Window as W
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    base = d.select("doc_id", "source", X.tokens(F.col("text")).alias("_tk")).filter(
+        F.size("_tk") >= DUPGRAM_N
+    )
+    grams = base.select(
+        "source",
+        F.explode(
+            F.transform(X.shingles_zip(F.col("_tk"), DUPGRAM_N), F.md5)
+        ).alias("g"),
+    )
+    per_src = grams.groupBy("g", "source").agg(F.count("*").alias("cnt"))
+    tagged = per_src.withColumn("total_cnt", F.sum("cnt").over(W.partitionBy("g")))
+    dup = F.sum(F.when(F.col("total_cnt") > 1, F.col("cnt")).otherwise(F.lit(0)))
+    tot = F.sum("cnt")
+    return tagged.groupBy("source").agg(
+        dup.cast("bigint").alias("dup_instances"),
+        tot.cast("bigint").alias("total_instances"),
+        fround(dup.cast("double") / tot.cast("double"), 6).alias("dup_rate"),
+    )
