@@ -34,6 +34,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# The mapInPandas closures below call module-level helpers
+# (parse_asset_bytes, png_decode, ...). By default cloudpickle ships a
+# closure by value but its module-global references by NAME, so the
+# Python worker must be able to `import e_commerce_data_engineering_spark`
+# — true when the driver runs from the repo root, false when the repo
+# was put on sys.path at runtime (workers inherit PYTHONPATH/cwd, not
+# driver sys.path mutations). Registering this module for by-value
+# pickling makes the decode operators work under ANY deployment; pandas/
+# numpy stay by-reference (they exist on every worker).
+_sys_mod = __import__("sys").modules
+try:  # the serializer pyspark actually uses for UDFs
+    from pyspark import cloudpickle as _cp
+except ImportError:  # pragma: no cover - fallback for standalone use
+    import cloudpickle as _cp
+_cp.register_pickle_by_value(_sys_mod[__name__])
+
 ASSET_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType(), False),

@@ -36,17 +36,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    outright. Read nanos as long (legacy flag) and truncate to
-    microseconds — exactly what DuckDB's reader does, so oracle
-    comparisons agree."""
+    """events.ts is parquet TIMESTAMP(NANOS). Reader behavior varies by
+    Spark version: older readers reject it unless the legacy nanosAsLong
+    flag maps it to bigint; Spark 4.1+ reads it natively as
+    timestamp_ntz (micro-truncated). Normalize every shape to session-tz
+    TimestampType truncated to microseconds — exactly what DuckDB's
+    reader delivers, so oracle comparisons agree."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         # integer `div` (not fp /): ns values exceed 2^53.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # session tz is UTC (session.py), so the wall-clock value is
+        # preserved bit-for-bit; only the type tag changes.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -88,9 +95,14 @@ def register_persistent_catalog(
             f"LOCATION '{sf_dir}/{n}.parquet'"
         )
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_ts = dict(spark.table(f"{database}.events_raw").dtypes).get("ts")
+    if raw_ts == "bigint":
+        ts_expr = "timestamp_micros(ts div 1000)"
+    else:  # timestamp_ntz (Spark 4.1+ native nanos read) or timestamp
+        ts_expr = "CAST(ts AS TIMESTAMP)"
     spark.sql(
         f"CREATE OR REPLACE VIEW {database}.events AS "
-        f"SELECT * EXCEPT (ts), timestamp_micros(ts div 1000) AS ts "
+        f"SELECT * EXCEPT (ts), {ts_expr} AS ts "
         f"FROM {database}.events_raw"
     )
 
