@@ -46,6 +46,7 @@ HEADLINE = [
     "t09_similarity_join",
     "d03_minhash_dedupe",
     "d04_embedding_neardup",
+    "d06_semdedup",
     "s02_cosine_topk",
     "s05_ivf_cosine_topk",
     "a01_asof_join",
@@ -59,6 +60,7 @@ HEAVY = {
     "t09_similarity_join",
     "d03_minhash_dedupe",
     "d04_embedding_neardup",
+    "d06_semdedup",
     "s05_ivf_cosine_topk",
     "q03_shipping_priority",
     "q05_region_nation_revenue",

@@ -414,7 +414,12 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce("min_neigh", "label")).alias("label"),
                 (F.coalesce("min_neigh", "label") < F.col("label")).alias("_moved"),
             )
-            .persist()
+            # localCheckpoint, not persist: `labels` appears twice per
+            # round (via neigh and directly), so an un-truncated lineage
+            # DOUBLES the logical plan every round — fine for the 2-4
+            # rounds near-dup graphs need, exponential analysis cost on
+            # deep chains. Lazy: the count() below materializes it.
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("_moved")).count()
         store.unpersist()
@@ -462,3 +467,100 @@ def minhash_dedupe_cc(
     keepers_in_comp = comp.groupBy("label").agg(F.min("id").alias(id_col)).select(id_col)
     drop = comp.select(F.col("id").alias(id_col)).exceptAll(keepers_in_comp)
     return df.join(drop, id_col, "left_anti")
+
+
+def semdedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    cos_threshold: float = 0.35,
+    seed: int = 42,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Semantic dedup over an embedding column, SemDeDup-style (Abbas et
+    al. 2023): k-means-cluster the space, find near-duplicate pairs only
+    WITHIN each cluster, collapse each within-cluster duplicate group to
+    one representative. Returns one row per input vector:
+    ``(id, cell, component, kept)`` — ``component`` null for vectors in
+    no duplicate group, ``kept`` false only for dropped duplicates.
+
+    Scale shape: the clustering reuses the IVF index
+    (operators/similarity.ivf_index — bounded driver state, one
+    assignment pass); the pair join is an equi-join on the cell id, so
+    compute is Σ|cell|² instead of n² and NO pair crosses clusters —
+    exactly the recall trade SemDeDup makes (cross-cluster near-dups
+    survive; the paper measures that loss as small because near-dups
+    co-locate). Growing nlist with n keeps |cell| ~ constant, so the
+    per-task work is bounded. Representative choice follows the paper:
+    keep the member FARTHEST from its cluster centroid (lowest
+    centroid-cosine; deterministic min-id tiebreak).
+    """
+    from .similarity import cached_ivf_index, cosine, ivf_index, l2_norm
+
+    if cache_key is not None:
+        assigned, centroids = cached_ivf_index(
+            vectors, nlist, id_col, vec_col, seed, cache_key
+        )
+    else:
+        assigned, centroids = ivf_index(vectors, nlist, id_col, vec_col, seed)
+
+    from .similarity import const_array
+
+    cent_arr = F.array(*[const_array(c) for c in centroids])
+    base = (
+        assigned.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "_cell")
+        .withColumn("_n", l2_norm(F.col("_v")))
+        .withColumn("_u", F.transform("_v", lambda x: x.cast("double") / F.col("_n")))
+        # centroid-cosine decides the representative (farthest kept)
+        .withColumn("_ccos", cosine(F.col("_v"), F.element_at(cent_arr, F.col("_cell") + 1)))
+        .select("_id", "_cell", "_u", "_ccos")
+        .persist()
+    )
+    a = base.select(
+        F.col("_id").alias("id_a"), F.col("_cell"), F.col("_u").alias("_ua")
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"), F.col("_cell"), F.col("_u").alias("_ub")
+    )
+    pair_cos = F.aggregate(
+        F.zip_with("_ua", "_ub", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    edges = (
+        a.join(b, "_cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(pair_cos >= cos_threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(edges)
+    from pyspark.sql import Window as W
+
+    labeled = comp.join(base.select(F.col("_id").alias("id"), "_ccos"), "id")
+    w = W.partitionBy("label").orderBy(F.col("_ccos").asc(), F.col("id").asc())
+    keep_in_comp = labeled.withColumn("_rk", F.row_number().over(w)).select(
+        "id", "label", (F.col("_rk") == 1).alias("kept")
+    )
+    out = (
+        base.select(F.col("_id").alias(id_col), F.col("_cell").alias("cell"))
+        .join(
+            keep_in_comp.select(
+                F.col("id").alias(id_col), F.col("label").alias("component"), "kept"
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            "cell",
+            "component",
+            F.coalesce(F.col("kept"), F.lit(True)).alias("kept"),
+        )
+        # CC above already ran eagerly (per-round convergence counts), so
+        # materializing the (id, cell, component, kept) verdict — 4 narrow
+        # columns — here lets every upstream persist be released now
+        # instead of leaking into the caller's session.
+        .persist()
+    )
+    out.count()
+    base.unpersist()
+    return out

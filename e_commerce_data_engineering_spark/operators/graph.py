@@ -1,0 +1,136 @@
+"""Iterative graph analytics as DataFrame joins (Pregel-without-GraphX,
+same pattern as operators/dedup.connected_components).
+
+PageRank is the standard power iteration with damping and dangling-mass
+redistribution (Page et al. 1999; the GraphX/Pregel formulation). The
+loop is engineered for one driver ACTION per round — the round's
+aggregation returns BOTH the convergence delta and the next round's
+dangling mass (a static per-node flag carried in the rank frame), so
+there is no separate anti-join scan or second collect. Driver state is
+two doubles per round, never row data.
+
+Per round: one shuffle to aggregate edge contributions by destination,
+one join back to the node list — both keyed on the node id. At 100 TB
+the edge table is the big side and is re-joined every round on ``src``:
+bucketing edges by ``src`` makes that join co-located, leaving the
+contribution aggregation as the only real shuffle per round. Frames are
+persisted per round and the previous round explicitly unpersisted, so
+executor memory holds exactly two rank snapshots regardless of
+iteration count; convergence is O(log(1/tol) / log(1/damping)) rounds,
+independent of graph size.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 12,
+    tol: float | None = None,
+) -> DataFrame:
+    """Ranks for every node of the directed graph ``edges`` → columns
+    ``(node, rank)`` with ``sum(rank) == 1`` (probability mass).
+
+    * Parallel edges count once (deduped up front).
+    * Dangling nodes (no out-edges) spread their mass uniformly — the
+      textbook correction, so mass is conserved every round.
+    * ``tol=None`` (default) runs exactly ``max_iter`` rounds — the
+      production mode (GraphX's staticPageRank): deterministic cost,
+      deterministic output, still one bounded collect per round for the
+      dangling mass. With a float ``tol`` the loop ALSO stops early when
+      L1(rank - prev) <= tol and warns if ``max_iter`` ran out first
+      (power iteration contracts like damping^r, so size tol
+      accordingly: 1e-6 needs ~85 rounds at damping 0.85).
+    """
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).distinct()
+    srcs = e.select(F.col("_src").alias("node")).distinct()
+    nodes = (
+        srcs.union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        # dangling flag is static graph structure: compute once, carry it
+        .join(srcs.withColumn("_out", F.lit(True)), "node", "left")
+        .select("node", F.coalesce(F.col("_out"), F.lit(False)).alias("_has_out"))
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    # edge contribution fraction 1/outdeg(src): static, materialized once
+    outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    frac = (
+        e.join(outdeg, "_src")
+        .select("_src", "_dst", (F.lit(1.0) / F.col("_deg")).alias("_frac"))
+        .persist()
+    )
+    frac.count()
+
+    ranks = nodes.select("node", "_has_out", F.lit(1.0 / n).alias("rank")).persist()
+    # round 0 bootstrap: dangling mass of the uniform start (one scalar)
+    d_mass = (
+        ranks.filter(~F.col("_has_out")).agg(F.sum("rank")).first()[0] or 0.0
+    )
+    base = (1.0 - damping) / n
+    delta = float("inf")
+    for _ in range(max_iter):
+        contribs = (
+            frac.join(ranks.select(F.col("node").alias("_src"), "rank"), "_src")
+            .groupBy("_dst")
+            .agg(F.sum(F.col("rank") * F.col("_frac")).alias("_in"))
+        )
+        new_ranks = (
+            ranks.select("node", "_has_out", F.col("rank").alias("_prev"))
+            .join(contribs.select(F.col("_dst").alias("node"), "_in"), "node", "left")
+            .select(
+                "node",
+                "_has_out",
+                "_prev",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.lit(d_mass / n))
+                ).alias("rank"),
+            )
+            # localCheckpoint (NOT just persist): each round references
+            # `ranks` twice (through contribs and directly), so without
+            # truncation the LOGICAL plan doubles per round and Catalyst
+            # analysis goes exponential by ~round 8 even though the
+            # cached data would make execution cheap. Checkpointing cuts
+            # the lineage to a leaf; eager=True materializes it as this
+            # round's barrier (executor-local blocks, no reliable-FS
+            # write — the right trade for an iterative refinement loop).
+            .localCheckpoint(eager=True)
+        )
+        # bounded collect of the round: convergence delta + next round's
+        # dangling mass in one scan of the checkpointed frame
+        stats = new_ranks.agg(
+            F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias("_delta"),
+            F.sum(F.when(~F.col("_has_out"), F.col("rank")).otherwise(F.lit(0.0))).alias(
+                "_dangling"
+            ),
+        ).first()
+        delta, d_mass = float(stats["_delta"]), float(stats["_dangling"] or 0.0)
+        # the bootstrap frame is persisted; checkpointed rounds free
+        # their blocks when the frame is garbage collected
+        ranks.unpersist()
+        ranks = new_ranks
+        if tol is not None and delta <= tol:
+            break
+    else:
+        if tol is not None:
+            warnings.warn(
+                f"pagerank: L1 delta {delta:.2e} > tol {tol:.2e} after "
+                f"{max_iter} iterations — ranks are approximate; raise max_iter",
+                stacklevel=2,
+            )
+    out = ranks.select("node", "rank")
+    nodes.unpersist()
+    frac.unpersist()
+    return out

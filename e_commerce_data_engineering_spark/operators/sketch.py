@@ -1,0 +1,86 @@
+"""Count-min sketch as a DataFrame (Cormode & Muthukrishnan 2005).
+
+The sketch is a (depth x width) counter grid: row i counts collisions of
+``hash_i(key) % width``. Frequency estimate = min over rows — always an
+OVERestimate (never under), off by at most ``eps * N`` with probability
+``1 - delta`` for ``width = ceil(e/eps)``, ``depth = ceil(ln(1/delta))``.
+
+Spark-first shape: the grid IS a DataFrame ``(depth, bucket, cnt)`` of
+at most depth*width rows, built with one explode + one groupBy — state
+is O(d*w) regardless of input size, the whole point of a sketch at
+100 TB (an exact groupBy on a heavy-tailed key column shuffles the full
+vocabulary; the sketch shuffles into a fixed-size grid). Sketches over
+table shards MERGE by unioning the grids and re-summing — used by
+``cms_merge`` — so per-partition/per-day sketches roll up without
+touching raw data again.
+
+Estimates are a pure function of the input MULTISET (xxhash64 is
+deterministic, the grid sum is order/partitioning independent), so
+results are reproducible across cluster layouts — asserted in tests.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cms_params(eps: float, delta: float) -> tuple[int, int]:
+    """(depth, width) for an eps/delta guarantee."""
+    return math.ceil(math.log(1.0 / delta)), math.ceil(math.e / eps)
+
+
+def _bucket(key: Column, depth_idx: Column, width: int) -> Column:
+    # xxhash64 seeded by the row index gives depth pairwise-independent
+    # hash functions; pmod keeps the bucket non-negative.
+    return F.pmod(F.xxhash64(key, depth_idx), F.lit(width))
+
+
+def cms_build(
+    df: DataFrame, key_col: str, eps: float = 0.005, delta: float = 0.01
+) -> DataFrame:
+    """Sketch the frequency distribution of ``key_col`` → grid
+    ``(depth, bucket, cnt)``. One explode (xd) + one fixed-size groupBy."""
+    depth, width = cms_params(eps, delta)
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    return (
+        df.select(F.col(key_col).alias("_k"), F.explode(rows).alias("depth"))
+        .select("depth", _bucket(F.col("_k"), F.col("depth"), width).alias("bucket"))
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with the SAME (eps, delta): grids add."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("depth", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    eps: float = 0.005,
+    delta: float = 0.01,
+) -> DataFrame:
+    """Point-frequency estimates for ``keys[key_col]`` → columns
+    ``(key_col, est)``. est >= true count always; est <= true + eps*N
+    w.p. 1-delta. The probe re-derives each key's depth buckets and
+    joins the grid (broadcast — the grid is O(d*w) small by design)."""
+    depth, width = cms_params(eps, delta)
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    probes = keys.select(F.col(key_col), F.explode(rows).alias("depth")).select(
+        key_col, "depth", _bucket(F.col(key_col), F.col("depth"), width).alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["depth", "bucket"], "left")
+        # an empty bucket means the key was never seen: count 0
+        .select(key_col, "depth", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est"))
+    )

@@ -1137,3 +1137,264 @@ def q50_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q51 — TPC-H Q8 analog: regional market share of a product type
+# ---------------------------------------------------------------------------
+
+@query(
+    "q51_market_share",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           {sql_money_sum(f"CASE WHEN r_name = 'EUROPE' THEN {_DISC_PRICE} ELSE CAST(0 AS DECIMAL(12,2)) END")} AS europe_rev,
+           {sql_money_sum(_DISC_PRICE)} AS total_rev,
+           {sql_fround(
+               f"CAST(ROUND(SUM(CASE WHEN r_name = 'EUROPE' THEN {_DISC_PRICE} ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE)"
+               f" / CAST(ROUND(SUM({_DISC_PRICE}), 2) AS DOUBLE)", 6)} AS mkt_share
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_type = 'PROMO'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q8 shape: per order year, the share of PROMO-part revenue "
+    "supplied from EUROPE nations. Star join with every dimension "
+    "broadcast (part filtered to one type before the join, so the "
+    "fact-side probe is the only shuffle); the share is a ratio of two "
+    "exact decimal sums, portable-rounded to 6dp on both engines.",
+)
+def q51_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    disc = dmoney("l_extendedprice") * (1 - dfrac("l_discount"))
+    europe_disc = F.when(F.col("r_name") == "EUROPE", disc).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            money_sum(europe_disc).alias("europe_rev"),
+            money_sum(disc).alias("total_rev"),
+        )
+        .select(
+            "o_year",
+            "europe_rev",
+            "total_rev",
+            fround(F.col("europe_rev") / F.col("total_rev"), 6).alias("mkt_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q52 — TPC-H Q19 analog: bracketed OR-of-ANDs revenue
+# ---------------------------------------------------------------------------
+
+_BRACKETS_SQL = """(
+      (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 16 AND 35 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 36 AND 50 AND l_quantity BETWEEN 20 AND 50)
+)"""
+
+
+@query(
+    "q52_bracket_revenue",
+    oracle=f"""
+    SELECT {sql_money_sum(_DISC_PRICE)} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE {_BRACKETS_SQL}
+    """,
+    doc="TPC-H Q19 shape: disjunction of conjunctive brackets mixing "
+    "part attributes (brand, size) with lineitem attributes (quantity). "
+    "The part side of each bracket is satisfiable by a small slice of "
+    "the dimension, so part prunes before the broadcast join and only "
+    "the mixed predicate remains as a post-join filter — the OR does "
+    "not force a full fact x dim evaluation.",
+)
+def q52_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    brackets = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(16, 35) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(36, 50) & q.between(20, 50))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(brackets)
+        .agg(
+            money_sum(dmoney("l_extendedprice") * (1 - dfrac("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q53 — TPC-H Q11 analog: parts above a global value-share threshold
+# ---------------------------------------------------------------------------
+
+_PART_VALUE = f"{sql_dmoney('l_extendedprice')} * {sql_dmoney('l_quantity')}"
+_Q53_FRACTION = "0.0005"
+
+
+@query(
+    "q53_important_parts",
+    oracle=f"""
+    SELECT l_partkey AS p_partkey,
+           {sql_money_sum(_PART_VALUE)} AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING CAST(ROUND(SUM({_PART_VALUE}), 2) AS DOUBLE) > (
+        SELECT CAST(ROUND(SUM({_PART_VALUE}) * CAST({_Q53_FRACTION} AS DECIMAL(6,4)), 2) AS DOUBLE)
+        FROM lineitem
+    )
+    """,
+    doc="TPC-H Q11 shape: keep parts whose traded value exceeds a "
+    "fraction of the GLOBAL traded value — a HAVING against a scalar "
+    "subquery. Spark side computes the global total as a 1-row "
+    "aggregate cross-joined (broadcast of one row) into the per-part "
+    "aggregate: two passes over the fact table, no correlated "
+    "re-evaluation, identical exact-decimal math on both engines.",
+)
+def q53_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", dmoney("l_extendedprice").alias("_p"), dmoney("l_quantity").alias("_q")
+    )
+    value = F.col("_p") * F.col("_q")
+    per_part = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        money_sum(value).alias("part_value")
+    )
+    total = li.agg(
+        F.round(
+            F.sum(value) * F.lit(_Q53_FRACTION).cast("decimal(6,4)"), 2
+        ).cast("double").alias("_threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("_threshold"))
+        .select("p_partkey", "part_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q54 — TPC-H Q2 analog: cheapest supplier per product type
+# ---------------------------------------------------------------------------
+
+# Per-row unit price in exact integer cents: identical IEEE double ops
+# on both engines, then an order-independent BIGINT sum.
+_UNIT_CENTS = "CAST(FLOOR(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT)"
+_AVG_UNIT = sql_fround(f"CAST(SUM({_UNIT_CENTS}) AS DOUBLE) / 100 / COUNT(*)", 4)
+
+
+@query(
+    "q54_min_price_supplier",
+    oracle=f"""
+    WITH s_price AS (
+        SELECT p_type, l_suppkey AS s_suppkey, {_AVG_UNIT} AS avg_unit_price
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_type, l_suppkey
+    ),
+    m AS (SELECT p_type, MIN(avg_unit_price) AS mn FROM s_price GROUP BY p_type)
+    SELECT s.p_type, s.s_suppkey, s.avg_unit_price
+    FROM s_price s JOIN m ON s.p_type = m.p_type AND s.avg_unit_price = m.mn
+    """,
+    doc="TPC-H Q2 shape: within each product type, the supplier(s) "
+    "achieving the minimum average unit price (ties kept, like Q2's "
+    "min-cost supplier set). Spark expresses the correlated-min as a "
+    "window MIN over the aggregated frame — one extra exchange on the "
+    "small aggregate, not a re-scan of the fact table; DuckDB uses the "
+    "equivalent IN-subquery. Unit prices are per-row floored cents so "
+    "both engines sum exact integers.",
+)
+def q54_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    unit_cents = F.floor(
+        F.col("l_extendedprice") / F.col("l_quantity") * 100 + F.lit(0.5)
+    ).cast("bigint")
+    s_price = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", F.col("l_suppkey").alias("s_suppkey"))
+        .agg(
+            fround(F.sum(unit_cents).cast("double") / 100 / F.count(F.lit(1)), 4).alias(
+                "avg_unit_price"
+            )
+        )
+    )
+    w = Window.partitionBy("p_type")
+    return (
+        s_price.withColumn("_mn", F.min("avg_unit_price").over(w))
+        .filter(F.col("avg_unit_price") == F.col("_mn"))
+        .select("p_type", "s_suppkey", "avg_unit_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q55 — TPC-H Q14 analog: promo revenue share per month
+# ---------------------------------------------------------------------------
+
+@query(
+    "q55_promo_share",
+    oracle=f"""
+    SELECT CAST(year(l_shipdate) AS INTEGER) AS s_year,
+           CAST(month(l_shipdate) AS INTEGER) AS s_month,
+           {sql_fround(
+               f"100.0 * CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE} ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE)"
+               f" / CAST(ROUND(SUM({_DISC_PRICE}), 2) AS DOUBLE)", 4)} AS promo_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q14 shape: monthly percentage of revenue from PROMO "
+    "parts over one shipping year. The date filter reaches the parquet "
+    "scan; part is broadcast; the share is a ratio of two exact decimal "
+    "sums computed in the SAME aggregation pass (no second scan).",
+)
+def q55_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = dmoney("l_extendedprice") * (1 - dfrac("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.year("l_shipdate").alias("s_year"), F.month("l_shipdate").alias("s_month")
+        )
+        .agg(
+            money_sum(promo).alias("_promo"),
+            money_sum(disc).alias("_total"),
+        )
+        .select(
+            "s_year",
+            "s_month",
+            fround(F.lit(100.0) * F.col("_promo") / F.col("_total"), 4).alias("promo_pct"),
+        )
+    )

@@ -59,6 +59,7 @@ def _load_all_modules() -> None:
     from . import advanced  # noqa: F401
     from . import scalar_batteries  # noqa: F401
     from . import extended  # noqa: F401
+    from . import graph_sketch  # noqa: F401
 
 
 # The driver's per-round correctness sweep records at most ~50 entries
@@ -71,15 +72,22 @@ def _load_all_modules() -> None:
 def _sweep_order(names) -> list[str]:
     def recorded(n: str) -> bool:
         fam, num = n[0], n[1:3]
-        if fam in "ademp":  # a01, d01-d05, e01-e11, m01-m02, p01 — r02 file
+        if fam in "aemp":  # a01, e01-e11, m01-m02, p01 — r02 file
             return True
+        if fam == "d":  # d01-d05 in r02; d06+ added later
+            return num.isdigit() and int(num) <= 5
         if fam == "q":  # q01-q34 recorded (r01: q01-q34; r02: q01-q30)
             return num.isdigit() and int(num) <= 34
         if fam == "r":  # r01-r02 recorded in round 1
             return num.isdigit() and int(num) <= 2
-        return False  # s*, t*, x*, q35+ never recorded
+        return False  # g*, s*, t*, x*, q35+ never recorded
 
-    return sorted(names, key=lambda n: (recorded(n), n))
+    # within the never-recorded set, oracle-backed entries first: a
+    # driver row for them carries a hash-match verdict, while rows-only
+    # entries get the weaker execute-only record anyway
+    return sorted(
+        names, key=lambda n: (recorded(n), QUERIES[n].oracle is None, n)
+    )
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -217,3 +217,25 @@ def dot_d(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
+
+
+@query(
+    "d06_semdedup",
+    oracle=None,  # connected components is iterative — not SQL-expressible
+    doc="SemDeDup-style semantic dedup (cluster → within-cluster "
+    "near-dup groups → one representative each): the scale-default "
+    "embedding dedup, Σ|cell|² compute instead of n² with per-task "
+    "memory bounded by cell size. Output is one verdict row per vector "
+    "(cell, duplicate-group label, kept flag); exactness within "
+    "clusters and the farthest-from-centroid representative rule are "
+    "asserted in tests/test_operators.py against the brute-force d04 "
+    "pair set restricted to cells.",
+)
+def d06_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import semdedup
+    from ..operators.layout import fan_out
+
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return semdedup(
+        e, "vec_id", "embedding", nlist=16, cos_threshold=NEARDUP_COS, cache_key="d06"
+    )

@@ -1,0 +1,203 @@
+"""Differential + property tests for the graph / sketch / semantic-dedup
+operators (none SQL-expressible, so these are their correctness gates).
+
+* PageRank: compared against an independent dense numpy power iteration
+  implementing the same textbook recurrence on the same graph.
+* Count-min sketch: the one-sided error guarantee (est >= exact always,
+  overshoot <= eps*N) and shard-merge associativity.
+* SemDeDup: verdicts recomputed from first principles in pure Python
+  (exact pair cosines within cells + union-find + the farthest-from-
+  centroid keeper rule).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from e_commerce_data_engineering_spark.operators.graph import pagerank
+from e_commerce_data_engineering_spark.operators.sketch import (
+    cms_build,
+    cms_estimate,
+    cms_merge,
+    cms_params,
+)
+from e_commerce_data_engineering_spark.plans.graph_sketch import (
+    supplier_customer_edges,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _numpy_pagerank(edge_list, damping, n_iter):
+    nodes = sorted({a for a, _ in edge_list} | {b for _, b in edge_list})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out: dict[int, list[int]] = {}
+    for a, b in set(edge_list):
+        out.setdefault(idx[a], []).append(idx[b])
+    rank = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        nxt = np.full(n, base)
+        dangling = sum(rank[i] for i in range(n) if i not in out)
+        nxt += damping * dangling / n
+        for i, dsts in out.items():
+            share = damping * rank[i] / len(dsts)
+            for j in dsts:
+                nxt[j] += share
+        rank = nxt
+    return {v: rank[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    edges = supplier_customer_edges(spark, SF_SMOKE)
+    got = {r["node"]: r["rank"] for r in pagerank(edges, max_iter=12).collect()}
+    want = _numpy_pagerank(
+        [(r["src"], r["dst"]) for r in edges.collect()], 0.85, 12
+    )
+    assert set(got) == set(want)
+    for node, w in want.items():
+        assert got[node] == pytest.approx(w, abs=1e-12), node
+
+
+def test_pagerank_mass_conserved_and_dangling_handled(spark):
+    # b and c have no out-edges: their mass must be redistributed, not lost
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("d", "a")], ["src", "dst"]
+    )
+    ranks = pagerank(edges, max_iter=15)
+    rows = {r["node"]: r["rank"] for r in ranks.collect()}
+    assert sum(rows.values()) == pytest.approx(1.0, abs=1e-9)
+    want = _numpy_pagerank([("a", "b"), ("a", "c"), ("d", "a")], 0.85, 15)
+    for node, w in want.items():
+        assert rows[node] == pytest.approx(w, abs=1e-12), node
+    # a receives from d AND the dangling pool -> outranks b/c
+    assert rows["a"] > rows["b"] == pytest.approx(rows["c"], abs=1e-12)
+
+
+def test_pagerank_empty_graph(spark):
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty).count() == 0
+
+
+EPS, DELTA = 0.01, 0.01
+
+
+def _token_frame(spark, sf_dir):
+    from e_commerce_data_engineering_spark.functions.text import tokens
+    from e_commerce_data_engineering_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(F.explode(tokens(F.col("text"))).alias("token"))
+
+
+def test_cms_one_sided_error_guarantee(spark):
+    toks = _token_frame(spark, SF_SMOKE).persist()
+    n_total = toks.count()
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact"))
+    sketch = cms_build(toks, "token", EPS, DELTA)
+    est = cms_estimate(sketch, exact.select("token"), "token", EPS, DELTA)
+    joined = exact.join(est, "token").collect()
+    assert len(joined) > 0
+    for r in joined:
+        assert r["est"] >= r["exact"], r  # CMS never underestimates
+        assert r["est"] <= r["exact"] + EPS * n_total, r
+    # grid state is bounded by depth*width whatever the corpus size
+    depth, width = cms_params(EPS, DELTA)
+    assert sketch.count() <= depth * width
+    toks.unpersist()
+
+
+def test_cms_unseen_key_estimates_can_only_collide(spark):
+    toks = _token_frame(spark, SF_SMOKE)
+    sketch = cms_build(toks, "token", EPS, DELTA)
+    n_total = toks.count()
+    ghost = spark.createDataFrame([("never-a-token-xyzzy",)], ["token"])
+    est = cms_estimate(sketch, ghost, "token", EPS, DELTA).first()["est"]
+    assert 0 <= est <= EPS * n_total
+
+
+def test_cms_merge_equals_whole(spark):
+    toks = _token_frame(spark, SF_SMOKE).persist()
+    half_a = toks.filter(F.xxhash64("token") % 2 == 0)
+    half_b = toks.filter(F.xxhash64("token") % 2 != 0)
+    merged = cms_merge(
+        cms_build(half_a, "token", EPS, DELTA), cms_build(half_b, "token", EPS, DELTA)
+    )
+    whole = cms_build(toks, "token", EPS, DELTA)
+    diff = merged.join(whole, ["depth", "bucket"], "full").filter(
+        F.coalesce(merged["cnt"], F.lit(0)) != F.coalesce(whole["cnt"], F.lit(0))
+    )
+    assert diff.count() == 0
+    toks.unpersist()
+
+
+NLIST, TAU = 8, 0.35
+
+
+def _semdedup_frames(spark):
+    from e_commerce_data_engineering_spark.operators.dedup import semdedup
+    from e_commerce_data_engineering_spark.sources.tables import load_table
+
+    vecs = load_table(spark, SF_SMOKE, "embeddings")
+    verdict = semdedup(vecs, "vec_id", "embedding", nlist=NLIST, cos_threshold=TAU)
+    return vecs, verdict
+
+
+def test_semdedup_matches_python_union_find(spark):
+    vecs, verdict = _semdedup_frames(spark)
+    rows = verdict.collect()
+    cells = {r["vec_id"]: r["cell"] for r in rows}
+    raw = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in vecs.collect()}
+    unit = {k: v / np.linalg.norm(v) for k, v in raw.items()}
+
+    # independent ground truth: exact pair cosines within each cell
+    parent = {k: k for k in unit}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(unit)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if cells[a] == cells[b] and float(unit[a] @ unit[b]) >= TAU:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+    groups: dict[int, list[int]] = {}
+    for k in ids:
+        groups.setdefault(find(k), []).append(k)
+    expected_grouped = {
+        frozenset(v) for v in groups.values() if len(v) > 1
+    }
+    got_groups: dict[int, set[int]] = {}
+    for r in rows:
+        if r["component"] is not None:
+            got_groups.setdefault(r["component"], set()).add(r["vec_id"])
+    assert {frozenset(v) for v in got_groups.values()} == expected_grouped
+
+    # exactly one keeper per duplicate group; singletons always kept
+    kept = {r["vec_id"]: r["kept"] for r in rows}
+    in_any_group = {v for g in expected_grouped for v in g}
+    for g in expected_grouped:
+        assert sum(kept[v] for v in g) == 1, g
+    for v in set(ids) - in_any_group:
+        assert kept[v], v
+
+
+def test_semdedup_deterministic_under_repartition(spark):
+    from e_commerce_data_engineering_spark.operators.dedup import semdedup
+    from e_commerce_data_engineering_spark.sources.tables import load_table
+
+    vecs = load_table(spark, SF_SMOKE, "embeddings")
+    a = semdedup(vecs, "vec_id", "embedding", nlist=NLIST, cos_threshold=TAU)
+    b = semdedup(
+        vecs.repartition(13), "vec_id", "embedding", nlist=NLIST, cos_threshold=TAU
+    )
+    # components are labeled by min member id in CC, so full-row equality
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
