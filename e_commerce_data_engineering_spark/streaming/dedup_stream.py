@@ -1,0 +1,162 @@
+"""Streaming incremental near-duplicate filtering: dedup newly arriving
+documents against everything already accepted, the foreachBatch analog
+of a crawl-ingest pipeline ("is this page a near-dup of the corpus?").
+
+State is a parquet SIGNATURE STORE, not raw text: one row per accepted
+doc per LSH band — ``(band, bucket, doc_id, sig)`` — so the per-batch
+membership check is an equi-join of the batch's band buckets against the
+store (bucket collisions only), followed by signature-estimate
+verification. The store grows with the ACCEPTED corpus (num_bands rows
+per doc, ~64 longs each), never with the raw bytes; at 100 TB it is the
+table you would partition by ``band`` and bucket-sort by ``bucket`` so
+each batch's probe is a co-located join.
+
+Verification uses the unbiased MinHash estimate (matching signature
+fraction ≈ Jaccard) rather than exact shingle intersection — the
+standard trade once originals are no longer co-resident: no second pass
+over accepted text, at the cost of the estimator's ±1/sqrt(k) noise
+(k = num_hashes). Batch-internal duplicates are resolved first with the
+same estimate (greedy min-id keeper), so a batch containing both a new
+doc and its near-copy admits exactly one.
+
+Exactly-once: outputs and state appends land under ``batch_id=N``
+directories written with overwrite mode, so a replayed micro-batch
+(checkpoint recovery) rewrites the same bytes instead of duplicating
+them — same idempotency pattern as start_upsert_stream. Self-matches on
+replay are excluded by doc id, not arrival order, so a rerun reaches the
+identical accept/drop verdicts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.dedup import minhash_signature, shingles_of
+
+
+def _banded(sig_frame: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, sig) -> one row per band: (band, bucket, doc_id, sig)."""
+    r = num_hashes // bands
+    return sig_frame.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(b, F.slice(F.col("sig"), b * r + 1, r)),
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def _sig_jaccard_est(a: Column, b: Column) -> Column:
+    """Unbiased MinHash Jaccard estimate: fraction of equal components."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("double") / F.size(a)
+
+
+def start_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    accepted_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Drain ``source_dir`` (JSONL docs), append only corpus-novel docs
+    to ``accepted_dir`` and their band signatures to ``state_dir``."""
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+    def _dedup_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        sigs = (
+            batch_df.select(
+                F.col(id_col).alias("doc_id"),
+                shingles_of(F.col(text_col), shingle_n).alias("_sh"),
+            )
+            .filter(F.size("_sh") > 0)
+            # materialize before banding: Catalyst would otherwise inline
+            # the 64-perm HOF into every band lambda (see operators/dedup)
+            .select("doc_id", minhash_signature(F.col("_sh"), num_hashes).alias("sig"))
+            .persist()
+        )
+        banded = _banded(sigs, num_hashes, bands).persist()
+        banded.count()
+
+        # 1) duplicates of the ACCEPTED corpus: bucket-collide with the
+        # store, verify by signature estimate (id != self for replays)
+        try:
+            store = s.read.parquet(state_dir)
+        except Exception:  # first batch: no state yet
+            store = None
+        if store is not None:
+            hits = (
+                banded.join(
+                    store.select(
+                        "band",
+                        "bucket",
+                        F.col("doc_id").alias("_st_id"),
+                        F.col("sig").alias("_st_sig"),
+                    ),
+                    ["band", "bucket"],
+                )
+                .filter(F.col("doc_id") != F.col("_st_id"))
+                .filter(_sig_jaccard_est(F.col("sig"), F.col("_st_sig")) >= jaccard_threshold)
+                .select("doc_id")
+                .distinct()
+            )
+            survivors = sigs.join(hits, "doc_id", "left_anti")
+        else:
+            survivors = sigs
+
+        # 2) duplicates WITHIN the batch: greedy min-id keeper over
+        # verified bucket collisions among survivors
+        sb = _banded(survivors, num_hashes, bands)
+        a = sb.select(F.col("doc_id").alias("id_a"), "band", "bucket", F.col("sig").alias("_sa"))
+        b = sb.select(F.col("doc_id").alias("id_b"), "band", "bucket", F.col("sig").alias("_sb"))
+        intra = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(_sig_jaccard_est(F.col("_sa"), F.col("_sb")) >= jaccard_threshold)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+        )
+        kept = survivors.join(intra, "doc_id", "left_anti").select("doc_id", "sig").persist()
+
+        # 3) idempotent writes: per-batch overwrite directories
+        out = batch_df.join(
+            kept.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
+        )
+        out.write.mode("overwrite").parquet(f"{accepted_dir}/batch_id={epoch_id}")
+        _banded(kept, num_hashes, bands).select(
+            "band", "bucket", "doc_id", "sig"
+        ).write.mode("overwrite").parquet(f"{state_dir}/batch_id={epoch_id}")
+        sigs.unpersist()
+        banded.unpersist()
+        kept.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -132,3 +132,37 @@ def test_trailing_window_single_shuffle(spark):
     df = QUERIES["q41_trailing_revenue"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_market_share_broadcasts_all_dims(spark):
+    # q51: part/supplier/nation/region all broadcast — the only shuffle
+    # join is the lineitem-orders fact join, and the PROMO filter prunes
+    # part BEFORE the join (pushed to the dim scan, not post-join)
+    plan = plan_of(spark, "q51_market_share")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "PushedFilters" in plan and "EqualTo(p_type,PROMO)" in plan, plan
+
+
+def test_bracket_revenue_pushes_bracket_bounds(spark):
+    # q52: the OR-of-ANDs collapses to pushable bounds on each side —
+    # lineitem never scans rows with quantity outside [1, 50], part is
+    # broadcast, and no nested-loop join appears
+    plan = plan_of(spark, "q52_bracket_revenue")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+    assert "GreaterThanOrEqual(l_quantity,1" in plan, plan
+
+
+def test_important_parts_threshold_is_broadcast(spark):
+    # q53: the global-total threshold joins as a single-row broadcast,
+    # not a cartesian re-scan per part
+    plan = plan_of(spark, "q53_important_parts")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_semdedup_pairs_are_equi_join(spark):
+    # d06: within-cell pair generation must be an equi-join on the cell
+    # id — never a cartesian/nested-loop pair blowup
+    plan = plan_of(spark, "d06_semdedup")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan

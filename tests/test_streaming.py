@@ -354,3 +354,76 @@ def test_streaming_upsert_converges_to_keep_latest(spark, tmp_path):
     q2.awaitTermination(120)
     after = sorted(map(tuple, spark.read.parquet(target).collect()))
     assert before == after
+
+
+def test_streaming_incremental_dedup_against_corpus(spark, tmp_path):
+    """Crawl-ingest dedup: each micro-batch is checked against the
+    accepted corpus's LSH signature store, batch-internal near-dups
+    collapse to one keeper, and a checkpointed replay (fresh query,
+    same checkpoint) changes nothing — verdicts depend on doc ids, not
+    arrival order."""
+    import os
+    import time
+
+    from e_commerce_data_engineering_spark.streaming.dedup_stream import (
+        start_dedup_stream,
+    )
+
+    base = "spark line column order small sort column sort fast value scan"
+    near = base + " extra"                      # near-dup of base
+    other = "totally different words about streams windows and states"
+    src = tmp_path / "crawl"
+    src.mkdir()
+    f1 = src / "b1.jsonl"
+    f2 = src / "b2.jsonl"
+    f1.write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 1, "text": base},
+                {"doc_id": 2, "text": near},    # intra-batch dup of 1 -> dropped
+                {"doc_id": 3, "text": other},
+            ]
+        )
+    )
+    f2.write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 4, "text": base},    # corpus dup of 1 -> dropped
+                {"doc_id": 5, "text": "brand new content unseen so far ok"},
+            ]
+        )
+    )
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    accepted = str(tmp_path / "accepted")
+    state = str(tmp_path / "sigstore")
+    ckpt = str(tmp_path / "ckpt-dedup")
+
+    def _run():
+        q = start_dedup_stream(
+            spark, str(src), accepted, state, ckpt, schema,
+            jaccard_threshold=0.5, max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+
+    _run()
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(accepted).collect())
+    assert kept == [1, 3, 5]
+    # the signature store holds one row per band per accepted doc
+    store = spark.read.parquet(state)
+    assert store.select("doc_id").distinct().count() == 3
+    assert store.count() == 3 * 16
+
+    # replay: fresh query over the same checkpoint sees no new files and
+    # must leave both the corpus and the store unchanged
+    _run()
+    kept2 = sorted(r["doc_id"] for r in spark.read.parquet(accepted).collect())
+    assert kept2 == [1, 3, 5]
+    assert spark.read.parquet(state).count() == 3 * 16
