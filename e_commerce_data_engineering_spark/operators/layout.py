@@ -157,3 +157,63 @@ def upsert_parquet(
     fs.rename(jPath(staging), fs_path)
     fs.delete(jPath(old), True)
     return n
+
+
+def zorder_value(bucket_cols: list, bits: int = 8):
+    """Interleave the bits of per-column bucket ids (each in
+    [0, 2^bits)) into one Z-curve key — built entirely from shiftleft/
+    shiftright/bitwise-OR column expressions, no UDF."""
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for c_idx, c in enumerate(bucket_cols):
+            bit = F.shiftrightunsigned(c.cast("bigint"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(bucket_cols) + c_idx))
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    cols: list[str],
+    out_path: str,
+    n_files: int = 16,
+    bits: int = 8,
+    file_format: str = "parquet",
+) -> list[list[float]]:
+    """Write ``df`` Z-ORDERED on ``cols``: rows are range-partitioned and
+    sorted along a Morton (Z) space-filling curve over the columns'
+    QUANTILE buckets, so every output file covers a narrow min/max range
+    in EVERY listed column — the precondition for parquet row-group /
+    file skipping on any of them. A plain sort gives perfect skipping on
+    one column and none on the others; Z-order trades a little of the
+    first column's locality for skipping on all of them (the Delta/
+    Iceberg OPTIMIZE ZORDER layout, built from native expressions).
+
+    Buckets come from approxQuantile boundaries (driver state: ``2^bits``
+    doubles per column, data-size independent), so skewed distributions
+    still fill the curve evenly. Returns the per-column boundaries used.
+
+    At 100 TB this is the compaction pass you run per partition;
+    ``n_files`` maps to target file count (one range of the curve each).
+    """
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    boundaries = [df.approxQuantile(c, probs, 0.001) for c in cols]
+
+    def bucket_of(c: str, bounds: list[float]):
+        # index of the first boundary >= value == count of boundaries < value;
+        # a sorted-literal-array binary search via filter+size (O(log) after
+        # codegen constant-folding; bounded by 2^bits literals)
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        return F.size(F.filter(arr, lambda b: b < F.col(c).cast("double")))
+
+    zcols = [bucket_of(c, bnd) for c, bnd in zip(cols, boundaries)]
+    with_z = df.withColumn("_z", zorder_value(zcols, bits))
+    (
+        with_z.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .format(file_format)
+        .save(out_path)
+    )
+    return boundaries

@@ -1398,3 +1398,63 @@ def q55_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.lit(100.0) * F.col("_promo") / F.col("_total"), 4).alias("promo_pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q56 — TPC-H Q13 analog: customer order-count distribution
+# ---------------------------------------------------------------------------
+
+@query(
+    "q56_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: how many customers placed exactly N orders — "
+    "a count-of-counts over an OUTER join (customers with zero orders "
+    "appear at c_count 0, which an inner join would silently drop). "
+    "Two aggregations: the per-customer count shuffles on custkey, the "
+    "distribution shuffles on the (tiny) count domain.",
+)
+def q56_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# e12 — distinct users per tumbling window, exact and sketched
+# ---------------------------------------------------------------------------
+
+@query(
+    "e12_window_distinct_users",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day_ts,
+           event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Exact distinct users per (day, event type): COUNT(DISTINCT) "
+    "expands to a two-phase aggregate (dedup shuffle on the grouping+ "
+    "user key, then count) — the exact twin of the HLL rollup in x03, "
+    "which replaces the dedup shuffle with mergeable sketch state when "
+    "a few-percent error is acceptable at 100 TB.",
+)
+def e12_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day_ts"),
+        "event_type",
+    ).agg(F.count_distinct("user_id").alias("users"))
