@@ -1,0 +1,49 @@
+"""Custom Python DataSource (seeded_orders): registration, partition
+planning, determinism across partition counts (task-retry safety), and
+reference-parity of generated orders (they must pass the reference's own
+validate_order and enrich cleanly)."""
+
+from __future__ import annotations
+
+from e_commerce_data_engineering_spark.schemas import RAW_ORDER_SCHEMA
+from e_commerce_data_engineering_spark.sources.pyds import SeededOrdersDataSource
+
+
+def _read(spark, **opts):
+    spark.dataSource.register(SeededOrdersDataSource)
+    r = spark.read.format("seeded_orders")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_schema_count_and_partition_planning(spark):
+    df = _read(spark, n=200, partitions=4)
+    assert df.schema == RAW_ORDER_SCHEMA
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 200
+
+
+def test_multiset_invariant_under_partitioning_and_rereads(spark):
+    a = sorted(r["order_id"] for r in _read(spark, n=150, partitions=3).collect())
+    b = sorted(r["order_id"] for r in _read(spark, n=150, partitions=7).collect())
+    assert a == b and len(set(a)) == 150
+
+
+def test_seed_changes_data(spark):
+    a = {r["order_id"] for r in _read(spark, n=50, seed=1).collect()}
+    b = {r["order_id"] for r in _read(spark, n=50, seed=2).collect()}
+    assert a != b
+
+
+def test_generated_orders_satisfy_reference_validation(spark):
+    from .ref_loader import load_reference_processor
+
+    ref = load_reference_processor()
+    rows = _read(spark, n=80).collect()
+    for row in rows:
+        order = row.asDict(recursive=True)
+        # the reference validator checks ids, totals, and the
+        # items-subtotal consistency invariant (processor:105-119)
+        assert ref.validate_order(order), order["order_id"]
+        assert ref.process_order(order) is not None
