@@ -1,13 +1,17 @@
-"""As-of (nearest-predecessor) join — an operator Spark lacks natively
-(SURVEY §2.3 notes it as expressible; reference has no joins at all).
+"""As-of (nearest-neighbor-in-time) join — an operator Spark lacks
+natively (SURVEY §2.3 notes it as expressible; reference has no joins
+at all). Backward (nearest predecessor), forward (nearest successor),
+and an optional tolerance bound, matching the pd.merge_asof surface.
 
 Implementation is the scalable union+window pattern, NOT a range cross
-join: tag both sides, union on (key, time), and carry the latest right
-payload forward with ``last(..., ignoreNulls)`` over an ordered window.
-One shuffle on the key, no quadratic blowup, no driver-side merge —
+join: tag both sides, union on (key, time), and carry the nearest right
+payload across with ``last(..., ignoreNulls)`` (backward) or
+``first(..., ignoreNulls)`` (forward) over an ordered window. One
+shuffle on the key, no quadratic blowup, no driver-side merge —
 survives 100 TB where a per-key ``pd.merge_asof`` in applyInPandas
 would need the whole key group in memory anyway (that variant is the
-fallback for small skewed keys).
+fallback for small skewed keys). Tolerance is a post-filter on the
+matched timestamp, so it never changes the plan shape.
 """
 
 from __future__ import annotations
@@ -15,6 +19,79 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+    how: str = "inner",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """For each left row, attach the nearest right row within the same
+    ``on`` key: greatest ``right_time`` <= ``left_time`` (backward) or
+    smallest ``right_time`` >= ``left_time`` (forward); exact matches
+    included, like pd.merge_asof(allow_exact_matches=True) / DuckDB
+    ASOF JOIN.
+
+    ``how``: 'inner' drops left rows with no match; 'left' keeps them
+    with null payload. ``tolerance_seconds`` voids matches farther than
+    the bound (timestamps compare as epoch seconds, numerics as-is).
+    Ties on ``right_time`` within a key break deterministically by
+    payload order.
+    """
+    assert direction in ("backward", "forward"), direction
+    payload = F.struct(
+        *[F.col(c) for c in payload_cols], F.col(right_time).alias("_asof_time")
+    )
+    # side ordering puts right rows at equal time INSIDE the left row's
+    # window span: before it for backward, after it for forward
+    r_side, l_side = (0, 1) if direction == "backward" else (1, 0)
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(r_side).alias("_side"),
+        payload.alias("_payload"),
+    ).withColumn("_rowid", F.lit(None).cast("long"))
+    l_full = left.withColumn("_rowid", F.monotonically_increasing_id())
+    l = l_full.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(l_side).alias("_side"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        "_rowid",
+    )
+    base_w = W.partitionBy("_k").orderBy("_t", "_side", "_payload", "_rowid")
+    if direction == "backward":
+        w = base_w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        pick = F.last("_payload", ignorenulls=True)
+    else:
+        w = base_w.rowsBetween(W.currentRow, W.unboundedFollowing)
+        pick = F.first("_payload", ignorenulls=True)
+    merged = (
+        r.unionByName(l)
+        .withColumn("_match", pick.over(w))
+        .filter(F.col("_side") == l_side)
+        .select("_rowid", "_t", "_match")
+    )
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col("_t").cast("double") - F.col("_match._asof_time").cast("double")
+        )
+        merged = merged.withColumn(
+            "_match", F.when(gap <= F.lit(float(tolerance_seconds)), F.col("_match"))
+        )
+    merged = merged.select("_rowid", "_match")
+    out = l_full.join(merged, "_rowid", "inner").drop("_rowid")
+    if how == "inner":
+        out = out.filter(F.col("_match").isNotNull())
+    for c in payload_cols:
+        out = out.withColumn(c, F.col("_match")[c])
+    return out.withColumn("_asof_time", F.col("_match._asof_time")).drop("_match")
 
 
 def asof_join_backward(
@@ -26,52 +103,7 @@ def asof_join_backward(
     payload_cols: list[str],
     how: str = "inner",
 ) -> DataFrame:
-    """For each left row, attach the right row with the greatest
-    ``right_time`` ≤ ``left_time`` within the same ``on`` key
-    (allow_exact_matches=True, like pd.merge_asof / DuckDB ASOF JOIN).
-
-    ``how``: 'inner' drops left rows with no predecessor; 'left' keeps
-    them with null payload.
-    """
-    payload = F.struct(*[F.col(c) for c in payload_cols], F.col(right_time).alias("_asof_time"))
-    r = right.select(
-        F.col(on).alias("_k"),
-        F.col(right_time).alias("_t"),
-        F.lit(0).alias("_side"),  # right sorts before left at equal time → exact matches included
-        payload.alias("_payload"),
+    """Nearest-predecessor as-of join (see ``asof_join``)."""
+    return asof_join(
+        left, right, on, left_time, right_time, payload_cols, how, "backward"
     )
-    l = left.select(
-        F.col(on).alias("_k"),
-        F.col(left_time).alias("_t"),
-        F.lit(1).alias("_side"),
-        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
-    )
-    # stable id to join the matched payload back to full left rows
-    l_full = left.withColumn("_rowid", F.monotonically_increasing_id())
-    l = l_full.select(
-        F.col(on).alias("_k"),
-        F.col(left_time).alias("_t"),
-        F.lit(1).alias("_side"),
-        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
-        "_rowid",
-    )
-    r = r.withColumn("_rowid", F.lit(None).cast("long"))
-
-    w = (
-        W.partitionBy("_k")
-        .orderBy("_t", "_side", "_rowid")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    merged = (
-        r.unionByName(l)
-        .withColumn("_match", F.last("_payload", ignorenulls=True).over(w))
-        .filter(F.col("_side") == 1)
-        .select("_rowid", "_match")
-    )
-    out = l_full.join(merged, "_rowid", "inner").drop("_rowid")
-    if how == "inner":
-        out = out.filter(F.col("_match").isNotNull())
-    for c in payload_cols:
-        out = out.withColumn(c, F.col("_match")[c])
-    out = out.withColumn("_asof_time", F.col("_match._asof_time")).drop("_match")
-    return out

@@ -227,3 +227,54 @@ def m02_audio_signal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.max("peak"), 4).alias("max_peak"),
     )
+
+
+@query(
+    "a02_asof_forward_tolerance",
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+    nxt AS (
+        SELECT c.event_id, MIN(e.ts) AS error_ts
+        FROM c JOIN e ON c.user_id = e.user_id
+                     AND e.ts >= c.ts
+                     AND e.ts <= c.ts + INTERVAL 1 HOUR
+        GROUP BY c.event_id
+    )
+    SELECT c.event_id, c.user_id, nxt.error_ts,
+           CAST(epoch_ms(nxt.error_ts) - epoch_ms(c.ts) AS BIGINT) AS ms_to_error
+    FROM c JOIN nxt ON c.event_id = nxt.event_id
+    """,
+    doc="Forward as-of join with a tolerance bound: each click matched "
+    "to the user's NEXT error event within one hour (clicks with no "
+    "error in the window drop out). Same union+window operator as a01 "
+    "run in the forward direction (operators/asof.py) — one shuffle on "
+    "user_id, tolerance applied as a post-filter; the oracle computes "
+    "the same nearest-successor with a bounded correlated MIN.",
+)
+def a02_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    joined = asof_join(
+        clicks,
+        errors,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        payload_cols=[],
+        how="inner",
+        direction="forward",
+        tolerance_seconds=3600.0,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("_asof_time").alias("error_ts"),
+        (
+            F.unix_millis(F.col("_asof_time").cast("timestamp"))
+            - F.unix_millis(F.col("ts").cast("timestamp"))
+        ).alias("ms_to_error"),
+    )

@@ -665,3 +665,74 @@ def t20_dup_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot.cast("bigint").alias("total_instances"),
         fround(dup.cast("double") / tot.cast("double"), 6).alias("dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t21 — unigram log-prob scoring (perplexity-proxy quality filter)
+# ---------------------------------------------------------------------------
+
+_LP_Q = 1_000_000.0  # 1e-6 quantization for order-independent log sums
+
+
+@query(
+    "t21_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    vocab AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY tok
+    ),
+    n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+    doc_tok AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS dcnt FROM tok GROUP BY doc_id, tok
+    ),
+    terms AS (
+        SELECT d.doc_id,
+               CAST(SUM(d.dcnt) AS BIGINT) AS n_tok,
+               CAST(SUM(CAST(FLOOR(d.dcnt * log2(CAST(n.total AS DOUBLE) / v.cnt) * {_LP_Q} + 0.5) AS BIGINT)) AS BIGINT) AS q_bits
+        FROM doc_tok d JOIN vocab v ON d.tok = v.tok CROSS JOIN n
+        GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_tok,
+           {sql_fround(f"CAST(q_bits AS DOUBLE) / {_LP_Q} / n_tok", 4)} AS bits_per_token
+    FROM terms
+    """,
+    doc="Unigram log-prob scoring (the CCNet/perplexity-proxy quality "
+    "filter): average -log2 p(token) per document under the corpus's "
+    "own unigram LM — fluent/common text scores low, rare-token noise "
+    "scores high. Per-(doc,token) surprisal terms are quantized to "
+    "1e-6 BIGINTs before the per-doc sum so float addition order "
+    "cannot flip the hash; the vocabulary rollup is one shuffle, the "
+    "doc rollup another, and the vocab join is broadcast-eligible "
+    "whenever the LM fits (at 100 TB you precompute the LM table once "
+    "and reuse it across scoring runs).",
+)
+def t21_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    doc_tok = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("dcnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    surprisal_q = F.floor(
+        F.col("dcnt")
+        * F.log2(F.col("total").cast("double") / F.col("cnt"))
+        * _LP_Q
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        doc_tok.join(vocab, "tok")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("dcnt").alias("n_tok"),
+            F.sum(surprisal_q).alias("_q_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            fround(F.col("_q_bits").cast("double") / _LP_Q / F.col("n_tok"), 4).alias(
+                "bits_per_token"
+            ),
+        )
+    )

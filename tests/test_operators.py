@@ -576,3 +576,61 @@ def test_audio_features_match_signal_theory(spark):
             aid, r["zero_crossings"], expect_zc,
         )
     assert n_audio >= 9
+
+
+def test_asof_forward_and_tolerance(spark):
+    from e_commerce_data_engineering_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [Row(k=1, t=10, v="a"), Row(k=1, t=20, v="b"), Row(k=2, t=5, v="c")]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, t2=12, payload="p12"), Row(k=1, t2=20, payload="p20"),
+         Row(k=2, t2=100, payload="far")]
+    )
+    # forward: nearest successor, exact matches included
+    fwd = {
+        r["v"]: r["payload"]
+        for r in asof_join(
+            left, right, "k", "t", "t2", ["payload"], how="left", direction="forward"
+        ).collect()
+    }
+    assert fwd == {"a": "p12", "b": "p20", "c": "far"}
+    # tolerance voids the k=2 match (gap 95 > 50) but keeps the others
+    tol = {
+        r["v"]: r["payload"]
+        for r in asof_join(
+            left, right, "k", "t", "t2", ["payload"],
+            how="left", direction="forward", tolerance_seconds=50,
+        ).collect()
+    }
+    assert tol == {"a": "p12", "b": "p20", "c": None}
+    # inner + tolerance drops the unmatched row entirely
+    inner = asof_join(
+        left, right, "k", "t", "t2", ["payload"],
+        how="inner", direction="forward", tolerance_seconds=50,
+    )
+    assert sorted(r["v"] for r in inner.collect()) == ["a", "b"]
+
+
+def test_asof_forward_matches_bruteforce(spark):
+    from e_commerce_data_engineering_spark.operators.asof import asof_join
+
+    ev = load_table(spark, SF, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    got = {
+        r["event_id"]: r["_asof_time"]
+        for r in asof_join(
+            clicks, errors, "user_id", "ts", "ts", payload_cols=[], direction="forward"
+        ).collect()
+    }
+    c = clicks.alias("c")
+    e = errors.alias("e")
+    brute = (
+        c.join(e, (F.col("c.user_id") == F.col("e.user_id")) & (F.col("e.ts") >= F.col("c.ts")))
+        .groupBy("c.event_id")
+        .agg(F.min("e.ts").alias("want"))
+        .collect()
+    )
+    assert got == {r["event_id"]: r["want"] for r in brute}
