@@ -32,7 +32,12 @@ import random
 import string
 from datetime import datetime, timedelta, timezone
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 # Executor Python workers deserialize the reader CLASS by module
 # reference; register this module for by-value pickling so the source
@@ -139,13 +144,49 @@ class SeededOrdersReader(DataSourceReader):
             yield _gen_order(self.seed, i, self.as_of)
 
 
-class SeededOrdersDataSource(DataSource):
-    """``spark.read.format("seeded_orders")`` after registration.
+class SeededOrdersStreamReader(SimpleDataSourceStreamReader):
+    """Unbounded variant: the reference's recurring generator Lambda as
+    a STREAMING source. The offset is simply the next global row index —
+    ``read`` emits ``rows_per_batch`` rows per micro-batch and advances
+    it; ``readBetweenOffsets`` regenerates any [start, end) slice
+    bit-identically (rows are pure functions of (seed, index)), which is
+    exactly what makes checkpoint replay exactly-once for this source.
+    """
 
-    Options: ``n`` rows (default 100), ``partitions`` planned input
-    splits (default 8), ``seed`` (default 42), ``as_of`` ISO timestamp
-    anchoring order dates (defaults to a fixed instant so reads are
-    reproducible; pass now() for reference-faithful wall-clock data).
+    def __init__(self, options: dict):
+        self.rows_per_batch = int(options.get("rows_per_batch", 20))
+        self.seed = int(options.get("seed", 42))
+        self.as_of = datetime.fromisoformat(options.get("as_of", _DEFAULT_AS_OF))
+        if self.as_of.tzinfo is None:
+            self.as_of = self.as_of.replace(tzinfo=timezone.utc)
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        hi = lo + self.rows_per_batch
+        return self.readBetweenOffsets(start, {"next": hi}), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # a concrete list, not a generator: the prefetching runner
+        # pickles the returned records alongside the offset
+        return [
+            _gen_order(self.seed, i, self.as_of)
+            for i in range(int(start["next"]), int(end["next"]))
+        ]
+
+
+class SeededOrdersDataSource(DataSource):
+    """``spark.read.format("seeded_orders")`` (batch) or
+    ``spark.readStream.format("seeded_orders")`` (unbounded) after
+    registration.
+
+    Options: ``n`` rows (batch, default 100), ``partitions`` planned
+    input splits (batch, default 8), ``rows_per_batch`` (stream, default
+    20), ``seed`` (default 42), ``as_of`` ISO timestamp anchoring order
+    dates (defaults to a fixed instant so reads are reproducible; pass
+    now() for reference-faithful wall-clock data).
     """
 
     @classmethod
@@ -157,3 +198,6 @@ class SeededOrdersDataSource(DataSource):
 
     def reader(self, schema) -> SeededOrdersReader:
         return SeededOrdersReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SeededOrdersStreamReader:
+        return SeededOrdersStreamReader(self.options)
