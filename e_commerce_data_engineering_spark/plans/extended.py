@@ -1458,3 +1458,66 @@ def e12_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day_ts"),
         "event_type",
     ).agg(F.count_distinct("user_id").alias("users"))
+
+
+# ---------------------------------------------------------------------------
+# e13 — time-to-conversion latency percentiles (click → next purchase)
+# ---------------------------------------------------------------------------
+
+@query(
+    "e13_conversion_latency",
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    conv AS (
+        SELECT c.event_id,
+               CAST(epoch_ms(MIN(p.ts)) - epoch_ms(c.ts) AS BIGINT) / 1000.0 AS latency_s
+        FROM c JOIN p ON c.user_id = p.user_id
+                     AND p.ts >= c.ts
+                     AND p.ts <= c.ts + INTERVAL 7 DAY
+        GROUP BY c.event_id, c.ts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           (FLOOR(CAST(quantile_cont(latency_s, 0.50) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS p50_s,
+           (FLOOR(CAST(quantile_cont(latency_s, 0.90) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS p90_s,
+           (FLOOR(CAST(quantile_cont(latency_s, 0.99) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS p99_s
+    FROM conv
+    """,
+    doc="Conversion-latency distribution: each click matched to the "
+    "user's next purchase within 7 days (the forward as-of operator, "
+    "one shuffle on user_id), then exact interpolated latency "
+    "percentiles — the funnel-timing query every event pipeline runs. "
+    "Oracle computes the same nearest-successor with a bounded "
+    "correlated MIN and quantile_cont.",
+)
+def e13_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    conv = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        payload_cols=[],
+        how="inner",
+        direction="forward",
+        tolerance_seconds=7 * 24 * 3600.0,
+    ).select(
+        (
+            (
+                F.unix_millis(F.col("_asof_time").cast("timestamp"))
+                - F.unix_millis(F.col("ts").cast("timestamp"))
+            )
+            / 1000.0
+        ).alias("latency_s")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        fround(F.expr("percentile(latency_s, 0.50)"), 4).alias("p50_s"),
+        fround(F.expr("percentile(latency_s, 0.90)"), 4).alias("p90_s"),
+        fround(F.expr("percentile(latency_s, 0.99)"), 4).alias("p99_s"),
+    )

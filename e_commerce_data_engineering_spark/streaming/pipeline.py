@@ -215,3 +215,71 @@ def start_upsert_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_rollup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    rollup_dir: str,
+    checkpoint_dir: str,
+    schema,
+    key_cols: list[str],
+    sum_col: str,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Streaming MATERIALIZED ROLLUP: maintain per-key (count, sum)
+    incrementally as data drains — the warehouse pattern where a
+    dashboard reads a small aggregate table instead of re-scanning the
+    fact stream.
+
+    Exactly-once without transactions: additive merges are NOT
+    idempotent (a replayed batch would double-count), so each batch
+    writes only its own PARTIAL aggregate under ``batch_id=N`` with
+    overwrite — replay rewrites the same partial instead of adding to
+    it. ``read_rollup`` folds the partials with a final groupBy: partial
+    aggregation is associative/commutative, so the fold equals the
+    aggregate over all raw data ever drained, and stays cheap because
+    each partial is pre-collapsed to the key domain. Periodically
+    compact old partials with ``operators.layout.compact`` semantics
+    (read + re-aggregate + rewrite) to bound the directory count; at
+    100 TB the partials are the same thing as a log-structured
+    aggregate tree's delta layer.
+    """
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+    def _partial(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.groupBy(*key_cols)
+            .agg(
+                F.count(F.lit(1)).alias("partial_count"),
+                F.sum(sum_col).alias("partial_sum"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{rollup_dir}/batch_id={epoch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_partial)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_rollup(spark: SparkSession, rollup_dir: str, key_cols: list[str]) -> DataFrame:
+    """Fold the per-batch partials into the current rollup state."""
+    return (
+        spark.read.parquet(rollup_dir)
+        .groupBy(*key_cols)
+        .agg(
+            F.sum("partial_count").alias("n"),
+            F.sum("partial_sum").alias("total"),
+        )
+    )

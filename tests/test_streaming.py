@@ -427,3 +427,62 @@ def test_streaming_incremental_dedup_against_corpus(spark, tmp_path):
     kept2 = sorted(r["doc_id"] for r in spark.read.parquet(accepted).collect())
     assert kept2 == [1, 3, 5]
     assert spark.read.parquet(state).count() == 3 * 16
+
+
+def test_streaming_rollup_partials_are_replay_safe(spark, tmp_path):
+    """Incremental materialized rollup: per-batch PARTIAL aggregates in
+    batch_id dirs fold to the exact global aggregate, and a checkpointed
+    replay overwrites partials instead of double-counting."""
+    import os
+    import time
+
+    from e_commerce_data_engineering_spark.streaming.pipeline import (
+        read_rollup,
+        start_rollup_stream,
+    )
+
+    src = tmp_path / "facts"
+    src.mkdir()
+    f1, f2 = src / "f1.jsonl", src / "f2.jsonl"
+    f1.write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"k": "a", "v": 1.0}, {"k": "a", "v": 2.0}, {"k": "b", "v": 10.0},
+            ]
+        )
+    )
+    f2.write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"k": "a", "v": 4.0}, {"k": "c", "v": 7.0},
+            ]
+        )
+    )
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.DoubleType())]
+    )
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt-rollup")
+
+    def _run():
+        q = start_rollup_stream(spark, str(src), rollup, ckpt, schema, ["k"], "v")
+        q.awaitTermination(120)
+
+    _run()
+    got = {r["k"]: (r["n"], r["total"]) for r in read_rollup(spark, rollup, ["k"]).collect()}
+    assert got == {"a": (3, 7.0), "b": (1, 10.0), "c": (1, 7.0)}
+
+    # replay with the same checkpoint: no new files, nothing double-counts
+    _run()
+    got2 = {r["k"]: (r["n"], r["total"]) for r in read_rollup(spark, rollup, ["k"]).collect()}
+    assert got2 == got
+    # one partial dir per drained micro-batch
+    import glob
+
+    assert len(glob.glob(f"{rollup}/batch_id=*")) == 2
