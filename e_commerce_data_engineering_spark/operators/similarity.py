@@ -428,3 +428,76 @@ def ivf_cosine_topk(
     scored = pairs.select("q_id", id_col, cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"))
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+_KQ = 1_000_000.0  # 1e-6 element quantization for order-independent means
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    n_iter: int = 5,
+) -> tuple[DataFrame, list[list[float]], float]:
+    """Full Lloyd's k-means as DataFrame jobs → (assignments, centroids,
+    inertia). Unlike ``ivf_index`` (whose centroids only steer probe
+    pruning, so a float AVG is fine), this is the clustering-as-output
+    operator: per-dimension means sum 1e-6-QUANTIZED elements as exact
+    integers, making every centroid — and therefore every assignment
+    and the final inertia — independent of partition order and cluster
+    layout (differential-tested against a numpy replica).
+
+    Per iteration: one assignment map over the data (plan-literal
+    centroids, no shuffle) + one groupBy(cell, dim) rollup + one
+    k x dim driver collect. Driver state never exceeds k x dim; the
+    data is never collected. Empty cells keep their previous centroid
+    (the standard Lloyd degeneracy fix).
+    """
+    from .layout import fan_out
+
+    fanned = (
+        fan_out(vectors)
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .persist()
+    )
+    init_rows = (
+        fanned.select("_v", F.xxhash64(F.col("_id"), F.lit(seed)).alias("_h"))
+        .orderBy("_h")
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["_v"]] for r in init_rows]
+    for _ in range(n_iter):
+        assigned = fanned.withColumn("_cell", nearest_cell(F.col("_v"), centroids))
+        sums = (
+            assigned.select("_cell", F.posexplode("_v").alias("_dim", "_x"))
+            .groupBy("_cell", "_dim")
+            .agg(
+                F.sum(
+                    F.floor(F.col("_x").cast("double") * _KQ + F.lit(0.5)).cast("bigint")
+                ).alias("_qs"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .collect()
+        )
+        by_cell: dict[int, list[float]] = {}
+        for r in sums:
+            by_cell.setdefault(r["_cell"], [0.0] * len(centroids[0]))[r["_dim"]] = (
+                r["_qs"] / _KQ / r["_n"]
+            )
+        centroids = [by_cell.get(i, c) for i, c in enumerate(centroids)]
+    assigned = fanned.withColumn("_cell", nearest_cell(F.col("_v"), centroids))
+    sq_dist = F.element_at(centroid_dists(F.col("_v"), centroids), F.col("_cell") + 1)
+    inertia = (
+        assigned.agg(
+            F.sum(F.floor(sq_dist * _KQ + F.lit(0.5)).cast("bigint")).alias("_qi")
+        ).first()["_qi"]
+        / _KQ
+    )
+    out = assigned.select(
+        F.col("_id").alias(id_col), F.col("_cell").alias("cluster")
+    )
+    fanned.unpersist()
+    return out, centroids, float(inertia)

@@ -1521,3 +1521,73 @@ def e13_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.expr("percentile(latency_s, 0.90)"), 4).alias("p90_s"),
         fround(F.expr("percentile(latency_s, 0.99)"), 4).alias("p99_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q57 — declarative data-quality audit over the star schema
+# ---------------------------------------------------------------------------
+
+@query(
+    "q57_data_quality_audit",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           CAST((SELECT COUNT(*) FROM (
+               SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+           ) t) AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_orphan_orders',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_orphan_parts',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_status_domain',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderstatus NOT IN ('O', 'F', 'P') OR o_orderstatus IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT)
+    UNION ALL
+    SELECT 'customer_name_not_null',
+           CAST((SELECT COUNT(*) FROM customer WHERE c_name IS NULL) AS BIGINT)
+    """,
+    doc="Declarative data-quality audit (the dbt-test/Deequ shape, "
+    "operators/quality.py): PK uniqueness, referential integrity "
+    "(orphan facts via anti-join), value domains, numeric ranges, "
+    "null checks — each check one aggregate/anti-join, the audit "
+    "output one row per check however large the tables. The passed "
+    "flag is derived, not stored, so the same frame drives alerting.",
+)
+def q57_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import (
+        accepted_values_violations,
+        null_violations,
+        range_violations,
+        referential_violations,
+        run_checks,
+        unique_violations,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cust = load_table(spark, sf_dir, "customer")
+    return run_checks(
+        {
+            "orders_pk_unique": unique_violations(orders, ["o_orderkey"]),
+            "lineitem_orphan_orders": referential_violations(
+                li, orders, "l_orderkey", "o_orderkey"
+            ),
+            "lineitem_orphan_parts": referential_violations(
+                li, part, "l_partkey", "p_partkey"
+            ),
+            "orders_status_domain": accepted_values_violations(
+                orders, "o_orderstatus", ["O", "F", "P"]
+            ),
+            "lineitem_discount_range": range_violations(li, "l_discount", lo=0, hi=0.1),
+            "customer_name_not_null": null_violations(cust, "c_name"),
+        }
+    ).drop("passed")

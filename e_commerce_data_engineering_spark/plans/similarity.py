@@ -239,3 +239,29 @@ def d06_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(
         e, "vec_id", "embedding", nlist=16, cos_threshold=NEARDUP_COS, cache_key="d06"
     )
+
+
+@query(
+    "s07_kmeans_clusters",
+    oracle=None,  # Lloyd iterations — not SQL-expressible
+    doc="Full k-means clustering (Lloyd's) over the embedding corpus: "
+    "per-iteration one assignment map (plan-literal centroids, no "
+    "shuffle) + one groupBy(cell, dim) rollup + a k x dim collect. "
+    "Means sum 1e-6-quantized elements as exact integers, so clusters "
+    "are independent of partition order (operators/similarity."
+    "kmeans_fit, differential-tested against a numpy replica). Output "
+    "is the per-cluster census with exact quantized inertia shares.",
+)
+def s07_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import fan_out
+    from ..operators.similarity import kmeans_fit
+
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    assigned, _centroids, _inertia = kmeans_fit(
+        e, k=8, id_col="vec_id", vec_col="embedding", n_iter=5
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.min("vec_id").alias("min_vec_id"))
+        .orderBy("cluster")
+    )

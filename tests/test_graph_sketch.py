@@ -201,3 +201,56 @@ def test_semdedup_deterministic_under_repartition(spark):
     )
     # components are labeled by min member id in CC, so full-row equality
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_kmeans_matches_numpy_replica(spark):
+    from e_commerce_data_engineering_spark.operators.similarity import kmeans_fit
+    from e_commerce_data_engineering_spark.sources.tables import load_table
+
+    vecs = load_table(spark, SF_SMOKE, "embeddings")
+    assigned, centroids, inertia = kmeans_fit(vecs, k=4, n_iter=4)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+
+    # numpy replica: same hash-seeded init (read back from Spark), same
+    # quantized-integer means, same first-min argmin
+    import pyspark.sql.functions as F
+
+    raw = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in vecs.collect()
+    }
+    init_ids = [
+        r["vec_id"]
+        for r in vecs.select("vec_id", F.xxhash64("vec_id", F.lit(42)).alias("h"))
+        .orderBy("h")
+        .limit(4)
+        .collect()
+    ]
+    C = np.stack([raw[i] for i in init_ids])
+    X = np.stack([raw[i] for i in sorted(raw)])
+    ids = sorted(raw)
+    for _ in range(4):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+        a = d.argmin(axis=1)
+        for c in range(4):
+            m = X[a == c]
+            if len(m):
+                q = np.floor(m * 1e6 + 0.5).astype(np.int64).sum(axis=0)
+                C[c] = q / 1e6 / len(m)
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+    a = d.argmin(axis=1)
+    want = dict(zip(ids, (int(x) for x in a)))
+    assert got == want
+    np.testing.assert_allclose(np.stack(centroids), C, atol=1e-9)
+    assert inertia == pytest.approx(float(d.min(axis=1).sum()), rel=1e-6)
+
+
+def test_kmeans_deterministic_under_repartition(spark):
+    from e_commerce_data_engineering_spark.operators.similarity import kmeans_fit
+    from e_commerce_data_engineering_spark.sources.tables import load_table
+
+    vecs = load_table(spark, SF_SMOKE, "embeddings")
+    a1, c1, i1 = kmeans_fit(vecs, k=4, n_iter=3)
+    a2, c2, i2 = kmeans_fit(vecs.repartition(11), k=4, n_iter=3)
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+    assert c1 == c2 and i1 == i2

@@ -634,3 +634,37 @@ def test_asof_forward_matches_bruteforce(spark):
         .collect()
     )
     assert got == {r["event_id"]: r["want"] for r in brute}
+
+
+def test_quality_checks_catch_seeded_violations(spark):
+    from e_commerce_data_engineering_spark.operators.quality import (
+        accepted_values_violations,
+        range_violations,
+        referential_violations,
+        run_checks,
+        unique_violations,
+    )
+
+    child = spark.createDataFrame(
+        [Row(id=1, fk=10, status="ok", v=5.0),
+         Row(id=1, fk=11, status="bad", v=-1.0),
+         Row(id=2, fk=99, status="ok", v=50.0)]
+    )
+    parent = spark.createDataFrame([Row(pk=10), Row(pk=11)])
+    got = {
+        r["check_name"]: (r["n_violations"], r["passed"])
+        for r in run_checks(
+            {
+                "id_unique": unique_violations(child, ["id"]),
+                "fk_valid": referential_violations(child, parent, "fk", "pk"),
+                "status_domain": accepted_values_violations(child, "status", ["ok"]),
+                "v_range": range_violations(child, "v", lo=0, hi=10),
+            }
+        ).collect()
+    }
+    assert got == {
+        "id_unique": (1, False),     # id=1 twice
+        "fk_valid": (1, False),      # fk=99 orphan
+        "status_domain": (1, False), # "bad"
+        "v_range": (2, False),       # -1.0 and 50.0
+    }
