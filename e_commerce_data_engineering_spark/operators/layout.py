@@ -217,3 +217,59 @@ def zorder_write(
         .save(out_path)
     )
     return boundaries
+
+
+def missing_partitions(
+    spark: SparkSession, source_dir: str, target_dir: str, depth: int = 3
+) -> list[str]:
+    """Hive-partition directories (relative paths like
+    ``year=2026/month=01/day=05``) present under ``source_dir`` but
+    absent under ``target_dir`` — the work-list of an incremental
+    backfill. Pure filesystem metadata: no data is read."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def leaf_dirs(root: str) -> set[str]:
+        root_path = jvm.org.apache.hadoop.fs.Path(root)
+        fs = root_path.getFileSystem(conf)
+        if not fs.exists(root_path):
+            return set()
+        found: set[str] = set()
+
+        def walk(path, rel: str, level: int):
+            if level == depth:
+                found.add(rel)
+                return
+            for st in fs.listStatus(path):
+                if st.isDirectory() and "=" in st.getPath().getName():
+                    name = st.getPath().getName()
+                    walk(st.getPath(), f"{rel}/{name}" if rel else name, level + 1)
+
+        walk(root_path, "", 0)
+        return found
+
+    return sorted(leaf_dirs(source_dir) - leaf_dirs(target_dir))
+
+
+def backfill_partitions(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    transform,
+    depth: int = 3,
+    file_format: str = "parquet",
+) -> list[str]:
+    """Incremental partition-wise backfill: apply ``transform(df) ->
+    df`` to every source partition missing from the target, writing
+    each result to the matching target partition directory. Already-
+    processed partitions are never re-read or re-written, so a daily
+    pipeline that died mid-backfill resumes exactly where it stopped —
+    and each partition's write is independent, so the work-list can be
+    sharded across jobs at 100 TB. Returns the partitions processed.
+    """
+    todo = missing_partitions(spark, source_dir, target_dir, depth)
+    for rel in todo:
+        df = spark.read.format(file_format).load(f"{source_dir}/{rel}")
+        out = transform(df)
+        out.write.mode("overwrite").format(file_format).save(f"{target_dir}/{rel}")
+    return todo

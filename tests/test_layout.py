@@ -142,3 +142,42 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert n == 2
     out = {r["id"]: (r["v"], r["score"]) for r in spark.read.parquet(f"{p}_target").collect()}
     assert out[1] == ("a2", 1.0) and out[2] == ("b", 9.5)
+
+
+def test_backfill_processes_only_missing_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_engineering_spark.operators.layout import (
+        backfill_partitions,
+        missing_partitions,
+    )
+
+    src = str(tmp_path / "raw")
+    tgt = str(tmp_path / "processed")
+    base = spark.range(10).select(
+        F.col("id"), (F.col("id") * 2.0).alias("v")
+    )
+    for day in ("01", "02"):
+        base.write.mode("overwrite").parquet(f"{src}/year=2026/month=01/day={day}")
+
+    def transform(df):
+        return df.withColumn("v2", F.col("v") + 1)
+
+    done = backfill_partitions(spark, src, tgt, transform)
+    assert done == ["year=2026/month=01/day=01", "year=2026/month=01/day=02"]
+    assert spark.read.parquet(tgt).count() == 20
+
+    # tamper with an already-processed partition: a re-run must NOT
+    # touch it (idempotent resume), only the newly-arrived day
+    marker = (
+        spark.range(1).select(F.lit(999).alias("id"), F.lit(0.0).alias("v"), F.lit(0.0).alias("v2"))
+    )
+    marker.write.mode("overwrite").parquet(f"{tgt}/year=2026/month=01/day=01")
+    base.write.mode("overwrite").parquet(f"{src}/year=2026/month=01/day=03")
+
+    assert missing_partitions(spark, src, tgt) == ["year=2026/month=01/day=03"]
+    done2 = backfill_partitions(spark, src, tgt, transform)
+    assert done2 == ["year=2026/month=01/day=03"]
+    # the tampered partition survived untouched -> 1 + 10 + 10 rows
+    assert spark.read.parquet(tgt).count() == 21
+    assert spark.read.parquet(f"{tgt}/year=2026/month=01/day=01").count() == 1
