@@ -163,18 +163,20 @@ class SeededOrdersStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"next": 0}
 
+    def _slice(self, lo: int, hi: int) -> list[tuple]:
+        return [_gen_order(self.seed, i, self.as_of) for i in range(lo, hi)]
+
     def read(self, start: dict):
+        # a concrete LIST here: the driver-side prefetcher pickles these
+        # records alongside the offset (a generator cannot be pickled)
         lo = int(start["next"])
         hi = lo + self.rows_per_batch
-        return self.readBetweenOffsets(start, {"next": hi}), {"next": hi}
+        return self._slice(lo, hi), {"next": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        # a concrete list, not a generator: the prefetching runner
-        # pickles the returned records alongside the offset
-        return [
-            _gen_order(self.seed, i, self.as_of)
-            for i in range(int(start["next"]), int(end["next"]))
-        ]
+        # an ITERATOR here: this replay path runs inside the partition
+        # reader, whose contract type-checks for an iterator
+        return iter(self._slice(int(start["next"]), int(end["next"])))
 
 
 class SeededOrdersDataSource(DataSource):

@@ -1,0 +1,143 @@
+#!/usr/bin/env python3
+"""Scale-stress harness: measure how the headline operators scale when
+the input multiplies, holding the cluster fixed (local[$SPARK_GRAFT_CPUS]).
+
+Inputs are the sf0.1 driver tables replicated K times with shifted keys
+(and shifted timestamps for events), written once per scale to
+$SPARK_GRAFT_SCALE_DIR (default /tmp/spark_graft_scale). Replication
+gives exact duplicate groups of size K in documents — the realistic
+worst case for dedup (bucket sizes grow K-fold), which is exactly what
+separates pair-enumeration (quadratic in bucket size) from the greedy /
+CC scale paths.
+
+Prints one JSON line per (op, scale) with rows_in, rows_out and
+seconds, then a summary of the time ratio vs the 1x run. A scale-safe
+operator shows time ratios tracking the data ratio (~K), not K².
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from e_commerce_data_engineering_spark.session import get_spark  # noqa: E402
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT_ROOT = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale")
+SCALES = [1, 2, 4]
+
+
+def replicate(spark, table: str, k: int, out_dir: str, key_cols: list[str], ts_col=None):
+    base = spark.read.parquet(f"{BASE_SF}/{table}.parquet")
+    n = base.count()
+    parts = []
+    for i in range(k):
+        df = base
+        for c in key_cols:
+            df = df.withColumn(c, F.col(c) + F.lit(i * 10_000_000))
+        if ts_col is not None and i > 0:
+            df = df.withColumn(ts_col, F.col(ts_col) + F.expr(f"INTERVAL {i * 400} DAYS"))
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(out_dir)
+    return n * k
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    rows = fn()
+    return rows, round(time.perf_counter() - t0, 2)
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = []
+
+    for k in SCALES:
+        root = f"{OUT_ROOT}/x{k}"
+        n_li = replicate(spark, "lineitem", k, f"{root}/lineitem", ["l_orderkey"])
+        replicate(spark, "orders", k, f"{root}/orders", ["o_orderkey", "o_custkey"])
+        n_ev = replicate(spark, "events", k, f"{root}/events", ["event_id", "user_id"])
+        n_doc = replicate(spark, "documents", k, f"{root}/documents", ["doc_id"])
+        n_em = replicate(spark, "embeddings", k, f"{root}/embeddings", ["vec_id"])
+
+        li = spark.read.parquet(f"{root}/lineitem")
+        orders = spark.read.parquet(f"{root}/orders")
+        ev = spark.read.parquet(f"{root}/events")
+        docs = spark.read.parquet(f"{root}/documents")
+        emb = spark.read.parquet(f"{root}/embeddings")
+
+        # join + aggregate (the core relational path)
+        def join_agg():
+            return (
+                li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+                .groupBy("o_orderpriority")
+                .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+                .count()
+            )
+
+        # event-time tumbling windows
+        def windows():
+            ts = F.col("ts").cast("timestamp")
+            return (
+                ev.groupBy(F.window(ts, "1 hour"), "event_type")
+                .agg(F.count(F.lit(1)))
+                .count()
+            )
+
+        # exact dedup: K-fold exact duplicate groups by construction
+        def exact_dedup():
+            from e_commerce_data_engineering_spark.operators.dedup import dedupe_exact
+
+            return dedupe_exact(docs, "doc_id", "text").count()
+
+        # greedy LSH dedupe: buckets grow K-fold; the no-pair-enumeration
+        # claim is exactly what this measures
+        def lsh_dedupe():
+            from e_commerce_data_engineering_spark.operators.dedup import minhash_dedupe
+
+            return minhash_dedupe(docs, "doc_id", "text").count()
+
+        # IVF ANN probe (index rebuilt per scale)
+        def ivf_probe():
+            from e_commerce_data_engineering_spark.operators.similarity import (
+                ivf_cosine_topk,
+            )
+
+            probes = emb.filter(F.col("vec_id") < 5)
+            return ivf_cosine_topk(emb, probes, k=5, nlist=16, nprobe=4).count()
+
+        for name, fn, rows_in in (
+            ("join_agg", join_agg, n_li),
+            ("event_windows", windows, n_ev),
+            ("exact_dedup", exact_dedup, n_doc),
+            ("greedy_lsh_dedupe", lsh_dedupe, n_doc),
+            ("ivf_ann_probe", ivf_probe, n_em),
+        ):
+            spark.catalog.clearCache()
+            rows_out, sec = timed(fn)
+            rec = {"op": name, "scale": k, "rows_in": rows_in, "rows_out": rows_out, "sec": sec}
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+
+    base = {r["op"]: r["sec"] for r in results if r["scale"] == 1}
+    summary = {
+        f"{r['op']}_x{r['scale']}": round(r["sec"] / max(base[r["op"]], 1e-9), 2)
+        for r in results
+        if r["scale"] > 1
+    }
+    print(json.dumps({"time_ratio_vs_1x": summary}), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
