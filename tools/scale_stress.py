@@ -30,7 +30,7 @@ from e_commerce_data_engineering_spark.session import get_spark  # noqa: E402
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_ROOT = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale")
-SCALES = [1, 2, 4]
+SCALES = [int(s) for s in os.environ.get("SPARK_GRAFT_SCALES", "1,4,16").split(",")]
 
 
 def replicate(spark, table: str, k: int, out_dir: str, key_cols: list[str], ts_col=None):
@@ -123,6 +123,11 @@ def main() -> None:
             ("greedy_lsh_dedupe", lsh_dedupe, n_doc),
             ("ivf_ann_probe", ivf_probe, n_em),
         ):
+            if k == SCALES[0]:
+                # warm-up: pay whole-stage-codegen JIT outside the timer
+                # so the 1x numbers aren't inflated vs later scales
+                spark.catalog.clearCache()
+                fn()
             spark.catalog.clearCache()
             rows_out, sec = timed(fn)
             rec = {"op": name, "scale": k, "rows_in": rows_in, "rows_out": rows_out, "sec": sec}
