@@ -125,3 +125,76 @@ def jaccard_similarity_join(
     return verified.filter(jac >= threshold).select(
         "id_a", "id_b", jac.alias("jaccard")
     )
+
+
+def containment_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+) -> DataFrame:
+    """All DIRECTED pairs (a, b), a != b, with token-set containment
+    ``|A ∩ B| / |A| >= threshold`` — "a is (nearly) a subset of b", the
+    asymmetric primitive behind quote/excerpt detection and
+    subset-dedup, where symmetric Jaccard misses a short doc embedded
+    in a long one.
+
+    Prefix filtering adapts to containment (Chaudhuri et al. ICDE'06):
+    A must contribute an overlap of ceil(t*|A|), so only the
+    |A| - ceil(t*|A|) + 1 globally-rarest tokens of A can START a
+    match — the probe side explodes just that prefix. The indexed side
+    has no length bound under containment (B may be arbitrarily large),
+    so it contributes its full inverted index; candidates still form
+    only where a rare probe token collides, and exact verification on
+    the full sets makes the result identical to brute force.
+    """
+    base = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(
+                F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+            ).alias("_ts"),
+        )
+        .filter(F.size("_ts") > 0)
+        .persist()
+    )
+    tok = base.select("_id", F.explode("_ts").alias("_tok"))
+    freq = tok.groupBy("_tok").agg(F.count("*").alias("_freq"))
+    ordered = (
+        tok.join(freq, "_tok")
+        .groupBy("_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_freq", "_tok"))), lambda s: s["_tok"]
+            ).alias("_ts")
+        )
+        .persist()
+    )
+    n = F.size("_ts")
+    t = float(threshold)
+    req = F.ceil(n * F.lit(t) - F.lit(1e-9)).cast("int")
+    prefix_len = n - req + 1
+    probe = ordered.select(
+        F.col("_id").alias("id_a"),
+        F.explode(F.slice("_ts", 1, prefix_len)).alias("_tok"),
+    )
+    index = ordered.select(
+        F.col("_id").alias("id_b"), F.explode("_ts").alias("_tok")
+    )
+    cands = (
+        probe.join(index, "_tok")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = ordered.select("_id", "_ts")
+    verified = cands.join(
+        sets.select(F.col("_id").alias("id_a"), F.col("_ts").alias("_ts_a")), "id_a"
+    ).join(sets.select(F.col("_id").alias("id_b"), F.col("_ts").alias("_ts_b")), "id_b")
+    containment = (
+        F.size(F.array_intersect("_ts_a", "_ts_b")).cast("double") / F.size("_ts_a")
+    )
+    return verified.filter(containment >= threshold).select(
+        "id_a", "id_b", containment.alias("containment")
+    )

@@ -736,3 +736,36 @@ def t21_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t22 — containment (near-subset) join
+# ---------------------------------------------------------------------------
+
+T22_THRESHOLD = 0.95
+
+
+@query(
+    "t22_containment_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, list_distinct({_DUCK_TOKS}) AS ts FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           {sql_fround("CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / len(a.ts)", 4)} AS containment
+    FROM t a JOIN t b ON a.doc_id <> b.doc_id
+    WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / len(a.ts) >= {T22_THRESHOLD}
+    """,
+    doc="Directed near-subset pairs: token set of doc A ≥95% contained "
+    "in doc B — the asymmetric primitive behind quote/excerpt "
+    "detection, where symmetric Jaccard misses a short doc embedded in "
+    "a long one. Prefix-filtered (only A's rarest tokens can start a "
+    "match) with exact verification, identical output to the brute-"
+    "force oracle (operators/setjoin.containment_join).",
+)
+def t22_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.setjoin import containment_join
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = containment_join(d, "doc_id", "text", T22_THRESHOLD)
+    return pairs.select(
+        "id_a", "id_b", fround(F.col("containment"), 4).alias("containment")
+    )

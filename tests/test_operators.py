@@ -668,3 +668,27 @@ def test_quality_checks_catch_seeded_violations(spark):
         "status_domain": (1, False), # "bad"
         "v_range": (2, False),       # -1.0 and 50.0
     }
+
+
+def test_containment_join_finds_embedded_doc(spark):
+    from e_commerce_data_engineering_spark.operators.setjoin import containment_join
+
+    rows = [
+        Row(doc_id=1, text="alpha beta gamma"),                    # subset of 2
+        Row(doc_id=2, text="alpha beta gamma delta epsilon zeta"),
+        Row(doc_id=3, text="omega psi chi"),                       # unrelated
+        Row(doc_id=4, text="alpha beta theta"),                    # 2/3 in doc 2 only
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_join(df, "doc_id", "text", 0.95).collect()
+    }
+    assert got == {(1, 2): 1.0}
+    # lower threshold admits the 2/3-contained doc, still directed
+    got2 = set(
+        (r["id_a"], r["id_b"])
+        for r in containment_join(df, "doc_id", "text", 0.6).collect()
+    )
+    # (1,4) too: |{alpha,beta}| / |doc1| = 2/3 >= 0.6
+    assert got2 == {(1, 2), (1, 4), (4, 2), (4, 1)}
