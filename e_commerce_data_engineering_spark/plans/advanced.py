@@ -230,6 +230,36 @@ def m02_audio_signal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m03_image_resize_pipeline",
+    oracle=None,  # synthetic binary assets, not a driver table
+    doc="REAL pixel pipeline over PNG bytes: stdlib decode (zlib "
+    "inflate + all five scanline filters), numpy nearest-neighbor "
+    "resample to max side 64, PNG re-encode — all inside Arrow "
+    "mapInPandas batches; JPEG rows pass through (libjpeg absent). "
+    "Output verifies by re-decoding the resized bytes: every rewritten "
+    "image fits the bound and byte counts shrink "
+    "(operators/multimodal.resize_image).",
+)
+def m03_image_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_asset, make_real_assets, resize_image
+
+    assets = make_real_assets(spark, 120).filter(F.col("modality") == "image")
+    resized = resize_image(assets, max_side=64)
+    # resize emits (asset_id, width, height, content); restore the asset
+    # shape so the decoder re-reads dimensions from the actual bytes
+    redecoded = decode_asset(
+        resized.select("asset_id", F.lit("image").alias("modality"), "content"),
+        fake=True,
+    )
+    return redecoded.groupBy("format").agg(
+        F.count("*").alias("n_images"),
+        F.max("width").alias("max_width_after"),
+        F.max("height").alias("max_height_after"),
+        F.sum("n_bytes").alias("total_bytes_after"),
+    )
+
+
+@query(
     "a02_asof_forward_tolerance",
     oracle="""
     WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
