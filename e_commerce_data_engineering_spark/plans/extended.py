@@ -1591,3 +1591,46 @@ def q57_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "customer_name_not_null": null_violations(cust, "c_name"),
         }
     ).drop("passed")
+
+
+# ---------------------------------------------------------------------------
+# q58 — null-semantics battery (NULLIF, null grouping, null-safe compare)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q58_null_semantics",
+    oracle="""
+    WITH e AS (
+        SELECT user_id,
+               NULLIF(CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10.0) AS INTEGER), 0) AS k_band
+        FROM events
+    )
+    SELECT k_band,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(k_band) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN k_band IS NOT DISTINCT FROM 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_band5_nullsafe
+    FROM e
+    GROUP BY k_band
+    """,
+    doc="Null-semantics battery over a JSON-derived key: NULLIF "
+    "manufactures a null band, GROUP BY keeps the null group as its "
+    "own row, COUNT(col) vs COUNT(*) shows null-skipping, and the "
+    "null-safe comparison (Spark eqNullSafe / SQL IS NOT DISTINCT "
+    "FROM) evaluates to a boolean — never null — inside the "
+    "conditional sum. These are the semantics data engineers trip on "
+    "when porting between engines; pinned here cross-engine.",
+)
+def q58_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    band = F.nullif(F.floor(k / 10.0).cast("int"), F.lit(0))
+    e = ev.select("user_id", band.alias("k_band"))
+    return e.groupBy("k_band").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k_band").alias("n_nonnull"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.when(F.col("k_band").eqNullSafe(F.lit(5)), 1).otherwise(0)).alias(
+            "n_band5_nullsafe"
+        ),
+    )
