@@ -1634,3 +1634,103 @@ def q58_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_band5_nullsafe"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q59 — TPC-H Q6: forecast revenue change (tight scan-side filters)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q59_forecast_change",
+    oracle=f"""
+    SELECT {sql_money_sum(f"{sql_dmoney('l_extendedprice')} * {sql_dfrac('l_discount')}")} AS revenue_delta,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 verbatim shape: the what-if revenue delta from "
+    "eliminating a discount band — a pure scan-side query (date, "
+    "discount band, quantity bounds all pushed to the parquet reader; "
+    "no join, no shuffle beyond the final 1-row aggregate). The "
+    "canonical test that predicate pushdown and decimal money math "
+    "hold together.",
+)
+def q59_forecast_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        money_sum(dmoney("l_extendedprice") * dfrac("l_discount")).alias("revenue_delta"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# e14 — rolling active users (DAU / trailing-7-day WAU per day)
+# ---------------------------------------------------------------------------
+
+@query(
+    "e14_rolling_active_users",
+    oracle="""
+    WITH ev AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    contrib AS (
+        SELECT CAST(d + INTERVAL (off) DAY AS DATE) AS target_day, user_id
+        FROM ev, generate_series(0, 6) t(off)
+    ),
+    wau AS (
+        SELECT target_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        FROM contrib GROUP BY target_day
+    ),
+    dau AS (
+        SELECT d AS target_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        FROM ev GROUP BY d
+    )
+    SELECT strftime(dau.target_day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+           (FLOOR(CAST(dau.dau AS DOUBLE) / wau.wau * 10000.0 + 0.5) / 10000.0) AS stickiness
+    FROM dau JOIN wau ON dau.target_day = wau.target_day
+    """,
+    doc="Growth analytics: daily active users and trailing-7-day "
+    "active users per day, joined into the DAU/WAU stickiness ratio. "
+    "The trailing distinct is computed by EXPLODING each (day, user) "
+    "into the 7 target days it contributes to, then one distinct "
+    "aggregation — the shuffle-friendly form of a sliding COUNT "
+    "DISTINCT window (a RANGE-frame distinct would materialize every "
+    "window's user set). Days with events but no trailing window "
+    "anchor only appear as contributors, mirroring the oracle's join.",
+)
+def e14_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day_user = ev.select(
+        F.col("ts").cast("timestamp").cast("date").alias("d"), "user_id"
+    ).distinct()
+    contrib = day_user.select(
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("target_day"),
+        "user_id",
+    )
+    wau = contrib.groupBy("target_day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    dau = day_user.groupBy(F.col("d").alias("target_day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    return (
+        dau.join(wau, "target_day")
+        .select(
+            # string day: DuckDB DATE round-trips as midnight Timestamp
+            # through pandas, so both engines emit 'yyyy-MM-dd' text
+            F.date_format("target_day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            fround(F.col("dau").cast("double") / F.col("wau"), 4).alias("stickiness"),
+        )
+    )
