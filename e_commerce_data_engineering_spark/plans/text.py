@@ -769,3 +769,99 @@ def t22_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", fround(F.col("containment"), 4).alias("containment")
     )
+
+
+# ---------------------------------------------------------------------------
+# t23 — bigram LM surprisal (smoothed conditional log-prob scoring)
+# ---------------------------------------------------------------------------
+
+_T23_ALPHA = 0.5  # add-alpha smoothing
+
+
+@query(
+    "t23_bigram_logprob",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    big AS (
+        SELECT doc_id, z[1] AS w1, z[2] AS w2
+        FROM (
+            SELECT doc_id,
+                   unnest(list_zip(toks[1:len(toks) - 1], toks[2:len(toks)])) AS z
+            FROM t WHERE len(toks) >= 2
+        )
+    ),
+    uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM big GROUP BY w1),
+    bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM big GROUP BY w1, w2),
+    v AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS vocab FROM big),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(FLOOR(
+                   -log2((bi.c2 + {_T23_ALPHA}) / (uni.c1 + {_T23_ALPHA} * v.vocab))
+                   * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS q_bits
+        FROM big b
+        JOIN bi ON b.w1 = bi.w1 AND b.w2 = bi.w2
+        JOIN uni ON b.w1 = uni.w1
+        CROSS JOIN v
+        GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           {sql_fround("CAST(q_bits AS DOUBLE) / 1000000.0 / n_bigrams", 4)} AS bits_per_bigram
+    FROM scored
+    """,
+    doc="Bigram-LM surprisal scoring: average -log2 p(w2 | w1) per "
+    "document under the corpus's own add-alpha-smoothed bigram model — "
+    "the next step up from t21's unigram filter (catches shuffled-"
+    "token gibberish that unigram statistics cannot). Conditional "
+    "probabilities join the bigram and context counts; per-occurrence "
+    "surprisals are quantized to 1e-6 BIGINTs before the per-doc sum "
+    "so float addition order cannot flip the cross-engine hash. Two "
+    "count shuffles + one scoring join, all broadcast-eligible when "
+    "the LM fits.",
+)
+def t23_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    big = (
+        d.select("doc_id", toks.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("_t", 1, F.size("_t") - 1),
+                    F.slice("_t", 2, F.size("_t") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("_bg"),
+        )
+        .select("doc_id", F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    )
+    uni = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bi = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    vocab = big.agg(F.countDistinct("w2").alias("vocab"))
+    surprisal_q = F.floor(
+        -F.log2(
+            (F.col("c2") + F.lit(_T23_ALPHA))
+            / (F.col("c1") + F.lit(_T23_ALPHA) * F.col("vocab"))
+        )
+        * 1_000_000.0
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        big.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(surprisal_q).alias("_qb"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            fround(F.col("_qb").cast("double") / 1_000_000.0 / F.col("n_bigrams"), 4).alias(
+                "bits_per_bigram"
+            ),
+        )
+    )
