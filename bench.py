@@ -39,8 +39,10 @@ HEADLINE = [
     "q17_window_running",
     "e02_tumbling_window",
     "e03_sessionize",
+    "e14_rolling_active_users",
     "r06_discount_pattern",
     "t01_token_stats",
+    "t23_bigram_logprob",
     "t05_ngram_jaccard_pairs",
     "t17_top_bigrams",
     "t09_similarity_join",
