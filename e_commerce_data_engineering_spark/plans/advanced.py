@@ -308,3 +308,65 @@ def a02_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_millis(F.col("ts").cast("timestamp"))
         ).alias("ms_to_error"),
     )
+
+
+@query(
+    "a03_point_in_time_join",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts AS valid_from, event_id
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    intervals AS (
+        SELECT user_id, event_type AS state, valid_from,
+               LEAD(valid_from) OVER w2 AS valid_to,
+               CAST(ROW_NUMBER() OVER w2 AS INTEGER) AS version
+        FROM changes
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    )
+    SELECT p.event_id, p.user_id, i.state, i.version
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    JOIN intervals i
+      ON p.user_id = i.user_id
+     AND i.valid_from <= p.ts
+     AND (i.valid_to IS NULL OR p.ts < i.valid_to)
+    """,
+    doc="Point-in-time (SCD2) join: each purchase event attached to the "
+    "user-state interval valid AT ITS TIMESTAMP — the as-of lookup "
+    "every warehouse needs against a versioned dimension. The interval "
+    "table is e11's SCD2 build reused verbatim; the join is an equi-"
+    "join on the entity key with the [valid_from, valid_to) containment "
+    "as a post-filter, so per-task work is bounded by one entity's "
+    "version count (zero-length intervals from same-timestamp state "
+    "flips match nothing on either engine, keeping the result exactly "
+    "one state per fact).",
+)
+def a03_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.extended import e11_user_state_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    iv = e11_user_state_intervals(spark, sf_dir).select(
+        F.col("user_id").alias("i_user"),
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+        "version",
+    )
+    return (
+        purchases.join(iv, purchases["user_id"] == iv["i_user"])
+        .filter(
+            (F.col("valid_from") <= F.col("ts"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+        )
+        .select("event_id", "user_id", "state", "version")
+    )
