@@ -166,3 +166,33 @@ def test_semdedup_pairs_are_equi_join(spark):
     # id — never a cartesian/nested-loop pair blowup
     plan = plan_of(spark, "d06_semdedup")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q59_pushes_all_scan_filters(spark):
+    # TPC-H Q6 is THE pushdown test: date, discount band, and quantity
+    # bounds must all reach the parquet reader
+    plan = plan_of(spark, "q59_forecast_change")
+    assert "PushedFilters" in plan, plan
+    for frag in (
+        "GreaterThanOrEqual(l_discount,0.05",
+        "LessThanOrEqual(l_discount,0.07",
+        "LessThan(l_quantity,24",
+        "GreaterThanOrEqual(l_shipdate,",
+    ):
+        assert frag in plan, (frag, plan)
+
+
+def test_a03_point_in_time_join_is_equi(spark):
+    # the SCD2 containment must ride the user-key equi-join as a post-
+    # filter — never a nested-loop over intervals
+    plan = plan_of(spark, "a03_point_in_time_join")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_e14_rolling_distinct_avoids_window(spark):
+    # the trailing-7-day distinct uses the exploded-contribution form:
+    # no Window operator (a RANGE-frame distinct would materialize every
+    # window's user set), just explode + aggregate
+    plan = plan_of(spark, "e14_rolling_active_users")
+    assert "Window" not in plan, plan
+    assert "Generate explode" in plan or "Expand" in plan or "explode" in plan.lower(), plan
