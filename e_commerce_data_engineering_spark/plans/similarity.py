@@ -265,3 +265,46 @@ def s07_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"), F.min("vec_id").alias("min_vec_id"))
         .orderBy("cluster")
     )
+
+
+@query(
+    "d07_semdedup_recall",
+    oracle=None,  # depends on the (non-SQL) IVF cell assignment
+    doc="Measures the SemDeDup trade inline: of all TRUE near-dup pairs "
+    "(exact block-pair join at the d04 threshold), what fraction falls "
+    "inside one IVF cell — i.e. the recall ceiling d06's within-cell "
+    "dedup can reach. The paper's bet is that near-dups co-locate; "
+    "this query turns that bet into a monitorable number (one row: "
+    "global pairs, within-cell pairs, recall).",
+)
+def d07_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import fan_out
+    from ..operators.similarity import block_pair_join, cached_ivf_index
+
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    nrm = e.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("_n")).persist()
+    unit = nrm.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / F.col("_n")).alias("u"),
+    ).persist()
+    pairs = (
+        block_pair_join(unit, "vec_id", payload_cols=("u",))
+        .filter(dot_d(F.col("u_a"), F.col("u_b")) >= NEARDUP_COS)
+        .select("id_a", "id_b")
+    )
+    assigned, _ = cached_ivf_index(e, 16, "vec_id", "embedding", 42, cache_key="d06")
+    cells = assigned.select("vec_id", "_cell")
+    labeled = pairs.join(
+        cells.select(F.col("vec_id").alias("id_a"), F.col("_cell").alias("_ca")), "id_a"
+    ).join(cells.select(F.col("vec_id").alias("id_b"), F.col("_cell").alias("_cb")), "id_b")
+    return labeled.agg(
+        F.count(F.lit(1)).alias("n_global_pairs"),
+        F.sum(F.when(F.col("_ca") == F.col("_cb"), 1).otherwise(0)).alias(
+            "n_within_cell_pairs"
+        ),
+        fround(
+            F.sum(F.when(F.col("_ca") == F.col("_cb"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("recall_ceiling"),
+    )
