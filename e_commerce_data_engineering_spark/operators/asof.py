@@ -41,8 +41,9 @@ def asof_join(
     ``how``: 'inner' drops left rows with no match; 'left' keeps them
     with null payload. ``tolerance_seconds`` voids matches farther than
     the bound (timestamps compare as epoch seconds, numerics as-is).
-    Ties on ``right_time`` within a key break deterministically by
-    payload order.
+    Ties on ``right_time`` within a key break deterministically by the
+    JSON text of the payload (orderable for ANY payload type, including
+    maps, unlike ordering by the struct itself).
     """
     assert direction in ("backward", "forward"), direction
     payload = F.struct(
@@ -51,21 +52,28 @@ def asof_join(
     # side ordering puts right rows at equal time INSIDE the left row's
     # window span: before it for backward, after it for forward
     r_side, l_side = (0, 1) if direction == "backward" else (1, 0)
+    # The whole left row rides through the union as one struct, so the
+    # match comes back without a rowid join — no second shuffle, and no
+    # monotonically_increasing_id to misalign under plan recomputation.
+    lrow = F.struct(*[F.col(c) for c in left.columns])
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(r_side).alias("_side"),
         payload.alias("_payload"),
-    ).withColumn("_rowid", F.lit(None).cast("long"))
-    l_full = left.withColumn("_rowid", F.monotonically_increasing_id())
-    l = l_full.select(
+        F.to_json(payload).alias("_tb"),
+    )
+    lrow_type = left.select(lrow.alias("_lrow")).schema["_lrow"].dataType
+    r = r.withColumn("_lrow", F.lit(None).cast(lrow_type))
+    l = left.select(
         F.col(on).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(l_side).alias("_side"),
         F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
-        "_rowid",
+        F.lit(None).cast("string").alias("_tb"),
+        lrow.alias("_lrow"),
     )
-    base_w = W.partitionBy("_k").orderBy("_t", "_side", "_payload", "_rowid")
+    base_w = W.partitionBy("_k").orderBy("_t", "_side", "_tb")
     if direction == "backward":
         w = base_w.rowsBetween(W.unboundedPreceding, W.currentRow)
         pick = F.last("_payload", ignorenulls=True)
@@ -76,7 +84,7 @@ def asof_join(
         r.unionByName(l)
         .withColumn("_match", pick.over(w))
         .filter(F.col("_side") == l_side)
-        .select("_rowid", "_t", "_match")
+        .select("_t", "_lrow", "_match")
     )
     if tolerance_seconds is not None:
         gap = F.abs(
@@ -85,10 +93,9 @@ def asof_join(
         merged = merged.withColumn(
             "_match", F.when(gap <= F.lit(float(tolerance_seconds)), F.col("_match"))
         )
-    merged = merged.select("_rowid", "_match")
-    out = l_full.join(merged, "_rowid", "inner").drop("_rowid")
     if how == "inner":
-        out = out.filter(F.col("_match").isNotNull())
+        merged = merged.filter(F.col("_match").isNotNull())
+    out = merged.select("_lrow.*", "_match")
     for c in payload_cols:
         out = out.withColumn(c, F.col("_match")[c])
     return out.withColumn("_asof_time", F.col("_match._asof_time")).drop("_match")

@@ -220,16 +220,25 @@ def zorder_write(
 
 
 def missing_partitions(
-    spark: SparkSession, source_dir: str, target_dir: str, depth: int = 3
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    depth: int = 3,
+    require_success: bool = False,
 ) -> list[str]:
     """Hive-partition directories (relative paths like
     ``year=2026/month=01/day=05``) present under ``source_dir`` but
     absent under ``target_dir`` — the work-list of an incremental
-    backfill. Pure filesystem metadata: no data is read."""
+    backfill. Pure filesystem metadata: no data is read.
+
+    With ``require_success`` a target partition only counts as present
+    if it contains a ``_SUCCESS`` marker: a job that died mid-write
+    leaves the directory (Spark creates it with ``_temporary`` files
+    before commit) but no marker, and must be redone, not skipped."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
 
-    def leaf_dirs(root: str) -> set[str]:
+    def leaf_dirs(root: str, check_success: bool) -> set[str]:
         root_path = jvm.org.apache.hadoop.fs.Path(root)
         fs = root_path.getFileSystem(conf)
         if not fs.exists(root_path):
@@ -238,7 +247,10 @@ def missing_partitions(
 
         def walk(path, rel: str, level: int):
             if level == depth:
-                found.add(rel)
+                if not check_success or fs.exists(
+                    jvm.org.apache.hadoop.fs.Path(path, "_SUCCESS")
+                ):
+                    found.add(rel)
                 return
             for st in fs.listStatus(path):
                 if st.isDirectory() and "=" in st.getPath().getName():
@@ -248,7 +260,9 @@ def missing_partitions(
         walk(root_path, "", 0)
         return found
 
-    return sorted(leaf_dirs(source_dir) - leaf_dirs(target_dir))
+    return sorted(
+        leaf_dirs(source_dir, False) - leaf_dirs(target_dir, require_success)
+    )
 
 
 def backfill_partitions(
@@ -265,9 +279,14 @@ def backfill_partitions(
     processed partitions are never re-read or re-written, so a daily
     pipeline that died mid-backfill resumes exactly where it stopped —
     and each partition's write is independent, so the work-list can be
-    sharded across jobs at 100 TB. Returns the partitions processed.
+    sharded across jobs at 100 TB. A partition counts as done only when
+    its ``_SUCCESS`` marker exists, so a crash mid-write (directory
+    present, commit absent) is repaired on resume. Returns the
+    partitions processed.
     """
-    todo = missing_partitions(spark, source_dir, target_dir, depth)
+    todo = missing_partitions(
+        spark, source_dir, target_dir, depth, require_success=True
+    )
     for rel in todo:
         df = spark.read.format(file_format).load(f"{source_dir}/{rel}")
         out = transform(df)

@@ -60,6 +60,8 @@ def _summary(name: str, violations: DataFrame) -> DataFrame:
 def run_checks(checks: dict[str, DataFrame]) -> DataFrame:
     """{check_name: violations frame} → one summary row per check:
     (check_name, n_violations, passed)."""
+    if not checks:
+        raise ValueError("run_checks requires at least one check")
     out = None
     for name, v in checks.items():
         s = _summary(name, v)

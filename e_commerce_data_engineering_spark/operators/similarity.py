@@ -303,12 +303,27 @@ def cached_ivf_index(
     vec_col: str,
     seed: int,
     cache_key: str,
+    rebuild: bool = False,
 ) -> tuple[DataFrame, list[list[float]]]:
     key = (vectors.sparkSession.sparkContext.applicationId, cache_key, nlist, seed)
+    if rebuild and key in _IVF_CACHE:
+        _IVF_CACHE.pop(key)[0].unpersist()
     if key not in _IVF_CACHE:
         assigned, centroids = ivf_index(vectors, nlist, id_col, vec_col, seed)
         _IVF_CACHE[key] = (assigned.persist(), centroids)
     return _IVF_CACHE[key]
+
+
+def clear_ivf_cache(cache_key: str | None = None) -> int:
+    """Evict cached IVF indexes (all, or just ``cache_key``'s entries),
+    unpersisting their frames — keeps long sessions' executor storage
+    bounded when many keys accumulate. Returns the number evicted."""
+    evict = [
+        k for k in _IVF_CACHE if cache_key is None or k[1] == cache_key
+    ]
+    for k in evict:
+        _IVF_CACHE.pop(k)[0].unpersist()
+    return len(evict)
 
 
 def write_ivf_index(

@@ -103,11 +103,14 @@ def start_dedup_stream(
         banded.count()
 
         # 1) duplicates of the ACCEPTED corpus: bucket-collide with the
-        # store, verify by signature estimate (id != self for replays)
-        try:
-            store = s.read.parquet(state_dir)
-        except Exception:  # first batch: no state yet
-            store = None
+        # store, verify by signature estimate (id != self for replays).
+        # The "no state yet" case is an explicit path-existence check —
+        # any OTHER read failure (corrupt files, storage errors) must
+        # fail the micro-batch so checkpoint recovery retries it, rather
+        # than silently admitting near-dups with no membership check.
+        jvm_path = s._jvm.org.apache.hadoop.fs.Path(state_dir)
+        fs = jvm_path.getFileSystem(s._jsc.hadoopConfiguration())
+        store = s.read.parquet(state_dir) if fs.exists(jvm_path) else None
         if store is not None:
             hits = (
                 banded.join(

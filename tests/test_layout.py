@@ -181,3 +181,33 @@ def test_backfill_processes_only_missing_partitions(spark, tmp_path):
     # the tampered partition survived untouched -> 1 + 10 + 10 rows
     assert spark.read.parquet(tgt).count() == 21
     assert spark.read.parquet(f"{tgt}/year=2026/month=01/day=01").count() == 1
+
+
+def test_backfill_repairs_partition_missing_success_marker(spark, tmp_path):
+    """A run that dies mid-write leaves the target partition directory
+    present but uncommitted (no _SUCCESS): resume must redo it, not
+    treat it as done (round-3 advice)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_engineering_spark.operators.layout import backfill_partitions
+
+    src = str(tmp_path / "raw")
+    tgt = str(tmp_path / "processed")
+    base = spark.range(5).select(F.col("id"), (F.col("id") * 2.0).alias("v"))
+    base.write.mode("overwrite").parquet(f"{src}/year=2026/month=02/day=01")
+
+    def transform(df):
+        return df.withColumn("v2", F.col("v") + 1)
+
+    # simulate a crash: partition dir exists with partial data, no _SUCCESS
+    part = f"{tgt}/year=2026/month=02/day=01"
+    base.limit(1).write.mode("overwrite").parquet(part)
+    os.remove(os.path.join(part, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(part, "_SUCCESS"))
+
+    done = backfill_partitions(spark, src, tgt, transform)
+    assert done == ["year=2026/month=02/day=01"]
+    assert spark.read.parquet(part).count() == 5
+    assert os.path.exists(os.path.join(part, "_SUCCESS"))

@@ -692,3 +692,81 @@ def test_containment_join_finds_embedded_doc(spark):
     )
     # (1,4) too: |{alpha,beta}| / |doc1| = 2/3 >= 0.6
     assert got2 == {(1, 2), (1, 4), (4, 2), (4, 1)}
+
+
+def test_asof_join_with_map_payload_column(spark):
+    """Payload columns with non-orderable types (MapType) must work:
+    the tie-break orders by the payload's JSON text, never by the
+    struct itself (round-3 advice)."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame([(1, 10), (1, 25)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 5, {"a": 1}), (1, 20, {"b": 2})], "k int, t2 int, props map<string,int>"
+    )
+    out = {
+        r["t"]: r["props"]
+        for r in asof_join_backward(
+            left, right, "k", "t", "t2", payload_cols=["props"]
+        ).collect()
+    }
+    assert out == {10: {"a": 1}, 25: {"b": 2}}
+
+
+def test_asof_tie_break_is_deterministic(spark):
+    """Two right rows at the SAME time: backward picks the one ordered
+    last by payload JSON text, consistently across runs."""
+    left = spark.createDataFrame([(1, 10)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 10, "alpha"), (1, 10, "beta")], "k int, t2 int, payload string"
+    )
+    picks = {
+        asof_join_backward(
+            left, right, "k", "t", "t2", payload_cols=["payload"]
+        ).collect()[0]["payload"]
+        for _ in range(3)
+    }
+    assert picks == {"beta"}
+
+
+def test_run_checks_empty_dict_raises(spark):
+    import pytest as _pytest
+
+    from e_commerce_data_engineering_spark.operators.quality import run_checks
+
+    with _pytest.raises(ValueError):
+        run_checks({})
+
+
+def test_ivf_cache_eviction_unpersists(spark):
+    """clear_ivf_cache / rebuild must unpersist the replaced frame so
+    long sessions don't accumulate executor storage (round-3 verdict)."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_engineering_spark.operators.similarity import (
+        _IVF_CACHE,
+        cached_ivf_index,
+        clear_ivf_cache,
+    )
+
+    vecs = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"), (F.col("id") % 3).cast("double")
+        ).alias("embedding"),
+    )
+    a1, _ = cached_ivf_index(vecs, 4, "vec_id", "embedding", 1, cache_key="evict-test")
+    a1.count()
+    assert a1.storageLevel.useMemory
+    # rebuild replaces the entry (old frame unpersisted; storageLevel is
+    # plan-keyed so it cannot distinguish a1 from the identically-planned
+    # a2 — the post-clear check below covers the unpersist)
+    a2, _ = cached_ivf_index(
+        vecs, 4, "vec_id", "embedding", 1, cache_key="evict-test", rebuild=True
+    )
+    assert a2 is not a1
+    n = clear_ivf_cache("evict-test")
+    # cache manager now holds nothing for this plan: both report uncached
+    assert n == 1
+    assert not a1.storageLevel.useMemory and not a2.storageLevel.useMemory
+    assert not any(k[1] == "evict-test" for k in _IVF_CACHE)
