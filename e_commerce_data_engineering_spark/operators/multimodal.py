@@ -13,11 +13,13 @@ Decode tiers (this container has no Pillow/ffmpeg):
   duration). These are genuine decoders over genuine bytes.
 * FAKE: the deterministic synthetic payload for formats that need a
   pixel/AV codec (video) — gated by ``fake=True``.
-* Pixel-level work is REAL for PNG: a full stdlib decoder (zlib
-  inflate + scanline unfilter for all five PNG filter types) feeds a
-  numpy nearest-neighbor resampler and the PNG re-encoder
-  (``png_decode`` / ``resize_nearest`` / ``png_bytes``). JPEG pixel
-  decode still needs libjpeg — those rows pass through unchanged.
+* Pixel-level work is REAL for both image formats: PNG via a full
+  stdlib decoder (zlib inflate + scanline unfilter for all five PNG
+  filter types), JPEG via the baseline codec in ``operators/jpeg.py``
+  (Huffman entropy decode + IDCT + chroma upsampling; encoder with the
+  Annex K tables). Both feed the numpy nearest-neighbor resampler and
+  the matching re-encoder. Non-baseline JPEG (progressive/arithmetic)
+  raises ``ValueError`` — loudly, never a silent passthrough.
 """
 
 from __future__ import annotations
@@ -49,6 +51,10 @@ try:  # the serializer pyspark actually uses for UDFs
 except ImportError:  # pragma: no cover - fallback for standalone use
     import cloudpickle as _cp
 _cp.register_pickle_by_value(_sys_mod[__name__])
+from . import jpeg as _jpeg_mod  # noqa: E402  (after the pickle hook)
+from .jpeg import jpeg_bytes, jpeg_decode, jpeg_encode  # noqa: E402
+
+_cp.register_pickle_by_value(_jpeg_mod)
 
 ASSET_SCHEMA = T.StructType(
     [
@@ -282,14 +288,20 @@ def make_fake_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 
 
 def make_real_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Mixed-modality assets with GENUINE container bytes where stdlib
-    can encode them: images are valid PNGs, audio is valid 16-bit PCM
-    WAV; video keeps the synthetic FAKE payload (no stdlib video
-    codec). Deterministic per (n, seed)."""
+    """Mixed-modality assets with GENUINE container bytes: images
+    alternate valid PNGs and valid baseline JPEGs (operators/jpeg.py),
+    audio is valid 16-bit PCM WAV; video keeps the synthetic FAKE
+    payload (no stdlib video codec). JPEGs are sized past the usual
+    resize bounds so the resize pipeline genuinely rescales them.
+    Deterministic per (n, seed)."""
     rows = []
     for i in range(n):
         modality = ("image", "audio", "video")[i % 3]
-        if modality == "image":
+        if modality == "image" and (i // 3) % 2 == 1:
+            w, h = 48 + (i * 11) % 80, 40 + (i * 7) % 72
+            payload = jpeg_bytes(w, h, seed + i)
+            meta = ("jpeg", w, h, None, None)
+        elif modality == "image":
             w, h = 4 + i % 13, 3 + i % 9
             payload = png_bytes(w, h, seed + i)
             meta = ("png", w, h, None, None)
@@ -447,12 +459,14 @@ RESIZED_SCHEMA = T.StructType(
 def resize_image(assets: DataFrame, max_side: int = 256, fake: bool = False) -> DataFrame:
     """Image resize via mapInPandas: bytes in → resized bytes out,
     aspect ratio preserved, only rows exceeding ``max_side``
-    rewritten. The real path is a GENUINE pixel pipeline for PNG:
-    stdlib decode (``png_decode``, all five scanline filters) →
-    numpy nearest-neighbor resample → PNG re-encode. JPEG pixel decode
-    needs libjpeg (absent here) so JPEG rows pass through unchanged
-    with their original dimensions; ``fake=True`` keeps the synthetic-
-    payload header-rewrite path for plumbing tests.
+    rewritten. The real path is a GENUINE pixel pipeline for both
+    formats: PNG via stdlib decode (``png_decode``, all five scanline
+    filters) → numpy nearest-neighbor resample → PNG re-encode; JPEG
+    via the baseline codec (``operators/jpeg.py`` Huffman+IDCT decode,
+    Annex-K re-encode). An oversized JPEG that can't be decoded
+    (progressive/arithmetic stream) raises rather than passing through
+    silently. ``fake=True`` keeps the synthetic-payload header-rewrite
+    path for plumbing tests.
     """
 
     def _new_dims(w: int, h: int) -> tuple[int, int]:
@@ -474,6 +488,10 @@ def resize_image(assets: DataFrame, max_side: int = 256, fake: bool = False) -> 
                 if fmt == "png" and max(w, h) > max_side:
                     nw, nh = _new_dims(w, h)
                     b = png_encode(resize_nearest(png_decode(b), nw, nh))
+                    out.append((asset_id, nw, nh, b))
+                elif fmt == "jpeg" and max(w, h) > max_side:
+                    nw, nh = _new_dims(w, h)
+                    b = jpeg_encode(resize_nearest(jpeg_decode(b), nw, nh))
                     out.append((asset_id, nw, nh, b))
                 else:
                     out.append((asset_id, w, h, b))

@@ -185,11 +185,11 @@ def s05_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "m01_multimodal_decode",
     oracle=None,  # synthetic binary assets, not a driver table
     doc="Multimodal decode over GENUINE container bytes: images are "
-    "valid PNGs and audio valid PCM WAVs (stdlib-encoded), decoded for "
-    "real by stdlib header parsers inside Arrow mapInPandas batches "
-    "(PNG IHDR / JPEG SOF / RIFF-WAVE — operators/multimodal.py); "
-    "video keeps the synthetic payload (pixel/AV codecs absent in this "
-    "container). Rollup by modality × decoded format.",
+    "valid PNGs and baseline JPEGs (operators/jpeg.py encoder), audio "
+    "valid PCM WAVs — decoded for real by stdlib header parsers inside "
+    "Arrow mapInPandas batches (PNG IHDR / JPEG SOF / RIFF-WAVE — "
+    "operators/multimodal.py); video keeps the synthetic payload (no "
+    "stdlib AV codec). Rollup by modality × decoded format.",
 )
 def m01_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import make_real_assets
@@ -232,13 +232,13 @@ def m02_audio_signal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "m03_image_resize_pipeline",
     oracle=None,  # synthetic binary assets, not a driver table
-    doc="REAL pixel pipeline over PNG bytes: stdlib decode (zlib "
-    "inflate + all five scanline filters), numpy nearest-neighbor "
-    "resample to max side 64, PNG re-encode — all inside Arrow "
-    "mapInPandas batches; JPEG rows pass through (libjpeg absent). "
-    "Output verifies by re-decoding the resized bytes: every rewritten "
-    "image fits the bound and byte counts shrink "
-    "(operators/multimodal.resize_image).",
+    doc="REAL pixel pipeline over PNG and JPEG bytes: PNG via stdlib "
+    "decode (zlib inflate + all five scanline filters), JPEG via the "
+    "baseline codec (operators/jpeg.py: Huffman entropy decode, IDCT, "
+    "chroma upsampling; Annex-K re-encode) — numpy nearest-neighbor "
+    "resample to max side 64 inside Arrow mapInPandas batches. Output "
+    "verifies by re-decoding the resized bytes: every rewritten image "
+    "fits the bound (operators/multimodal.resize_image).",
 )
 def m03_image_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import decode_asset, make_real_assets, resize_image

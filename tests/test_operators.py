@@ -222,7 +222,9 @@ def test_multimodal_decode_real_formats(spark):
     for r in rows:
         m = metas[r["asset_id"]]
         if r["modality"] == "image":
-            assert r["format"] == "png" and (r["width"], r["height"]) == (m["width"], m["height"])
+            # PNG via IHDR, JPEG via SOF scan — both recover exact dims
+            assert r["format"] == m["format"] in ("png", "jpeg")
+            assert (r["width"], r["height"]) == (m["width"], m["height"])
         elif r["modality"] == "audio":
             assert r["format"] == "wav" and r["sample_rate"] == m["sample_rate"]
             assert abs(r["duration_ms"] - m["duration_ms"]) <= 1
@@ -351,10 +353,12 @@ def test_png_decode_roundtrip_and_all_filter_types():
 
 
 def test_multimodal_resize_real_png_pixels(spark):
-    """The real resize path decodes genuine PNGs, resamples pixels
-    nearest-neighbor, and re-encodes valid PNGs within max_side."""
+    """The real resize path decodes genuine PNGs/JPEGs, resamples
+    pixels nearest-neighbor, and re-encodes within max_side: PNG
+    bit-exactly, JPEG within the codec's quantization error."""
     import numpy as np
 
+    from e_commerce_data_engineering_spark.operators.jpeg import jpeg_decode
     from e_commerce_data_engineering_spark.operators.multimodal import (
         make_real_assets,
         parse_asset_bytes,
@@ -370,13 +374,24 @@ def test_multimodal_resize_real_png_pixels(spark):
     }
     resized = resize_image(assets, max_side=24).collect()
     assert len(resized) == len(originals) > 0
+    seen_fmts = set()
     for r in resized:
         fmt, w, h, _, _ = parse_asset_bytes(bytes(r["content"]))
-        assert fmt == "png" and (w, h) == (r["width"], r["height"])
-        assert max(w, h) <= 24
-        src = png_decode(originals[r["asset_id"]])
-        expect = resize_nearest(src, w, h) if src.shape[:2] != (h, w) else src
-        assert (png_decode(bytes(r["content"])) == np.asarray(expect)).all()
+        seen_fmts.add(fmt)
+        assert (w, h) == (r["width"], r["height"]) and max(w, h) <= 24
+        if fmt == "png":
+            src = png_decode(originals[r["asset_id"]])
+            expect = resize_nearest(src, w, h) if src.shape[:2] != (h, w) else src
+            assert (png_decode(bytes(r["content"])) == np.asarray(expect)).all()
+        else:
+            assert fmt == "jpeg"
+            src = jpeg_decode(originals[r["asset_id"]])
+            assert src.shape[:2] != (h, w)  # every generated JPEG is oversized
+            expect = resize_nearest(src, w, h).astype(np.int64)
+            got = jpeg_decode(bytes(r["content"])).astype(np.int64)
+            # re-encode is lossy: bounded mean error, not bit equality
+            assert np.abs(got - expect).mean() < 12.0
+    assert seen_fmts == {"png", "jpeg"}
 
 
 def test_connected_components_dedup_transitive(spark):
@@ -770,3 +785,55 @@ def test_ivf_cache_eviction_unpersists(spark):
     assert n == 1
     assert not a1.storageLevel.useMemory and not a2.storageLevel.useMemory
     assert not any(k[1] == "evict-test" for k in _IVF_CACHE)
+
+
+def test_jpeg_roundtrip_error_bound():
+    """Baseline JPEG codec (operators/jpeg.py, no Spark): encode→decode
+    round-trip on smooth images stays within quantization error, exact
+    dimensions recovered, odd (non-multiple-of-8) sizes included."""
+    import numpy as np
+
+    from e_commerce_data_engineering_spark.operators.jpeg import (
+        jpeg_bytes,
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    for w, h in [(56, 40), (37, 23), (8, 8), (9, 7), (1, 1)]:
+        ys, xs = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [
+                (128 + 80 * np.sin(xs / 11.0)).astype(np.uint8),
+                (128 + 80 * np.cos(ys / 13.0)).astype(np.uint8),
+                (128 + 60 * np.sin((xs + ys) / 17.0)).astype(np.uint8),
+            ],
+            axis=-1,
+        )
+        dec = jpeg_decode(jpeg_encode(img, quality=95))
+        assert dec.shape == (h, w, 3)
+        assert np.abs(dec.astype(int) - img.astype(int)).mean() < 4.0, (w, h)
+    # deterministic synthetic generator
+    assert jpeg_bytes(37, 23, seed=7) == jpeg_bytes(37, 23, seed=7)
+
+
+def test_jpeg_rejects_progressive_loudly():
+    """Non-baseline streams (SOF2 progressive) raise ValueError — the
+    codec never silently passes bytes through (round-3 verdict)."""
+    import struct as _s
+
+    import pytest as _pytest
+
+    from e_commerce_data_engineering_spark.operators.jpeg import jpeg_decode
+
+    sof2 = (
+        b"\xff\xd8"
+        + b"\xff\xc2"
+        + _s.pack(">H", 11)
+        + b"\x08"
+        + _s.pack(">HH", 16, 16)
+        + b"\x01\x11\x00"
+    )
+    with _pytest.raises(ValueError, match="baseline"):
+        jpeg_decode(sof2)
+    with _pytest.raises(ValueError):
+        jpeg_decode(b"\x00\x01not a jpeg")
