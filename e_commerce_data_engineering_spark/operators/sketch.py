@@ -61,6 +61,85 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     return out.groupBy("depth", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
+# ---------------------------------------------------------------------------
+# Portable-hash variant: the SAME sketch computable by any engine
+# ---------------------------------------------------------------------------
+#
+# xxhash64 pins the default sketch to Spark. The portable variant hashes
+# keys with two Horner-fold polynomial hashes over character codes (mod
+# two large primes) combined Kirsch–Mitzenmacher style:
+#   bucket_i = (h1 + i * (1 + h2)) % width
+# Every term is exact int64 arithmetic on code points, so DuckDB (or any
+# SQL engine with string splitting + a list fold) reproduces the grid
+# bit-for-bit — which upgrades the sketch from rows-only checking to a
+# full hash-checked oracle (x05). Pairwise independence is weaker than
+# seeded xxhash64; the eps*N overestimate bound still holds (CMS needs
+# only that each row's hash spread collisions), asserted in tests.
+
+_P1, _P2 = 1_000_000_007, 998_244_353
+
+
+def _portable_hash(key: Column, mult: int, prime: int) -> Column:
+    codes = F.transform(F.split(key, ""), lambda c: F.ascii(c).cast("bigint"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * mult + c) % prime,
+    )
+
+
+def _portable_bucket(key: Column, depth_idx: Column, width: int) -> Column:
+    h1 = _portable_hash(key, 31, _P1)
+    h2 = _portable_hash(key, 131, _P2)
+    return (h1 + depth_idx * (F.lit(1) + h2)) % F.lit(width)
+
+
+def sql_portable_bucket(key_sql: str, depth_sql: str, width: int) -> str:
+    """DuckDB twin of ``_portable_bucket`` (identical integer math)."""
+
+    def fold(mult: int, prime: int) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(string_split({key_sql}, ''), "
+            f"c -> CAST(ascii(c) AS BIGINT))), "
+            f"(a, c) -> (a * {mult} + c) % {prime})"
+        )
+
+    return f"(({fold(31, _P1)} + ({depth_sql}) * (1 + {fold(131, _P2)})) % {width})"
+
+
+def cms_build_portable(
+    df: DataFrame, key_col: str, depth: int, width: int
+) -> DataFrame:
+    """``cms_build`` on the portable hash family; (depth, width) given
+    directly so the oracle can embed the same constants."""
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    return (
+        df.select(F.col(key_col).alias("_k"), F.explode(rows).alias("depth"))
+        .select("depth", _portable_bucket(F.col("_k"), F.col("depth"), width).alias("bucket"))
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate_portable(
+    sketch: DataFrame, keys: DataFrame, key_col: str, depth: int, width: int
+) -> DataFrame:
+    """``cms_estimate`` on the portable hash family."""
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    probes = keys.select(F.col(key_col), F.explode(rows).alias("depth")).select(
+        key_col,
+        "depth",
+        _portable_bucket(F.col(key_col), F.col("depth"), width).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["depth", "bucket"], "left")
+        .select(key_col, "depth", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est"))
+    )
+
+
 def cms_estimate(
     sketch: DataFrame,
     keys: DataFrame,

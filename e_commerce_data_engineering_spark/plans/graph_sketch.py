@@ -3,12 +3,17 @@
 Both families share the scale discipline of the rest of the engine:
 iterative algorithms keep driver state bounded to scalars (PageRank —
 operators/graph.py), and sketches keep shuffle state bounded to a fixed
-grid regardless of input size (count-min — operators/sketch.py). Neither
-is ANSI-SQL-expressible (iteration / Spark-specific xxhash64), so the
-driver records the rows-only check; the real correctness gates are the
-differential tests: PageRank vs a dense numpy power iteration
-(tests/test_graph_sketch.py) and CMS estimates vs exact counts with the
-eps*N guarantee asserted.
+grid regardless of input size (count-min — operators/sketch.py).
+
+The production variants (g01, x04) are not ANSI-SQL-expressible
+(unbounded iteration / Spark-specific xxhash64) and carry rows-only
+driver checks plus differential tests: PageRank vs a dense numpy power
+iteration (tests/test_graph_sketch.py) and CMS estimates vs exact
+counts with the eps*N guarantee asserted. Each also has a HASH-CHECKED
+twin that pins the same machinery through the DuckDB oracle: g02
+unrolls two power-iteration steps with 1e-12-quantized contribution
+sums, and x05 builds the identical sketch grid on an engine-portable
+polynomial hash family.
 """
 
 from __future__ import annotations
@@ -16,8 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.sketch import sql_portable_bucket
 from ..sources.tables import load_table
-from .money import fround
+from .money import fround, sql_fround
 from .registry import query
 
 
@@ -63,6 +69,70 @@ TOP_TOKENS = 10
 CMS_EPS = 0.005
 CMS_DELTA = 0.01
 
+# x05 portable-sketch constants (small enough that the oracle recomputes
+# the grid in milliseconds; the bound est >= exact still holds)
+CMS_P_DEPTH, CMS_P_WIDTH = 3, 272
+_SQL_BUCKET_T = sql_portable_bucket("token", "d.d", CMS_P_WIDTH)
+_SQL_BUCKET_E = sql_portable_bucket("e.token", "d.d", CMS_P_WIDTH)
+
+
+@query(
+    "x05_cms_portable",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        FROM documents
+    ),
+    exact AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        FROM toks GROUP BY token
+        ORDER BY exact_cnt DESC, token LIMIT {TOP_TOKENS}
+    ),
+    grid AS (
+        SELECT d.d AS depth, {_SQL_BUCKET_T} AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks, (SELECT unnest(generate_series(0, {CMS_P_DEPTH - 1})) AS d) d
+        GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT token, MIN(COALESCE(cnt, 0)) AS est
+        FROM (
+            SELECT e.token, d.d AS depth, {_SQL_BUCKET_E} AS bucket
+            FROM exact e, (SELECT unnest(generate_series(0, {CMS_P_DEPTH - 1})) AS d) d
+        ) p LEFT JOIN grid USING (depth, bucket)
+        GROUP BY token
+    )
+    SELECT exact.token, exact_cnt, est AS cms_est
+    FROM exact JOIN est USING (token)
+    """,
+    doc="Count-min sketch on an ENGINE-PORTABLE hash family (two "
+    "Horner-fold polynomial hashes over character codes, Kirsch–"
+    "Mitzenmacher combined — exact int64 math any SQL engine "
+    "reproduces), so the whole sketch-build → probe → estimate path is "
+    "hash-checked against DuckDB recomputing the identical grid: the "
+    "oracle-checkable twin of x04 (operators/sketch.cms_build_portable)."
+    " est >= exact always; the eps*N bound is asserted in tests.",
+)
+def x05_cms_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+    from ..operators.sketch import cms_build_portable, cms_estimate_portable
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+    sketch = cms_build_portable(toks, "token", CMS_P_DEPTH, CMS_P_WIDTH)
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("token"))
+        .limit(TOP_TOKENS)
+    )
+    est = cms_estimate_portable(
+        sketch, exact.select("token"), "token", CMS_P_DEPTH, CMS_P_WIDTH
+    )
+    return (
+        exact.join(est, "token")
+        .select("token", "exact_cnt", F.col("est").alias("cms_est"))
+    )
+
 
 @query(
     "x04_cms_heavy_hitters",
@@ -94,4 +164,142 @@ def x04_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.join(est, "token")
         .select("token", "exact_cnt", F.col("est").alias("cms_est"))
         .orderBy(F.col("exact_cnt").desc(), F.col("token"))
+    )
+
+
+_Q12 = "1000000000000.0"  # 1e-12 quantization: contribution sums are
+# exact integer adds, so both engines agree however the sum is ordered
+
+
+@query(
+    "g02_pagerank_two_steps",
+    oracle=f"""
+    WITH e AS (
+        SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    srcs AS (SELECT DISTINCT src FROM e),
+    nodes AS (
+        SELECT t.node, (s.src IS NOT NULL) AS has_out
+        FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) t
+        LEFT JOIN srcs s ON s.src = t.node
+    ),
+    scal AS (
+        SELECT (SELECT COUNT(*) FROM nodes) AS n,
+               (SELECT COUNT(*) FROM nodes WHERE NOT has_out) AS n_dang
+    ),
+    outdeg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    in1 AS (
+        SELECT dst AS node,
+               CAST(SUM(CAST(FLOOR((1.0 / n) / deg * {_Q12} + 0.5) AS BIGINT)) AS BIGINT) AS in1q
+        FROM e JOIN outdeg USING (src) CROSS JOIN scal
+        GROUP BY dst
+    ),
+    r1 AS (
+        SELECT nodes.node, has_out,
+               0.15 / n + 0.85 * (COALESCE(in1q, 0) / {_Q12}
+                                  + (n_dang * (1.0 / n)) / n) AS r1
+        FROM nodes CROSS JOIN scal LEFT JOIN in1 ON in1.node = nodes.node
+    ),
+    d1 AS (
+        SELECT CAST(SUM(CAST(FLOOR(r1 * {_Q12} + 0.5) AS BIGINT)) AS BIGINT) AS d1q
+        FROM r1 WHERE NOT has_out
+    ),
+    in2 AS (
+        SELECT e.dst AS node,
+               CAST(SUM(CAST(FLOOR(r.r1 / deg * {_Q12} + 0.5) AS BIGINT)) AS BIGINT) AS in2q
+        FROM e JOIN outdeg USING (src) JOIN r1 r ON r.node = e.src
+        GROUP BY e.dst
+    )
+    SELECT nodes.node,
+           {sql_fround(f"0.15 / n + 0.85 * (COALESCE(in2q, 0) / {_Q12} + (d1q / {_Q12}) / n)", 12)} AS rank
+    FROM nodes CROSS JOIN scal CROSS JOIN d1
+    LEFT JOIN in2 ON in2.node = nodes.node
+    """,
+    doc="Two statically-unrolled PageRank power-iteration steps over "
+    "the DIRECTED supplier->customer graph (customers are dangling, so "
+    "the dangling-mass redistribution is genuinely exercised): the "
+    "oracle-checkable twin of g01's iterative loop. Per-edge "
+    "contributions are quantized to 1e-12 integers before summing, so "
+    "both engines produce bit-identical ranks regardless of sum order "
+    "— the same money.py discipline. Validates the graph construction, "
+    "out-degree normalization, dangling handling, and damping update "
+    "that g01's loop then iterates to convergence.",
+)
+def g02_pagerank_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    Q = 1e12
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    srcs = e.select("src").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(srcs.select(F.col("src").alias("node"), F.lit(True).alias("_o")), "node", "left")
+        .select("node", F.coalesce(F.col("_o"), F.lit(False)).alias("has_out"))
+        .persist()
+    )
+    scal = nodes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(~F.col("has_out"), 1).otherwise(0)).alias("n_dang"),
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    qf = lambda c: F.floor(c * F.lit(Q) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    in1 = (
+        e.join(outdeg, "src")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("dst")
+        .agg(F.sum(qf((F.lit(1.0) / F.col("n")) / F.col("deg"))).alias("in1q"))
+        .select(F.col("dst").alias("node"), "in1q")
+    )
+    r1 = (
+        nodes.crossJoin(F.broadcast(scal))
+        .join(in1, "node", "left")
+        .select(
+            "node",
+            "has_out",
+            (
+                F.lit(0.15) / F.col("n")
+                + F.lit(0.85)
+                * (
+                    F.coalesce(F.col("in1q"), F.lit(0)) / F.lit(Q)
+                    + (F.col("n_dang") * (F.lit(1.0) / F.col("n"))) / F.col("n")
+                )
+            ).alias("r1"),
+        )
+        .persist()
+    )
+    d1 = r1.filter(~F.col("has_out")).agg(F.sum(qf(F.col("r1"))).alias("d1q"))
+    in2 = (
+        e.join(outdeg, "src")
+        .join(r1.select(F.col("node").alias("src"), "r1"), "src")
+        .groupBy("dst")
+        .agg(F.sum(qf(F.col("r1") / F.col("deg"))).alias("in2q"))
+        .select(F.col("dst").alias("node"), "in2q")
+    )
+    return (
+        nodes.crossJoin(F.broadcast(scal))
+        .crossJoin(F.broadcast(d1))
+        .join(in2, "node", "left")
+        .select(
+            "node",
+            fround(
+                F.lit(0.15) / F.col("n")
+                + F.lit(0.85)
+                * (
+                    F.coalesce(F.col("in2q"), F.lit(0)) / F.lit(Q)
+                    + (F.col("d1q") / F.lit(Q)) / F.col("n")
+                ),
+                12,
+            ).alias("rank"),
+        )
     )

@@ -97,6 +97,11 @@ _PRIORITY: tuple[str, ...] = (
     "x02_approx_quantiles",
     "x03_hll_sketch_rollup",
     "x04_cms_heavy_hitters",
+    # round-4 oracle-checked twins of formerly rows-only machinery
+    "x05_cms_portable",
+    "g02_pagerank_two_steps",
+    "s08_bucket_lsh_topk",
+    "d08_bucketed_neardup_pairs",
 )
 
 _PRIORITY_RANK = {name: i for i, name in enumerate(_PRIORITY)}

@@ -308,3 +308,158 @@ def d07_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("recall_ceiling"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable hyperplane-LSH twins (s08 / d08): the bucket machinery of the
+# rows-only ANN/SemDeDup paths, oracle-checked. The planes are seeded
+# constants baked into BOTH sides — Spark as plan literals, DuckDB as
+# CAST([...] AS DOUBLE[]) literals — and every dot product left-folds in
+# the same order, so bucket ids and cosines are bit-identical.
+# ---------------------------------------------------------------------------
+
+N_PLANES = 4  # 16 buckets: ~n/16 vectors per bucket keeps pairs non-empty
+PLANE_SEED = 11
+
+
+def _planes() -> list[list[float]]:
+    from ..operators.similarity import _hyperplanes
+
+    return _hyperplanes(1, N_PLANES, EMBEDDING_DIM, PLANE_SEED)[0]
+
+
+def _sql_plane_literal(plane: list[float]) -> str:
+    return "CAST([" + ", ".join(repr(x) for x in plane) + "] AS DOUBLE[])"
+
+
+def _sql_plane_dot(vec_sql: str, plane: list[float]) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {EMBEDDING_DIM}), "
+        f"i -> CAST({vec_sql}[i] AS DOUBLE) * ({_sql_plane_literal(plane)})[i])), "
+        f"(a, b) -> a + b)"
+    )
+
+
+def _sql_bucket(vec_sql: str) -> str:
+    terms = [
+        f"(CASE WHEN {_sql_plane_dot(vec_sql, p)} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(_planes())
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _bucket_col(vec: Column) -> Column:
+    from ..operators.similarity import const_array
+
+    out = F.lit(0)
+    for j, p in enumerate(_planes()):
+        dot_j = F.aggregate(
+            F.zip_with(vec, const_array(p), lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out + F.when(dot_j >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out
+
+
+@query(
+    "s08_bucket_lsh_topk",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM b WHERE vec_id < {N_QUERY_VECS}),
+    c AS (SELECT vec_id AS c_id, embedding AS c_emb, bucket FROM b),
+    pairs AS (
+        SELECT q_id, c_id,
+               {_SQL_DOT_QC} / ({_SQL_NORM_Q} * {_SQL_NORM_C}) AS cos_sim
+        FROM q JOIN c USING (bucket)
+        WHERE q_id <> c_id
+    )
+    SELECT q_id, c_id, {sql_fround("cos_sim", 6)} AS cos_sim, CAST(rn AS INTEGER) AS rn
+    FROM (
+        SELECT q_id, c_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rn
+        FROM pairs
+    ) ranked
+    WHERE rn <= {TOP_K}
+    """,
+    doc="Hyperplane-LSH ANN with the planes as SEEDED CONSTANTS baked "
+    "into both engines: bucket by sign pattern, candidate pairs share "
+    "a bucket, exact cosine re-rank — the hash-checked twin of the "
+    "rows-only s04 (same machinery, single table, portable plane "
+    "literals). Validates the sign-pattern bucketing, the bucket "
+    "equi-join candidate generation, and the re-rank end to end.",
+)
+def s08_bucket_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", "embedding", _bucket_col(F.col("embedding")).alias("bucket"))
+    q = b.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    c = b.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "bucket")
+    pairs = F.broadcast(q).join(c, "bucket").filter(F.col("q_id") != F.col("c_id"))
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / (
+        l2_norm(F.col("q_emb")) * l2_norm(F.col("c_emb"))
+    )
+    ranked = pairs.select("q_id", "c_id", cos.alias("cos_sim")).withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "c_id")),
+    )
+    return ranked.filter(F.col("rn") <= TOP_K).select(
+        "q_id", "c_id", fround(F.col("cos_sim"), 6).alias("cos_sim"), "rn"
+    )
+
+
+@query(
+    "d08_bucketed_neardup_pairs",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bucket,
+               {_SQL_NORM_E} AS nrm
+        FROM embeddings
+    ),
+    unit AS (
+        SELECT vec_id, bucket,
+               list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS u
+        FROM b
+    ),
+    a AS (SELECT vec_id AS vec_a, bucket, u AS u_a FROM unit),
+    bb AS (SELECT vec_id AS vec_b, bucket, u AS u_b FROM unit)
+    SELECT bucket, vec_a, vec_b, {sql_fround(_SQL_DOT_U, 6)} AS cos_sim
+    FROM a JOIN bb USING (bucket)
+    WHERE vec_a < vec_b AND {_SQL_DOT_U} >= {NEARDUP_COS}
+    """,
+    doc="The SemDeDup PAIR STAGE made oracle-checkable: bucket the "
+    "space with portable seeded hyperplanes (stand-in for the IVF "
+    "cells, whose centroids are data-dependent and hence not SQL-"
+    "expressible), then find near-dup pairs ONLY within a bucket via "
+    "the same equi-join shape d06 uses — Σ|bucket|² compute, never "
+    "n². Hash-checked against DuckDB computing identical buckets, "
+    "unit vectors, and pair cosines (the twin of d06's non-iterative "
+    "half; the union-find half is covered by the differential tests).",
+)
+def d08_bucketed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = e.select(
+        "vec_id",
+        "embedding",
+        _bucket_col(F.col("embedding")).alias("bucket"),
+        l2_norm(F.col("embedding")).alias("_n"),
+    ).persist()
+    unit = nrm.select(
+        "vec_id",
+        "bucket",
+        F.transform("embedding", lambda x: x.cast("double") / F.col("_n")).alias("u"),
+    )
+    a = unit.select(F.col("vec_id").alias("vec_a"), "bucket", F.col("u").alias("u_a"))
+    b = unit.select(F.col("vec_id").alias("vec_b"), "bucket", F.col("u").alias("u_b"))
+    cos = dot_d(F.col("u_a"), F.col("u_b"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= NEARDUP_COS)
+        .select("bucket", "vec_a", "vec_b", fround(cos, 6).alias("cos_sim"))
+    )

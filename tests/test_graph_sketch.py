@@ -254,3 +254,36 @@ def test_kmeans_deterministic_under_repartition(spark):
     a2, c2, i2 = kmeans_fit(vecs.repartition(11), k=4, n_iter=3)
     assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
     assert c1 == c2 and i1 == i2
+
+
+def test_portable_cms_overestimate_bound(spark):
+    """x05's portable-hash CMS: est >= exact for every probed key, and
+    the overestimate stays within eps*N for the top keys (eps = e/width)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_engineering_spark.functions.text import tokens
+    from e_commerce_data_engineering_spark.operators.sketch import (
+        cms_build_portable,
+        cms_estimate_portable,
+    )
+    from e_commerce_data_engineering_spark.sources.tables import load_table
+
+    depth, width = 3, 272
+    d = load_table(spark, SF_SMOKE, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("token")).persist()
+    n_total = toks.count()
+    sketch = cms_build_portable(toks, "token", depth, width)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = cms_estimate_portable(sketch, exact.select("token"), "token", depth, width)
+    joined = exact.join(est, "token").collect()
+    toks.unpersist()
+    eps = math.e / width
+    assert len(joined) > 20  # sf0.001 vocabulary is small
+    for r in joined:
+        assert r["est"] >= r["exact_cnt"], r
+    # the eps*N bound holds w.p. 1-delta per key; assert the overwhelming
+    # majority satisfies it (a handful of tail misses is within contract)
+    n_ok = sum(1 for r in joined if r["est"] <= r["exact_cnt"] + eps * n_total)
+    assert n_ok >= 0.95 * len(joined), (n_ok, len(joined))
