@@ -68,8 +68,53 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
 
 
+# Join-key and common-filter columns per table: the columns whose
+# ndv/min/max/null stats the cost-based optimizer needs for join
+# reordering and filter-selectivity estimates. Complex-typed columns
+# (embeddings.embedding, arrays) and huge text payloads are excluded —
+# ANALYZE doesn't support the former and min/max on raw documents is
+# dead weight.
+STATS_COLUMNS: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey", "r_name"),
+    "nation": ("n_nationkey", "n_regionkey", "n_name"),
+    "customer": ("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"),
+    "supplier": ("s_suppkey", "s_nationkey", "s_acctbal"),
+    "part": ("p_partkey", "p_brand", "p_type", "p_size"),
+    "orders": ("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus", "o_orderpriority"),
+    "lineitem": (
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_discount", "l_returnflag", "l_linestatus", "l_shipdate",
+    ),
+    "events_raw": ("event_id", "user_id", "event_type"),
+    "documents": ("doc_id", "lang", "source", "n_chars"),
+    "embeddings": ("vec_id", "label"),
+}
+
+
+def analyze_catalog(
+    spark: SparkSession, database: str = "ecom", tables: tuple[str, ...] | None = None
+) -> None:
+    """Compute table- and column-level statistics for every registered
+    table — the step a 100 TB deployment cannot skip: without catalog
+    rowCount/ndv/min/max the cost-based optimizer (``spark.sql.cbo.*``)
+    has only file sizes, so join reordering and filter-selectivity
+    estimates degrade to guesses. One scan per table; at scale this
+    runs after each load/compaction, not per query."""
+    names = tables or tuple(
+        "events_raw" if n == "events" else n for n in TABLES
+    )
+    for n in names:
+        spark.sql(f"ANALYZE TABLE {database}.{n} COMPUTE STATISTICS")
+        cols = STATS_COLUMNS.get(n)
+        if cols:
+            spark.sql(
+                f"ANALYZE TABLE {database}.{n} COMPUTE STATISTICS "
+                f"FOR COLUMNS {', '.join(cols)}"
+            )
+
+
 def register_persistent_catalog(
-    spark: SparkSession, sf_dir: str, database: str = "ecom"
+    spark: SparkSession, sf_dir: str, database: str = "ecom", analyze: bool = True
 ) -> None:
     """Register the star schema as PERSISTENT external tables — the
     Spark analog of the reference's Glue Crawler → Data Catalog → Athena
@@ -105,6 +150,8 @@ def register_persistent_catalog(
         f"SELECT * EXCEPT (ts), {ts_expr} AS ts "
         f"FROM {database}.events_raw"
     )
+    if analyze:
+        analyze_catalog(spark, database)
 
 
 def get_catalog_spark(warehouse_dir: str, metastore_dir: str, **kwargs) -> SparkSession:
@@ -121,6 +168,11 @@ def get_catalog_spark(warehouse_dir: str, metastore_dir: str, **kwargs) -> Spark
                 f"jdbc:derby:;databaseName={metastore_dir};create=true"
             ),
             "spark.sql.legacy.parquet.nanosAsLong": "true",
+            # the point of analyze_catalog: let the cost-based optimizer
+            # use catalog rowCount/ndv stats for join reordering and
+            # selectivity estimates instead of raw file sizes
+            "spark.sql.cbo.enabled": "true",
+            "spark.sql.cbo.joinReorder.enabled": "true",
         },
         **kwargs,
     )

@@ -42,6 +42,25 @@ assert row["n"] > 0
 dt = dict(spark.sql("SELECT * FROM ecom_t.events").dtypes)
 assert dt["ts"] == "timestamp", dt
 assert spark.sql("SELECT count(*) AS n FROM ecom_t.events").collect()[0]["n"] > 0
+
+# --- statistics registered by analyze_catalog must survive too ---
+desc = {{r["col_name"]: r["data_type"] for r in
+        spark.sql("DESCRIBE TABLE EXTENDED ecom_t.nation").collect()}}
+assert "Statistics" in desc and "rows" in desc["Statistics"], desc.get("Statistics")
+cdesc = {{r["info_name"]: r["info_value"] for r in
+         spark.sql("DESCRIBE TABLE EXTENDED ecom_t.nation n_regionkey").collect()}}
+assert cdesc.get("distinct_count") not in (None, "NULL"), cdesc
+
+# --- and the CBO must USE them: with cbo.enabled (get_catalog_spark
+# sets it) an equality filter on an analyzed column estimates
+# rowCount ~ total/ndv, strictly below the table rowCount ---
+tbl = spark.table("ecom_t.nation")
+flt = tbl.filter(tbl.n_regionkey == 0)
+n_est = flt._jdf.queryExecution().optimizedPlan().stats().rowCount()
+t_est = tbl._jdf.queryExecution().optimizedPlan().stats().rowCount()
+assert t_est.isDefined() and int(str(t_est.get())) == 25, str(t_est)
+assert n_est.isDefined(), "no CBO rowCount estimate on filtered plan"
+assert 0 < int(str(n_est.get())) < 25, str(n_est.get())
 spark.stop()
 print("FRESH_OK")
 """
