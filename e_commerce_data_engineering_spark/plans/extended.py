@@ -1707,30 +1707,12 @@ def q59_forecast_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anchor only appear as contributors, mirroring the oracle's join.",
 )
 def e14_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.activity import rolling_active_users
+
     ev = load_table(spark, sf_dir, "events")
     day_user = ev.select(
         F.col("ts").cast("timestamp").cast("date").alias("d"), "user_id"
     ).distinct()
-    contrib = day_user.select(
-        F.explode(
-            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
-        ).alias("target_day"),
-        "user_id",
-    )
-    wau = contrib.groupBy("target_day").agg(
-        F.countDistinct("user_id").alias("wau")
-    )
-    dau = day_user.groupBy(F.col("d").alias("target_day")).agg(
-        F.countDistinct("user_id").alias("dau")
-    )
-    return (
-        dau.join(wau, "target_day")
-        .select(
-            # string day: DuckDB DATE round-trips as midnight Timestamp
-            # through pandas, so both engines emit 'yyyy-MM-dd' text
-            F.date_format("target_day", "yyyy-MM-dd").alias("day"),
-            "dau",
-            "wau",
-            fround(F.col("dau").cast("double") / F.col("wau"), 4).alias("stickiness"),
-        )
-    )
+    # shared core: the streaming twin (start_active_users_stream) folds
+    # the same function over its incrementally-maintained (d, user) set
+    return rolling_active_users(day_user, window_days=7)

@@ -283,3 +283,69 @@ def read_rollup(spark: SparkSession, rollup_dir: str, key_cols: list[str]) -> Da
             F.sum("partial_sum").alias("total"),
         )
     )
+
+
+def start_active_users_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Streaming twin of the e14 rolling DAU/WAU query: maintain the
+    exact distinct (day, user) set incrementally as events drain — the
+    information-theoretic minimum state for an EXACT rolling distinct
+    (a COUNT can't be merged; the set can).
+
+    Exactly-once like start_rollup_stream: each micro-batch writes only
+    its OWN distinct (d, user_id) pairs under ``batch_id=N`` with
+    overwrite, so a replayed batch rewrites the same pairs instead of
+    duplicating them; cross-batch duplicates collapse in the read-side
+    distinct (set union is idempotent, unlike addition — which is why
+    this needs no version column). ``read_rolling_active_users`` then
+    folds the SAME ``rolling_active_users`` core the batch query uses.
+    At 100 TB the state directory is partitioned by day and old days
+    compact to one file; a day outside every live window can be dropped
+    entirely (retention = window length).
+    """
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+    def _distinct_pairs(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.select(
+                F.col(ts_col).cast("timestamp").cast("date").alias("d"),
+                F.col(user_col).alias("user_id"),
+            )
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(f"{state_dir}/batch_id={epoch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_distinct_pairs)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_rolling_active_users(
+    spark: SparkSession, state_dir: str, window_days: int = 7
+) -> DataFrame:
+    """Fold the streamed (day, user) state into the e14-shaped rolling
+    DAU/WAU frame — identical output to the batch query on the same
+    events (parity-tested)."""
+    from ..functions.activity import rolling_active_users
+
+    day_user = spark.read.parquet(state_dir).select("d", "user_id").distinct()
+    return rolling_active_users(day_user, window_days)

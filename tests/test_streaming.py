@@ -486,3 +486,64 @@ def test_streaming_rollup_partials_are_replay_safe(spark, tmp_path):
     import glob
 
     assert len(glob.glob(f"{rollup}/batch_id=*")) == 2
+
+
+def test_active_users_stream_matches_batch_e14(spark, tmp_path):
+    """Batch/stream parity for rolling DAU/WAU: drain the events table
+    through the streaming twin in two micro-batches, fold the state,
+    and compare against the batch e14 query on the same table. Replay
+    with the same checkpoint must not change anything (exactly-once)."""
+    import glob
+    import json as _json
+
+    from e_commerce_data_engineering_spark.plans.registry import QUERIES, all_queries
+    from e_commerce_data_engineering_spark.sources.tables import load_table
+    from e_commerce_data_engineering_spark.streaming.pipeline import (
+        read_rolling_active_users,
+        start_active_users_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    all_queries()
+    ev = load_table(spark, sf, "events").select(
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "user_id",
+    )
+    rows = ev.collect()
+    src = tmp_path / "events-src"
+    src.mkdir()
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        (src / f"part{i}.jsonl").write_text(
+            "\n".join(_json.dumps({"ts": r["ts"], "user_id": r["user_id"]}) for r in chunk)
+        )
+
+    schema = T.StructType(
+        [T.StructField("ts", T.StringType()), T.StructField("user_id", T.LongType())]
+    )
+    state = str(tmp_path / "au-state")
+    ckpt = str(tmp_path / "au-ckpt")
+
+    def _run():
+        q = start_active_users_stream(spark, str(src), state, ckpt, schema)
+        q.awaitTermination(120)
+
+    _run()
+    got = {
+        r["day"]: (r["dau"], r["wau"], r["stickiness"])
+        for r in read_rolling_active_users(spark, state).collect()
+    }
+    want = {
+        r["day"]: (r["dau"], r["wau"], r["stickiness"])
+        for r in QUERIES["e14_rolling_active_users"].spark_fn(spark, sf).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # replay: same checkpoint, no new files -> state unchanged
+    _run()
+    got2 = {
+        r["day"]: (r["dau"], r["wau"], r["stickiness"])
+        for r in read_rolling_active_users(spark, state).collect()
+    }
+    assert got2 == got
+    assert len(glob.glob(f"{state}/batch_id=*")) >= 1
