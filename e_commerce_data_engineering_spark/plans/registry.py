@@ -60,6 +60,7 @@ def _load_all_modules() -> None:
     from . import scalar_batteries  # noqa: F401
     from . import extended  # noqa: F401
     from . import graph_sketch  # noqa: F401
+    from . import tpch_extra  # noqa: F401
 
 
 # Iteration order of all_queries()/all_oracles() is a FIXED, COMMITTED
@@ -102,6 +103,14 @@ _PRIORITY: tuple[str, ...] = (
     "g02_pagerank_two_steps",
     "s08_bucket_lsh_topk",
     "d08_bucketed_neardup_pairs",
+    # round-4 TPC-H decision-support analogs (plans/tpch_extra.py)
+    "q60_returned_item_customers",
+    "q61_shipping_delay_priority",
+    "q62_top_revenue_supplier",
+    "q63_supplier_part_relationship",
+    "q64_small_quantity_revenue",
+    "q65_large_volume_customers",
+    "q66_excess_stock_suppliers",
 )
 
 _PRIORITY_RANK = {name: i for i, name in enumerate(_PRIORITY)}

@@ -1,0 +1,307 @@
+"""TPC-H decision-support analogs, round-4 widening (q60–q66).
+
+The remaining classic TPC-H shapes not yet covered by q01–q59, adapted
+to the driver schema (no l_shipmode/l_commitdate/p_container — each
+query notes its stand-in). What matters is the PLAN SHAPE each one
+pins: top-k over a 4-way join (Q10), conditional aggregation over a
+join (Q12), aggregate-vs-global-max (Q15), NOT-IN anti joins under a
+distinct count (Q16), a correlated scalar subquery that Catalyst must
+decorrelate to one aggregate + join (Q17), HAVING-IN semi join on a
+grouped fact (Q18), and a nested IN chain (Q20).
+
+Money discipline per plans/money.py: revenue aggregates go through
+DECIMAL so sums are exact and order-independent on both engines;
+quantity sums are integer-valued doubles (exact well below 2^53).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .money import dfrac, dmoney, fround, money_sum, sql_fround, sql_money_sum
+from .registry import query
+
+_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+@query(
+    "q60_returned_item_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           {sql_money_sum(_DISC_PRICE)} AS revenue
+    FROM customer
+    JOIN nation   ON n_nationkey = c_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned-item reporting): customers who "
+    "returned the most revenue in a half-year window — a 4-way "
+    "fact⋈dim join, decimal-exact revenue rollup, deterministic "
+    "top-20 (revenue DESC with key tiebreak → TakeOrderedAndProject, "
+    "no global sort). nation rides in as a broadcast dim.",
+)
+def q60_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, n, o, l = (
+        load_table(spark, sf_dir, t) for t in ("customer", "nation", "orders", "lineitem")
+    )
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+        )
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_returnflag") == "R")
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(money_sum(dmoney("l_extendedprice") * (1 - dfrac("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q61_shipping_delay_priority",
+    oracle="""
+    SELECT delay_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM (
+        SELECT o_orderpriority,
+               CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30 THEN 'fast'
+                    WHEN date_diff('day', o_orderdate, l_shipdate) < 90 THEN 'normal'
+                    ELSE 'slow' END AS delay_bucket
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ) t
+    GROUP BY delay_bucket
+    """,
+    doc="TPC-H Q12 shape (shipping modes / order priority): conditional "
+    "aggregation over the fact⋈orders join. The schema has no "
+    "l_shipmode/l_commitdate, so the mode dimension becomes ship-delay "
+    "buckets (days from order to ship) — same plan: one join, one "
+    "hash aggregate with two CASE sums, no second scan.",
+)
+def q61_shipping_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay < 30, "fast").when(delay < 90, "normal").otherwise("slow")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(bucket.alias("delay_bucket"), high.alias("_high"))
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum(F.when(F.col("_high"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~F.col("_high"), 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q62_top_revenue_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {sql_money_sum(_DISC_PRICE)} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape (top supplier): quarterly revenue per supplier "
+    "(decimal-exact, so the max is unambiguous), then keep the "
+    "supplier(s) equal to the global max — the scalar-subquery-"
+    "against-own-aggregate pattern; the max joins back as a one-row "
+    "broadcast, not a rescan per row.",
+)
+def q62_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        l.filter((F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01"))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            money_sum(dmoney("l_extendedprice") * (1 - dfrac("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        s.join(revenue, s["s_suppkey"] == revenue["supplier_no"])
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q63_supplier_part_relationship",
+    oracle="""
+    SELECT p_brand, CAST(p_size AS INTEGER) AS p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand NOT IN ('Brand#1', 'Brand#2')
+      AND p_size <= 25
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+    doc="TPC-H Q16 shape (parts/supplier relationship): COUNT DISTINCT "
+    "suppliers per (brand, size) with a value NOT-IN filter and a "
+    "subquery NOT-IN exclusion (suppliers in deficit standing in for "
+    "the spec's complaint list). The NOT IN compiles to a left-anti "
+    "join on a non-nullable key — one shuffle, no per-row probing.",
+)
+def q63_supplier_part_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    bad = s.filter(F.col("s_acctbal") < 0).select(F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        l.join(p, p["p_partkey"] == l["l_partkey"])
+        .filter(~F.col("p_brand").isin("Brand#1", "Brand#2") & (F.col("p_size") <= 25))
+        .join(bad, "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q64_small_quantity_revenue",
+    oracle=f"""
+    SELECT {sql_fround(f"CAST(SUM({_DISC_PRICE}) AS DOUBLE) / 7.0", 2)} AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#5'
+      AND l.l_quantity < (
+          SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+    doc="TPC-H Q17 shape (small-quantity-order revenue): a CORRELATED "
+    "SCALAR subquery — each line compares against half the average "
+    "quantity of ITS part. Catalyst decorrelates it to one aggregate "
+    "over lineitem joined back on l_partkey (one shuffle), never a "
+    "per-row subquery execution. Quantities are integer-valued "
+    "doubles, so the per-part AVG is exact and the threshold compare "
+    "cannot flip between engines; revenue is decimal until the final "
+    "division.",
+)
+def q64_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    # SQL keeps the correlated form so the DECORRELATION is what's tested
+    df = spark.sql(
+        """
+        SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS _rev,
+               COUNT(*) AS n_lines
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#5'
+          AND l.l_quantity < (
+              SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = l.l_partkey
+          )
+        """
+    )
+    return df.select(
+        fround(F.col("_rev").cast("double") / F.lit(7.0), 2).alias("avg_yearly"),
+        "n_lines",
+    )
+
+
+@query(
+    "q65_large_volume_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(total_qty AS DOUBLE) AS total_qty
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN (
+        SELECT l_orderkey, SUM(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    ) big ON big.l_orderkey = o_orderkey
+    """,
+    doc="TPC-H Q18 shape (large-volume customers): orders whose total "
+    "line quantity clears a threshold — the grouped-HAVING subquery "
+    "joins back as a semi-style filter carrying its aggregate. One "
+    "aggregation over the fact table, then two dim joins; quantity "
+    "sums are integer-valued doubles (exact).",
+)
+def q65_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        o.join(big, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "q66_excess_stock_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           (FLOOR(CAST(s_acctbal AS DOUBLE) * 100.0 + 0.5) / 100.0) AS s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > 80
+    )
+    """,
+    doc="TPC-H Q20 shape (potential part promotion): a nested IN chain "
+    "— suppliers who shipped more than a threshold quantity of any "
+    "'small'-named part. Both INs compile to left-semi joins (part "
+    "filter pushes into the fact scan's build side); the grouped "
+    "HAVING runs once, not per supplier.",
+)
+def q66_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    small_parts = p.filter(F.col("p_name").like("small%")).select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    heavy = (
+        l.join(small_parts, "l_partkey", "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 80)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    return s.join(heavy, "s_suppkey", "left_semi").select(
+        "s_suppkey", "s_name", fround(F.col("s_acctbal").cast("double"), 2).alias("s_acctbal")
+    )

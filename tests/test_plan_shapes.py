@@ -196,3 +196,26 @@ def test_e14_rolling_distinct_avoids_window(spark):
     plan = plan_of(spark, "e14_rolling_active_users")
     assert "Window" not in plan, plan
     assert "Generate explode" in plan or "Expand" in plan or "explode" in plan.lower(), plan
+
+
+def test_q60_topk_no_global_sort(spark):
+    # Q10 analog: the LIMIT 20 over revenue DESC must compile to
+    # TakeOrderedAndProject, and nation must ride in as a broadcast
+    plan = plan_of(spark, "q60_returned_item_customers")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q64_correlated_scalar_is_decorrelated(spark):
+    # Q17 analog: the correlated scalar AVG must become one aggregate
+    # joined back on l_partkey — no per-row subquery node, no cartesian
+    plan = plan_of(spark, "q64_small_quantity_revenue")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # per-part AVG + final
+
+
+def test_q66_nested_in_compiles_to_semi_joins(spark):
+    # Q20 analog: both IN subqueries must be left-semi joins
+    plan = plan_of(spark, "q66_excess_stock_suppliers")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
