@@ -36,6 +36,7 @@ HEADLINE = [
     "q14_range_join",
     "q16_window_rank",
     "q36_nation_volume",
+    "q60_returned_item_customers",
     "q17_window_running",
     "e02_tumbling_window",
     "e03_sessionize",
@@ -45,10 +46,14 @@ HEADLINE = [
     "t23_bigram_logprob",
     "t05_ngram_jaccard_pairs",
     "t17_top_bigrams",
+    "x05_cms_portable",
     "t09_similarity_join",
     "d03_minhash_dedupe",
     "d04_embedding_neardup",
     "d06_semdedup",
+    # d07 immediately after d06: both share cache_key="d06", so the
+    # IVF centroids built for d06 are reused instead of rebuilt
+    "d07_semdedup_recall",
     "s02_cosine_topk",
     "s05_ivf_cosine_topk",
     "a01_asof_join",
