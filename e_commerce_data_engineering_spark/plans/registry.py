@@ -103,6 +103,9 @@ _PRIORITY: tuple[str, ...] = (
     "g02_pagerank_two_steps",
     "s08_bucket_lsh_topk",
     "d08_bucketed_neardup_pairs",
+    # round-4 LLM-pipeline additions
+    "t24_context_chunks",
+    "t25_mixture_weights",
     # round-4 TPC-H decision-support analogs (plans/tpch_extra.py)
     "q60_returned_item_customers",
     "q61_shipping_delay_priority",

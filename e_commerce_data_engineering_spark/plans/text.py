@@ -865,3 +865,126 @@ def t23_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t24 — fixed-stride context chunking (RAG / embedding-window primitive)
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 64  # window tokens
+CHUNK_S = 48  # stride (overlap = W - S = 16)
+
+
+@query(
+    "t24_context_chunks",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+    chunks AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(ts), {CHUNK_S})) AS start,
+               ts
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {CHUNK_S} AS INTEGER) AS chunk_idx,
+           CAST(len(ts[start:start + {CHUNK_W - 1}]) AS INTEGER) AS n_chunk_tokens,
+           md5(list_aggregate(ts[start:start + {CHUNK_W - 1}], 'string_agg', ' ')) AS chunk_hash
+    FROM chunks
+    """,
+    doc=f"Fixed-stride context chunking: each document explodes into "
+    f"{CHUNK_W}-token windows at stride {CHUNK_S} (overlap "
+    f"{CHUNK_W - CHUNK_S}) — the windowing primitive an embedding/RAG "
+    "indexing pipeline runs before vectorizing. Pure JVM HOFs (one "
+    "sequence + posexplode + slice per doc, no shuffle until the "
+    "caller aggregates); the md5 chunk fingerprint doubles as the "
+    "chunk-level dedup key downstream. Hash-checked against DuckDB "
+    "computing identical windows.",
+)
+def t24_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    starts = F.sequence(F.lit(1), F.size("ts"), F.lit(CHUNK_S))
+    return (
+        d.select("doc_id", toks.alias("ts"))
+        .select("doc_id", "ts", F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size(F.slice("ts", F.col("start"), CHUNK_W)).alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", F.slice("ts", F.col("start"), CHUNK_W))).alias(
+                "chunk_hash"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# t25 — mixture reweighting (temperature-based source sampling weights)
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA = 0.3  # temperature: alpha < 1 up-samples small sources
+_QW = "1000000000.0"  # 1e-9 quantization for the order-independent pow sum
+
+
+@query(
+    "t25_mixture_weights",
+    oracle=f"""
+    WITH per_src AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    powed AS (
+        SELECT *,
+               CAST(FLOOR(POWER(CAST(n_tokens AS DOUBLE), {MIX_ALPHA}) * {_QW} + 0.5)
+                    AS BIGINT) AS pq
+        FROM per_src
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS tok_total,
+               CAST(SUM(pq) AS BIGINT) AS pq_total
+        FROM powed
+    )
+    SELECT source, n_docs, n_tokens,
+           {sql_fround("CAST(n_tokens AS DOUBLE) / tok_total", 6)} AS raw_share,
+           {sql_fround("CAST(pq AS DOUBLE) / pq_total", 6)} AS mix_weight,
+           {sql_fround("(CAST(pq AS DOUBLE) / pq_total) / (CAST(n_tokens AS DOUBLE) / tok_total)", 4)} AS oversample_factor
+    FROM powed CROSS JOIN tot
+    """,
+    doc=f"Training-mixture reweighting: per-source sampling weights "
+    f"T_s^α / Σ T_s^α at temperature α={MIX_ALPHA} — the data-mixing "
+    "primitive (cf. multilingual temperature sampling / DoReMi-style "
+    "reweighting): α<1 up-samples small sources relative to their raw "
+    "token share. The powered masses are 1e-9-quantized to integers "
+    "before the normalizing sum, so the weights are independent of "
+    "aggregation order on both engines. One aggregate over the corpus; "
+    "output is one row per source with raw share, mixture weight, and "
+    "the oversampling factor a sampler must apply.",
+)
+def t25_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(X.tokens(F.col("text")))).alias("n_tokens"),
+    )
+    powed = per_src.withColumn(
+        "pq",
+        F.floor(
+            F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_ALPHA)) * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    tot = powed.agg(
+        F.sum("n_tokens").alias("tok_total"), F.sum("pq").alias("pq_total")
+    )
+    raw_share = F.col("n_tokens").cast("double") / F.col("tok_total")
+    mix_weight = F.col("pq").cast("double") / F.col("pq_total")
+    return powed.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        fround(raw_share, 6).alias("raw_share"),
+        fround(mix_weight, 6).alias("mix_weight"),
+        fround(mix_weight / raw_share, 4).alias("oversample_factor"),
+    )
