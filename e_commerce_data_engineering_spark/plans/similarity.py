@@ -463,3 +463,141 @@ def d08_bucketed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= NEARDUP_COS)
         .select("bucket", "vec_a", "vec_b", fround(cos, 6).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# s09 — int8 embedding quantization + recall audit (the 4x memory/IO
+# reduction every large vector store applies before ANN)
+# ---------------------------------------------------------------------------
+
+_SQL_QVEC = (
+    "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) / s + 0.5) AS BIGINT))"
+)
+_SQL_ABSMAX = (
+    f"GREATEST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-12)"
+)
+
+
+def _sql_int_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(1, {EMBEDDING_DIM}), i -> {a}[i] * {b}[i])), "
+        f"(x, y) -> x + y)"
+    )
+
+
+@query(
+    "s09_int8_quantized_recall",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, embedding, {_SQL_ABSMAX} AS s FROM embeddings
+    ),
+    qt AS (SELECT vec_id, embedding, {_SQL_QVEC} AS qv FROM base),
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb, qv AS q_qv FROM qt WHERE vec_id < {N_QUERY_VECS}),
+    c AS (SELECT vec_id AS c_id, embedding AS c_emb, qv AS c_qv FROM qt),
+    pairs AS (
+        SELECT q_id, c_id,
+               {_SQL_DOT_QC} / ({_SQL_NORM_Q} * {_SQL_NORM_C}) AS cos_exact,
+               CAST({_sql_int_dot("q_qv", "c_qv")} AS DOUBLE)
+                 / (sqrt(CAST({_sql_int_dot("q_qv", "q_qv")} AS DOUBLE))
+                    * sqrt(CAST({_sql_int_dot("c_qv", "c_qv")} AS DOUBLE))) AS cos_quant
+        FROM q CROSS JOIN c WHERE q_id <> c_id
+    ),
+    ex AS (
+        SELECT q_id, c_id, cos_exact, cos_quant,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_exact DESC, c_id) AS rn_e
+        FROM pairs
+    ),
+    qu AS (
+        SELECT q_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_quant DESC, c_id) AS rn_q
+        FROM pairs
+    )
+    SELECT ex.q_id,
+           CAST(COUNT(qu.c_id) AS BIGINT) AS n_overlap,
+           {sql_fround("AVG(ABS(ex.cos_exact - ex.cos_quant))", 6)} AS avg_cos_err
+    FROM ex LEFT JOIN qu
+      ON qu.q_id = ex.q_id AND qu.c_id = ex.c_id AND qu.rn_q <= {TOP_K}
+    WHERE ex.rn_e <= {TOP_K}
+    GROUP BY ex.q_id
+    """,
+    doc="Int8 embedding quantization with an inline recall audit: each "
+    "vector quantizes to int8 with a per-vector absmax/127 scale (the "
+    "4x memory/scan reduction every large vector store applies), and "
+    "because cosine is scale-invariant the quantized similarity "
+    "reduces to EXACT integer dot products — bit-identical on any "
+    "engine, so the whole audit is oracle-checked. Output per probe: "
+    "top-k overlap between exact and quantized rankings plus the mean "
+    "absolute cosine error over the exact top-k — the go/no-go "
+    "numbers for switching the ANN corpus to int8.",
+)
+def s09_int8_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    s = F.greatest(
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))) / F.lit(127.0),
+        F.lit(1e-12),
+    )
+    # _s must exist before the transform references it: two-step select
+    qt = (
+        e.withColumn("_s", s)
+        .select(
+            "vec_id",
+            "embedding",
+            F.transform(
+                "embedding", lambda x: F.floor(x.cast("double") / F.col("_s") + F.lit(0.5))
+            ).alias("qv"),
+        )
+    )
+    q = qt.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), F.col("qv").alias("q_qv")
+    )
+    c = qt.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), F.col("qv").alias("c_qv")
+    )
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        )
+
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            (
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (l2_norm(F.col("q_emb")) * l2_norm(F.col("c_emb")))
+            ).alias("cos_exact"),
+            (
+                idot(F.col("q_qv"), F.col("c_qv")).cast("double")
+                / (
+                    F.sqrt(idot(F.col("q_qv"), F.col("q_qv")).cast("double"))
+                    * F.sqrt(idot(F.col("c_qv"), F.col("c_qv")).cast("double"))
+                )
+            ).alias("cos_quant"),
+        )
+    )
+    ex = pairs.withColumn(
+        "rn_e", F.row_number().over(W.partitionBy("q_id").orderBy(F.col("cos_exact").desc(), "c_id"))
+    ).filter(F.col("rn_e") <= TOP_K)
+    qu = (
+        pairs.withColumn(
+            "rn_q",
+            F.row_number().over(W.partitionBy("q_id").orderBy(F.col("cos_quant").desc(), "c_id")),
+        )
+        .filter(F.col("rn_q") <= TOP_K)
+        .select("q_id", "c_id", F.lit(1).alias("_hit"))
+    )
+    return (
+        ex.join(qu, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_overlap"),
+            fround(F.avg(F.abs(F.col("cos_exact") - F.col("cos_quant"))), 6).alias(
+                "avg_cos_err"
+            ),
+        )
+    )
