@@ -219,3 +219,26 @@ def test_q66_nested_in_compiles_to_semi_joins(spark):
     plan = plan_of(spark, "q66_excess_stock_suppliers")
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_s08_d08_bucket_joins_are_equi(spark):
+    # the portable-LSH twins must candidate-generate via a bucket
+    # equi-join — never a cartesian pair blowup
+    for name in ("s08_bucket_lsh_topk", "d08_bucketed_neardup_pairs"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_x05_sketch_grid_is_two_aggregates(spark):
+    # portable CMS: per-key pre-aggregate + fixed-size grid aggregate —
+    # no join in the build path, no python UDF anywhere
+    plan = plan_of(spark, "x05_cms_portable")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final x two aggs
+
+
+def test_t24_chunking_is_shuffle_free(spark):
+    # context chunking is a pure per-row HOF explode: no exchange at all
+    plan = plan_of(spark, "t24_context_chunks")
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan, plan  # the posexplode
