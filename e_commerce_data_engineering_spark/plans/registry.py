@@ -106,6 +106,7 @@ _PRIORITY: tuple[str, ...] = (
     # round-4 LLM-pipeline additions
     "t24_context_chunks",
     "t25_mixture_weights",
+    "t26_chunk_dup_rate",
     "s09_int8_quantized_recall",
     # round-4 TPC-H decision-support analogs (plans/tpch_extra.py)
     "q60_returned_item_customers",

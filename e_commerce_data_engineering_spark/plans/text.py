@@ -988,3 +988,60 @@ def t25_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(mix_weight, 6).alias("mix_weight"),
         fround(mix_weight / raw_share, 4).alias("oversample_factor"),
     )
+
+
+@query(
+    "t26_chunk_dup_rate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_DUCK_TOKS} AS ts FROM documents),
+    chunks AS (
+        SELECT doc_id, source,
+               md5(list_aggregate(ts[start:start + {CHUNK_W - 1}], 'string_agg', ' ')) AS h
+        FROM (SELECT doc_id, source, ts,
+                     unnest(generate_series(1, len(ts), {CHUNK_S})) AS start
+              FROM toks) t
+    ),
+    tagged AS (
+        SELECT source, COUNT(*) OVER (PARTITION BY h) AS copies FROM chunks
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           {sql_fround("CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 6)} AS dup_chunk_rate
+    FROM tagged GROUP BY source
+    """,
+    doc="Chunk-granularity duplication rate per source: how many of the "
+    f"{CHUNK_W}-token context windows (t24's chunking, same stride/"
+    "fingerprint) also occur elsewhere in the corpus — the number that "
+    "decides whether a RAG/embedding store needs chunk-level dedup "
+    "before vectorizing (every duplicate chunk is a wasted embedding "
+    "call and a retrieval near-collision). Two aggregates over the "
+    "chunk fingerprints; at 100 TB the copies count comes from the "
+    "same groupBy the chunk-dedup keeper pass runs anyway.",
+)
+def t26_chunk_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    starts = F.sequence(F.lit(1), F.size("ts"), F.lit(CHUNK_S))
+    chunks = (
+        d.select("doc_id", "source", toks.alias("ts"))
+        .select("doc_id", "source", "ts", F.explode(starts).alias("start"))
+        .select(
+            "source",
+            F.md5(F.concat_ws(" ", F.slice("ts", F.col("start"), CHUNK_W))).alias("h"),
+        )
+    )
+    copies = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("copies"))
+    return (
+        chunks.join(copies, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("copies") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+            fround(
+                F.sum(F.when(F.col("copies") > 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_chunk_rate"),
+        )
+    )
