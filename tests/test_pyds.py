@@ -55,10 +55,20 @@ def test_streaming_reader_delivers_contiguous_exactly_once(spark, tmp_path):
     (seed, index) slice, and a checkpointed restart resumes after the
     last committed offset instead of re-emitting rows."""
     spark.dataSource.register(SeededOrdersDataSource)
-    out: list = []
+    # batch_id-keyed idempotent sink: foreachBatch is at-least-once (a
+    # stop() between the batch function and the offset commit re-runs
+    # that batch_id on restart with the SAME offset range), so a plain
+    # append would flakily see one duplicated batch. Keying by batch_id
+    # — the documented idempotent-writes pattern every repo sink uses —
+    # makes the re-run overwrite itself, which is exactly the
+    # replay-safety contract under test.
+    by_batch: dict = {}
 
-    def _collect(df, _id):
-        out.extend(r["order_id"] for r in df.collect())
+    def _collect(df, batch_id):
+        by_batch[batch_id] = [r["order_id"] for r in df.collect()]
+
+    def _flat():
+        return [i for b in sorted(by_batch) for i in by_batch[b]]
 
     def _run(n_batches):
         q = (
@@ -73,12 +83,18 @@ def test_streaming_reader_delivers_contiguous_exactly_once(spark, tmp_path):
         import time
 
         deadline = time.time() + 120
-        while len(out) < n_batches * 10 and time.time() < deadline:
+        while len(_flat()) < n_batches * 10 and time.time() < deadline:
             time.sleep(0.5)
         q.stop()
-        q.awaitTermination(30)
+        try:
+            q.awaitTermination(30)
+        except Exception:
+            # a batch interrupted mid-flight by the deliberate stop()
+            # surfaces here; the restart below proves recovery
+            pass
 
     _run(3)
+    out = _flat()
     n_first = len(out)
     assert n_first >= 30 and n_first % 10 == 0
     # deterministic content: same ids as a batch read of the same range
@@ -87,8 +103,11 @@ def test_streaming_reader_delivers_contiguous_exactly_once(spark, tmp_path):
         for r in _read(spark, n=n_first, partitions=1).collect()
     ]
     assert out == batch_ids
-    # restart: continues from the checkpoint, no re-delivery
+    # restart: continues from the checkpoint, no re-delivery (an
+    # uncommitted final batch may re-run, but replays its identical
+    # offset range into the same batch_id slot)
     _run(max(4, n_first // 10 + 1))
+    out = _flat()
     assert len(out) > n_first
     assert out[:n_first] == batch_ids
     assert len(out) == len(set(out))
