@@ -202,6 +202,100 @@ def _minhash_lsh_pairs_build(
     )
 
 
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """``minhash_lsh_pairs`` on the engine-portable hash family — the
+    hash-checked oracle twin of d01's xxhash64 pipeline (same shingle →
+    signature → band-bucket → verified-Jaccard shape, every stage exact
+    integer arithmetic DuckDB reproduces bit-for-bit).
+
+    Permutation k of the base Horner hash h is ``(h·(2k+1) + k) mod P``;
+    the band key is the signature slice itself rendered as a string
+    (xxhash64-of-slice is Spark-only). Verification recomputes TRUE
+    Jaccard on the shingle sets, so banding false positives never
+    escape — identical guarantee to d01. Returns
+    ``(id_a, id_b, n_inter, n_union, jaccard)``.
+
+    Scale shape is d01's: candidates only form inside a (band, bandsig)
+    bucket — one shuffle on the bucket key, never an n² self-join. The
+    char-fold hash costs more per shingle than xxhash64, so d01 stays
+    the production default; this twin exists to put the whole LSH
+    family under the driver's hash-checked oracle gate.
+    """
+    from .sketch import _P1, portable_hash
+
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    base = _shingle_frame(df, id_col, text_col, shingle_n, cache_key)
+
+    def build_sig():
+        hashed = base.select(
+            "_id",
+            "_sh",
+            F.transform("_sh", lambda s: portable_hash(s)).alias("_hs"),
+        )
+        sig_col = F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda k: F.aggregate(
+                F.col("_hs"),
+                F.lit(_P1).cast("bigint"),
+                lambda acc, h: F.least(acc, (h * (k * 2 + 1) + k) % F.lit(_P1)),
+            ),
+        )
+        # materialized before the self-join (the d01 inlining lesson)
+        return hashed.select("_id", "_sh", sig_col.alias("_sig")).persist()
+
+    key = ("sig_portable", cache_key, num_hashes, shingle_n) if cache_key else None
+    sig = _cached(base, key, build_sig)
+
+    banded = sig.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("_sig"), b * r + 1, r), lambda v: v.cast("string")
+                    ),
+                ),
+            )
+        ).alias("_band", "_bsig"),
+    )
+    a = banded.select(F.col("_id").alias("id_a"), "_band", "_bsig")
+    b = banded.select(F.col("_id").alias("id_b"), "_band", "_bsig")
+    candidates = (
+        a.join(b, ["_band", "_bsig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = sig.select("_id", "_sh")
+    verified = candidates.join(
+        sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a"
+    ).join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size("_sh_a") + F.size("_sh_b") - inter
+    jac = inter.cast("double") / union
+    return verified.filter(jac >= jaccard_threshold).select(
+        "id_a",
+        "id_b",
+        inter.cast("bigint").alias("n_inter"),
+        union.cast("bigint").alias("n_union"),
+        # raw IEEE ratio of two small ints — callers apply portable
+        # rounding (plans.money.fround) when hash-compared
+        jac.alias("jaccard"),
+    )
+
+
 def minhash_dedupe(
     df: DataFrame,
     id_col: str,

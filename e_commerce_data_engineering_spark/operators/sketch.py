@@ -88,6 +88,24 @@ def _portable_hash(key: Column, mult: int, prime: int) -> Column:
     )
 
 
+def portable_hash(key: Column, mult: int = 31, prime: int = _P1) -> Column:
+    """Engine-portable Horner-fold string hash (exact int64 arithmetic
+    over character codes mod a large prime) — the shared primitive
+    behind every hash-checked sketch/dedup oracle twin (x05, d09, x06).
+    ``sql_portable_hash`` is its DuckDB twin."""
+    return _portable_hash(key, mult, prime)
+
+
+def sql_portable_hash(key_sql: str, mult: int = 31, prime: int = _P1) -> str:
+    """DuckDB twin of ``portable_hash`` (identical integer fold)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({key_sql}, ''), "
+        f"c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, c) -> (a * {mult} + c) % {prime})"
+    )
+
+
 def _portable_bucket(key: Column, depth_idx: Column, width: int) -> Column:
     h1 = _portable_hash(key, 31, _P1)
     h2 = _portable_hash(key, 131, _P2)
@@ -96,16 +114,9 @@ def _portable_bucket(key: Column, depth_idx: Column, width: int) -> Column:
 
 def sql_portable_bucket(key_sql: str, depth_sql: str, width: int) -> str:
     """DuckDB twin of ``_portable_bucket`` (identical integer math)."""
-
-    def fold(mult: int, prime: int) -> str:
-        return (
-            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-            f"list_transform(string_split({key_sql}, ''), "
-            f"c -> CAST(ascii(c) AS BIGINT))), "
-            f"(a, c) -> (a * {mult} + c) % {prime})"
-        )
-
-    return f"(({fold(31, _P1)} + ({depth_sql}) * (1 + {fold(131, _P2)})) % {width})"
+    h1 = sql_portable_hash(key_sql, 31, _P1)
+    h2 = sql_portable_hash(key_sql, 131, _P2)
+    return f"(({h1} + ({depth_sql}) * (1 + {h2})) % {width})"
 
 
 def cms_build_portable(

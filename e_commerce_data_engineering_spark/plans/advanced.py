@@ -10,12 +10,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join_backward
-from ..operators.dedup import minhash_dedupe, minhash_lsh_pairs, simhash_pairs
+from ..operators.dedup import (
+    minhash_dedupe,
+    minhash_lsh_pairs,
+    minhash_lsh_pairs_portable,
+    simhash_pairs,
+)
 from ..operators.multimodal import decode_asset, make_fake_assets
 from ..operators.similarity import lsh_cosine_topk
+from ..operators.sketch import _P1, sql_portable_hash
 from ..sources.tables import load_table
-from .money import dmoney, sql_money_sum
+from .money import dmoney, fround, sql_fround, sql_money_sum
 from .registry import query
+from .text import _DUCK_TOKS
 
 
 @query(
@@ -107,6 +114,85 @@ def d01_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         d, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.5, cache_key=sf_dir
+    )
+
+
+_D09_K, _D09_BANDS = 32, 8
+_D09_R = _D09_K // _D09_BANDS
+_D09_HASH_S = sql_portable_hash("s")
+
+
+@query(
+    "d09_portable_minhash_pairs",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                              for i in range(1, len(tk) - 1)]) AS shl
+        FROM (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents)
+        WHERE len(tk) >= 3
+    ),
+    hs AS (
+        SELECT doc_id, shl,
+               list_transform(shl, s -> {_D09_HASH_S}) AS hl
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, shl,
+               [list_min(list_transform(hl, h -> (h * (2*k + 1) + k) % {_P1}))
+                for k in range({_D09_K})] AS sigl
+        FROM hs
+    ),
+    banded AS (
+        SELECT doc_id, b,
+               array_to_string(sigl[b*{_D09_R}+1 : b*{_D09_R}+{_D09_R}], ',') AS bsig
+        FROM sig, (SELECT unnest(range({_D09_BANDS})) AS b) bs
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        FROM banded a JOIN banded c ON a.b = c.b AND a.bsig = c.bsig
+        WHERE a.doc_id < c.doc_id
+    ),
+    ver AS (
+        SELECT id_a, id_b,
+               len(list_intersect(x.shl, y.shl)) AS n_i,
+               len(x.shl) + len(y.shl) - len(list_intersect(x.shl, y.shl)) AS n_u
+        FROM cand
+        JOIN sh x ON x.doc_id = cand.id_a
+        JOIN sh y ON y.doc_id = cand.id_b
+    )
+    SELECT id_a, id_b,
+           CAST(n_i AS BIGINT) AS n_inter,
+           CAST(n_u AS BIGINT) AS n_union,
+           {sql_fround("CAST(n_i AS DOUBLE) / n_u", 6)} AS jaccard
+    FROM ver
+    WHERE CAST(n_i AS DOUBLE) / n_u >= 0.5
+    """,
+    doc="The d01 MinHash-LSH pipeline on the engine-portable hash "
+    "family — the full shingle → 32-perm signature → 8-band bucket → "
+    "verified-Jaccard chain hash-checked against DuckDB rebuilding "
+    "identical signatures and buckets (operators/dedup."
+    "minhash_lsh_pairs_portable). d01's xxhash64 stays the production "
+    "default (cheaper per shingle); this twin puts the banding "
+    "machinery itself — not just its recall — under the oracle gate.",
+)
+def d09_portable_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs_portable(
+        d,
+        "doc_id",
+        "text",
+        num_hashes=_D09_K,
+        bands=_D09_BANDS,
+        jaccard_threshold=0.5,
+        cache_key=sf_dir,
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "n_inter",
+        "n_union",
+        fround(F.col("jaccard"), 6).alias("jaccard"),
     )
 
 

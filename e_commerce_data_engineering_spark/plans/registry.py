@@ -116,6 +116,11 @@ _PRIORITY: tuple[str, ...] = (
     "q64_small_quantity_revenue",
     "q65_large_volume_customers",
     "q66_excess_stock_suppliers",
+    # round-4 late additions: portable-hash LSH twin, DSIR mixture
+    # weights, Bloom-filter membership
+    "d09_portable_minhash_pairs",
+    "t27_dsir_weights",
+    "x06_bloom_membership",
 )
 
 _PRIORITY_RANK = {name: i for i, name in enumerate(_PRIORITY)}
