@@ -193,3 +193,50 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("cnt").alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (portable hash family — oracle-checkable end to end)
+# ---------------------------------------------------------------------------
+#
+# The filter is a DataFrame of SET BIT POSITIONS (<= m rows), the
+# mergeable/distributed representation: build is one explode+distinct,
+# union of filters is a distinct over their bit tables, and a probe is
+# an equi-join against a broadcast of the bits. Classic guarantee: no
+# false negatives ever; false-positive rate ~ (1 - e^(-k·n/m))^k. On
+# the portable hash family the whole build -> probe -> verdict path is
+# exact integer math DuckDB replays bit-for-bit (x06).
+
+
+def bloom_build(df: DataFrame, key_col: str, m_bits: int, k_hashes: int) -> DataFrame:
+    """Set-bit table ``(bit)`` of a Bloom filter over the key column.
+    Bit i of key = Kirsch–Mitzenmacher combination of the two portable
+    Horner hashes, like the CMS grid."""
+    rows = F.array(*[F.lit(i) for i in range(k_hashes)])
+    return (
+        df.select(F.col(key_col).alias("_k"))
+        .distinct()
+        .select("_k", F.explode(rows).alias("_i"))
+        .select(_portable_bucket(F.col("_k"), F.col("_i"), m_bits).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bits: DataFrame, probes: DataFrame, key_col: str, m_bits: int, k_hashes: int
+) -> DataFrame:
+    """``(key_col, claimed_member)`` for each probe key: member iff all
+    k bit positions are set. The bit table is broadcast (<= m rows by
+    construction), so the probe is a map-side join at any scale."""
+    rows = F.array(*[F.lit(i) for i in range(k_hashes)])
+    pos = probes.select(F.col(key_col)).distinct().select(
+        key_col,
+        F.explode(rows).alias("_i"),
+    ).select(
+        key_col, _portable_bucket(F.col(key_col), F.col("_i"), m_bits).alias("bit")
+    )
+    return (
+        pos.join(F.broadcast(bits.withColumn("_set", F.lit(1))), "bit", "left")
+        .groupBy(key_col)
+        .agg((F.count(F.col("_set")) == F.lit(k_hashes)).alias("claimed_member"))
+    )

@@ -303,3 +303,85 @@ def g02_pagerank_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x06 — Bloom-filter membership (portable hash family)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 8192  # filter bits — sized so the 5-hash load factor stays
+# useful through the bench tier (k*n/m ~ 0.6 at sf0.1); a production
+# build sizes m ~ 10-15 bits/key from the member-count estimate
+BLOOM_K = 5  # hash functions
+_SQL_BLOOM_M = sql_portable_bucket("m.k", "i", BLOOM_M)
+_SQL_BLOOM_P = sql_portable_bucket("p.k", "i", BLOOM_M)
+
+
+@query(
+    "x06_bloom_membership",
+    oracle=f"""
+    WITH members AS (
+        SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1995-04-01'
+    ),
+    bits AS (
+        SELECT DISTINCT {_SQL_BLOOM_M} AS bit
+        FROM members m, (SELECT unnest(range({BLOOM_K})) AS i) ii
+    ),
+    probes AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+    ppos AS (
+        SELECT p.k, {_SQL_BLOOM_P} AS bit
+        FROM probes p, (SELECT unnest(range({BLOOM_K})) AS i) ii
+    ),
+    claimed AS (
+        SELECT pp.k, (COUNT(b.bit) = {BLOOM_K}) AS claimed_member
+        FROM ppos pp LEFT JOIN bits b USING (bit)
+        GROUP BY pp.k
+    )
+    SELECT (m.k IS NOT NULL) AS actual_member,
+           claimed_member,
+           CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM claimed c LEFT JOIN members m ON c.k = m.k
+    GROUP BY 1, 2
+    """,
+    doc="Bloom-filter membership, the join-pruning primitive at 100 TB "
+    "(ship a kilobyte bit table to every scan task instead of "
+    "shuffling the fact side): build over customers with an urgent "
+    "Q1-1995 urgent order, probe ALL customers, and tally (actual, "
+    "claimed) — the "
+    "no-false-negatives guarantee shows up as zero rows with "
+    "actual=true/claimed=false, and the false-positive count is pinned "
+    "exactly by the oracle replaying the identical bit positions "
+    "(operators/sketch.bloom_build/bloom_probe; filter = a mergeable "
+    "DataFrame of set bits, probe = broadcast equi-join).",
+)
+def x06_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import bloom_build, bloom_probe
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    members = (
+        o.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .select(F.col("o_custkey").cast("string").alias("k"))
+        .distinct()
+    )
+    bits = bloom_build(members, "k", BLOOM_M, BLOOM_K)
+    probes = c.select(F.col("c_custkey").cast("string").alias("k"))
+    claimed = bloom_probe(bits, probes, "k", BLOOM_M, BLOOM_K)
+    return (
+        claimed.join(
+            members.select("k", F.lit(True).alias("_am")), "k", "left"
+        )
+        .groupBy(
+            F.coalesce(F.col("_am"), F.lit(False)).alias("actual_member"),
+            F.col("claimed_member"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )

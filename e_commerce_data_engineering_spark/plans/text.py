@@ -1045,3 +1045,140 @@ def t26_chunk_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_chunk_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t27 — DSIR data-selection importance weights
+# ---------------------------------------------------------------------------
+
+DSIR_B = 256  # hashed feature buckets
+DSIR_TARGETS = ("src0", "src1", "src2", "src3", "src4")
+_DSIR_TGT_SQL = ", ".join(f"'{s}'" for s in DSIR_TARGETS)
+
+
+def _dsir_oracle() -> str:
+    from ..operators.sketch import sql_portable_hash
+
+    h = sql_portable_hash("bg")
+    return f"""
+    WITH bg AS (
+        SELECT doc_id, source,
+               unnest([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS bg
+        FROM (SELECT doc_id, source, {_DUCK_TOKS} AS tk FROM documents)
+        WHERE len(tk) >= 2
+    ),
+    bkt AS (
+        SELECT doc_id, source, ({h} % {DSIR_B}) AS b FROM bg
+    ),
+    tot AS (
+        SELECT CAST(SUM(CASE WHEN source IN ({_DSIR_TGT_SQL}) THEN 1 ELSE 0 END) AS BIGINT) AS T,
+               CAST(SUM(CASE WHEN source NOT IN ({_DSIR_TGT_SQL}) THEN 1 ELSE 0 END) AS BIGINT) AS R
+        FROM bkt
+    ),
+    per_b AS (
+        SELECT b,
+               CAST(SUM(CASE WHEN source IN ({_DSIR_TGT_SQL}) THEN 1 ELSE 0 END) AS BIGINT) AS t_b,
+               CAST(SUM(CASE WHEN source NOT IN ({_DSIR_TGT_SQL}) THEN 1 ELSE 0 END) AS BIGINT) AS r_b
+        FROM bkt GROUP BY b
+    ),
+    lam AS (
+        SELECT s.b,
+               CAST(FLOOR(1000000.0 * (
+                    log2(CAST(COALESCE(t_b, 0) + 1 AS DOUBLE) / (T + {DSIR_B}))
+                  - log2(CAST(COALESCE(r_b, 0) + 1 AS DOUBLE) / (R + {DSIR_B}))
+               ) + 0.5) AS BIGINT) AS lam_q
+        FROM (SELECT unnest(range({DSIR_B})) AS b) s
+        LEFT JOIN per_b USING (b) CROSS JOIN tot
+    ),
+    feat AS (
+        SELECT doc_id, source, b, COUNT(*) AS c
+        FROM bkt WHERE source NOT IN ({_DSIR_TGT_SQL}) GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, source,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(SUM(c * lam_q) AS BIGINT) AS w_micro
+    FROM feat JOIN lam USING (b)
+    GROUP BY doc_id, source
+    ORDER BY w_micro DESC, doc_id ASC
+    LIMIT 100
+    """
+
+
+@query(
+    "t27_dsir_weights",
+    oracle=_dsir_oracle(),
+    doc="DSIR-style data selection (Xie et al. 2023, 'Data Selection "
+    "for Language Models via Importance Resampling'): hashed-bigram "
+    "bag-of-ngrams features into 256 buckets (portable Horner hash), "
+    "a smoothed unigram model over the buckets for the TARGET "
+    "distribution (curated sources) and the RAW pool, and per-raw-doc "
+    "log importance weight Σ c_b·(log p_target(b) − log p_raw(b)); "
+    "top-100 raw docs selected. Per-bucket log-ratios are 1e-6-"
+    "quantized to integers BEFORE the per-doc sum (the t21 trick), so "
+    "the selection is aggregation-order independent and fully hash-"
+    "checked. Scale shape: one explode+groupBy over bigrams, a 256-row "
+    "broadcast λ table, and a TakeOrderedAndProject top-k — no shuffle "
+    "grows with corpus size beyond the feature aggregate.",
+)
+def t27_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import portable_hash
+
+    B = DSIR_B
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", "source", X.tokens(F.col("text")).alias("_tk"))
+    bkt = tk.select(
+        "doc_id",
+        "source",
+        F.explode(X.shingles_zip(F.col("_tk"), 2)).alias("bg"),
+    ).select("doc_id", "source", (portable_hash(F.col("bg")) % B).alias("b"))
+    is_t = F.col("source").isin(*DSIR_TARGETS)
+    tot = bkt.agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("T"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).alias("R"),
+    )
+    per_b = bkt.groupBy("b").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("t_b"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).alias("r_b"),
+    )
+    spine = spark.range(B).select(F.col("id").alias("b"))
+    lam = (
+        spine.join(per_b, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.floor(
+                F.lit(1e6)
+                * (
+                    F.log2(
+                        (F.coalesce(F.col("t_b"), F.lit(0)) + 1).cast("double")
+                        / (F.col("T") + B)
+                    )
+                    - F.log2(
+                        (F.coalesce(F.col("r_b"), F.lit(0)) + 1).cast("double")
+                        / (F.col("R") + B)
+                    )
+                )
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lam_q"),
+        )
+    )
+    feat = (
+        bkt.filter(~is_t)
+        .groupBy("doc_id", "source", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        feat.join(F.broadcast(lam), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.col("c") * F.col("lam_q")).alias("w_micro"),
+            F.sum("c").alias("n_bigrams"),
+        )
+    )
+    return (
+        w.select("doc_id", "source", "n_bigrams", "w_micro")
+        .orderBy(F.col("w_micro").desc(), F.col("doc_id").asc())
+        .limit(100)
+    )

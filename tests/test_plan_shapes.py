@@ -242,3 +242,27 @@ def test_t24_chunking_is_shuffle_free(spark):
     plan = plan_of(spark, "t24_context_chunks")
     assert "Exchange" not in plan, plan
     assert "Generate" in plan, plan  # the posexplode
+
+
+def test_d09_portable_lsh_is_equi_join_only(spark):
+    # the portable MinHash twin keeps d01's scale shape: candidates form
+    # only via the (band, bandsig) bucket equi-join
+    plan = plan_of(spark, "d09_portable_minhash_pairs")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_t27_dsir_topk_and_broadcast_lambda(spark):
+    # DSIR: the 256-row lambda table broadcasts; the top-100 selection
+    # is TakeOrderedAndProject, never a global sort
+    plan = plan_of(spark, "t27_dsir_weights")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_x06_bloom_probe_is_broadcast_join(spark):
+    # the bit table (<= m rows by construction) must broadcast to the
+    # probe side — the whole point of a bloom filter at scale
+    plan = plan_of(spark, "x06_bloom_membership")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
