@@ -117,10 +117,11 @@ _PRIORITY: tuple[str, ...] = (
     "q65_large_volume_customers",
     "q66_excess_stock_suppliers",
     # round-4 late additions: portable-hash LSH twin, DSIR mixture
-    # weights, Bloom-filter membership
+    # weights, Bloom-filter membership, product-quantization ANN
     "d09_portable_minhash_pairs",
     "t27_dsir_weights",
     "x06_bloom_membership",
+    "s10_pq_topk",
 )
 
 _PRIORITY_RANK = {name: i for i, name in enumerate(_PRIORITY)}

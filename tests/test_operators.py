@@ -837,3 +837,37 @@ def test_jpeg_rejects_progressive_loudly():
         jpeg_decode(sof2)
     with _pytest.raises(ValueError):
         jpeg_decode(b"\x00\x01not a jpeg")
+
+
+def test_pq_recall_and_determinism(spark):
+    """PQ ADC + exact re-rank recall vs the exact baseline, and encode
+    is a pure function of the vector (partition-order independent)."""
+    from e_commerce_data_engineering_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    cbs = pq_train(emb, dim=64, m_subs=8, k_codes=16, seed=42)
+    assert len(cbs) == 8 and len(cbs[0]) == 16 and len(cbs[0][0]) == 8
+    exact = cosine_topk(emb, queries, k=5)
+    approx = pq_topk(emb, queries, cbs, k=5, rerank=100)
+    ex = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    ap = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    # random gaussians are PQ's worst case (no subspace structure);
+    # rerank=100-of-corpus still clears 0.6 — structured embeddings
+    # quantize far tighter
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.6, f"PQ recall {recall:.2f} too low"
+    # codes are partition-layout independent (plan-literal codebooks,
+    # per-row argmin — nothing depends on which task sees the row)
+    c1 = {r["vec_id"]: r["codes"] for r in pq_encode(emb, cbs).collect()}
+    c2 = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(emb.repartition(7), cbs).collect()
+    }
+    assert c1 == c2
+    # every code addresses a real codebook entry
+    assert all(0 <= c < 16 for codes in c1.values() for c in codes)
