@@ -385,3 +385,76 @@ def x06_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_keys"))
     )
+
+
+# ---------------------------------------------------------------------------
+# g03 — two-hop min-label propagation (the CC step, oracle-checked)
+# ---------------------------------------------------------------------------
+
+_G03_EDGES_SQL = """
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                        'c' || CAST(o_custkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity >= 48
+"""
+
+
+@query(
+    "g03_cc_two_hop",
+    oracle=f"""
+    WITH base AS ({_G03_EDGES_SQL}),
+    e2 AS (
+        SELECT src, dst FROM base
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM base
+    ),
+    l1 AS (
+        SELECT src AS node, LEAST(src, MIN(dst)) AS l1
+        FROM e2 GROUP BY src
+    ),
+    l2 AS (
+        SELECT a.node, LEAST(a.l1, MIN(nb.l1)) AS label
+        FROM l1 a
+        JOIN e2 e ON e.src = a.node
+        JOIN l1 nb ON nb.node = e.dst
+        GROUP BY a.node, a.l1
+    )
+    SELECT node, label FROM l2
+    """,
+    doc="Two statically-unrolled rounds of min-label propagation over "
+    "the SPARSE high-quantity transaction graph — the exact per-round "
+    "step connected_components/d05 iterate to a fixed point, "
+    "hash-checked through the oracle (the g02 trick applied to CC): "
+    "each round is one edge join + one min-aggregate, labels are "
+    "string mins so both engines agree bytewise. The iterative "
+    "fixed-point remains differential-tested (union-find replica); "
+    "this pins the round itself.",
+)
+def g03_cc_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    base = (
+        li.filter(F.col("l_quantity") >= 48)
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    e2 = base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    l1 = e2.groupBy(F.col("src").alias("node")).agg(
+        F.least(F.col("src"), F.min("dst")).alias("l1")
+    )
+    l2 = (
+        l1.join(e2, l1["node"] == e2["src"])
+        .join(
+            l1.select(F.col("node").alias("_nb"), F.col("l1").alias("_nb_l1")),
+            F.col("dst") == F.col("_nb"),
+        )
+        .groupBy("node", l1["l1"])
+        .agg(F.least(l1["l1"], F.min("_nb_l1")).alias("label"))
+    )
+    return l2.select("node", "label")

@@ -122,6 +122,7 @@ _PRIORITY: tuple[str, ...] = (
     "t27_dsir_weights",
     "x06_bloom_membership",
     "s10_pq_topk",
+    "g03_cc_two_hop",
 )
 
 _PRIORITY_RANK = {name: i for i, name in enumerate(_PRIORITY)}
