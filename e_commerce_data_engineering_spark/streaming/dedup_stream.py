@@ -163,3 +163,114 @@ def start_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_exact_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    accepted_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 8192,
+    k_hashes: int = 5,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Streaming EXACT dedup with a Bloom pre-filter: admit a doc iff
+    its content hash has never been accepted.
+
+    Per batch: (1) batch-internal keep-min-id per content hash, (2) a
+    Bloom membership probe against the accepted corpus's bit table —
+    no false negatives, so Bloom-NEGATIVE docs are definitively new and
+    skip the store entirely; only Bloom-positive hashes (true dups +
+    the ~fp-rate sliver) pay the equi-join against the full hash store.
+    At steady state most arrivals are novel, so the store join scans a
+    small fraction of the batch — the bit table is O(m) bounded and
+    broadcast, while the hash store grows with the corpus.
+
+    State layout (all per-batch overwrite dirs → replay-safe, same
+    idempotency pattern as ``start_dedup_stream``):
+      ``{state_dir}/hashes/batch_id=N`` — accepted (h) rows,
+      ``{state_dir}/bloom/batch_id=N``  — their set bit positions,
+      ``{state_dir}/metrics/batch_id=N`` — one row:
+        (n_in, n_batch_unique, n_bloom_negative, n_store_checked,
+        n_kept) so the pruning ratio is observable.
+    """
+    from ..operators.sketch import _portable_bucket
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+    hash_store = f"{state_dir}/hashes"
+    bloom_store = f"{state_dir}/bloom"
+    metrics_store = f"{state_dir}/metrics"
+
+    def _positions(df: DataFrame) -> DataFrame:
+        rows = F.array(*[F.lit(i) for i in range(k_hashes)])
+        return df.select("h", F.explode(rows).alias("_i")).select(
+            "h", _portable_bucket(F.col("h"), F.col("_i"), m_bits).alias("bit")
+        )
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        hashed = batch_df.select(
+            F.col(id_col).alias("doc_id"), F.md5(F.col(text_col).cast("binary")).alias("h")
+        )
+        # batch-internal: min-id keeper per content hash
+        batch_unique = (
+            hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id")).persist()
+        )
+        n_in = hashed.count()
+        n_batch_unique = batch_unique.count()
+
+        jvm_path = s._jvm.org.apache.hadoop.fs.Path(bloom_store)
+        fs = jvm_path.getFileSystem(s._jsc.hadoopConfiguration())
+        if fs.exists(jvm_path):
+            bits = s.read.parquet(bloom_store).select("bit").distinct()
+            probed = (
+                _positions(batch_unique)
+                .join(F.broadcast(bits.withColumn("_set", F.lit(1))), "bit", "left")
+                .groupBy("h")
+                .agg((F.count(F.col("_set")) == F.lit(k_hashes)).alias("_maybe"))
+            )
+            maybe = probed.filter(F.col("_maybe")).select("h")
+            n_maybe = maybe.count()
+            # only Bloom-positive hashes pay the store join; negatives
+            # are PROVABLY new (no false negatives)
+            seen = s.read.parquet(hash_store).select("h").join(maybe, "h", "left_semi")
+            kept = batch_unique.join(seen, "h", "left_anti").persist()
+        else:
+            n_maybe = 0
+            kept = batch_unique.persist()
+        n_kept = kept.count()
+
+        out = batch_df.join(
+            kept.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
+        )
+        out.write.mode("overwrite").parquet(f"{accepted_dir}/batch_id={epoch_id}")
+        kept.select("h").write.mode("overwrite").parquet(
+            f"{hash_store}/batch_id={epoch_id}"
+        )
+        _positions(kept).select("bit").distinct().write.mode("overwrite").parquet(
+            f"{bloom_store}/batch_id={epoch_id}"
+        )
+        s.createDataFrame(
+            [(n_in, n_batch_unique, n_batch_unique - n_maybe, n_maybe, n_kept)],
+            "n_in bigint, n_batch_unique bigint, n_bloom_negative bigint, "
+            "n_store_checked bigint, n_kept bigint",
+        ).write.mode("overwrite").parquet(f"{metrics_store}/batch_id={epoch_id}")
+        batch_unique.unpersist()
+        kept.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

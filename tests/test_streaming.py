@@ -547,3 +547,83 @@ def test_active_users_stream_matches_batch_e14(spark, tmp_path):
     }
     assert got2 == got
     assert len(glob.glob(f"{state}/batch_id=*")) >= 1
+
+
+def test_streaming_exact_dedup_bloom_gated(spark, tmp_path):
+    """Exact-dedup stream: batch-internal exact dups collapse to the
+    min-id keeper, corpus dups are rejected across batches, Bloom-
+    negative docs provably skip the store join (metrics expose the
+    pruning), and a checkpointed replay changes nothing."""
+    import os
+    import time
+
+    from e_commerce_data_engineering_spark.streaming.dedup_stream import (
+        start_exact_dedup_stream,
+    )
+
+    a, b, c, d = "alpha text", "beta text", "gamma text", "delta text"
+    src = tmp_path / "in"
+    src.mkdir()
+    f1 = src / "b1.jsonl"
+    f2 = src / "b2.jsonl"
+    f1.write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 1, "text": a},
+                {"doc_id": 2, "text": a},   # intra-batch exact dup -> dropped
+                {"doc_id": 3, "text": b},
+            ]
+        )
+    )
+    f2.write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 4, "text": b},   # corpus dup -> dropped
+                {"doc_id": 5, "text": c},
+                {"doc_id": 6, "text": d},
+            ]
+        )
+    )
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    accepted = str(tmp_path / "accepted")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt-exact")
+
+    def _run():
+        q = start_exact_dedup_stream(
+            spark, str(src), accepted, state, ckpt, schema, max_files_per_trigger=1
+        )
+        q.awaitTermination(180)
+
+    _run()
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(accepted).collect())
+    assert kept == [1, 3, 5, 6]
+
+    # hash store: one row per accepted doc; bloom store: <= k bits per doc
+    assert spark.read.parquet(f"{state}/hashes").count() == 4
+    assert spark.read.parquet(f"{state}/bloom").select("bit").distinct().count() <= 4 * 5
+
+    # metrics: batch 2 had 3 inputs, one corpus dup; the two novel docs
+    # must be bloom-NEGATIVE (no false negatives -> store join skipped
+    # for them), the dup bloom-positive
+    m = {
+        r["batch_id"]: r
+        for r in spark.read.parquet(f"{state}/metrics").collect()
+    }
+    b2 = m[max(m)]
+    assert b2["n_in"] == 3 and b2["n_kept"] == 2
+    assert b2["n_store_checked"] >= 1            # the true dup always probes
+    assert b2["n_bloom_negative"] + b2["n_store_checked"] == b2["n_batch_unique"]
+
+    # replay: same checkpoint, no new files -> identical corpus and state
+    _run()
+    assert sorted(r["doc_id"] for r in spark.read.parquet(accepted).collect()) == kept
+    assert spark.read.parquet(f"{state}/hashes").count() == 4
