@@ -123,6 +123,8 @@ _PRIORITY: tuple[str, ...] = (
     "x06_bloom_membership",
     "s10_pq_topk",
     "g03_cc_two_hop",
+    # round-4 closing additions
+    "g04_triangle_counts",
 )
 
 _PRIORITY_RANK = {name: i for i, name in enumerate(_PRIORITY)}
