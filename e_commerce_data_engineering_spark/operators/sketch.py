@@ -240,3 +240,71 @@ def bloom_probe(
         .groupBy(key_col)
         .agg((F.count(F.col("_set")) == F.lit(k_hashes)).alias("claimed_member"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (portable hash family — oracle-checkable end to end)
+# ---------------------------------------------------------------------------
+#
+# x03 uses Spark's real Datasketches HLL (the production estimator, with
+# proper 64-bit hashing); its binary sketch layout is engine-specific,
+# so it carries a rows-only driver check. This variant rebuilds the HLL
+# register grid on the portable hash family so DuckDB replays the whole
+# build -> merge -> estimate path bit-for-bit (the x05/x06 trick applied
+# to distinct counting). Register index = h1 mod m; the rank is the
+# leading-zero count of h2 folded into HLL_K bits, computed via the
+# length of the minimal binary string (identical `bin()` semantics in
+# Spark and DuckDB). The harmonic denominator Sum(2^-rho) is kept as the
+# EXACT integer Sum(2^(K+1-rho)) (every term and the total fit a
+# bigint), so the only floating-point step is one literal/bigint
+# division both engines perform on identical IEEE doubles.
+
+HLL_P = 8  # m = 256 registers: stderr ~ 1.04/sqrt(256) = 6.5%
+HLL_M = 1 << HLL_P
+HLL_K = 20  # rank domain bits; rho in [1, K+1]
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# full numerator of the raw estimate: alpha * m^2 * 2^(K+1), one literal
+HLL_EST_NUM = HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_K + 1))
+
+
+def hll_registers_portable(df: DataFrame, key_col: str, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Portable-hash HLL register maxima over ``key_col``: one row per
+    (group, reg) with reg in [0, HLL_M) and rho in [1, HLL_K+1].
+    Duplicate keys are absorbed by the max — no pre-dedup pass. Register
+    rows are the mergeable state: max-combine register frames from
+    shards/epochs and re-estimate without rescanning."""
+    h1 = _portable_hash(F.col(key_col), 31, _P1)
+    h2 = _portable_hash(F.col(key_col), 131, _P2)
+    w = h2 % F.lit(1 << HLL_K)
+    rho = F.when(w > 0, F.lit(HLL_K + 1) - F.length(F.bin(w))).otherwise(
+        F.lit(HLL_K + 1)
+    )
+    return (
+        df.select(*group_cols, (h1 % HLL_M).alias("reg"), rho.alias("_rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("_rho").alias("rho"))
+    )
+
+
+def hll_estimate_portable(registers: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Raw HLL estimate per group from register rows: exact-integer
+    harmonic numerator, then alpha*m^2*2^(K+1) / S as the single
+    floating-point step (``raw_est``; no small-range linear-counting
+    branch — ln() is libm-dependent and would break oracle portability,
+    and x03 remains the production estimator)."""
+    scale = 1 << (HLL_K + 1)
+    per = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_nset"),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {HLL_K + 1} - rho)")
+        ).alias("_s_set"),
+    )
+    s_total = (
+        F.col("_s_set") + (F.lit(HLL_M) - F.col("_nset")) * F.lit(scale)
+    ).cast("bigint")
+    return per.select(
+        *group_cols,
+        F.col("_nset").cast("long").alias("regs_set"),
+        s_total.alias("harmonic_num"),
+        (F.lit(HLL_EST_NUM) / s_total).alias("raw_est"),
+    )

@@ -568,3 +568,99 @@ def g04_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+# ---------------------------------------------------------------------------
+# x07 — portable-hash HyperLogLog rollup (oracle-checked)
+# ---------------------------------------------------------------------------
+
+from ..operators.sketch import (  # noqa: E402  (query-module tail import)
+    HLL_EST_NUM,
+    HLL_K,
+    HLL_M,
+    hll_estimate_portable,
+    hll_registers_portable,
+    sql_portable_hash,
+)
+
+_X07_H1 = sql_portable_hash("text", 31, 1_000_000_007)
+_X07_H2 = sql_portable_hash("text", 131, 998_244_353)
+
+
+@query(
+    "x07_hll_portable",
+    oracle=f"""
+    WITH h AS (
+        SELECT source,
+               {_X07_H1} % {HLL_M} AS reg,
+               {_X07_H2} % {1 << HLL_K} AS w
+        FROM documents
+    ),
+    r AS (
+        SELECT source, reg,
+               MAX(CASE WHEN w > 0 THEN {HLL_K + 1} - length(bin(w))
+                        ELSE {HLL_K + 1} END) AS rho
+        FROM h GROUP BY source, reg
+    ),
+    r2 AS (
+        SELECT source, reg, rho FROM r
+        UNION ALL
+        SELECT '__all__' AS source, reg, MAX(rho) AS rho FROM r GROUP BY reg
+    ),
+    agg AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS regs_set,
+               CAST(SUM(CAST(1 AS BIGINT) << ({HLL_K + 1} - rho)) AS BIGINT)
+                 + ({HLL_M} - CAST(COUNT(*) AS BIGINT)) * {1 << (HLL_K + 1)}
+                 AS harmonic_num
+        FROM r2 GROUP BY source
+    ),
+    ex AS (
+        SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct
+        FROM documents GROUP BY source
+        UNION ALL
+        SELECT '__all__', CAST(COUNT(DISTINCT text) AS BIGINT) FROM documents
+    )
+    SELECT a.source, regs_set, harmonic_num,
+           {sql_fround(f"{HLL_EST_NUM!r} / harmonic_num", 4)} AS est,
+           exact_distinct
+    FROM agg a JOIN ex USING (source)
+    """,
+    doc="Portable-hash HyperLogLog distinct-text rollup: per-source "
+    "register grids, max-merged into a corpus-wide '__all__' estimate "
+    "WITHOUT rescanning the rows — the tiered-rollup pattern x03 "
+    "demonstrates with Datasketches HLL, here rebuilt on the portable "
+    "hash family so the oracle replays registers, exact-integer "
+    "harmonic numerator, and the raw estimate bit-for-bit "
+    "(operators/sketch.hll_registers_portable/hll_estimate_portable). "
+    "Register state is fixed at m=256 rows per group regardless of "
+    "input size — the sketch, not the rows, is the shuffle/merge "
+    "state at 100 TB. Exact per-source distinct counts ride along so "
+    "the estimator error is visible in the result.",
+)
+def x07_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    regs = hll_registers_portable(d, "text", ("source",)).persist()
+    merged = (
+        regs.groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.lit("__all__").alias("source"), "reg", "rho")
+    )
+    est = hll_estimate_portable(regs.union(merged), ("source",))
+    exact = (
+        d.groupBy("source")
+        .agg(F.countDistinct("text").alias("exact_distinct"))
+        .union(
+            d.agg(F.countDistinct("text").alias("exact_distinct")).select(
+                F.lit("__all__").alias("source"), "exact_distinct"
+            )
+        )
+    )
+    out = est.join(exact, "source").select(
+        "source",
+        "regs_set",
+        "harmonic_num",
+        fround(F.col("raw_est"), 4).alias("est"),
+        "exact_distinct",
+    )
+    return out

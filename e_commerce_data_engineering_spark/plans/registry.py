@@ -125,6 +125,7 @@ _PRIORITY: tuple[str, ...] = (
     "g03_cc_two_hop",
     # round-4 closing additions
     "g04_triangle_counts",
+    "x07_hll_portable",
 )
 
 _PRIORITY_RANK = {name: i for i, name in enumerate(_PRIORITY)}

@@ -340,3 +340,35 @@ def test_triangle_counts_match_bruteforce(spark):
         for r in g04_triangle_counts(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+def test_portable_hll_estimate_and_merge(spark):
+    """x07's portable HLL: the merged corpus estimate lands within the
+    ~3*stderr envelope of the exact distinct count (m=256 -> 6.5%
+    stderr), and max-merging per-source register frames is associative
+    (shard order cannot change the rollup)."""
+    from e_commerce_data_engineering_spark.operators.sketch import (
+        HLL_M,
+        hll_estimate_portable,
+        hll_registers_portable,
+    )
+    from e_commerce_data_engineering_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    exact = d.select("text").distinct().count()
+    regs = hll_registers_portable(d, "text", ("source",))
+    assert regs.count() <= HLL_M * d.select("source").distinct().count()
+
+    merged = regs.groupBy("reg").agg(F.max("rho").alias("rho"))
+    est = hll_estimate_portable(merged).collect()[0]["raw_est"]
+    assert abs(est - exact) <= 0.20 * exact, (est, exact)
+
+    # associativity: merging a two-way shard split register-wise gives
+    # the identical register frame as the direct build
+    h1, h2 = d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
+    r1 = hll_registers_portable(h1, "text")
+    r2 = hll_registers_portable(h2, "text")
+    remerged = r1.union(r2).groupBy("reg").agg(F.max("rho").alias("rho"))
+    direct = hll_registers_portable(d, "text")
+    assert remerged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(remerged).count() == 0
