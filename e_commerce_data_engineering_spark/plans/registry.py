@@ -126,6 +126,7 @@ _PRIORITY: tuple[str, ...] = (
     # round-4 closing additions
     "g04_triangle_counts",
     "x07_hll_portable",
+    "t28_priority_sample",
 )
 
 _PRIORITY_RANK = {name: i for i, name in enumerate(_PRIORITY)}

@@ -1182,3 +1182,77 @@ def t27_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("w_micro").desc(), F.col("doc_id").asc())
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# t28 — priority sampling: weighted sample without replacement as top-k
+# ---------------------------------------------------------------------------
+
+T28_K = 50
+_T28_P = 1_000_000_007  # portable-hash prime (operators/sketch._P1)
+# affine post-mix: Horner folds of short numeric ids span only a tiny
+# sub-range of [0, P); multiplying by a large constant mod P scatters
+# that cluster uniformly (verified mean~0.5, sd~1/sqrt(12) in tests).
+# All arithmetic stays exact int64: h < P ~ 1e9, h*MIX < 1.2e18.
+_T28_MIX, _T28_ADD = 1_103_515_245, 12_345
+
+
+@query(
+    "t28_priority_sample",
+    oracle=f"""
+    WITH pri AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(n_chars * {_T28_P} AS DOUBLE)
+                 / ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+                                     c -> CAST(ascii(c) AS BIGINT))),
+                      (a, c) -> (a * 31 + c) % {_T28_P})
+                     * {_T28_MIX} + {_T28_ADD}) % {_T28_P} + 1) AS q
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars,
+           CAST(ROW_NUMBER() OVER (ORDER BY q DESC, doc_id) AS BIGINT)
+             AS sample_rank
+    FROM pri
+    ORDER BY q DESC, doc_id
+    LIMIT {T28_K}
+    """,
+    doc="Priority sampling (Duffield, Lund & Thorup, JACM'07): a "
+    "weighted sample-without-replacement of documents with inclusion "
+    "probability rising in n_chars, computed as a TOP-K — priority "
+    "q_i = w_i / u_i with u_i derived from the affine-mixed portable "
+    "Horner hash of doc_id as (g+1)/P, so q_i = w_i*P/(g+1) is one IEEE division of "
+    "exactly-representable integers (w*P < 2^53) and both engines order "
+    "identically; ties broken by doc_id. No random state, no global "
+    "sort: Catalyst executes the plan as TakeOrderedAndProject (per-"
+    "partition heaps + driver merge), the shape that samples 100 TB "
+    "without shuffling it — the mixture-sampling primitive t25's "
+    "temperature weights feed at corpus-assembly time. The "
+    "Horvitz-Thompson tau-threshold estimator built on this sample is "
+    "property-tested (tests/test_operators.py).",
+)
+def t28_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.sketch import portable_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    h = portable_hash(F.col("doc_id").cast("string"), 31, _T28_P)
+    g = (h * F.lit(_T28_MIX) + F.lit(_T28_ADD)) % F.lit(_T28_P)
+    pri = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (
+            (F.col("n_chars").cast("bigint") * F.lit(_T28_P)).cast("double")
+            / (g + F.lit(1)).cast("double")
+        ).alias("q"),
+    )
+    top = pri.orderBy(F.col("q").desc(), "doc_id").limit(T28_K)
+    w = W.orderBy(F.col("q").desc(), "doc_id")
+    return top.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.row_number().over(w).cast("bigint").alias("sample_rank"),
+    )

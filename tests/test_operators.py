@@ -871,3 +871,63 @@ def test_pq_recall_and_determinism(spark):
     assert c1 == c2
     # every code addresses a real codebook entry
     assert all(0 <= c < 16 for codes in c1.values() for c in codes)
+
+
+def test_priority_sample_ht_estimator(spark):
+    """t28's priority sample: the tau-threshold Horvitz-Thompson
+    estimator (Duffield-Lund-Thorup) recovers the true total weight
+    within the k~50 sampling-noise envelope, and the sample is biased
+    toward heavy documents (that's what 'weighted' means)."""
+    from e_commerce_data_engineering_spark.plans.text import (
+        T28_K,
+        _T28_ADD,
+        _T28_MIX,
+        _T28_P,
+        t28_priority_sample,
+    )
+    from e_commerce_data_engineering_spark.operators.sketch import portable_hash
+
+    sf = "/root/testdata/sf0.01"  # sf0.001 has fewer docs than K
+    d = load_table(spark, sf, "documents")
+    total_w = d.agg(F.sum("n_chars")).collect()[0][0]
+    corpus_mean = d.agg(F.avg("n_chars")).collect()[0][0]
+
+    sample = t28_priority_sample(spark, sf).collect()
+    assert len(sample) == T28_K
+    sample_mean = sum(r["n_chars"] for r in sample) / len(sample)
+    assert sample_mean > corpus_mean
+
+    # tau = (K+1)-th largest priority, recomputed independently
+    h = portable_hash(F.col("doc_id").cast("string"), 31, _T28_P)
+    g = (h * F.lit(_T28_MIX) + F.lit(_T28_ADD)) % F.lit(_T28_P)
+    q = (F.col("n_chars").cast("bigint") * F.lit(_T28_P)).cast("double") / (
+        g + F.lit(1)
+    ).cast("double")
+    # the mixed hash's implied uniforms must actually be uniform —
+    # without the affine post-mix, short numeric ids cluster and tau
+    # explodes (mean was 0.69, estimator off by 4 orders of magnitude)
+    us = [
+        r[0]
+        for r in d.select(((g + F.lit(1)).cast("double") / _T28_P).alias("u")).collect()
+    ]
+    mean_u = sum(us) / len(us)
+    var_u = sum((x - mean_u) ** 2 for x in us) / len(us)
+    assert 0.45 <= mean_u <= 0.55, mean_u
+    assert 0.06 <= var_u <= 0.11, var_u  # uniform variance = 1/12 ~ 0.083
+
+    pris = sorted(
+        (r[0] for r in d.select(q.alias("q")).collect()), reverse=True
+    )
+    tau = pris[T28_K]
+    sampled_ids = {r["doc_id"] for r in sample}
+    top_ids = {
+        r["doc_id"]
+        for r in d.select("doc_id", q.alias("q"))
+        .orderBy(F.col("q").desc(), "doc_id")
+        .limit(T28_K)
+        .collect()
+    }
+    assert sampled_ids == top_ids
+    est_total = sum(max(r["n_chars"], tau) for r in sample)
+    # relative std-dev of priority sampling ~ 1/sqrt(k-1) ~ 14%; allow 3x
+    assert abs(est_total - total_w) <= 0.45 * total_w, (est_total, total_w)
