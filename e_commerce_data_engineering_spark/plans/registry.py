@@ -127,6 +127,7 @@ _PRIORITY: tuple[str, ...] = (
     "g04_triangle_counts",
     "x07_hll_portable",
     "t28_priority_sample",
+    "t29_segment_dedup",
 )
 
 _PRIORITY_RANK = {name: i for i, name in enumerate(_PRIORITY)}

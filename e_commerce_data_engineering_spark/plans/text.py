@@ -1256,3 +1256,108 @@ def t28_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.row_number().over(w).cast("bigint").alias("sample_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t29 — exact segment dedup with document reconstruction (C4-style)
+# ---------------------------------------------------------------------------
+
+SEG_W = 8  # non-overlapping segment width (tokens); stride == width
+
+
+@query(
+    "t29_segment_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+    segs AS (
+        SELECT doc_id,
+               CAST((start - 1) / {SEG_W} AS INTEGER) AS seg_idx,
+               list_aggregate(ts[start:start + {SEG_W - 1}], 'string_agg', ' ') AS seg,
+               len(ts[start:start + {SEG_W - 1}]) AS seg_toks
+        FROM (SELECT doc_id, ts,
+                     unnest(generate_series(1, len(ts), {SEG_W})) AS start
+              FROM toks) t
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+        FROM segs
+    ),
+    kept AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_kept_segs,
+               CAST(SUM(seg_toks) AS BIGINT) AS kept_tokens,
+               md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS clean_md5
+        FROM ranked WHERE rn = 1 GROUP BY doc_id
+    ),
+    totals AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs FROM segs GROUP BY doc_id
+    )
+    SELECT t.doc_id, n_segs,
+           COALESCE(n_kept_segs, 0) AS n_kept_segs,
+           COALESCE(kept_tokens, 0) AS kept_tokens,
+           COALESCE(clean_md5, md5('')) AS clean_md5
+    FROM totals t LEFT JOIN kept k ON t.doc_id = k.doc_id
+    """,
+    doc=f"Exact segment-level dedup with document reconstruction "
+    f"(the C4 pipeline's span-dedup pass, Raffel et al. 2020): split "
+    f"every document into non-overlapping {SEG_W}-token segments, keep "
+    "only each distinct segment's FIRST corpus occurrence (min "
+    "(doc_id, seg_idx) — deterministic, partition-independent), then "
+    "reassemble each document from its surviving segments in order. "
+    "Keeper selection is a groupBy-min on the segment hash plus an "
+    "equi-join back — the partial-aggregation-friendly shape (NOT a "
+    "window over the hash, whose per-key partitions skew under "
+    "pathological mega-duplicated spans); reassembly is "
+    "sort_array(collect_list) within each doc, bounded by document "
+    "length. Output pins the reconstructed text via md5, so the oracle "
+    "verifies byte-exact reassembly, not just counts.",
+)
+def t29_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    starts = F.sequence(F.lit(1), F.size("ts"), F.lit(SEG_W))
+    segs = (
+        d.select("doc_id", toks.alias("ts"))
+        .select("doc_id", "ts", F.posexplode(starts).alias("seg_idx", "start"))
+        .select(
+            "doc_id",
+            "seg_idx",
+            F.concat_ws(" ", F.slice("ts", F.col("start"), SEG_W)).alias("seg"),
+            F.size(F.slice("ts", F.col("start"), SEG_W)).alias("seg_toks"),
+        )
+    )
+    winners = segs.groupBy(F.md5("seg").alias("h")).agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("w")
+    )
+    kept = (
+        segs.join(
+            winners,
+            (F.md5(segs["seg"]) == winners["h"])
+            & (segs["doc_id"] == winners["w.doc_id"])
+            & (segs["seg_idx"] == winners["w.seg_idx"]),
+            "left_semi",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept_segs"),
+            F.sum("seg_toks").alias("kept_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("seg_idx", "seg"))),
+                        lambda s: s["seg"],
+                    ),
+                )
+            ).alias("clean_md5"),
+        )
+    )
+    totals = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_segs",
+        F.coalesce(F.col("n_kept_segs"), F.lit(0)).alias("n_kept_segs"),
+        F.coalesce(F.col("kept_tokens"), F.lit(0).cast("bigint")).alias("kept_tokens"),
+        F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
+    )

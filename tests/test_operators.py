@@ -931,3 +931,37 @@ def test_priority_sample_ht_estimator(spark):
     est_total = sum(max(r["n_chars"], tau) for r in sample)
     # relative std-dev of priority sampling ~ 1/sqrt(k-1) ~ 14%; allow 3x
     assert abs(est_total - total_w) <= 0.45 * total_w, (est_total, total_w)
+
+
+def test_segment_dedup_reconstruction(spark):
+    """t29: total kept segments equals the number of DISTINCT segments
+    (keep-exactly-one), and a document that lost nothing reconstructs to
+    its whitespace-normalized original text byte-for-byte."""
+    from e_commerce_data_engineering_spark.functions.text import tokens
+    from e_commerce_data_engineering_spark.plans.text import SEG_W, t29_segment_dedup
+
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, sf, "documents")
+    toks = tokens(F.col("text"))
+    starts = F.sequence(F.lit(1), F.size("ts"), F.lit(SEG_W))
+    distinct_segs = (
+        d.select(toks.alias("ts"))
+        .select(F.explode(starts).alias("start"), "ts")
+        .select(F.concat_ws(" ", F.slice("ts", F.col("start"), SEG_W)).alias("seg"))
+        .distinct()
+        .count()
+    )
+    out = t29_segment_dedup(spark, sf)
+    rows = out.collect()
+    assert sum(r["n_kept_segs"] for r in rows) == distinct_segs
+
+    orig = {
+        r["doc_id"]: r["m"]
+        for r in d.select(
+            "doc_id", F.md5(F.concat_ws(" ", toks)).alias("m")
+        ).collect()
+    }
+    intact = [r for r in rows if r["n_kept_segs"] == r["n_segs"]]
+    assert intact, "expected at least one untouched document"
+    for r in intact:
+        assert r["clean_md5"] == orig[r["doc_id"]], r["doc_id"]
