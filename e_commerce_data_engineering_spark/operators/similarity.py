@@ -754,3 +754,112 @@ def pq_topk(
     ).select("q_id", id_col, cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"))
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return exact.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def ivfpq_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int,
+    nlist: int = 16,
+    nprobe: int = 4,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    index: tuple[DataFrame, list[list[float]]] | None = None,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """IVF-PQ search (Jégou et al. 2011, §IV's IVFADC layout): IVF cell
+    pruning composed with PQ compression. The scan table is (id, cell,
+    codes) — 8 bytes of codes per vector instead of the raw floats —
+    and a query touches only the nprobe/nlist slice of it via a cell
+    equi-join (never a cross join), scores those codes with the M×K
+    ADC lookup table, then exact-re-ranks the top-``rerank`` against
+    the raw vectors. This is the standard billion-scale ANN recipe:
+    partition pruning bounds IO, PQ bounds bytes-per-vector, re-rank
+    restores exactness at the top.
+
+    One simplification vs the paper: codes quantize the RAW unit
+    vectors, not the per-cell residuals, so one codebook set serves
+    every cell and the encoded table is reusable by the pure-PQ path
+    (pq_topk); residual encoding is the known refinement when cells
+    are tight. Recall floor vs the exact baseline is asserted in
+    tests/test_operators.py."""
+    if index is not None:
+        assigned, centroids = index
+    elif cache_key is not None:
+        assigned, centroids = cached_ivf_index(
+            candidates, nlist, id_col, vec_col, seed, cache_key
+        )
+    else:
+        assigned, centroids = ivf_index(candidates, nlist, id_col, vec_col, seed)
+        assigned = assigned.persist()
+
+    # the compressed scan table: cell id + PQ codes, materialized (the
+    # d01 lesson: never let Catalyst inline the argmin encode into the
+    # probe join). At scale this is a table partitioned by _cell with a
+    # codes column — written once, scanned per query batch.
+    enc = pq_encode(candidates, codebooks, id_col, vec_col)
+    cells = assigned.select(id_col, "_cell").join(enc, id_col).persist()
+    cells.count()
+
+    m_subs = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    cb = const_array(codebooks)
+    lut = _bind(
+        _unit(F.col(vec_col)),
+        lambda qu: F.transform(
+            F.sequence(F.lit(0), F.lit(m_subs - 1)),
+            lambda m: F.transform(
+                F.element_at(cb, m + 1),
+                lambda c: _sq_dist(F.slice(qu, m * d_sub + 1, d_sub), c),
+            ),
+        ),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"), lut.alias("_lut")
+    )
+    probes = (
+        q.select(
+            "q_id",
+            "_qv",
+            "_lut",
+            F.posexplode(centroid_dists(F.col("_qv"), centroids)).alias(
+                "_cell", "_dist"
+            ),
+        )
+        .withColumn(
+            "_rk", F.row_number().over(W.partitionBy("q_id").orderBy("_dist", "_cell"))
+        )
+        .filter(F.col("_rk") <= nprobe)
+        .select("q_id", "_qv", "_lut", "_cell")
+    )
+    approx = (
+        F.broadcast(probes)
+        .join(cells, "_cell")
+        .filter(F.col("q_id") != F.col(id_col))
+        .select(
+            "q_id",
+            "_qv",
+            id_col,
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m_subs - 1)),
+                F.lit(0.0),
+                lambda acc, m: acc
+                + F.element_at(
+                    F.element_at(F.col("_lut"), m + 1),
+                    F.element_at(F.col("codes"), m + 1) + 1,
+                ),
+            ).alias("_adc"),
+        )
+    )
+    w_adc = W.partitionBy("q_id").orderBy(F.col("_adc").asc(), F.col(id_col))
+    shortlist = approx.withColumn("_rk", F.row_number().over(w_adc)).filter(
+        F.col("_rk") <= rerank
+    )
+    exact = shortlist.join(
+        candidates.select(F.col(id_col), F.col(vec_col).alias("_cv")), id_col
+    ).select("q_id", id_col, cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"))
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return exact.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

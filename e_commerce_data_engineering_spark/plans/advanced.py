@@ -305,6 +305,36 @@ def s10_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s11_ivfpq_topk",
+    oracle=None,  # approximate by construction (k-means cells + PQ
+    # codebooks are data-dependent); recall vs the exact s02 baseline
+    # asserted in tests/test_operators.py
+    doc="IVF-PQ ANN (Jégou et al. 2011 IVFADC): the s05 cell index and "
+    "the s10 codebooks COMPOSED — a query equi-joins only its "
+    "nprobe/16 nearest cells of the (cell, codes) scan table, ranks "
+    "those codes by M LUT lookups, and exact-re-ranks the top-100. "
+    "The billion-scale layout: IVF bounds rows touched, PQ bounds "
+    "bytes per row (32x), re-rank restores exactness at the top "
+    "(operators/similarity.ivfpq_topk). Shares s05's session-cached "
+    "IVF index and s10's trained codebooks, so the bench pays each "
+    "build once. Recall@10 ~ 0.7 here on worst-case random gaussians "
+    "(the PQ ceiling is 0.78, s10); structured embeddings do better.",
+)
+def s11_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivfpq_topk, pq_train
+
+    e = load_table(spark, sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_CODEBOOKS:
+        _PQ_CODEBOOKS[key] = pq_train(e, dim=64, m_subs=8, k_codes=16, seed=42)
+    q = e.filter(F.col("vec_id") < 5)
+    return ivfpq_topk(
+        e, q, _PQ_CODEBOOKS[key], k=10, nlist=16, nprobe=8, rerank=100,
+        cache_key=sf_dir,
+    ).select("q_id", "vec_id", fround(F.col("cos_sim"), 6).alias("cos_sim"), "rn")
+
+
+@query(
     "m01_multimodal_decode",
     oracle=None,  # synthetic binary assets, not a driver table
     doc="Multimodal decode over GENUINE container bytes: images are "

@@ -128,6 +128,7 @@ _PRIORITY: tuple[str, ...] = (
     "x07_hll_portable",
     "t28_priority_sample",
     "t29_segment_dedup",
+    "s11_ivfpq_topk",
 )
 
 _PRIORITY_RANK = {name: i for i, name in enumerate(_PRIORITY)}

@@ -965,3 +965,25 @@ def test_segment_dedup_reconstruction(spark):
     assert intact, "expected at least one untouched document"
     for r in intact:
         assert r["clean_md5"] == orig[r["doc_id"]], r["doc_id"]
+
+
+def test_ivfpq_recall_vs_exact(spark):
+    """s11's IVF-PQ composition: recall against the exact baseline must
+    clear the compounded floor (cell pruning x PQ quantization), and the
+    ADC stage must only ever touch probed cells (no cross join)."""
+    from e_commerce_data_engineering_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_train,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    cbs = pq_train(emb, dim=64, m_subs=8, k_codes=16, seed=42)
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=5)
+    approx = ivfpq_topk(emb, queries, cbs, k=5, nlist=8, nprobe=5, rerank=60)
+    ex = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    ap = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, f"IVF-PQ recall {recall:.2f} too low"
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
