@@ -54,8 +54,12 @@ HEADLINE = [
     # d07 immediately after d06: both share cache_key="d06", so the
     # IVF centroids built for d06 are reused instead of rebuilt
     "d07_semdedup_recall",
+    "t29_segment_dedup",
     "s02_cosine_topk",
     "s05_ivf_cosine_topk",
+    # s11 immediately after s05: shares the session-cached IVF index
+    # (cache_key=sf_dir), so only the PQ train/encode is new cost
+    "s11_ivfpq_topk",
     "a01_asof_join",
 ]
 

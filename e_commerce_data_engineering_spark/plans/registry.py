@@ -129,6 +129,7 @@ _PRIORITY: tuple[str, ...] = (
     "t28_priority_sample",
     "t29_segment_dedup",
     "s11_ivfpq_topk",
+    "t30_bm25_topk",
 )
 
 _PRIORITY_RANK = {name: i for i, name in enumerate(_PRIORITY)}

@@ -1361,3 +1361,108 @@ def t29_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("kept_tokens"), F.lit(0).cast("bigint")).alias("kept_tokens"),
         F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t30 — BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("spark", "join", "query")
+BM25_K1, BM25_B = 1.2, 0.75
+BM25_TOPN = 20
+_BM25_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@query(
+    "t30_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(ts)) AS BIGINT) AS sum_dl FROM toks
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf, ANY_VALUE(dl) AS dl
+        FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS tok FROM toks) t
+        WHERE tok IN ({_BM25_IN})
+        GROUP BY doc_id, tok
+    ),
+    df AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(FLOOR(
+                 ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                 * (CAST(tf AS DOUBLE) * {BM25_K1 + 1.0})
+                 / (CAST(tf AS DOUBLE) + {BM25_K1} * ({1.0 - BM25_B}
+                      + {BM25_B} * CAST(dl AS DOUBLE) * n_docs / sum_dl))
+                 * 1000000000.0 + 0.5) AS BIGINT) AS sq
+        FROM tf t JOIN df USING (tok) CROSS JOIN stats
+    ),
+    total AS (
+        SELECT doc_id, CAST(SUM(sq) AS BIGINT) AS score_q,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms_hit, score_q,
+           CAST(ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS BIGINT) AS rank
+    FROM total
+    ORDER BY score_q DESC, doc_id
+    LIMIT {BM25_TOPN}
+    """,
+    doc=f"BM25 ranked retrieval (Robertson-Spärck Jones probabilistic "
+    f"weighting, k1={BM25_K1}, b={BM25_B}): top-{BM25_TOPN} documents "
+    f"for the query {BM25_TERMS} — the lexical-search half of a RAG "
+    "stack next to the s-family's vector half. tf/df/dl are exact "
+    "integers from one explode+groupBy; per-(doc,term) scores are "
+    "1e-9-quantized to integers BEFORE the per-doc sum (the t25 "
+    "pow-precedent for the single libm call, ln), so ranking is an "
+    "integer sort both engines replay identically; final ranking is "
+    "top-N with doc_id tiebreak (TakeOrderedAndProject — no global "
+    "sort). The IN-list term filter prunes the exploded token stream "
+    "before any shuffle; at scale the tf frame is the standard "
+    "inverted-index layout bucketed by term.",
+)
+def t30_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", X.tokens(F.col("text")).alias("ts"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(F.size("ts")).alias("sum_dl")
+    )
+    tf = (
+        toks.select("doc_id", F.size("ts").alias("dl"), F.explode("ts").alias("tok"))
+        .filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    j = tf.join(F.broadcast(df_), "tok").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    num = F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)
+    den = F.col("tf").cast("double") + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B)
+        + F.lit(BM25_B) * F.col("dl").cast("double") * F.col("n_docs") / F.col("sum_dl")
+    )
+    sq = F.floor(idf * num / den * F.lit(1000000000.0) + F.lit(0.5)).cast("bigint")
+    total = (
+        j.select("doc_id", sq.alias("sq"))
+        .groupBy("doc_id")
+        .agg(F.sum("sq").alias("score_q"), F.count(F.lit(1)).alias("n_terms_hit"))
+    )
+    top = total.orderBy(F.col("score_q").desc(), "doc_id").limit(BM25_TOPN)
+    w = W.orderBy(F.col("score_q").desc(), "doc_id")
+    return top.select(
+        "doc_id",
+        "n_terms_hit",
+        "score_q",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )
