@@ -266,3 +266,60 @@ def test_x06_bloom_probe_is_broadcast_join(spark):
     plan = plan_of(spark, "x06_bloom_membership")
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_g04_triangle_join_is_equi_only(spark):
+    # wedge generation + closing-edge check: equi joins (with inequality
+    # residuals), never a cartesian/nested-loop expansion
+    plan = plan_of(spark, "g04_triangle_counts")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftSemi" in plan, plan  # closing-edge existence check
+
+
+def test_x07_hll_state_is_bounded_aggregates(spark):
+    # register build = hash aggregate over (source, reg); no joins other
+    # than the tiny estimate/exact combine, no window over raw rows
+    plan = plan_of(spark, "x07_hll_portable")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x (regs, rollup)
+
+
+def test_t28_priority_sample_is_take_ordered(spark):
+    # the weighted sample must compile to per-partition heaps + driver
+    # merge, not a global sort of the corpus
+    plan = plan_of(spark, "t28_priority_sample")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_t29_keeper_is_semi_join_no_window_over_hash(spark):
+    # keep-first selection: groupBy-min + LeftSemi back-join (partial-agg
+    # friendly), NOT a row_number window partitioned by segment hash
+    plan = plan_of(spark, "t29_segment_dedup")
+    assert "LeftSemi" in plan, plan
+    assert "RunningWindowFunction" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_s11_ivfpq_probe_is_broadcast_cell_join(spark):
+    # ADC scoring reaches candidates through the _cell equi join with the
+    # broadcast probe side — never a cross join against the corpus
+    plan = plan_of(spark, "s11_ivfpq_topk")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_t30_bm25_prunes_terms_before_shuffle_and_takes_topk(spark):
+    plan = plan_of(spark, "t30_bm25_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    # the IN-list term filter prunes the exploded token stream directly
+    # (a Filter node with the IN condition, evaluated before any
+    # aggregate exchange — node ids are topological, so the Filter's id
+    # must precede its subtree's Exchange id)
+    import re
+
+    m = re.search(r"\((\d+)\) Filter[\s\S]*?Condition : tok#\d+ IN \(", plan)
+    assert m, plan
+    filt_id = int(m.group(1))
+    exch_ids = [int(x) for x in re.findall(r"\((\d+)\) Exchange", plan)]
+    assert any(e > filt_id for e in exch_ids), (filt_id, exch_ids)
