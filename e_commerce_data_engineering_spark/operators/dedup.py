@@ -716,3 +716,71 @@ def semdedup(
     out.count()
     base.unpersist()
     return out
+
+
+def dedupe_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_w: int = 8,
+) -> DataFrame:
+    """C4-style exact segment dedup with reconstruction (Raffel et al.
+    2020's span-dedup pass): split each document into non-overlapping
+    ``seg_w``-token segments, keep only each distinct segment's FIRST
+    corpus occurrence (min (id, seg_idx) — deterministic and
+    partition-independent), reassemble the surviving segments in order.
+
+    Returns one row per input document: (id, n_segs, n_kept_segs,
+    kept_tokens, clean_md5) where clean_md5 fingerprints the
+    reconstructed text. Keeper selection is a groupBy-min on the
+    segment hash plus a semi equi-join back — partial-aggregation
+    friendly, unlike a row_number window over the hash whose per-key
+    partitions skew under mega-duplicated spans. Reassembly is
+    sort_array(collect_list) bounded by document length. Backs the t29
+    query and the scale harness."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    starts = F.sequence(F.lit(1), F.size("ts"), F.lit(seg_w))
+    segs = (
+        df.select(F.col(id_col).alias("_id"), toks.alias("ts"))
+        .select("_id", "ts", F.posexplode(starts).alias("seg_idx", "start"))
+        .select(
+            "_id",
+            "seg_idx",
+            F.concat_ws(" ", F.slice("ts", F.col("start"), seg_w)).alias("seg"),
+            F.size(F.slice("ts", F.col("start"), seg_w)).alias("seg_toks"),
+        )
+    )
+    winners = segs.groupBy(F.md5("seg").alias("h")).agg(
+        F.min(F.struct("_id", "seg_idx")).alias("w")
+    )
+    kept = (
+        segs.join(
+            winners,
+            (F.md5(segs["seg"]) == winners["h"])
+            & (segs["_id"] == winners["w._id"])
+            & (segs["seg_idx"] == winners["w.seg_idx"]),
+            "left_semi",
+        )
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept_segs"),
+            F.sum("seg_toks").alias("kept_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("seg_idx", "seg"))),
+                        lambda s: s["seg"],
+                    ),
+                )
+            ).alias("clean_md5"),
+        )
+    )
+    totals = segs.groupBy("_id").agg(F.count(F.lit(1)).alias("n_segs"))
+    return totals.join(kept, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        "n_segs",
+        F.coalesce(F.col("n_kept_segs"), F.lit(0)).alias("n_kept_segs"),
+        F.coalesce(F.col("kept_tokens"), F.lit(0).cast("bigint")).alias("kept_tokens"),
+        F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
+    )

@@ -517,7 +517,21 @@ G04_MIN_SHARED = 3
     "layered on the same plan.",
 )
 def g04_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    from ..operators.graph import triangle_counts
+
+    edges = copurchase_edges(spark, sf_dir)
+    return triangle_counts(edges)
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (u < v) supplier co-purchase edges: suppliers linked
+    when they share >= G04_MIN_SHARED distinct high-quantity customers.
+    The pair generation is Sum(|suppliers-per-customer|^2), kept sparse
+    by the quantity filter; at scale a per-customer fanout cap layers
+    onto the same plan."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     co = (
         li.filter(F.col("l_quantity") >= G04_MIN_QTY)
@@ -527,46 +541,12 @@ def g04_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = co.select(F.col("c"), F.col("s").alias("u"))
     b = co.select(F.col("c").alias("_c2"), F.col("s").alias("v"))
-    ed = (
+    return (
         a.join(b, (a["c"] == b["_c2"]) & (a["u"] < b["v"]))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= G04_MIN_SHARED)
         .select("u", "v")
-    )
-    deg = (
-        ed.select(F.col("u").alias("node"))
-        .union(ed.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    du = deg.select(F.col("node").alias("_un"), F.col("d").alias("_ud"))
-    dv = deg.select(F.col("node").alias("_vn"), F.col("d").alias("_vd"))
-    u_first = (F.col("_ud") < F.col("_vd")) | (
-        (F.col("_ud") == F.col("_vd")) & (F.col("u") < F.col("v"))
-    )
-    ori = (
-        ed.join(du, ed["u"] == du["_un"])
-        .join(dv, ed["v"] == dv["_vn"])
-        .select(
-            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        )
-    )
-    e1 = ori.select(F.col("src").alias("_s1"), F.col("dst").alias("_d1"))
-    e2 = ori.select(F.col("src").alias("_s2"), F.col("dst").alias("_d2"))
-    wedges = e1.join(e2, (F.col("_s1") == F.col("_s2")) & (F.col("_d1") < F.col("_d2"))).select(
-        F.col("_s1").alias("a"), F.col("_d1").alias("b"), F.col("_d2").alias("c")
-    )
-    # wedge endpoints are id-ordered (b < c), so the closing edge is the
-    # canonical (b, c) row — a two-column equi semi join
-    tri = wedges.join(
-        ed.select(F.col("u").alias("b"), F.col("v").alias("c")), ["b", "c"], "left_semi"
-    )
-    return (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
 
 

@@ -1314,53 +1314,10 @@ SEG_W = 8  # non-overlapping segment width (tokens); stride == width
     "verifies byte-exact reassembly, not just counts.",
 )
 def t29_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedupe_segments
+
     d = load_table(spark, sf_dir, "documents")
-    toks = X.tokens(F.col("text"))
-    starts = F.sequence(F.lit(1), F.size("ts"), F.lit(SEG_W))
-    segs = (
-        d.select("doc_id", toks.alias("ts"))
-        .select("doc_id", "ts", F.posexplode(starts).alias("seg_idx", "start"))
-        .select(
-            "doc_id",
-            "seg_idx",
-            F.concat_ws(" ", F.slice("ts", F.col("start"), SEG_W)).alias("seg"),
-            F.size(F.slice("ts", F.col("start"), SEG_W)).alias("seg_toks"),
-        )
-    )
-    winners = segs.groupBy(F.md5("seg").alias("h")).agg(
-        F.min(F.struct("doc_id", "seg_idx")).alias("w")
-    )
-    kept = (
-        segs.join(
-            winners,
-            (F.md5(segs["seg"]) == winners["h"])
-            & (segs["doc_id"] == winners["w.doc_id"])
-            & (segs["seg_idx"] == winners["w.seg_idx"]),
-            "left_semi",
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_kept_segs"),
-            F.sum("seg_toks").alias("kept_tokens"),
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("seg_idx", "seg"))),
-                        lambda s: s["seg"],
-                    ),
-                )
-            ).alias("clean_md5"),
-        )
-    )
-    totals = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
-    return totals.join(kept, "doc_id", "left").select(
-        "doc_id",
-        "n_segs",
-        F.coalesce(F.col("n_kept_segs"), F.lit(0)).alias("n_kept_segs"),
-        F.coalesce(F.col("kept_tokens"), F.lit(0).cast("bigint")).alias("kept_tokens"),
-        F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
-    )
+    return dedupe_segments(d, "doc_id", "text", seg_w=SEG_W)
 
 
 # ---------------------------------------------------------------------------
@@ -1466,3 +1423,107 @@ def t30_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_q",
         F.row_number().over(w).cast("bigint").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t31 — mixture-quota corpus assembly (t25 weights × t28 sampling)
+# ---------------------------------------------------------------------------
+
+T31_TOTAL = 100  # target corpus size (docs)
+
+
+@query(
+    "t31_mixture_sample",
+    oracle=f"""
+    WITH per_src AS (
+        SELECT source,
+               CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    powed AS (
+        SELECT source,
+               CAST(FLOOR(POWER(CAST(n_tokens AS DOUBLE), {MIX_ALPHA}) * {_QW} + 0.5)
+                    AS BIGINT) AS pq
+        FROM per_src
+    ),
+    quota AS (
+        SELECT source,
+               CAST(FLOOR({sql_fround("CAST(pq AS DOUBLE) / (SELECT SUM(pq) FROM powed)", 6)}
+                    * {T31_TOTAL} + 0.5) AS BIGINT) AS quota
+        FROM powed
+    ),
+    pri AS (
+        SELECT source, doc_id, n_chars,
+               CAST(n_chars * {_T28_P} AS DOUBLE)
+                 / ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+                                     c -> CAST(ascii(c) AS BIGINT))),
+                      (a, c) -> (a * 31 + c) % {_T28_P})
+                     * {_T28_MIX} + {_T28_ADD}) % {_T28_P} + 1) AS q
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, doc_id, n_chars, quota,
+               CAST(ROW_NUMBER() OVER (
+                    PARTITION BY source ORDER BY q DESC, doc_id) AS BIGINT)
+                 AS src_rank
+        FROM pri JOIN quota USING (source)
+    )
+    SELECT source, doc_id, n_chars, quota, src_rank
+    FROM ranked WHERE src_rank <= quota
+    """,
+    doc=f"Mixture-quota corpus assembly — the step that EXECUTES the "
+    f"mixing plan: t25's temperature-{MIX_ALPHA} weights become "
+    f"per-source quotas of a {T31_TOTAL}-doc target corpus (round-"
+    "half-up of weight x total), and each source's quota is filled by "
+    "its top-quota documents under t28's portable priority sampling — "
+    "a weighted sample without replacement WITHIN each source. The "
+    "per-source ranking is a window partitioned by source (bounded "
+    "partitions; no global sort), the quota frame is a broadcast-"
+    "sized dim. This is the t11/t25/t28 composition a real pretraining "
+    "data pipeline ships: weights -> quotas -> deterministic, "
+    "reproducible document picks, all hash-checked through the oracle.",
+)
+def t31_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.sketch import portable_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(X.tokens(F.col("text")))).alias("n_tokens")
+    )
+    powed = per_src.select(
+        "source",
+        F.floor(
+            F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_ALPHA)) * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("bigint").alias("pq"),
+    )
+    tot = powed.agg(F.sum("pq").alias("pq_total"))
+    quota = powed.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(
+            fround(F.col("pq").cast("double") / F.col("pq_total"), 6)
+            * F.lit(T31_TOTAL)
+            + F.lit(0.5)
+        ).cast("bigint").alias("quota"),
+    )
+    h = portable_hash(F.col("doc_id").cast("string"), 31, _T28_P)
+    g = (h * F.lit(_T28_MIX) + F.lit(_T28_ADD)) % F.lit(_T28_P)
+    pri = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (
+            (F.col("n_chars").cast("bigint") * F.lit(_T28_P)).cast("double")
+            / (g + F.lit(1)).cast("double")
+        ).alias("q"),
+    )
+    w = W.partitionBy("source").orderBy(F.col("q").desc(), "doc_id")
+    ranked = (
+        pri.join(F.broadcast(quota), "source")
+        .withColumn("src_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("src_rank") <= F.col("quota"))
+    )
+    return ranked.select("source", "doc_id", "n_chars", "quota", "src_rank")

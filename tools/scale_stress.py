@@ -64,7 +64,11 @@ def main() -> None:
 
     for k in SCALES:
         root = f"{OUT_ROOT}/x{k}"
-        n_li = replicate(spark, "lineitem", k, f"{root}/lineitem", ["l_orderkey"])
+        # l_suppkey shifts too so the g04 co-purchase projection sees K
+        # disjoint replica subgraphs (join_agg/dedup ops never read it)
+        n_li = replicate(
+            spark, "lineitem", k, f"{root}/lineitem", ["l_orderkey", "l_suppkey"]
+        )
         replicate(spark, "orders", k, f"{root}/orders", ["o_orderkey", "o_custkey"])
         n_ev = replicate(spark, "events", k, f"{root}/events", ["event_id", "user_id"])
         n_doc = replicate(spark, "documents", k, f"{root}/documents", ["doc_id"])
@@ -138,10 +142,48 @@ def main() -> None:
 
             return jaccard_similarity_join(docs, "doc_id", "text", 0.7).count()
 
+        # C4 segment dedup: replica docs are exact copies, so every
+        # segment's duplicate group is K deep — keeper selection must
+        # stay one groupBy-min + semi-join regardless of group depth.
+        def segment_dedup():
+            from e_commerce_data_engineering_spark.operators.dedup import (
+                dedupe_segments,
+            )
+
+            return dedupe_segments(docs, "doc_id", "text", seg_w=8).count()
+
+        # degree-oriented triangle counting over the replicated
+        # transaction graph: suppkey+custkey shifts make the K replicas
+        # DISJOINT subgraphs, so edges/wedges/triangles all grow K-fold
+        # — a linear-scaling target for the wedge join.
+        def triangles():
+            from e_commerce_data_engineering_spark.operators.graph import (
+                triangle_counts,
+            )
+
+            co = (
+                li.filter(F.col("l_quantity") >= 48)
+                .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+                .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+                .distinct()
+            )
+            a = co.select(F.col("c"), F.col("s").alias("u"))
+            b = co.select(F.col("c").alias("_c2"), F.col("s").alias("v"))
+            ed = (
+                a.join(b, (a["c"] == b["_c2"]) & (a["u"] < b["v"]))
+                .groupBy("u", "v")
+                .agg(F.count(F.lit(1)).alias("shared"))
+                .filter(F.col("shared") >= 3)
+                .select("u", "v")
+            )
+            return triangle_counts(ed).count()
+
         # ppjoin's TRUE OUTPUT grows K² (replicas have identical token
         # sets), so past x16 the run is dominated by materializing the
         # answer itself — cap it and document the output-bound regime.
         op_max_scale = {"ppjoin_t09": 16}
+        only = os.environ.get("SPARK_GRAFT_OPS")
+        only_ops = set(only.split(",")) if only else None
         for name, fn, rows_in in (
             ("join_agg", join_agg, n_li),
             ("event_windows", windows, n_ev),
@@ -150,7 +192,11 @@ def main() -> None:
             ("ivf_ann_probe", ivf_probe, n_em),
             ("semdedup", semdedup_op, n_em),
             ("ppjoin_t09", ppjoin, n_doc),
+            ("segment_dedup_t29", segment_dedup, n_doc),
+            ("triangles_g04", triangles, n_li),
         ):
+            if only_ops is not None and name not in only_ops:
+                continue
             if k > op_max_scale.get(name, max(SCALES)):
                 continue
             if k == SCALES[0]:
