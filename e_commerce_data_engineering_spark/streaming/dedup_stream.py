@@ -274,3 +274,118 @@ def start_exact_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_segment_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    accepted_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_w: int = 8,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Streaming twin of the t29 batch pass (operators/dedup.
+    dedupe_segments): arriving documents are split into non-overlapping
+    ``seg_w``-token segments, each segment survives only if its hash
+    has never been accepted — neither earlier IN this batch (keep-min
+    (id, seg_idx)) nor in any prior batch (anti-join against the
+    persistent segment-hash store) — and each document is reassembled
+    from its surviving segments before being written out.
+
+    This is how a C4-style span-dedup runs on a GROWING corpus: the
+    batch pass would re-dedup the whole corpus per delivery; here each
+    micro-batch pays one groupBy over its own segments plus one
+    equi-join against the store. State layout mirrors the other dedup
+    streams (per-batch overwrite dirs keyed by batch_id → replay-safe):
+      ``{state_dir}/seghashes/batch_id=N`` — newly accepted (h) rows,
+      ``{state_dir}/metrics/batch_id=N`` — (n_docs, n_segs,
+        n_new_segs, n_docs_intact) per batch.
+    Documents that lose EVERY segment still emit a row (empty
+    clean_text) so downstream counts reconcile with arrivals."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+    seg_store = f"{state_dir}/seghashes"
+    metrics_store = f"{state_dir}/metrics"
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        starts = F.sequence(F.lit(1), F.size("ts"), F.lit(seg_w))
+        segs = (
+            batch_df.select(F.col(id_col).alias("_id"), toks.alias("ts"))
+            .select("_id", "ts", F.posexplode(starts).alias("seg_idx", "start"))
+            .select(
+                "_id",
+                "seg_idx",
+                F.concat_ws(" ", F.slice("ts", F.col("start"), seg_w)).alias("seg"),
+                F.md5(F.concat_ws(" ", F.slice("ts", F.col("start"), seg_w))).alias("h"),
+            )
+            .persist()
+        )
+        n_segs = segs.count()
+        # batch-internal keep-first, same rule as the batch operator
+        winners = segs.groupBy("h").agg(F.min(F.struct("_id", "seg_idx")).alias("w"))
+        first = segs.join(
+            winners,
+            (segs["h"] == winners["h"])
+            & (segs["_id"] == winners["w._id"])
+            & (segs["seg_idx"] == winners["w.seg_idx"]),
+            "left_semi",
+        )
+        jvm_path = s._jvm.org.apache.hadoop.fs.Path(seg_store)
+        fs = jvm_path.getFileSystem(s._jsc.hadoopConfiguration())
+        if fs.exists(jvm_path):
+            store = s.read.parquet(seg_store).select("h")
+            kept_segs = first.join(store, "h", "left_anti").persist()
+        else:
+            kept_segs = first.persist()
+        n_new = kept_segs.count()
+
+        rebuilt = kept_segs.groupBy("_id").agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda x: x["seg"],
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept_segs"),
+        )
+        totals = segs.groupBy("_id").agg(F.count(F.lit(1)).alias("n_segs"))
+        out = (
+            totals.join(rebuilt, "_id", "left")
+            .select(
+                F.col("_id").alias(id_col),
+                F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+                "n_segs",
+                F.coalesce(F.col("n_kept_segs"), F.lit(0)).alias("n_kept_segs"),
+            )
+        )
+        out.write.mode("overwrite").parquet(f"{accepted_dir}/batch_id={epoch_id}")
+        kept_segs.select("h").distinct().write.mode("overwrite").parquet(
+            f"{seg_store}/batch_id={epoch_id}"
+        )
+        n_docs = totals.count()
+        n_intact = out.filter(F.col("n_kept_segs") == F.col("n_segs")).count()
+        s.createDataFrame(
+            [(n_docs, n_segs, n_new, n_intact)],
+            "n_docs bigint, n_segs bigint, n_new_segs bigint, n_docs_intact bigint",
+        ).write.mode("overwrite").parquet(f"{metrics_store}/batch_id={epoch_id}")
+        segs.unpersist()
+        kept_segs.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

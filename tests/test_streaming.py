@@ -627,3 +627,98 @@ def test_streaming_exact_dedup_bloom_gated(spark, tmp_path):
     _run()
     assert sorted(r["doc_id"] for r in spark.read.parquet(accepted).collect()) == kept
     assert spark.read.parquet(f"{state}/hashes").count() == 4
+
+
+def test_streaming_segment_dedup_matches_batch_and_replays(spark, tmp_path):
+    """Segment-dedup stream (t29's streaming twin): one-batch delivery
+    reproduces the batch operator's reconstruction exactly; split
+    delivery dedupes segments ACROSS batches (later docs lose spans
+    already accepted earlier); checkpointed replay changes nothing."""
+    import os
+    import time
+
+    from e_commerce_data_engineering_spark.operators.dedup import dedupe_segments
+    from e_commerce_data_engineering_spark.streaming.dedup_stream import (
+        start_segment_dedup_stream,
+    )
+
+    w = 3  # segment width for the test corpus
+    docs = [
+        {"doc_id": 1, "text": "a b c d e f"},            # segs: (a b c) (d e f)
+        {"doc_id": 2, "text": "a b c x y z"},            # loses (a b c) to doc 1
+        {"doc_id": 3, "text": "p q r s t u"},
+        {"doc_id": 4, "text": "d e f p q r"},            # loses both across batches
+        {"doc_id": 5, "text": "fresh tokens here"},
+    ]
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+
+    # --- one-batch delivery == batch operator semantics
+    src1 = tmp_path / "in1"
+    src1.mkdir()
+    (src1 / "all.jsonl").write_text("\n".join(json.dumps(r) for r in docs))
+    acc1 = str(tmp_path / "acc1")
+    q = start_segment_dedup_stream(
+        spark, str(src1), acc1, str(tmp_path / "st1"), str(tmp_path / "ck1"),
+        schema, seg_w=w, max_files_per_trigger=10,
+    )
+    q.awaitTermination(180)
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_segs"], r["n_kept_segs"])
+        for r in spark.read.parquet(acc1).collect()
+    }
+    batch = dedupe_segments(
+        spark.createDataFrame([(d["doc_id"], d["text"]) for d in docs], schema),
+        "doc_id", "text", seg_w=w,
+    ).collect()
+    import hashlib
+
+    for r in batch:
+        text, n_segs, n_kept = got[r["doc_id"]]
+        assert (n_segs, n_kept) == (r["n_segs"], r["n_kept_segs"]), r["doc_id"]
+        assert hashlib.md5(text.encode()).hexdigest() == r["clean_md5"], r["doc_id"]
+
+    # --- split delivery: cross-batch span suppression
+    src2 = tmp_path / "in2"
+    src2.mkdir()
+    f1, f2 = src2 / "b1.jsonl", src2 / "b2.jsonl"
+    f1.write_text("\n".join(json.dumps(r) for r in docs[:3]))
+    f2.write_text("\n".join(json.dumps(r) for r in docs[3:]))
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+    acc2 = str(tmp_path / "acc2")
+    st2, ck2 = str(tmp_path / "st2"), str(tmp_path / "ck2")
+
+    def _run():
+        q2 = start_segment_dedup_stream(
+            spark, str(src2), acc2, st2, ck2, schema, seg_w=w,
+            max_files_per_trigger=1,
+        )
+        q2.awaitTermination(180)
+
+    _run()
+    got2 = {
+        r["doc_id"]: (r["clean_text"], r["n_kept_segs"])
+        for r in spark.read.parquet(acc2).collect()
+    }
+    # doc 4's spans (d e f) and (p q r) were both accepted in batch 1
+    assert got2[4] == ("", 0)
+    assert got2[2][0] == "x y z"
+    assert got2[5][0] == "fresh tokens here"
+    # same final segment set as the one-batch run
+    n_store = spark.read.parquet(f"{st2}/seghashes").select("h").distinct().count()
+    assert n_store == sum(v[2] for v in got.values())
+
+    # --- replay: no new files -> identical output and store
+    _run()
+    got2b = {
+        r["doc_id"]: (r["clean_text"], r["n_kept_segs"])
+        for r in spark.read.parquet(acc2).collect()
+    }
+    assert got2b == got2
+    assert (
+        spark.read.parquet(f"{st2}/seghashes").select("h").distinct().count()
+        == n_store
+    )

@@ -161,8 +161,11 @@ def main() -> None:
                 triangle_counts,
             )
 
+            # sf0.1-density thresholds (qty>=45, shared>=3: ~3.3k edges,
+            # ~123 triangles per replica) — the query's sf0.01 constants
+            # leave this tier's projection empty
             co = (
-                li.filter(F.col("l_quantity") >= 48)
+                li.filter(F.col("l_quantity") >= 45)
                 .join(orders, li["l_orderkey"] == orders["o_orderkey"])
                 .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
                 .distinct()
