@@ -1527,3 +1527,85 @@ def t31_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src_rank") <= F.col("quota"))
     )
     return ranked.select("source", "doc_id", "n_chars", "quota", "src_rank")
+
+
+# ---------------------------------------------------------------------------
+# t32 — cross-source n-gram overlap matrix
+# ---------------------------------------------------------------------------
+
+T32_N = 5  # n-gram length (tokens)
+
+
+@query(
+    "t32_source_overlap",
+    oracle=f"""
+    WITH toks AS (SELECT source, {_DUCK_TOKS} AS ts FROM documents),
+    grams AS (
+        SELECT DISTINCT source,
+               md5(list_aggregate(ts[i:i + {T32_N - 1}], 'string_agg', ' ')) AS g
+        FROM (SELECT source, ts,
+                     unnest(generate_series(1, len(ts) - {T32_N - 1})) AS i
+              FROM toks) t
+    ),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY source),
+    ov AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+        FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, shared_ngrams,
+           {sql_fround("CAST(shared_ngrams AS DOUBLE) / (sa.n + sb.n - shared_ngrams)", 6)}
+             AS jaccard
+    FROM ov JOIN sizes sa ON sa.source = src_a
+            JOIN sizes sb ON sb.source = src_b
+    """,
+    doc=f"Cross-source contamination matrix: for every source pair, the "
+    f"count and Jaccard of shared distinct {T32_N}-gram fingerprints — "
+    "the corpus-health table that catches mirrored/scraped-twice "
+    "content BETWEEN ingestion feeds before it inflates dedup work "
+    "downstream (t14 screens documents against benchmarks; this "
+    "screens feeds against each other). One distinct-gram frame, one "
+    "self equi-join on the gram hash grouped to source pairs — at "
+    "100 TB the gram frame buckets by hash and the matrix is "
+    "|sources|² small. Pairs sharing nothing are absent (sparse "
+    "output), asserted identically by the oracle.",
+)
+def t32_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    starts = F.sequence(F.lit(1), F.size("ts") - F.lit(T32_N - 1))
+    grams = (
+        d.select("source", toks.alias("ts"))
+        .filter(F.size("ts") >= T32_N)
+        .select("source", F.explode(starts).alias("i"), "ts")
+        .select(
+            "source",
+            F.md5(F.concat_ws(" ", F.slice("ts", F.col("i"), T32_N))).alias("g"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col("source").alias("src_a"), "g")
+    b = grams.select(F.col("source").alias("src_b"), F.col("g").alias("_g2"))
+    ov = (
+        a.join(b, (a["g"] == b["_g2"]) & (a["src_a"] < b["src_b"]))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("_na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("_nb"))
+    return (
+        ov.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared_ngrams",
+            fround(
+                F.col("shared_ngrams").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("shared_ngrams")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
