@@ -445,3 +445,68 @@ def e09_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(PATH_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# e15 — exponentially-decayed trending scores
+# ---------------------------------------------------------------------------
+
+E15_HALFLIFE_US = 7 * 86_400_000_000  # 7-day half-life, in microseconds
+
+
+@query(
+    "e15_trending_decay",
+    oracle=f"""
+    WITH ref AS (SELECT MAX(epoch_us(ts)) AS ref_us FROM events),
+    q AS (
+        SELECT event_type,
+               CAST(FLOOR(
+                 value * POWER(0.5, (ref_us - epoch_us(ts)) / {float(E15_HALFLIFE_US)})
+                 * 1000000.0 + 0.5) AS BIGINT) AS dq
+        FROM events CROSS JOIN ref
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_fround("CAST(SUM(dq) AS DOUBLE) / 1000000.0", 6)} AS trend_score,
+           CAST(ROW_NUMBER() OVER (
+                ORDER BY SUM(dq) DESC, event_type) AS BIGINT) AS trend_rank
+    FROM q GROUP BY event_type
+    """,
+    doc="Time-decayed trending scores per event type: each event's "
+    "value is weighted by 0.5^(age/7d) relative to the corpus's newest "
+    "event, so recent activity dominates — the 'trending now' ranking "
+    "primitive (the streaming analog folds the same decayed partials "
+    "per batch). Ages are exact integer microsecond differences; the "
+    "single libm call (pow) is 1e-6-quantized PER EVENT before the "
+    "integer sum (the t25 discipline), so the aggregate is independent "
+    "of both summation order and engine. One scan, one aggregate; the "
+    "reference timestamp is a broadcast one-row frame, never a "
+    "correlated subquery per row.",
+)
+def e15_trending_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ref = e.agg(F.max(F.unix_micros("ts")).alias("ref_us"))
+    dq = F.floor(
+        F.col("value")
+        * F.pow(
+            F.lit(0.5),
+            (F.col("ref_us") - F.unix_micros("ts")) / F.lit(float(E15_HALFLIFE_US)),
+        )
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    w = W.orderBy(F.col("_sum_dq").desc(), "event_type")
+    return (
+        e.crossJoin(F.broadcast(ref))
+        .select("event_type", dq.alias("dq"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("dq").alias("_sum_dq"))
+        .select(
+            "event_type",
+            "n_events",
+            fround(F.col("_sum_dq").cast("double") / F.lit(1000000.0), 6).alias(
+                "trend_score"
+            ),
+            F.row_number().over(w).cast("bigint").alias("trend_rank"),
+        )
+    )

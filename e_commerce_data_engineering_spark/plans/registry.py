@@ -131,6 +131,7 @@ _PRIORITY: tuple[str, ...] = (
     "t30_bm25_topk",
     "t31_mixture_sample",
     "t32_source_overlap",
+    "e15_trending_decay",
     # rows-only last within the round-4 block: if the driver's ~50-entry
     # sweep cap cuts the tail, it cuts a rows-only check, not an oracle
     "s11_ivfpq_topk",
