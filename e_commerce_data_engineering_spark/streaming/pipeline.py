@@ -349,3 +349,147 @@ def read_rolling_active_users(
 
     day_user = spark.read.parquet(state_dir).select("d", "user_id").distinct()
     return rolling_active_users(day_user, window_days)
+
+
+def start_trending_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema,
+    halflife_us: int = 7 * 86_400_000_000,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Streaming twin of the e15 decayed-trending query: per event
+    type, maintain sum(value * 0.5^(age/halflife)) as events arrive,
+    WITHOUT ever rescanning history.
+
+    The decayed sum is foldable because decay is exponential: a stored
+    partial anchored at time A becomes a partial anchored at B>A by one
+    multiplication with 0.5^((B-A)/halflife). Each batch (1) computes
+    its own partial anchored at its max event time, (2) rescales the
+    stored partial from its old anchor to the new one, (3) adds, and
+    (4) writes (event_type, partial, anchor_us, n_events) keyed by
+    batch_id — the same replay-safe overwrite layout as the other
+    streams, so a restarted batch recomputes byte-identical state. The
+    anchor always advances to the newest event seen, keeping partials
+    in (0, sum(values)] — no overflow for any stream length.
+
+    ``read_trending`` folds the per-batch dirs to the latest state and
+    returns the same (event_type, n_events, trend_score, trend_rank)
+    shape as e15; batch/stream parity is pinned in
+    tests/test_streaming.py."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+        anchor_new = batch_df.select(F.max(ts_us).alias("a")).collect()[0]["a"]
+        part = (
+            batch_df.select(
+                "event_type",
+                F.col("value"),
+                (
+                    F.col("value")
+                    * F.pow(
+                        F.lit(0.5),
+                        (F.lit(anchor_new) - ts_us) / F.lit(float(halflife_us)),
+                    )
+                ).alias("dv"),
+            )
+            .groupBy("event_type")
+            .agg(F.sum("dv").alias("partial"), F.count(F.lit(1)).alias("n_events"))
+        )
+        jvm_path = s._jvm.org.apache.hadoop.fs.Path(state_dir)
+        fs = jvm_path.getFileSystem(s._jsc.hadoopConfiguration())
+        # fold ONLY state from batches strictly before this epoch: a
+        # replayed batch must not read the failed attempt's own output
+        # (running-total state is NOT union-idempotent like the hash
+        # stores — replay safety comes from this exclusion + overwrite)
+        prev = (
+            read_trending_state(s, state_dir, before_batch=epoch_id)
+            if fs.exists(jvm_path)
+            else None
+        )
+        if prev is not None:
+            anchor = max(
+                anchor_new,
+                prev.agg(F.max("anchor_us")).collect()[0][0] or anchor_new,
+            )
+            rescaled = prev.select(
+                "event_type",
+                (
+                    F.col("partial")
+                    * F.pow(
+                        F.lit(0.5),
+                        (F.lit(anchor) - F.col("anchor_us")) / F.lit(float(halflife_us)),
+                    )
+                ).alias("partial"),
+                F.col("n_events"),
+            )
+            part2 = part.select(
+                "event_type",
+                (
+                    F.col("partial")
+                    * F.pow(
+                        F.lit(0.5),
+                        (F.lit(anchor) - F.lit(anchor_new)) / F.lit(float(halflife_us)),
+                    )
+                ).alias("partial"),
+                "n_events",
+            )
+            merged = (
+                rescaled.unionByName(part2)
+                .groupBy("event_type")
+                .agg(F.sum("partial").alias("partial"), F.sum("n_events").alias("n_events"))
+            )
+        else:
+            anchor = anchor_new
+            merged = part
+        merged.withColumn("anchor_us", F.lit(anchor)).write.mode("overwrite").parquet(
+            f"{state_dir}/batch_id={epoch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_trending_state(
+    spark: SparkSession, state_dir: str, before_batch: int | None = None
+) -> DataFrame | None:
+    """Latest per-type (event_type, partial, anchor_us, n_events) —
+    only the newest batch_id dir is live state. ``before_batch``
+    restricts to batches strictly earlier (the replay-safety read);
+    returns None when no eligible batch exists."""
+    all_batches = spark.read.option("basePath", state_dir).parquet(state_dir)
+    if before_batch is not None:
+        all_batches = all_batches.filter(F.col("batch_id") < before_batch)
+    latest = all_batches.agg(F.max("batch_id").alias("b")).collect()[0]["b"]
+    if latest is None:
+        return None
+    return all_batches.filter(F.col("batch_id") == latest).drop("batch_id")
+
+
+def read_trending(spark: SparkSession, state_dir: str) -> DataFrame:
+    """e15-shaped view of the stream state: (event_type, n_events,
+    trend_score, trend_rank) scored at the state's own anchor."""
+    from pyspark.sql import Window as W
+
+    st = read_trending_state(spark, state_dir)
+    w = W.orderBy(F.col("partial").desc(), "event_type")
+    return st.select(
+        "event_type",
+        "n_events",
+        F.col("partial").alias("trend_score"),
+        F.row_number().over(w).cast("bigint").alias("trend_rank"),
+    )

@@ -722,3 +722,83 @@ def test_streaming_segment_dedup_matches_batch_and_replays(spark, tmp_path):
         spark.read.parquet(f"{st2}/seghashes").select("h").distinct().count()
         == n_store
     )
+
+
+def test_trending_stream_matches_batch_e15(spark, tmp_path):
+    """Decayed-trending stream: folding per-batch partials with anchor
+    rescaling converges to the batch e15 computation over the same
+    events (float tolerance: the stream folds pow() factors instead of
+    quantizing per event), and a checkpointed replay changes nothing."""
+    import os
+    import time
+
+    from e_commerce_data_engineering_spark.plans.events import e15_trending_decay
+    from e_commerce_data_engineering_spark.streaming.pipeline import (
+        read_trending,
+        start_trending_stream,
+    )
+
+    base = dt.datetime(2026, 2, 1, 12, 0, 0)
+    rows = []
+    for i in range(200):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": (base + dt.timedelta(hours=i)).isoformat(),
+                "event_type": ["click", "view", "purchase"][i % 3],
+                "value": round(1.0 + (i % 7) * 0.5, 2),
+            }
+        )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    # batch reference: e15 over the same rows staged as an events table
+    sfdir = tmp_path / "sf"
+    sfdir.mkdir()
+    spark.createDataFrame(
+        [(r["event_id"], dt.datetime.fromisoformat(r["ts"]), r["event_type"], r["value"]) for r in rows],
+        schema,
+    ).write.parquet(str(sfdir / "events.parquet"))
+    want = {
+        r["event_type"]: (r["n_events"], r["trend_score"], r["trend_rank"])
+        for r in e15_trending_decay(spark, str(sfdir)).collect()
+    }
+
+    src = tmp_path / "in"
+    src.mkdir()
+    f1, f2 = src / "b1.jsonl", src / "b2.jsonl"
+    f1.write_text("\n".join(json.dumps(r) for r in rows[:120]))
+    f2.write_text("\n".join(json.dumps(r) for r in rows[120:]))
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+    def _run():
+        q = start_trending_stream(
+            spark, str(src), state, ckpt, schema, max_files_per_trigger=1
+        )
+        q.awaitTermination(180)
+
+    _run()
+    got = {
+        r["event_type"]: (r["n_events"], r["trend_score"], r["trend_rank"])
+        for r in read_trending(spark, state).collect()
+    }
+    assert set(got) == set(want)
+    for et, (n, score, rank) in want.items():
+        gn, gscore, grank = got[et]
+        assert gn == n and grank == rank, (et, got[et], want[et])
+        assert abs(gscore - score) <= 1e-6 * max(1.0, abs(score)), (et, gscore, score)
+
+    _run()  # replay: no new files -> identical state
+    again = {
+        r["event_type"]: (r["n_events"], r["trend_score"], r["trend_rank"])
+        for r in read_trending(spark, state).collect()
+    }
+    assert again == got
