@@ -523,3 +523,120 @@ def a03_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "state", "version")
     )
+
+
+# ---------------------------------------------------------------------------
+# d10 — portable-hash SimHash pairs (d02's machinery under the oracle)
+# ---------------------------------------------------------------------------
+
+D10_BITS = 48
+D10_CHUNK_W = 12  # 4 chunks; pigeonhole covers Hamming <= 3, we use <= 1
+D10_MAX_HAM = 1
+_D10_NCH = D10_BITS // D10_CHUNK_W
+_D10_MASK = (1 << D10_CHUNK_W) - 1
+_D10_BIT_HASH = sql_portable_hash("('b' || CAST(b.i AS VARCHAR) || ':' || tok)")
+
+
+@query(
+    "d10_portable_simhash_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_filter(string_split(text, ' '),
+                                                x -> x <> ''))) AS tok
+        FROM documents
+    ),
+    bits AS (
+        SELECT doc_id, b.i AS b,
+               SUM(CASE WHEN {_D10_BIT_HASH} % 2 = 1 THEN 1 ELSE -1 END) AS s
+        FROM toks CROSS JOIN (SELECT unnest(range({D10_BITS})) AS i) b
+        GROUP BY doc_id, b.i
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                             ELSE 0 END) AS BIGINT) AS sg
+        FROM bits GROUP BY doc_id
+    ),
+    chunks AS (
+        SELECT doc_id, c.i AS c, (sg >> ({D10_CHUNK_W} * c.i)) & {_D10_MASK} AS v, sg
+        FROM sig CROSS JOIN (SELECT unnest(range({_D10_NCH})) AS i) c
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sg AS sa, b.sg AS sb
+        FROM chunks a JOIN chunks b
+          ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {D10_MAX_HAM}
+    """,
+    doc=f"SimHash near-dup pairs on the portable hash family — d02's "
+    f"whole pipeline (per-bit ±1 votes over distinct tokens → "
+    f"{D10_BITS}-bit signature → {D10_CHUNK_W}-bit chunk pigeonhole "
+    f"blocking → verified Hamming <= {D10_MAX_HAM}) replayed bit-for-"
+    "bit by DuckDB, closing the last dedup family without a hash-"
+    "checked twin (d01→d09, d05→g03, d06→d08, x04→x05 precedents). "
+    "Chunk blocking keeps the candidate join equi (never all-pairs); "
+    "the production d02 keeps 64-bit xxhash64 signatures.",
+)
+def d10_portable_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import portable_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
+        ).alias("tok"),
+    )
+    b = toks.select(
+        "doc_id",
+        "tok",
+        F.explode(F.sequence(F.lit(0), F.lit(D10_BITS - 1))).alias("b"),
+    )
+    parity = (
+        portable_hash(
+            F.concat(F.lit("b"), F.col("b").cast("string"), F.lit(":"), F.col("tok")),
+            31,
+            _P1,
+        )
+        % 2
+    )
+    bits = (
+        b.select("doc_id", "b", F.when(parity == 1, 1).otherwise(-1).alias("vote"))
+        .groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("s"))
+    )
+    sig = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).alias("sg")
+    )
+    chunks = sig.select(
+        "doc_id",
+        "sg",
+        F.explode(F.sequence(F.lit(0), F.lit(_D10_NCH - 1))).alias("c"),
+    ).withColumn(
+        "v", F.expr(f"shiftright(sg, {D10_CHUNK_W} * c) & {_D10_MASK}")
+    )
+    a = chunks.select(
+        F.col("doc_id").alias("id_a"), F.col("sg").alias("sa"), "c", "v"
+    )
+    bb = chunks.select(
+        F.col("doc_id").alias("id_b"), F.col("sg").alias("sb"),
+        F.col("c").alias("_c2"), F.col("v").alias("_v2"),
+    )
+    cand = (
+        a.join(
+            bb,
+            (a["c"] == bb["_c2"]) & (a["v"] == bb["_v2"]) & (a["id_a"] < bb["id_b"]),
+        )
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.filter(ham <= D10_MAX_HAM).select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    )
