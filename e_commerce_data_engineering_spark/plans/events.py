@@ -510,3 +510,40 @@ def e15_trending_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("bigint").alias("trend_rank"),
         )
     )
+
+
+@query(
+    "e16_variant_props",
+    oracle=f"""
+    SELECT event_type,
+           CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS BIGINT)
+             AS k_decade,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Semi-structured props via Spark 4 VariantType: parse_json once "
+    "into a variant column, then typed try_variant_get extraction — "
+    "the modern replacement for per-query get_json_object string "
+    "re-parsing (e01 keeps the classic path): a variant parses each "
+    "row ONCE into a binary-encoded tree that every downstream "
+    "extraction shares, the right shape when one JSON column feeds "
+    "many projections at 100 TB. Histogram of k by decade bucket per "
+    "event type; the oracle extracts the same fields from the raw "
+    "JSON, pinning variant-path values to the string-path semantics.",
+)
+def e16_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = e.select("event_type", F.parse_json("props").alias("v"))
+    k = F.try_variant_get("v", "$.k", "bigint")
+    return (
+        v.select("event_type", k.alias("k"))
+        .groupBy("event_type", F.floor(F.col("k") / 10).cast("bigint").alias("k_decade"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

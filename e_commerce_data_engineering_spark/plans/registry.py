@@ -133,6 +133,7 @@ _PRIORITY: tuple[str, ...] = (
     "t32_source_overlap",
     "e15_trending_decay",
     "d10_portable_simhash_pairs",
+    "e16_variant_props",
     # rows-only last within the round-4 block: if the driver's ~50-entry
     # sweep cap cuts the tail, it cuts a rows-only check, not an oracle
     "s11_ivfpq_topk",
