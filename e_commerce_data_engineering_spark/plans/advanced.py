@@ -640,3 +640,61 @@ def d10_portable_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(ham <= D10_MAX_HAM).select(
         "id_a", "id_b", ham.cast("int").alias("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# d11 — blocked edit-distance join (record linkage / entity resolution)
+# ---------------------------------------------------------------------------
+
+D11_MAX_LEV = 1
+
+
+@query(
+    "d11_fuzzy_name_pairs",
+    oracle=f"""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS lev
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= {D11_MAX_LEV}
+    """,
+    doc="Record-linkage (entity-resolution) candidate pairs: customers "
+    "whose names are within Levenshtein distance "
+    f"{D11_MAX_LEV} INSIDE a (nation, segment) block — the classic "
+    "blocking-then-comparing shape (Fellegi-Sunter style pipelines): "
+    "the block equi-join cuts the comparison space from all-pairs "
+    "O(n²) to Sum(|block|²) (112M -> ~9k candidate pairs at sf0.01), "
+    "and only candidates pay the edit-distance. levenshtein is native "
+    "in both engines (identical integer metric), so the whole fuzzy "
+    "join is hash-checked. At 100 TB blocks come from a cheap "
+    "deterministic key (phonetic code, name prefix, geo cell) and the "
+    "same plan holds; skewed mega-blocks get salted or length-"
+    "sub-blocked, the PPJoin/t09 discipline applied to strings.",
+)
+def d11_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("_na"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("_nb"),
+        F.col("c_nationkey").alias("_nk2"),
+        F.col("c_mktsegment").alias("_ms2"),
+    )
+    lev = F.levenshtein(F.col("_na"), F.col("_nb"))
+    return (
+        a.join(
+            b,
+            (a["c_nationkey"] == b["_nk2"])
+            & (a["c_mktsegment"] == b["_ms2"])
+            & (a["id_a"] < b["id_b"]),
+        )
+        .filter(lev <= D11_MAX_LEV)
+        .select("id_a", "id_b", lev.cast("int").alias("lev"))
+    )

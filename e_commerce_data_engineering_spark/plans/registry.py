@@ -134,6 +134,7 @@ _PRIORITY: tuple[str, ...] = (
     "e15_trending_decay",
     "d10_portable_simhash_pairs",
     "e16_variant_props",
+    "d11_fuzzy_name_pairs",
     # rows-only last within the round-4 block: if the driver's ~50-entry
     # sweep cap cuts the tail, it cuts a rows-only check, not an oracle
     "s11_ivfpq_topk",
