@@ -547,3 +547,85 @@ def e16_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e17 — EWMA-smoothed daily series
+# ---------------------------------------------------------------------------
+
+E17_ALPHA = 0.3  # smoothing factor; decay (1-alpha) per day
+
+
+@query(
+    "e17_ewma_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS daily_total
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type, a.day,
+               CAST(FLOOR(b.daily_total
+                          * POWER({1.0 - E17_ALPHA}, date_diff('day', b.day, a.day))
+                          * 1000000.0 + 0.5) AS BIGINT) AS nq,
+               CAST(FLOOR(POWER({1.0 - E17_ALPHA}, date_diff('day', b.day, a.day))
+                          * 1000000.0 + 0.5) AS BIGINT) AS dq
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND b.day <= a.day
+    )
+    SELECT p.event_type, strftime(p.day, '%Y-%m-%d') AS day, d.daily_total,
+           {sql_fround("CAST(SUM(nq) AS DOUBLE) / SUM(dq)", 6)} AS ewma
+    FROM pairs p JOIN daily d ON d.event_type = p.event_type AND d.day = p.day
+    GROUP BY p.event_type, p.day, d.daily_total
+    """,
+    doc=f"EWMA-smoothed daily revenue per event type (adjusted "
+    f"exponential weighting, alpha={E17_ALPHA} — pandas ewm(adjust="
+    "True) semantics): ewma_t = Sum((1-a)^(t-i)·x_i) / Sum((1-a)^"
+    "(t-i)). Daily totals come from one exact DECIMAL aggregate; the "
+    "decay terms are per-(t,i) 1e-6-quantized integers before the "
+    "sums (the e15 discipline), so smoothing is engine- and order-"
+    "independent. The t×i pair join is per-type and bounded by the "
+    "series length — days, not events — so at 100 TB the heavy "
+    "aggregation happens once and the smoothing pass touches only "
+    "the tiny daily frame. The time-series smoothing primitive next "
+    "to e10's anomaly z-scores.",
+)
+def e17_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("daily_total")
+        )
+    )
+    a = daily.select(
+        "event_type", "day", F.col("daily_total").alias("_xa")
+    )
+    b = daily.select(
+        F.col("event_type").alias("_et2"),
+        F.col("day").alias("_day2"),
+        F.col("daily_total").alias("_xb"),
+    )
+    decay = F.pow(F.lit(1.0 - E17_ALPHA), F.datediff(F.col("day"), F.col("_day2")))
+    pairs = a.join(
+        b, (a["event_type"] == b["_et2"]) & (b["_day2"] <= a["day"])
+    ).select(
+        "event_type",
+        "day",
+        F.floor(F.col("_xb") * decay * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("nq"),
+        F.floor(decay * F.lit(1000000.0) + F.lit(0.5)).cast("bigint").alias("dq"),
+    )
+    sm = pairs.groupBy("event_type", "day").agg(
+        F.sum("nq").alias("_n"), F.sum("dq").alias("_d")
+    )
+    return sm.join(daily, ["event_type", "day"]).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "daily_total",
+        fround(F.col("_n").cast("double") / F.col("_d"), 6).alias("ewma"),
+    )

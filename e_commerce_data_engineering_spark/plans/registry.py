@@ -135,6 +135,7 @@ _PRIORITY: tuple[str, ...] = (
     "d10_portable_simhash_pairs",
     "e16_variant_props",
     "d11_fuzzy_name_pairs",
+    "e17_ewma_daily",
     # rows-only last within the round-4 block: if the driver's ~50-entry
     # sweep cap cuts the tail, it cuts a rows-only check, not an oracle
     "s11_ivfpq_topk",
