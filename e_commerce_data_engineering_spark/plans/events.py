@@ -629,3 +629,56 @@ def e17_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "daily_total",
         fround(F.col("_n").cast("double") / F.col("_d"), 6).alias("ewma"),
     )
+
+
+@query(
+    "e18_transition_matrix",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    row_tot AS (
+        SELECT prev_type, CAST(SUM(n) AS BIGINT) AS tot
+        FROM trans GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type, t.n,
+           {sql_fround("CAST(t.n AS DOUBLE) / r.tot", 6)} AS p
+    FROM trans t JOIN row_tot r ON t.prev_type = r.prev_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: LAG within (user ORDER BY ts, event_id — total order, "
+    "so ties are deterministic) pairs each event with its predecessor; "
+    "counts normalize to row-stochastic transition probabilities. The "
+    "sequence-mining primitive behind next-event prediction and "
+    "funnel-drop analysis (e09 mines whole session paths; this is the "
+    "aggregated one-step view). One window shuffle on user_id + two "
+    "aggregates; the matrix is |event_types|² small regardless of "
+    "input size.",
+)
+def e18_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_tot = trans.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return trans.join(F.broadcast(row_tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        fround(F.col("n").cast("double") / F.col("tot"), 6).alias("p"),
+    )

@@ -136,6 +136,8 @@ _PRIORITY: tuple[str, ...] = (
     "e16_variant_props",
     "d11_fuzzy_name_pairs",
     "e17_ewma_daily",
+    "e18_transition_matrix",
+    "q67_market_basket",
     # rows-only last within the round-4 block: if the driver's ~50-entry
     # sweep cap cuts the tail, it cuts a rows-only check, not an oracle
     "s11_ivfpq_topk",

@@ -305,3 +305,76 @@ def q66_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(heavy, "s_suppkey", "left_semi").select(
         "s_suppkey", "s_name", fround(F.col("s_acctbal").cast("double"), 2).alias("s_acctbal")
     )
+
+
+# ---------------------------------------------------------------------------
+# q67 — market-basket association rules (co-purchase support/lift)
+# ---------------------------------------------------------------------------
+
+Q67_MIN_SUP = 3
+
+
+@query(
+    "q67_market_basket",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    n_orders AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM items),
+    item_cnt AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY p),
+    pairs AS (
+        SELECT a.p AS part_a, b.p AS part_b, CAST(COUNT(*) AS BIGINT) AS support
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING COUNT(*) >= {Q67_MIN_SUP}
+    )
+    SELECT part_a, part_b, support,
+           {sql_fround("CAST(support AS DOUBLE) / ca.c", 6)} AS confidence_a_to_b,
+           {sql_fround("CAST(support AS DOUBLE) * n.n / (ca.c * cb.c)", 6)} AS lift
+    FROM pairs
+    JOIN item_cnt ca ON ca.p = part_a
+    JOIN item_cnt cb ON cb.p = part_b
+    CROSS JOIN n_orders n
+    """,
+    doc=f"Market-basket association rules over co-purchased parts: "
+    f"pair support (orders containing both), confidence P(b|a), and "
+    f"lift support·N/(c_a·c_b), for pairs with support >= "
+    f"{Q67_MIN_SUP} — the Apriori/FP-growth first level as plain "
+    "relational algebra: one distinct (order, part) frame, a self "
+    "equi-join on the order key (pair space = Sum(|basket|²), bounded "
+    "by small baskets — the same discipline as g04's projection), and "
+    "broadcast item-count/total dims. All measures are exact-integer "
+    "ratios, floor-quantized identically on both engines.",
+)
+def q67_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n_orders = items.agg(F.countDistinct("o").alias("n"))
+    item_cnt = items.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    a = items.select("o", F.col("p").alias("part_a"))
+    b = items.select(F.col("o").alias("_o2"), F.col("p").alias("part_b"))
+    pairs = (
+        a.join(b, (a["o"] == b["_o2"]) & (a["part_a"] < b["part_b"]))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= Q67_MIN_SUP)
+    )
+    ca = item_cnt.select(F.col("p").alias("part_a"), F.col("c").alias("_ca"))
+    cb = item_cnt.select(F.col("p").alias("part_b"), F.col("c").alias("_cb"))
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            fround(F.col("support").cast("double") / F.col("_ca"), 6).alias(
+                "confidence_a_to_b"
+            ),
+            fround(
+                F.col("support").cast("double") * F.col("n")
+                / (F.col("_ca") * F.col("_cb")),
+                6,
+            ).alias("lift"),
+        )
+    )
