@@ -378,3 +378,98 @@ def q67_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q68 — RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q68_rfm_segments",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_custkey AS custkey,
+               CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                              (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders))
+                    AS BIGINT) AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+                 AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT *,
+               CAST(NTILE(5) OVER (ORDER BY recency_days DESC, custkey) AS BIGINT) AS r,
+               CAST(NTILE(5) OVER (ORDER BY frequency, custkey) AS BIGINT) AS f,
+               CAST(NTILE(5) OVER (ORDER BY monetary, custkey) AS BIGINT) AS m
+        FROM base
+    )
+    SELECT r, f, m,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {sql_fround("CAST(SUM(CAST(monetary AS DECIMAL(16,2))) AS DOUBLE)", 2)}
+             AS segment_revenue,
+           CAST(MIN(recency_days) AS BIGINT) AS min_recency,
+           CAST(MAX(recency_days) AS BIGINT) AS max_recency
+    FROM scored GROUP BY r, f, m
+    """,
+    doc="RFM segmentation — the production version of the reference's "
+    "threshold-based classify_customer_segment (processor:29-35): "
+    "recency (days since last order, vs the corpus max date), "
+    "frequency (order count), monetary (lifetime spend, exact DECIMAL "
+    "sum) per customer, each scored 1-5 by NTILE over a TOTAL order "
+    "(custkey tiebreak, so both engines assign identical quintiles), "
+    "rolled up to the 125-cell segment grid with exact-decimal segment "
+    "revenue. Three window passes over the small per-customer frame — "
+    "the orders scan aggregates once; the windows never see raw "
+    "orders. NOTE the global NTILE windows single-partition their "
+    "input: exact quintiles need a total order. At 100 TB the "
+    "equivalent plan computes the four R/F/M cut points once "
+    "(percentile/approxQuantile — one aggregate) and buckets by "
+    "broadcast comparison, trading exact equal-size quintiles for a "
+    "shuffle-free scoring pass; this query keeps the exact form the "
+    "oracle can replay.",
+)
+def q68_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("_maxd"))
+    base = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "custkey",
+            F.datediff(F.col("_maxd"), F.col("_last")).cast("bigint").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    r = F.ntile(5).over(W.orderBy(F.col("recency_days").desc(), "custkey"))
+    f_ = F.ntile(5).over(W.orderBy("frequency", "custkey"))
+    m = F.ntile(5).over(W.orderBy("monetary", "custkey"))
+    scored = base.select(
+        "custkey",
+        "recency_days",
+        "monetary",
+        r.cast("bigint").alias("r"),
+        f_.cast("bigint").alias("f"),
+        m.cast("bigint").alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        fround(F.sum(F.col("monetary").cast("decimal(16,2)")).cast("double"), 2).alias(
+            "segment_revenue"
+        ),
+        F.min("recency_days").alias("min_recency"),
+        F.max("recency_days").alias("max_recency"),
+    )
