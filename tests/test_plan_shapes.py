@@ -323,3 +323,28 @@ def test_t30_bm25_prunes_terms_before_shuffle_and_takes_topk(spark):
     filt_id = int(m.group(1))
     exch_ids = [int(x) for x in re.findall(r"\((\d+)\) Exchange", plan)]
     assert any(e > filt_id for e in exch_ids), (filt_id, exch_ids)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "t31_mixture_sample",
+        "t32_source_overlap",
+        "d10_portable_simhash_pairs",
+        "d11_fuzzy_name_pairs",
+        "e17_ewma_daily",
+        "e18_transition_matrix",
+        "q67_market_basket",
+        "q68_rfm_segments",
+        "e15_trending_decay",
+        "e16_variant_props",
+    ],
+)
+def test_round4_closing_queries_avoid_cartesian(spark, name):
+    # every pair-forming query reaches its candidates through an equi
+    # join (block key, gram hash, order key, chunk match) — a
+    # CartesianProduct node would mean the blocking collapsed. One-row
+    # broadcast stats frames legitimately appear as BroadcastNestedLoop
+    # with a broadcast side; unbounded CartesianProduct never should.
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
