@@ -682,3 +682,39 @@ def e18_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         fround(F.col("n").cast("double") / F.col("tot"), 6).alias("p"),
     )
+
+
+_Q69_DOWS = ("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun")
+
+
+@query(
+    "q69_pivot_weekday",
+    oracle=f"""
+    SELECT event_type,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN strftime(ts, '%a') = '{d}' THEN 1 ELSE 0 END) AS BIGINT) AS {d}"
+               for d in _Q69_DOWS
+           )}
+    FROM events GROUP BY event_type
+    """,
+    doc="PIVOT / crosstab: event counts as an event_type × weekday "
+    "grid via DataFrame.pivot with an EXPLICIT pivot-value list — "
+    "without it Spark runs an extra distinct-scan job to discover "
+    "columns and the schema becomes data-dependent (non-deterministic "
+    "output columns would break any downstream contract, and the "
+    "driver's schema hash). Catalyst compiles the pivot to one "
+    "partial+final aggregate with a conditional-count per listed "
+    "value — exactly the oracle's CASE form, one shuffle.",
+)
+def q69_pivot_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("event_type", F.date_format("ts", "EEE").alias("dow"))
+        .groupBy("event_type")
+        .pivot("dow", list(_Q69_DOWS))
+        .count()
+        .select(
+            "event_type",
+            *[F.coalesce(F.col(d), F.lit(0)).cast("bigint").alias(d) for d in _Q69_DOWS],
+        )
+    )
