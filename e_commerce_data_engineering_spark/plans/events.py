@@ -718,3 +718,49 @@ def q69_pivot_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.coalesce(F.col(d), F.lit(0)).cast("bigint").alias(d) for d in _Q69_DOWS],
         )
     )
+
+
+@query(
+    "e19_new_vs_returning",
+    oracle=f"""
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    first_seen AS (SELECT user_id, MIN(day) AS first_day FROM du GROUP BY user_id)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returning,
+           {sql_fround(
+               "CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS DOUBLE)"
+               " / COUNT(*)", 6)} AS new_share
+    FROM du JOIN first_seen USING (user_id)
+    GROUP BY day
+    """,
+    doc="New-vs-returning daily active users: each (day, user) row is "
+    "classified by whether the day is that user's first-ever active "
+    "day — the acquisition/retention split every growth dashboard "
+    "leads with (e08's cohort matrix generalizes it; this is the "
+    "one-line daily view). One distinct (day, user) frame, one min-"
+    "aggregate for first-seen, one equi-join back on user_id — all "
+    "keyed shuffles; no window over history, so the plan is "
+    "incremental-friendly (the streaming analog keeps first_seen as "
+    "the e14-style growing state).",
+)
+def e19_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(
+        F.col("ts").cast("timestamp").cast("date").alias("day"), "user_id"
+    ).distinct()
+    first_seen = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    new_flag = F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+    ret_flag = F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)
+    return (
+        du.join(first_seen, "user_id")
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(new_flag).alias("n_new"),
+            F.sum(ret_flag).alias("n_returning"),
+            fround(
+                F.sum(new_flag).cast("double") / F.count(F.lit(1)), 6
+            ).alias("new_share"),
+        )
+    )

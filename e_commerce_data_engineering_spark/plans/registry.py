@@ -140,6 +140,7 @@ _PRIORITY: tuple[str, ...] = (
     "q67_market_basket",
     "q68_rfm_segments",
     "q69_pivot_weekday",
+    "e19_new_vs_returning",
     # rows-only last within the round-4 block: if the driver's ~50-entry
     # sweep cap cuts the tail, it cuts a rows-only check, not an oracle
     "s11_ivfpq_topk",
