@@ -1609,3 +1609,49 @@ def t32_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "t33_dup_cluster_histogram",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+    segs AS (
+        SELECT md5(list_aggregate(ts[start:start + {SEG_W - 1}], 'string_agg', ' ')) AS h
+        FROM (SELECT doc_id, ts,
+                     unnest(generate_series(1, len(ts), {SEG_W})) AS start
+              FROM toks) t
+    ),
+    clusters AS (
+        SELECT h, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM segs GROUP BY h
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) * cluster_size AS BIGINT) AS n_segments,
+           CAST(COUNT(*) * (cluster_size - 1) AS BIGINT) AS n_removable
+    FROM clusters GROUP BY cluster_size
+    """,
+    doc="Duplicate-cluster size histogram at segment granularity (the "
+    "t29 segmentation): exact segment clusters rolled into a size "
+    "distribution with the removable count per tier — the one-page "
+    "dedup report that sizes the span-dedup cleanup BEFORE running "
+    "it (sum of n_removable = exactly the segments t29 drops, "
+    "asserted in tests), and the exact-dedup mirror of SCALING.md's "
+    "K-deep duplicate-group analysis. Two aggregates, no joins; at "
+    "100 TB this is the same shuffle the dedup itself pays, reused "
+    "for reporting.",
+)
+def t33_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    starts = F.sequence(F.lit(1), F.size("ts"), F.lit(SEG_W))
+    segs = (
+        d.select(toks.alias("ts"))
+        .select(F.explode(starts).alias("start"), "ts")
+        .select(F.md5(F.concat_ws(" ", F.slice("ts", F.col("start"), SEG_W))).alias("h"))
+    )
+    clusters = segs.groupBy("h").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).alias("n_segments"),
+        (F.count(F.lit(1)) * (F.col("cluster_size") - 1)).alias("n_removable"),
+    )

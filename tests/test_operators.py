@@ -987,3 +987,19 @@ def test_ivfpq_recall_vs_exact(spark):
     assert recall >= 0.5, f"IVF-PQ recall {recall:.2f} too low"
     plan = approx._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_cluster_histogram_reconciles_with_segment_dedup(spark):
+    """t33's removable count must equal exactly the number of segments
+    the t29 dedup pass drops."""
+    from e_commerce_data_engineering_spark.plans.text import (
+        t29_segment_dedup,
+        t33_dup_cluster_histogram,
+    )
+
+    hist = t33_dup_cluster_histogram(spark, SF).collect()
+    removable = sum(r["n_removable"] for r in hist)
+    t29 = t29_segment_dedup(spark, SF).collect()
+    dropped = sum(r["n_segs"] - r["n_kept_segs"] for r in t29)
+    assert removable == dropped
+    assert removable > 0  # the corpus genuinely has duplicate segments
