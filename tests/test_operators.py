@@ -1003,3 +1003,38 @@ def test_cluster_histogram_reconciles_with_segment_dedup(spark):
     dropped = sum(r["n_segs"] - r["n_kept_segs"] for r in t29)
     assert removable == dropped
     assert removable > 0  # the corpus genuinely has duplicate segments
+
+
+def test_udtf_chunking_matches_native_segmentation(spark):
+    """The Python UDTF escape hatch must reproduce the native HOF
+    segmentation byte-for-byte (same chunks, same indices) — the
+    contract anyone replacing native logic with imperative Python has
+    to hold (operators/udtf.py)."""
+    from e_commerce_data_engineering_spark.functions.text import tokens
+    from e_commerce_data_engineering_spark.operators.udtf import register_udtfs
+    from e_commerce_data_engineering_spark.plans.text import SEG_W
+    from e_commerce_data_engineering_spark.sources.tables import load_table
+
+    register_udtfs(spark)
+    load_table(spark, SF, "documents").createOrReplaceTempView("docs_udtf")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk"], r["n_tokens"])
+        for r in spark.sql(
+            f"SELECT d.doc_id, c.* FROM docs_udtf d, LATERAL chunk_docs(d.text, {SEG_W}) c"
+        ).collect()
+    }
+    d = load_table(spark, SF, "documents")
+    starts = F.sequence(F.lit(1), F.size("ts"), F.lit(SEG_W))
+    native = {
+        (r["doc_id"], r["seg_idx"]): (r["seg"], r["n"])
+        for r in d.select("doc_id", tokens(F.col("text")).alias("ts"))
+        .select("doc_id", "ts", F.posexplode(starts).alias("seg_idx", "start"))
+        .select(
+            "doc_id",
+            "seg_idx",
+            F.concat_ws(" ", F.slice("ts", F.col("start"), SEG_W)).alias("seg"),
+            F.size(F.slice("ts", F.col("start"), SEG_W)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == native and len(got) > 100
