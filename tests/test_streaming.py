@@ -802,3 +802,58 @@ def test_trending_stream_matches_batch_e15(spark, tmp_path):
         for r in read_trending(spark, state).collect()
     }
     assert again == got
+
+
+def test_streaming_listener_sees_observed_metrics(spark, tmp_path):
+    """The observe() counters on the ingest stream must surface through
+    a StreamingQueryListener's progress events — the CloudWatch-metrics
+    analog the reference's README recommends but never implements
+    (SURVEY §2.9 'Metrics'): rows and corrupt-line counts arrive
+    per-batch without any extra pass over the data."""
+    import threading
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from tests.test_streaming import _write_raw  # self-import safe under pytest
+
+    captured = []
+    done = threading.Event()
+
+    class Capture(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            row = event.progress.observedMetrics.get("ingest")
+            if row is not None:
+                captured.append((row["rows"], row["corrupt_lines"]))
+                done.set()
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    listener = Capture()
+    spark.streams.addListener(listener)
+    try:
+        raw_dir = _write_raw(spark, tmp_path)
+        q = start_processing_stream(
+            spark,
+            raw_dir,
+            str(tmp_path / "out"),
+            checkpoint_dir=str(tmp_path / "ckpt-listener"),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        # listener delivery is async; give the event bus a moment
+        done.wait(30)
+    finally:
+        spark.streams.removeListener(listener)
+    total_rows = sum(r for r, _ in captured)
+    total_corrupt = sum(c for _, c in captured)
+    # _write_raw stages 82 lines: 80 valid + 1 invalid + 1 corrupt;
+    # the corrupt line still parses as an ingest row (permissive mode)
+    assert total_rows == 82, captured
+    assert total_corrupt == 1, captured
