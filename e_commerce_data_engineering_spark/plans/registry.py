@@ -142,6 +142,7 @@ _PRIORITY: tuple[str, ...] = (
     "q69_pivot_weekday",
     "e19_new_vs_returning",
     "t33_dup_cluster_histogram",
+    "q70_column_profile",
     # rows-only last within the round-4 block: if the driver's ~50-entry
     # sweep cap cuts the tail, it cuts a rows-only check, not an oracle
     "s11_ivfpq_topk",

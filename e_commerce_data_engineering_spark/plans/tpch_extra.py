@@ -473,3 +473,60 @@ def q68_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("recency_days").alias("min_recency"),
         F.max("recency_days").alias("max_recency"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q70 — per-column data-profiling summary
+# ---------------------------------------------------------------------------
+
+_Q70_COLS = (
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_returnflag",
+    "l_linestatus",
+)
+
+
+def _q70_oracle() -> str:
+    parts = []
+    for c in _Q70_COLS:
+        parts.append(
+            f"""
+        SELECT '{c}' AS col_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_val,
+               CAST(MAX({c}) AS VARCHAR) AS max_val
+        FROM lineitem"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "q70_column_profile",
+    oracle=_q70_oracle(),
+    doc="Per-column data-profiling summary over lineitem (row count, "
+    "nulls, exact distinct, min/max rendered as strings so numeric "
+    "and categorical columns share one schema) — the profiling pass "
+    "every ingestion runs before trusting a new feed, and the manual "
+    "twin of ANALYZE TABLE's statistics (sources/tables.analyze_"
+    "catalog feeds the CBO; this exposes the same facts as a "
+    "queryable result). One aggregate per column over a shared scan; "
+    "at 100 TB distinct counts switch to x01's approx_count_distinct "
+    "— the exact form here is what the oracle can replay.",
+)
+def q70_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = None
+    for c in _Q70_COLS:
+        prof = li.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(c).cast("string").alias("min_val"),
+            F.max(c).cast("string").alias("max_val"),
+        ).select(F.lit(c).alias("col_name"), "*")
+        out = prof if out is None else out.unionByName(prof)
+    return out
