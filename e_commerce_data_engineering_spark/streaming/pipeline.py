@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 from pyspark.sql.streaming import StreamingQuery
 
 from ..pipeline import process_raw, with_processing_partitions
@@ -492,4 +493,135 @@ def read_trending(spark: SparkSession, state_dir: str) -> DataFrame:
         "n_events",
         F.col("partial").alias("trend_score"),
         F.row_number().over(w).cast("bigint").alias("trend_rank"),
+    )
+
+
+def start_transition_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Streaming twin of the e18 Markov transition matrix, with CROSS-
+    BATCH sequence continuity: the first event a user produces in batch
+    N+1 must pair with their LAST event from batch N, so the state is
+    (a) the accumulated transition counts and (b) one (last_ts,
+    last_event_id, last_type) row per user. Each batch unions the
+    per-user carry-over rows (as lag seeds only) with its own events,
+    computes LAG within (user ORDER BY ts, event_id), counts
+    transitions whose CURRENT row belongs to the batch, folds them into
+    the stored counts, and advances the per-user last-event state.
+
+    Assumes per-user event-time-ordered delivery across batches (file
+    streams replaying a log satisfy this); genuinely out-of-order feeds
+    belong to the batch query over the settled table. Both state
+    frames use the replay-safe layout: per-batch overwrite dirs, and
+    folds read only batches strictly earlier than the current epoch
+    (the start_trending_stream rule — running totals are not
+    union-idempotent). ``read_transitions`` returns the e18 shape;
+    batch/stream parity is pinned in tests/test_streaming.py."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+    counts_dir = f"{state_dir}/counts"
+    last_dir = f"{state_dir}/last"
+
+    def _latest(s: SparkSession, d: str, before: int) -> DataFrame | None:
+        jvm_path = s._jvm.org.apache.hadoop.fs.Path(d)
+        fs = jvm_path.getFileSystem(s._jsc.hadoopConfiguration())
+        if not fs.exists(jvm_path):
+            return None
+        allb = s.read.option("basePath", d).parquet(d).filter(F.col("batch_id") < before)
+        latest = allb.agg(F.max("batch_id").alias("b")).collect()[0]["b"]
+        if latest is None:
+            return None
+        return allb.filter(F.col("batch_id") == latest).drop("batch_id")
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        ev = batch_df.select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_id",
+            "event_type",
+            F.lit(False).alias("_seed"),
+        )
+        prev_last = _latest(s, last_dir, epoch_id)
+        if prev_last is not None:
+            seeds = prev_last.select(
+                "user_id",
+                F.col("last_ts").alias("ts"),
+                F.col("last_event_id").alias("event_id"),
+                F.col("last_type").alias("event_type"),
+                F.lit(True).alias("_seed"),
+            )
+            ev = ev.unionByName(seeds)
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        batch_trans = (
+            ev.select(
+                "_seed",
+                "event_type",
+                F.lag("event_type").over(w).alias("prev_type"),
+            )
+            .filter((~F.col("_seed")) & F.col("prev_type").isNotNull())
+            .groupBy("prev_type", F.col("event_type").alias("next_type"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        prev_counts = _latest(s, counts_dir, epoch_id)
+        merged = (
+            batch_trans.unionByName(prev_counts)
+            if prev_counts is not None
+            else batch_trans
+        )
+        merged = merged.groupBy("prev_type", "next_type").agg(F.sum("n").alias("n"))
+        merged.write.mode("overwrite").parquet(f"{counts_dir}/batch_id={epoch_id}")
+
+        new_last = (
+            ev.withColumn(
+                "_rn",
+                F.row_number().over(
+                    W.partitionBy("user_id").orderBy(
+                        F.col("ts").desc(), F.col("event_id").desc()
+                    )
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .select(
+                "user_id",
+                F.col("ts").alias("last_ts"),
+                F.col("event_id").alias("last_event_id"),
+                F.col("event_type").alias("last_type"),
+            )
+        )
+        new_last.write.mode("overwrite").parquet(f"{last_dir}/batch_id={epoch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_transitions(spark: SparkSession, state_dir: str) -> DataFrame:
+    """e18-shaped view of the stream state: (prev_type, next_type, n, p)."""
+    counts_dir = f"{state_dir}/counts"
+    allb = spark.read.option("basePath", counts_dir).parquet(counts_dir)
+    latest = allb.agg(F.max("batch_id").alias("b")).collect()[0]["b"]
+    trans = allb.filter(F.col("batch_id") == latest).drop("batch_id")
+    row_tot = trans.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return trans.join(F.broadcast(row_tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        (
+            F.floor(F.col("n").cast("double") / F.col("tot") * F.lit(1e6) + F.lit(0.5))
+            / F.lit(1e6)
+        ).alias("p"),
     )

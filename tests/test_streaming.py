@@ -857,3 +857,85 @@ def test_streaming_listener_sees_observed_metrics(spark, tmp_path):
     # the corrupt line still parses as an ingest row (permissive mode)
     assert total_rows == 82, captured
     assert total_corrupt == 1, captured
+
+
+def test_transition_stream_matches_batch_e18(spark, tmp_path):
+    """Markov-transition stream: split delivery must produce the SAME
+    counts as batch e18 over the union — including the transitions that
+    SPAN the batch boundary (per-user last-event carry-over state) —
+    and a checkpointed replay changes nothing."""
+    import os
+    import time
+
+    from e_commerce_data_engineering_spark.plans.events import e18_transition_matrix
+    from e_commerce_data_engineering_spark.streaming.pipeline import (
+        read_transitions,
+        start_transition_stream,
+    )
+
+    base = dt.datetime(2026, 3, 1, 9, 0, 0)
+    rows = []
+    types = ["view", "click", "purchase"]
+    for i in range(90):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": (base + dt.timedelta(minutes=i)).isoformat(),
+                "user_id": i % 7,
+                "event_type": types[(i * i) % 3],
+                "value": 1.0,
+            }
+        )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    sfdir = tmp_path / "sf"
+    sfdir.mkdir()
+    spark.createDataFrame(
+        [
+            (r["event_id"], dt.datetime.fromisoformat(r["ts"]), r["user_id"], r["event_type"], r["value"])
+            for r in rows
+        ],
+        schema,
+    ).write.parquet(str(sfdir / "events.parquet"))
+    want = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["p"])
+        for r in e18_transition_matrix(spark, str(sfdir)).collect()
+    }
+
+    src = tmp_path / "in"
+    src.mkdir()
+    f1, f2, f3 = src / "b1.jsonl", src / "b2.jsonl", src / "b3.jsonl"
+    f1.write_text("\n".join(json.dumps(r) for r in rows[:30]))
+    f2.write_text("\n".join(json.dumps(r) for r in rows[30:60]))
+    f3.write_text("\n".join(json.dumps(r) for r in rows[60:]))
+    now = time.time()
+    os.utime(f1, (now - 120, now - 120))
+    os.utime(f2, (now - 60, now - 60))
+    os.utime(f3, (now, now))
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+    def _run():
+        q = start_transition_stream(
+            spark, str(src), state, ckpt, schema, max_files_per_trigger=1
+        )
+        q.awaitTermination(240)
+
+    _run()
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["p"])
+        for r in read_transitions(spark, state).collect()
+    }
+    assert got == want
+
+    _run()  # replay: no new files -> identical counts
+    assert {
+        (r["prev_type"], r["next_type"]): (r["n"], r["p"])
+        for r in read_transitions(spark, state).collect()
+    } == want
