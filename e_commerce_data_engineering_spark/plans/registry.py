@@ -143,6 +143,7 @@ _PRIORITY: tuple[str, ...] = (
     "e19_new_vs_returning",
     "t33_dup_cluster_histogram",
     "q70_column_profile",
+    "t34_lang_source_chi2",
     # rows-only last within the round-4 block: if the driver's ~50-entry
     # sweep cap cuts the tail, it cuts a rows-only check, not an oracle
     "s11_ivfpq_topk",

@@ -1655,3 +1655,82 @@ def t33_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) * F.col("cluster_size")).alias("n_segments"),
         (F.count(F.lit(1)) * (F.col("cluster_size") - 1)).alias("n_removable"),
     )
+
+
+@query(
+    "t34_lang_source_chi2",
+    oracle=f"""
+    WITH obs AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY lang, source
+    ),
+    rows_ AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM obs GROUP BY lang),
+    cols_ AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM obs GROUP BY source),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    cells AS (
+        SELECT CAST(FLOOR(
+                 (o - CAST(rt * ct AS DOUBLE) / n)
+                 * (o - CAST(rt * ct AS DOUBLE) / n)
+                 / (CAST(rt * ct AS DOUBLE) / n)
+                 * 1000000000.0 + 0.5) AS BIGINT) AS cq
+        FROM obs JOIN rows_ USING (lang) JOIN cols_ USING (source) CROSS JOIN tot
+    ),
+    dims AS (
+        SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS r,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS c
+        FROM documents
+    )
+    SELECT n,
+           (r - 1) * (c - 1) AS dof,
+           {sql_fround("CAST(SUM(cq) AS DOUBLE) / 1000000000.0", 4)} AS chi2,
+           {sql_fround(
+               "SQRT((CAST(SUM(cq) AS DOUBLE) / 1000000000.0)"
+               " / (n * LEAST(r - 1, c - 1)))", 6)} AS cramers_v
+    FROM cells CROSS JOIN tot CROSS JOIN dims
+    GROUP BY n, r, c
+    """,
+    doc="Chi-square test of independence between language and source "
+    "(contingency-table analytics — the statistical-testing family): "
+    "observed cell counts vs expected rt*ct/n, per-cell contributions "
+    "1e-9-quantized before the integer sum (the e15 discipline; the "
+    "only floats are IEEE divisions of exact integers and one "
+    "correctly-rounded sqrt for Cramér's V). A materially nonzero "
+    "V here means the corpus's language mix differs by feed — the "
+    "check that catches a mis-tagged ingestion source before t25's "
+    "mixture weights bake the skew in. One groupBy + two broadcast "
+    "marginals; the contingency table is |langs|x|sources| small.",
+)
+def t34_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rows_ = obs.groupBy("lang").agg(F.sum("o").alias("rt"))
+    cols_ = obs.groupBy("source").agg(F.sum("o").alias("ct"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    dims = d.agg(
+        F.countDistinct("lang").alias("r"), F.countDistinct("source").alias("c")
+    )
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    cq = F.floor(
+        (F.col("o") - e) * (F.col("o") - e) / e * F.lit(1000000000.0) + F.lit(0.5)
+    ).cast("bigint")
+    cells = (
+        obs.join(F.broadcast(rows_), "lang")
+        .join(F.broadcast(cols_), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(cq.alias("cq"), "n")
+    )
+    chi2 = F.sum("cq").cast("double") / F.lit(1000000000.0)
+    return (
+        cells.groupBy("n")
+        .agg(chi2.alias("_chi2"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "n",
+            ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+            fround(F.col("_chi2"), 4).alias("chi2"),
+            fround(
+                F.sqrt(F.col("_chi2") / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))),
+                6,
+            ).alias("cramers_v"),
+        )
+    )

@@ -1038,3 +1038,25 @@ def test_udtf_chunking_matches_native_segmentation(spark):
         .collect()
     }
     assert got == native and len(got) > 100
+
+
+def test_chi2_matches_pure_python(spark):
+    """t34's quantized chi-square equals a from-first-principles Python
+    computation on the same contingency table (within quantization)."""
+    from collections import Counter
+
+    from e_commerce_data_engineering_spark.plans.text import t34_lang_source_chi2
+
+    rows = load_table(spark, SF, "documents").select("lang", "source").collect()
+    obs = Counter((r["lang"], r["source"]) for r in rows)
+    rt = Counter(r["lang"] for r in rows)
+    ct = Counter(r["source"] for r in rows)
+    n = len(rows)
+    chi2 = sum(
+        (o - rt[lang] * ct[src] / n) ** 2 / (rt[lang] * ct[src] / n)
+        for (lang, src), o in obs.items()
+    )
+    got = t34_lang_source_chi2(spark, SF).collect()[0]
+    assert got["n"] == n
+    assert got["dof"] == (len(rt) - 1) * (len(ct) - 1)
+    assert abs(got["chi2"] - chi2) < 1e-3, (got["chi2"], chi2)
