@@ -144,6 +144,7 @@ _PRIORITY: tuple[str, ...] = (
     "t33_dup_cluster_histogram",
     "q70_column_profile",
     "t34_lang_source_chi2",
+    "t35_zipf_fit",
     # rows-only last within the round-4 block: if the driver's ~50-entry
     # sweep cap cuts the tail, it cuts a rows-only check, not an oracle
     "s11_ivfpq_topk",

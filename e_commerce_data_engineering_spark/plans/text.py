@@ -1734,3 +1734,92 @@ def t34_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cramers_v"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t35 — Zipf rank-frequency fit
+# ---------------------------------------------------------------------------
+
+T35_TOP = 40  # fit over the top-N tokens (the Zipfian head)
+
+
+@query(
+    "t35_zipf_fit",
+    oracle=f"""
+    WITH tf AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest({_DUCK_TOKS}) AS tok FROM documents) t
+        GROUP BY tok
+    ),
+    ranked AS (
+        SELECT tok, freq,
+               CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rnk
+        FROM tf ORDER BY freq DESC, tok LIMIT {T35_TOP}
+    ),
+    pts AS (
+        SELECT CAST(FLOOR(ln(CAST(rnk AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS xq,
+               CAST(FLOOR(ln(CAST(freq AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS yq
+        FROM ranked
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+               CAST(SUM(xq * xq // 1000000) AS BIGINT) AS sxx,
+               CAST(SUM(xq * yq // 1000000) AS BIGINT) AS sxy
+        FROM pts
+    )
+    SELECT n,
+           {sql_fround(
+               "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy / 1000000.0)"
+               " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx / 1000000.0)",
+               6)} AS zipf_slope,
+           {sql_fround("CAST(sy AS DOUBLE) / n / 1000000.0", 6)} AS mean_log_freq
+    FROM s
+    """,
+    doc=f"Zipf's-law fit over the top-{T35_TOP} token frequencies: OLS "
+    "slope of log(freq) on log(rank) — natural text sits near -1, and "
+    "a head slope far from it flags TEMPLATED/machine-generated "
+    "content before it poisons dedup thresholds and LM-filter "
+    "calibration (t13's repetition stats catch within-doc loops; this "
+    "catches corpus-level distribution collapse). The two ln() calls "
+    "are 1e-6-quantized per point (1e-9 overflows the int64 moment products: ln(freq)*1e9 squared exceeds 2^63); the OLS moments are exact integer "
+    "sums of quantized products (each xq*yq < 2^62), so both engines "
+    "compute the identical regression. One explode+groupBy for term "
+    "frequencies, a top-N (tiny), and one moment aggregate.",
+)
+def t35_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(X.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = tf.orderBy(F.col("freq").desc(), "tok").limit(T35_TOP)
+    w = W.orderBy(F.col("freq").desc(), "tok")
+    ranked = top.select("freq", F.row_number().over(w).cast("bigint").alias("rnk"))
+    xq = F.floor(F.log(F.col("rnk").cast("double")) * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    yq = F.floor(F.log(F.col("freq").cast("double")) * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    pts = ranked.select(xq.alias("xq"), yq.alias("yq"))
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.expr("xq * xq div 1000000")).alias("sxx"),
+        F.sum(F.expr("xq * yq div 1000000")).alias("sxy"),
+    )
+    slope = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy") / F.lit(1e6)
+    ) / (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx") / F.lit(1e6)
+    )
+    return s.select(
+        "n",
+        fround(slope, 6).alias("zipf_slope"),
+        fround(F.col("sy").cast("double") / F.col("n") / F.lit(1e6), 6).alias(
+            "mean_log_freq"
+        ),
+    )
