@@ -764,3 +764,52 @@ def e19_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("new_share"),
         )
     )
+
+
+E20_WINDOW_MIN = 120  # fixed window width (minutes)
+E20_BURST = 3  # events in one window that count as a burst
+
+
+@query(
+    "e20_burst_users",
+    oracle=f"""
+    WITH win AS (
+        SELECT user_id,
+               time_bucket(INTERVAL '{E20_WINDOW_MIN} minutes', ts) AS w,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(MAX(n) AS BIGINT) AS max_burst,
+           CAST(SUM(CASE WHEN n >= {E20_BURST} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_burst_windows
+    FROM win GROUP BY user_id
+    HAVING SUM(CASE WHEN n >= {E20_BURST} THEN 1 ELSE 0 END) > 0
+    """,
+    doc=f"Burst detection: users with any {E20_WINDOW_MIN}-minute window "
+    f"containing >= {E20_BURST} events — the rate-limit/abuse screen an "
+    "event pipeline runs before sessions and funnels trust the data "
+    "(a scraper's burst profile poisons e03's session stats and e14's "
+    "DAU). Two keyed aggregates (window bucket, then user rollup with "
+    "HAVING); fixed windows rather than sliding, so each event lands "
+    "in exactly one bucket and the first aggregate is map-side "
+    "combinable — the sliding variant is e06's frame. Streaming twin "
+    "is the watermarked windowed count (streaming/pipeline."
+    "windowed_event_counts) keyed by user.",
+)
+def e20_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    win = e.groupBy(
+        "user_id", F.window("ts", f"{E20_WINDOW_MIN} minutes").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    burst = F.when(F.col("n") >= E20_BURST, 1).otherwise(0)
+    return (
+        win.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.max("n").alias("max_burst"),
+            F.sum(burst).alias("n_burst_windows"),
+        )
+        .filter(F.col("n_burst_windows") > 0)
+    )

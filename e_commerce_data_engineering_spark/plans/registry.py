@@ -145,6 +145,7 @@ _PRIORITY: tuple[str, ...] = (
     "q70_column_profile",
     "t34_lang_source_chi2",
     "t35_zipf_fit",
+    "e20_burst_users",
     # rows-only last within the round-4 block: if the driver's ~50-entry
     # sweep cap cuts the tail, it cuts a rows-only check, not an oracle
     "s11_ivfpq_topk",
