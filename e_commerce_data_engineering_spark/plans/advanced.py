@@ -580,47 +580,59 @@ _D10_BIT_HASH = sql_portable_hash("('b' || CAST(b.i AS VARCHAR) || ':' || tok)")
     "the production d02 keeps 64-bit xxhash64 signatures.",
 )
 def d10_portable_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _bind
     from ..operators.sketch import portable_hash
 
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
-        ).alias("tok"),
+    # one row per doc: the 48 per-bit vote sums are built as an ARRAY by
+    # native HOFs (per token: 48 parities, folded with element-wise add)
+    # instead of exploding tokens x bits into 48x the rows — same math
+    # as the oracle, ~5x less row volume
+    toks = F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
+    zeros = F.transform(
+        F.sequence(F.lit(0), F.lit(D10_BITS - 1)), lambda b: F.lit(0).cast("bigint")
     )
-    b = toks.select(
-        "doc_id",
-        "tok",
-        F.explode(F.sequence(F.lit(0), F.lit(D10_BITS - 1))).alias("b"),
-    )
-    parity = (
-        portable_hash(
-            F.concat(F.lit("b"), F.col("b").cast("string"), F.lit(":"), F.col("tok")),
-            31,
-            _P1,
-        )
-        % 2
-    )
-    bits = (
-        b.select("doc_id", "b", F.when(parity == 1, 1).otherwise(-1).alias("vote"))
-        .groupBy("doc_id", "b")
-        .agg(F.sum("vote").alias("s"))
-    )
-    sig = bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(
-                F.lit(0).cast("bigint")
+
+    def tok_votes(tok):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(D10_BITS - 1)),
+            lambda b: F.when(
+                portable_hash(
+                    F.concat(F.lit("b"), b.cast("string"), F.lit(":"), tok), 31, _P1
+                )
+                % 2
+                == 1,
+                F.lit(1),
             )
-        ).alias("sg")
+            .otherwise(F.lit(-1))
+            .cast("bigint"),
+        )
+
+    votes = F.aggregate(
+        toks, zeros, lambda acc, tok: F.zip_with(acc, tok_votes(tok), lambda a, v: a + v)
     )
+
+    def sig_of(v):
+        # bit b set iff vote sum > 0; 2^b is exact in double for b < 53
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(D10_BITS - 1)),
+                lambda b: F.when(
+                    F.element_at(v, b + 1) > 0,
+                    F.pow(F.lit(2.0), b.cast("double")).cast("bigint"),
+                ).otherwise(F.lit(0).cast("bigint")),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    sig = d.select("doc_id", _bind(votes, sig_of).alias("sg")).persist()
+    sig.count()  # materialize: the chunk fanout below reuses sg
     chunks = sig.select(
         "doc_id",
         "sg",
         F.explode(F.sequence(F.lit(0), F.lit(_D10_NCH - 1))).alias("c"),
-    ).withColumn(
-        "v", F.expr(f"shiftright(sg, {D10_CHUNK_W} * c) & {_D10_MASK}")
-    )
+    ).withColumn("v", F.expr(f"shiftright(sg, {D10_CHUNK_W} * c) & {_D10_MASK}"))
     a = chunks.select(
         F.col("doc_id").alias("id_a"), F.col("sg").alias("sa"), "c", "v"
     )
