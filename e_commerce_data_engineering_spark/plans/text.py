@@ -1823,3 +1823,99 @@ def t35_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_log_freq"
         ),
     )
+
+
+@query(
+    "t36_langid_prf",
+    oracle=f"""
+    WITH conf AS (
+        SELECT lang,
+               {X.sql_predict_lang("toks")} AS pred,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT lang, {_DUCK_TOKS} AS toks FROM documents) t
+        GROUP BY 1, 2
+    ),
+    labels AS (SELECT DISTINCT lang FROM conf),
+    tp AS (SELECT lang, CAST(COALESCE(SUM(n), 0) AS BIGINT) AS tp
+           FROM labels LEFT JOIN conf USING (lang)
+           WHERE pred = lang OR pred IS NULL GROUP BY lang),
+    fp AS (SELECT l.lang, CAST(COALESCE(SUM(c.n), 0) AS BIGINT) AS fp
+           FROM labels l LEFT JOIN conf c ON c.pred = l.lang AND c.lang <> l.lang
+           GROUP BY l.lang),
+    fn AS (SELECT l.lang, CAST(COALESCE(SUM(c.n), 0) AS BIGINT) AS fn
+           FROM labels l LEFT JOIN conf c ON c.lang = l.lang AND c.pred <> l.lang
+           GROUP BY l.lang)
+    SELECT lang, tp, fp, fn,
+           {sql_fround("CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END", 6)} AS precision_,
+           {sql_fround("CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END", 6)} AS recall_,
+           {sql_fround(
+               "CASE WHEN 2 * tp + fp + fn > 0"
+               " THEN 2.0 * tp / (2 * tp + fp + fn) ELSE 0.0 END", 6)} AS f1
+    FROM tp JOIN fp USING (lang) JOIN fn USING (lang)
+    """,
+    doc="Classifier-evaluation metrics over the t07 language-ID "
+    "confusion matrix: per-language true/false positives and "
+    "negatives folded into precision, recall, and F1 (the 2tp/(2tp+"
+    "fp+fn) form — zero-guarded, exact-integer ratios) — the eval "
+    "layer any in-pipeline classifier (lang-ID, quality filter, PII "
+    "tagger) needs before its verdicts gate data. All joins are on "
+    "the |labels|-sized frames; the corpus is touched once by the "
+    "confusion aggregate.",
+)
+def t36_langid_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    conf = (
+        d.select("lang", X.predict_lang(toks).alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    labels = conf.select("lang").distinct()
+    tp = (
+        conf.filter(F.col("pred") == F.col("lang"))
+        .groupBy("lang")
+        .agg(F.sum("n").alias("tp"))
+    )
+    fp = (
+        conf.filter(F.col("pred") != F.col("lang"))
+        .groupBy(F.col("pred").alias("lang"))
+        .agg(F.sum("n").alias("fp"))
+    )
+    fn = (
+        conf.filter(F.col("pred") != F.col("lang"))
+        .groupBy("lang")
+        .agg(F.sum("n").alias("fn"))
+    )
+    j = (
+        labels.join(tp, "lang", "left")
+        .join(fp, "lang", "left")
+        .join(fn, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+            F.coalesce(F.col("fp"), F.lit(0)).alias("fp"),
+            F.coalesce(F.col("fn"), F.lit(0)).alias("fn"),
+        )
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fn")),
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(
+        2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+        F.lit(2.0) * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "lang",
+        "tp",
+        "fp",
+        "fn",
+        fround(prec, 6).alias("precision_"),
+        fround(rec, 6).alias("recall_"),
+        fround(f1, 6).alias("f1"),
+    )
