@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..sources.tables import load_table
-from .money import dmoney, fround, money_avg, money_sum, sql_fround, sql_money_avg
+from .money import dmoney, fround, money_avg, money_sum, sql_fround, sql_money_avg, sql_money_sum
 from .registry import query
 
 SESSION_GAP_MS = 30 * 60 * 1000  # 30-minute inactivity gap
@@ -812,4 +812,199 @@ def e20_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(burst).alias("n_burst_windows"),
         )
         .filter(F.col("n_burst_windows") > 0)
+    )
+
+
+@query(
+    "e21_last_touch_attribution",
+    oracle=f"""
+    WITH attr AS (
+        SELECT event_type, value,
+               COALESCE(
+                   LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                                   THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   'direct') AS channel
+        FROM events
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           {sql_money_sum("CAST(value AS DECIMAL(12,2))")} AS attributed_value,
+           {sql_money_avg("CAST(value AS DECIMAL(12,2))")} AS avg_value
+    FROM attr
+    WHERE event_type = 'purchase'
+    GROUP BY channel
+    """,
+    doc="Last-touch revenue attribution: each purchase's value is "
+    "credited to the user's most recent preceding non-purchase event "
+    "type ('direct' when the purchase is the user's first event) — "
+    "the marketing-attribution query behind every channel-ROI "
+    "dashboard. One window per user (last-ignore-nulls over an "
+    "unbounded-preceding frame — Spark and DuckDB share the "
+    "IGNORE NULLS frame semantics) plus one keyed aggregate; the "
+    "per-user history ordering is the same single shuffle "
+    "sessionization (e03) already pays, so at 100 TB this rides the "
+    "events table's user_id partitioning. Money sums are "
+    "DECIMAL-exact (order-independent) before the final cast.",
+)
+def e21_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prior = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    attr = e.select(
+        "event_type", "value", F.coalesce(prior, F.lit("direct")).alias("channel")
+    )
+    return (
+        attr.filter(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            money_sum(dmoney("value")).alias("attributed_value"),
+            money_avg(dmoney("value")).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "e22_dow_seasonality",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               isodow(CAST(ts AS DATE)) AS dow,
+               SUM(CAST(value AS DECIMAL(12,2))) AS day_total
+        FROM events GROUP BY 1, 2, 3
+    ),
+    per_dow AS (
+        SELECT event_type, dow,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(day_total) AS DOUBLE) / COUNT(*) AS dow_mean
+        FROM daily GROUP BY 1, 2
+    ),
+    overall AS (
+        SELECT event_type, CAST(SUM(day_total) AS DOUBLE) / COUNT(*) AS all_mean
+        FROM daily GROUP BY 1
+    )
+    SELECT event_type, CAST(dow AS INTEGER) AS dow, n_days,
+           {sql_fround("dow_mean", 2)} AS dow_mean_value,
+           {sql_fround("dow_mean / all_mean", 6)} AS seasonal_index
+    FROM per_dow JOIN overall USING (event_type)
+    """,
+    doc="Day-of-week seasonality index: mean daily revenue per (event "
+    "type, ISO weekday) over the mean daily revenue of the type — "
+    "index > 1 marks the hot weekdays, the decomposition a forecast "
+    "(q46) divides out before trending. Two keyed aggregates over "
+    "the same daily frame plus a 35-row join; daily totals are "
+    "DECIMAL-exact so the means are order-independent, and the only "
+    "doubles are two single divisions — hash-stable on both engines. "
+    "ISO weekday = Spark weekday()+1 = DuckDB isodow().",
+)
+def e22_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    daily = e.groupBy(
+        "event_type",
+        day.alias("day"),
+        (F.weekday(day) + F.lit(1)).alias("dow"),
+    ).agg(F.sum(dmoney("value")).alias("day_total"))
+    per_dow = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.sum("day_total").cast("double") / F.count(F.lit(1))).alias("dow_mean"),
+    )
+    overall = daily.groupBy("event_type").agg(
+        (F.sum("day_total").cast("double") / F.count(F.lit(1))).alias("all_mean")
+    )
+    return per_dow.join(overall, "event_type").select(
+        "event_type",
+        F.col("dow").cast("int").alias("dow"),
+        "n_days",
+        fround(F.col("dow_mean"), 2).alias("dow_mean_value"),
+        fround(F.col("dow_mean") / F.col("all_mean"), 6).alias("seasonal_index"),
+    )
+
+
+@query(
+    "e23_cusum_changepoint",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(12,2))) AS day_total
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT event_type, day,
+               CAST(day_total AS DOUBLE) AS day_value,
+               CAST(SUM(day_total) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   AS run_total,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                    AS BIGINT) AS rn,
+               CAST(SUM(day_total) OVER (PARTITION BY event_type) AS DOUBLE)
+                   / COUNT(*) OVER (PARTITION BY event_type) AS mu
+        FROM daily
+    ),
+    cu AS (
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+               {sql_fround("day_value", 2)} AS day_value,
+               {sql_fround("run_total - rn * mu", 2)} AS cusum
+        FROM series
+    )
+    SELECT event_type, day, day_value, cusum,
+           ABS(cusum) = MAX(ABS(cusum)) OVER (PARTITION BY event_type)
+               AS is_changepoint
+    FROM cu
+    """,
+    doc="CUSUM changepoint scan: per event type, the running sum of "
+    "daily-revenue deviations from the type's mean; the day where "
+    "|CUSUM| peaks is the most likely level-shift point (flagged, "
+    "ties flagged alike). Deviations are folded as run_total - "
+    "rn*mu over a DECIMAL-exact running sum, so the windowed "
+    "accumulation is order-independent — the only doubles are one "
+    "division and one multiply-subtract per row, identical IEEE ops "
+    "on both engines (a naive double running sum would hash-drift: "
+    "DuckDB folds windowed sums with a segment tree, Spark "
+    "sequentially). Two windows over the same (type, day) frame = "
+    "one shuffle; the daily pre-aggregate keeps the window input at "
+    "days × types rows regardless of event volume.",
+)
+def e23_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(dmoney("value")).alias("day_total"))
+    wseq = W.partitionBy("event_type").orderBy("day")
+    wall = W.partitionBy("event_type")
+    series = daily.select(
+        "event_type",
+        "day",
+        F.col("day_total").cast("double").alias("day_value"),
+        F.sum("day_total")
+        .over(wseq.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("run_total"),
+        F.row_number().over(wseq).cast("bigint").alias("rn"),
+        (
+            F.sum("day_total").over(wall).cast("double")
+            / F.count(F.lit(1)).over(wall)
+        ).alias("mu"),
+    )
+    cu = series.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        fround(F.col("day_value"), 2).alias("day_value"),
+        fround(F.col("run_total") - F.col("rn") * F.col("mu"), 2).alias("cusum"),
+    )
+    return cu.select(
+        "*",
+        (
+            F.abs(F.col("cusum"))
+            == F.max(F.abs(F.col("cusum"))).over(W.partitionBy("event_type"))
+        ).alias("is_changepoint"),
     )

@@ -146,6 +146,15 @@ _PRIORITY: tuple[str, ...] = (
     "t34_lang_source_chi2",
     "t35_zipf_fit",
     "e20_burst_users",
+    "t36_langid_prf",
+    # round-4 continuation: attribution/seasonality/changepoint
+    # analytics, drift + classifier-eval stats, salted skew aggregate
+    "e21_last_touch_attribution",
+    "e22_dow_seasonality",
+    "e23_cusum_changepoint",
+    "t37_ks_drift",
+    "t38_quality_auc",
+    "q71_salted_skew_agg",
     # rows-only last within the round-4 block: if the driver's ~50-entry
     # sweep cap cuts the tail, it cuts a rows-only check, not an oracle
     "s11_ivfpq_topk",

@@ -1919,3 +1919,181 @@ def t36_langid_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(rec, 6).alias("recall_"),
         fround(f1, 6).alias("f1"),
     )
+
+
+@query(
+    "t37_ks_drift",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    cnt AS (
+        SELECT source, n_tokens, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
+    ),
+    grid AS (SELECT DISTINCT n_tokens FROM tok),
+    srcs AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM cnt GROUP BY 1
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM tok),
+    dense AS (
+        SELECT s.source, g.n_tokens, s.n_src, COALESCE(c.c, 0) AS c
+        FROM srcs s CROSS JOIN grid g
+        LEFT JOIN cnt c ON c.source = s.source AND c.n_tokens = g.n_tokens
+    ),
+    gcnt AS (
+        SELECT n_tokens, CAST(COUNT(*) AS BIGINT) AS gc FROM tok GROUP BY 1
+    ),
+    cdf AS (
+        SELECT d.source, d.n_tokens, d.n_src,
+               CAST(SUM(d.c) OVER (PARTITION BY d.source ORDER BY d.n_tokens)
+                    AS DOUBLE) / d.n_src AS cdf_src,
+               CAST(SUM(g.gc) OVER (PARTITION BY d.source ORDER BY d.n_tokens)
+                    AS DOUBLE) / t.n_all AS cdf_all
+        FROM dense d
+        JOIN gcnt g ON g.n_tokens = d.n_tokens
+        CROSS JOIN total t
+    )
+    SELECT source, CAST(n_src AS BIGINT) AS n_docs,
+           {sql_fround("MAX(ABS(cdf_src - cdf_all))", 6)} AS ks_stat
+    FROM cdf
+    GROUP BY source, n_src
+    """,
+    doc="Two-sample Kolmogorov-Smirnov drift screen: for every source, "
+    "the KS statistic (sup-norm CDF distance) between its token-count "
+    "distribution and the whole corpus — the distribution-shift gate "
+    "a training pipeline runs when a new crawl snapshot lands (a "
+    "source whose length profile drifts gets quarantined before it "
+    "skews mixture weights, t25). Built on a dense (source × "
+    "distinct-length) grid so each source's step-function CDF is "
+    "evaluated at every global grid point: the grid is a histogram "
+    "domain (bounded, data-independent of corpus size), so the "
+    "cross join is dimension-sized — counts stay integer-exact "
+    "through the windowed cumulative sums and each CDF is one "
+    "double division, making the sup-norm hash-stable. Two keyed "
+    "aggregates + one window over len(grid)×|sources| rows; the "
+    "corpus itself is scanned once.",
+)
+def t37_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", X.token_count(X.tokens(F.col("text"))).cast("bigint").alias("n_tokens"))
+    cnt = tok.groupBy("source", "n_tokens").agg(F.count(F.lit(1)).alias("c"))
+    grid = tok.select("n_tokens").distinct()
+    srcs = cnt.groupBy("source").agg(F.sum("c").alias("n_src"))
+    gcnt = tok.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("gc"))
+    total = tok.agg(F.count(F.lit(1)).alias("n_all"))
+    dense = (
+        srcs.crossJoin(grid)
+        .join(cnt, ["source", "n_tokens"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        .join(gcnt, "n_tokens")
+        .crossJoin(F.broadcast(total))
+    )
+    w = W.partitionBy("source").orderBy("n_tokens")
+    cdf = dense.select(
+        "source",
+        "n_src",
+        (F.sum("c").over(w).cast("double") / F.col("n_src")).alias("cdf_src"),
+        (F.sum("gc").over(w).cast("double") / F.col("n_all")).alias("cdf_all"),
+    )
+    return cdf.groupBy("source", F.col("n_src").cast("bigint").alias("n_docs")).agg(
+        fround(F.max(F.abs(F.col("cdf_src") - F.col("cdf_all"))), 6).alias("ks_stat")
+    ).select("source", "n_docs", "ks_stat")
+
+
+@query(
+    "t38_quality_auc",
+    oracle=f"""
+    WITH m AS (
+        SELECT source,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+               {sql_fround("0.4 * LEAST(n_tokens / 20.0, 1.0) + 0.4 * (1.0 - stop_ratio) + 0.2 * LEAST(avg_token_len / 8.0, 1.0)", 4)} AS quality
+        FROM (
+            SELECT source, lang,
+                   CAST(len(toks) AS INTEGER) AS n_tokens,
+                   {sql_fround(f"CAST(len(list_filter(toks, x -> x IN ({_SQL_STOPS}))) AS DOUBLE) / len(toks)", 4)} AS stop_ratio,
+                   {sql_fround("CAST(list_reduce(list_transform(toks, x -> len(x)), (a,b) -> a+b) AS DOUBLE) / len(toks)", 4)} AS avg_token_len
+            FROM (SELECT source, lang, {_DUCK_TOKS} AS toks FROM documents) t
+        ) b
+    ),
+    ranked AS (
+        SELECT source, label,
+               RANK() OVER (PARTITION BY source ORDER BY quality)
+                   + (COUNT(*) OVER (PARTITION BY source, quality) - 1) / 2.0
+                   AS avg_rank
+        FROM m
+    ),
+    agg AS (
+        SELECT source,
+               CAST(SUM(label) AS BIGINT) AS n_pos,
+               CAST(COUNT(*) - SUM(label) AS BIGINT) AS n_neg,
+               SUM(CASE WHEN label = 1 THEN avg_rank ELSE 0 END) AS r_pos
+        FROM ranked GROUP BY source
+    )
+    SELECT source, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+               {sql_fround("(r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)", 6)}
+           END AS auc
+    FROM agg
+    """,
+    doc="Classifier-threshold-free evaluation: per-source AUC of the "
+    "t06 heuristic quality score as a predictor of lang='en' — the "
+    "Mann-Whitney rank-sum form with average ranks for ties (exact "
+    "half-integer ranks, so the statistic is hash-stable), NULL when "
+    "a source lacks both classes. This is the eval a pipeline runs "
+    "to decide whether a cheap quality heuristic can gate an "
+    "expensive model filter. One window pair (rank + tie counts) "
+    "per source partition and one keyed aggregate — the same "
+    "single-shuffle profile as t36's confusion matrix; at 100 TB "
+    "the rank window rides the source-partitioned layout the "
+    "mixture queries (t25/t31) already use.",
+)
+def t38_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    base = d.select(
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+        X.token_count(toks).alias("n_tokens"),
+        fround(X.stopword_count(toks).cast("double") / X.token_count(toks), 4).alias(
+            "stop_ratio"
+        ),
+        fround(X.total_chars(toks).cast("double") / X.token_count(toks), 4).alias(
+            "avg_token_len"
+        ),
+    )
+    m = base.select(
+        "source",
+        "label",
+        X.quality_score(
+            F.col("n_tokens"), F.col("stop_ratio"), F.col("avg_token_len")
+        ).alias("quality"),
+    )
+    avg_rank = (
+        F.rank().over(W.partitionBy("source").orderBy("quality"))
+        + (F.count(F.lit(1)).over(W.partitionBy("source", "quality")) - 1) / 2.0
+    )
+    ranked = m.select("source", "label", avg_rank.alias("avg_rank"))
+    agg = ranked.groupBy("source").agg(
+        F.sum("label").cast("bigint").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("bigint").alias("n_neg"),
+        F.sum(F.when(F.col("label") == 1, F.col("avg_rank")).otherwise(0.0)).alias(
+            "r_pos"
+        ),
+    )
+    auc = fround(
+        (F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+        / (F.col("n_pos") * F.col("n_neg")),
+        6,
+    )
+    return agg.select(
+        "source",
+        "n_pos",
+        "n_neg",
+        F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc).alias("auc"),
+    )

@@ -530,3 +530,45 @@ def q70_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(c).alias("col_name"), "*")
         out = prof if out is None else out.unionByName(prof)
     return out
+
+
+_Q71_SALT = 16  # fan-out factor for the hot-key pre-aggregate
+
+
+@query(
+    "q71_salted_skew_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_money_sum(_DISC_PRICE)} AS revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Skew-mitigated aggregation: l_returnflag has 3 values, so a "
+    "naive groupBy lands the whole table on 3 reducers; this plan "
+    "pre-aggregates on (flag, salt) with salt = pmod(l_orderkey, "
+    f"{_Q71_SALT}) — deterministic, so re-runs are stable — then "
+    "folds the partials on flag alone. The second shuffle moves "
+    f"only 3×{_Q71_SALT} partial rows, so the hot keys fan out "
+    "across the cluster while the result is bit-identical to the "
+    "direct aggregate (the oracle IS the direct aggregate: DECIMAL "
+    "partial sums re-fold exactly). This is the manual form of what "
+    "AQE skew handling cannot do for aggregations (AQE splits skewed "
+    "JOIN partitions only) — the pattern every 100 TB rollup on a "
+    "low-cardinality dimension needs. Plan shape (two "
+    "HashAggregate+Exchange pairs, tiny second exchange) is "
+    "asserted in tests/test_plan_shapes.py.",
+)
+def q71_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = dmoney("l_extendedprice") * (1 - dfrac("l_discount"))
+    partial = li.groupBy(
+        "l_returnflag", F.pmod(F.col("l_orderkey"), F.lit(_Q71_SALT)).alias("_salt")
+    ).agg(
+        F.count(F.lit(1)).alias("p_n"),
+        F.sum(disc_price).alias("p_rev"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("p_n").alias("n_rows"),
+        F.round(F.sum("p_rev"), 2).cast("double").alias("revenue"),
+    )

@@ -348,3 +348,37 @@ def test_round4_closing_queries_avoid_cartesian(spark, name):
     # with a broadcast side; unbounded CartesianProduct never should.
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+
+
+def test_q71_salted_agg_is_two_aggregate_pairs(spark):
+    """The salted rollup must show partial+final HashAggregate around
+    the salt exchange AND a second fold on the natural key — four
+    HashAggregate nodes total, with the whole-table shuffle keyed on
+    (flag, salt) so hot keys fan out."""
+    plan = plan_of(spark, "q71_salted_skew_agg")
+    assert plan.count("HashAggregate") >= 4, plan
+    # the salt key survives into the first grouping (Catalyst inlines
+    # the alias into a _groupingexpression)
+    assert "pmod(l_orderkey" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_e21_attribution_single_user_shuffle(spark):
+    """Attribution window + aggregate: the only wide exchanges are the
+    user_id window partitioning and the channel rollup — no join at
+    all, so no cartesian/broadcast-nested-loop can appear."""
+    plan = plan_of(spark, "e21_last_touch_attribution")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert "Window" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["e22_dow_seasonality", "e23_cusum_changepoint", "t37_ks_drift", "t38_quality_auc"],
+)
+def test_round4_analytics_additions_avoid_cartesian(spark, name):
+    # t37's dense grid is a dimension-sized cross of two aggregate
+    # frames (sources × distinct lengths) — it must come in as a
+    # broadcast, never an unbounded CartesianProduct over the corpus.
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
