@@ -155,6 +155,7 @@ _PRIORITY: tuple[str, ...] = (
     "t37_ks_drift",
     "t38_quality_auc",
     "q71_salted_skew_agg",
+    "s12_rrf_hybrid_rank",
     # rows-only last within the round-4 block: if the driver's ~50-entry
     # sweep cap cuts the tail, it cuts a rows-only check, not an oracle
     "s11_ivfpq_topk",

@@ -601,3 +601,180 @@ def s09_int8_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# s12 — reciprocal-rank fusion of the lexical (BM25) and vector retrievers
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # standard RRF dampening constant (Cormack et al., SIGIR'09)
+RRF_LIST_N = 100  # each retriever contributes its top-N list
+RRF_TOP = 20  # fused results returned
+
+
+def _sql_bm25_ranked() -> str:
+    """DuckDB CTE body: BM25 top-RRF_LIST_N ranking, t30's exact
+    integer-quantized scoring (same constants, same formula)."""
+    from .text import BM25_B, BM25_K1, BM25_TERMS, _DUCK_TOKS
+
+    terms_in = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+    toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(ts)) AS BIGINT) AS sum_dl FROM toks
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf, ANY_VALUE(dl) AS dl
+        FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS tok FROM toks) t
+        WHERE tok IN ({terms_in})
+        GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(FLOOR(
+                 ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                 * (CAST(tf AS DOUBLE) * {BM25_K1 + 1.0})
+                 / (CAST(tf AS DOUBLE) + {BM25_K1} * ({1.0 - BM25_B}
+                      + {BM25_B} * CAST(dl AS DOUBLE) * n_docs / sum_dl))
+                 * 1000000000.0 + 0.5) AS BIGINT) AS sq
+        FROM tf t JOIN df USING (tok) CROSS JOIN stats
+    ),
+    lex AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS BIGINT)
+                   AS lex_rank
+        FROM (SELECT doc_id, SUM(sq) AS score_q FROM scored GROUP BY doc_id) s
+        ORDER BY lex_rank LIMIT {RRF_LIST_N}
+    )"""
+
+
+@query(
+    "s12_rrf_hybrid_rank",
+    oracle=f"""
+    WITH {_sql_bm25_ranked()},
+    q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+          WHERE vec_id <> 0),
+    vec AS (
+        SELECT c_id AS doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, c_id) AS BIGINT)
+                   AS vec_rank
+        FROM (
+            SELECT c_id, {_SQL_DOT_QC} / ({_SQL_NORM_Q} * {_SQL_NORM_C}) AS cos_sim
+            FROM q CROSS JOIN c
+        ) p
+        ORDER BY vec_rank LIMIT {RRF_LIST_N}
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               l.lex_rank, v.vec_rank,
+               {sql_fround(
+                   f"COALESCE(1.0 / ({RRF_K} + l.lex_rank), 0.0)"
+                   f" + COALESCE(1.0 / ({RRF_K} + v.vec_rank), 0.0)", 6)}
+                   AS rrf_score
+        FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, lex_rank, vec_rank, rrf_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+               AS fused_rank
+    FROM fused
+    ORDER BY fused_rank LIMIT {RRF_TOP}
+    """,
+    doc=f"Hybrid-search reciprocal-rank fusion (Cormack et al.): the "
+    f"BM25 lexical top-{RRF_LIST_N} (t30's exact integer-quantized "
+    f"scoring) and the cosine vector top-{RRF_LIST_N} (query = vec 0) "
+    f"are fused on doc_id = vec_id with score Σ 1/({RRF_K}+rank), "
+    f"absent-list ranks contributing 0 — the standard RAG retrieval "
+    "merge. Both input lists are top-N-bounded BEFORE the fusion "
+    "join (TakeOrderedAndProject, no global sort), so the full-outer "
+    "fusion touches ≤2N rows per query regardless of corpus size; "
+    "ranks are integers and the fused score is two IEEE divisions "
+    "plus one add, so the ordering replays identically on both "
+    "engines (doc_id tiebreak).",
+)
+def s12_rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as X
+    from .text import BM25_B, BM25_K1, BM25_TERMS
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", X.tokens(F.col("text")).alias("ts"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(F.size("ts")).alias("sum_dl")
+    )
+    tf = (
+        toks.select("doc_id", F.size("ts").alias("dl"), F.explode("ts").alias("tok"))
+        .filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    j = tf.join(F.broadcast(df_), "tok").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    num = F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)
+    den = F.col("tf").cast("double") + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B)
+        + F.lit(BM25_B) * F.col("dl").cast("double") * F.col("n_docs") / F.col("sum_dl")
+    )
+    sq = F.floor(idf * num / den * F.lit(1000000000.0) + F.lit(0.5)).cast("bigint")
+    lex_scores = (
+        j.select("doc_id", sq.alias("sq"))
+        .groupBy("doc_id")
+        .agg(F.sum("sq").alias("score_q"))
+        .orderBy(F.col("score_q").desc(), "doc_id")
+        .limit(RRF_LIST_N)
+    )
+    lex = lex_scores.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("score_q").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("lex_rank"),
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cand = e.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / (
+        l2_norm(F.col("q_emb")) * l2_norm(F.col("c_emb"))
+    )
+    vec_scores = (
+        F.broadcast(qv)
+        .crossJoin(cand)
+        .select(F.col("c_id").alias("doc_id"), cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(RRF_LIST_N)
+    )
+    vec = vec_scores.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("cos_sim").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("vec_rank"),
+    )
+
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        fround(
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    top = fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(RRF_TOP)
+    return top.select(
+        "*",
+        F.row_number()
+        .over(W.orderBy(F.col("rrf_score").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("fused_rank"),
+    )

@@ -382,3 +382,12 @@ def test_round4_analytics_additions_avoid_cartesian(spark, name):
     # broadcast, never an unbounded CartesianProduct over the corpus.
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+
+
+def test_s12_rrf_lists_are_topk_bounded(spark):
+    """Both retriever lists must be top-N-bounded (TakeOrderedAndProject)
+    before the fusion join; the only nested-loop joins are the broadcast
+    1-row/stats frames — never an unbounded CartesianProduct."""
+    plan = plan_of(spark, "s12_rrf_hybrid_rank")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
