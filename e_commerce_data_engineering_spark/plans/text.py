@@ -1836,22 +1836,24 @@ def t35_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     ),
     labels AS (SELECT DISTINCT lang FROM conf),
-    tp AS (SELECT lang, CAST(COALESCE(SUM(n), 0) AS BIGINT) AS tp
-           FROM labels LEFT JOIN conf USING (lang)
-           WHERE pred = lang OR pred IS NULL GROUP BY lang),
-    fp AS (SELECT l.lang, CAST(COALESCE(SUM(c.n), 0) AS BIGINT) AS fp
-           FROM labels l LEFT JOIN conf c ON c.pred = l.lang AND c.lang <> l.lang
-           GROUP BY l.lang),
-    fn AS (SELECT l.lang, CAST(COALESCE(SUM(c.n), 0) AS BIGINT) AS fn
-           FROM labels l LEFT JOIN conf c ON c.lang = l.lang AND c.pred <> l.lang
-           GROUP BY l.lang)
+    stats AS (
+        SELECT l.lang,
+               CAST(COALESCE(SUM(CASE WHEN c.lang = l.lang AND c.pred = c.lang
+                                      THEN c.n END), 0) AS BIGINT) AS tp,
+               CAST(COALESCE(SUM(CASE WHEN c.pred = l.lang AND c.lang <> c.pred
+                                      THEN c.n END), 0) AS BIGINT) AS fp,
+               CAST(COALESCE(SUM(CASE WHEN c.lang = l.lang AND c.pred <> c.lang
+                                      THEN c.n END), 0) AS BIGINT) AS fn
+        FROM labels l CROSS JOIN conf c
+        GROUP BY l.lang
+    )
     SELECT lang, tp, fp, fn,
            {sql_fround("CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END", 6)} AS precision_,
            {sql_fround("CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END", 6)} AS recall_,
            {sql_fround(
                "CASE WHEN 2 * tp + fp + fn > 0"
                " THEN 2.0 * tp / (2 * tp + fp + fn) ELSE 0.0 END", 6)} AS f1
-    FROM tp JOIN fp USING (lang) JOIN fn USING (lang)
+    FROM stats
     """,
     doc="Classifier-evaluation metrics over the t07 language-ID "
     "confusion matrix: per-language true/false positives and "

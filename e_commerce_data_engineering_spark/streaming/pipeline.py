@@ -625,3 +625,145 @@ def read_transitions(spark: SparkSession, state_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("p"),
     )
+
+
+def start_attribution_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Streaming twin of e21 last-touch attribution, with CROSS-BATCH
+    channel continuity: a purchase at the top of batch N+1 must credit
+    the user's last non-purchase event from batch N, so the state is
+    (a) accumulated per-channel totals and (b) one (last_ts,
+    last_event_id, last_type) NON-PURCHASE row per user. Each batch
+    unions the carry-over rows (as window seeds only), computes the
+    last-ignore-nulls channel within (user ORDER BY ts, event_id) over
+    the unbounded..-1 frame, credits the batch's purchases, folds the
+    per-channel (count, DECIMAL value-sum) partials into the stored
+    totals — decimal partials re-fold exactly, so split delivery is
+    bit-identical to the batch query — and advances the per-user
+    last-non-purchase state (purchases never become seeds, so 'direct'
+    attribution survives batch splits).
+
+    Same assumptions and replay-safe layout as start_transition_stream:
+    per-user event-time-ordered delivery across batches; per-batch
+    overwrite dirs; folds read only batches strictly earlier than the
+    current epoch. ``read_attribution`` returns the e21 shape;
+    batch/stream parity is pinned in tests/test_streaming.py."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+    totals_dir = f"{state_dir}/totals"
+    last_dir = f"{state_dir}/last"
+
+    def _latest(s: SparkSession, d: str, before: int) -> DataFrame | None:
+        jvm_path = s._jvm.org.apache.hadoop.fs.Path(d)
+        fs = jvm_path.getFileSystem(s._jsc.hadoopConfiguration())
+        if not fs.exists(jvm_path):
+            return None
+        allb = s.read.option("basePath", d).parquet(d).filter(F.col("batch_id") < before)
+        latest = allb.agg(F.max("batch_id").alias("b")).collect()[0]["b"]
+        if latest is None:
+            return None
+        return allb.filter(F.col("batch_id") == latest).drop("batch_id")
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        ev = batch_df.select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_id",
+            "event_type",
+            F.col("value").cast("decimal(12,2)").alias("value"),
+            F.lit(False).alias("_seed"),
+        )
+        prev_last = _latest(s, last_dir, epoch_id)
+        if prev_last is not None:
+            seeds = prev_last.select(
+                "user_id",
+                F.col("last_ts").alias("ts"),
+                F.col("last_event_id").alias("event_id"),
+                F.col("last_type").alias("event_type"),
+                F.lit(None).cast("decimal(12,2)").alias("value"),
+                F.lit(True).alias("_seed"),
+            )
+            ev = ev.unionByName(seeds)
+        w = (
+            W.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        prior = F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w)
+        credited = (
+            ev.withColumn("channel", F.coalesce(prior, F.lit("direct")))
+            .filter((~F.col("_seed")) & (F.col("event_type") == "purchase"))
+            .groupBy("channel")
+            .agg(
+                F.count(F.lit(1)).alias("n_purchases"),
+                F.sum("value").cast("decimal(12,2)").alias("val_sum"),
+            )
+        )
+        prev_tot = _latest(s, totals_dir, epoch_id)
+        merged = credited.unionByName(prev_tot) if prev_tot is not None else credited
+        merged = merged.groupBy("channel").agg(
+            F.sum("n_purchases").alias("n_purchases"),
+            F.sum("val_sum").cast("decimal(12,2)").alias("val_sum"),
+        )
+        merged.write.mode("overwrite").parquet(f"{totals_dir}/batch_id={epoch_id}")
+
+        new_last = (
+            ev.filter(F.col("event_type") != "purchase")
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    W.partitionBy("user_id").orderBy(
+                        F.col("ts").desc(), F.col("event_id").desc()
+                    )
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .select(
+                "user_id",
+                F.col("ts").alias("last_ts"),
+                F.col("event_id").alias("last_event_id"),
+                F.col("event_type").alias("last_type"),
+            )
+        )
+        new_last.write.mode("overwrite").parquet(f"{last_dir}/batch_id={epoch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_attribution(spark: SparkSession, state_dir: str) -> DataFrame:
+    """e21-shaped view of the stream state: (channel, n_purchases,
+    attributed_value, avg_value)."""
+    from ..plans.money import fround
+
+    totals_dir = f"{state_dir}/totals"
+    allb = spark.read.option("basePath", totals_dir).parquet(totals_dir)
+    latest = allb.agg(F.max("batch_id").alias("b")).collect()[0]["b"]
+    tot = allb.filter(F.col("batch_id") == latest).drop("batch_id")
+    return tot.select(
+        "channel",
+        "n_purchases",
+        F.round(F.col("val_sum"), 2).cast("double").alias("attributed_value"),
+        fround(
+            F.col("val_sum").cast("double") / F.col("n_purchases"), 4
+        ).alias("avg_value"),
+    )

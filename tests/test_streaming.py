@@ -939,3 +939,99 @@ def test_transition_stream_matches_batch_e18(spark, tmp_path):
         (r["prev_type"], r["next_type"]): (r["n"], r["p"])
         for r in read_transitions(spark, state).collect()
     } == want
+
+
+def test_attribution_stream_matches_batch_e21(spark, tmp_path):
+    """Last-touch attribution stream: split delivery must credit the
+    SAME channels as batch e21 over the union — including purchases
+    whose last touch happened in an earlier batch (per-user
+    last-non-purchase carry-over) — and a checkpointed replay changes
+    nothing. Decimal partial sums re-fold exactly, so the values match
+    bit-for-bit, not just approximately."""
+    import os
+    import time
+
+    from e_commerce_data_engineering_spark.plans.events import (
+        e21_last_touch_attribution,
+    )
+    from e_commerce_data_engineering_spark.streaming.pipeline import (
+        read_attribution,
+        start_attribution_stream,
+    )
+
+    base = dt.datetime(2026, 4, 1, 9, 0, 0)
+    rows = []
+    types = ["view", "click", "purchase", "signup"]
+    for i in range(120):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": (base + dt.timedelta(minutes=i)).isoformat(),
+                "user_id": i % 9,
+                "event_type": types[(i * 7 + i * i) % 4],
+                "value": round(1.37 * (i % 13) + 0.25, 2),
+            }
+        )
+    # force a boundary-spanning credit: user 3's purchase opens batch 3
+    rows[60]["user_id"] = 3
+    rows[60]["event_type"] = "purchase"
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    sfdir = tmp_path / "sf"
+    sfdir.mkdir()
+    spark.createDataFrame(
+        [
+            (
+                r["event_id"],
+                dt.datetime.fromisoformat(r["ts"]),
+                r["user_id"],
+                r["event_type"],
+                r["value"],
+            )
+            for r in rows
+        ],
+        schema,
+    ).write.parquet(str(sfdir / "events.parquet"))
+    want = {
+        r["channel"]: (r["n_purchases"], r["attributed_value"], r["avg_value"])
+        for r in e21_last_touch_attribution(spark, str(sfdir)).collect()
+    }
+    assert want, "batch result empty — test data has no purchases"
+
+    src = tmp_path / "in"
+    src.mkdir()
+    f1, f2, f3 = src / "b1.jsonl", src / "b2.jsonl", src / "b3.jsonl"
+    f1.write_text("\n".join(json.dumps(r) for r in rows[:30]))
+    f2.write_text("\n".join(json.dumps(r) for r in rows[30:60]))
+    f3.write_text("\n".join(json.dumps(r) for r in rows[60:]))
+    now = time.time()
+    os.utime(f1, (now - 120, now - 120))
+    os.utime(f2, (now - 60, now - 60))
+    os.utime(f3, (now, now))
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+    def _run():
+        q = start_attribution_stream(
+            spark, str(src), state, ckpt, schema, max_files_per_trigger=1
+        )
+        q.awaitTermination(240)
+
+    _run()
+    got = {
+        r["channel"]: (r["n_purchases"], r["attributed_value"], r["avg_value"])
+        for r in read_attribution(spark, state).collect()
+    }
+    assert got == want
+
+    _run()  # replay: no new files -> identical totals
+    assert {
+        r["channel"]: (r["n_purchases"], r["attributed_value"], r["avg_value"])
+        for r in read_attribution(spark, state).collect()
+    } == want
