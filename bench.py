@@ -61,6 +61,10 @@ HEADLINE = [
     # (cache_key=sf_dir), so only the PQ train/encode is new cost
     "s11_ivfpq_topk",
     "a01_asof_join",
+    # round-4 continuation additions
+    "e21_last_touch_attribution",
+    "t37_ks_drift",
+    "s12_rrf_hybrid_rank",
 ]
 
 # Long-JVM run-to-run variance is measured at up to ±3x on the heavy

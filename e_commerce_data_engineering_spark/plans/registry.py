@@ -156,6 +156,7 @@ _PRIORITY: tuple[str, ...] = (
     "t38_quality_auc",
     "q71_salted_skew_agg",
     "s12_rrf_hybrid_rank",
+    "t39_calibration_bins",
     # rows-only last within the round-4 block: if the driver's ~50-entry
     # sweep cap cuts the tail, it cuts a rows-only check, not an oracle
     "s11_ivfpq_topk",

@@ -2099,3 +2099,92 @@ def t38_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_neg",
         F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc).alias("auc"),
     )
+
+
+T39_BINS = 10  # calibration deciles
+
+
+@query(
+    "t39_calibration_bins",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+               {sql_fround("0.4 * LEAST(n_tokens / 20.0, 1.0) + 0.4 * (1.0 - stop_ratio) + 0.2 * LEAST(avg_token_len / 8.0, 1.0)", 4)} AS quality
+        FROM (
+            SELECT doc_id, lang,
+                   CAST(len(toks) AS INTEGER) AS n_tokens,
+                   {sql_fround(f"CAST(len(list_filter(toks, x -> x IN ({_SQL_STOPS}))) AS DOUBLE) / len(toks)", 4)} AS stop_ratio,
+                   {sql_fround("CAST(list_reduce(list_transform(toks, x -> len(x)), (a,b) -> a+b) AS DOUBLE) / len(toks)", 4)} AS avg_token_len
+            FROM (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents) t
+        ) b
+    ),
+    binned AS (
+        SELECT label, quality,
+               CAST(NTILE({T39_BINS}) OVER (ORDER BY quality, doc_id) AS INTEGER)
+                   AS bin
+        FROM m
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {sql_fround(
+               "CAST(SUM(CAST(FLOOR(quality * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)"
+               " / 10000.0 / COUNT(*)", 6)} AS mean_quality,
+           {sql_fround("CAST(SUM(label) AS DOUBLE) / COUNT(*)", 6)} AS frac_positive
+    FROM binned
+    GROUP BY bin
+    """,
+    doc=f"Calibration / reliability curve for the t06 quality heuristic "
+    f"against lang='en': score deciles (NTILE over (quality, doc_id) — "
+    "the doc_id tiebreak makes tied-score bin assignment engine-"
+    "deterministic) with per-bin mean score and empirical positive "
+    "rate — read next to t38's AUC: AUC says the score RANKS well, "
+    "this says whether its VALUES mean anything (a well-calibrated "
+    "bin's frac_positive tracks its mean score). Scores are 4dp-"
+    "rounded so the 1e4 quantization before the per-bin mean is "
+    "exact and order-independent; one global NTILE window (input is "
+    "one row per doc — at 100 TB the same curve comes from the "
+    "pre-aggregated (quality, label) frequency frame, which is "
+    "histogram-sized) plus one keyed aggregate.",
+)
+def t39_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+        X.token_count(toks).alias("n_tokens"),
+        fround(X.stopword_count(toks).cast("double") / X.token_count(toks), 4).alias(
+            "stop_ratio"
+        ),
+        fround(X.total_chars(toks).cast("double") / X.token_count(toks), 4).alias(
+            "avg_token_len"
+        ),
+    )
+    m = base.select(
+        "doc_id",
+        "label",
+        X.quality_score(
+            F.col("n_tokens"), F.col("stop_ratio"), F.col("avg_token_len")
+        ).alias("quality"),
+    )
+    binned = m.select(
+        "label",
+        "quality",
+        F.ntile(T39_BINS).over(W.orderBy("quality", "doc_id")).cast("int").alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        fround(
+            F.sum(F.floor(F.col("quality") * 10000.0 + F.lit(0.5)).cast("bigint"))
+            .cast("double")
+            / 10000.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_quality"),
+        fround(F.sum("label").cast("double") / F.count(F.lit(1)), 6).alias(
+            "frac_positive"
+        ),
+    )
