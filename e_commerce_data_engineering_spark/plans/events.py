@@ -1008,3 +1008,100 @@ def e23_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.max(F.abs(F.col("cusum"))).over(W.partitionBy("event_type"))
         ).alias("is_changepoint"),
     )
+
+
+@query(
+    "e24_ab_test",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS BIGINT) AS variant,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x
+        FROM events GROUP BY user_id
+    ),
+    v AS (
+        SELECT variant,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sx2
+        FROM per_user GROUP BY variant
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+               MAX(CASE WHEN variant = 0 THEN sx END) AS sx_a,
+               MAX(CASE WHEN variant = 0 THEN sx2 END) AS sx2_a,
+               MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+               MAX(CASE WHEN variant = 1 THEN sx END) AS sx_b,
+               MAX(CASE WHEN variant = 1 THEN sx2 END) AS sx2_b
+        FROM v
+    ),
+    stats AS (
+        SELECT n_a, n_b,
+               CAST(sx_a AS DOUBLE) / n_a AS mean_a,
+               CAST(sx_b AS DOUBLE) / n_b AS mean_b,
+               (sx2_a - CAST(sx_a AS DOUBLE) * sx_a / n_a) / (n_a - 1) AS var_a,
+               (sx2_b - CAST(sx_b AS DOUBLE) * sx_b / n_b) / (n_b - 1) AS var_b
+        FROM wide
+    )
+    SELECT n_a, n_b,
+           {sql_fround("mean_a", 6)} AS mean_a,
+           {sql_fround("mean_b", 6)} AS mean_b,
+           CASE WHEN var_a / n_a + var_b / n_b > 0 THEN
+               {sql_fround(
+                   "(mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b)", 6)}
+           END AS z_stat
+    FROM stats
+    """,
+    doc="A/B experiment readout: deterministic hash bucketing "
+    "(user_id % 2 — how real assignment works, and reproducible "
+    "across engines) and a Welch two-sample z on the per-user "
+    "purchase count — a continuous engagement metric that cannot "
+    "saturate the way a conversion flag does on dense data. Counts "
+    "fold per user first (heavy users count once per user, not per "
+    "event); means and variances come from exact integer (n, Σx, "
+    "Σx²) sums, so the statistic is engine-exact IEEE arithmetic; "
+    "zero-variance degenerate case yields NULL on both engines. One "
+    "user-keyed aggregate (the same shuffle e14's DAU pays) then a "
+    "2-row fold — at 100 TB the per-user frame is the only wide "
+    "stage. Completes the experimentation stack over e16's "
+    "variant-prop extraction.",
+)
+def e24_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x")
+    )
+    v = per_user.groupBy(
+        F.pmod(F.col("user_id"), F.lit(2)).cast("bigint").alias("variant")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    wide = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("sx"))).alias("sx_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("sx2"))).alias("sx2_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("sx"))).alias("sx_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("sx2"))).alias("sx2_b"),
+    )
+    mean_a = F.col("sx_a").cast("double") / F.col("n_a")
+    mean_b = F.col("sx_b").cast("double") / F.col("n_b")
+    var_a = (
+        F.col("sx2_a") - F.col("sx_a").cast("double") * F.col("sx_a") / F.col("n_a")
+    ) / (F.col("n_a") - 1)
+    var_b = (
+        F.col("sx2_b") - F.col("sx_b").cast("double") * F.col("sx_b") / F.col("n_b")
+    ) / (F.col("n_b") - 1)
+    se2 = var_a / F.col("n_a") + var_b / F.col("n_b")
+    return wide.select(
+        "n_a",
+        "n_b",
+        fround(mean_a, 6).alias("mean_a"),
+        fround(mean_b, 6).alias("mean_b"),
+        F.when(se2 > 0, fround((mean_a - mean_b) / F.sqrt(se2), 6)).alias("z_stat"),
+    )

@@ -157,6 +157,7 @@ _PRIORITY: tuple[str, ...] = (
     "q71_salted_skew_agg",
     "s12_rrf_hybrid_rank",
     "t39_calibration_bins",
+    "e24_ab_test",
     # rows-only last within the round-4 block: if the driver's ~50-entry
     # sweep cap cuts the tail, it cuts a rows-only check, not an oracle
     "s11_ivfpq_topk",
