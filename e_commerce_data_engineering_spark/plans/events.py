@@ -873,6 +873,36 @@ def e21_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def daily_totals(e: DataFrame) -> DataFrame:
+    """(event_type, day, day_total DECIMAL) — the additive sufficient
+    statistic behind e22/e23; decimal totals re-fold exactly under any
+    batch split, which is what lets the streaming twin store THIS frame
+    and run the non-additive finalizers below at read time."""
+    return e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(dmoney("value")).alias("day_total"))
+
+
+def seasonality_from_daily(daily: DataFrame) -> DataFrame:
+    """e22 finalizer over a (event_type, day, day_total) frame."""
+    d = daily.withColumn("dow", F.weekday(F.col("day")) + F.lit(1))
+    per_dow = d.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.sum("day_total").cast("double") / F.count(F.lit(1))).alias("dow_mean"),
+    )
+    overall = d.groupBy("event_type").agg(
+        (F.sum("day_total").cast("double") / F.count(F.lit(1))).alias("all_mean")
+    )
+    return per_dow.join(overall, "event_type").select(
+        "event_type",
+        F.col("dow").cast("int").alias("dow"),
+        "n_days",
+        fround(F.col("dow_mean"), 2).alias("dow_mean_value"),
+        fround(F.col("dow_mean") / F.col("all_mean"), 6).alias("seasonal_index"),
+    )
+
+
+
 @query(
     "e22_dow_seasonality",
     oracle=f"""
@@ -907,27 +937,41 @@ def e21_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ISO weekday = Spark weekday()+1 = DuckDB isodow().",
 )
 def e22_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    day = F.col("ts").cast("date")
-    daily = e.groupBy(
+    return seasonality_from_daily(daily_totals(load_table(spark, sf_dir, "events")))
+
+
+def cusum_from_daily(daily: DataFrame) -> DataFrame:
+    """e23 finalizer over a (event_type, day, day_total) frame."""
+    wseq = W.partitionBy("event_type").orderBy("day")
+    wall = W.partitionBy("event_type")
+    series = daily.select(
         "event_type",
-        day.alias("day"),
-        (F.weekday(day) + F.lit(1)).alias("dow"),
-    ).agg(F.sum(dmoney("value")).alias("day_total"))
-    per_dow = daily.groupBy("event_type", "dow").agg(
-        F.count(F.lit(1)).alias("n_days"),
-        (F.sum("day_total").cast("double") / F.count(F.lit(1))).alias("dow_mean"),
+        "day",
+        F.col("day_total").cast("double").alias("day_value"),
+        F.sum("day_total")
+        .over(wseq.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("run_total"),
+        F.row_number().over(wseq).cast("bigint").alias("rn"),
+        (
+            F.sum("day_total").over(wall).cast("double")
+            / F.count(F.lit(1)).over(wall)
+        ).alias("mu"),
     )
-    overall = daily.groupBy("event_type").agg(
-        (F.sum("day_total").cast("double") / F.count(F.lit(1))).alias("all_mean")
-    )
-    return per_dow.join(overall, "event_type").select(
+    cu = series.select(
         "event_type",
-        F.col("dow").cast("int").alias("dow"),
-        "n_days",
-        fround(F.col("dow_mean"), 2).alias("dow_mean_value"),
-        fround(F.col("dow_mean") / F.col("all_mean"), 6).alias("seasonal_index"),
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        fround(F.col("day_value"), 2).alias("day_value"),
+        fround(F.col("run_total") - F.col("rn") * F.col("mu"), 2).alias("cusum"),
     )
+    return cu.select(
+        "*",
+        (
+            F.abs(F.col("cusum"))
+            == F.max(F.abs(F.col("cusum"))).over(W.partitionBy("event_type"))
+        ).alias("is_changepoint"),
+    )
+
 
 
 @query(
@@ -975,39 +1019,7 @@ def e22_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "days × types rows regardless of event volume.",
 )
 def e23_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.sum(dmoney("value")).alias("day_total"))
-    wseq = W.partitionBy("event_type").orderBy("day")
-    wall = W.partitionBy("event_type")
-    series = daily.select(
-        "event_type",
-        "day",
-        F.col("day_total").cast("double").alias("day_value"),
-        F.sum("day_total")
-        .over(wseq.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .cast("double")
-        .alias("run_total"),
-        F.row_number().over(wseq).cast("bigint").alias("rn"),
-        (
-            F.sum("day_total").over(wall).cast("double")
-            / F.count(F.lit(1)).over(wall)
-        ).alias("mu"),
-    )
-    cu = series.select(
-        "event_type",
-        F.date_format("day", "yyyy-MM-dd").alias("day"),
-        fround(F.col("day_value"), 2).alias("day_value"),
-        fround(F.col("run_total") - F.col("rn") * F.col("mu"), 2).alias("cusum"),
-    )
-    return cu.select(
-        "*",
-        (
-            F.abs(F.col("cusum"))
-            == F.max(F.abs(F.col("cusum"))).over(W.partitionBy("event_type"))
-        ).alias("is_changepoint"),
-    )
+    return cusum_from_daily(daily_totals(load_table(spark, sf_dir, "events")))
 
 
 @query(

@@ -767,3 +767,87 @@ def read_attribution(spark: SparkSession, state_dir: str) -> DataFrame:
             F.col("val_sum").cast("double") / F.col("n_purchases"), 4
         ).alias("avg_value"),
     )
+
+
+def start_daily_totals_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Incremental (event_type, day) DECIMAL revenue store feeding two
+    query-time finalizers: ``read_seasonality`` (the e22 shape) and
+    ``read_cusum`` (the e23 shape). The pattern: persist only the
+    ADDITIVE sufficient statistic — decimal day totals re-fold exactly
+    under any batch split — and run the non-additive finalization (dow
+    means, ratio-to-type, running CUSUM) at read time over the
+    days×types-sized state, never over raw events. That is why one
+    store serves two analytics: the stream cost is one tiny keyed
+    aggregate per batch, and adding a third finalizer costs nothing at
+    ingest. Same replay-safe layout as start_trending_stream:
+    per-batch overwrite dirs, folds read only strictly-earlier batches.
+    Batch/stream parity for BOTH finalizers is pinned in
+    tests/test_streaming.py."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+    daily_dir = f"{state_dir}/daily"
+
+    def _latest(s: SparkSession, d: str, before: int) -> DataFrame | None:
+        jvm_path = s._jvm.org.apache.hadoop.fs.Path(d)
+        fs = jvm_path.getFileSystem(s._jsc.hadoopConfiguration())
+        if not fs.exists(jvm_path):
+            return None
+        allb = s.read.option("basePath", d).parquet(d).filter(F.col("batch_id") < before)
+        latest = allb.agg(F.max("batch_id").alias("b")).collect()[0]["b"]
+        if latest is None:
+            return None
+        return allb.filter(F.col("batch_id") == latest).drop("batch_id")
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from ..plans.events import daily_totals
+
+        s = batch_df.sparkSession
+        part = daily_totals(
+            batch_df.withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        prev = _latest(s, daily_dir, epoch_id)
+        merged = part.unionByName(prev) if prev is not None else part
+        merged = merged.groupBy("event_type", "day").agg(
+            F.sum("day_total").cast("decimal(12,2)").alias("day_total")
+        )
+        merged.write.mode("overwrite").parquet(f"{daily_dir}/batch_id={epoch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _read_daily_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    daily_dir = f"{state_dir}/daily"
+    allb = spark.read.option("basePath", daily_dir).parquet(daily_dir)
+    latest = allb.agg(F.max("batch_id").alias("b")).collect()[0]["b"]
+    return allb.filter(F.col("batch_id") == latest).drop("batch_id")
+
+
+def read_seasonality(spark: SparkSession, state_dir: str) -> DataFrame:
+    """e22-shaped view of the daily-totals stream state."""
+    from ..plans.events import seasonality_from_daily
+
+    return seasonality_from_daily(_read_daily_state(spark, state_dir))
+
+
+def read_cusum(spark: SparkSession, state_dir: str) -> DataFrame:
+    """e23-shaped view of the daily-totals stream state."""
+    from ..plans.events import cusum_from_daily
+
+    return cusum_from_daily(_read_daily_state(spark, state_dir))

@@ -1035,3 +1035,105 @@ def test_attribution_stream_matches_batch_e21(spark, tmp_path):
         r["channel"]: (r["n_purchases"], r["attributed_value"], r["avg_value"])
         for r in read_attribution(spark, state).collect()
     } == want
+
+
+def test_daily_totals_stream_serves_e22_and_e23(spark, tmp_path):
+    """One additive daily-totals store, two query-time finalizers:
+    seasonality (e22) and CUSUM (e23) read from the stream state must
+    equal the batch queries over the union exactly (decimal day totals
+    re-fold bit-for-bit), and a checkpointed replay changes nothing."""
+    import os
+    import time
+
+    from e_commerce_data_engineering_spark.plans.events import (
+        e22_dow_seasonality,
+        e23_cusum_changepoint,
+    )
+    from e_commerce_data_engineering_spark.streaming.pipeline import (
+        read_cusum,
+        read_seasonality,
+        start_daily_totals_stream,
+    )
+
+    base = dt.datetime(2026, 5, 1, 8, 0, 0)
+    rows = []
+    types = ["view", "click", "purchase"]
+    for i in range(150):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": (base + dt.timedelta(hours=i * 3)).isoformat(),
+                "user_id": i % 11,
+                "event_type": types[(i * 5 + 1) % 3],
+                "value": round(2.11 * (i % 17) + 0.4, 2),
+            }
+        )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    sfdir = tmp_path / "sf"
+    sfdir.mkdir()
+    spark.createDataFrame(
+        [
+            (
+                r["event_id"],
+                dt.datetime.fromisoformat(r["ts"]),
+                r["user_id"],
+                r["event_type"],
+                r["value"],
+            )
+            for r in rows
+        ],
+        schema,
+    ).write.parquet(str(sfdir / "events.parquet"))
+    want_season = {
+        (r["event_type"], r["dow"]): (r["n_days"], r["dow_mean_value"], r["seasonal_index"])
+        for r in e22_dow_seasonality(spark, str(sfdir)).collect()
+    }
+    want_cusum = {
+        (r["event_type"], r["day"]): (r["day_value"], r["cusum"], r["is_changepoint"])
+        for r in e23_cusum_changepoint(spark, str(sfdir)).collect()
+    }
+    assert want_season and want_cusum
+
+    src = tmp_path / "in"
+    src.mkdir()
+    f1, f2, f3 = src / "b1.jsonl", src / "b2.jsonl", src / "b3.jsonl"
+    f1.write_text("\n".join(json.dumps(r) for r in rows[:50]))
+    f2.write_text("\n".join(json.dumps(r) for r in rows[50:100]))
+    f3.write_text("\n".join(json.dumps(r) for r in rows[100:]))
+    now = time.time()
+    os.utime(f1, (now - 120, now - 120))
+    os.utime(f2, (now - 60, now - 60))
+    os.utime(f3, (now, now))
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+    def _run():
+        q = start_daily_totals_stream(
+            spark, str(src), state, ckpt, schema, max_files_per_trigger=1
+        )
+        q.awaitTermination(240)
+
+    _run()
+    got_season = {
+        (r["event_type"], r["dow"]): (r["n_days"], r["dow_mean_value"], r["seasonal_index"])
+        for r in read_seasonality(spark, state).collect()
+    }
+    got_cusum = {
+        (r["event_type"], r["day"]): (r["day_value"], r["cusum"], r["is_changepoint"])
+        for r in read_cusum(spark, state).collect()
+    }
+    assert got_season == want_season
+    assert got_cusum == want_cusum
+
+    _run()  # replay: no new files -> identical state
+    assert {
+        (r["event_type"], r["dow"]): (r["n_days"], r["dow_mean_value"], r["seasonal_index"])
+        for r in read_seasonality(spark, state).collect()
+    } == want_season
