@@ -644,3 +644,87 @@ def x07_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_distinct",
     )
     return out
+
+
+@query(
+    "g05_clustering_coeff",
+    oracle=f"""
+    WITH co AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity >= {G04_MIN_QTY}
+    ),
+    ed AS (
+        SELECT a.s AS u, b.s AS v
+        FROM co a JOIN co b ON a.c = b.c AND a.s < b.s
+        GROUP BY a.s, b.s HAVING COUNT(*) >= {G04_MIN_SHARED}
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM ed UNION ALL SELECT v AS node FROM ed)
+        GROUP BY node
+    ),
+    ori AS (
+        SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst
+        FROM ed e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ),
+    tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM ori e1 JOIN ori e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        JOIN ed e3 ON e3.u = e1.dst AND e3.v = e2.dst
+    ),
+    tcnt AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM (SELECT a AS node FROM tri
+              UNION ALL SELECT b AS node FROM tri
+              UNION ALL SELECT c AS node FROM tri)
+        GROUP BY node
+    )
+    SELECT deg.node, deg.d AS degree,
+           CAST(COALESCE(tcnt.n_triangles, 0) AS BIGINT) AS n_triangles,
+           {sql_fround(
+               "2.0 * COALESCE(tcnt.n_triangles, 0) / (deg.d * (deg.d - 1))", 6)}
+               AS clustering_coeff
+    FROM deg LEFT JOIN tcnt ON tcnt.node = deg.node
+    WHERE deg.d >= 2
+    """,
+    doc="Local clustering coefficient over the supplier co-purchase "
+    "graph: per node with degree >= 2, the fraction of its neighbor "
+    "pairs that are themselves connected — 2T/(d(d-1)) from g04's "
+    "degree-oriented triangle counts, the community-tightness signal "
+    "graph feature pipelines feed models (high coefficient = cliquey "
+    "supplier neighborhoods). Composes the same equi-join-only wedge "
+    "machinery (operators/graph.triangle_counts) with the degree "
+    "frame via one left join; the coefficient is one IEEE division "
+    "over exact integers, so the oracle replays it bit-for-bit.",
+)
+def g05_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_counts
+
+    edges = copurchase_edges(spark, sf_dir).persist()
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(edges)
+    out = (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint").alias(
+                "n_triangles"
+            ),
+            fround(
+                2.0
+                * F.coalesce(F.col("n_triangles"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+    return out

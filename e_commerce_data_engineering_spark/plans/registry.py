@@ -158,6 +158,7 @@ _PRIORITY: tuple[str, ...] = (
     "s12_rrf_hybrid_rank",
     "t39_calibration_bins",
     "e24_ab_test",
+    "g05_clustering_coeff",
     # rows-only last within the round-4 block: if the driver's ~50-entry
     # sweep cap cuts the tail, it cuts a rows-only check, not an oracle
     "s11_ivfpq_topk",
