@@ -649,6 +649,42 @@ def semdedup(
     """
     from .similarity import cached_ivf_index, cosine, ivf_index, l2_norm
 
+    # Scope AQE's cached-plan re-partitioning to THIS operator: every
+    # expensive action here is internal (the verdict materializes before
+    # return) and each stage's per-row work is cheap, so letting AQE
+    # coalesce the tiny persisted intermediates removes a ~10-job x
+    # 32-task scheduling floor (measured 3.5s -> 1.8s at sf0.1). The conf
+    # stays false globally because compute-dense joins (PPJoin) collapse
+    # under it — see session.py.
+    sess = vectors.sparkSession
+    _aqe_key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    try:
+        _aqe_prev = sess.conf.get(_aqe_key)
+    except Exception:  # noqa: BLE001 - unset on some builds
+        _aqe_prev = None
+    sess.conf.set(_aqe_key, "true")
+    try:
+        return _semdedup_inner(
+            vectors, id_col, vec_col, nlist, cos_threshold, seed, cache_key
+        )
+    finally:
+        if _aqe_prev is None:
+            sess.conf.unset(_aqe_key)
+        else:
+            sess.conf.set(_aqe_key, _aqe_prev)
+
+
+def _semdedup_inner(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nlist: int,
+    cos_threshold: float,
+    seed: int,
+    cache_key: str | None,
+) -> DataFrame:
+    from .similarity import cached_ivf_index, cosine, ivf_index, l2_norm
+
     if cache_key is not None:
         assigned, centroids = cached_ivf_index(
             vectors, nlist, id_col, vec_col, seed, cache_key

@@ -40,13 +40,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Let AQE re-plan (coalesce/skew-split) stages that sit under a
-        # persisted frame: by default a cached plan freezes its output
-        # partitioning, so every shuffle below a .persist() keeps the
-        # static partition count — exactly the iterative operators
-        # (SemDeDup, k-means, PageRank) that persist intermediates and
-        # pay tiny-task scheduling floor without this.
-        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        # NOTE: canChangeCachedPlanOutputPartitioning stays at its false
+        # default HERE: letting AQE coalesce under cached frames
+        # collapses compute-dense downstream joins onto the cache's
+        # (byte-small) partitioning — measured 2.3s → 25s on the PPJoin,
+        # whose pair work is quadratic per partition while its cached
+        # input is a few MB. Operators whose expensive actions are all
+        # internal and cheap-per-row (semdedup) scope the conf locally.
         # Arrow for toPandas / pandas UDF transfer (vectorized, not pickled).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Oracle comparisons (DuckDB) are tz-naive; pin UTC end-to-end.
