@@ -389,3 +389,152 @@ def start_segment_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_semantic_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    accepted_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 8,
+    cos_threshold: float = 0.9,
+    seed: int = 42,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Online SemDeDup: drain ``source_dir`` (JSONL vectors), accept only
+    vectors with NO accepted same-cell neighbor at ``cos >= threshold``
+    — the embedding analog of start_dedup_stream's crawl-ingest filter.
+
+    The IVF centroids are trained ONCE on the first non-empty batch
+    (operators/similarity.ivf_index — deterministic given the
+    checkpointed batch content, so a replayed first batch retrains
+    identical centroids) and persisted to ``state_dir``/centroids; every
+    later batch reuses them as plan literals, so cell assignment is a
+    map-only pass. Membership state is (cell, id, unit vector) for the
+    accepted corpus: the per-batch probe is an equi-join on cell
+    (Σ|cell|·|batch-cell| work, never n²), then exact cosine against the
+    colliding members. Batch-internal duplicates collapse greedily to
+    the min-id survivor within each cell. Cross-cell near-dups survive
+    by design — the same recall trade batch semdedup makes and measures
+    (d07).
+
+    Exactly-once: accepted rows and member appends land in
+    ``batch_id=N`` overwrite dirs; probes read only batches strictly
+    earlier than the current epoch, so a checkpoint replay reaches
+    identical verdicts and rewrites identical bytes. Invariants
+    (no accepted same-cell pair above threshold; every rejection has an
+    accepted same-cell witness) are pinned in tests/test_streaming.py.
+    """
+    from ..operators.similarity import l2_norm, make_cell_assigner
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+    members_dir = f"{state_dir}/members"
+    centroids_dir = f"{state_dir}/centroids"
+
+    def _members_before(s: SparkSession, epoch: int) -> DataFrame | None:
+        jvm_path = s._jvm.org.apache.hadoop.fs.Path(members_dir)
+        fs = jvm_path.getFileSystem(s._jsc.hadoopConfiguration())
+        if not fs.exists(jvm_path):
+            return None
+        m = (
+            s.read.option("basePath", members_dir)
+            .parquet(members_dir)
+            .filter(F.col("batch_id") < epoch)
+        )
+        return m.drop("batch_id")
+
+    def _centroids(s: SparkSession, batch_df: DataFrame) -> list[list[float]]:
+        jvm_path = s._jvm.org.apache.hadoop.fs.Path(centroids_dir)
+        fs = jvm_path.getFileSystem(s._jsc.hadoopConfiguration())
+        if fs.exists(jvm_path):
+            rows = s.read.parquet(centroids_dir).orderBy("cell").collect()
+            return [[float(x) for x in r["c"]] for r in rows]
+        from ..operators.similarity import ivf_index
+
+        _assigned, cents = ivf_index(batch_df, nlist, id_col, vec_col, seed)
+        s.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "cell INT, c ARRAY<DOUBLE>"
+        ).write.mode("overwrite").parquet(centroids_dir)
+        return cents
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        cents = _centroids(s, batch_df)
+        assign = make_cell_assigner(cents)
+        vecs = (
+            batch_df.select(
+                F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+            )
+            .withColumn("_nrm", l2_norm(F.col("_v")))
+            .filter(F.col("_nrm") > 0)
+            .withColumn("_u", F.transform("_v", lambda x: x.cast("double") / F.col("_nrm")))
+            .withColumn("_cell", assign(F.col("_v")))
+            .select("_id", "_cell", "_u")
+            .persist()
+        )
+        vecs.count()
+        cos = F.aggregate(
+            F.zip_with("_u", "_mu", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        members = _members_before(s, epoch_id)
+        if members is not None:
+            hits = (
+                vecs.join(
+                    members.select(
+                        F.col("cell").alias("_cell"),
+                        F.col("id").alias("_mid"),
+                        F.col("u").alias("_mu"),
+                    ),
+                    "_cell",
+                )
+                .filter(F.col("_id") != F.col("_mid"))
+                .filter(cos >= cos_threshold)
+                .select("_id")
+                .distinct()
+            )
+            survivors = vecs.join(hits, "_id", "left_anti")
+        else:
+            survivors = vecs
+        a = survivors.select(
+            F.col("_id").alias("id_a"), "_cell", F.col("_u").alias("_ua")
+        )
+        b = survivors.select(
+            F.col("_id").alias("id_b"), "_cell", F.col("_u").alias("_mu")
+        )
+        intra_cos = F.aggregate(
+            F.zip_with("_ua", "_mu", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x
+        )
+        intra = (
+            a.join(b, "_cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(intra_cos >= cos_threshold)
+            .select(F.col("id_b").alias("_id"))
+            .distinct()
+        )
+        kept = survivors.join(intra, "_id", "left_anti").persist()
+
+        batch_df.join(
+            kept.select(F.col("_id").alias(id_col)), id_col, "left_semi"
+        ).write.mode("overwrite").parquet(f"{accepted_dir}/batch_id={epoch_id}")
+        kept.select(
+            F.col("_cell").alias("cell"), F.col("_id").alias("id"), F.col("_u").alias("u")
+        ).write.mode("overwrite").parquet(f"{members_dir}/batch_id={epoch_id}")
+        vecs.unpersist()
+        kept.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1137,3 +1137,121 @@ def test_daily_totals_stream_serves_e22_and_e23(spark, tmp_path):
         (r["event_type"], r["dow"]): (r["n_days"], r["dow_mean_value"], r["seasonal_index"])
         for r in read_seasonality(spark, state).collect()
     } == want_season
+
+
+def test_streaming_semantic_dedup_against_corpus(spark, tmp_path):
+    """Online SemDeDup: micro-batches are cell-assigned with centroids
+    trained once on the first batch, probed against the accepted
+    members of their cell, intra-batch dups collapse to the min-id
+    keeper, and a checkpointed replay changes nothing. Invariants: no
+    two accepted vectors share a cell at cos >= threshold, and every
+    rejected vector has an accepted same-cell witness."""
+    import itertools
+    import math
+    import os
+    import time
+
+    from e_commerce_data_engineering_spark.streaming.dedup_stream import (
+        start_semantic_dedup_stream,
+    )
+
+    dim = 8
+    A = [1.0, 0.2, 0.0, 0.0, 0.1, 0.0, 0.0, 0.0]
+    B = [0.0, 0.0, 1.0, 0.3, 0.0, 0.0, 0.1, 0.0]
+    C = [0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.4]
+    A2 = [a + 0.01 * (i % 3) for i, a in enumerate(A)]   # near-dup of A
+    A3 = [a - 0.012 * ((i + 1) % 2) for i, a in enumerate(A)]  # near-dup of A
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+    f1, f2 = src / "b1.jsonl", src / "b2.jsonl"
+    f1.write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"vec_id": 1, "embedding": A},
+                {"vec_id": 2, "embedding": A2},   # intra-batch dup of 1
+                {"vec_id": 3, "embedding": B},
+            ]
+        )
+    )
+    f2.write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"vec_id": 4, "embedding": A3},   # corpus dup of 1
+                {"vec_id": 5, "embedding": C},    # novel direction
+            ]
+        )
+    )
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    accepted = str(tmp_path / "accepted")
+    state = str(tmp_path / "semstate")
+    ckpt = str(tmp_path / "ckpt-sem")
+
+    def _run():
+        q = start_semantic_dedup_stream(
+            spark, str(src), accepted, state, ckpt, schema,
+            nlist=2, cos_threshold=0.9, max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+
+    _run()
+    kept = sorted(r["vec_id"] for r in spark.read.parquet(accepted).collect())
+    assert kept == [1, 3, 5]
+
+    # invariant 1: no accepted same-cell pair at cos >= threshold
+    members = spark.read.option("basePath", f"{state}/members").parquet(
+        f"{state}/members"
+    )
+    rows = [(r["cell"], r["id"], list(r["u"])) for r in members.collect()]
+    assert sorted(r[1] for r in rows) == [1, 3, 5]
+    for (c1, i1, u1), (c2, i2, u2) in itertools.combinations(rows, 2):
+        if c1 == c2:
+            assert sum(x * y for x, y in zip(u1, u2)) < 0.9, (i1, i2)
+
+    # invariant 2: every rejected vector has an accepted same-cell
+    # witness at cos >= threshold
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    by_cell = {}
+    for c, i, u in rows:
+        by_cell.setdefault(c, []).append(u)
+    centroids = [
+        list(r["c"])
+        for r in spark.read.parquet(f"{state}/centroids").orderBy("cell").collect()
+    ]
+
+    def cell_of(v):
+        best, bc = -2.0, 0
+        for idx, cent in enumerate(centroids):
+            cu, vu = unit(cent), unit(v)
+            d = sum(x * y for x, y in zip(cu, vu))
+            if d > best:
+                best, bc = d, idx
+        return bc
+
+    for rej in (A2, A3):
+        c = cell_of(rej)
+        assert any(
+            sum(x * y for x, y in zip(unit(rej), u)) >= 0.9
+            for u in by_cell.get(c, [])
+        ), rej
+
+    # replay: fresh query, same checkpoint, no new files -> unchanged
+    _run()
+    assert sorted(r["vec_id"] for r in spark.read.parquet(accepted).collect()) == [1, 3, 5]
+    assert spark.read.option("basePath", f"{state}/members").parquet(
+        f"{state}/members"
+    ).count() == 3
