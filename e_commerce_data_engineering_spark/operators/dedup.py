@@ -620,6 +620,12 @@ def minhash_dedupe_cc(
     return df.join(drop, id_col, "left_anti")
 
 
+# Below this row count the operator is scheduling-floor-bound and the
+# AQE-under-cache scope pays; above it the pair stage needs the full
+# static parallelism (see the regime note inside semdedup).
+_SEMDEDUP_AQE_CACHE_MAX_ROWS = 10_000
+
+
 def semdedup(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -649,13 +655,21 @@ def semdedup(
     """
     from .similarity import cached_ivf_index, cosine, ivf_index, l2_norm
 
-    # Scope AQE's cached-plan re-partitioning to THIS operator: every
-    # expensive action here is internal (the verdict materializes before
-    # return) and each stage's per-row work is cheap, so letting AQE
-    # coalesce the tiny persisted intermediates removes a ~10-job x
-    # 32-task scheduling floor (measured 3.5s -> 1.8s at sf0.1). The conf
-    # stays false globally because compute-dense joins (PPJoin) collapse
-    # under it — see session.py.
+    # Scope AQE's cached-plan re-partitioning to THIS operator, and only
+    # in the SMALL-INPUT regime: with few vectors the cost is a ~10-job x
+    # 32-task scheduling floor, and letting AQE coalesce the tiny
+    # persisted intermediates removes it (measured 3.5s -> 1.6s at
+    # sf0.1). Past the threshold the within-cell pair join is
+    # compute-dense — quadratic work per cell — and coalescing the
+    # cached frame by its (small) byte size starves it of parallelism
+    # (measured 449s -> 1228s at the x64 stress tier), so large inputs
+    # keep the default. The conf stays false globally because
+    # compute-dense joins (PPJoin) collapse under it — see session.py.
+    n = vectors.count()
+    if n > _SEMDEDUP_AQE_CACHE_MAX_ROWS:
+        return _semdedup_inner(
+            vectors, id_col, vec_col, nlist, cos_threshold, seed, cache_key
+        )
     sess = vectors.sparkSession
     _aqe_key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
     try:

@@ -358,10 +358,16 @@ def make_cell_assigner(centroids: list[list[float]]):
     from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(centroids, dtype=np.float64)  # nlist x dim, plan-shipped
+    C2 = (C * C).sum(axis=1)  # nlist; ||x||^2 is constant per row -> dropped
 
     def assign(v):
         X = np.stack(v.values).astype(np.float64)  # batch x dim
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+        # GEMM form of the argmin: ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2.
+        # The naive (X[:,None,:] - C)**2 broadcast materializes a
+        # batch x nlist x dim temp — 5 GB per 10k-row Arrow batch at
+        # nlist=1024 — and dominated the x64 stress tier; the dot form
+        # is one batch x nlist matmul.
+        d = C2 - 2.0 * (X @ C.T)
         return pd.Series(d.argmin(axis=1).astype("int32"))
 
     # module uses `from __future__ import annotations`, which stringifies
