@@ -778,3 +778,118 @@ def s12_rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fused_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d12 — oracle-checked semantic-dedup twin (fixed centroids, greedy rule)
+# ---------------------------------------------------------------------------
+
+D12_NLIST = 8  # fixed probe centroids: the first D12_NLIST vectors by id
+D12_TAU = 0.35  # same loose near-dup threshold as d04/d06
+
+
+@query(
+    "d12_semdedup_greedy",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+        WHERE vec_id < {D12_NLIST}
+    ),
+    dists AS (
+        SELECT e.vec_id, c.cell,
+               list_reduce(list_transform(generate_series(1, {EMBEDDING_DIM}),
+                   i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE))
+                      * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE))),
+                   (a,b) -> a+b) AS d
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ),
+    units AS (
+        SELECT a.vec_id, a.cell,
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE) / {_SQL_NORM_E}) AS u
+        FROM assigned a JOIN embeddings e USING (vec_id)
+    ),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM units a JOIN units b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_reduce(list_transform(generate_series(1, {EMBEDDING_DIM}),
+                  i -> a.u[i] * b.u[i]), (x,y) -> x+y) >= {D12_TAU}
+    )
+    SELECT u.vec_id, CAST(u.cell AS BIGINT) AS cell,
+           d.vec_id IS NULL AS kept
+    FROM units u LEFT JOIN dropped d ON d.vec_id = u.vec_id
+    """,
+    doc=f"Hash-checked twin of the d06 semantic-dedup pipeline: cell "
+    f"assignment against {D12_NLIST} FIXED plan-literal centroids (the "
+    "first vectors by id — no k-means refinement, so the whole "
+    "pipeline is SQL-expressible) and the ONE-PASS greedy rule (drop "
+    "any vector with a smaller-id same-cell neighbor at cos >= "
+    f"{D12_TAU}). d06 keeps the trained centroids and exact "
+    "component semantics as the production path (rows-only); this "
+    "twin pins the shared machinery — L2 argmin assignment, unit "
+    "normalization, within-cell equi-join pair generation, cosine "
+    "folds — to a DuckDB replay, so an assignment or fold regression "
+    "breaks a HASH check, not just a differential test. Same scale "
+    "shape as d06: centroids broadcast, pairs confined to cell "
+    "equi-joins, Σ|cell|² compute.",
+)
+def d12_semdedup_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < D12_NLIST).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    sqdist = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "c_emb",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cell", "embedding", sqdist.alias("d")
+    )
+    assigned = (
+        dists.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.col("d"), F.col("cell"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "embedding")
+    )
+    units = assigned.select(
+        "vec_id",
+        "cell",
+        F.transform(
+            "embedding", lambda x: x.cast("double") / l2_norm(F.col("embedding"))
+        ).alias("u"),
+    )
+    a = units.select(F.col("vec_id").alias("id_a"), "cell", F.col("u").alias("ua"))
+    b = units.select(F.col("vec_id").alias("vec_id"), "cell", F.col("u").alias("ub"))
+    cosab = F.aggregate(
+        F.zip_with("ua", "ub", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("vec_id"))
+        .filter(cosab >= D12_TAU)
+        .select("vec_id")
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return units.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("bigint").alias("cell"),
+        F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+    )

@@ -391,3 +391,10 @@ def test_s12_rrf_lists_are_topk_bounded(spark):
     plan = plan_of(spark, "s12_rrf_hybrid_rank")
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_d12_pairs_ride_cell_equi_join(spark):
+    """d12's pair stage must be an equi-join on the cell id; the only
+    nested-loop is the broadcast fixed-centroid dimension (8 rows)."""
+    plan = plan_of(spark, "d12_semdedup_greedy")
+    assert "CartesianProduct" not in plan, plan
