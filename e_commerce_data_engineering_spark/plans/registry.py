@@ -160,6 +160,7 @@ _PRIORITY: tuple[str, ...] = (
     "e24_ab_test",
     "g05_clustering_coeff",
     "d12_semdedup_greedy",
+    "d13_golden_record",
     # rows-only last within the round-4 block: if the driver's ~50-entry
     # sweep cap cuts the tail, it cuts a rows-only check, not an oracle
     "s11_ivfpq_topk",
