@@ -183,3 +183,53 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+def kcore(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
+    """Nodes of the ``k``-core of an undirected graph — the maximal
+    subgraph where every node has degree >= k — given the CANONICAL
+    edge list (columns ``u`` < ``v``). Returns ``(node, degree)`` with
+    each survivor's degree INSIDE the core subgraph.
+
+    Iterative peel: drop nodes with degree < k, restrict the edge list
+    to surviving endpoints, repeat until a round drops nothing. The
+    peel is monotone (a node once dropped can never regain degree), so
+    the fixpoint is the exact k-core regardless of evaluation order.
+
+    Scale shape mirrors ``pagerank``: every round is one aggregation
+    (degrees) + two semi joins (edge restriction), the loop's driver
+    state is a single edge count per round, and each round's frame is
+    ``localCheckpoint``-ed so the logical plan stays flat instead of
+    doubling per iteration. Rounds needed = peel depth of the graph
+    (typically << 20 even on power-law graphs); ``max_iter`` bounds the
+    worst case of one-node-per-round chains.
+    """
+    alive = edges.select("u", "v").distinct().localCheckpoint(eager=True)
+    n_edges = alive.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        deg = (
+            alive.select(F.col("u").alias("node"))
+            .union(alive.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        nxt = (
+            alive.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
+            .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        alive = nxt
+        if n_next == n_edges:  # no edge removed -> degrees are stable
+            break
+        n_edges = n_next
+    return (
+        alive.select(F.col("u").alias("node"))
+        .union(alive.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= k)
+    )

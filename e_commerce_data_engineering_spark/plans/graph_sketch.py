@@ -728,3 +728,219 @@ def g05_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# g06 — k-core pruning, two statically-unrolled peel rounds
+# (hash-checked twin of the iterative operators/graph.kcore fixpoint)
+# ---------------------------------------------------------------------------
+
+G06_K = 3  # prune to the 3-core of the co-purchase projection
+
+_G06_EDGES_CTES = f"""
+    co AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity >= {G04_MIN_QTY}
+    ),
+    ed AS (
+        SELECT a.s AS u, b.s AS v
+        FROM co a JOIN co b ON a.c = b.c AND a.s < b.s
+        GROUP BY a.s, b.s HAVING COUNT(*) >= {G04_MIN_SHARED}
+    )"""
+
+
+@query(
+    "g06_kcore_prune",
+    oracle=f"""
+    WITH {_G06_EDGES_CTES},
+    deg0 AS (
+        SELECT node, COUNT(*) AS d
+        FROM (SELECT u AS node FROM ed UNION ALL SELECT v AS node FROM ed)
+        GROUP BY node
+    ),
+    alive1 AS (SELECT node FROM deg0 WHERE d >= {G06_K}),
+    ed1 AS (
+        SELECT u, v FROM ed
+        WHERE u IN (SELECT node FROM alive1) AND v IN (SELECT node FROM alive1)
+    ),
+    deg1 AS (
+        SELECT node, COUNT(*) AS d
+        FROM (SELECT u AS node FROM ed1 UNION ALL SELECT v AS node FROM ed1)
+        GROUP BY node
+    ),
+    alive2 AS (SELECT node FROM deg1 WHERE d >= {G06_K}),
+    ed2 AS (
+        SELECT u, v FROM ed1
+        WHERE u IN (SELECT node FROM alive2) AND v IN (SELECT node FROM alive2)
+    ),
+    deg2 AS (
+        SELECT node, COUNT(*) AS d
+        FROM (SELECT u AS node FROM ed2 UNION ALL SELECT v AS node FROM ed2)
+        GROUP BY node
+    )
+    SELECT d0.node,
+           CAST(d0.d AS BIGINT) AS deg_initial,
+           CAST(d2.d AS BIGINT) AS deg_pruned
+    FROM deg2 d2 JOIN deg0 d0 ON d0.node = d2.node
+    """,
+    doc=f"k-core pruning (k={G06_K}) over the supplier co-purchase "
+    "projection: two statically-unrolled peel rounds — drop nodes "
+    f"with degree < {G06_K}, restrict edges to survivors, repeat — "
+    "each round one aggregation plus two semi joins, exactly the "
+    "per-round plan of the production fixpoint operator "
+    "(operators/graph.kcore, differential-tested against a pure-"
+    "Python peeler to the true fixpoint). The unrolled form is the "
+    "hash-checked twin (the g03/g02 pattern: fixed round count makes "
+    "the pipeline SQL-expressible). Output: every node alive after "
+    "round 2 with its initial degree and its degree in the round-2 "
+    "subgraph. Degree-based peeling is the standard 100 TB graph "
+    "sparsifier (drop the long tail before triangle/community "
+    "passes); each round's shuffle is keyed on node id, no cartesian "
+    "anywhere (plan-asserted).",
+)
+def g06_kcore_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(spark, sf_dir).persist()
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("u").alias("node"))
+            .union(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    def restrict(e: DataFrame, alive: DataFrame) -> DataFrame:
+        return e.join(
+            alive.select(F.col("node").alias("u")), "u", "left_semi"
+        ).join(alive.select(F.col("node").alias("v")), "v", "left_semi")
+
+    deg0 = degrees(edges).persist()
+    alive1 = deg0.filter(F.col("d") >= G06_K).select("node")
+    ed1 = restrict(edges, alive1)
+    alive2 = degrees(ed1).filter(F.col("d") >= G06_K).select("node")
+    ed2 = restrict(ed1, alive2)
+    return (
+        degrees(ed2)
+        .select("node", F.col("d").cast("bigint").alias("deg_pruned"))
+        .join(
+            deg0.select("node", F.col("d").cast("bigint").alias("deg_initial")),
+            "node",
+        )
+        .select("node", "deg_initial", "deg_pruned")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x08 — equi-width histogram quantile sketch (oracle-checked, mergeable)
+# ---------------------------------------------------------------------------
+
+X08_BINS = 256
+X08_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+@query(
+    "x08_histogram_quantiles",
+    oracle=f"""
+    WITH stats AS (
+        SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS mn,
+               CAST(MAX(l_extendedprice) AS DOUBLE) AS mx,
+               COUNT(*) AS n
+        FROM lineitem
+    ),
+    w AS (SELECT mn, mx, n, GREATEST((mx - mn) / {X08_BINS}.0, 1e-9) AS width
+          FROM stats),
+    hist AS (
+        SELECT LEAST(CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - mn) / width)
+                          AS BIGINT), {X08_BINS - 1}) AS bin,
+               COUNT(*) AS cnt
+        FROM lineitem, w
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin, CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum_count
+        FROM hist
+    ),
+    tgt AS (
+        SELECT q, CAST(CEIL(q * n) AS BIGINT) AS target
+        FROM (SELECT unnest([{", ".join(str(q) for q in X08_QS)}]) AS q), w
+    ),
+    pick AS (
+        SELECT q, MIN(bin) AS bin
+        FROM tgt JOIN cum ON cum_count >= target
+        GROUP BY q
+    )
+    SELECT p.q, CAST(p.bin AS BIGINT) AS bin, c.cum_count,
+           {sql_fround("mn + (p.bin + 1) * width", 4)} AS est_value
+    FROM pick p JOIN cum c ON c.bin = p.bin, w
+    """,
+    doc=f"Quantile estimation from a {X08_BINS}-bin equi-width histogram "
+    "over lineitem.l_extendedprice — the mergeable-sketch form of "
+    "x02's approx_percentile, made fully oracle-checkable: bin edges "
+    "derive from one (min, max, count) aggregate, bin assignment and "
+    "the quantile pick (smallest bin whose cumulative count reaches "
+    "ceil(q*n)) are identical IEEE arithmetic on both engines, and "
+    "the histogram is fixed O(bins) state that merges by addition "
+    "across shards/days — the shape a 100 TB percentile dashboard "
+    "actually ships. The cumulative window runs over the 256-row "
+    f"aggregated histogram, never the fact table; the {len(X08_QS)} "
+    "quantile probes broadcast-join against it. Estimates report the "
+    "bin's upper edge (error <= one bin width = (max-min)/"
+    f"{X08_BINS}); x02 carries the approx_percentile production "
+    "variant with its rows-only check.",
+)
+def x08_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("x")
+    )
+    w = li.agg(
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "mn",
+        "mx",
+        "n",
+        F.greatest((F.col("mx") - F.col("mn")) / X08_BINS, F.lit(1e-9)).alias("width"),
+    )
+    hist = (
+        li.crossJoin(F.broadcast(w))
+        .select(
+            F.least(
+                F.floor((F.col("x") - F.col("mn")) / F.col("width")).cast("bigint"),
+                F.lit(X08_BINS - 1),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window as W
+
+    cum = hist.select(
+        "bin",
+        F.sum("cnt").over(W.orderBy("bin")).cast("bigint").alias("cum_count"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(float(q)) for q in X08_QS])).alias("q")
+    )
+    tgt = qs.crossJoin(F.broadcast(w)).select(
+        "q", F.ceil(F.col("q") * F.col("n")).cast("bigint").alias("target")
+    )
+    pick = (
+        F.broadcast(tgt)
+        .join(cum, F.col("cum_count") >= F.col("target"))
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return (
+        pick.join(cum, "bin")
+        .crossJoin(F.broadcast(w))
+        .select(
+            "q",
+            F.col("bin").cast("bigint").alias("bin"),
+            "cum_count",
+            fround(F.col("mn") + (F.col("bin") + 1) * F.col("width"), 4).alias(
+                "est_value"
+            ),
+        )
+    )

@@ -161,6 +161,9 @@ _PRIORITY: tuple[str, ...] = (
     "g05_clustering_coeff",
     "d12_semdedup_greedy",
     "d13_golden_record",
+    "s13_mrl_truncation_recall",
+    "g06_kcore_prune",
+    "x08_histogram_quantiles",
     # rows-only last within the round-4 block: if the driver's ~50-entry
     # sweep cap cuts the tail, it cuts a rows-only check, not an oracle
     "s11_ivfpq_topk",

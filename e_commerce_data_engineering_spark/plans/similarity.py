@@ -893,3 +893,128 @@ def d12_semdedup_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").cast("bigint").alias("cell"),
         F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s13 — Matryoshka-style dimension truncation + recall audit (the
+# cheap-first ranking trick: score with a prefix of the embedding,
+# keep the full vector only for the final re-rank)
+# ---------------------------------------------------------------------------
+
+MRL_DIM = 16  # prefix dimensions used by the truncated scorer
+
+
+def _sql_dot_prefix(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dim}),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x,y) -> x+y)"
+    )
+
+
+def _sql_norm_prefix(a: str, dim: int) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform(generate_series(1, {dim}),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (x,y) -> x+y))"
+    )
+
+
+@query(
+    "s13_mrl_truncation_recall",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id < {N_QUERY_VECS}),
+    c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+    pairs AS (
+        SELECT q_id, c_id,
+               {_SQL_DOT_QC} / ({_SQL_NORM_Q} * {_SQL_NORM_C}) AS cos_full,
+               {_sql_dot_prefix("q_emb", "c_emb", MRL_DIM)}
+                 / ({_sql_norm_prefix("q_emb", MRL_DIM)}
+                    * {_sql_norm_prefix("c_emb", MRL_DIM)}) AS cos_trunc
+        FROM q CROSS JOIN c WHERE q_id <> c_id
+    ),
+    ex AS (
+        SELECT q_id, c_id, cos_full,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_full DESC, c_id) AS rn_e
+        FROM pairs
+    ),
+    tr AS (
+        SELECT q_id, c_id, cos_full,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_trunc DESC, c_id) AS rn_t
+        FROM pairs
+    )
+    SELECT ex.q_id,
+           CAST(COUNT(tr.c_id) AS BIGINT) AS n_overlap,
+           CAST(SUM(FLOOR(ex.cos_full * 1000000.0 + 0.5)) AS DOUBLE)
+             / 1000000.0 / {TOP_K} AS exact_full_avg,
+           (SELECT CAST(SUM(FLOOR(t2.cos_full * 1000000.0 + 0.5)) AS DOUBLE)
+                     / 1000000.0 / {TOP_K}
+            FROM tr t2 WHERE t2.q_id = ex.q_id AND t2.rn_t <= {TOP_K})
+             AS trunc_full_avg
+    FROM ex LEFT JOIN tr
+      ON tr.q_id = ex.q_id AND tr.c_id = ex.c_id AND tr.rn_t <= {TOP_K}
+    WHERE ex.rn_e <= {TOP_K}
+    GROUP BY ex.q_id
+    """,
+    doc=f"Matryoshka-representation truncation audit: rank candidates "
+    f"by cosine over only the first {MRL_DIM} of {EMBEDDING_DIM} "
+    "embedding dimensions (the cheap-first scorer every MRL-trained "
+    "vector store uses to cut scan bytes 4-16x), then measure what "
+    "the truncation costs against the full-dimension exact ranking: "
+    f"per probe, the top-{TOP_K} overlap plus the mean FULL-space "
+    f"cosine of the truncated top-{TOP_K} vs the exact top-{TOP_K} "
+    "(quantized to 1e-6 per element before summing, so the averages "
+    "are order-independent and engine-identical). Prefix dot/norm "
+    "folds run left-to-right in double on both engines — scores are "
+    "bit-identical, rankings replay with the c_id tiebreak. The "
+    "go/no-go readout for switching a 100 TB ANN scan to prefix "
+    "scoring with full-vector re-rank.",
+)
+def s13_mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    trunc = lambda col: F.slice(col, 1, MRL_DIM)  # noqa: E731
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            (
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (l2_norm(F.col("q_emb")) * l2_norm(F.col("c_emb")))
+            ).alias("cos_full"),
+            (
+                dot(trunc(F.col("q_emb")), trunc(F.col("c_emb")))
+                / (
+                    l2_norm(trunc(F.col("q_emb")))
+                    * l2_norm(trunc(F.col("c_emb")))
+                )
+            ).alias("cos_trunc"),
+        )
+    )
+    ex = pairs.withColumn(
+        "rn_e",
+        F.row_number().over(W.partitionBy("q_id").orderBy(F.col("cos_full").desc(), "c_id")),
+    ).filter(F.col("rn_e") <= TOP_K)
+    tr = pairs.withColumn(
+        "rn_t",
+        F.row_number().over(W.partitionBy("q_id").orderBy(F.col("cos_trunc").desc(), "c_id")),
+    ).filter(F.col("rn_t") <= TOP_K)
+    qsum = lambda col: F.sum(quantized(col)).cast("double") / _Q / TOP_K  # noqa: E731
+    trunc_avg = tr.groupBy("q_id").agg(qsum(F.col("cos_full")).alias("trunc_full_avg"))
+    hits = tr.select("q_id", "c_id", F.lit(1).alias("_hit"))
+    return (
+        ex.join(hits, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_overlap"),
+            qsum(F.col("cos_full")).alias("exact_full_avg"),
+        )
+        .join(F.broadcast(trunc_avg), "q_id")
+    )

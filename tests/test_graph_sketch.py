@@ -372,3 +372,57 @@ def test_portable_hll_estimate_and_merge(spark):
     direct = hll_registers_portable(d, "text")
     assert remerged.exceptAll(direct).count() == 0
     assert direct.exceptAll(remerged).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# k-core (operators/graph.kcore) vs a pure-Python peel to fixpoint
+# ---------------------------------------------------------------------------
+
+
+def _py_kcore(edge_list, k):
+    edges = {(u, v) for u, v in edge_list}
+    while True:
+        deg: dict = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        alive = {n for n, d in deg.items() if d >= k}
+        nxt = {(u, v) for u, v in edges if u in alive and v in alive}
+        if nxt == edges:
+            break
+        edges = nxt
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    return {n: d for n, d in deg.items() if d >= k}
+
+
+@pytest.mark.parametrize("k", [2, 3, 4])
+def test_kcore_matches_python_peel(spark, k):
+    from e_commerce_data_engineering_spark.operators.graph import kcore
+
+    rng = np.random.default_rng(41)
+    n_nodes, n_draws = 60, 220
+    pairs = rng.integers(0, n_nodes, size=(n_draws, 2))
+    edge_list = sorted(
+        {(int(min(a, b)), int(max(a, b))) for a, b in pairs if a != b}
+    )
+    expected = _py_kcore(edge_list, k)
+    df = spark.createDataFrame(edge_list, ["u", "v"])
+    got = {r["node"]: r["degree"] for r in kcore(df, k).collect()}
+    assert got == expected
+
+
+def test_kcore_deep_peel_chain(spark):
+    """A path graph has empty 2-core; a path + one triangle peels down
+    over many rounds to exactly the triangle — exercises the fixpoint
+    loop beyond one round (the unrolled g06 twin can't see this)."""
+    from e_commerce_data_engineering_spark.operators.graph import kcore
+
+    path = [(i, i + 1) for i in range(20)]
+    triangle = [(100, 101), (101, 102), (100, 102)]
+    df = spark.createDataFrame(path + triangle, ["u", "v"])
+    got = {r["node"]: r["degree"] for r in kcore(df, 2).collect()}
+    assert got == {100: 2, 101: 2, 102: 2}
+    assert kcore(spark.createDataFrame(path, ["u", "v"]), 2).count() == 0

@@ -398,3 +398,22 @@ def test_d12_pairs_ride_cell_equi_join(spark):
     nested-loop is the broadcast fixed-centroid dimension (8 rows)."""
     plan = plan_of(spark, "d12_semdedup_greedy")
     assert "CartesianProduct" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["s13_mrl_truncation_recall", "g06_kcore_prune", "x08_histogram_quantiles"],
+)
+def test_round4_final_additions_plan_shapes(spark, name):
+    # s13's probe set and x08's stats/targets frames are broadcast
+    # (bounded) sides; g06's peel rounds are node-keyed aggregations and
+    # semi joins. None may degenerate to an unbounded CartesianProduct.
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+
+
+def test_g06_restriction_is_semi_join(spark):
+    """Edge restriction to surviving nodes must be a LeftSemi equi join
+    per endpoint, not an inner-join multiplication."""
+    plan = plan_of(spark, "g06_kcore_prune")
+    assert "LeftSemi" in plan, plan
