@@ -308,3 +308,72 @@ def hll_estimate_portable(registers: DataFrame, group_cols: tuple[str, ...] = ()
         s_total.alias("harmonic_num"),
         (F.lit(HLL_EST_NUM) / s_total).alias("raw_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram quantile sketch (the x08 core, shared with the
+# streaming twin — both fold the same bins and pick quantiles the same way)
+# ---------------------------------------------------------------------------
+
+
+def histogram_bins(
+    values: DataFrame, value_col: str, mn: float, width: float, nbins: int
+) -> DataFrame:
+    """Per-bin counts ``(bin, cnt)`` of ``value_col`` against FIXED edges
+    ``mn + i*width``: floor((x - mn)/width) clamped into [0, nbins-1].
+    With fixed edges the histogram is a mergeable sketch — partials from
+    shards/micro-batches add up to the whole (used by the streaming
+    twin; the batch x08 derives the edges from one min/max aggregate)."""
+    b = F.floor((F.col(value_col).cast("double") - F.lit(float(mn))) / F.lit(float(width)))
+    return (
+        values.select(
+            F.least(F.greatest(b, F.lit(0)), F.lit(nbins - 1)).cast("bigint").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def quantiles_from_histogram(hist: DataFrame, w: DataFrame, qs: tuple[float, ...]) -> DataFrame:
+    """Quantile estimates from an equi-width histogram.
+
+    ``hist``: ``(bin, cnt)`` counts; ``w``: ONE row ``(mn, width, n)``
+    (bin edges + total count). For each q the estimate is the upper edge
+    of the smallest bin whose cumulative count reaches ceil(q*n) —
+    error bounded by one bin width. The cumulative window runs over the
+    aggregated histogram (<= nbins rows), never raw data; output:
+    ``(q, bin, cum_count, est_value)``. Shared by the batch x08 query
+    and the streaming histogram store so batch/stream parity holds by
+    construction."""
+    from pyspark.sql import Window as W
+
+    from ..plans.money import fround
+
+    cum = hist.select(
+        "bin", F.sum("cnt").over(W.orderBy("bin")).cast("bigint").alias("cum_count")
+    )
+    spark = hist.sparkSession
+    qdf = spark.range(1).select(
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    )
+    tgt = qdf.crossJoin(F.broadcast(w)).select(
+        "q", F.ceil(F.col("q") * F.col("n")).cast("bigint").alias("target")
+    )
+    pick = (
+        F.broadcast(tgt)
+        .join(cum, F.col("cum_count") >= F.col("target"))
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return (
+        pick.join(cum, "bin")
+        .crossJoin(F.broadcast(w))
+        .select(
+            "q",
+            F.col("bin").cast("bigint").alias("bin"),
+            "cum_count",
+            fround(F.col("mn") + (F.col("bin") + 1) * F.col("width"), 4).alias(
+                "est_value"
+            ),
+        )
+    )

@@ -903,6 +903,10 @@ def x08_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.greatest((F.col("mx") - F.col("mn")) / X08_BINS, F.lit(1e-9)).alias("width"),
     )
+    from ..operators.sketch import quantiles_from_histogram
+
+    # edges ride in-plan from the stats aggregate (the streaming twin
+    # fixes them up front and shares operators/sketch.histogram_bins)
     hist = (
         li.crossJoin(F.broadcast(w))
         .select(
@@ -914,33 +918,4 @@ def x08_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    from pyspark.sql import Window as W
-
-    cum = hist.select(
-        "bin",
-        F.sum("cnt").over(W.orderBy("bin")).cast("bigint").alias("cum_count"),
-    )
-    qs = spark.range(1).select(
-        F.explode(F.array(*[F.lit(float(q)) for q in X08_QS])).alias("q")
-    )
-    tgt = qs.crossJoin(F.broadcast(w)).select(
-        "q", F.ceil(F.col("q") * F.col("n")).cast("bigint").alias("target")
-    )
-    pick = (
-        F.broadcast(tgt)
-        .join(cum, F.col("cum_count") >= F.col("target"))
-        .groupBy("q")
-        .agg(F.min("bin").alias("bin"))
-    )
-    return (
-        pick.join(cum, "bin")
-        .crossJoin(F.broadcast(w))
-        .select(
-            "q",
-            F.col("bin").cast("bigint").alias("bin"),
-            "cum_count",
-            fround(F.col("mn") + (F.col("bin") + 1) * F.col("width"), 4).alias(
-                "est_value"
-            ),
-        )
-    )
+    return quantiles_from_histogram(hist, w, X08_QS)

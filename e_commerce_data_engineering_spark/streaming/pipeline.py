@@ -851,3 +851,76 @@ def read_cusum(spark: SparkSession, state_dir: str) -> DataFrame:
     from ..plans.events import cusum_from_daily
 
     return cusum_from_daily(_read_daily_state(spark, state_dir))
+
+
+def start_histogram_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema,
+    value_col: str,
+    mn: float,
+    width: float,
+    nbins: int = 256,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Streaming twin of the x08 histogram-quantile sketch: each
+    micro-batch bins its rows against FIXED edges (``mn + i*width``,
+    chosen up front — e.g. from a historical scan; a value outside the
+    range clamps to an edge bin) and writes its partial ``(bin, cnt)``
+    grid under ``batch_id=N`` with overwrite, the same exactly-once
+    discipline as the rollup stream: a replayed epoch rewrites its own
+    partial instead of double-counting. The histogram is a mergeable
+    sketch, so read-side SUM over all partials equals the batch
+    histogram of the union — no raw rows are retained, state is
+    O(nbins) per drained micro-batch regardless of stream volume.
+    """
+    from ..operators.sketch import histogram_bins
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+    def _partial(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            histogram_bins(batch_df, value_col, mn, width, nbins)
+            .write.mode("overwrite")
+            .parquet(f"{state_dir}/batch_id={epoch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_partial)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_histogram_quantiles(
+    spark: SparkSession,
+    state_dir: str,
+    mn: float,
+    width: float,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """Fold the streamed per-batch histogram partials (bins add up —
+    the sketch's merge property) and pick quantiles through the SAME
+    ``operators/sketch.quantiles_from_histogram`` core the batch x08
+    query uses, so batch/stream parity holds by construction
+    (parity-tested in tests/test_streaming.py)."""
+    from ..operators.sketch import quantiles_from_histogram
+
+    hist = (
+        spark.read.parquet(state_dir)
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    w = hist.agg(F.sum("cnt").alias("n")).select(
+        F.lit(float(mn)).alias("mn"), F.lit(float(width)).alias("width"), "n"
+    )
+    return quantiles_from_histogram(hist, w, qs)

@@ -1255,3 +1255,69 @@ def test_streaming_semantic_dedup_against_corpus(spark, tmp_path):
     assert spark.read.option("basePath", f"{state}/members").parquet(
         f"{state}/members"
     ).count() == 3
+
+
+def test_histogram_stream_matches_batch_x08(spark, tmp_path):
+    """Batch/stream parity for the histogram-quantile sketch: stream
+    lineitem's l_extendedprice in two micro-batches against the SAME
+    bin edges the batch x08 query derives, fold the partial grids, and
+    the quantile readout must match x08 row-for-row. Replay with the
+    same checkpoint must change nothing (per-epoch overwrite)."""
+    import glob
+    import json as _json
+
+    from e_commerce_data_engineering_spark.plans.graph_sketch import X08_BINS, X08_QS
+    from e_commerce_data_engineering_spark.plans.registry import QUERIES, all_queries
+    from e_commerce_data_engineering_spark.sources.tables import load_table
+    from e_commerce_data_engineering_spark.streaming.pipeline import (
+        read_histogram_quantiles,
+        start_histogram_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    all_queries()
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("x")
+    )
+    # same edge derivation as the batch query (identical IEEE ops)
+    stats = li.agg(F.min("x").alias("mn"), F.max("x").alias("mx")).first()
+    mn = stats["mn"]
+    width = max((stats["mx"] - mn) / X08_BINS, 1e-9)
+
+    rows = [r["x"] for r in li.collect()]
+    src = tmp_path / "hist-src"
+    src.mkdir()
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        (src / f"part{i}.jsonl").write_text(
+            "\n".join(_json.dumps({"x": v}) for v in chunk)
+        )
+
+    schema = T.StructType([T.StructField("x", T.DoubleType())])
+    state = str(tmp_path / "hist-state")
+    ckpt = str(tmp_path / "hist-ckpt")
+
+    def _run():
+        q = start_histogram_stream(
+            spark, str(src), state, ckpt, schema, "x", mn, width, nbins=X08_BINS
+        )
+        q.awaitTermination(120)
+
+    _run()
+    got = {
+        r["q"]: (r["bin"], r["cum_count"], r["est_value"])
+        for r in read_histogram_quantiles(spark, state, mn, width, qs=X08_QS).collect()
+    }
+    want = {
+        r["q"]: (r["bin"], r["cum_count"], r["est_value"])
+        for r in QUERIES["x08_histogram_quantiles"].spark_fn(spark, sf).collect()
+    }
+    assert got == want and len(got) == len(X08_QS)
+    assert len(glob.glob(f"{state}/batch_id=*")) == 2
+
+    _run()  # replay: checkpoint says all files are drained -> no-op
+    got2 = {
+        r["q"]: (r["bin"], r["cum_count"], r["est_value"])
+        for r in read_histogram_quantiles(spark, state, mn, width, qs=X08_QS).collect()
+    }
+    assert got2 == got

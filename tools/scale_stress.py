@@ -181,6 +181,30 @@ def main() -> None:
             )
             return triangle_counts(ed).count()
 
+        # iterative k-core peel over the same disjoint-replica graph:
+        # edges grow K-fold and the peel depth is a property of the
+        # per-replica structure (constant in K), so rounds stay fixed
+        # and each round's cost should track the edge count — linear.
+        def kcore_peel():
+            from e_commerce_data_engineering_spark.operators.graph import kcore
+
+            co = (
+                li.filter(F.col("l_quantity") >= 45)
+                .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+                .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+                .distinct()
+            )
+            a = co.select(F.col("c"), F.col("s").alias("u"))
+            b = co.select(F.col("c").alias("_c2"), F.col("s").alias("v"))
+            ed = (
+                a.join(b, (a["c"] == b["_c2"]) & (a["u"] < b["v"]))
+                .groupBy("u", "v")
+                .agg(F.count(F.lit(1)).alias("shared"))
+                .filter(F.col("shared") >= 3)
+                .select("u", "v")
+            )
+            return kcore(ed, 3).count()
+
         # ppjoin's TRUE OUTPUT grows K² (replicas have identical token
         # sets), so past x16 the run is dominated by materializing the
         # answer itself — cap it and document the output-bound regime.
@@ -197,6 +221,7 @@ def main() -> None:
             ("ppjoin_t09", ppjoin, n_doc),
             ("segment_dedup_t29", segment_dedup, n_doc),
             ("triangles_g04", triangles, n_li),
+            ("kcore_g06", kcore_peel, n_li),
         ):
             if only_ops is not None and name not in only_ops:
                 continue
