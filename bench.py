@@ -65,6 +65,8 @@ HEADLINE = [
     "e21_last_touch_attribution",
     "t37_ks_drift",
     "s12_rrf_hybrid_rank",
+    "x08_histogram_quantiles",
+    "s13_mrl_truncation_recall",
 ]
 
 # Long-JVM run-to-run variance is measured at up to ±3x on the heavy
