@@ -413,6 +413,47 @@ def m03_image_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m04_video_frame_sample",
+    oracle="""
+    WITH vids AS (
+        SELECT i AS asset_id, 1000 + i AS duration_ms
+        FROM (SELECT unnest(generate_series(0, 119)) AS i) t
+        WHERE i % 3 = 2
+    ),
+    fr AS (
+        SELECT asset_id, unnest(generate_series(0, duration_ms, 250)) AS frame_ms
+        FROM vids
+    )
+    SELECT asset_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(MAX(frame_ms) AS BIGINT) AS last_frame_ms
+    FROM fr GROUP BY asset_id
+    """,
+    doc="Video frame-sampling PLAN over the synthetic asset table: one "
+    "row per (asset, 250 ms offset) from explode(sequence(0, "
+    "duration_ms, 250)) — the sampling grid a video curation pipeline "
+    "fans out to its decoder, produced from metadata alone (no codec "
+    "touch; the per-frame pixel extraction is the documented "
+    "environment-bound stub in operators/multimodal.py). The asset "
+    "corpus is deterministic (modality = id % 3, video duration = "
+    "1000 + id ms — operators/multimodal.make_real_assets), so the "
+    "whole sampling plan is hash-checked: the oracle regenerates the "
+    "identical grid from the same arithmetic. At scale this explode "
+    "is the fan-out stage ahead of a mapInPandas decode, partitioned "
+    "by asset — rows grow with total video duration, never quadratic.",
+)
+def m04_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import make_real_assets, sample_video_frames
+
+    assets = make_real_assets(spark, 120)
+    frames = sample_video_frames(assets, every_ms=250)
+    return frames.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_ms").cast("bigint").alias("last_frame_ms"),
+    )
+
+
+@query(
     "a02_asof_forward_tolerance",
     oracle="""
     WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

@@ -164,6 +164,8 @@ _PRIORITY: tuple[str, ...] = (
     "s13_mrl_truncation_recall",
     "g06_kcore_prune",
     "x08_histogram_quantiles",
+    "m04_video_frame_sample",
+    "s14_filtered_cosine_topk",
     # rows-only last within the round-4 block: if the driver's ~50-entry
     # sweep cap cuts the tail, it cuts a rows-only check, not an oracle
     "s11_ivfpq_topk",

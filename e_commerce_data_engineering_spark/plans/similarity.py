@@ -1018,3 +1018,71 @@ def s13_mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(trunc_avg), "q_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# s14 — metadata-filtered vector search (the WHERE clause every real
+# vector store applies before similarity ranking)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s14_filtered_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+               FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+    c AS (SELECT vec_id AS c_id, label, embedding AS c_emb FROM embeddings),
+    pairs AS (
+        SELECT q_id, c_id,
+               {_SQL_DOT_QC} / ({_SQL_NORM_Q} * {_SQL_NORM_C}) AS cos_sim
+        FROM q JOIN c ON c.label = q.q_label
+        WHERE q_id <> c_id
+    )
+    SELECT q_id, c_id, {sql_fround("cos_sim", 6)} AS cos_sim, CAST(rn AS INTEGER) AS rn
+    FROM (
+        SELECT q_id, c_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rn
+        FROM pairs
+    ) ranked
+    WHERE rn <= {TOP_K}
+    """,
+    doc="Metadata-filtered vector search: each probe ranks ONLY "
+    "candidates sharing its label — the pre-filter every production "
+    "vector store applies (tenant, language, date partition) before "
+    "similarity ranking. Expressed as a label EQUI-JOIN rather than a "
+    "post-filter on the full cross product, so the candidate set "
+    "shrinks to the probe's partition BEFORE any cosine is computed — "
+    "at 100 TB the label is the storage partition key and this join "
+    "becomes a pruned scan of one partition per probe (the filtered "
+    "analog of s02; same fold, same tiebreak, fully hash-checked).",
+)
+def s14_filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("c_id"), F.col("label"), F.col("embedding").alias("c_emb")
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("label") == F.col("q_label"))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            (
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (l2_norm(F.col("q_emb")) * l2_norm(F.col("c_emb")))
+            ).alias("cos_sim"),
+        )
+    )
+    ranked = pairs.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "c_id")),
+    )
+    return ranked.filter(F.col("rn") <= TOP_K).select(
+        "q_id", "c_id", fround(F.col("cos_sim"), 6).alias("cos_sim"), "rn"
+    )

@@ -417,3 +417,21 @@ def test_g06_restriction_is_semi_join(spark):
     per endpoint, not an inner-join multiplication."""
     plan = plan_of(spark, "g06_kcore_prune")
     assert "LeftSemi" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["m04_video_frame_sample", "s14_filtered_cosine_topk"]
+)
+def test_round4_last_additions_avoid_cartesian(spark, name):
+    # m04's fan-out is a metadata explode (no join at all); s14's
+    # candidate generation must be the label equi-join, never a
+    # post-filtered cross product.
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+
+
+def test_s14_prefilter_is_equi_join(spark):
+    """The label constraint must reach the join condition (hash/broadcast
+    equi join on label), not run as a filter above a cross join."""
+    plan = plan_of(spark, "s14_filtered_cosine_topk")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
