@@ -184,6 +184,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
 
+
 def kcore(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
     """Nodes of the ``k``-core of an undirected graph — the maximal
     subgraph where every node has degree >= k — given the CANONICAL
