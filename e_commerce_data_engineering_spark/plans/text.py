@@ -2188,3 +2188,97 @@ def t39_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_positive"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# t40 — duplicated-span detection (exact-substring dedup readout):
+# longest shared token RUN per doc pair via shingle-diagonal islands
+# ---------------------------------------------------------------------------
+
+T40_W = 8  # shingle width in tokens — a run of R shingles = R+W-1 tokens
+T40_MAX_DF = 20  # anchor cap: shingles in more docs are boilerplate, skipped
+T40_MIN_RUN = 3  # report pairs sharing a run of >= 3 shingles (>= 10 tokens)
+
+
+@query(
+    "t40_dup_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+    sh0 AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ts) - {T40_W - 1}),
+                      i -> struct_pack(pos := i,
+                           h := md5(array_to_string(ts[i:i+{T40_W - 1}], ' '))))) AS u
+        FROM toks WHERE len(ts) >= {T40_W}
+    ),
+    sh AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM sh0),
+    freq AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY h) f
+             WHERE df >= 2 AND df <= {T40_MAX_DF}),
+    m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS i, b.pos AS j
+          FROM sh a JOIN sh b USING (h) JOIN freq USING (h)
+          WHERE a.doc_id < b.doc_id),
+    isl AS (SELECT doc_a, doc_b, i - j AS diag, i,
+                   i - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, i - j
+                                          ORDER BY i) AS island
+            FROM m),
+    runs AS (SELECT doc_a, doc_b, COUNT(*) AS run_shingles
+             FROM isl GROUP BY doc_a, doc_b, diag, island)
+    SELECT doc_a, doc_b,
+           CAST(MAX(run_shingles) + {T40_W - 1} AS BIGINT) AS longest_dup_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_runs
+    FROM runs GROUP BY doc_a, doc_b HAVING MAX(run_shingles) >= {T40_MIN_RUN}
+    """,
+    doc=f"Duplicated-SPAN detection — the exact-substring dedup readout "
+    "(the Lee et al. 2022 signal that drives span-level training-data "
+    f"dedup): {T40_W}-token shingles carry their positions; matching "
+    "shingles across a doc pair land on a (pos_a - pos_b) DIAGONAL, "
+    "and consecutive positions on one diagonal are a shared run, "
+    "recovered with the gaps-and-islands trick (pos - row_number is "
+    "constant within a run) — no per-pair alignment, just equi-joins "
+    "and windows over matched shingles. Per pair: the longest shared "
+    f"run in tokens (>= {T40_MIN_RUN + T40_W - 1}) and the run count. "
+    f"Shingles in more than {T40_MAX_DF} docs are skipped as "
+    "boilerplate (the standard rare-anchor cap, part of the spec: it "
+    "bounds the match join by df² per shingle instead of corpus-"
+    "quadratic, which is what keeps the plan alive at 100 TB where "
+    "common shingles would otherwise dominate); the window partitions "
+    "by (pair, diagonal), so state per task is one run counter.",
+)
+def t40_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", X.tokens(F.col("text")).alias("ts")).filter(
+        F.size("ts") >= T40_W
+    )
+    sh = toks.select(
+        "doc_id", F.posexplode(X.shingles_zip(F.col("ts"), T40_W)).alias("pos0", "sh")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), F.md5(F.col("sh")).alias("h"))
+    freq = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= T40_MAX_DF))
+        .select("h")
+    )
+    anchored = sh.join(freq, "h", "left_semi")
+    a = anchored.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("i"), "h")
+    b = anchored.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("j"), "h")
+    m = a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b"))
+    isl = m.select(
+        "doc_a", "doc_b", (F.col("i") - F.col("j")).alias("diag"), "i"
+    ).withColumn(
+        "island",
+        F.col("i")
+        - F.row_number().over(W.partitionBy("doc_a", "doc_b", "diag").orderBy("i")),
+    )
+    runs = isl.groupBy("doc_a", "doc_b", "diag", "island").agg(
+        F.count(F.lit(1)).alias("run_shingles")
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("run_shingles") + T40_W - 1).cast("bigint").alias("longest_dup_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        )
+        .filter(F.col("longest_dup_tokens") >= T40_MIN_RUN + T40_W - 1)
+    )

@@ -435,3 +435,11 @@ def test_s14_prefilter_is_equi_join(spark):
     equi join on label), not run as a filter above a cross join."""
     plan = plan_of(spark, "s14_filtered_cosine_topk")
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_t40_span_match_is_anchored_equi_join(spark):
+    """The shingle match must be an equi-join on the shingle hash after
+    the rare-anchor semi join — never a cartesian doc-pair scan."""
+    plan = plan_of(spark, "t40_dup_spans")
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, plan
