@@ -2282,3 +2282,126 @@ def t40_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("longest_dup_tokens") >= T40_MIN_RUN + T40_W - 1)
     )
+
+
+@query(
+    "t41_span_removal_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+    sh0 AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ts) - {T40_W - 1}),
+                      i -> struct_pack(pos := i,
+                           h := md5(array_to_string(ts[i:i+{T40_W - 1}], ' '))))) AS u
+        FROM toks WHERE len(ts) >= {T40_W}
+    ),
+    sh AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM sh0),
+    freq AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY h) f
+             WHERE df >= 2 AND df <= {T40_MAX_DF}),
+    m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS i, b.pos AS j
+          FROM sh a JOIN sh b USING (h) JOIN freq USING (h)
+          WHERE a.doc_id < b.doc_id),
+    isl AS (SELECT doc_a, doc_b, i - j AS diag, i, j,
+                   i - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, i - j
+                                          ORDER BY i) AS island
+            FROM m),
+    runs AS (SELECT doc_a, doc_b, COUNT(*) AS run_shingles, MIN(j) AS j0
+             FROM isl GROUP BY doc_a, doc_b, diag, island
+             HAVING COUNT(*) >= {T40_MIN_RUN}),
+    cuts AS (SELECT DISTINCT doc_b AS doc_id, j0 AS s,
+                    j0 + run_shingles + {T40_W - 2} AS e
+             FROM runs),
+    flg AS (SELECT doc_id, s, e,
+                   CASE WHEN s > COALESCE(MAX(e) OVER (
+                            PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                        THEN 1 ELSE 0 END AS newgrp
+            FROM cuts),
+    grp AS (SELECT doc_id, s, e,
+                   SUM(newgrp) OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+            FROM flg),
+    mrg AS (SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM grp GROUP BY doc_id, g),
+    agg AS (SELECT doc_id, COUNT(*) AS n_spans_cut, SUM(e - s + 1) AS tokens_removed
+            FROM mrg GROUP BY doc_id)
+    SELECT a.doc_id,
+           CAST(len(t.ts) AS BIGINT) AS n_tokens,
+           CAST(n_spans_cut AS BIGINT) AS n_spans_cut,
+           CAST(tokens_removed AS BIGINT) AS tokens_removed,
+           CAST(len(t.ts) - tokens_removed AS BIGINT) AS tokens_kept
+    FROM agg a JOIN toks t USING (doc_id)
+    """,
+    doc="The REMOVAL half of span-level exact-substring dedup: every "
+    f"duplicated run t40 detects (>= {T40_MIN_RUN} shingles) becomes a "
+    "cut interval in the pair's HIGHER doc_id (the earliest copy is "
+    "kept, the hash-ranked keeper rule the rest of the dedup family "
+    "uses); a doc hit by several pairs gets its intervals MERGED with "
+    "the classic window trick (new group when start exceeds the "
+    "running max of prior ends — one pass, no self-join), then "
+    "reports spans cut, tokens removed, and tokens kept per affected "
+    "doc. Interval merging partitions by doc — at 100 TB each doc's "
+    "interval list is tiny however big the corpus, so the window "
+    "state per task is one running max. The actual text rewrite is "
+    "the same positions filter (drop tokens inside merged intervals); "
+    "the stats form keeps the output hash-stable and audit-sized.",
+)
+def t41_span_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", X.tokens(F.col("text")).alias("ts")).filter(
+        F.size("ts") >= T40_W
+    )
+    sh = toks.select(
+        "doc_id", F.posexplode(X.shingles_zip(F.col("ts"), T40_W)).alias("pos0", "sh")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), F.md5(F.col("sh")).alias("h"))
+    freq = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= T40_MAX_DF))
+        .select("h")
+    )
+    anchored = sh.join(freq, "h", "left_semi")
+    a = anchored.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("i"), "h")
+    b = anchored.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("j"), "h"
+    )
+    m = a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b"))
+    isl = m.select(
+        "doc_a", "doc_b", (F.col("i") - F.col("j")).alias("diag"), "i", "j"
+    ).withColumn(
+        "island",
+        F.col("i")
+        - F.row_number().over(W.partitionBy("doc_a", "doc_b", "diag").orderBy("i")),
+    )
+    runs = (
+        isl.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(F.count(F.lit(1)).alias("run_shingles"), F.min("j").alias("j0"))
+        .filter(F.col("run_shingles") >= T40_MIN_RUN)
+    )
+    cuts = runs.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("j0").alias("s"),
+        (F.col("j0") + F.col("run_shingles") + T40_W - 2).alias("e"),
+    ).distinct()
+    w_ord = W.partitionBy("doc_id").orderBy("s", "e")
+    prev_max_end = F.max("e").over(w_ord.rowsBetween(W.unboundedPreceding, -1))
+    flg = cuts.withColumn(
+        "newgrp",
+        (F.col("s") > F.coalesce(prev_max_end, F.lit(-1))).cast("int"),
+    )
+    grp = flg.withColumn(
+        "g", F.sum("newgrp").over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    mrg = grp.groupBy("doc_id", "g").agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    agg = mrg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans_cut"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("tokens_removed"),
+    )
+    return agg.join(toks, "doc_id").select(
+        "doc_id",
+        F.size("ts").cast("bigint").alias("n_tokens"),
+        "n_spans_cut",
+        "tokens_removed",
+        (F.size("ts") - F.col("tokens_removed")).cast("bigint").alias("tokens_kept"),
+    )

@@ -443,3 +443,11 @@ def test_t40_span_match_is_anchored_equi_join(spark):
     plan = plan_of(spark, "t40_dup_spans")
     assert "CartesianProduct" not in plan, plan
     assert "LeftSemi" in plan, plan
+
+
+def test_t41_reuses_anchored_match_shape(spark):
+    """Span removal rides the same anchored shingle equi-join as t40;
+    interval merging is windows + aggregates — nothing cartesian."""
+    plan = plan_of(spark, "t41_span_removal_stats")
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, plan
