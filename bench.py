@@ -67,6 +67,7 @@ HEADLINE = [
     "s12_rrf_hybrid_rank",
     "x08_histogram_quantiles",
     "s13_mrl_truncation_recall",
+    "t40_dup_spans",
 ]
 
 # Long-JVM run-to-run variance is measured at up to ±3x on the heavy
@@ -84,6 +85,8 @@ HEAVY = {
     "s11_ivfpq_topk",
     "q03_shipping_priority",
     "q05_region_nation_revenue",
+    # first run pays the shingle-index codegen; min-of-3 is steady state
+    "t40_dup_spans",
 }
 
 

@@ -2247,7 +2247,11 @@ T40_MIN_RUN = 3  # report pairs sharing a run of >= 3 shingles (>= 10 tokens)
 def t40_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    d = load_table(spark, sf_dir, "documents")
+    from ..operators.layout import fan_out
+
+    # shingle+md5 is CPU-heavy per row: fan the (often single-split)
+    # doc scan out to the cluster before the explode
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", X.tokens(F.col("text")).alias("ts")).filter(
         F.size("ts") >= T40_W
     )
@@ -2348,7 +2352,9 @@ def t40_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t41_span_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    d = load_table(spark, sf_dir, "documents")
+    from ..operators.layout import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", X.tokens(F.col("text")).alias("ts")).filter(
         F.size("ts") >= T40_W
     )
