@@ -834,3 +834,65 @@ def dedupe_segments(
         F.coalesce(F.col("kept_tokens"), F.lit(0).cast("bigint")).alias("kept_tokens"),
         F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span detection core (shared by the t40/t41 queries and the
+# scale harness)
+# ---------------------------------------------------------------------------
+
+def dup_span_runs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 8,
+    max_df: int = 20,
+) -> DataFrame:
+    """Shared token RUNS across doc pairs → one row per maximal run:
+    ``(doc_a, doc_b, run_shingles, j0)`` with ``doc_a < doc_b``,
+    ``run_shingles`` the run length in w-token shingles (tokens =
+    run_shingles + w - 1) and ``j0`` the run's start position in
+    ``doc_b`` (1-based).
+
+    Method: every w-token shingle carries its position; matching
+    shingles across a pair land on a (pos_a - pos_b) DIAGONAL, and
+    consecutive positions on one diagonal are recovered as runs with
+    the gaps-and-islands trick (pos - row_number is constant within a
+    run) — equi-joins and windows only, no per-pair alignment.
+
+    ``max_df`` is the rare-anchor cap: shingles appearing in more docs
+    are boilerplate and skipped, bounding the match join by df² per
+    shingle instead of corpus-quadratic. Size it against the expected
+    duplication depth (a corpus where every doc has K copies needs
+    max_df > K or true duplicate runs fall to the cap — measured in
+    SCALING.md, where the harness scales the cap with the replication
+    factor).
+    """
+    toks = fan_out(df).select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk")
+    ).filter(F.size("_tk") >= w)
+    sh = toks.select(
+        "_id", F.posexplode(shingles_zip(F.col("_tk"), w)).alias("_pos0", "_s")
+    ).select("_id", (F.col("_pos0") + 1).alias("_pos"), F.md5(F.col("_s")).alias("_h"))
+    freq = (
+        sh.groupBy("_h")
+        .agg(F.countDistinct("_id").alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+        .select("_h")
+    )
+    anchored = sh.join(freq, "_h", "left_semi")
+    a = anchored.select(F.col("_id").alias("doc_a"), F.col("_pos").alias("_i"), "_h")
+    b = anchored.select(F.col("_id").alias("doc_b"), F.col("_pos").alias("_j"), "_h")
+    m = a.join(b, "_h").filter(F.col("doc_a") < F.col("doc_b"))
+    from pyspark.sql import Window as W
+
+    isl = m.select(
+        "doc_a", "doc_b", (F.col("_i") - F.col("_j")).alias("_diag"), "_i", "_j"
+    ).withColumn(
+        "_island",
+        F.col("_i")
+        - F.row_number().over(W.partitionBy("doc_a", "doc_b", "_diag").orderBy("_i")),
+    )
+    return isl.groupBy("doc_a", "doc_b", "_diag", "_island").agg(
+        F.count(F.lit(1)).alias("run_shingles"), F.min("_j").alias("j0")
+    ).select("doc_a", "doc_b", "run_shingles", "j0")

@@ -2245,39 +2245,10 @@ T40_MIN_RUN = 3  # report pairs sharing a run of >= 3 shingles (>= 10 tokens)
     "by (pair, diagonal), so state per task is one run counter.",
 )
 def t40_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from ..operators.dedup import dup_span_runs
 
-    from ..operators.layout import fan_out
-
-    # shingle+md5 is CPU-heavy per row: fan the (often single-split)
-    # doc scan out to the cluster before the explode
-    d = fan_out(load_table(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", X.tokens(F.col("text")).alias("ts")).filter(
-        F.size("ts") >= T40_W
-    )
-    sh = toks.select(
-        "doc_id", F.posexplode(X.shingles_zip(F.col("ts"), T40_W)).alias("pos0", "sh")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), F.md5(F.col("sh")).alias("h"))
-    freq = (
-        sh.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= T40_MAX_DF))
-        .select("h")
-    )
-    anchored = sh.join(freq, "h", "left_semi")
-    a = anchored.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("i"), "h")
-    b = anchored.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("j"), "h")
-    m = a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b"))
-    isl = m.select(
-        "doc_a", "doc_b", (F.col("i") - F.col("j")).alias("diag"), "i"
-    ).withColumn(
-        "island",
-        F.col("i")
-        - F.row_number().over(W.partitionBy("doc_a", "doc_b", "diag").orderBy("i")),
-    )
-    runs = isl.groupBy("doc_a", "doc_b", "diag", "island").agg(
-        F.count(F.lit(1)).alias("run_shingles")
-    )
+    d = load_table(spark, sf_dir, "documents")
+    runs = dup_span_runs(d, "doc_id", "text", w=T40_W, max_df=T40_MAX_DF)
     return (
         runs.groupBy("doc_a", "doc_b")
         .agg(
@@ -2352,38 +2323,12 @@ def t40_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t41_span_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    from ..operators.dedup import dup_span_runs
     from ..operators.layout import fan_out
 
-    d = fan_out(load_table(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", X.tokens(F.col("text")).alias("ts")).filter(
-        F.size("ts") >= T40_W
-    )
-    sh = toks.select(
-        "doc_id", F.posexplode(X.shingles_zip(F.col("ts"), T40_W)).alias("pos0", "sh")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), F.md5(F.col("sh")).alias("h"))
-    freq = (
-        sh.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= T40_MAX_DF))
-        .select("h")
-    )
-    anchored = sh.join(freq, "h", "left_semi")
-    a = anchored.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("i"), "h")
-    b = anchored.select(
-        F.col("doc_id").alias("doc_b"), F.col("pos").alias("j"), "h"
-    )
-    m = a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b"))
-    isl = m.select(
-        "doc_a", "doc_b", (F.col("i") - F.col("j")).alias("diag"), "i", "j"
-    ).withColumn(
-        "island",
-        F.col("i")
-        - F.row_number().over(W.partitionBy("doc_a", "doc_b", "diag").orderBy("i")),
-    )
-    runs = (
-        isl.groupBy("doc_a", "doc_b", "diag", "island")
-        .agg(F.count(F.lit(1)).alias("run_shingles"), F.min("j").alias("j0"))
-        .filter(F.col("run_shingles") >= T40_MIN_RUN)
+    d = load_table(spark, sf_dir, "documents")
+    runs = dup_span_runs(d, "doc_id", "text", w=T40_W, max_df=T40_MAX_DF).filter(
+        F.col("run_shingles") >= T40_MIN_RUN
     )
     cuts = runs.select(
         F.col("doc_b").alias("doc_id"),
@@ -2403,6 +2348,9 @@ def t41_span_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = mrg.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_spans_cut"),
         F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("tokens_removed"),
+    )
+    toks = fan_out(d).select("doc_id", X.tokens(F.col("text")).alias("ts")).filter(
+        F.size("ts") >= T40_W
     )
     return agg.join(toks, "doc_id").select(
         "doc_id",

@@ -205,10 +205,25 @@ def main() -> None:
             )
             return kcore(ed, 3).count()
 
+        # duplicated-span detection: replica docs are exact copies, so
+        # every shingle's doc-frequency multiplies by K — the anchor cap
+        # must scale with the duplication depth (max_df = 20*K, the
+        # documented sizing rule) or true duplicate runs fall to it.
+        # True run count grows ~K² (every replica pair shares full-doc
+        # runs); time should track rows_out, not corpus².
+        def dup_spans():
+            from e_commerce_data_engineering_spark.operators.dedup import (
+                dup_span_runs,
+            )
+
+            return dup_span_runs(docs, "doc_id", "text", w=8, max_df=20 * k).count()
+
         # ppjoin's TRUE OUTPUT grows K² (replicas have identical token
         # sets), so past x16 the run is dominated by materializing the
         # answer itself — cap it and document the output-bound regime.
-        op_max_scale = {"ppjoin_t09": 16}
+        # dup_spans shares ppjoin's quadratic-TRUE-OUTPUT regime on
+        # replicas (every replica pair shares full-doc runs)
+        op_max_scale = {"ppjoin_t09": 16, "dup_spans_t40": 16}
         only = os.environ.get("SPARK_GRAFT_OPS")
         only_ops = set(only.split(",")) if only else None
         for name, fn, rows_in in (
@@ -222,6 +237,7 @@ def main() -> None:
             ("segment_dedup_t29", segment_dedup, n_doc),
             ("triangles_g04", triangles, n_li),
             ("kcore_g06", kcore_peel, n_li),
+            ("dup_spans_t40", dup_spans, n_doc),
         ):
             if only_ops is not None and name not in only_ops:
                 continue
