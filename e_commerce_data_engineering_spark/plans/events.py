@@ -1117,3 +1117,72 @@ def e24_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(mean_b, 6).alias("mean_b"),
         F.when(se2 > 0, fround((mean_a - mean_b) / F.sqrt(se2), 6)).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e25 — late-event profile: the lateness distribution that SIZES a
+# streaming watermark (how far behind the running event-time max do
+# events actually arrive?)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e25_late_event_profile",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, event_id,
+               epoch(ts) AS tsec
+        FROM events
+    ),
+    lat AS (
+        SELECT event_type, day,
+               MAX(tsec) OVER (PARTITION BY event_type, day ORDER BY event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - tsec AS late
+        FROM e
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN late > 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_60s,
+           CAST(SUM(CASE WHEN late > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_300s,
+           {sql_fround("MAX(late)", 3)} AS max_late_sec
+    FROM lat GROUP BY event_type, day
+    """,
+    doc="Late-event profile — the measurement that sizes a Structured "
+    "Streaming watermark BEFORE deploying one: treating event_id as "
+    "arrival order (the generator's stand-in for ingestion sequence), "
+    "each event's lateness is the running per-(type, day) event-time "
+    "maximum minus its own event time; the rollup reports how many "
+    "events arrive more than 60 s / 300 s behind the frontier and the "
+    "worst straggler per group. Pick the watermark at the knee of "
+    "these counts: `withWatermark` drops exactly the events this "
+    "query counts (the streaming suite's watermark tests exercise the "
+    "drop; this is the batch audit that chooses the bound). The "
+    "running-max window partitions by (event_type, day), so partitions "
+    "stay day-sized at any corpus scale; lateness is a DIFFERENCE of "
+    "epoch seconds, so it is timezone-offset-invariant and "
+    "engine-identical (microsecond-exact doubles).",
+)
+def e25_late_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tsec = F.col("ts").cast("double")
+    e = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "event_id",
+        tsec.alias("tsec"),
+    )
+    w = (
+        W.partitionBy("event_type", "day")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    lat = e.select(
+        "event_type", "day", (F.max("tsec").over(w) - F.col("tsec")).alias("late")
+    )
+    return lat.groupBy("event_type", F.date_format("day", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum((F.col("late") > 60).cast("int")).cast("bigint").alias("n_late_60s"),
+        F.sum((F.col("late") > 300).cast("int")).cast("bigint").alias("n_late_300s"),
+        fround(F.max("late"), 3).alias("max_late_sec"),
+    )

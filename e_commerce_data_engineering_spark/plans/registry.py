@@ -168,6 +168,7 @@ _PRIORITY: tuple[str, ...] = (
     "s14_filtered_cosine_topk",
     "t40_dup_spans",
     "t41_span_removal_stats",
+    "e25_late_event_profile",
     # rows-only last within the round-4 block: if the driver's ~50-entry
     # sweep cap cuts the tail, it cuts a rows-only check, not an oracle
     "s11_ivfpq_topk",

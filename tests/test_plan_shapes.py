@@ -451,3 +451,11 @@ def test_t41_reuses_anchored_match_shape(spark):
     plan = plan_of(spark, "t41_span_removal_stats")
     assert "CartesianProduct" not in plan, plan
     assert "LeftSemi" in plan, plan
+
+
+def test_e25_lateness_is_pure_window_agg(spark):
+    """The late-event profile is one running-max window partitioned by
+    (event_type, day) plus a rollup — no join in the plan at all."""
+    plan = plan_of(spark, "e25_late_event_profile")
+    assert "Window" in plan, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
