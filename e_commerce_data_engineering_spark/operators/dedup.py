@@ -45,6 +45,24 @@ def _cached(df: DataFrame, key: tuple | None, build) -> DataFrame:
     return _FRAME_CACHE[full_key]
 
 
+def clear_frame_cache(cache_key: str | None = None) -> int:
+    """Evict cached shingle/signature frames (all, or just the entries
+    whose caller key is ``cache_key``), unpersisting each — the dedup-
+    family twin of ``similarity.clear_ivf_cache``: keeps executor
+    storage bounded in long sessions that sweep many corpora. Returns
+    the number evicted."""
+    evict = [k for k in _FRAME_CACHE if cache_key is None or cache_key in k]
+    n = 0
+    for k in evict:
+        frame = _FRAME_CACHE.pop(k)
+        try:
+            frame.unpersist()
+        except Exception:  # frame's session may already be stopped
+            pass
+        n += 1
+    return n
+
+
 def _shingle_frame(
     df: DataFrame, id_col: str, text_col: str, n: int, cache_key: str | None = None
 ):

@@ -1060,3 +1060,31 @@ def test_chi2_matches_pure_python(spark):
     assert got["n"] == n
     assert got["dof"] == (len(rt) - 1) * (len(ct) - 1)
     assert abs(got["chi2"] - chi2) < 1e-3, (got["chi2"], chi2)
+
+
+def test_dedup_frame_cache_eviction_unpersists(spark):
+    """clear_frame_cache must drop and unpersist the shared shingle/
+    signature frames (the dedup-family twin of clear_ivf_cache)."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_engineering_spark.operators.dedup import (
+        _FRAME_CACHE,
+        _shingle_frame,
+        clear_frame_cache,
+    )
+
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.concat(F.lit(f"w{i}"), (F.col("id") % 5)) for i in range(6)]
+        ).alias("text"),
+    )
+    frame = _shingle_frame(docs, "doc_id", "text", 3, cache_key="evict-frame-test")
+    frame.count()
+    assert frame.storageLevel.useMemory
+    before = sum(1 for k in _FRAME_CACHE if "evict-frame-test" in k)
+    assert before >= 1
+    n = clear_frame_cache("evict-frame-test")
+    assert n == before
+    assert not any("evict-frame-test" in k for k in _FRAME_CACHE)
+    assert not frame.storageLevel.useMemory
