@@ -67,13 +67,86 @@ def _load_all_modules() -> None:
 # constant (round 3's version computed it at import time from
 # CORRECTNESS_r*.json artifacts at the repo root, which made the public
 # API order depend on untracked local files — removed per round-3
-# ADVICE). _PRIORITY front-loads the youngest query families (round-3/4
-# additions, oracle-backed before rows-only); every other name follows
-# in sorted order. The list is append-only: new queries are added here
-# when they are registered. Consumers that care about specific entries
-# look them up by name; the order only affects enumeration.
+# ADVICE). The driver's per-round correctness sweep records roughly the
+# FIRST 50 names of this enumeration, so the rotation policy is:
+# queries that have never appeared in a driver CORRECTNESS record come
+# first (oracle-backed before rows-only), new additions for the current
+# round next, and names with an official record behind them. The list
+# is edited (rotated) once per round as a committed change — never
+# derived from driver artifacts at import time. Consumers that care
+# about specific entries look them up by name; the order only affects
+# enumeration.
 _PRIORITY: tuple[str, ...] = (
-    # oracle-backed
+    # --- round-5 front block: the 37 queries never recorded by the
+    # driver through round 4 (they sat at positions 51+ of the round-4
+    # order). Oracle-backed first; s11 (rows-only) closes the block.
+    "d10_portable_simhash_pairs",
+    "d11_fuzzy_name_pairs",
+    "d12_semdedup_greedy",
+    "d13_golden_record",
+    "e15_trending_decay",
+    "e16_variant_props",
+    "e17_ewma_daily",
+    "e18_transition_matrix",
+    "e19_new_vs_returning",
+    "e20_burst_users",
+    "e21_last_touch_attribution",
+    "e22_dow_seasonality",
+    "e23_cusum_changepoint",
+    "e24_ab_test",
+    "e25_late_event_profile",
+    "g05_clustering_coeff",
+    "g06_kcore_prune",
+    "m04_video_frame_sample",
+    "q67_market_basket",
+    "q68_rfm_segments",
+    "q69_pivot_weekday",
+    "q70_column_profile",
+    "q71_salted_skew_agg",
+    "s12_rrf_hybrid_rank",
+    "s13_mrl_truncation_recall",
+    "s14_filtered_cosine_topk",
+    "t33_dup_cluster_histogram",
+    "t34_lang_source_chi2",
+    "t35_zipf_fit",
+    "t36_langid_prf",
+    "t37_ks_drift",
+    "t38_quality_auc",
+    "t39_calibration_bins",
+    "t40_dup_spans",
+    "t41_span_removal_stats",
+    "x08_histogram_quantiles",
+    "s11_ivfpq_topk",
+    # --- round-5 additions land here (within the driver's ~50-entry
+    # sweep window) as they are registered.
+    # --- already driver-recorded (r1–r4), youngest families first.
+    "x05_cms_portable",
+    "g02_pagerank_two_steps",
+    "s08_bucket_lsh_topk",
+    "d08_bucketed_neardup_pairs",
+    "t24_context_chunks",
+    "t25_mixture_weights",
+    "t26_chunk_dup_rate",
+    "s09_int8_quantized_recall",
+    "q60_returned_item_customers",
+    "q61_shipping_delay_priority",
+    "q62_top_revenue_supplier",
+    "q63_supplier_part_relationship",
+    "q64_small_quantity_revenue",
+    "q65_large_volume_customers",
+    "q66_excess_stock_suppliers",
+    "d09_portable_minhash_pairs",
+    "t27_dsir_weights",
+    "x06_bloom_membership",
+    "s10_pq_topk",
+    "g03_cc_two_hop",
+    "g04_triangle_counts",
+    "x07_hll_portable",
+    "t28_priority_sample",
+    "t29_segment_dedup",
+    "t30_bm25_topk",
+    "t31_mixture_sample",
+    "t32_source_overlap",
     "t12_token_budget_packing",
     "t13_repetition_stats",
     "t14_contamination_check",
@@ -86,7 +159,6 @@ _PRIORITY: tuple[str, ...] = (
     "t21_unigram_logprob",
     "t22_containment_pairs",
     "t23_bigram_logprob",
-    # rows-only
     "d06_semdedup",
     "d07_semdedup_recall",
     "g01_pagerank",
@@ -98,80 +170,6 @@ _PRIORITY: tuple[str, ...] = (
     "x02_approx_quantiles",
     "x03_hll_sketch_rollup",
     "x04_cms_heavy_hitters",
-    # round-4 oracle-checked twins of formerly rows-only machinery
-    "x05_cms_portable",
-    "g02_pagerank_two_steps",
-    "s08_bucket_lsh_topk",
-    "d08_bucketed_neardup_pairs",
-    # round-4 LLM-pipeline additions
-    "t24_context_chunks",
-    "t25_mixture_weights",
-    "t26_chunk_dup_rate",
-    "s09_int8_quantized_recall",
-    # round-4 TPC-H decision-support analogs (plans/tpch_extra.py)
-    "q60_returned_item_customers",
-    "q61_shipping_delay_priority",
-    "q62_top_revenue_supplier",
-    "q63_supplier_part_relationship",
-    "q64_small_quantity_revenue",
-    "q65_large_volume_customers",
-    "q66_excess_stock_suppliers",
-    # round-4 late additions: portable-hash LSH twin, DSIR mixture
-    # weights, Bloom-filter membership, product-quantization ANN
-    "d09_portable_minhash_pairs",
-    "t27_dsir_weights",
-    "x06_bloom_membership",
-    "s10_pq_topk",
-    "g03_cc_two_hop",
-    # round-4 closing additions
-    "g04_triangle_counts",
-    "x07_hll_portable",
-    "t28_priority_sample",
-    "t29_segment_dedup",
-    "t30_bm25_topk",
-    "t31_mixture_sample",
-    "t32_source_overlap",
-    "e15_trending_decay",
-    "d10_portable_simhash_pairs",
-    "e16_variant_props",
-    "d11_fuzzy_name_pairs",
-    "e17_ewma_daily",
-    "e18_transition_matrix",
-    "q67_market_basket",
-    "q68_rfm_segments",
-    "q69_pivot_weekday",
-    "e19_new_vs_returning",
-    "t33_dup_cluster_histogram",
-    "q70_column_profile",
-    "t34_lang_source_chi2",
-    "t35_zipf_fit",
-    "e20_burst_users",
-    "t36_langid_prf",
-    # round-4 continuation: attribution/seasonality/changepoint
-    # analytics, drift + classifier-eval stats, salted skew aggregate
-    "e21_last_touch_attribution",
-    "e22_dow_seasonality",
-    "e23_cusum_changepoint",
-    "t37_ks_drift",
-    "t38_quality_auc",
-    "q71_salted_skew_agg",
-    "s12_rrf_hybrid_rank",
-    "t39_calibration_bins",
-    "e24_ab_test",
-    "g05_clustering_coeff",
-    "d12_semdedup_greedy",
-    "d13_golden_record",
-    "s13_mrl_truncation_recall",
-    "g06_kcore_prune",
-    "x08_histogram_quantiles",
-    "m04_video_frame_sample",
-    "s14_filtered_cosine_topk",
-    "t40_dup_spans",
-    "t41_span_removal_stats",
-    "e25_late_event_profile",
-    # rows-only last within the round-4 block: if the driver's ~50-entry
-    # sweep cap cuts the tail, it cuts a rows-only check, not an oracle
-    "s11_ivfpq_topk",
 )
 
 _PRIORITY_RANK = {name: i for i, name in enumerate(_PRIORITY)}
