@@ -32,33 +32,43 @@ def shingles_of(text: Column, n: int = 3) -> Column:
 # the expensive half of every run. Keyed by (applicationId, caller key,
 # params) so a full-inventory sweep builds them once, not once per
 # query. At 100 TB the equivalent is writing the signature table out
-# once and reading it from every consumer.
-_FRAME_CACHE: dict[tuple, DataFrame] = {}
+# once and reading it from every consumer. Each value is the FULL list
+# of frames the build persisted — primary first, then any inner
+# materialization barriers (e.g. _shingle_frame's tokens step) — so
+# eviction releases everything the build pinned, not just the frame it
+# returned.
+_FRAME_CACHE: dict[tuple, list[DataFrame]] = {}
 
 
 def _cached(df: DataFrame, key: tuple | None, build) -> DataFrame:
+    """``build()`` returns ``[primary, *aux]`` persisted frames."""
     if key is None:
-        return build()
+        frames = build()
+        assert isinstance(frames, list), "build() must return [primary, *aux]"
+        return frames[0]
     full_key = (df.sparkSession.sparkContext.applicationId, *key)
     if full_key not in _FRAME_CACHE:
-        _FRAME_CACHE[full_key] = build()
-    return _FRAME_CACHE[full_key]
+        frames = build()
+        assert isinstance(frames, list), "build() must return [primary, *aux]"
+        _FRAME_CACHE[full_key] = frames
+    return _FRAME_CACHE[full_key][0]
 
 
 def clear_frame_cache(cache_key: str | None = None) -> int:
     """Evict cached shingle/signature frames (all, or just the entries
-    whose caller key is ``cache_key``), unpersisting each — the dedup-
-    family twin of ``similarity.clear_ivf_cache``: keeps executor
-    storage bounded in long sessions that sweep many corpora. Returns
-    the number evicted."""
+    whose caller key is ``cache_key``), unpersisting each — including
+    the builds' inner barrier frames — the dedup-family twin of
+    ``similarity.clear_ivf_cache``: keeps executor storage bounded in
+    long sessions that sweep many corpora. Returns the number of cache
+    entries evicted."""
     evict = [k for k in _FRAME_CACHE if cache_key is None or cache_key in k]
     n = 0
     for k in evict:
-        frame = _FRAME_CACHE.pop(k)
-        try:
-            frame.unpersist()
-        except Exception:  # frame's session may already be stopped
-            pass
+        for frame in _FRAME_CACHE.pop(k):
+            try:
+                frame.unpersist()
+            except Exception:  # frame's session may already be stopped
+                pass
         n += 1
     return n
 
@@ -79,11 +89,12 @@ def _shingle_frame(
             .select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk"))
             .persist()
         )
-        return (
+        sh = (
             base.select("_id", F.array_distinct(shingles_zip(F.col("_tk"), n)).alias("_sh"))
             .filter(F.size("_sh") > 0)
             .persist()
         )
+        return [sh, base]
 
     key = ("shingles", cache_key, id_col, text_col, n) if cache_key else None
     return _cached(df, key, build)
@@ -100,9 +111,11 @@ def _signature_frame(
     3 s materialized)."""
 
     def build():
-        return base.select(
-            "_id", "_sh", minhash_signature(F.col("_sh"), num_hashes).alias("_sig")
-        ).persist()
+        return [
+            base.select(
+                "_id", "_sh", minhash_signature(F.col("_sh"), num_hashes).alias("_sig")
+            ).persist()
+        ]
 
     key = ("sig", cache_key, num_hashes) if cache_key else None
     return _cached(base, key, build)
@@ -169,9 +182,11 @@ def minhash_lsh_pairs(
     return _cached(
         df,
         key,
-        lambda: _minhash_lsh_pairs_build(
-            df, id_col, text_col, num_hashes, bands, shingle_n, jaccard_threshold, cache_key
-        ).persist(),
+        lambda: [
+            _minhash_lsh_pairs_build(
+                df, id_col, text_col, num_hashes, bands, shingle_n, jaccard_threshold, cache_key
+            ).persist()
+        ],
     )
 
 
@@ -269,7 +284,7 @@ def minhash_lsh_pairs_portable(
             ),
         )
         # materialized before the self-join (the d01 inlining lesson)
-        return hashed.select("_id", "_sh", sig_col.alias("_sig")).persist()
+        return [hashed.select("_id", "_sh", sig_col.alias("_sig")).persist()]
 
     key = ("sig_portable", cache_key, num_hashes, shingle_n) if cache_key else None
     sig = _cached(base, key, build_sig)
@@ -442,7 +457,10 @@ def simhash_pairs(
             )
             .persist()
         )
-        return hashed.select("_id", simhash_from_hashes(F.col("_hs")).alias("_sim")).persist()
+        sim = hashed.select(
+            "_id", simhash_from_hashes(F.col("_hs")).alias("_sim")
+        ).persist()
+        return [sim, hashed]
 
     sigs = _cached(df, ("simhash", cache_key, id_col, text_col) if cache_key else None, build)
     def chunk(lo: int, hi: int):
@@ -859,12 +877,49 @@ def dedupe_segments(
 # scale harness)
 # ---------------------------------------------------------------------------
 
+def _positional_shingle_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int,
+    cache_key: str | None,
+) -> DataFrame:
+    """(_id, _pos, _h) persisted frame of POSITIONED w-token shingle
+    hashes (1-based position). Persisted because every consumer reads
+    it at least three times (document-frequency pass + both sides of
+    the anchored self-join) and Catalyst's projection collapse would
+    otherwise inline tokenize+shingle+md5 into each read — the same
+    recompute trap ``_shingle_frame`` exists to avoid. Tracked in
+    ``_FRAME_CACHE`` (evict via ``clear_frame_cache``)."""
+
+    def build():
+        toks = (
+            fan_out(df)
+            .select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk"))
+            .filter(F.size("_tk") >= w)
+        )
+        sh = (
+            toks.select(
+                "_id", F.posexplode(shingles_zip(F.col("_tk"), w)).alias("_pos0", "_s")
+            )
+            .select(
+                "_id", (F.col("_pos0") + 1).alias("_pos"), F.md5(F.col("_s")).alias("_h")
+            )
+            .persist()
+        )
+        return [sh]
+
+    key = ("pos-shingles", cache_key, id_col, text_col, w) if cache_key else None
+    return _cached(df, key, build)
+
+
 def dup_span_runs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     w: int = 8,
     max_df: int = 20,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Shared token RUNS across doc pairs → one row per maximal run:
     ``(doc_a, doc_b, run_shingles, j0)`` with ``doc_a < doc_b``,
@@ -885,13 +940,14 @@ def dup_span_runs(
     max_df > K or true duplicate runs fall to the cap — measured in
     SCALING.md, where the harness scales the cap with the replication
     factor).
+
+    ``cache_key`` (recommended: the corpus path) shares the persisted
+    positional-shingle frame across invocations — the t40/t41 pair
+    reads it once instead of shingling the corpus per query. Without
+    it the frame is still persisted for the three reads within one
+    invocation but is not session-cached.
     """
-    toks = fan_out(df).select(
-        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk")
-    ).filter(F.size("_tk") >= w)
-    sh = toks.select(
-        "_id", F.posexplode(shingles_zip(F.col("_tk"), w)).alias("_pos0", "_s")
-    ).select("_id", (F.col("_pos0") + 1).alias("_pos"), F.md5(F.col("_s")).alias("_h"))
+    sh = _positional_shingle_frame(df, id_col, text_col, w, cache_key)
     freq = (
         sh.groupBy("_h")
         .agg(F.countDistinct("_id").alias("_df"))

@@ -227,6 +227,16 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
         if n_next == n_edges:  # no edge removed -> degrees are stable
             break
         n_edges = n_next
+    else:
+        # max_iter exhausted before the peel reached its fixpoint: the
+        # remaining subgraph may still contain sub-k nodes, so a silent
+        # return would NOT be the k-core. Fail loudly (repo convention —
+        # cf. the non-baseline-JPEG path) rather than approximate.
+        raise RuntimeError(
+            f"kcore(k={k}) did not converge within max_iter={max_iter} "
+            f"rounds ({n_edges} edges still alive); raise max_iter — "
+            "rounds needed equal the graph's peel depth"
+        )
     return (
         alive.select(F.col("u").alias("node"))
         .union(alive.select(F.col("v").alias("node")))

@@ -2248,7 +2248,7 @@ def t40_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import dup_span_runs
 
     d = load_table(spark, sf_dir, "documents")
-    runs = dup_span_runs(d, "doc_id", "text", w=T40_W, max_df=T40_MAX_DF)
+    runs = dup_span_runs(d, "doc_id", "text", w=T40_W, max_df=T40_MAX_DF, cache_key=sf_dir)
     return (
         runs.groupBy("doc_a", "doc_b")
         .agg(
@@ -2327,9 +2327,9 @@ def t41_span_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.layout import fan_out
 
     d = load_table(spark, sf_dir, "documents")
-    runs = dup_span_runs(d, "doc_id", "text", w=T40_W, max_df=T40_MAX_DF).filter(
-        F.col("run_shingles") >= T40_MIN_RUN
-    )
+    runs = dup_span_runs(
+        d, "doc_id", "text", w=T40_W, max_df=T40_MAX_DF, cache_key=sf_dir
+    ).filter(F.col("run_shingles") >= T40_MIN_RUN)
     cuts = runs.select(
         F.col("doc_b").alias("doc_id"),
         F.col("j0").alias("s"),

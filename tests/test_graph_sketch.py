@@ -426,3 +426,15 @@ def test_kcore_deep_peel_chain(spark):
     got = {r["node"]: r["degree"] for r in kcore(df, 2).collect()}
     assert got == {100: 2, 101: 2, 102: 2}
     assert kcore(spark.createDataFrame(path, ["u", "v"]), 2).count() == 0
+
+
+def test_kcore_raises_when_max_iter_exhausted(spark):
+    """An unconverged peel must fail loudly, not return a subgraph that
+    is not the k-core (round-4 ADVICE): a 12-node chain needs ~6 peel
+    rounds, so max_iter=2 cannot reach the (empty) fixpoint."""
+    from e_commerce_data_engineering_spark.operators.graph import kcore
+
+    path = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(path, ["u", "v"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(df, 2, max_iter=2).collect()

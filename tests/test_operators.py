@@ -1082,9 +1082,54 @@ def test_dedup_frame_cache_eviction_unpersists(spark):
     frame = _shingle_frame(docs, "doc_id", "text", 3, cache_key="evict-frame-test")
     frame.count()
     assert frame.storageLevel.useMemory
-    before = sum(1 for k in _FRAME_CACHE if "evict-frame-test" in k)
+    keys = [k for k in _FRAME_CACHE if "evict-frame-test" in k]
+    before = len(keys)
     assert before >= 1
+    # the build pins an inner tokens frame as a projection-collapse
+    # barrier; eviction must release it too, or storage grows by one
+    # tokenized corpus per swept corpus (round-4 ADVICE)
+    aux = [f for k in keys for f in _FRAME_CACHE[k][1:]]
+    assert aux, "shingle build should track its inner tokens frame"
+    assert all(f.storageLevel.useMemory for f in aux)
     n = clear_frame_cache("evict-frame-test")
     assert n == before
     assert not any("evict-frame-test" in k for k in _FRAME_CACHE)
     assert not frame.storageLevel.useMemory
+    assert all(not f.storageLevel.useMemory for f in aux)
+
+
+def test_ivf_cache_rebuild_unpersists_predecessor(spark):
+    """cached_ivf_index(rebuild=True) and clear_ivf_cache must unpersist
+    the superseded assigned frame — a long-lived session re-keying the
+    index must not pin stale frames (round-4 verdict task)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_engineering_spark.operators.similarity import (
+        _IVF_CACHE,
+        cached_ivf_index,
+        clear_ivf_cache,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(40)]
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    first, _ = cached_ivf_index(vecs, 4, "vec_id", "embedding", 1, cache_key="evict-ivf-test")
+    first.count()
+    assert first.storageLevel.useMemory
+    # rebuild from DIFFERENT data: storageLevel lookups are by logical
+    # plan, so an identical rebuild would alias the successor's cache
+    # entry and mask a leak of the predecessor
+    rows2 = rows + [(40, [0.1, 0.2, 0.3, 0.4])]
+    vecs2 = spark.createDataFrame(rows2, "vec_id bigint, embedding array<double>")
+    second, _ = cached_ivf_index(
+        vecs2, 4, "vec_id", "embedding", 1, cache_key="evict-ivf-test", rebuild=True
+    )
+    second.count()
+    assert not first.storageLevel.useMemory, "rebuild must unpersist the predecessor"
+    assert second.storageLevel.useMemory
+    n = clear_ivf_cache("evict-ivf-test")
+    assert n == 1
+    assert not second.storageLevel.useMemory
+    assert not any(k[1] == "evict-ivf-test" for k in _IVF_CACHE)
