@@ -1086,3 +1086,170 @@ def s14_filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rn") <= TOP_K).select(
         "q_id", "c_id", fround(F.col("cos_sim"), 6).alias("cos_sim"), "rn"
     )
+
+
+# ---------------------------------------------------------------------------
+# s15 — the hash-checked IVF-PQ twin (the d12 move applied to s11):
+# FIXED data-derived centroids and codebooks make the whole IVFADC
+# chain — cell assignment, subspace argmin encoding, LUT construction,
+# ADC scoring, probe pruning — SQL-expressible, so DuckDB replays it
+# bit-for-bit. s11 keeps the trained-codebook production path.
+# ---------------------------------------------------------------------------
+
+S15_NLIST = 8  # IVF cells: centroid c = raw embedding of vec_id c
+S15_NPROBE = 3
+S15_M = 8  # PQ subspaces
+S15_DSUB = EMBEDDING_DIM // S15_M
+S15_KCODES = 16  # codes per subspace: entry k = unit subvector of vec_id k
+
+
+@query(
+    "s15_portable_ivfpq_topk",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, {_SQL_NORM_E} AS nrm, embedding FROM embeddings
+    ),
+    units AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS u
+        FROM base
+    ),
+    cents AS (SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+              WHERE vec_id < {S15_NLIST}),
+    dists AS (
+        SELECT e.vec_id, c.cell,
+               list_reduce(list_transform(generate_series(1, {EMBEDDING_DIM}),
+                   i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE))
+                        * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE))),
+                   (x,y) -> x+y) AS d
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    ranked_cells AS (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM dists
+    ),
+    assigned AS (SELECT vec_id, cell FROM ranked_cells WHERE rn = 1),
+    sub AS (
+        SELECT vec_id, m, u[m*{S15_DSUB}+1 : m*{S15_DSUB}+{S15_DSUB}] AS sv
+        FROM units, range(0, {S15_M}) t(m)
+    ),
+    cb AS (SELECT vec_id AS code, m, sv AS cv FROM sub WHERE vec_id < {S15_KCODES}),
+    encd AS (
+        SELECT s.vec_id, s.m, cb.code,
+               list_reduce(list_transform(generate_series(1, {S15_DSUB}),
+                   i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i])),
+                   (x,y) -> x+y) AS d
+        FROM sub s JOIN cb ON s.m = cb.m
+    ),
+    enc AS (
+        SELECT vec_id, m, code FROM (
+            SELECT vec_id, m, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+            FROM encd) ranked WHERE rn = 1
+    ),
+    probes AS (SELECT vec_id AS q_id, cell FROM ranked_cells
+               WHERE vec_id < {N_QUERY_VECS} AND rn <= {S15_NPROBE}),
+    lut AS (
+        SELECT vec_id AS q_id, m, code, CAST(FLOOR(d * {_Q} + 0.5) AS BIGINT) AS dq
+        FROM encd WHERE vec_id < {N_QUERY_VECS}
+    ),
+    adc AS (
+        SELECT p.q_id, a.vec_id AS c_id, SUM(dq) AS ai
+        FROM probes p
+        JOIN assigned a ON a.cell = p.cell
+        JOIN enc ON enc.vec_id = a.vec_id
+        JOIN lut ON lut.q_id = p.q_id AND lut.m = enc.m AND lut.code = enc.code
+        WHERE a.vec_id <> p.q_id
+        GROUP BY p.q_id, a.vec_id
+    )
+    SELECT q_id, c_id, CAST(ai AS DOUBLE) / {_Q} AS adc, CAST(rn AS INTEGER) AS rn
+    FROM (SELECT q_id, c_id, ai,
+                 ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ai, c_id) AS rn
+          FROM adc) ranked
+    WHERE rn <= {TOP_K}
+    """,
+    doc=f"Hash-checked twin of the s11 IVF-PQ pipeline (Jégou et al. "
+    f"2011 IVFADC): {S15_NLIST} FIXED centroids (raw embeddings of the "
+    f"first vectors — the d12 move, no Lloyd refinement) and {S15_M}×"
+    f"{S15_KCODES} FIXED codebooks (unit subvectors of the first "
+    f"{S15_KCODES} vectors), so cell assignment, per-subspace argmin "
+    "encoding, the probe LUT, and ADC ranking are all exact joins "
+    "DuckDB replays. Per-(m,code) LUT distances are quantized to 1e-6 "
+    "integers BEFORE the ADC sum, making the score order-independent "
+    "and the ranking engine-identical. Scale shape is s11's: centroids "
+    "and codebooks broadcast, the encode is a map-side join, and a "
+    f"probe touches only its {S15_NPROBE}/{S15_NLIST} cells via the "
+    "cell equi-join — never a cross join against the corpus. s11 stays "
+    "the production path (trained codebooks, exact re-rank); this twin "
+    "pins the shared IVFADC machinery under the oracle hash gate.",
+)
+def s15_portable_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = e.filter(F.col("vec_id") < S15_NLIST).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    sqd_full = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "c_emb",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = e.crossJoin(F.broadcast(cents)).select("vec_id", "cell", sqd_full.alias("d"))
+    ranked_cells = dists.withColumn(
+        "rn", F.row_number().over(W.partitionBy("vec_id").orderBy("d", "cell"))
+    )
+    assigned = ranked_cells.filter(F.col("rn") == 1).select("vec_id", "cell")
+    units = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x.cast("double") / l2_norm(F.col("embedding"))
+        ).alias("u"),
+    )
+    sub = units.select(
+        "vec_id", F.explode(F.sequence(F.lit(0), F.lit(S15_M - 1))).alias("m"), "u"
+    ).select(
+        "vec_id", "m", F.slice("u", F.col("m") * S15_DSUB + 1, S15_DSUB).alias("sv")
+    )
+    cb = sub.filter(F.col("vec_id") < S15_KCODES).select(
+        F.col("vec_id").alias("code"), "m", F.col("sv").alias("cv")
+    )
+    sqd_sub = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    encd = sub.join(F.broadcast(cb), "m").select("vec_id", "m", "code", sqd_sub.alias("d"))
+    enc = (
+        encd.withColumn(
+            "rn", F.row_number().over(W.partitionBy("vec_id", "m").orderBy("d", "code"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+    probes = ranked_cells.filter(
+        (F.col("vec_id") < N_QUERY_VECS) & (F.col("rn") <= S15_NPROBE)
+    ).select(F.col("vec_id").alias("q_id"), "cell")
+    lut = encd.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), "m", "code", quantized(F.col("d")).alias("dq")
+    )
+    adc = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(enc, "vec_id")
+        .join(F.broadcast(lut), ["q_id", "m", "code"])
+        .select("q_id", F.col("vec_id").alias("c_id"), "dq")
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("dq").alias("ai"))
+    )
+    return (
+        adc.withColumn(
+            "rn", F.row_number().over(W.partitionBy("q_id").orderBy("ai", "c_id"))
+        )
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "c_id", (F.col("ai").cast("double") / _Q).alias("adc"), "rn")
+    )
