@@ -4,7 +4,13 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
   {"metric": "headline_total_sec", "value": N, "unit": "sec",
+   "headline_r3_subset_sec": M,
    "queries": {"q01_pricing_summary": s, ...}, "sf": 0.1}
+
+``headline_r3_subset_sec`` sums the FIXED 24-query set benched in every
+round since round 3 — the round-over-round comparable number (the full
+headline total moves whenever entries are added, so it cannot be
+compared across rounds).
 
 Timing = full query execution to a noop-sink write: every output column
 is computed and serialized (a count() would let Catalyst prune unused
@@ -70,6 +76,36 @@ HEADLINE = [
     "t40_dup_spans",
 ]
 
+# The fixed cross-round comparison set: the 24 queries present in every
+# bench since round 3. FROZEN — do not add entries (new queries extend
+# HEADLINE instead); its sum is the only total comparable across rounds.
+R3_SUBSET = frozenset({
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_nation_revenue",
+    "q06_mktsegment_revenue",
+    "q07_distinct_agg",
+    "q14_range_join",
+    "q16_window_rank",
+    "q36_nation_volume",
+    "q17_window_running",
+    "e02_tumbling_window",
+    "e03_sessionize",
+    "e14_rolling_active_users",
+    "r06_discount_pattern",
+    "t01_token_stats",
+    "t23_bigram_logprob",
+    "t05_ngram_jaccard_pairs",
+    "t17_top_bigrams",
+    "t09_similarity_join",
+    "d03_minhash_dedupe",
+    "d04_embedding_neardup",
+    "d06_semdedup",
+    "s02_cosine_topk",
+    "s05_ivf_cosine_topk",
+    "a01_asof_join",
+})
+
 # Long-JVM run-to-run variance is measured at up to ±3x on the heavy
 # queries (GC/codegen/system load) — they get a third timed run so the
 # min is a stable steady-state number, not noise.
@@ -115,20 +151,30 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
-        for _ in range(3 if name in HEAVY else 2):
+        runs = 3 if name in HEAVY else 2
+        done = 0
+        while done < runs:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
+            done += 1
+            # sub-second entries sit inside scheduler-noise territory
+            # (±2.5x observed run-to-run); give every one a third run
+            # so a noisy sample can't masquerade as a plan regression
+            if done == runs and runs < 3 and best < 1.0:
+                runs = 3
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    r3_subset = round(sum(t for n, t in timings.items() if n in R3_SUBSET), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_total_sec",
                 "value": total,
                 "unit": "sec",
+                "headline_r3_subset_sec": r3_subset,
                 "queries": timings,
                 "sf": sf,
             }
