@@ -10,16 +10,18 @@ Decode tiers (this container has no Pillow/ffmpeg):
 
 * REAL, stdlib-only: PNG (IHDR dimensions, bit depth), JPEG (SOF-scan
   dimensions), WAV (header + frame count via ``wave`` — sample rate,
-  duration). These are genuine decoders over genuine bytes.
-* FAKE: the deterministic synthetic payload for formats that need a
-  pixel/AV codec (video) — gated by ``fake=True``.
-* Pixel-level work is REAL for both image formats: PNG via a full
+  duration), AVI (RIFF chunk walk — dimensions, frame rate, frame
+  count). These are genuine decoders over genuine bytes.
+* FAKE: the deterministic synthetic payload, kept only as a
+  plumbing-test path — gated by ``fake=True``.
+* Pixel-level work is REAL for images AND video: PNG via a full
   stdlib decoder (zlib inflate + scanline unfilter for all five PNG
   filter types), JPEG via the baseline codec in ``operators/jpeg.py``
   (Huffman entropy decode + IDCT + chroma upsampling; encoder with the
-  Annex K tables). Both feed the numpy nearest-neighbor resampler and
-  the matching re-encoder. Non-baseline JPEG (progressive/arithmetic)
-  raises ``ValueError`` — loudly, never a silent passthrough.
+  Annex K tables), video via MJPEG-in-AVI (``operators/avi.py``:
+  container parse + per-frame baseline-JPEG decode). Non-baseline
+  JPEG (progressive/arithmetic) and non-MJPEG video raise
+  ``ValueError`` — loudly, never a silent passthrough.
 """
 
 from __future__ import annotations
@@ -51,10 +53,13 @@ try:  # the serializer pyspark actually uses for UDFs
 except ImportError:  # pragma: no cover - fallback for standalone use
     import cloudpickle as _cp
 _cp.register_pickle_by_value(_sys_mod[__name__])
-from . import jpeg as _jpeg_mod  # noqa: E402  (after the pickle hook)
+from . import avi as _avi_mod  # noqa: E402  (after the pickle hook)
+from . import jpeg as _jpeg_mod  # noqa: E402
+from .avi import avi_bytes, avi_decode_frame, avi_frame_ms, avi_parse  # noqa: E402
 from .jpeg import jpeg_bytes, jpeg_decode, jpeg_encode  # noqa: E402
 
 _cp.register_pickle_by_value(_jpeg_mod)
+_cp.register_pickle_by_value(_avi_mod)
 
 ASSET_SCHEMA = T.StructType(
     [
@@ -250,6 +255,9 @@ def parse_asset_bytes(b: bytes) -> tuple[str, int | None, int | None, int | None
         with wave.open(io.BytesIO(b)) as w:
             sr = w.getframerate()
             return ("wav", None, None, sr, int(w.getnframes() * 1000 / sr))
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        info = avi_parse(b)
+        return ("avi", info["width"], info["height"], None, info["duration_ms"])
     return ("unknown", None, None, None, None)
 
 FEATURE_DIM = 16
@@ -290,10 +298,10 @@ def make_fake_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 def make_real_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     """Mixed-modality assets with GENUINE container bytes: images
     alternate valid PNGs and valid baseline JPEGs (operators/jpeg.py),
-    audio is valid 16-bit PCM WAV; video keeps the synthetic FAKE
-    payload (no stdlib video codec). JPEGs are sized past the usual
-    resize bounds so the resize pipeline genuinely rescales them.
-    Deterministic per (n, seed)."""
+    audio is valid 16-bit PCM WAV, video is valid MJPEG-in-AVI
+    (operators/avi.py — every frame a real baseline JPEG). JPEGs are
+    sized past the usual resize bounds so the resize pipeline genuinely
+    rescales them. Deterministic per (n, seed)."""
     rows = []
     for i in range(n):
         modality = ("image", "audio", "video")[i % 3]
@@ -311,13 +319,12 @@ def make_real_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
             payload = wav_bytes(sr, dur, 220.0 + 5 * i)
             meta = ("wav", None, None, sr, dur)
         else:
-            w, h = 64 + (i * 7) % 512, 64 + (i * 13) % 512
-            payload = (
-                _MAGIC
-                + struct.pack("<iiqq", w, h, seed, i)
-                + bytes((i + j) % 251 for j in range(128))
-            )
-            meta = ("fake", w, h, None, 1000 + i)
+            # duration varies per video (i // 3 walks 0,1,2,... across
+            # the corpus while i % 3 is fixed at 2 for video rows)
+            w, h = 16 + (i * 8) % 32, 12 + (i * 4) % 24
+            n_frames, fps = 2 + (i // 3) % 5, 4
+            payload = avi_bytes(w, h, n_frames=n_frames, fps=fps, seed=seed + i)
+            meta = ("avi", w, h, None, n_frames * 1000 // fps)
         rows.append((i, modality, payload, meta))
     n_parts = max(1, min(spark.sparkContext.defaultParallelism, n // 32))
     return spark.createDataFrame(rows, ASSET_SCHEMA).coalesce(n_parts)
@@ -434,9 +441,10 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
 
 
 def sample_video_frames(assets: DataFrame, every_ms: int = 250) -> DataFrame:
-    """Frame-sampling plumbing: one output row per sampled frame offset
+    """Frame-sampling PLAN: one output row per sampled frame offset
     (timestamps from meta.duration_ms — no decode needed for planning).
-    The actual frame extraction would live in the mapInPandas decode."""
+    ``extract_video_frames`` is the execution half that actually
+    decodes the sampled frames' pixels."""
     frames = assets.filter(F.col("modality") == "video").select(
         "asset_id",
         F.explode(
@@ -444,6 +452,73 @@ def sample_video_frames(assets: DataFrame, every_ms: int = 250) -> DataFrame:
         ).alias("frame_ms"),
     )
     return frames
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ms", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("mean_luma", T.DoubleType(), False),
+    ]
+)
+
+
+def extract_video_frames(assets: DataFrame, every_ms: int = 250) -> DataFrame:
+    """REAL video pixel decode via mapInPandas: MJPEG-in-AVI container
+    parse (operators/avi.py) + per-frame baseline-JPEG decode, sampling
+    the frame at each ``every_ms`` timestamp (dedup'd by frame index —
+    a timestamp past the last frame clamps to it). Emits per-frame
+    dimensions and mean luma (ITU-R BT.601 weights over the decoded
+    RGB), the shot-boundary / black-frame signal a video curation
+    pipeline filters on. Non-AVI video rows (or non-MJPEG streams)
+    raise ``ValueError`` loudly — decode gaps must not be silent.
+
+    Scale shape: one Arrow batch in, one decoded-stats batch out —
+    a narrow map with no shuffle; at 100 TB the asset table arrives
+    partitioned and each worker decodes only its partition's bytes."""
+
+    def _frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                info = avi_parse(bytes(content))
+                frame_dur_ms = 1000 * info["scale"] / info["rate"]
+                wanted: list[int] = []
+                for ts in range(0, info["duration_ms"] + 1, every_ms):
+                    idx = min(int(ts / frame_dur_ms), info["n_frames"] - 1)
+                    if idx not in wanted:
+                        wanted.append(idx)
+                for idx in wanted:
+                    px = avi_decode_frame(info, idx)
+                    luma = (
+                        0.299 * px[:, :, 0].astype(np.float64)
+                        + 0.587 * px[:, :, 1]
+                        + 0.114 * px[:, :, 2]
+                    )
+                    out.append(
+                        (
+                            asset_id,
+                            idx,
+                            avi_frame_ms(info, idx),
+                            px.shape[1],
+                            px.shape[0],
+                            float(luma.mean()),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "frame_idx", "frame_ms", "width", "height", "mean_luma",
+                ],
+            )
+
+    vids = assets.filter(F.col("modality") == "video").select("asset_id", "content")
+    return vids.mapInPandas(_frames_batch, VIDEO_FRAME_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(

@@ -339,10 +339,10 @@ def s11_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # synthetic binary assets, not a driver table
     doc="Multimodal decode over GENUINE container bytes: images are "
     "valid PNGs and baseline JPEGs (operators/jpeg.py encoder), audio "
-    "valid PCM WAVs — decoded for real by stdlib header parsers inside "
-    "Arrow mapInPandas batches (PNG IHDR / JPEG SOF / RIFF-WAVE — "
-    "operators/multimodal.py); video keeps the synthetic payload (no "
-    "stdlib AV codec). Rollup by modality × decoded format.",
+    "valid PCM WAVs, video valid MJPEG AVIs (operators/avi.py) — "
+    "decoded for real by stdlib parsers inside Arrow mapInPandas "
+    "batches (PNG IHDR / JPEG SOF / RIFF-WAVE / RIFF-AVI chunk walk — "
+    "operators/multimodal.py). Rollup by modality × decoded format.",
 )
 def m01_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import make_real_assets
@@ -416,7 +416,7 @@ def m03_image_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "m04_video_frame_sample",
     oracle="""
     WITH vids AS (
-        SELECT i AS asset_id, 1000 + i AS duration_ms
+        SELECT i AS asset_id, (2 + (i // 3) % 5) * 250 AS duration_ms
         FROM (SELECT unnest(generate_series(0, 119)) AS i) t
         WHERE i % 3 = 2
     ),
@@ -433,14 +433,14 @@ def m03_image_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "row per (asset, 250 ms offset) from explode(sequence(0, "
     "duration_ms, 250)) — the sampling grid a video curation pipeline "
     "fans out to its decoder, produced from metadata alone (no codec "
-    "touch; the per-frame pixel extraction is the documented "
-    "environment-bound stub in operators/multimodal.py). The asset "
-    "corpus is deterministic (modality = id % 3, video duration = "
-    "1000 + id ms — operators/multimodal.make_real_assets), so the "
-    "whole sampling plan is hash-checked: the oracle regenerates the "
-    "identical grid from the same arithmetic. At scale this explode "
-    "is the fan-out stage ahead of a mapInPandas decode, partitioned "
-    "by asset — rows grow with total video duration, never quadratic.",
+    "touch; m05 is the execution half that decodes the sampled frames' "
+    "pixels for real). The asset corpus is deterministic (modality = "
+    "id % 3, video = MJPEG AVI with 2 + (id//3) % 5 frames at 4 fps — "
+    "operators/multimodal.make_real_assets), so the whole sampling "
+    "plan is hash-checked: the oracle regenerates the identical grid "
+    "from the same arithmetic. At scale this explode is the fan-out "
+    "stage ahead of a mapInPandas decode, partitioned by asset — rows "
+    "grow with total video duration, never quadratic.",
 )
 def m04_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import make_real_assets, sample_video_frames
@@ -450,6 +450,35 @@ def m04_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.groupBy("asset_id").agg(
         F.count(F.lit(1)).alias("n_frames"),
         F.max("frame_ms").cast("bigint").alias("last_frame_ms"),
+    )
+
+
+@query(
+    "m05_video_frame_luma",
+    oracle=None,  # REAL MJPEG pixel decode — SQL engines cannot replay a
+    # Huffman/IDCT codec; pixel parity vs a direct numpy decode of the
+    # same AVI bytes is pinned in tests/test_operators.py
+    doc="REAL video pixel decode (the execution half of m04's sampling "
+    "plan): MJPEG-in-AVI container parse + per-frame baseline-JPEG "
+    "decode (operators/avi.py over operators/jpeg.py) inside Arrow "
+    "mapInPandas batches, emitting per-frame mean luma (BT.601) — the "
+    "black-frame / shot-change signal a video curation pipeline "
+    "filters on — rolled up per asset. Non-MJPEG streams raise, never "
+    "pass through. Scale shape: a narrow shuffle-free map over "
+    "asset-partitioned bytes; frame fan-out is bounded by total video "
+    "duration (operators/multimodal.extract_video_frames).",
+)
+def m05_video_frame_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_video_frames, make_real_assets
+
+    assets = make_real_assets(spark, 120)
+    frames = extract_video_frames(assets, every_ms=250)
+    return frames.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("n_decoded"),
+        F.max("width").alias("width"),
+        F.max("height").alias("height"),
+        F.round(F.avg("mean_luma"), 2).alias("avg_luma"),
+        F.round(F.max("mean_luma") - F.min("mean_luma"), 2).alias("luma_range"),
     )
 
 

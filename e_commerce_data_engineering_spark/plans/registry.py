@@ -120,6 +120,7 @@ _PRIORITY: tuple[str, ...] = (
     # --- round-5 additions land here (within the driver's ~50-entry
     # sweep window) as they are registered.
     "s15_portable_ivfpq_topk",
+    "m05_video_frame_luma",
     # --- already driver-recorded (r1–r4), youngest families first.
     "x05_cms_portable",
     "g02_pagerank_two_steps",

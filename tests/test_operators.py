@@ -211,9 +211,9 @@ def test_multimodal_decode_fake(spark):
 
 
 def test_multimodal_decode_real_formats(spark):
-    """PNG and WAV bytes are decoded by the REAL stdlib parsers: the
+    """PNG/WAV/AVI bytes are decoded by the REAL stdlib parsers: the
     recovered dimensions/sample-rate/duration must equal what the
-    encoder wrote; FAKE payloads without fake=True classify unknown."""
+    encoder wrote — every modality, no fake gate."""
     from e_commerce_data_engineering_spark.operators.multimodal import make_real_assets
 
     assets = make_real_assets(spark, 60)
@@ -228,8 +228,10 @@ def test_multimodal_decode_real_formats(spark):
         elif r["modality"] == "audio":
             assert r["format"] == "wav" and r["sample_rate"] == m["sample_rate"]
             assert abs(r["duration_ms"] - m["duration_ms"]) <= 1
-        else:  # FAKE video payload, fake flag off -> quarantine class
-            assert r["format"] == "unknown"
+        else:  # real MJPEG AVI: RIFF chunk walk recovers dims + duration
+            assert r["format"] == "avi"
+            assert (r["width"], r["height"]) == (m["width"], m["height"])
+            assert r["duration_ms"] == m["duration_ms"]
 
 
 def test_multimodal_decode_jpeg_header(spark):
@@ -392,6 +394,100 @@ def test_multimodal_resize_real_png_pixels(spark):
             # re-encode is lossy: bounded mean error, not bit equality
             assert np.abs(got - expect).mean() < 12.0
     assert seen_fmts == {"png", "jpeg"}
+
+
+def test_avi_roundtrip_and_loud_failures():
+    """MJPEG-in-AVI writer/parser parity: recovered dims, rate, and
+    per-frame PIXELS must equal the source JPEGs bit-for-bit; non-AVI
+    bytes, truncated chunks, and non-MJPEG codecs raise ValueError."""
+    import numpy as np
+
+    from e_commerce_data_engineering_spark.operators.avi import (
+        avi_bytes,
+        avi_decode_frame,
+        avi_frame_ms,
+        avi_parse,
+    )
+    from e_commerce_data_engineering_spark.operators.jpeg import jpeg_bytes, jpeg_decode
+
+    b = avi_bytes(24, 16, n_frames=3, fps=4, seed=7)
+    info = avi_parse(b)
+    assert (info["width"], info["height"]) == (24, 16)
+    assert info["n_frames"] == 3 and info["duration_ms"] == 750
+    assert avi_frame_ms(info, 2) == 500
+    for i in range(3):
+        px = avi_decode_frame(info, i)
+        assert px.shape == (16, 24, 3)
+        assert np.array_equal(px, jpeg_decode(jpeg_bytes(24, 16, 7 + i)))
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        avi_parse(b"\x00" * 32)
+    with pytest.raises(ValueError, match="truncated"):
+        avi_parse(b[:40])
+    bad = bytearray(b)
+    strf_at, strh_at = b.find(b"strf"), b.find(b"strh")
+    bad[strf_at + 8 + 16 : strf_at + 8 + 20] = b"XVID"
+    bad[strh_at + 8 + 4 : strh_at + 8 + 8] = b"XVID"
+    with pytest.raises(ValueError, match="only MJPEG"):
+        avi_parse(bytes(bad))
+
+
+def test_extract_video_frames_real_decode(spark):
+    """extract_video_frames decodes REAL pixels: per-frame mean luma
+    from the distributed path must equal a driver-side numpy decode of
+    the same AVI bytes; sampling clamps to the last frame and dedups."""
+    import numpy as np
+
+    from e_commerce_data_engineering_spark.operators.avi import (
+        avi_decode_frame,
+        avi_parse,
+    )
+    from e_commerce_data_engineering_spark.operators.multimodal import (
+        extract_video_frames,
+        make_real_assets,
+    )
+
+    assets = make_real_assets(spark, 30)
+    raw = {
+        r["asset_id"]: bytes(r["content"])
+        for r in assets.filter(F.col("modality") == "video").collect()
+    }
+    got = extract_video_frames(assets, every_ms=250).collect()
+    assert {r["asset_id"] for r in got} == set(raw)
+    for r in got:
+        info = avi_parse(raw[r["asset_id"]])
+        px = avi_decode_frame(info, r["frame_idx"])
+        assert (r["width"], r["height"]) == (px.shape[1], px.shape[0])
+        luma = (
+            0.299 * px[:, :, 0].astype(np.float64)
+            + 0.587 * px[:, :, 1]
+            + 0.114 * px[:, :, 2]
+        )
+        assert abs(r["mean_luma"] - float(luma.mean())) < 1e-9
+    # each asset emits every frame index exactly once (250 ms grid at
+    # 4 fps touches every frame; timestamps past the end clamp)
+    by_asset: dict[int, list[int]] = {}
+    for r in got:
+        by_asset.setdefault(r["asset_id"], []).append(r["frame_idx"])
+    for aid, idxs in by_asset.items():
+        assert sorted(idxs) == list(range(avi_parse(raw[aid])["n_frames"]))
+
+
+def test_extract_video_frames_rejects_non_mjpeg(spark):
+    """A video row that is not an MJPEG AVI must fail the job loudly
+    (the multimodal no-silent-passthrough convention)."""
+    from pyspark.sql import Row as _Row
+
+    from e_commerce_data_engineering_spark.operators.multimodal import (
+        extract_video_frames,
+    )
+
+    df = spark.createDataFrame(
+        [_Row(asset_id=1, modality="video", content=bytearray(b"\x00" * 64), meta=None)],
+        "asset_id long, modality string, content binary, "
+        "meta struct<format:string,width:int,height:int,sample_rate:int,duration_ms:int>",
+    )
+    with pytest.raises(Exception, match="not a RIFF/AVI"):
+        extract_video_frames(df).collect()
 
 
 def test_connected_components_dedup_transitive(spark):
