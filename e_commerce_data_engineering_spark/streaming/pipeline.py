@@ -99,6 +99,78 @@ def windowed_event_counts(
     )
 
 
+def event_lateness(events: DataFrame, order_col: str = "event_id") -> DataFrame:
+    """Per-event lateness in seconds behind the running per-(type, day)
+    event-time frontier in arrival order (``order_col``) — the e25
+    measurement (plans/events.e25_late_event_profile is its rollup
+    readout) exposed as a frame so a watermark can be SIZED from it.
+    Partitioning by (event_type, day) keeps window partitions day-sized
+    at any corpus scale; per-group lateness lower-bounds lateness vs
+    the stream's global frontier, so a delay chosen from it is the
+    tight end of the safe range."""
+    tsec = F.col("ts").cast("double")
+    w = (
+        W.partitionBy("event_type", F.col("ts").cast("date"))
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return events.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        (F.max(tsec).over(w) - tsec).alias("late_sec"),
+    )
+
+
+def choose_watermark_delay(lateness: DataFrame, quantile: float = 0.99) -> int:
+    """The e25 → deployment step: the smallest whole-second watermark
+    delay that keeps the dropped fraction at or under ``1 - quantile``
+    of the measured lateness distribution — the exact ``late_sec``
+    quantile, ceiling'd. One aggregate row reaches the driver. At
+    100 TB swap ``percentile`` for ``approx_percentile`` (t-digest
+    sketch, fixed state) — the sizing rule is identical."""
+    import math
+
+    row = lateness.agg(
+        F.expr(f"percentile(late_sec, {quantile})").alias("q")
+    ).collect()[0]
+    return int(math.ceil(row["q"] or 0.0))
+
+
+def start_watermarked_counts_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema,
+    delay_seconds: int,
+    window: str = "10 minutes",
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """The e25 loop CLOSED: run the lateness audit in batch
+    (``event_lateness``), size the delay from its tail
+    (``choose_watermark_delay``), then deploy this watermarked
+    tumbling-window aggregate with that delay. Rows later than the
+    sized delay are exactly the profile's tail mass — the late-drop
+    parity test in tests/test_streaming.py pins the accounting
+    (stream totals == batch totals minus the profiled tail)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    agg = windowed_event_counts(
+        stream, window=window, watermark=f"{delay_seconds} seconds"
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def sessionized_event_counts(
     events: DataFrame,
     gap: str = "30 minutes",
@@ -487,6 +559,8 @@ def read_trending(spark: SparkSession, state_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     st = read_trending_state(spark, state_dir)
+    # single-partition window is intentional: state is one row per
+    # event_type (a handful), never raw events
     w = W.orderBy(F.col("partial").desc(), "event_type")
     return st.select(
         "event_type",

@@ -136,6 +136,100 @@ def test_windowed_counts_with_watermark_drops_late_rows(spark, tmp_path):
     assert all(et != "late" for (_, et) in rows), rows
 
 
+def test_watermark_sized_from_lateness_profile(spark, tmp_path):
+    """The full e25 → watermark loop: measure per-event lateness in
+    batch (event_lateness), size the delay at the 97th percentile
+    (choose_watermark_delay), deploy the watermarked stream with it,
+    and pin the accounting — the stream drops EXACTLY the profile's
+    tail mass (the one straggler beyond the delay) while keeping the
+    late-but-covered row."""
+    import math
+
+    from e_commerce_data_engineering_spark.streaming.pipeline import (
+        choose_watermark_delay,
+        event_lateness,
+        start_watermarked_counts_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("value", T.DoubleType(), False),
+        ]
+    )
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ev(i, minute):
+        return (i, base + dt.timedelta(minutes=minute), 1, "click", 1.0)
+
+    # arrival log (event_id = arrival order), one file per micro-batch:
+    # three on-time batches, then a batch with a mildly-late row
+    # (11 min behind the 29-min frontier), one straggler (27 min
+    # behind), and one on-time row
+    arrival_batches = [
+        [ev(i, i) for i in range(10)],
+        [ev(i, i) for i in range(10, 20)],
+        [ev(i, i) for i in range(20, 30)],
+        [ev(30, 18), ev(31, 2), ev(32, 30)],
+    ]
+    audit_rows = [e for b in arrival_batches for e in b]
+    audit = spark.createDataFrame(audit_rows, schema)
+
+    # 1) the batch audit: lateness vs the running frontier
+    prof = event_lateness(audit)
+    lates = sorted(r["late_sec"] for r in prof.collect())
+    assert lates[-2:] == [660.0, 1620.0] and set(lates[:-2]) == {0.0}
+    # 2) size the watermark: p97 of 33 samples interpolates between the
+    # two late values -> 660 + 0.04*960 = 698.4, ceil 699
+    delay = choose_watermark_delay(prof, quantile=0.97)
+    assert delay == math.ceil(660 + (0.97 * 32 - 31) * 960) == 699
+    tail_mass = prof.filter(F.col("late_sec") > delay).count()
+    assert tail_mass == 1  # only the 1620 s straggler is beyond the delay
+
+    # 3) deploy: replay the arrival log through the watermarked stream
+    src = tmp_path / "wm_events"
+    src.mkdir()
+    sink = str(tmp_path / "wm_out")
+    ckpt = str(tmp_path / "wm_ckpt")
+
+    def run():
+        q = start_watermarked_counts_stream(
+            spark, str(src), sink, ckpt, schema, delay_seconds=delay
+        )
+        q.awaitTermination(120)
+
+    for batch in arrival_batches:
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+        run()
+    # flush row far in the future closes every populated window
+    spark.createDataFrame([ev(33, 120)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run()
+
+    got = {
+        r["window_start"].isoformat(): r["n"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    # straggler's window lost exactly one row; the covered late row
+    # (18 min, window [10,20)) was still open and counted
+    assert got["2026-01-01T00:00:00"] == 10, got
+    assert got["2026-01-01T00:10:00"] == 11, got
+    assert got["2026-01-01T00:20:00"] == 10, got
+    assert got["2026-01-01T00:30:00"] == 1, got
+    # 4) accounting: stream total == batch total − the profiled tail mass
+    batch_total = audit.count()
+    stream_total = sum(
+        n for w, n in got.items() if w != "2026-01-01T02:00:00"
+    )
+    assert stream_total == batch_total - tail_mass
+
+
 def test_streaming_dedup_with_watermark(spark, tmp_path):
     """Stateful streaming dedup: duplicate event ids arriving within
     the watermark horizon are dropped exactly once (the state-store
