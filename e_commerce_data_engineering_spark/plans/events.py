@@ -495,6 +495,8 @@ def e15_trending_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(1000000.0)
         + F.lit(0.5)
     ).cast("bigint")
+    # single-partition window is intentional: it ranks the groupBy
+    # result, one row per distinct event_type (a handful of rows)
     w = W.orderBy(F.col("_sum_dq").desc(), "event_type")
     return (
         e.crossJoin(F.broadcast(ref))

@@ -729,6 +729,9 @@ def s12_rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_q").desc(), "doc_id")
         .limit(RRF_LIST_N)
     )
+    # the three single-partition windows below are intentional: each
+    # ranks an already TakeOrderedAndProject-capped list (RRF_LIST_N /
+    # RRF_TOP rows), never the corpus
     lex = lex_scores.select(
         "doc_id",
         F.row_number()

@@ -1249,6 +1249,8 @@ def t28_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q"),
     )
     top = pri.orderBy(F.col("q").desc(), "doc_id").limit(T28_K)
+    # single-partition window is intentional: it runs on the top-K
+    # frame above (TakeOrderedAndProject caps it at T28_K rows)
     w = W.orderBy(F.col("q").desc(), "doc_id")
     return top.select(
         "doc_id",
@@ -1416,6 +1418,8 @@ def t30_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sq").alias("score_q"), F.count(F.lit(1)).alias("n_terms_hit"))
     )
     top = total.orderBy(F.col("score_q").desc(), "doc_id").limit(BM25_TOPN)
+    # single-partition window is intentional: input is the top-N frame
+    # above (TakeOrderedAndProject caps it at BM25_TOPN rows)
     w = W.orderBy(F.col("score_q").desc(), "doc_id")
     return top.select(
         "doc_id",
@@ -1797,6 +1801,8 @@ def t35_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     top = tf.orderBy(F.col("freq").desc(), "tok").limit(T35_TOP)
+    # single-partition window is intentional: input is the top-T35_TOP
+    # vocabulary slice (TakeOrderedAndProject-capped)
     w = W.orderBy(F.col("freq").desc(), "tok")
     ranked = top.select("freq", F.row_number().over(w).cast("bigint").alias("rnk"))
     xq = F.floor(F.log(F.col("rnk").cast("double")) * F.lit(1e6) + F.lit(0.5)).cast("bigint")
@@ -2170,6 +2176,11 @@ def t39_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens"), F.col("stop_ratio"), F.col("avg_token_len")
         ).alias("quality"),
     )
+    # single-partition NTILE is intentional: EXACT equal-frequency
+    # binning is a global sort by definition (the oracle replays the
+    # same NTILE tie behavior). At 100 TB the same readout uses
+    # approx_percentile bin edges + a map-side bucket join (the x02/x08
+    # sketch path) and accepts edge-tie divergence.
     binned = m.select(
         "label",
         "quality",

@@ -454,6 +454,11 @@ def q68_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
+    # single-partition NTILEs are intentional: exact quintile assignment
+    # is a global sort by definition, and the input is one pre-aggregated
+    # row per customer (not the fact table). At 100 TB the same segments
+    # come from approx_percentile boundaries + a map-side bucket join
+    # (the x02/x08 sketch path), trading exact edge ties for no sort.
     r = F.ntile(5).over(W.orderBy(F.col("recency_days").desc(), "custkey"))
     f_ = F.ntile(5).over(W.orderBy("frequency", "custkey"))
     m = F.ntile(5).over(W.orderBy("monetary", "custkey"))
