@@ -235,6 +235,64 @@ def _minhash_lsh_pairs_build(
     )
 
 
+def portable_signature_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    shingle_n: int,
+    cache_key: str | None,
+) -> DataFrame:
+    """(_id, _sh, _sig) persisted engine-portable MinHash signatures:
+    permutation k of the base Horner hash h is ``(h·(2k+1) + k) mod P``
+    — exact int64 arithmetic DuckDB replays bit-for-bit. Shared by the
+    d09 pair pipeline and the d14 S-curve audit (same cache key →
+    built once per corpus sweep)."""
+    from .sketch import _P1, portable_hash
+
+    base = _shingle_frame(df, id_col, text_col, shingle_n, cache_key)
+
+    def build_sig():
+        hashed = base.select(
+            "_id",
+            "_sh",
+            F.transform("_sh", lambda s: portable_hash(s)).alias("_hs"),
+        )
+        sig_col = F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda k: F.aggregate(
+                F.col("_hs"),
+                F.lit(_P1).cast("bigint"),
+                lambda acc, h: F.least(acc, (h * (k * 2 + 1) + k) % F.lit(_P1)),
+            ),
+        )
+        # materialized before the self-join (the d01 inlining lesson)
+        return [hashed.select("_id", "_sh", sig_col.alias("_sig")).persist()]
+
+    key = ("sig_portable", cache_key, num_hashes, shingle_n) if cache_key else None
+    return _cached(base, key, build_sig)
+
+
+def portable_banded_frame(sig: DataFrame, bands: int, r: int) -> DataFrame:
+    """(_id, _band, _bsig) band keys over a portable signature frame:
+    the band key is the signature slice rendered as a string (a
+    Spark-only hash of the slice would not replay in the oracle)."""
+    return sig.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("_sig"), b * r + 1, r), lambda v: v.cast("string")
+                    ),
+                ),
+            )
+        ).alias("_band", "_bsig"),
+    )
+
+
 def minhash_lsh_pairs_portable(
     df: DataFrame,
     id_col: str,
@@ -263,46 +321,10 @@ def minhash_lsh_pairs_portable(
     the production default; this twin exists to put the whole LSH
     family under the driver's hash-checked oracle gate.
     """
-    from .sketch import _P1, portable_hash
-
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    base = _shingle_frame(df, id_col, text_col, shingle_n, cache_key)
-
-    def build_sig():
-        hashed = base.select(
-            "_id",
-            "_sh",
-            F.transform("_sh", lambda s: portable_hash(s)).alias("_hs"),
-        )
-        sig_col = F.transform(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda k: F.aggregate(
-                F.col("_hs"),
-                F.lit(_P1).cast("bigint"),
-                lambda acc, h: F.least(acc, (h * (k * 2 + 1) + k) % F.lit(_P1)),
-            ),
-        )
-        # materialized before the self-join (the d01 inlining lesson)
-        return [hashed.select("_id", "_sh", sig_col.alias("_sig")).persist()]
-
-    key = ("sig_portable", cache_key, num_hashes, shingle_n) if cache_key else None
-    sig = _cached(base, key, build_sig)
-
-    banded = sig.select(
-        "_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(F.col("_sig"), b * r + 1, r), lambda v: v.cast("string")
-                    ),
-                ),
-            )
-        ).alias("_band", "_bsig"),
-    )
+    sig = portable_signature_frame(df, id_col, text_col, num_hashes, shingle_n, cache_key)
+    banded = portable_banded_frame(sig, bands, r)
     a = banded.select(F.col("_id").alias("id_a"), "_band", "_bsig")
     b = banded.select(F.col("_id").alias("id_b"), "_band", "_bsig")
     candidates = (

@@ -196,6 +196,169 @@ def d09_portable_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# d14 — the LSH S-curve measured: per true-Jaccard decile, the fraction
+# of pairs the d09 banding actually catches, beside the theoretical
+# 1-(1-s^r)^b recall — the calibration audit that justifies a banding
+# configuration before trusting it on a corpus
+# ---------------------------------------------------------------------------
+
+D14_MAX_DF = 50  # rare-anchor cap for pair GENERATION (the t40 move):
+# the ground-truth join is bounded by df² per shingle, never corpus²
+
+
+def _d14_theory(mid: str) -> str:
+    # recall at bucket midpoint s = (2·bucket+1)/20 for r=4, b=8, with
+    # s^4 as an exact integer ratio and u^8 as an explicit product
+    # chain — both engines run the identical IEEE operation sequence
+    s4 = f"(CAST({mid}*{mid}*{mid}*{mid} AS DOUBLE) / 160000.0)"
+    u = f"(1.0 - {s4})"
+    u2 = f"({u} * {u})"
+    u4 = f"({u2} * {u2})"
+    u8 = f"({u4} * {u4})"
+    return f"(1.0 - {u8})"
+
+
+@query(
+    "d14_lsh_scurve",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                              for i in range(1, len(tk) - 1)]) AS shl
+        FROM (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents)
+        WHERE len(tk) >= 3
+    ),
+    hs AS (
+        SELECT doc_id, shl,
+               list_transform(shl, s -> {_D09_HASH_S}) AS hl
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+               [list_min(list_transform(hl, h -> (h * (2*k + 1) + k) % {_P1}))
+                for k in range({_D09_K})] AS sigl
+        FROM hs
+    ),
+    banded AS (
+        SELECT doc_id, b,
+               array_to_string(sigl[b*{_D09_R}+1 : b*{_D09_R}+{_D09_R}], ',') AS bsig
+        FROM sig, (SELECT unnest(range({_D09_BANDS})) AS b) bs
+    ),
+    px AS (
+        SELECT DISTINCT doc_id, h
+        FROM (SELECT doc_id, unnest(hl) AS h FROM hs)
+    ),
+    freq AS (
+        SELECT h FROM px GROUP BY h
+        HAVING COUNT(*) BETWEEN 2 AND {D14_MAX_DF}
+    ),
+    pxf AS (SELECT px.doc_id, px.h FROM px JOIN freq USING (h)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pxf a JOIN pxf b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    jac AS (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+                 / (len(x.shl) + len(y.shl) - len(list_intersect(x.shl, y.shl))) AS j
+        FROM cand
+        JOIN sh x ON x.doc_id = cand.id_a
+        JOIN sh y ON y.doc_id = cand.id_b
+    ),
+    caught AS (
+        SELECT DISTINCT c.id_a, c.id_b
+        FROM cand c
+        JOIN banded ba ON ba.doc_id = c.id_a
+        JOIN banded bb ON bb.doc_id = c.id_b AND bb.b = ba.b AND bb.bsig = ba.bsig
+    ),
+    bucketed AS (
+        SELECT LEAST(CAST(FLOOR(j * 10) AS INTEGER), 9) AS bucket,
+               CASE WHEN ct.id_a IS NULL THEN 0 ELSE 1 END AS hit
+        FROM jac LEFT JOIN caught ct
+          ON ct.id_a = jac.id_a AND ct.id_b = jac.id_b
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(hit) AS BIGINT) AS n_caught,
+           {sql_fround("CAST(SUM(hit) AS DOUBLE) / COUNT(*)", 4)} AS catch_rate,
+           {sql_fround(_d14_theory("(2*bucket + 1)"), 4)} AS theory_rate
+    FROM bucketed GROUP BY bucket
+    """,
+    doc=f"The LSH S-curve MEASURED against ground truth: every pair "
+    f"sharing a rare shingle (df ≤ {D14_MAX_DF} — the t40 anchor cap, "
+    "so the ground-truth join is bounded by df² per shingle, never "
+    "corpus²) gets its true Jaccard, bucketed into deciles, and "
+    "checked against the d09 banding (did ANY of the 8 band "
+    "signatures collide?). Per decile: measured catch rate beside the "
+    "theoretical 1-(1-s^4)^8 at the bucket midpoint (exact-integer "
+    "midpoint ratio + explicit product chain, so both engines run the "
+    "identical IEEE sequence). The calibration audit run before "
+    "trusting a banding config on a new corpus: if measured falls "
+    "under theory at high Jaccard, shingle skew is breaking the "
+    "uniform-hash assumption. Shares the cached portable signature "
+    "frame with d09 (operators/dedup.portable_signature_frame).",
+)
+def d14_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import portable_banded_frame, portable_signature_frame
+    from ..operators.sketch import portable_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = portable_signature_frame(d, "doc_id", "text", _D09_K, 3, cache_key=sf_dir)
+    banded = portable_banded_frame(sig, _D09_BANDS, _D09_R)
+    px = sig.select(
+        "_id", F.explode(F.transform("_sh", lambda s: portable_hash(s))).alias("_h")
+    ).distinct()
+    freq = (
+        px.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= D14_MAX_DF))
+        .select("_h")
+    )
+    pxf = px.join(freq, "_h", "left_semi")
+    cand = (
+        pxf.select(F.col("_id").alias("id_a"), "_h")
+        .join(pxf.select(F.col("_id").alias("id_b"), "_h"), "_h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = sig.select("_id", "_sh")
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size("_sh_a") + F.size("_sh_b") - inter
+    jac = (
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
+        .select("id_a", "id_b", (inter.cast("double") / union).alias("j"))
+    )
+    ba = banded.select(F.col("_id").alias("id_a"), "_band", "_bsig")
+    bb = banded.select(F.col("_id").alias("id_b"), "_band", "_bsig")
+    caught = (
+        cand.join(ba, "id_a")
+        .join(bb, ["id_b", "_band", "_bsig"])
+        .select("id_a", "id_b")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    bucketed = jac.join(caught, ["id_a", "id_b"], "left").select(
+        F.least(F.floor(F.col("j") * 10).cast("int"), F.lit(9)).alias("bucket"),
+        F.coalesce(F.col("_hit"), F.lit(0)).alias("hit"),
+    )
+    mid = (F.col("bucket") * 2 + 1).cast("bigint")
+    s4 = (mid * mid * mid * mid).cast("double") / F.lit(160000.0)
+    u = F.lit(1.0) - s4
+    u2 = u * u
+    u4 = u2 * u2
+    u8 = u4 * u4
+    theory = F.lit(1.0) - u8
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("hit").cast("bigint").alias("n_caught"),
+        fround(F.sum("hit").cast("double") / F.count(F.lit(1)), 4).alias("catch_rate"),
+        fround(F.max(theory), 4).alias("theory_rate"),
+    )
+
+
 @query(
     "d03_minhash_dedupe",
     oracle=None,

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from ..operators.sketch import sql_portable_bucket
 from ..sources.tables import load_table
@@ -644,6 +645,181 @@ def x07_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_distinct",
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# x09 — KMV (K-minimum-values) distinct sketch with pairwise set
+# INTERSECTION estimates (Bar-Yossef et al. 2002; Beyer et al.
+# SIGMOD'07 distinct-value synopses) — the set-operation capability
+# HLL lacks without inclusion-exclusion
+# ---------------------------------------------------------------------------
+
+X09_K = 16  # sketch size; < per-source distinct-token count at sf0.01
+# so the estimator branch (not the exhaustive n<K branch) is exercised
+_X09_P = 1_000_000_007
+_X09_MIX, _X09_ADD = 1_103_515_245, 12_345  # order-scrambling affine map:
+# the raw Horner fold is value-biased (short tokens hash small, and the
+# short tokens are exactly the cross-source common words), which would
+# wreck a K-MINIMUM estimator; the affine map mod P randomizes rank
+# order (same fix t28's priorities use)
+_X09_H = (
+    f"(({sql_portable_hash('tok', 31, 1_000_000_007)}) * {_X09_MIX} + {_X09_ADD})"
+    f" % {_X09_P}"
+)
+_X09_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+@query(
+    "x09_kmv_intersection",
+    oracle=f"""
+    WITH tk AS (
+        SELECT DISTINCT source, tok FROM (
+            SELECT source, unnest({_X09_TOKS}) AS tok FROM documents)
+    ),
+    hv AS (SELECT DISTINCT source, {_X09_H} AS hv FROM tk),
+    ranked AS (
+        SELECT source, hv,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn
+        FROM hv
+    ),
+    sk AS (SELECT source, hv FROM ranked WHERE rn <= {X09_K}),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    pr AS (SELECT a.source AS sa, b.source AS sb
+           FROM srcs a JOIN srcs b ON a.source < b.source),
+    m AS (
+        SELECT pr.sa, pr.sb, s.hv,
+               MAX(CASE WHEN s.source = pr.sa THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN s.source = pr.sb THEN 1 ELSE 0 END) AS in_b
+        FROM pr JOIN sk s ON s.source IN (pr.sa, pr.sb)
+        GROUP BY pr.sa, pr.sb, s.hv
+    ),
+    rk AS (
+        SELECT sa, sb, hv, in_a, in_b,
+               ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY hv) AS rn
+        FROM m
+    ),
+    ag AS (
+        SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS cnt, MAX(hv) AS kth,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+        FROM rk WHERE rn <= {X09_K} GROUP BY sa, sb
+    ),
+    ag2 AS (
+        SELECT sa, sb, cnt, n_both,
+               CASE WHEN cnt < {X09_K} THEN CAST(cnt AS DOUBLE)
+                    ELSE CAST({X09_K - 1} AS DOUBLE) * {_X09_P} / kth
+               END AS est_union
+        FROM ag
+    ),
+    ex AS (
+        SELECT a.source AS sa, b.source AS sb,
+               CAST(COUNT(*) AS BIGINT) AS exact_intersection
+        FROM tk a JOIN tk b
+          ON a.tok = b.tok AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT ag2.sa AS source_a, ag2.sb AS source_b, n_both,
+           {sql_fround("est_union", 4)} AS est_union,
+           {sql_fround(f"CAST(n_both AS DOUBLE) * est_union / LEAST({X09_K}, cnt)", 4)}
+             AS est_intersection,
+           COALESCE(ex.exact_intersection, 0) AS exact_intersection
+    FROM ag2 LEFT JOIN ex ON ex.sa = ag2.sa AND ex.sb = ag2.sb
+    """,
+    doc=f"KMV (K-minimum-values, K={X09_K}) distinct sketches over each "
+    "source's token VOCABULARY, with pairwise set-INTERSECTION "
+    "estimates per source pair — the set operation HLL cannot do "
+    "without inclusion-exclusion error stacking (Beyer et al. "
+    "SIGMOD'07): merge two sketches, keep the K smallest hashes, "
+    "estimate the union from the K-th smallest ((K-1)·P/h_(K)), and "
+    "scale by the fraction of merged-sketch members present in BOTH "
+    "sketches. Built on the portable hash so every stage — hash, "
+    "rank, merge, overlap count, estimate — replays in DuckDB; the "
+    "exact shared-vocabulary count rides along so estimator error is "
+    "visible. Scale shape: sketch state is K rows per source "
+    "regardless of corpus size; the pair stage joins K-row sketches, "
+    "never token rows — the shared-vocabulary companion to t32's "
+    "document-level n-gram overlap matrix.",
+)
+def x09_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+    from ..operators.sketch import portable_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("source", F.explode(tokens(F.col("text"))).alias("tok")).distinct()
+    mixed = (
+        portable_hash(F.col("tok"), 31, _X09_P) * F.lit(_X09_MIX) + F.lit(_X09_ADD)
+    ) % F.lit(_X09_P)
+    hv = tk.select("source", mixed.alias("hv")).distinct()
+    sk = (
+        hv.withColumn(
+            "rn", F.row_number().over(W.partitionBy("source").orderBy("hv"))
+        )
+        .filter(F.col("rn") <= X09_K)
+        .select("source", "hv")
+    )
+    srcs = d.select("source").distinct()
+    pr = (
+        srcs.select(F.col("source").alias("sa"))
+        .join(srcs.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb"))
+    )
+    m = (
+        F.broadcast(pr)
+        .join(sk, (F.col("source") == F.col("sa")) | (F.col("source") == F.col("sb")))
+        .groupBy("sa", "sb", "hv")
+        .agg(
+            F.max(
+                F.when(F.col("source") == F.col("sa"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("source") == F.col("sb"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    ag = (
+        m.withColumn(
+            "rn", F.row_number().over(W.partitionBy("sa", "sb").orderBy("hv"))
+        )
+        .filter(F.col("rn") <= X09_K)
+        .groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.max("hv").alias("kth"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_both"),
+        )
+    )
+    est_union = F.when(
+        F.col("cnt") < X09_K, F.col("cnt").cast("double")
+    ).otherwise(
+        F.lit(float(X09_K - 1)) * F.lit(float(_X09_P)) / F.col("kth").cast("double")
+    )
+    ex = (
+        tk.select(F.col("source").alias("sa"), "tok")
+        .join(
+            tk.select(F.col("source").alias("sb"), F.col("tok").alias("_tb")),
+            F.col("tok") == F.col("_tb"),
+        )
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersection"))
+    )
+    return (
+        ag.withColumn("est_union_raw", est_union)
+        .join(ex, ["sa", "sb"], "left")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "n_both",
+            fround(F.col("est_union_raw"), 4).alias("est_union"),
+            fround(
+                F.col("n_both").cast("double")
+                * F.col("est_union_raw")
+                / F.least(F.lit(X09_K), F.col("cnt")).cast("double"),
+                4,
+            ).alias("est_intersection"),
+            F.coalesce(F.col("exact_intersection"), F.lit(0).cast("bigint")).alias(
+                "exact_intersection"
+            ),
+        )
+    )
 
 
 @query(

@@ -121,6 +121,9 @@ _PRIORITY: tuple[str, ...] = (
     # sweep window) as they are registered.
     "s15_portable_ivfpq_topk",
     "m05_video_frame_luma",
+    "s16_nprobe_recall_curve",
+    "x09_kmv_intersection",
+    "d14_lsh_scurve",
     # --- already driver-recorded (r1–r4), youngest families first.
     "x05_cms_portable",
     "g02_pagerank_two_steps",

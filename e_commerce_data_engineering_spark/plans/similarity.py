@@ -1256,3 +1256,198 @@ def s15_portable_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", "c_id", (F.col("ai").cast("double") / _Q).alias("adc"), "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# s16 — the nprobe operating curve: recall@k and scan fraction per
+# probe width, the measurement that SIZES an IVF deployment (how many
+# cells must a query touch before recall plateaus?)
+# ---------------------------------------------------------------------------
+
+S16_NPROBES = (1, 2, 4, 8)
+
+
+@query(
+    "s16_nprobe_recall_curve",
+    oracle=f"""
+    WITH cents AS (SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+                   WHERE vec_id < {S15_NLIST}),
+    dists AS (
+        SELECT e.vec_id, c.cell,
+               list_reduce(list_transform(generate_series(1, {EMBEDDING_DIM}),
+                   i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE))
+                        * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE))),
+                   (x,y) -> x+y) AS d
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    ranked_cells AS (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM dists
+    ),
+    assigned AS (SELECT vec_id, cell FROM ranked_cells WHERE rn = 1),
+    cell_sizes AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS sz FROM assigned GROUP BY cell),
+    n_total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    nps AS (SELECT unnest([{", ".join(str(p) for p in S16_NPROBES)}]) AS np),
+    probes AS (
+        SELECT np, r.vec_id AS q_id, r.cell
+        FROM ranked_cells r CROSS JOIN nps
+        WHERE r.vec_id < {N_QUERY_VECS} AND r.rn <= np
+    ),
+    pairs AS (
+        SELECT q.vec_id AS q_id, a.vec_id AS c_id, a.cell,
+               {_sql_dot_prefix("q.embedding", "c.embedding", EMBEDDING_DIM)}
+                 / ({_sql_norm_prefix("q.embedding", EMBEDDING_DIM)}
+                    * {_sql_norm_prefix("c.embedding", EMBEDDING_DIM)}) AS cos_sim
+        FROM embeddings q
+        JOIN assigned a ON a.vec_id <> q.vec_id
+        JOIN embeddings c ON c.vec_id = a.vec_id
+        WHERE q.vec_id < {N_QUERY_VECS}
+    ),
+    exact AS (
+        SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos_sim DESC, c_id) AS rn
+            FROM pairs) t WHERE rn <= {TOP_K}
+    ),
+    ivf AS (
+        SELECT np, q_id, c_id FROM (
+            SELECT p.np, pr.q_id, pr.c_id,
+                   ROW_NUMBER() OVER (PARTITION BY p.np, pr.q_id
+                                      ORDER BY pr.cos_sim DESC, pr.c_id) AS rn
+            FROM pairs pr JOIN probes p ON p.q_id = pr.q_id AND p.cell = pr.cell
+        ) t WHERE rn <= {TOP_K}
+    ),
+    hits AS (
+        SELECT i.np, i.q_id, CAST(COUNT(e.c_id) AS BIGINT) AS n_hit
+        FROM ivf i LEFT JOIN exact e ON e.q_id = i.q_id AND e.c_id = i.c_id
+        GROUP BY i.np, i.q_id
+    ),
+    scanned AS (
+        SELECT np, q_id, CAST(SUM(sz) AS BIGINT) AS n_scanned
+        FROM probes JOIN cell_sizes USING (cell)
+        GROUP BY np, q_id
+    )
+    SELECT h.np,
+           CAST(SUM(h.n_hit) AS BIGINT) AS n_hits,
+           {sql_fround(f"CAST(SUM(h.n_hit) AS DOUBLE) / ({N_QUERY_VECS} * {TOP_K})", 6)}
+             AS recall_at_k,
+           {sql_fround("CAST(SUM(s.n_scanned) AS DOUBLE) / (SELECT n FROM n_total)"
+                       f" / {N_QUERY_VECS}", 6)} AS scan_fraction
+    FROM hits h JOIN scanned s ON s.np = h.np AND s.q_id = h.q_id
+    GROUP BY h.np
+    """,
+    doc=f"The IVF OPERATING CURVE: for nprobe in {S16_NPROBES}, recall@"
+    f"{TOP_K} of the fixed-centroid cell index (s15's {S15_NLIST} "
+    "first-vector centroids) against the exact cosine ranking, beside "
+    "the fraction of the corpus each probe width actually scans — the "
+    "two numbers that pick nprobe for a deployment (stop widening when "
+    "recall plateaus; scan_fraction is the cost you pay). Every stage "
+    "is an equi-join or window over deterministic distances, so the "
+    "whole sweep is hash-checked; the s05/s11 trained-centroid paths "
+    "keep differential recall tests as the production measurement. "
+    "Scale shape: the per-np candidate work is the probed-cell join "
+    "(never the corpus cross product), and the curve rolls up to "
+    f"len(S16_NPROBES) rows.",
+)
+def s16_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = e.filter(F.col("vec_id") < S15_NLIST).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    sqd = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "c_emb",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ranked_cells = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cell", sqd.alias("d"))
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("vec_id").orderBy("d", "cell"))
+        )
+    )
+    assigned = ranked_cells.filter(F.col("rn") == 1).select("vec_id", "cell")
+    cell_sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("sz"))
+    n_total = e.count()
+    nps = spark.createDataFrame([(p,) for p in S16_NPROBES], "np int")
+    probes = (
+        ranked_cells.filter(F.col("vec_id") < N_QUERY_VECS)
+        .crossJoin(F.broadcast(nps))
+        .filter(F.col("rn") <= F.col("np"))
+        .select("np", F.col("vec_id").alias("q_id"), "cell")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = assigned.join(
+        e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")),
+        F.col("vec_id") == F.col("c_id"),
+    ).select("c_id", "cell", "c_emb")
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(cand)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            "cell",
+            (
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (l2_norm(F.col("q_emb")) * l2_norm(F.col("c_emb")))
+            ).alias("cos_sim"),
+        )
+    )
+    exact = (
+        pairs.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "c_id")
+            ),
+        )
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "c_id", F.lit(1).alias("_hit"))
+    )
+    ivf = (
+        pairs.join(F.broadcast(probes), ["q_id", "cell"])
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("np", "q_id").orderBy(F.col("cos_sim").desc(), "c_id")
+            ),
+        )
+        .filter(F.col("rn") <= TOP_K)
+        .select("np", "q_id", "c_id")
+    )
+    hits = (
+        ivf.join(exact, ["q_id", "c_id"], "left")
+        .groupBy("np", "q_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_hit"))
+    )
+    scanned = (
+        probes.join(F.broadcast(cell_sizes), "cell")
+        .groupBy("np", "q_id")
+        .agg(F.sum("sz").cast("bigint").alias("n_scanned"))
+    )
+    return (
+        hits.join(scanned, ["np", "q_id"])
+        .groupBy("np")
+        .agg(
+            F.sum("n_hit").cast("bigint").alias("n_hits"),
+            fround(
+                F.sum("n_hit").cast("double") / F.lit(float(N_QUERY_VECS * TOP_K)), 6
+            ).alias("recall_at_k"),
+            fround(
+                F.sum("n_scanned").cast("double")
+                / F.lit(float(n_total))
+                / F.lit(float(N_QUERY_VECS)),
+                6,
+            ).alias("scan_fraction"),
+        )
+    )

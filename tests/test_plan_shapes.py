@@ -459,3 +459,37 @@ def test_e25_lateness_is_pure_window_agg(spark):
     plan = plan_of(spark, "e25_late_event_profile")
     assert "Window" in plan, plan
     assert "Join" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_s15_adc_rides_cell_equi_join(spark):
+    """IVFADC: the only cartesian products are against the broadcast
+    centroid/codebook constants (bounded rows); the candidate scoring
+    join must be the cell/LUT equi-join, never corpus x probes."""
+    plan = plan_of(spark, "s15_portable_ivfpq_topk")
+    assert "BroadcastHashJoin" in plan, plan
+    # the centroid/codebook cross joins are BroadcastNestedLoopJoin over
+    # <= NLIST/M*K rows; a non-broadcast CartesianProduct is the bug
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_s16_recall_curve_avoids_cartesian(spark):
+    """The nprobe sweep joins probes to cell-assigned candidates; only
+    the broadcast centroid/np-grid cross joins may appear."""
+    plan = plan_of(spark, "s16_nprobe_recall_curve")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_x09_pair_stage_joins_sketches_not_tokens(spark):
+    """KMV: the pair stage must join the K-row sketches (broadcast pair
+    grid), with no cartesian product anywhere."""
+    plan = plan_of(spark, "x09_kmv_intersection")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_d14_ground_truth_is_anchored_equi_join(spark):
+    """The S-curve's ground-truth pair generation must ride the rare-
+    shingle semi join + hash equi-join (the t40 anchor move), and the
+    banding catch check is a band/bsig equi-join — nothing cartesian."""
+    plan = plan_of(spark, "d14_lsh_scurve")
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, plan

@@ -230,6 +230,17 @@ def test_watermark_sized_from_lateness_profile(spark, tmp_path):
     assert stream_total == batch_total - tail_mass
 
 
+def test_choose_watermark_delay_empty_profile(spark):
+    """No measured lateness → delay 0 (watermark disabled-equivalent),
+    not a crash on the NULL percentile."""
+    from e_commerce_data_engineering_spark.streaming.pipeline import (
+        choose_watermark_delay,
+    )
+
+    empty = spark.createDataFrame([], "event_type string, day date, late_sec double")
+    assert choose_watermark_delay(empty) == 0
+
+
 def test_streaming_dedup_with_watermark(spark, tmp_path):
     """Stateful streaming dedup: duplicate event ids arriving within
     the watermark horizon are dropped exactly once (the state-store
