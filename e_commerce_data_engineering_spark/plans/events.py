@@ -1188,3 +1188,101 @@ def e25_late_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("late") > 300).cast("int")).cast("bigint").alias("n_late_300s"),
         fround(F.max("late"), 3).alias("max_late_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e26 — the watermark SIZING table: candidate delays at the lateness
+# quantiles, each with the exact drop count it would incur — the batch
+# twin of streaming.pipeline.choose_watermark_delay (which picks ONE
+# quantile; this query shows the whole trade-off curve)
+# ---------------------------------------------------------------------------
+
+E26_QUANTILES = (0.90, 0.95, 0.99, 0.999)
+
+
+@query(
+    "e26_watermark_sizing",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, event_id,
+               epoch(ts) AS tsec
+        FROM events
+    ),
+    lat AS (
+        SELECT MAX(tsec) OVER (PARTITION BY event_type, day ORDER BY event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - tsec AS late
+        FROM e
+    ),
+    p AS (
+        SELECT
+            {", ".join(f"CAST(CEIL(CAST(quantile_cont(late, {q}) AS DOUBLE)) AS BIGINT) AS d{i}" for i, q in enumerate(E26_QUANTILES))}
+        FROM lat
+    ),
+    grid AS (
+        {" UNION ALL ".join(f"SELECT {q} AS quantile, d{i} AS delay_sec FROM p" for i, q in enumerate(E26_QUANTILES))}
+    )
+    SELECT quantile, delay_sec,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN late > delay_sec THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           {sql_fround("CAST(SUM(CASE WHEN late > delay_sec THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 6)}
+             AS drop_fraction
+    FROM grid CROSS JOIN lat
+    GROUP BY quantile, delay_sec
+    """,
+    doc="The watermark TRADE-OFF table: for each lateness quantile "
+    f"{E26_QUANTILES}, the whole-second delay that covers it (the "
+    "value streaming.pipeline.choose_watermark_delay would pick) and "
+    "the exact number/fraction of events a stream deployed with that "
+    "delay would drop — the sizing decision laid out as data instead "
+    "of a single choice. Lateness comes from the same per-(type, day) "
+    "running-frontier measurement as e25; Spark percentile() and "
+    "DuckDB quantile_cont() share the p·(n-1) linear interpolation "
+    "(the q40 pattern), so the quantiles are bit-identical before the "
+    "CEIL. The counting join broadcasts the 4-row delay grid against "
+    "the lateness frame — one pass, no per-quantile rescans.",
+)
+def e26_watermark_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tsec = F.col("ts").cast("double")
+    e = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "event_id",
+        tsec.alias("tsec"),
+    )
+    w = (
+        W.partitionBy("event_type", "day")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    lat = e.select((F.max("tsec").over(w) - F.col("tsec")).alias("late"))
+    pct = lat.agg(
+        *[
+            F.expr(f"percentile(late, {q})").alias(f"_p{i}")
+            for i, q in enumerate(E26_QUANTILES)
+        ]
+    )
+    stack_args = ", ".join(
+        f"CAST({q} AS DOUBLE), CAST(CEIL(_p{i}) AS BIGINT)"
+        for i, q in enumerate(E26_QUANTILES)
+    )
+    grid = pct.selectExpr(
+        f"stack({len(E26_QUANTILES)}, {stack_args}) AS (quantile, delay_sec)"
+    )
+    return (
+        lat.crossJoin(F.broadcast(grid))
+        .groupBy("quantile", "delay_sec")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum((F.col("late") > F.col("delay_sec")).cast("int"))
+            .cast("bigint")
+            .alias("n_dropped"),
+            fround(
+                F.sum((F.col("late") > F.col("delay_sec")).cast("int")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("drop_fraction"),
+        )
+    )

@@ -124,6 +124,7 @@ _PRIORITY: tuple[str, ...] = (
     "s16_nprobe_recall_curve",
     "x09_kmv_intersection",
     "d14_lsh_scurve",
+    "e26_watermark_sizing",
     # --- already driver-recorded (r1–r4), youngest families first.
     "x05_cms_portable",
     "g02_pagerank_two_steps",

@@ -119,6 +119,36 @@ def test_run_batch_metrics_and_partitioned_sink(spark, tmp_path):
     assert glob.glob(str(tmp_path / "quarantine" / "year=2026" / "month=02" / "day=03" / "*.json"))
 
 
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC source/sink breadth (SURVEY §2.1): values survive a
+    parquet→ORC→read round-trip bit-for-bit and predicates reach the
+    ORC reader (PushedFilters), so a lake standardized on ORC gets the
+    same scan-level pruning as the parquet path."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_engineering_spark.sources.tables import load_table
+
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer")
+    orc_dir = str(tmp_path / "customer_orc")
+    cust.write.mode("overwrite").orc(orc_dir)
+
+    back = spark.read.orc(orc_dir)
+    assert back.schema == cust.schema
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in cust.collect()}
+
+    filtered = back.filter(F.col("c_acctbal") > 1000.0).select("c_custkey", "c_acctbal")
+    plan = filtered._jdf.queryExecution().explainString(
+        filtered._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PushedFilters: [" in plan and "GreaterThan(c_acctbal,1000.0)" in plan, plan
+    # column pruning reaches the ORC scan too
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "c_custkey" in read_schema and "c_name" not in read_schema
+    assert filtered.count() == cust.filter(F.col("c_acctbal") > 1000.0).count()
+
+
 def test_jdbc_roundtrip_pushdown_and_partitioned_read(spark, tmp_path):
     """JDBC connector against embedded Derby (the real spark JDBC
     relation, not a stub): round-trip a dim table, verify the filter is

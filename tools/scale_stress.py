@@ -205,6 +205,26 @@ def main() -> None:
             )
             return kcore(ed, 3).count()
 
+        # IVF-PQ ADC probe (the s11/s15 IVFADC layout): codebooks are
+        # trained once per scale (one Lloyd job per iteration, k x dim
+        # driver state), then the probe touches only nprobe/nlist of
+        # the (cell, codes) table via the cell equi-join and scores 8
+        # int codes per candidate — bytes-per-vector bounded, so probe
+        # cost should track corpus/nlist plus the one-shot build floor.
+        # nlist grows with the data (the s05 discipline) so probed-cell
+        # occupancy from non-duplicate mass stays constant.
+        def ivfpq_adc():
+            from e_commerce_data_engineering_spark.operators.similarity import (
+                ivfpq_topk,
+                pq_train,
+            )
+
+            cb = pq_train(emb, dim=64, m_subs=8, k_codes=16, seed=42)
+            probes = emb.filter(F.col("vec_id") < 5)
+            return ivfpq_topk(
+                emb, probes, cb, k=5, nlist=16 * k, nprobe=4, rerank=50
+            ).count()
+
         # duplicated-span detection: replica docs are exact copies, so
         # every shingle's doc-frequency multiplies by K — the anchor cap
         # must scale with the duplication depth (max_df = 20*K, the
@@ -238,6 +258,7 @@ def main() -> None:
             ("triangles_g04", triangles, n_li),
             ("kcore_g06", kcore_peel, n_li),
             ("dup_spans_t40", dup_spans, n_doc),
+            ("ivfpq_adc_s11", ivfpq_adc, n_em),
         ):
             if only_ops is not None and name not in only_ops:
                 continue
