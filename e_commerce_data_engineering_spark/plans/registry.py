@@ -125,6 +125,7 @@ _PRIORITY: tuple[str, ...] = (
     "x09_kmv_intersection",
     "d14_lsh_scurve",
     "e26_watermark_sizing",
+    "t42_token_waterfill",
     # --- already driver-recorded (r1–r4), youngest families first.
     "x05_cms_portable",
     "g02_pagerank_two_steps",

@@ -2370,3 +2370,105 @@ def t41_span_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens_removed",
         (F.size("ts") - F.col("tokens_removed")).cast("bigint").alias("tokens_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t42 — water-filling token-budget allocation: divide a global training
+# token budget across sources such that no source exceeds its available
+# mass and the remainder is split evenly (the capped-proportional
+# mixture rule; closed-form relational solve, no iteration)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t42_token_waterfill",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS avail
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(avail) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+    r AS (
+        SELECT source, avail,
+               ROW_NUMBER() OVER (ORDER BY avail, source) AS rn,
+               SUM(avail) OVER (ORDER BY avail, source
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM tok
+    ),
+    lv AS (
+        SELECT MIN(t) AS level FROM (
+            SELECT CAST(total * 9 // 10 - (cum - avail) AS DOUBLE) / (n - rn + 1) AS t,
+                   avail, rn,
+                   MIN(CASE WHEN CAST(total * 9 // 10 - (cum - avail) AS DOUBLE)
+                                 / (n - rn + 1) <= avail
+                            THEN rn END) OVER () AS first_rn
+            FROM r CROSS JOIN tot
+        ) WHERE rn = first_rn
+    )
+    SELECT source, avail AS avail_tokens,
+           {sql_fround("LEAST(CAST(avail AS DOUBLE), level)", 4)} AS alloc_tokens,
+           avail <= level AS exhausted,
+           {sql_fround("level", 4)} AS level
+    FROM tok CROSS JOIN lv
+    """,
+    doc="Water-filling token-budget allocation: a global budget of 90% of "
+    "the corpus's tokens is split across sources by the capped-"
+    "proportional rule — every source contributes min(available, t) "
+    "where the water level t satisfies sum min(avail, t) = budget. "
+    "Solved in closed form relationally: sources sorted by available "
+    "mass, prefix cumulative sums, per-prefix candidate level "
+    "(budget - cum_below)/(sources_remaining), and the FIRST prefix "
+    "whose candidate level does not exhaust its own source is the "
+    "answer (always exists while budget < total) — no iterative "
+    "fixpoint, so the whole solve is two window passes over one row "
+    "per source. The single-partition windows are intentional: they "
+    "run on the per-source aggregate (one row per source), never on "
+    "documents. Exact bigint token sums make the level's one double "
+    "division engine-identical; the mixture-assembly companion to "
+    "t25's temperature weights (those RESHAPE shares; this CAPS them "
+    "against what each source actually has).",
+)
+def t42_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.groupBy("source").agg(
+        F.sum(X.token_count(X.tokens(F.col("text")))).cast("bigint").alias("avail")
+    )
+    tot = tok.agg(
+        F.sum("avail").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    # single-partition windows are intentional: tok has one row per
+    # source (aggregate-sized), never documents
+    w_ord = W.orderBy("avail", "source")
+    r = tok.withColumn("rn", F.row_number().over(w_ord)).withColumn(
+        "cum", F.sum("avail").over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    t_cand = (F.expr("total * 9 DIV 10") - (F.col("cum") - F.col("avail"))).cast(
+        "double"
+    ) / (F.col("n") - F.col("rn") + 1)
+    cands = r.crossJoin(F.broadcast(tot)).select(
+        "rn", "avail", t_cand.alias("t")
+    )
+    first_rn = F.min(F.when(F.col("t") <= F.col("avail"), F.col("rn"))).over(
+        W.partitionBy()
+    )
+    lv = (
+        cands.withColumn("first_rn", first_rn)
+        .filter(F.col("rn") == F.col("first_rn"))
+        .agg(F.min("t").alias("level"))
+    )
+    return (
+        tok.crossJoin(F.broadcast(lv))
+        .select(
+            "source",
+            F.col("avail").alias("avail_tokens"),
+            fround(F.least(F.col("avail").cast("double"), F.col("level")), 4).alias(
+                "alloc_tokens"
+            ),
+            (F.col("avail") <= F.col("level")).alias("exhausted"),
+            fround(F.col("level"), 4).alias("level"),
+        )
+    )
