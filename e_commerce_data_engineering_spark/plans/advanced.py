@@ -359,6 +359,162 @@ def d14_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# d15 — the MinHash ESTIMATOR calibrated: signature-agreement fraction
+# vs true Jaccard per decile (d14 audits the banding's RECALL; this
+# audits the signatures' ACCURACY — the two failure modes of an LSH
+# deployment are distinct and need separate measurements)
+# ---------------------------------------------------------------------------
+
+
+def _sql_qmean(expr: str) -> str:
+    """Order-independent mean: per-row 1e-6 quantization, integer sum."""
+    return sql_fround(
+        f"CAST(SUM(CAST(FLOOR(({expr}) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)"
+        " / 1000000.0 / COUNT(*)",
+        6,
+    )
+
+
+@query(
+    "d15_minhash_estimator_calibration",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                              for i in range(1, len(tk) - 1)]) AS shl
+        FROM (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents)
+        WHERE len(tk) >= 3
+    ),
+    hs AS (
+        SELECT doc_id, shl,
+               list_transform(shl, s -> {_D09_HASH_S}) AS hl
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+               [list_min(list_transform(hl, h -> (h * (2*k + 1) + k) % {_P1}))
+                for k in range({_D09_K})] AS sigl
+        FROM hs
+    ),
+    px AS (
+        SELECT DISTINCT doc_id, h
+        FROM (SELECT doc_id, unnest(hl) AS h FROM hs)
+    ),
+    freq AS (
+        SELECT h FROM px GROUP BY h
+        HAVING COUNT(*) BETWEEN 2 AND {D14_MAX_DF}
+    ),
+    pxf AS (SELECT px.doc_id, px.h FROM px JOIN freq USING (h)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pxf a JOIN pxf b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT cand.id_a, cand.id_b,
+               CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+                 / (len(x.shl) + len(y.shl) - len(list_intersect(x.shl, y.shl))) AS j,
+               CAST(len(list_filter(generate_series(1, {_D09_K}),
+                        i -> sa.sigl[i] = sb.sigl[i])) AS DOUBLE) / {_D09_K} AS est
+        FROM cand
+        JOIN sh x ON x.doc_id = cand.id_a
+        JOIN sh y ON y.doc_id = cand.id_b
+        JOIN sig sa ON sa.doc_id = cand.id_a
+        JOIN sig sb ON sb.doc_id = cand.id_b
+    )
+    SELECT LEAST(CAST(FLOOR(j * 10) AS INTEGER), 9) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {_sql_qmean("j")} AS mean_true_j,
+           {_sql_qmean("est")} AS mean_est_j,
+           {_sql_qmean("ABS(est - j)")} AS mean_abs_err
+    FROM scored GROUP BY 1
+    """,
+    doc=f"The MinHash ESTIMATOR calibrated against ground truth: over "
+    "the same rare-anchored pair set as d14, each pair's estimated "
+    f"Jaccard (fraction of its {_D09_K} signature positions that "
+    "agree — the unbiased MinHash estimate, and a division by a power "
+    "of two so the double is exact) beside its true Jaccard, rolled "
+    "up per true-Jaccard decile as n_pairs / mean true / mean "
+    "estimate / mean |error| (all 1e-6-quantized before summing, so "
+    "the means are order-independent). d14 asks 'does banding FIND "
+    "the pair'; this asks 'does the signature MEASURE it' — expected "
+    "|error| is ~sqrt(j(1-j)/K), and a corpus where the measured "
+    "error exceeds that envelope has hash-collision or shingle-skew "
+    "trouble. Shares the cached portable signature frame with "
+    "d09/d14; the scoring join touches only anchored candidates.",
+)
+def d15_minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import portable_signature_frame
+    from ..operators.sketch import portable_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = portable_signature_frame(d, "doc_id", "text", _D09_K, 3, cache_key=sf_dir)
+    px = sig.select(
+        "_id", F.explode(F.transform("_sh", lambda s: portable_hash(s))).alias("_h")
+    ).distinct()
+    freq = (
+        px.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= D14_MAX_DF))
+        .select("_h")
+    )
+    pxf = px.join(freq, "_h", "left_semi")
+    cand = (
+        pxf.select(F.col("_id").alias("id_a"), "_h")
+        .join(pxf.select(F.col("_id").alias("id_b"), "_h"), "_h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    both = sig.select("_id", "_sh", "_sig")
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size("_sh_a") + F.size("_sh_b") - inter
+    agree = F.size(F.filter(F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y), lambda b: b))
+    scored = (
+        cand.join(
+            both.select(
+                F.col("_id").alias("id_a"),
+                F.col("_sh").alias("_sh_a"),
+                F.col("_sig").alias("_sig_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            both.select(
+                F.col("_id").alias("id_b"),
+                F.col("_sh").alias("_sh_b"),
+                F.col("_sig").alias("_sig_b"),
+            ),
+            "id_b",
+        )
+        .select(
+            (inter.cast("double") / union).alias("j"),
+            (agree.cast("double") / _D09_K).alias("est"),
+        )
+    )
+
+    def qmean(col):
+        return fround(
+            F.sum(F.floor(col * 1000000.0 + F.lit(0.5)).cast("bigint")).cast("double")
+            / 1000000.0
+            / F.count(F.lit(1)),
+            6,
+        )
+
+    return (
+        scored.withColumn(
+            "bucket", F.least(F.floor(F.col("j") * 10).cast("int"), F.lit(9))
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            qmean(F.col("j")).alias("mean_true_j"),
+            qmean(F.col("est")).alias("mean_est_j"),
+            qmean(F.abs(F.col("est") - F.col("j"))).alias("mean_abs_err"),
+        )
+    )
+
+
 @query(
     "d03_minhash_dedupe",
     oracle=None,

@@ -126,6 +126,7 @@ _PRIORITY: tuple[str, ...] = (
     "d14_lsh_scurve",
     "e26_watermark_sizing",
     "t42_token_waterfill",
+    "d15_minhash_estimator_calibration",
     # --- already driver-recorded (r1–r4), youngest families first.
     "x05_cms_portable",
     "g02_pagerank_two_steps",

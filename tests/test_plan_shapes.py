@@ -493,3 +493,11 @@ def test_d14_ground_truth_is_anchored_equi_join(spark):
     plan = plan_of(spark, "d14_lsh_scurve")
     assert "CartesianProduct" not in plan, plan
     assert "LeftSemi" in plan, plan
+
+
+def test_d15_estimator_audit_shares_anchor_shape(spark):
+    """The estimator calibration scores only the anchored candidate
+    pairs (same rare-shingle semi join as d14) — never all pairs."""
+    plan = plan_of(spark, "d15_minhash_estimator_calibration")
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, plan
