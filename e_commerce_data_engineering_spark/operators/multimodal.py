@@ -440,6 +440,81 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(_audio_batch, AUDIO_FEATURE_SCHEMA)
 
 
+SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("dominant_freq_hz", T.DoubleType(), True),
+        T.StructField("mean_centroid_hz", T.DoubleType(), True),
+        T.StructField("bandwidth_hz", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_spectral(
+    assets: DataFrame, frame: int = 256, hop: int = 128
+) -> DataFrame:
+    """REAL frequency-domain analysis of WAV assets: Hann-windowed STFT
+    (numpy rfft) over Arrow batches → per-asset dominant frequency
+    (peak bin of the mean magnitude spectrum), mean spectral centroid,
+    and bandwidth (magnitude-weighted std around the centroid) — the
+    tone/noise/bandwidth hygiene screen complementing m02's time-domain
+    stats. Non-WAV rows yield nulls (quarantine downstream). Frequency
+    resolution is sample_rate/frame; the unit test recovers each test
+    tone's known frequency within one bin."""
+
+    def _spec_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        win = None
+        for pdf in batches:
+            out = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(content)
+                if not (b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
+                    out.append((asset_id, None, None, None, None, None))
+                    continue
+                with wave.open(io.BytesIO(b)) as w:
+                    sr, width, n = w.getframerate(), w.getsampwidth(), w.getnframes()
+                    frames_pcm = w.readframes(n)
+                if width != 2:
+                    out.append((asset_id, sr, None, None, None, None))
+                    continue
+                x = np.frombuffer(frames_pcm, dtype="<i2").astype(np.float64) / 32768.0
+                if len(x) < frame:
+                    x = np.pad(x, (0, frame - len(x)))
+                if win is None or len(win) != frame:
+                    win = np.hanning(frame)
+                n_fr = 1 + (len(x) - frame) // hop
+                starts = np.arange(n_fr) * hop
+                segs = np.stack([x[s : s + frame] * win for s in starts])
+                mag = np.abs(np.fft.rfft(segs, axis=1))
+                freqs = np.fft.rfftfreq(frame, d=1.0 / sr)
+                mean_mag = mag.mean(axis=0)
+                dom = float(freqs[int(mean_mag.argmax())])
+                tot = mag.sum(axis=1)
+                tot[tot == 0] = 1.0
+                centroids = (mag * freqs).sum(axis=1) / tot
+                mean_c = float(centroids.mean())
+                bw = float(
+                    np.sqrt(
+                        ((freqs - mean_c) ** 2 * mean_mag).sum() / mean_mag.sum()
+                    )
+                )
+                out.append((asset_id, sr, n_fr, dom, mean_c, bw))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "sample_rate", "n_frames",
+                    "dominant_freq_hz", "mean_centroid_hz", "bandwidth_hz",
+                ],
+            )
+
+    auds = assets.filter(F.col("modality") == "audio").select("asset_id", "content")
+    return auds.mapInPandas(_spec_batch, SPECTRAL_SCHEMA)
+
+
 def sample_video_frames(assets: DataFrame, every_ms: int = 250) -> DataFrame:
     """Frame-sampling PLAN: one output row per sampled frame offset
     (timestamps from meta.duration_ms — no decode needed for planning).

@@ -802,6 +802,29 @@ def m05_video_frame_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m06_audio_spectral",
+    oracle=None,  # STFT/FFT is not SQL-expressible; the physics check
+    # (each synthetic tone's known frequency recovered within one FFT
+    # bin) is pinned in tests/test_operators.py
+    doc="REAL frequency-domain audio analysis: Hann-windowed STFT "
+    "(numpy rfft over Arrow mapInPandas batches) of every WAV asset — "
+    "dominant frequency from the mean magnitude spectrum, mean "
+    "spectral centroid, and bandwidth — the tone/noise screen an "
+    "audio curation pipeline runs beside m02's time-domain RMS/ZCR "
+    "stats (operators/multimodal.extract_audio_spectral). The test "
+    "corpus is pure sine tones at known frequencies, and the unit "
+    "test asserts each is recovered within one FFT bin. Scale shape: "
+    "a shuffle-free narrow map over asset-partitioned bytes; output "
+    "is one row per asset.",
+)
+def m06_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_audio_spectral, make_real_assets
+
+    assets = make_real_assets(spark, 120)
+    return extract_audio_spectral(assets)
+
+
+@query(
     "a02_asof_forward_tolerance",
     oracle="""
     WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

@@ -127,6 +127,7 @@ _PRIORITY: tuple[str, ...] = (
     "e26_watermark_sizing",
     "t42_token_waterfill",
     "d15_minhash_estimator_calibration",
+    "m06_audio_spectral",
     # --- already driver-recorded (r1–r4), youngest families first.
     "x05_cms_portable",
     "g02_pagerank_two_steps",

@@ -149,6 +149,39 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert filtered.count() == cust.filter(F.col("c_acctbal") > 1000.0).count()
 
 
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across parquet writes (SURVEY §2.1): a later
+    writer adds a column; mergeSchema reads the union schema with
+    nulls for the old files, and the new column's filter still prunes
+    (evolution must not break pushdown)."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolving")
+    spark.range(5).select(F.col("id").alias("k"), F.lit("v1").alias("a")).write.mode(
+        "append"
+    ).parquet(p)
+    spark.range(5, 10).select(
+        F.col("id").alias("k"), F.lit("v2").alias("a"), (F.col("id") * 10).alias("b")
+    ).write.mode("append").parquet(p)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"k", "a", "b"}
+    rows = {r["k"]: (r["a"], r["b"]) for r in merged.collect()}
+    assert rows[0] == ("v1", None) and rows[7] == ("v2", 70)
+    # filter on the evolved column still reaches the scan
+    plan = (
+        merged.filter(F.col("b") > 50)
+        ._jdf.queryExecution()
+        .explainString(
+            merged._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "GreaterThan(b,50)" in plan, plan
+    assert merged.filter(F.col("b") > 50).count() == 4
+
+
 def test_jdbc_roundtrip_pushdown_and_partitioned_read(spark, tmp_path):
     """JDBC connector against embedded Derby (the real spark JDBC
     relation, not a stub): round-trip a dim table, verify the filter is

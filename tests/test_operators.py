@@ -689,6 +689,40 @@ def test_audio_features_match_signal_theory(spark):
     assert n_audio >= 9
 
 
+def test_audio_spectral_recovers_tone_frequency(spark):
+    """STFT physics check: each synthetic sine tone's known frequency
+    (220 + 5·asset_id Hz) must be the dominant FFT bin within one bin
+    width (sample_rate/frame); bandwidth of a pure tone stays small."""
+    from e_commerce_data_engineering_spark.operators.multimodal import (
+        extract_audio_spectral,
+        make_real_assets,
+    )
+
+    assets = make_real_assets(spark, 30)
+    rows = {r["asset_id"]: r for r in extract_audio_spectral(assets).collect()}
+    metas = {r["asset_id"]: r["meta"] for r in assets.collect()}
+    n_checked = 0
+    for aid, m in metas.items():
+        if m["format"] != "wav":
+            continue
+        r = rows[aid]
+        expect = 220.0 + 5 * aid
+        bin_hz = r["sample_rate"] / 256.0
+        assert abs(r["dominant_freq_hz"] - expect) <= bin_hz, (
+            aid, r["dominant_freq_hz"], expect,
+        )
+        # a pure tone's energy concentrates: centroid near the tone,
+        # allowing spectral leakage from the short rectangular-ish
+        # windows at these tiny durations
+        assert abs(r["mean_centroid_hz"] - expect) < max(150.0, 3 * bin_hz), (
+            aid, r["mean_centroid_hz"], expect,
+        )
+        n_checked += 1
+    assert n_checked >= 9
+    # video/image rows are excluded by the modality filter entirely
+    assert set(rows) == {a for a, m in metas.items() if m["format"] == "wav"}
+
+
 def test_asof_forward_and_tolerance(spark):
     from e_commerce_data_engineering_spark.operators.asof import asof_join
 
