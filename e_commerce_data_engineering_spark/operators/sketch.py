@@ -377,3 +377,54 @@ def quantiles_from_histogram(hist: DataFrame, w: DataFrame, qs: tuple[float, ...
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (K-minimum-values) distinct sketch (Bar-Yossef et al. 2002;
+# Beyer et al. SIGMOD'07) — shared by the x09 batch query and the
+# streaming KMV store. KMV is MERGEABLE: the K smallest of a union is
+# the K smallest of the union of per-shard K-smallest sets, so
+# per-batch sketches fold without touching raw data again.
+# ---------------------------------------------------------------------------
+
+KMV_P = 1_000_000_007
+# order-scrambling affine map: the raw Horner fold hashes short tokens
+# small (and short tokens are the cross-source common words), which
+# would bias a K-MINIMUM estimator; the affine map mod P randomizes
+# rank order (the same fix t28's priorities use)
+KMV_MIX, KMV_ADD = 1_103_515_245, 12_345
+
+
+def kmv_hash(col: Column) -> Column:
+    """Rank-scrambled engine-portable hash for K-minimum sketches."""
+    return (
+        portable_hash(col, 31, KMV_P) * F.lit(KMV_MIX) + F.lit(KMV_ADD)
+    ) % F.lit(KMV_P)
+
+
+def kmv_sketch(hv: DataFrame, key_cols: list[str], k: int) -> DataFrame:
+    """Keep the ``k`` smallest DISTINCT hash values per key group —
+    the whole sketch state: k rows per group regardless of input."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*key_cols).orderBy("hv")
+    return (
+        hv.distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(*key_cols, "hv")
+    )
+
+
+def kmv_estimate(sk: DataFrame, key_cols: list[str], k: int) -> DataFrame:
+    """(keys, n_sk, kth_hash, est_distinct): (k-1)·P/h_(k) when the
+    sketch is full, else the exhaustive exact count (n < k means the
+    sketch IS the distinct set)."""
+    ag = sk.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sk"),
+        F.max("hv").alias("kth_hash"),
+    )
+    est = F.when(F.col("n_sk") < k, F.col("n_sk").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(KMV_P)) / F.col("kth_hash").cast("double")
+    )
+    return ag.select(*key_cols, "n_sk", "kth_hash", est.alias("est_distinct"))

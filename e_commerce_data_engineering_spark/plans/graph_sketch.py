@@ -654,16 +654,18 @@ def x07_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 # HLL lacks without inclusion-exclusion
 # ---------------------------------------------------------------------------
 
+from ..operators.sketch import KMV_ADD as _X09_ADD  # noqa: E402
+from ..operators.sketch import KMV_MIX as _X09_MIX  # noqa: E402
+from ..operators.sketch import KMV_P as _X09_P  # noqa: E402
+
 X09_K = 16  # sketch size; < per-source distinct-token count at sf0.01
-# so the estimator branch (not the exhaustive n<K branch) is exercised
-_X09_P = 1_000_000_007
-_X09_MIX, _X09_ADD = 1_103_515_245, 12_345  # order-scrambling affine map:
-# the raw Horner fold is value-biased (short tokens hash small, and the
-# short tokens are exactly the cross-source common words), which would
-# wreck a K-MINIMUM estimator; the affine map mod P randomizes rank
-# order (same fix t28's priorities use)
+# so the estimator branch (not the exhaustive n<K branch) is exercised.
+# Hash family shared with the streaming KMV store (operators/sketch
+# kmv_hash: affine-scrambled rank order — the raw Horner fold is
+# value-biased toward short common tokens, which would wreck a
+# K-MINIMUM estimator).
 _X09_H = (
-    f"(({sql_portable_hash('tok', 31, 1_000_000_007)}) * {_X09_MIX} + {_X09_ADD})"
+    f"(({sql_portable_hash('tok', 31, _X09_P)}) * {_X09_MIX} + {_X09_ADD})"
     f" % {_X09_P}"
 )
 _X09_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -741,14 +743,11 @@ _X09_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
 )
 def x09_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens
-    from ..operators.sketch import portable_hash
+    from ..operators.sketch import kmv_hash
 
     d = load_table(spark, sf_dir, "documents")
     tk = d.select("source", F.explode(tokens(F.col("text"))).alias("tok")).distinct()
-    mixed = (
-        portable_hash(F.col("tok"), 31, _X09_P) * F.lit(_X09_MIX) + F.lit(_X09_ADD)
-    ) % F.lit(_X09_P)
-    hv = tk.select("source", mixed.alias("hv")).distinct()
+    hv = tk.select("source", kmv_hash(F.col("tok")).alias("hv")).distinct()
     sk = (
         hv.withColumn(
             "rn", F.row_number().over(W.partitionBy("source").orderBy("hv"))

@@ -975,6 +975,71 @@ def start_histogram_stream(
     )
 
 
+def start_kmv_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema,
+    k: int = 16,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Streaming twin of the x09 KMV distinct sketch over document
+    tokens: each micro-batch computes its per-source K-smallest
+    distinct token-hash set (``operators/sketch.kmv_sketch``) and
+    writes that partial under ``batch_id=N`` with overwrite — the same
+    exactly-once discipline as the histogram stream (a replayed epoch
+    rewrites its own partial). KMV is a MERGEABLE sketch: the K
+    smallest of a union equals the K smallest of the union of
+    per-shard K-smallest sets, so the read side folds partials without
+    raw rows; state is O(K) rows per (source, drained batch)."""
+    from ..functions.text import tokens
+    from ..operators.sketch import kmv_hash, kmv_sketch
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+    def _partial(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hv = (
+            batch_df.select(
+                "source", F.explode(tokens(F.col("text"))).alias("tok")
+            )
+            .select("source", kmv_hash(F.col("tok")).alias("hv"))
+            .distinct()
+        )
+        kmv_sketch(hv, ["source"], k).write.mode("overwrite").parquet(
+            f"{state_dir}/batch_id={epoch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_partial)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_kmv_estimates(spark: SparkSession, state_dir: str, k: int = 16) -> DataFrame:
+    """Fold the streamed per-batch KMV partials (union → re-truncate to
+    the K smallest — the sketch's merge) and estimate per-source
+    distinct-token counts plus a '__all__' merged row, through the SAME
+    ``operators/sketch.kmv_sketch/kmv_estimate`` core the x09 batch
+    query family uses, so batch/stream parity holds by construction."""
+    from ..operators.sketch import kmv_estimate, kmv_sketch
+
+    parts = spark.read.parquet(state_dir).select("source", "hv")
+    per_source = kmv_sketch(parts, ["source"], k)
+    merged = kmv_sketch(
+        per_source.select(F.lit("__all__").alias("source"), "hv"), ["source"], k
+    )
+    return kmv_estimate(per_source.unionByName(merged), ["source"], k)
+
+
 def read_histogram_quantiles(
     spark: SparkSession,
     state_dir: str,

@@ -1426,3 +1426,78 @@ def test_histogram_stream_matches_batch_x08(spark, tmp_path):
         for r in read_histogram_quantiles(spark, state, mn, width, qs=X08_QS).collect()
     }
     assert got2 == got
+
+
+def test_kmv_stream_matches_batch_sketch(spark, tmp_path):
+    """Batch/stream parity for the KMV distinct sketch: documents
+    streamed in micro-batches, per-batch K-smallest partials folded
+    read-side, must equal the sketch computed over the full corpus in
+    one pass (KMV's merge property is exact, not approximate), and the
+    '__all__' row equals the sketch of the union. Replay with the same
+    checkpoint changes nothing."""
+    import json as _json
+
+    from e_commerce_data_engineering_spark.functions.text import tokens
+    from e_commerce_data_engineering_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_hash,
+        kmv_sketch,
+    )
+    from e_commerce_data_engineering_spark.sources.tables import load_table
+    from e_commerce_data_engineering_spark.streaming.pipeline import (
+        read_kmv_estimates,
+        start_kmv_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("source", "text")
+    rows = [(r["source"], r["text"]) for r in docs.collect()]
+    src = tmp_path / "kmv-src"
+    src.mkdir()
+    third = max(1, len(rows) // 3)
+    for i in range(3):
+        chunk = rows[i * third :] if i == 2 else rows[i * third : (i + 1) * third]
+        (src / f"part{i}.jsonl").write_text(
+            "\n".join(
+                _json.dumps({"source": s, "text": t}) for s, t in chunk
+            )
+        )
+
+    schema = T.StructType(
+        [T.StructField("source", T.StringType()), T.StructField("text", T.StringType())]
+    )
+    state = str(tmp_path / "kmv-state")
+    ckpt = str(tmp_path / "kmv-ckpt")
+
+    def _run():
+        q = start_kmv_stream(spark, str(src), state, ckpt, schema, k=8)
+        q.awaitTermination(120)
+
+    _run()
+    got = {
+        r["source"]: (r["n_sk"], r["kth_hash"], round(r["est_distinct"], 6))
+        for r in read_kmv_estimates(spark, state, k=8).collect()
+    }
+
+    # one-pass batch sketch over the full corpus through the same core
+    hv = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .select("source", kmv_hash(F.col("tok")).alias("hv"))
+        .distinct()
+    )
+    per_source = kmv_sketch(hv, ["source"], 8)
+    merged = kmv_sketch(
+        per_source.select(F.lit("__all__").alias("source"), "hv"), ["source"], 8
+    )
+    want = {
+        r["source"]: (r["n_sk"], r["kth_hash"], round(r["est_distinct"], 6))
+        for r in kmv_estimate(per_source.unionByName(merged), ["source"], 8).collect()
+    }
+    assert got == want and "__all__" in got and len(got) >= 2
+
+    _run()  # replay drained checkpoint -> no-op
+    got2 = {
+        r["source"]: (r["n_sk"], r["kth_hash"], round(r["est_distinct"], 6))
+        for r in read_kmv_estimates(spark, state, k=8).collect()
+    }
+    assert got2 == got
