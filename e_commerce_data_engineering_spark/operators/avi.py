@@ -69,7 +69,7 @@ def avi_bytes(
         0,  # dwStart
         n_frames,  # dwLength
         max_bytes,  # dwSuggestedBufferSize
-        0xFFFFFFFF & -1,  # dwQuality (default)
+        0xFFFFFFFF,  # dwQuality (-1: default)
         0,  # dwSampleSize (0: variable-size frames)
         0, 0, w, h,  # rcFrame
     )
@@ -109,10 +109,11 @@ def avi_parse(b: bytes) -> dict:
     width = height = None
     scale, rate = 1, 0
     handler = compression = None
+    in_video_stream = False
     frames: list[bytes] = []
 
     def walk(data: bytes, pos: int, end: int) -> None:
-        nonlocal width, height, scale, rate, handler, compression
+        nonlocal width, height, scale, rate, handler, compression, in_video_stream
         while pos + 8 <= end:
             fourcc = data[pos : pos + 4]
             (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
@@ -128,13 +129,16 @@ def avi_parse(b: bytes) -> dict:
                     "<II", data[body_start + 32 : body_start + 40]
                 )
             elif fourcc == b"strh":
-                fcc_type = data[body_start : body_start + 4]
-                if fcc_type == b"vids":
+                # the following strf belongs to THIS stream: only the
+                # 'vids' stream's format block names the video codec
+                # (an audio-first AVI must not satisfy the MJPG check)
+                in_video_stream = data[body_start : body_start + 4] == b"vids"
+                if in_video_stream:
                     handler = data[body_start + 4 : body_start + 8]
                     scale, rate = struct.unpack(
                         "<II", data[body_start + 20 : body_start + 28]
                     )
-            elif fourcc == b"strf" and compression is None and size >= 20:
+            elif fourcc == b"strf" and in_video_stream and size >= 20:
                 compression = data[body_start + 16 : body_start + 20]
             elif fourcc in (b"00dc", b"00db"):
                 frames.append(data[body_start : body_start + size])
