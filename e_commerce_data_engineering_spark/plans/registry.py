@@ -128,6 +128,7 @@ _PRIORITY: tuple[str, ...] = (
     "t42_token_waterfill",
     "d15_minhash_estimator_calibration",
     "m06_audio_spectral",
+    "t43_decontaminate",
     # --- already driver-recorded (r1–r4), youngest families first.
     "x05_cms_portable",
     "g02_pagerank_two_steps",

@@ -523,6 +523,87 @@ def t14_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t43_decontaminate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_DUCK_TOKS} AS ts FROM documents),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(ts) - {CONTAM_NGRAM - 1}),
+                   i -> md5(list_aggregate(ts[i:i+{CONTAM_NGRAM - 1}], 'string_agg', ' '))
+               ))) AS g
+        FROM toks WHERE len(ts) >= {CONTAM_NGRAM}
+    ),
+    bench  AS (SELECT DISTINCT g FROM grams WHERE doc_id < {CONTAM_BENCH_DOCS}),
+    corpus AS (SELECT doc_id, source, len(ts) AS n_tok FROM toks
+               WHERE doc_id >= {CONTAM_BENCH_DOCS}),
+    hit AS (
+        SELECT DISTINCT gr.doc_id
+        FROM grams gr JOIN bench USING (g)
+        WHERE gr.doc_id >= {CONTAM_BENCH_DOCS}
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           CAST(SUM(CASE WHEN hit.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN hit.doc_id IS NOT NULL THEN n_tok ELSE 0 END) AS BIGINT)
+             AS tokens_dropped,
+           CAST(SUM(CASE WHEN hit.doc_id IS NULL THEN n_tok ELSE 0 END) AS BIGINT)
+             AS tokens_kept
+    FROM corpus LEFT JOIN hit USING (doc_id)
+    GROUP BY source
+    """,
+    doc="The decontamination REMOVAL half of t14's screen: corpus docs "
+    f"sharing ANY {CONTAM_NGRAM}-gram with the eval set are dropped, "
+    "and the per-source impact report (docs and tokens kept vs "
+    "dropped) is what a curation run publishes before training. The "
+    "hit set is one semi-join-shaped pass over the hashed n-gram "
+    "inverted index — shuffle volume tracks true contamination, never "
+    "corpus×bench — and the report is a left join against it, so "
+    "sources with zero contamination still appear with full counts.",
+)
+def t43_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    base = d.select("doc_id", "source", X.tokens(F.col("text")).alias("_tk"))
+    grams = base.filter(F.size("_tk") >= CONTAM_NGRAM).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(X.shingles_zip(F.col("_tk"), CONTAM_NGRAM), F.md5)
+            )
+        ).alias("g"),
+    )
+    bench = grams.filter(F.col("doc_id") < CONTAM_BENCH_DOCS).select("g").distinct()
+    corpus = base.filter(F.col("doc_id") >= CONTAM_BENCH_DOCS).select(
+        "doc_id", "source", F.size("_tk").alias("n_tok")
+    )
+    hit = (
+        grams.filter(F.col("doc_id") >= CONTAM_BENCH_DOCS)
+        .join(bench, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = corpus.join(hit, "doc_id", "left")
+    is_hit = F.col("_hit").isNotNull()
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(is_hit.cast("int")).cast("bigint").alias("n_contaminated"),
+        F.sum((~is_hit).cast("int")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(is_hit, F.col("n_tok")).otherwise(0)).cast("bigint").alias(
+            "tokens_dropped"
+        ),
+        F.sum(F.when(~is_hit, F.col("n_tok")).otherwise(0)).cast("bigint").alias(
+            "tokens_kept"
+        ),
+    )
+
+
 SPLIT_VAL_PCT, SPLIT_TEST_PCT = 10, 10  # % of each stratum
 
 
