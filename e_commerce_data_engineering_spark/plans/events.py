@@ -1286,3 +1286,58 @@ def e26_watermark_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drop_fraction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e27 — per-user inter-event time distribution: the arrival-spacing
+# percentiles that size session gaps (e03), rate limits (e20), and
+# state-store timeouts (streaming/stateful.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e27_interevent_gaps",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type, event_id, epoch(ts) AS tsec FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               tsec - LAG(tsec) OVER (PARTITION BY user_id
+                                      ORDER BY tsec, event_id) AS gap
+        FROM e
+    )
+    SELECT event_type,
+           CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+           {sql_fround("CAST(quantile_cont(gap, 0.50) AS DOUBLE)", 4)} AS p50_s,
+           {sql_fround("CAST(quantile_cont(gap, 0.90) AS DOUBLE)", 4)} AS p90_s,
+           {sql_fround("CAST(quantile_cont(gap, 0.99) AS DOUBLE)", 4)} AS p99_s,
+           {sql_fround("MAX(gap)", 3)} AS max_gap_s
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="Per-user inter-event arrival spacing, rolled up per the "
+    "arriving event's type: exact interpolated p50/p90/p99 gap "
+    "seconds plus the worst gap — the distribution that SIZES a "
+    "session gap (e03's 30 min), a burst window (e20), and a stateful "
+    "operator's timeout (streaming/stateful.py) instead of guessing "
+    "them. One LAG window partitioned by user (user-sized partitions "
+    "at any scale), one percentile aggregate per type; gaps are "
+    "epoch-second differences, so timezone-invariant and "
+    "engine-exact; Spark percentile() and DuckDB quantile_cont() "
+    "share the p·(n-1) interpolation (the q40 pattern).",
+)
+def e27_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tsec = F.col("ts").cast("double")
+    w = W.partitionBy("user_id").orderBy(tsec, "event_id")
+    g = ev.select(
+        "event_type", (tsec - F.lag(tsec).over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("gap").cast("bigint").alias("n_gaps"),
+        fround(F.expr("percentile(gap, 0.50)"), 4).alias("p50_s"),
+        fround(F.expr("percentile(gap, 0.90)"), 4).alias("p90_s"),
+        fround(F.expr("percentile(gap, 0.99)"), 4).alias("p99_s"),
+        fround(F.max("gap"), 3).alias("max_gap_s"),
+    )

@@ -129,6 +129,9 @@ _PRIORITY: tuple[str, ...] = (
     "d15_minhash_estimator_calibration",
     "m06_audio_spectral",
     "t43_decontaminate",
+    "e27_interevent_gaps",
+    "t44_heaps_fit",
+    "q72_growth_streaks",
     # --- already driver-recorded (r1–r4), youngest families first.
     "x05_cms_portable",
     "g02_pagerank_two_steps",

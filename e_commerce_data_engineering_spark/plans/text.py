@@ -2553,3 +2553,137 @@ def t42_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.col("level"), 4).alias("level"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t44 — Heaps'-law vocabulary-growth fit: V(n) ≈ K·n^β over corpus
+# prefixes (t35's Zipf fit is the frequency spectrum at one corpus
+# size; this is how the vocabulary GROWS as the corpus does — the
+# curve that predicts tokenizer/vocab coverage at 100 TB from a
+# sample)
+# ---------------------------------------------------------------------------
+
+T44_STEP = 50  # prefix checkpoint every 50 docs (by doc_id order)
+
+
+@query(
+    "t44_heaps_fit",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+    dlen AS (SELECT doc_id, len(ts) AS n_tok FROM toks),
+    firsts AS (
+        SELECT tok, MIN(doc_id) AS first_doc
+        FROM (SELECT doc_id, unnest(ts) AS tok FROM toks) t
+        GROUP BY tok
+    ),
+    cps AS (
+        SELECT unnest(range({T44_STEP - 1},
+                            (SELECT MAX(doc_id) FROM documents) + 1,
+                            {T44_STEP})) AS cp
+    ),
+    pts AS (
+        SELECT cp,
+               (SELECT CAST(SUM(n_tok) AS BIGINT) FROM dlen
+                WHERE doc_id <= cp) AS cum_tokens,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts
+                WHERE first_doc <= cp) AS cum_vocab
+        FROM cps
+    ),
+    q AS (
+        SELECT CAST(FLOOR(ln(CAST(cum_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS xq,
+               CAST(FLOOR(ln(CAST(cum_vocab AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS yq
+        FROM pts
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+               CAST(SUM(xq * xq // 1000000) AS BIGINT) AS sxx,
+               CAST(SUM(xq * yq // 1000000) AS BIGINT) AS sxy
+        FROM q
+    )
+    SELECT n AS n_checkpoints,
+           {sql_fround(
+               "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy / 1000000.0)"
+               " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx / 1000000.0)",
+               6)} AS heaps_beta,
+           {sql_fround(
+               "exp(CAST(sy AS DOUBLE) / n / 1000000.0"
+               " - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy / 1000000.0)"
+               " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx / 1000000.0))"
+               " * CAST(sx AS DOUBLE) / n / 1000000.0)",
+               4)} AS heaps_k
+    FROM s
+    """,
+    doc="Heaps'-law vocabulary-growth fit: cumulative distinct-token "
+    f"count vs cumulative token count at every {T44_STEP}-doc prefix "
+    "(doc_id order), OLS of log V on log n → the β exponent (natural "
+    "text ~0.4-0.6; β near 1 means near-random token soup, β near 0 a "
+    "closed template vocabulary) and the K prefactor — the curve that "
+    "extrapolates tokenizer/vocab coverage from a sample to the full "
+    "corpus. The cumulative distinct counts need NO per-prefix rescan: "
+    "each token contributes at its FIRST doc (one groupBy-min), and a "
+    "checkpoint's vocabulary is the count of first-occurrences at or "
+    "before it — the e12 first-occurrence trick applied to corpus "
+    "growth. Log points are 1e-6-quantized and the OLS moments exact "
+    "integer sums (the t35 discipline), so both engines compute the "
+    "identical regression.",
+)
+def t44_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", X.tokens(F.col("text")).alias("ts"))
+    dlen = toks.select("doc_id", F.size("ts").alias("n_tok"))
+    firsts = (
+        toks.select("doc_id", F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    max_id = d.agg(F.max("doc_id").alias("mx"))
+    cps = max_id.select(
+        F.explode(
+            F.sequence(F.lit(T44_STEP - 1), F.col("mx"), F.lit(T44_STEP))
+        ).alias("cp")
+    )
+    # checkpoint grids are tiny (corpus/STEP rows): broadcast them
+    # against the per-doc / per-first-doc aggregates
+    cum_tok = (
+        dlen.crossJoin(F.broadcast(cps))
+        .filter(F.col("doc_id") <= F.col("cp"))
+        .groupBy("cp")
+        .agg(F.sum("n_tok").cast("bigint").alias("cum_tokens"))
+    )
+    cum_voc = (
+        firsts.crossJoin(F.broadcast(cps))
+        .filter(F.col("first_doc") <= F.col("cp"))
+        .groupBy("cp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cum_vocab"))
+    )
+    pts = cum_tok.join(cum_voc, "cp")
+    xq = F.floor(F.log(F.col("cum_tokens").cast("double")) * F.lit(1e6) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    yq = F.floor(F.log(F.col("cum_vocab").cast("double")) * F.lit(1e6) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    s = pts.select(xq.alias("xq"), yq.alias("yq")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.expr("xq * xq div 1000000")).alias("sxx"),
+        F.sum(F.expr("xq * yq div 1000000")).alias("sxy"),
+    )
+    slope = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy") / F.lit(1e6)
+    ) / (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx") / F.lit(1e6)
+    )
+    intercept = (
+        F.col("sy").cast("double") / F.col("n") / F.lit(1e6)
+        - slope * F.col("sx").cast("double") / F.col("n") / F.lit(1e6)
+    )
+    return s.select(
+        F.col("n").alias("n_checkpoints"),
+        fround(slope, 6).alias("heaps_beta"),
+        fround(F.exp(intercept), 4).alias("heaps_k"),
+    )

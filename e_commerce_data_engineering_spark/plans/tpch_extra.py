@@ -577,3 +577,102 @@ def q71_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p_n").alias("n_rows"),
         F.round(F.sum("p_rev"), 2).cast("double").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q72 — consecutive-quarter growth streaks (gaps-and-islands over an
+# AGGREGATE: the retention/expansion readout a revenue dashboard runs)
+# ---------------------------------------------------------------------------
+
+Q72_MIN_STREAK = 2  # at least 2 consecutive quarter-over-quarter rises
+Q72_TOP = 50
+
+
+@query(
+    "q72_growth_streaks",
+    oracle=f"""
+    WITH q AS (
+        SELECT o_custkey AS custkey,
+               year(o_orderdate) * 4 + (month(o_orderdate) - 1) // 3 AS qi,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+                 AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    flagged AS (
+        SELECT custkey, qi,
+               CASE WHEN LAG(qi)  OVER w = qi - 1
+                     AND LAG(rev) OVER w < rev THEN 1 ELSE 0 END AS grew
+        FROM q
+        WINDOW w AS (PARTITION BY custkey ORDER BY qi)
+    ),
+    grown AS (
+        SELECT custkey, qi,
+               qi - ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY qi) AS isl
+        FROM flagged WHERE grew = 1
+    ),
+    streaks AS (
+        SELECT custkey, CAST(COUNT(*) AS BIGINT) AS len,
+               CAST(MIN(qi) - 1 AS BIGINT) AS start_qi
+        FROM grown GROUP BY custkey, isl
+    ),
+    best AS (
+        SELECT custkey,
+               CAST(MAX(len) AS BIGINT) AS max_streak,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks
+        FROM streaks WHERE len >= {Q72_MIN_STREAK}
+        GROUP BY custkey
+    )
+    SELECT custkey, max_streak, n_streaks
+    FROM best
+    ORDER BY max_streak DESC, custkey
+    LIMIT {Q72_TOP}
+    """,
+    doc="Consecutive-quarter revenue-growth streaks per customer: "
+    "quarterly DECIMAL-exact revenue, a rise flag that requires the "
+    "IMMEDIATELY previous quarter (gap quarters break the streak by "
+    "construction — the qi-1 check), and gaps-and-islands over the "
+    "rise flags to recover maximal streaks; customers ranked by their "
+    f"longest streak (>= {Q72_MIN_STREAK} rises), top {Q72_TOP}. The "
+    "windows run per customer over QUARTER-aggregated rows (a handful "
+    "per customer), so partition sizes are bounded at any order "
+    "volume — the gaps-and-islands-on-aggregate shape q44 pins on raw "
+    "days, lifted to the growth-streak readout.",
+)
+def q72_growth_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    q = orders.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        (
+            F.year("o_orderdate") * 4 + F.expr("(month(o_orderdate) - 1) DIV 3")
+        ).alias("qi"),
+    ).agg(F.round(F.sum(dmoney("o_totalprice")), 2).cast("double").alias("rev"))
+    w = W.partitionBy("custkey").orderBy("qi")
+    flagged = q.select(
+        "custkey",
+        "qi",
+        F.when(
+            (F.lag("qi").over(w) == F.col("qi") - 1)
+            & (F.lag("rev").over(w) < F.col("rev")),
+            1,
+        )
+        .otherwise(0)
+        .alias("grew"),
+    )
+    grown = flagged.filter(F.col("grew") == 1).select(
+        "custkey", "qi", (F.col("qi") - F.row_number().over(w)).alias("isl")
+    )
+    streaks = grown.groupBy("custkey", "isl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+        (F.min("qi") - 1).cast("bigint").alias("start_qi"),
+    )
+    best = (
+        streaks.filter(F.col("len") >= Q72_MIN_STREAK)
+        .groupBy("custkey")
+        .agg(
+            F.max("len").cast("bigint").alias("max_streak"),
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        )
+    )
+    return best.orderBy(F.col("max_streak").desc(), "custkey").limit(Q72_TOP)
