@@ -351,6 +351,55 @@ def minhash_lsh_pairs_portable(
     )
 
 
+def anchored_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    max_df: int = 20,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Persisted distinct ``(id_a, id_b)`` pairs sharing at least one
+    RARE shingle hash (document frequency in [2, max_df] — the t40
+    anchor cap, bounding the self-join by df² per shingle, never
+    corpus²). The shared ground-truth pair set of the d14/d15
+    calibration audits: both consume it more than once (Jaccard
+    scoring + banding catch check), so it is materialized and tracked
+    in ``_FRAME_CACHE`` (evict via ``clear_frame_cache``)."""
+    from .sketch import portable_hash
+
+    base = _shingle_frame(df, id_col, text_col, shingle_n, cache_key)
+
+    def build():
+        px = base.select(
+            "_id",
+            F.explode(F.transform("_sh", lambda s: portable_hash(s))).alias("_h"),
+        ).distinct()
+        freq = (
+            px.groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+            .select("_h")
+        )
+        pxf = px.join(freq, "_h", "left_semi")
+        cand = (
+            pxf.select(F.col("_id").alias("id_a"), "_h")
+            .join(pxf.select(F.col("_id").alias("id_b"), "_h"), "_h")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+            .persist()
+        )
+        return [cand]
+
+    key = (
+        ("anchored-pairs", cache_key, id_col, text_col, shingle_n, max_df)
+        if cache_key
+        else None
+    )
+    return _cached(df, key, build)
+
+
 def minhash_dedupe(
     df: DataFrame,
     id_col: str,

@@ -300,28 +300,17 @@ def _d14_theory(mid: str) -> str:
     "frame with d09 (operators/dedup.portable_signature_frame).",
 )
 def d14_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import portable_banded_frame, portable_signature_frame
-    from ..operators.sketch import portable_hash
+    from ..operators.dedup import (
+        anchored_candidate_pairs,
+        portable_banded_frame,
+        portable_signature_frame,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     sig = portable_signature_frame(d, "doc_id", "text", _D09_K, 3, cache_key=sf_dir)
     banded = portable_banded_frame(sig, _D09_BANDS, _D09_R)
-    px = sig.select(
-        "_id", F.explode(F.transform("_sh", lambda s: portable_hash(s))).alias("_h")
-    ).distinct()
-    freq = (
-        px.groupBy("_h")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter((F.col("_df") >= 2) & (F.col("_df") <= D14_MAX_DF))
-        .select("_h")
-    )
-    pxf = px.join(freq, "_h", "left_semi")
-    cand = (
-        pxf.select(F.col("_id").alias("id_a"), "_h")
-        .join(pxf.select(F.col("_id").alias("id_b"), "_h"), "_h")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    cand = anchored_candidate_pairs(
+        d, "doc_id", "text", shingle_n=3, max_df=D14_MAX_DF, cache_key=sf_dir
     )
     sh = sig.select("_id", "_sh")
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
@@ -444,27 +433,12 @@ def _sql_qmean(expr: str) -> str:
     "d09/d14; the scoring join touches only anchored candidates.",
 )
 def d15_minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import portable_signature_frame
-    from ..operators.sketch import portable_hash
+    from ..operators.dedup import anchored_candidate_pairs, portable_signature_frame
 
     d = load_table(spark, sf_dir, "documents")
     sig = portable_signature_frame(d, "doc_id", "text", _D09_K, 3, cache_key=sf_dir)
-    px = sig.select(
-        "_id", F.explode(F.transform("_sh", lambda s: portable_hash(s))).alias("_h")
-    ).distinct()
-    freq = (
-        px.groupBy("_h")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter((F.col("_df") >= 2) & (F.col("_df") <= D14_MAX_DF))
-        .select("_h")
-    )
-    pxf = px.join(freq, "_h", "left_semi")
-    cand = (
-        pxf.select(F.col("_id").alias("id_a"), "_h")
-        .join(pxf.select(F.col("_id").alias("id_b"), "_h"), "_h")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    cand = anchored_candidate_pairs(
+        d, "doc_id", "text", shingle_n=3, max_df=D14_MAX_DF, cache_key=sf_dir
     )
     both = sig.select("_id", "_sh", "_sig")
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
