@@ -132,6 +132,8 @@ _PRIORITY: tuple[str, ...] = (
     "e27_interevent_gaps",
     "t44_heaps_fit",
     "q72_growth_streaks",
+    # --- past the driver's ~50-record window: recorded in round 6
+    "t45_novelty_decay",
     # --- already driver-recorded (r1–r4), youngest families first.
     "x05_cms_portable",
     "g02_pagerank_two_steps",

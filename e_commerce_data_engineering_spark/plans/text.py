@@ -2687,3 +2687,92 @@ def t44_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(slope, 6).alias("heaps_beta"),
         fround(F.exp(intercept), 4).alias("heaps_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t45 — n-gram novelty decay over arrival order: what fraction of each
+# doc's 8-grams has never been seen in any earlier doc? A healthy crawl
+# decays slowly; a loop/template collapse drops novelty to ~0 — the
+# corpus-freshness monitor next to t44's vocabulary-growth fit
+# ---------------------------------------------------------------------------
+
+T45_BUCKET = 50  # arrival buckets of 50 docs (doc_id order)
+
+
+@query(
+    "t45_novelty_decay",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(ts) - {CONTAM_NGRAM - 1}),
+                   i -> md5(list_aggregate(ts[i:i+{CONTAM_NGRAM - 1}], 'string_agg', ' '))
+               ))) AS g
+        FROM toks WHERE len(ts) >= {CONTAM_NGRAM}
+    ),
+    firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g),
+    per_doc AS (
+        SELECT gr.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel
+        FROM grams gr JOIN firsts f USING (g)
+        GROUP BY gr.doc_id
+    )
+    SELECT doc_id // {T45_BUCKET} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+           CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+           {sql_fround("CAST(SUM(n_novel) AS DOUBLE) / SUM(n_grams)", 6)}
+             AS novelty_rate
+    FROM per_doc GROUP BY 1
+    """,
+    doc=f"N-gram novelty decay: per {T45_BUCKET}-doc arrival bucket "
+    f"(doc_id order), the fraction of distinct {CONTAM_NGRAM}-grams "
+    "appearing for the FIRST time in the corpus — the freshness "
+    "monitor that catches crawl loops and template collapse (novelty "
+    "falling to ~0 long before storage fills with duplicates; the "
+    "span/exact dedup families then quantify what to cut). One "
+    "groupBy-min assigns every gram its first document (the e12/t44 "
+    "first-occurrence trick), so no per-prefix rescans and no "
+    "quadratic pair work — shuffle volume is one row per distinct "
+    "gram. Exact integer counts; one double division per bucket.",
+)
+def t45_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    base = d.select("doc_id", X.tokens(F.col("text")).alias("_tk")).filter(
+        F.size("_tk") >= CONTAM_NGRAM
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(X.shingles_zip(F.col("_tk"), CONTAM_NGRAM), F.md5)
+            )
+        ).alias("g"),
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.groupBy(F.expr(f"doc_id DIV {T45_BUCKET}").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_grams").cast("bigint").alias("n_grams"),
+            F.sum("n_novel").cast("bigint").alias("n_novel"),
+            fround(
+                F.sum("n_novel").cast("double") / F.sum("n_grams"), 6
+            ).alias("novelty_rate"),
+        )
+    )
