@@ -134,6 +134,7 @@ _PRIORITY: tuple[str, ...] = (
     "q72_growth_streaks",
     # --- past the driver's ~50-record window: recorded in round 6
     "t45_novelty_decay",
+    "q73_benford_audit",
     # --- already driver-recorded (r1–r4), youngest families first.
     "x05_cms_portable",
     "g02_pagerank_two_steps",

@@ -676,3 +676,64 @@ def q72_growth_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return best.orderBy(F.col("max_streak").desc(), "custkey").limit(Q72_TOP)
+
+
+# ---------------------------------------------------------------------------
+# q73 — Benford's-law first-digit audit over order totals: the classic
+# financial-forensics screen (fabricated amounts rarely follow the
+# log distribution organic transaction data does)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q73_benford_audit",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM d)
+    SELECT digit,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_fround("CAST(COUNT(*) AS DOUBLE) / (SELECT n_all FROM tot)", 6)}
+             AS obs_freq,
+           {sql_fround("ln(1.0 + 1.0 / digit) / ln(10.0)", 6)} AS benford_freq,
+           {sql_fround(
+               "POWER(CAST(COUNT(*) AS DOUBLE) / (SELECT n_all FROM tot)"
+               " - ln(1.0 + 1.0 / digit) / ln(10.0), 2)"
+               " / (ln(1.0 + 1.0 / digit) / ln(10.0))", 6)} AS chi2_term
+    FROM d GROUP BY digit
+    """,
+    doc="Benford's-law first-digit audit of order totals — the "
+    "financial-forensics screen: organic transaction amounts follow "
+    "P(d) = log10(1 + 1/d), fabricated ones rarely do, and a large "
+    "per-digit chi-square term localizes the anomaly. The first "
+    "significant digit comes from the EXACT cents integer rendered as "
+    "a string (no log10-of-a-double floor, whose last-ulp behavior "
+    "near powers of ten could differ between engines); the expected "
+    "frequencies are one ln ratio per digit, identical IEEE on both "
+    "sides under 6-dp rounding. One narrow projection + one 9-group "
+    "aggregate — the audit costs a single scan at any order volume.",
+)
+def q73_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    d = orders.filter(F.col("o_totalprice") > 0).select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_all"))
+    benford = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+    obs = F.col("n").cast("double") / F.col("n_all")
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            fround(obs, 6).alias("obs_freq"),
+            fround(benford, 6).alias("benford_freq"),
+            fround(F.pow(obs - benford, F.lit(2.0)) / benford, 6).alias("chi2_term"),
+        )
+    )
