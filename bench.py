@@ -79,6 +79,11 @@ HEADLINE = [
 # The fixed cross-round comparison set: the 24 queries present in every
 # bench since round 3. FROZEN — do not add entries (new queries extend
 # HEADLINE instead); its sum is the only total comparable across rounds.
+# PROTOCOL NOTE (round 5 onward): sub-second entries get an adaptive
+# third timed run (see the loop below), where rounds 3-4 recorded
+# min-of-2 for them — a small systematic downward bias on the fast
+# entries when comparing this subtotal against the r3/r4 numbers. The
+# protocol is frozen as-of round 5; r5+ subtotals compare cleanly.
 R3_SUBSET = frozenset({
     "q01_pricing_summary",
     "q03_shipping_priority",

@@ -145,7 +145,12 @@ def avi_parse(b: bytes) -> dict:
             pos = body_start + size + (size % 2)
 
     walk(b, 12, len(b))
-    if compression != b"MJPG" and handler != b"MJPG":
+    # strf's biCompression is authoritative when present: a stream whose
+    # strh handler says MJPG but whose format block names another codec
+    # must fail HERE, not later inside jpeg_decode. The strh handler
+    # fourcc is only a fallback for AVIs with a missing/short strf.
+    codec_ok = compression == b"MJPG" if compression is not None else handler == b"MJPG"
+    if not codec_ok:
         raise ValueError(
             f"unsupported video codec {compression!r}/{handler!r}: only MJPEG "
             "streams decode here (no entropy codec exists for others)"

@@ -40,17 +40,24 @@ def shingles_of(text: Column, n: int = 3) -> Column:
 _FRAME_CACHE: dict[tuple, list[DataFrame]] = {}
 
 
+def _check_frames(frames) -> list[DataFrame]:
+    # Explicit check (not assert: it must survive python -O). A build
+    # returning a bare DataFrame would make frames[0] a Column —
+    # DataFrame.__getitem__ — and fail far downstream instead of here.
+    if not isinstance(frames, list):
+        raise TypeError(
+            f"build() must return [primary, *aux] persisted frames, got {type(frames).__name__}"
+        )
+    return frames
+
+
 def _cached(df: DataFrame, key: tuple | None, build) -> DataFrame:
     """``build()`` returns ``[primary, *aux]`` persisted frames."""
     if key is None:
-        frames = build()
-        assert isinstance(frames, list), "build() must return [primary, *aux]"
-        return frames[0]
+        return _check_frames(build())[0]
     full_key = (df.sparkSession.sparkContext.applicationId, *key)
     if full_key not in _FRAME_CACHE:
-        frames = build()
-        assert isinstance(frames, list), "build() must return [primary, *aux]"
-        _FRAME_CACHE[full_key] = frames
+        _FRAME_CACHE[full_key] = _check_frames(build())
     return _FRAME_CACHE[full_key][0]
 
 

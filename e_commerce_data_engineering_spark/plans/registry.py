@@ -76,10 +76,24 @@ def _load_all_modules() -> None:
 # derived from driver artifacts at import time. Consumers that care
 # about specific entries look them up by name; the order only affects
 # enumeration.
+#
+# REGRESSION GATE for rotated-out queries: once a name moves past the
+# driver's ~50-entry sweep window its external record is frozen, so the
+# per-round LOCAL full-inventory verify (every queries() entry vs its
+# DuckDB oracle at sf0.01 — the recipe in .claude/skills/verify/
+# SKILL.md) is the gate that would catch a regression in an
+# already-recorded query. Run it every round; the driver only re-checks
+# the front of this list.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-5 front block: the 37 queries never recorded by the
-    # driver through round 4 (they sat at positions 51+ of the round-4
-    # order). Oracle-backed first; s11 (rows-only) closes the block.
+    # --- round-6 front block: the two round-5 queries that landed past
+    # the driver's ~50-record window, then round-6 additions as they
+    # are registered. Everything after "already driver-recorded" has an
+    # official CORRECTNESS_r* row (cumulative 206/208 through r5).
+    "t45_novelty_decay",
+    "q73_benford_audit",
+    # --- round-6 additions land here (within the sweep window).
+    # --- already driver-recorded: round-5 block (r5 recorded all 50
+    # of these), youngest first.
     "d10_portable_simhash_pairs",
     "d11_fuzzy_name_pairs",
     "d12_semdedup_greedy",
@@ -117,8 +131,6 @@ _PRIORITY: tuple[str, ...] = (
     "t41_span_removal_stats",
     "x08_histogram_quantiles",
     "s11_ivfpq_topk",
-    # --- round-5 additions land here (within the driver's ~50-entry
-    # sweep window) as they are registered.
     "s15_portable_ivfpq_topk",
     "m05_video_frame_luma",
     "s16_nprobe_recall_curve",
@@ -132,9 +144,6 @@ _PRIORITY: tuple[str, ...] = (
     "e27_interevent_gaps",
     "t44_heaps_fit",
     "q72_growth_streaks",
-    # --- past the driver's ~50-record window: recorded in round 6
-    "t45_novelty_decay",
-    "q73_benford_audit",
     # --- already driver-recorded (r1–r4), youngest families first.
     "x05_cms_portable",
     "g02_pagerank_two_steps",

@@ -429,6 +429,12 @@ def test_avi_roundtrip_and_loud_failures():
     bad[strh_at + 8 + 4 : strh_at + 8 + 8] = b"XVID"
     with pytest.raises(ValueError, match="only MJPEG"):
         avi_parse(bytes(bad))
+    # strf is authoritative when present: handler MJPG + strf XVID must
+    # fail at container parse, not later inside jpeg_decode
+    half_bad = bytearray(b)
+    half_bad[strf_at + 8 + 16 : strf_at + 8 + 20] = b"XVID"
+    with pytest.raises(ValueError, match="only MJPEG"):
+        avi_parse(bytes(half_bad))
 
 
 def test_extract_video_frames_real_decode(spark):
@@ -1226,6 +1232,20 @@ def test_dedup_frame_cache_eviction_unpersists(spark):
     assert not any("evict-frame-test" in k for k in _FRAME_CACHE)
     assert not frame.storageLevel.useMemory
     assert all(not f.storageLevel.useMemory for f in aux)
+
+
+def test_cached_rejects_bare_dataframe(spark):
+    """_cached's [primary, *aux] contract is an explicit TypeError, not
+    an assert — it must hold under python -O, where a build returning a
+    bare DataFrame would silently yield frames[0] == a Column (round-5
+    ADVICE)."""
+    from e_commerce_data_engineering_spark.operators.dedup import _cached
+
+    df = spark.range(3)
+    with pytest.raises(TypeError, match=r"\[primary, \*aux\]"):
+        _cached(df, None, lambda: df)
+    with pytest.raises(TypeError, match=r"\[primary, \*aux\]"):
+        _cached(df, ("bad-contract-test",), lambda: df)
 
 
 def test_ivf_cache_rebuild_unpersists_predecessor(spark):
