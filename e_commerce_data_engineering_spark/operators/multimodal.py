@@ -649,3 +649,77 @@ def resize_image(assets: DataFrame, max_side: int = 256, fake: bool = False) -> 
 
     imgs = assets.filter(F.col("modality") == "image").select("asset_id", "content")
     return imgs.mapInPandas(_resize_batch, RESIZED_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("ahash_bits", T.StringType(), False),
+        T.StructField("n_set_bits", T.LongType(), False),
+    ]
+)
+
+AHASH_GRID = 8  # 8×8 cells → 64-bit fingerprint
+
+
+def ahash_from_pixels(px, grid: int = AHASH_GRID) -> tuple[str, int]:
+    """64-bit average-hash from an (h, w, ≥3) uint8 pixel array, as a
+    bit string (cell-major, row by row) plus its popcount.
+
+    Integer-exact by construction so independent implementations agree
+    bit-for-bit: each grid cell samples ONE pixel nearest-neighbor
+    style at (cx·w//grid, cy·h//grid) — defined for any image size,
+    including images smaller than the grid — takes its BT.601 luma
+    scaled ×1000 as an int (299R + 587G + 114B), and sets the bit when
+    cell_luma·grid² exceeds the sum of all cell lumas (the mean
+    comparison cross-multiplied so no division ever happens). No
+    floats anywhere; resistant to re-encoding and byte-level noise,
+    which is exactly what byte-hash dedup misses."""
+    h, w = px.shape[0], px.shape[1]
+    lumas = []
+    for cy in range(grid):
+        for cx in range(grid):
+            x, y = cx * w // grid, cy * h // grid
+            r, g, b = int(px[y, x, 0]), int(px[y, x, 1]), int(px[y, x, 2])
+            lumas.append(299 * r + 587 * g + 114 * b)
+    total = sum(lumas)
+    n = grid * grid
+    bits = ["1" if v * n > total else "0" for v in lumas]
+    return "".join(bits), bits.count("1")
+
+
+def image_ahash(assets: DataFrame, grid: int = AHASH_GRID) -> DataFrame:
+    """Perceptual average-hash fingerprints for every PNG asset: REAL
+    stdlib PNG decode (``png_decode`` — zlib inflate + full filter
+    reconstruction) inside Arrow ``mapInPandas`` batches, then the
+    integer-exact ``ahash_from_pixels`` grid. JPEG payloads are skipped
+    here — lossy decode output is codec-exact but not *generator*-
+    reproducible, so they get no oracle row (their decode parity is
+    pinned separately in tests).
+
+    Scale shape: shuffle-free narrow map over asset-partitioned bytes,
+    one output row per image; downstream near-dup joins run on the
+    64-bit fingerprints (SimHash-style band blocking, d02/d10), never
+    on pixels."""
+
+    def _ahash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(content)
+                if b[:8] != b"\x89PNG\r\n\x1a\n":
+                    continue
+                px = png_decode(b)
+                bits, popcount = ahash_from_pixels(px, grid)
+                out.append(
+                    (int(asset_id), px.shape[1], px.shape[0], bits, popcount)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "width", "height", "ahash_bits", "n_set_bits"],
+            )
+
+    imgs = assets.filter(F.col("modality") == "image")
+    return imgs.mapInPandas(_ahash_batch, AHASH_SCHEMA)

@@ -1196,3 +1196,56 @@ def d13_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_members") >= 2)
     )
+
+
+@query(
+    "m07_image_ahash",
+    oracle="""
+    WITH imgs AS (
+        SELECT i AS asset_id,
+               4 + i % 13 AS w, 3 + i % 9 AS h, 42 + i AS seed
+        FROM (SELECT unnest(generate_series(0, 119)) AS i) t
+        WHERE i % 3 = 0 AND (i // 3) % 2 = 0
+    ),
+    lum AS (
+        SELECT asset_id, w, h, c.cell,
+               299 * (((((c.cell % 8) * w) // 8) * 7
+                       + (((c.cell // 8) * h) // 8) * 13 + seed) % 256)
+             + 587 * (((((c.cell % 8) * w) // 8) * 31 + seed) % 256)
+             + 114 * (((((c.cell // 8) * h) // 8) * 17) % 256) AS luma
+        FROM imgs, (SELECT unnest(generate_series(0, 63)) AS cell) c
+    ),
+    tot AS (SELECT asset_id, SUM(luma) AS s FROM lum GROUP BY asset_id),
+    bits AS (
+        SELECT l.asset_id, l.w, l.h, l.cell,
+               CASE WHEN l.luma * 64 > t.s THEN 1 ELSE 0 END AS bit
+        FROM lum l JOIN tot t ON l.asset_id = t.asset_id
+    )
+    SELECT asset_id,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           string_agg(CAST(bit AS VARCHAR), '' ORDER BY cell) AS ahash_bits,
+           CAST(SUM(bit) AS BIGINT) AS n_set_bits
+    FROM bits GROUP BY asset_id, w, h
+    """,
+    doc="Perceptual average-hash fingerprints from REAL image decode: "
+    "every PNG asset's bytes go through the stdlib zlib-inflate + "
+    "filter-reconstruction decoder (operators/multimodal.png_decode) "
+    "inside Arrow mapInPandas, then an integer-exact 8×8 luma grid "
+    "(operators/multimodal.ahash_from_pixels) — the fingerprint that "
+    "catches re-encoded/renamed duplicate images byte-hash dedup "
+    "misses. Fully HASH-CHECKED despite the codec in the loop: the "
+    "asset corpus is deterministic (PNG pixels are R=(7x+13y+seed), "
+    "G=(31x+seed), B=17y mod 256 — make_real_assets), so the oracle "
+    "regenerates the identical pixels ARITHMETICALLY and must land on "
+    "the same 64 bits — decode errors of even one pixel channel flip "
+    "the hash. JPEG assets are excluded (lossy decode is codec-exact "
+    "but not generator-reproducible; m03 pins their decode parity). "
+    "Scale: shuffle-free narrow map, one 64-bit row per image; "
+    "near-dup pairing on the fingerprints reuses the SimHash band "
+    "machinery (d02/d10), never pixels.",
+)
+def m07_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import image_ahash, make_real_assets
+
+    assets = make_real_assets(spark, 120)
+    return image_ahash(assets)

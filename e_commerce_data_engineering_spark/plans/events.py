@@ -1341,3 +1341,180 @@ def e27_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.expr("percentile(gap, 0.99)"), 4).alias("p99_s"),
         fround(F.max("gap"), 3).alias("max_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e28 — ordered funnel conversion; e29 — weekly retention cohorts (round 6)
+# ---------------------------------------------------------------------------
+
+_E28_STEPS = ("view", "click", "purchase")
+
+
+@query(
+    "e28_funnel_steps",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = '{_E28_STEPS[0]}' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        WHERE e.event_type = '{_E28_STEPS[1]}' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        WHERE e.event_type = '{_E28_STEPS[2]}' GROUP BY e.user_id
+    ),
+    n AS (
+        SELECT (SELECT COUNT(*) FROM v) AS n1,
+               (SELECT COUNT(*) FROM c) AS n2,
+               (SELECT COUNT(*) FROM p) AS n3
+    )
+    SELECT * FROM (
+        SELECT 1 AS step_idx, '{_E28_STEPS[0]}' AS step,
+               CAST(n1 AS BIGINT) AS n_users,
+               {sql_fround("1.0", 6)} AS conv_from_prev,
+               {sql_fround("1.0", 6)} AS conv_from_first
+        FROM n
+        UNION ALL
+        SELECT 2, '{_E28_STEPS[1]}', CAST(n2 AS BIGINT),
+               {sql_fround("CAST(n2 AS DOUBLE) / n1", 6)},
+               {sql_fround("CAST(n2 AS DOUBLE) / n1", 6)}
+        FROM n
+        UNION ALL
+        SELECT 3, '{_E28_STEPS[2]}', CAST(n3 AS BIGINT),
+               {sql_fround("CAST(n3 AS DOUBLE) / n2", 6)},
+               {sql_fround("CAST(n3 AS DOUBLE) / n1", 6)}
+        FROM n
+    ) t
+    """,
+    doc="Ordered funnel conversion (view → click → purchase): a user "
+    "counts at step k only if step k's FIRST qualifying event falls "
+    "STRICTLY AFTER their first event of step k−1 — the sequenced "
+    "semantics product funnels need (a purchase before the first view "
+    "doesn't convert). Each stage is one per-user MIN aggregate "
+    "semi-joined to the previous stage's first-passage time, so the "
+    "plan is k user-keyed shuffles over progressively SHRINKING user "
+    "sets — never a per-user event-sequence sort, which is what makes "
+    "it hold at 100 TB of events. Output: per-step reached counts, "
+    "step-over-step and end-to-end conversion.",
+)
+def e28_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_passage(step: str, prev: DataFrame | None, t_prev: str, t_out: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == step)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(t_prev))
+        return e.groupBy("user_id").agg(F.min("ts").alias(t_out))
+
+    v = first_passage(_E28_STEPS[0], None, "", "t1")
+    c = first_passage(_E28_STEPS[1], v, "t1", "t2")
+    p = first_passage(_E28_STEPS[2], c, "t2", "t3")
+    n = (
+        v.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n3")))
+    )
+    one = fround(F.lit(1.0), 6)
+    rows = [
+        n.select(
+            F.lit(1).alias("step_idx"),
+            F.lit(_E28_STEPS[0]).alias("step"),
+            F.col("n1").cast("bigint").alias("n_users"),
+            one.alias("conv_from_prev"),
+            one.alias("conv_from_first"),
+        ),
+        n.select(
+            F.lit(2).alias("step_idx"),
+            F.lit(_E28_STEPS[1]).alias("step"),
+            F.col("n2").cast("bigint").alias("n_users"),
+            fround(F.col("n2").cast("double") / F.col("n1"), 6).alias("conv_from_prev"),
+            fround(F.col("n2").cast("double") / F.col("n1"), 6).alias("conv_from_first"),
+        ),
+        n.select(
+            F.lit(3).alias("step_idx"),
+            F.lit(_E28_STEPS[2]).alias("step"),
+            F.col("n3").cast("bigint").alias("n_users"),
+            fround(F.col("n3").cast("double") / F.col("n2"), 6).alias("conv_from_prev"),
+            fround(F.col("n3").cast("double") / F.col("n1"), 6).alias("conv_from_first"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+# epoch seconds of 2024-01-01 UTC — the fixed cohort-week origin; both
+# engines compute week indexes as integer floor-divisions from it
+_E29_ORIGIN = 1_704_067_200
+_E29_WEEK = 604_800
+
+
+@query(
+    "e29_retention_cohorts",
+    oracle=f"""
+    WITH f AS (
+        SELECT user_id,
+               CAST(floor((epoch(MIN(ts)) - {_E29_ORIGIN}) / {_E29_WEEK}) AS BIGINT)
+                 AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    sz AS (
+        SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM f GROUP BY cohort_week
+    ),
+    a AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(floor((epoch(e.ts) - {_E29_ORIGIN}) / {_E29_WEEK}) AS BIGINT)
+                 AS active_week
+        FROM events e JOIN f ON e.user_id = f.user_id
+    )
+    SELECT a.cohort_week,
+           a.active_week - a.cohort_week AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           sz.cohort_size,
+           {sql_fround("CAST(COUNT(*) AS DOUBLE) / sz.cohort_size", 6)} AS retention
+    FROM a JOIN sz ON a.cohort_week = sz.cohort_week
+    GROUP BY a.cohort_week, a.active_week, sz.cohort_size
+    """,
+    doc="Weekly retention-cohort matrix: users cohort by the calendar "
+    "week of their FIRST event (fixed epoch origin, so week indexes "
+    "are engine-portable integer floor-divisions), and each "
+    "(cohort_week, week_offset) cell counts distinct users from that "
+    "cohort active that many weeks later — the canonical "
+    "product-health triangle. Plan shape: one per-user MIN reduce for "
+    "cohort assignment, one distinct over (user, week) — both "
+    "user-keyed shuffles that partition cleanly at any scale — and "
+    "the cohort-size dimension joins back broadcast-sized (one row "
+    "per calendar week).",
+)
+def e29_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = lambda ts: F.floor((ts.cast("double") - _E29_ORIGIN) / _E29_WEEK).cast("bigint")  # noqa: E731
+    f = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    sz = f.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    a = (
+        ev.join(f, "user_id")
+        .select("user_id", "cohort_week", week(F.col("ts")).alias("active_week"))
+        .distinct()
+    )
+    return (
+        a.groupBy("cohort_week", "active_week")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+        .join(F.broadcast(sz), "cohort_week")
+        .select(
+            "cohort_week",
+            (F.col("active_week") - F.col("cohort_week")).alias("week_offset"),
+            "n_active",
+            "cohort_size",
+            fround(F.col("n_active").cast("double") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+    )

@@ -1094,3 +1094,109 @@ def x08_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return quantiles_from_histogram(hist, w, X08_QS)
+
+
+# ---------------------------------------------------------------------------
+# x10 — AMS (Alon–Matias–Szegedy) F2 sketch, fully hash-checked (round 6)
+# ---------------------------------------------------------------------------
+
+# 9 estimators (3 groups × 3 for median-of-means), each drawing ±1 signs
+# from an independent Horner-fold multiplier over the portable hash
+# family — every sum below is exact int64, so both engines agree
+# bit-for-bit with no quantization step at all.
+_X10_MULTS = (37, 61, 89, 107, 151, 173, 193, 227, 251)
+_X10_GROUPS = 3
+
+
+def _x10_sign_sql(mult: int) -> str:
+    from ..operators.sketch import sql_portable_hash
+
+    return f"(1 - 2 * (({sql_portable_hash('token', mult)}) % 2))"
+
+
+@query(
+    "x10_ams_f2",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        FROM documents
+    ),
+    per_tok AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY token
+    ),
+    z AS (
+        SELECT i,
+               CAST(SUM(cnt * CASE i
+                   {" ".join(f"WHEN {i} THEN {_x10_sign_sql(m)}" for i, m in enumerate(_X10_MULTS))}
+               END) AS BIGINT) AS zi
+        FROM per_tok, (SELECT unnest(generate_series(0, {len(_X10_MULTS) - 1})) AS i) g
+        GROUP BY i
+    ),
+    means AS (
+        SELECT i // {_X10_GROUPS} AS grp,
+               CAST(SUM(zi * zi) AS DOUBLE) / {_X10_GROUPS} AS grp_mean
+        FROM z GROUP BY i // {_X10_GROUPS}
+    ),
+    est AS (SELECT quantile_cont(grp_mean, 0.5) AS ams_f2 FROM means),
+    exact AS (SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS exact_f2 FROM per_tok)
+    SELECT exact_f2,
+           {sql_fround("ams_f2", 4)} AS ams_f2,
+           {sql_fround("abs(ams_f2 - exact_f2) / exact_f2", 6)} AS rel_err
+    FROM exact, est
+    """,
+    doc="AMS F2 sketch (Alon–Matias–Szegedy 1996): the second frequency "
+    "moment — self-join size / repeat-rate of the token stream — "
+    "estimated from 9 counters, each the ±1-signed sum of counts under "
+    "an independent portable hash, squared and combined "
+    "median-of-means (3 groups × 3). Emitted beside the exact F2 and "
+    "relative error. Every Z_i is an exact int64 sum (signs are hash "
+    "parities, no floats anywhere until the final division), so the "
+    "whole sketch is hash-checked with zero tolerance. Scale: sketch "
+    "state is 9 integers however large the stream, Z_i sums are "
+    "map-side-combined per partition and merged by addition — the "
+    "same mergeability contract as the CMS/HLL family; the exact-F2 "
+    "side is one (token) shuffle that the sketch exists to replace "
+    "at 100 TB.",
+)
+def x10_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+    from ..operators.sketch import portable_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+    per_tok = toks.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # one row per (token, estimator): the sign fold runs once per
+    # DISTINCT token per estimator — 9·|vocab| hashes, not 9·|stream|
+    est_rows = per_tok.select(
+        "cnt",
+        F.posexplode(
+            F.array(
+                *[
+                    (1 - 2 * (portable_hash(F.col("token"), m) % 2)).cast("bigint")
+                    for m in _X10_MULTS
+                ]
+            )
+        ).alias("i", "sign"),
+    )
+    z = est_rows.groupBy("i").agg(
+        F.sum(F.col("cnt") * F.col("sign")).cast("bigint").alias("zi")
+    )
+    means = z.groupBy(
+        (F.col("i") / _X10_GROUPS).cast("int").alias("grp")
+    ).agg(
+        (F.sum(F.col("zi") * F.col("zi")).cast("double") / _X10_GROUPS).alias("grp_mean")
+    )
+    est = means.agg(F.expr("percentile(grp_mean, 0.5)").alias("ams_f2"))
+    exact = per_tok.agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("exact_f2")
+    )
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            "exact_f2",
+            fround(F.col("ams_f2"), 4).alias("ams_f2"),
+            fround(
+                F.abs(F.col("ams_f2") - F.col("exact_f2")) / F.col("exact_f2"), 6
+            ).alias("rel_err"),
+        )
+    )

@@ -92,6 +92,16 @@ _PRIORITY: tuple[str, ...] = (
     "t45_novelty_decay",
     "q73_benford_audit",
     # --- round-6 additions land here (within the sweep window).
+    "m07_image_ahash",
+    "x10_ams_f2",
+    "t46_good_turing",
+    "t47_js_source_divergence",
+    "e28_funnel_steps",
+    "e29_retention_cohorts",
+    "q74_rolling_corr",
+    "q75_mad_outlier_days",
+    "q76_revenue_deciles",
+    "q77_theil_sen_trend",
     # --- already driver-recorded: round-5 block (r5 recorded all 50
     # of these), youngest first.
     "d10_portable_simhash_pairs",

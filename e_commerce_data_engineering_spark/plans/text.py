@@ -2776,3 +2776,155 @@ def t45_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t46 — Good–Turing frequency smoothing; t47 — Jensen–Shannon source
+# divergence (round 6)
+# ---------------------------------------------------------------------------
+
+_T47_Q = 1_000_000_000.0  # 1e-9 term quantization (t21 pattern): JS terms
+# are summed as exact BIGINTs so float addition order cannot flip the hash
+
+
+@query(
+    "t46_good_turing",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+    grams AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, len(ts) - {DUPGRAM_N - 1}),
+                   i -> md5(list_aggregate(ts[i:i+{DUPGRAM_N - 1}], 'string_agg', ' '))
+               )) AS g
+        FROM toks WHERE len(ts) >= {DUPGRAM_N}
+    ),
+    cnts AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS r FROM grams GROUP BY g),
+    fof AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM cnts GROUP BY r),
+    tot AS (SELECT CAST(SUM(r * n_r) AS BIGINT) AS n FROM fof)
+    SELECT f1.r, f1.n_r,
+           {sql_fround("CAST(f1.r * f1.n_r AS DOUBLE) / tot.n", 6)} AS mass_frac,
+           {sql_fround("(f1.r + 1) * CAST(COALESCE(f2.n_r, 0) AS DOUBLE) / f1.n_r", 6)}
+             AS gt_rstar
+    FROM fof f1 LEFT JOIN fof f2 ON f2.r = f1.r + 1, tot
+    """,
+    doc=f"Good–Turing frequency-of-frequencies over corpus-wide "
+    f"{DUPGRAM_N}-gram instances: N_r = how many distinct grams occur "
+    "exactly r times, the smoothed count r* = (r+1)·N_(r+1)/N_r, and "
+    "each r's share of total instance mass — mass_frac at r = 1 IS "
+    "the Good–Turing estimate of unseen-gram probability, the number "
+    "that says how much novel text the corpus still has to give "
+    "(singleton-rich ⇒ keep crawling; here N1 dominates, unlike the "
+    "closed 31-token unigram vocab t44 exposed). Plan: gram counts "
+    "are one shuffle, the frequency-of-frequencies rollup collapses "
+    "to ~a dozen rows however large the corpus, and the r+1 lookup "
+    "is a self-join on that dozen-row frame — no window, no sort.",
+)
+def t46_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    base = d.select(X.tokens(F.col("text")).alias("_tk")).filter(
+        F.size("_tk") >= DUPGRAM_N
+    )
+    grams = base.select(
+        F.explode(F.transform(X.shingles_zip(F.col("_tk"), DUPGRAM_N), F.md5)).alias("g")
+    )
+    cnts = grams.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    fof = cnts.groupBy("r").agg(F.count(F.lit(1)).cast("bigint").alias("n_r"))
+    tot = fof.agg(F.sum(F.col("r") * F.col("n_r")).cast("bigint").alias("n"))
+    nxt = fof.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("_n_next"))
+    return (
+        fof.join(F.broadcast(nxt), "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "n_r",
+            fround((F.col("r") * F.col("n_r")).cast("double") / F.col("n"), 6).alias(
+                "mass_frac"
+            ),
+            fround(
+                (F.col("r") + 1)
+                * F.coalesce(F.col("_n_next"), F.lit(0)).cast("double")
+                / F.col("n_r"),
+                6,
+            ).alias("gt_rstar"),
+        )
+    )
+
+
+@query(
+    "t47_js_source_divergence",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    c AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY source, tok
+    ),
+    t AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot FROM c GROUP BY source),
+    vocab AS (SELECT DISTINCT tok FROM c),
+    dense AS (
+        SELECT t.source, v.tok,
+               CAST(COALESCE(c.cnt, 0) AS DOUBLE) / t.tot AS p
+        FROM t CROSS JOIN vocab v
+        LEFT JOIN c ON c.source = t.source AND c.tok = v.tok
+    ),
+    terms AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(FLOOR((
+                   CASE WHEN a.p > 0
+                        THEN 0.5 * a.p * ln(a.p / ((a.p + b.p) / 2)) ELSE 0 END
+                 + CASE WHEN b.p > 0
+                        THEN 0.5 * b.p * ln(b.p / ((a.p + b.p) / 2)) ELSE 0 END
+               ) * {_T47_Q} + 0.5) AS BIGINT) AS q_term
+        FROM dense a JOIN dense b ON a.tok = b.tok AND a.source < b.source
+    )
+    SELECT src_a, src_b,
+           {sql_fround(f"CAST(SUM(q_term) AS DOUBLE) / {_T47_Q}", 6)} AS js_nats
+    FROM terms GROUP BY src_a, src_b
+    """,
+    doc="Jensen–Shannon divergence between every pair of sources' "
+    "unigram distributions — the symmetric, always-finite corpus-drift "
+    "metric (0 = identical mixes) a data-curation pipeline uses to "
+    "spot a crawl slice whose token mix shifted, or to pick maximally "
+    "diverse sources for a training mixture. The distributions are "
+    "DENSIFIED onto the shared vocabulary grid first (sources × "
+    "vocab), so the pair join is a plain equi-join on token with no "
+    "missing-mass special cases; per-token JS terms are quantized to "
+    "1e-9 BIGINTs before the per-pair sum (t21 pattern) so addition "
+    "order cannot flip the hash. Scale: the pair space is "
+    "sources² · vocab — dimension-sized, never corpus-sized; the only "
+    "data-sized work is the (source, token) count shuffle.",
+)
+def t47_js_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(X.tokens(F.col("text"))).alias("tok"))
+    c = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    t = c.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("tot"))
+    vocab = c.select("tok").distinct()
+    dense = (
+        t.crossJoin(F.broadcast(vocab))
+        .join(c, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            (F.coalesce(F.col("cnt"), F.lit(0)).cast("double") / F.col("tot")).alias("p"),
+        )
+    )
+    a = dense.select(F.col("source").alias("src_a"), "tok", F.col("p").alias("pa"))
+    b = dense.select(F.col("source").alias("src_b"), "tok", F.col("p").alias("pb"))
+    m = (F.col("pa") + F.col("pb")) / 2
+    term = F.when(F.col("pa") > 0, 0.5 * F.col("pa") * F.log(F.col("pa") / m)).otherwise(
+        0.0
+    ) + F.when(F.col("pb") > 0, 0.5 * F.col("pb") * F.log(F.col("pb") / m)).otherwise(0.0)
+    q_term = F.floor(term * _T47_Q + 0.5).cast("bigint")
+    return (
+        a.join(
+            b.withColumnRenamed("tok", "tok_b"),
+            (F.col("tok") == F.col("tok_b")) & (F.col("src_a") < F.col("src_b")),
+        )
+        .select("src_a", "src_b", q_term.alias("q_term"))
+        .groupBy("src_a", "src_b")
+        .agg(fround(F.sum("q_term").cast("double") / _T47_Q, 6).alias("js_nats"))
+    )

@@ -737,3 +737,307 @@ def q73_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.pow(obs - benford, F.lit(2.0)) / benford, 6).alias("chi2_term"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q74–q77 — robust/statistical decision-support widening (round 6)
+# ---------------------------------------------------------------------------
+
+_Q74_X = "CAST(l_quantity AS DECIMAL(12,2))"
+_Q74_Y = "CAST(l_extendedprice AS DECIMAL(12,2))"
+
+
+@query(
+    "q74_rolling_corr",
+    oracle=f"""
+    WITH m AS (
+        SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS month,
+               CAST(COUNT(*) AS BIGINT)       AS n,
+               SUM({_Q74_X})                  AS sx,
+               SUM({_Q74_Y})                  AS sy,
+               SUM({_Q74_X} * {_Q74_Y})       AS sxy,
+               SUM({_Q74_X} * {_Q74_X})       AS sxx,
+               SUM({_Q74_Y} * {_Q74_Y})       AS syy
+        FROM lineitem GROUP BY 1
+    ),
+    r AS (
+        SELECT month,
+               SUM(n)   OVER w3 AS rn,
+               CAST(SUM(sx)  OVER w3 AS DOUBLE) AS rsx,
+               CAST(SUM(sy)  OVER w3 AS DOUBLE) AS rsy,
+               CAST(SUM(sxy) OVER w3 AS DOUBLE) AS rsxy,
+               CAST(SUM(sxx) OVER w3 AS DOUBLE) AS rsxx,
+               CAST(SUM(syy) OVER w3 AS DOUBLE) AS rsyy
+        FROM m
+        WINDOW w3 AS (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    )
+    SELECT month, CAST(rn AS BIGINT) AS n_3m,
+           {sql_fround("(rn * rsxy - rsx * rsy)"
+                       " / sqrt((rn * rsxx - rsx * rsx) * (rn * rsyy - rsy * rsy))", 6)}
+             AS corr_3m
+    FROM r
+    """,
+    doc="Rolling 3-month Pearson correlation between quantity and "
+    "extended price — the co-movement monitor behind demand/price-mix "
+    "drift alerts. Component-sum formulation: each month reduces to "
+    "exact DECIMAL moment sums (n, Σx, Σy, Σxy, Σx², Σy² — products "
+    "of 2-dp money are 4-dp-exact decimals, so the sums are "
+    "order-independent and both engines agree bit-for-bit), and the "
+    "3-month window then SUMS those six numbers instead of re-scanning "
+    "rows — the standard streaming-moments trick, O(1) state per "
+    "month. The ORDER BY month window is intentionally unpartitioned: "
+    "its input is one row per calendar month (83 at sf0.01), bounded "
+    "by the calendar, never by data volume.",
+)
+def q74_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    m = li.groupBy(
+        F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM-dd").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    # bounded frame: one row per calendar month (see docstring)
+    w3 = W.orderBy("month").rowsBetween(-2, 0)
+    r = m.select(
+        "month",
+        F.sum("n").over(w3).alias("rn"),
+        F.sum("sx").over(w3).cast("double").alias("rsx"),
+        F.sum("sy").over(w3).cast("double").alias("rsy"),
+        F.sum("sxy").over(w3).cast("double").alias("rsxy"),
+        F.sum("sxx").over(w3).cast("double").alias("rsxx"),
+        F.sum("syy").over(w3).cast("double").alias("rsyy"),
+    )
+    rn = F.col("rn").cast("double")
+    cov = rn * F.col("rsxy") - F.col("rsx") * F.col("rsy")
+    vx = rn * F.col("rsxx") - F.col("rsx") * F.col("rsx")
+    vy = rn * F.col("rsyy") - F.col("rsy") * F.col("rsy")
+    return r.select(
+        "month",
+        F.col("rn").cast("bigint").alias("n_3m"),
+        fround(cov / F.sqrt(vx * vy), 6).alias("corr_3m"),
+    )
+
+
+@query(
+    "q75_mad_outlier_days",
+    oracle=f"""
+    WITH d AS (
+        SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+               CAST({sql_money_sum("o_totalprice")} AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1
+    ),
+    med AS (SELECT quantile_cont(revenue, 0.5) AS med FROM d),
+    mad AS (
+        SELECT quantile_cont(abs(revenue - med), 0.5) AS mad FROM d, med
+    )
+    SELECT day, {sql_fround("revenue", 2)} AS revenue,
+           {sql_fround("0.6745 * (revenue - med) / mad", 4)} AS robust_z
+    FROM d, med, mad
+    ORDER BY abs(0.6745 * (revenue - med) / mad) DESC, day
+    LIMIT 10
+    """,
+    doc="Median/MAD robust outlier screen over daily order revenue: "
+    "robust z = 0.6745·(x − median)/MAD flags anomalous days without "
+    "the masking a mean/stddev z-score suffers when the outliers "
+    "themselves inflate sigma. Two chained scalar aggregates (median, "
+    "then median absolute deviation around it) broadcast back over "
+    "the day grid — the day frame is calendar-bounded (~2.4k rows at "
+    "sf0.01), so the exact interpolated percentile is a single "
+    "reduce; at 100 TB the per-day pre-aggregation is the only "
+    "data-sized shuffle. Top-10 by |z| with day tiebreak.",
+)
+def q75_mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        money_sum(F.col("o_totalprice")).cast("double").alias("revenue")
+    )
+    med = d.agg(F.expr("percentile(revenue, 0.5)").alias("med"))
+    d_med = d.crossJoin(F.broadcast(med))
+    mad = d_med.agg(
+        F.expr("percentile(abs(revenue - med), 0.5)").alias("mad")
+    )
+    z = 0.6745 * (F.col("revenue") - F.col("med")) / F.col("mad")
+    # order on the UNROUNDED z (matching the oracle's ORDER BY) so the
+    # top-10 boundary can't flip on values that differ below 4 dp
+    return (
+        d_med.crossJoin(F.broadcast(mad))
+        .select("day", F.col("revenue"), z.alias("_z"))
+        .orderBy(F.abs(F.col("_z")).desc(), "day")
+        .limit(10)
+        .select(
+            "day",
+            fround(F.col("revenue"), 2).alias("revenue"),
+            fround(F.col("_z"), 4).alias("robust_z"),
+        )
+    )
+
+
+_Q76_FENCES = tuple(i / 10.0 for i in range(1, 10))
+
+
+@query(
+    "q76_revenue_deciles",
+    oracle=f"""
+    WITH c AS (
+        SELECT o_custkey,
+               CAST({sql_money_sum("o_totalprice")} AS DOUBLE) AS rev
+        FROM orders GROUP BY 1
+    ),
+    f AS (
+        SELECT {", ".join(f"quantile_cont(rev, {q}) AS f{i}" for i, q in enumerate(_Q76_FENCES, 1))}
+        FROM c
+    ),
+    a AS (
+        SELECT CAST(1 {"".join(f" + CASE WHEN rev > f{i} THEN 1 ELSE 0 END" for i in range(1, 10))}
+               AS INTEGER) AS decile,
+               rev
+        FROM c, f
+    ),
+    g AS (
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+               SUM(rev) AS rev_sum
+        FROM a GROUP BY decile
+    ),
+    t AS (SELECT SUM(rev_sum) AS total FROM g)
+    SELECT decile, n_customers,
+           {sql_fround("rev_sum / total", 6)} AS revenue_share,
+           {sql_fround("SUM(rev_sum) OVER (ORDER BY decile DESC"
+                       " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / total", 6)}
+             AS top_cum_share
+    FROM g, t
+    """,
+    doc="Lorenz/Pareto revenue-concentration profile WITHOUT a global "
+    "sort: per-customer revenue reduces once, nine interpolated decile "
+    "fences come from a single percentile aggregate (one scalar row, "
+    "broadcast), and each customer lands in a decile by comparing "
+    "against the broadcast fences map-side — the scale-safe "
+    "alternative to ntile()/row_number cumsums, which would move "
+    "every customer through one partition. The final cumulative-share "
+    "window runs over exactly 10 rows (intentionally unpartitioned — "
+    "decile grid, not data). top_cum_share reads as 'the top k "
+    "deciles hold this fraction of revenue'. Fence sums are "
+    "money-exact before the double cast, so both engines assign "
+    "identical deciles.",
+)
+def q76_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        money_sum(F.col("o_totalprice")).cast("double").alias("rev")
+    )
+    fences = c.agg(
+        *[
+            F.expr(f"percentile(rev, {q})").alias(f"f{i}")
+            for i, q in enumerate(_Q76_FENCES, 1)
+        ]
+    )
+    decile = F.lit(1)
+    for i in range(1, 10):
+        decile = decile + F.when(F.col("rev") > F.col(f"f{i}"), 1).otherwise(0)
+    a = c.crossJoin(F.broadcast(fences)).select(
+        decile.cast("int").alias("decile"), "rev"
+    )
+    g = a.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev").alias("rev_sum"),
+    )
+    t = g.agg(F.sum("rev_sum").alias("total"))
+    # bounded frame: exactly 10 decile rows (see docstring)
+    w = W.orderBy(F.col("decile").desc()).rowsBetween(W.unboundedPreceding, 0)
+    return g.crossJoin(F.broadcast(t)).select(
+        "decile",
+        "n_customers",
+        fround(F.col("rev_sum") / F.col("total"), 6).alias("revenue_share"),
+        fround(F.sum("rev_sum").over(w) / F.col("total"), 6).alias("top_cum_share"),
+    )
+
+
+@query(
+    "q77_theil_sen_trend",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS midx,
+               CAST({sql_money_sum(_DISC_PRICE)} AS DOUBLE) AS rev
+        FROM lineitem GROUP BY 1
+    ),
+    slopes AS (
+        SELECT (b.rev - a.rev) / (b.midx - a.midx) AS slope
+        FROM m a JOIN m b ON b.midx > a.midx
+    ),
+    ts AS (SELECT quantile_cont(slope, 0.5) AS ts_slope,
+                  CAST(COUNT(*) AS BIGINT) AS n_pairs
+           FROM slopes),
+    ols AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+               (COUNT(*) * SUM(CAST(midx AS DOUBLE) * rev)
+                - SUM(CAST(midx AS DOUBLE)) * SUM(rev))
+               / (COUNT(*) * SUM(CAST(midx AS DOUBLE) * CAST(midx AS DOUBLE))
+                  - SUM(CAST(midx AS DOUBLE)) * SUM(CAST(midx AS DOUBLE)))
+                 AS ols_slope
+        FROM m
+    )
+    SELECT n_months, n_pairs,
+           {sql_fround("ts_slope", 4)} AS theil_sen_slope,
+           {sql_fround("ols_slope", 4)} AS ols_slope
+    FROM ts, ols
+    """,
+    doc="Theil–Sen robust trend of monthly discounted revenue — the "
+    "median of all pairwise month-to-month slopes, immune to up to "
+    "~29% outlier months where the OLS slope (emitted alongside for "
+    "contrast) is not. The pairwise self-join runs on the MONTHLY "
+    "aggregate, never the fact table: the pair space is "
+    "calendar-bounded (83 months → 3.4k pairs at any data volume), so "
+    "the only data-sized work is the per-month rollup. Monthly "
+    "revenue is money-exact (DECIMAL sums) before the double cast; "
+    "the month index is year*12+month, making slope units "
+    "revenue-per-month. OLS comes from the same exact moment sums as "
+    "q74.",
+)
+def q77_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = dmoney("l_extendedprice") * (1 - dfrac("l_discount"))
+    m = li.groupBy(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        .cast("bigint")
+        .alias("midx")
+    ).agg(money_sum(disc_price).cast("double").alias("rev"))
+    a = m.select(F.col("midx").alias("ia"), F.col("rev").alias("ra"))
+    b = m.select(F.col("midx").alias("ib"), F.col("rev").alias("rb"))
+    slopes = (
+        a.join(F.broadcast(b), F.col("ib") > F.col("ia"))
+        .select(((F.col("rb") - F.col("ra")) / (F.col("ib") - F.col("ia"))).alias("slope"))
+    )
+    ts = slopes.agg(
+        F.expr("percentile(slope, 0.5)").alias("ts_slope"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    midx_d = F.col("midx").cast("double")
+    n = F.count(F.lit(1))
+    ols = m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        (
+            (n * F.sum(midx_d * F.col("rev")) - F.sum(midx_d) * F.sum("rev"))
+            / (n * F.sum(midx_d * midx_d) - F.sum(midx_d) * F.sum(midx_d))
+        ).alias("ols_slope"),
+    )
+    return (
+        ts.crossJoin(F.broadcast(ols))
+        .select(
+            "n_months",
+            "n_pairs",
+            fround(F.col("ts_slope"), 4).alias("theil_sen_slope"),
+            fround(F.col("ols_slope"), 4).alias("ols_slope"),
+        )
+    )
