@@ -18,3 +18,18 @@ def test_readme_counts_match_registry():
     assert f"({n_q} queries)" in text, f"README query count != {n_q}"
     assert f"`queries()` ({n_q}) and `oracle_sql()` ({n_o} DuckDB twins)" in text
     assert f"({n_o} of {n_q})" in text
+
+
+def test_survey_inventory_table_current():
+    """SURVEY §2.11.1's generated table must byte-match a fresh regen —
+    round 6 ended with README pinned but the SURVEY table 10 rows stale."""
+    import sys
+
+    tools = str(README.parent / "tools")
+    if tools not in sys.path:
+        sys.path.insert(0, tools)
+    import inventory_table
+
+    assert inventory_table.table_is_current(), (
+        "SURVEY.md inventory table is stale — run python tools/inventory_table.py"
+    )
