@@ -675,8 +675,13 @@ def ahash_from_pixels(px, grid: int = AHASH_GRID) -> tuple[str, int]:
     scaled ×1000 as an int (299R + 587G + 114B), and sets the bit when
     cell_luma·grid² exceeds the sum of all cell lumas (the mean
     comparison cross-multiplied so no division ever happens). No
-    floats anywhere; resistant to re-encoding and byte-level noise,
-    which is exactly what byte-hash dedup misses."""
+    floats anywhere. This is a deterministic, re-encode-stable
+    fingerprint — lossless re-encodes and exact nearest-neighbor
+    rescales land on the same 64 bits, which is exactly what byte-hash
+    dedup misses. It is NOT noise-tolerant: each cell point-samples a
+    single pixel, so flipping one sampled pixel flips a bit (averaging
+    all pixels per cell with exact integer sums would buy that, at the
+    same division-free discipline, if a corpus needs it)."""
     h, w = px.shape[0], px.shape[1]
     lumas = []
     for cy in range(grid):
@@ -723,3 +728,56 @@ def image_ahash(assets: DataFrame, grid: int = AHASH_GRID) -> DataFrame:
 
     imgs = assets.filter(F.col("modality") == "image")
     return imgs.mapInPandas(_ahash_batch, AHASH_SCHEMA)
+
+
+def upscale_assets(
+    assets: DataFrame, factor: int = 2, id_offset: int = 1000
+) -> DataFrame:
+    """Integer-factor nearest-neighbor upscale of every PNG asset,
+    re-encoded as a genuine PNG, emitted as a NEW asset row at
+    ``asset_id + id_offset`` (ASSET_SCHEMA, so it unions back onto the
+    original corpus). The whole decode → resample → encode loop runs
+    distributed inside Arrow ``mapInPandas`` — no driver-side pixels.
+
+    This is the near-duplicate factory for perceptual-hash dedup
+    (m08): an exact ×k nearest-neighbor upscale samples the SAME
+    source pixel at every ahash grid cell — with w' = k·w the cell
+    sample is floor(floor(cx·k·w/g)/k) = floor(cx·w/g) by the nested-
+    floor identity — so the variant's 64-bit ahash equals the
+    original's EXACTLY while its bytes (and byte-hash) are completely
+    different. Non-PNG rows are dropped (JPEG re-encode is lossy, so
+    its upscale is pinned by decode-parity tests instead; see m03)."""
+
+    def _upscale_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(content)
+                if b[:8] != b"\x89PNG\r\n\x1a\n":
+                    continue
+                px = png_decode(b)
+                h, w = px.shape[0], px.shape[1]
+                nw, nh = w * factor, h * factor
+                nb = png_encode(resize_nearest(px, nw, nh))
+                out.append(
+                    (
+                        int(asset_id) + id_offset,
+                        "image",
+                        nb,
+                        {
+                            "format": "png",
+                            "width": nw,
+                            "height": nh,
+                            "sample_rate": None,
+                            "duration_ms": None,
+                        },
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["asset_id", "modality", "content", "meta"]
+            )
+
+    imgs = assets.filter(F.col("modality") == "image").select(
+        "asset_id", "modality", "content", "meta"
+    )
+    return imgs.mapInPandas(_upscale_batch, ASSET_SCHEMA)

@@ -1241,11 +1241,157 @@ def d13_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the hash. JPEG assets are excluded (lossy decode is codec-exact "
     "but not generator-reproducible; m03 pins their decode parity). "
     "Scale: shuffle-free narrow map, one 64-bit row per image; "
-    "near-dup pairing on the fingerprints reuses the SimHash band "
-    "machinery (d02/d10), never pixels.",
+    "near-dup pairing on the fingerprints is m08 (SimHash-style band "
+    "blocking, d02/d10 machinery), never pixels.",
 )
 def m07_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import image_ahash, make_real_assets
 
     assets = make_real_assets(spark, 120)
     return image_ahash(assets)
+
+
+# ---------------------------------------------------------------------------
+# m08 — image near-duplicate pairs on the m07 perceptual fingerprints
+# ---------------------------------------------------------------------------
+
+M08_BANDS = 4  # 4 × 16-bit bands over the 64-bit ahash
+M08_MAX_HAM = 3  # pigeonhole: Hamming <= 3 guarantees >= 1 equal band
+
+
+@query(
+    "m08_image_neardup_pairs",
+    oracle=f"""
+    WITH imgs AS (
+        SELECT i AS asset_id,
+               4 + i % 13 AS w, 3 + i % 9 AS h, 42 + i AS seed
+        FROM (SELECT unnest(generate_series(0, 119)) AS i) t
+        WHERE i % 3 = 0 AND (i // 3) % 2 = 0
+    ),
+    lum AS (
+        SELECT asset_id, c.cell,
+               299 * (((((c.cell % 8) * w) // 8) * 7
+                       + (((c.cell // 8) * h) // 8) * 13 + seed) % 256)
+             + 587 * (((((c.cell % 8) * w) // 8) * 31 + seed) % 256)
+             + 114 * (((((c.cell // 8) * h) // 8) * 17) % 256) AS luma
+        FROM imgs, (SELECT unnest(generate_series(0, 63)) AS cell) c
+    ),
+    tot AS (SELECT asset_id, SUM(luma) AS s FROM lum GROUP BY asset_id),
+    bits AS (
+        SELECT l.asset_id, l.cell,
+               CASE WHEN l.luma * 64 > t.s THEN 1 ELSE 0 END AS bit
+        FROM lum l JOIN tot t ON l.asset_id = t.asset_id
+    ),
+    fp0 AS (
+        SELECT asset_id,
+               CAST(SUM(CASE WHEN cell < 32
+                             THEN bit * (CAST(1 AS BIGINT) << (31 - cell))
+                             ELSE 0 END) AS BIGINT) AS hi,
+               CAST(SUM(CASE WHEN cell >= 32
+                             THEN bit * (CAST(1 AS BIGINT) << (63 - cell))
+                             ELSE 0 END) AS BIGINT) AS lo
+        FROM bits GROUP BY asset_id
+    ),
+    fp AS (
+        SELECT asset_id, hi, lo FROM fp0
+        UNION ALL
+        SELECT asset_id + 1000, hi, lo FROM fp0
+    ),
+    bands AS (
+        SELECT asset_id, hi, lo, c.c AS c,
+               CASE WHEN c.c < 2 THEN (hi >> (16 * (1 - c.c))) & 65535
+                    ELSE (lo >> (16 * (3 - c.c))) & 65535 END AS v
+        FROM fp CROSS JOIN (SELECT unnest(range({M08_BANDS})) AS c) c
+    ),
+    cand AS (
+        SELECT DISTINCT a.asset_id AS id_a, b.asset_id AS id_b,
+               a.hi AS ha, a.lo AS la, b.hi AS hb, b.lo AS lb
+        FROM bands a JOIN bands b
+          ON a.c = b.c AND a.v = b.v AND a.asset_id < b.asset_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INTEGER)
+               AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= {M08_MAX_HAM}
+    """,
+    doc="Image near-duplicate pairs on m07's perceptual fingerprints — "
+    "the shipped consumer of the ahash (closing round-6's promissory "
+    "note). The corpus is the 20 m07 PNGs PLUS a ×2 nearest-neighbor "
+    "upscaled re-encode of each (operators/multimodal.upscale_assets, "
+    "a distributed decode→resample→encode mapInPandas): different "
+    "bytes, different byte-hash, IDENTICAL ahash, because an exact "
+    "integer-factor upscale samples the same source pixel at every "
+    "grid cell (nested-floor identity floor(floor(cx·2w/8)/2) = "
+    "floor(cx·w/8)). Pairing is d10's pigeonhole banding on the 64-bit "
+    f"fingerprint — {M08_BANDS}×16-bit bands, equi-join on (band, "
+    f"value), exact Hamming verify <= {M08_MAX_HAM} — never an "
+    "all-pairs compare. HASH-CHECKED end-to-end: the oracle "
+    "regenerates base pixels arithmetically (m07's formula), derives "
+    "the variant fingerprints from the SAME bits the floor identity "
+    "guarantees, and replays the banding in SQL; any corruption in "
+    "Spark's real PNG decode→resize→encode→decode loop breaks the "
+    "match. Scale: fingerprints are one 64-bit row per image; the "
+    "band join is equi (candidates ~ bucket collisions, not n²).",
+)
+def m08_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import image_ahash, make_real_assets, upscale_assets
+
+    assets = make_real_assets(spark, 120).select(
+        "asset_id", "modality", "content", "meta"
+    )
+    both = assets.unionByName(upscale_assets(assets, factor=2, id_offset=1000))
+    fp = (
+        image_ahash(both)
+        .select(
+            "asset_id",
+            F.conv(F.substring("ahash_bits", 1, 32), 2, 10)
+            .cast("bigint")
+            .alias("hi"),
+            F.conv(F.substring("ahash_bits", 33, 32), 2, 10)
+            .cast("bigint")
+            .alias("lo"),
+        )
+        .persist()
+    )
+    fp.count()  # materialize once: the band fanout below reuses hi/lo
+    bands = fp.select(
+        "asset_id",
+        "hi",
+        "lo",
+        F.explode(F.sequence(F.lit(0), F.lit(M08_BANDS - 1))).alias("c"),
+    ).withColumn(
+        "v",
+        F.expr(
+            "CASE WHEN c < 2 THEN shiftright(hi, 16 * (1 - c)) & 65535 "
+            "ELSE shiftright(lo, 16 * (3 - c)) & 65535 END"
+        ),
+    )
+    a = bands.select(
+        F.col("asset_id").alias("id_a"),
+        F.col("hi").alias("ha"),
+        F.col("lo").alias("la"),
+        "c",
+        "v",
+    )
+    b = bands.select(
+        F.col("asset_id").alias("id_b"),
+        F.col("hi").alias("hb"),
+        F.col("lo").alias("lb"),
+        F.col("c").alias("_c2"),
+        F.col("v").alias("_v2"),
+    )
+    cand = (
+        a.join(
+            b,
+            (a["c"] == b["_c2"]) & (a["v"] == b["_v2"]) & (a["id_a"] < b["id_b"]),
+        )
+        .select("id_a", "id_b", "ha", "la", "hb", "lb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) + F.bit_count(
+        F.col("la").bitwiseXOR(F.col("lb"))
+    )
+    return cand.filter(ham <= M08_MAX_HAM).select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    )

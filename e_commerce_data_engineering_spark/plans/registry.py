@@ -85,13 +85,16 @@ def _load_all_modules() -> None:
 # already-recorded query. Run it every round; the driver only re-checks
 # the front of this list.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-6 front block: the two round-5 queries that landed past
-    # the driver's ~50-record window, then round-6 additions as they
-    # are registered. Everything after "already driver-recorded" has an
-    # official CORRECTNESS_r* row (cumulative 206/208 through r5).
+    # --- round-7 front block: new round-7 additions first (the whole
+    # ~50-record sweep window is free — r6 retired the last
+    # never-recorded names; cumulative driver record is 218/218
+    # through r6), then the youngest already-recorded rounds for
+    # re-checks.
+    "m08_image_neardup_pairs",
+    # --- already driver-recorded: round-6 block (r6 recorded these),
+    # youngest first.
     "t45_novelty_decay",
     "q73_benford_audit",
-    # --- round-6 additions land here (within the sweep window).
     "m07_image_ahash",
     "x10_ams_f2",
     "t46_good_turing",

@@ -1283,3 +1283,69 @@ def test_ivf_cache_rebuild_unpersists_predecessor(spark):
     assert n == 1
     assert not second.storageLevel.useMemory
     assert not any(k[1] == "evict-ivf-test" for k in _IVF_CACHE)
+
+
+def test_ahash_jpeg_reencode_near_stable():
+    """Perceptual-hash contract for the lossy codec (round-6 ADVICE):
+    ahash over jpeg_decode output is (a) exactly deterministic on the
+    same bytes and (b) near-stable across a re-encode of the same
+    pixels — quantization error can flip at most a couple of
+    threshold-margin bits, comfortably inside m08's Hamming<=3 banding
+    bound. Measured drift on the make_real_assets JPEG profiles is
+    0-1 bits; we pin <=2 so the codec can't silently degrade."""
+    from e_commerce_data_engineering_spark.operators.jpeg import (
+        jpeg_bytes,
+        jpeg_decode,
+        jpeg_encode,
+    )
+    from e_commerce_data_engineering_spark.operators.multimodal import (
+        ahash_from_pixels,
+    )
+
+    for i in (3, 9, 15, 21, 27, 33, 39):  # make_real_assets JPEG rows
+        w, h = 48 + (i * 11) % 80, 40 + (i * 7) % 72
+        b = jpeg_bytes(w, h, 42 + i)
+        px = jpeg_decode(b)
+        bits1, pop1 = ahash_from_pixels(px)
+        # (a) decode → hash is exactly deterministic
+        bits1b, pop1b = ahash_from_pixels(jpeg_decode(b))
+        assert (bits1, pop1) == (bits1b, pop1b)
+        # (b) lossy re-encode of the SAME pixels drifts <= 2 bits
+        bits2, _ = ahash_from_pixels(jpeg_decode(jpeg_encode(px, quality=95)))
+        ham = sum(a != c for a, c in zip(bits1, bits2))
+        assert ham <= 2, (i, ham)
+
+
+def test_upscale_assets_ahash_invariant(spark):
+    """upscale_assets' nested-floor guarantee, end to end through the
+    real PNG decode→resample→encode→decode loop: an exact integer-
+    factor nearest-neighbor upscale (x2 AND x3) leaves every ahash
+    bit-identical while the bytes differ (the m08 premise)."""
+    from e_commerce_data_engineering_spark.operators.multimodal import (
+        image_ahash,
+        make_real_assets,
+        upscale_assets,
+    )
+
+    assets = make_real_assets(spark, 60).select(
+        "asset_id", "modality", "content", "meta"
+    )
+    v2 = upscale_assets(assets, factor=2, id_offset=1000)
+    v3 = upscale_assets(assets, factor=3, id_offset=2000)
+    fp = {
+        r["asset_id"]: r["ahash_bits"]
+        for r in image_ahash(assets.unionByName(v2).unionByName(v3)).collect()
+    }
+    base = [k for k in fp if k < 1000]
+    assert len(base) == 10  # 60 assets -> 10 PNG rows
+    for k in base:
+        assert fp[k + 1000] == fp[k], ("x2", k)
+        assert fp[k + 2000] == fp[k], ("x3", k)
+    # and the variant BYTES genuinely differ (different dimensions)
+    metas = {
+        r["asset_id"]: (r["meta"]["width"], r["meta"]["height"])
+        for r in assets.unionByName(v2).select("asset_id", "meta").collect()
+    }
+    for k in base:
+        w, h = metas[k]
+        assert metas[k + 1000] == (2 * w, 2 * h)
