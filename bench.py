@@ -74,6 +74,15 @@ HEADLINE = [
     "x08_histogram_quantiles",
     "s13_mrl_truncation_recall",
     "t40_dup_spans",
+    # round-7 additions: representative round-6/7 shapes (R3_SUBSET
+    # stays frozen) — t47 sources²-vocab divergence join, q77 pairwise
+    # slopes on the broadcast monthly aggregate, m07 decode-bound
+    # mapInPandas, x10 map-side-combined sketch, m08 fingerprint banding
+    "t47_js_source_divergence",
+    "q77_theil_sen_trend",
+    "m07_image_ahash",
+    "x10_ams_f2",
+    "m08_image_neardup_pairs",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every
