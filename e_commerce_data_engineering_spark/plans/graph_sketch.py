@@ -1108,6 +1108,45 @@ _X10_MULTS = (37, 61, 89, 107, 151, 173, 193, 227, 251)
 _X10_GROUPS = 3
 
 
+def ams_zvector(per_tok: DataFrame) -> DataFrame:
+    """(token, cnt) → the 9-row AMS state ``(i, zi)``: Z_i = Σ
+    sign_i(token)·cnt, each sign a ±1 parity of the portable hash
+    under an independent multiplier. Exact int64 throughout, and
+    ADDITIVE in cnt — Z over a union of shards/micro-batches is the
+    per-shard Z summed element-wise — which is what makes the sketch a
+    9-integer mergeable store (batch x10 and the streaming AMS store
+    both fold through here, so parity holds by construction)."""
+    from ..operators.sketch import portable_hash
+
+    # one row per (token, estimator): the sign fold runs once per
+    # DISTINCT token per estimator — 9·|vocab| hashes, not 9·|stream|
+    est_rows = per_tok.select(
+        "cnt",
+        F.posexplode(
+            F.array(
+                *[
+                    (1 - 2 * (portable_hash(F.col("token"), m) % 2)).cast("bigint")
+                    for m in _X10_MULTS
+                ]
+            )
+        ).alias("i", "sign"),
+    )
+    return est_rows.groupBy("i").agg(
+        F.sum(F.col("cnt") * F.col("sign")).cast("bigint").alias("zi")
+    )
+
+
+def ams_f2_estimate(z: DataFrame) -> DataFrame:
+    """9-row ``(i, zi)`` state → one-row ``ams_f2`` median-of-means
+    estimate (3 groups × 3, unrounded double)."""
+    means = z.groupBy(
+        (F.col("i") / _X10_GROUPS).cast("int").alias("grp")
+    ).agg(
+        (F.sum(F.col("zi") * F.col("zi")).cast("double") / _X10_GROUPS).alias("grp_mean")
+    )
+    return means.agg(F.expr("percentile(grp_mean, 0.5)").alias("ams_f2"))
+
+
 def _x10_sign_sql(mult: int) -> str:
     from ..operators.sketch import sql_portable_hash
 
@@ -1160,33 +1199,12 @@ def _x10_sign_sql(mult: int) -> str:
 )
 def x10_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens
-    from ..operators.sketch import portable_hash
 
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(tokens(F.col("text"))).alias("token"))
     per_tok = toks.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    # one row per (token, estimator): the sign fold runs once per
-    # DISTINCT token per estimator — 9·|vocab| hashes, not 9·|stream|
-    est_rows = per_tok.select(
-        "cnt",
-        F.posexplode(
-            F.array(
-                *[
-                    (1 - 2 * (portable_hash(F.col("token"), m) % 2)).cast("bigint")
-                    for m in _X10_MULTS
-                ]
-            )
-        ).alias("i", "sign"),
-    )
-    z = est_rows.groupBy("i").agg(
-        F.sum(F.col("cnt") * F.col("sign")).cast("bigint").alias("zi")
-    )
-    means = z.groupBy(
-        (F.col("i") / _X10_GROUPS).cast("int").alias("grp")
-    ).agg(
-        (F.sum(F.col("zi") * F.col("zi")).cast("double") / _X10_GROUPS).alias("grp_mean")
-    )
-    est = means.agg(F.expr("percentile(grp_mean, 0.5)").alias("ams_f2"))
+    z = ams_zvector(per_tok)
+    est = ams_f2_estimate(z)
     exact = per_tok.agg(
         F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("exact_f2")
     )

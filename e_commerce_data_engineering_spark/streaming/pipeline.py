@@ -1024,6 +1024,76 @@ def start_kmv_stream(
     )
 
 
+def start_ams_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Streaming twin of the x10 AMS F2 sketch over document tokens:
+    each micro-batch reduces its token stream to per-token counts,
+    folds them through the SAME ``plans/graph_sketch.ams_zvector``
+    core the batch query uses, and writes the 9-row ``(i, zi)``
+    partial under ``batch_id=N`` with overwrite — the exactly-once
+    discipline of the KMV/histogram stores (a replayed epoch rewrites
+    its own partial, never double-counts). Z_i is ADDITIVE: the union
+    stream's Z equals the element-wise sum of per-batch Z, all exact
+    int64, so stream-vs-batch parity is exact equality, not a
+    tolerance check. State is 9 integers per drained micro-batch
+    regardless of stream volume."""
+    from ..functions.text import tokens
+    from ..plans.graph_sketch import ams_zvector
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+    def _partial(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        per_tok = (
+            batch_df.select(F.explode(tokens(F.col("text"))).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        ams_zvector(per_tok).write.mode("overwrite").parquet(
+            f"{state_dir}/batch_id={epoch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_partial)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_ams_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Fold the streamed per-batch AMS partials by element-wise
+    addition (the sketch's merge) back into the 9-row ``(i, zi)``
+    state — exact int64, comparable by equality to the batch
+    ``ams_zvector`` over the union of all drained rows."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("i")
+        .agg(F.sum("zi").cast("bigint").alias("zi"))
+    )
+
+
+def read_ams_f2(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Median-of-means F2 estimate from the folded stream state,
+    through the SAME ``plans/graph_sketch.ams_f2_estimate`` core the
+    batch x10 query uses, so batch/stream parity holds by
+    construction."""
+    from ..plans.graph_sketch import ams_f2_estimate
+
+    return ams_f2_estimate(read_ams_state(spark, state_dir))
+
+
 def read_kmv_estimates(spark: SparkSession, state_dir: str, k: int = 16) -> DataFrame:
     """Fold the streamed per-batch KMV partials (union → re-truncate to
     the K smallest — the sketch's merge) and estimate per-source

@@ -1501,3 +1501,65 @@ def test_kmv_stream_matches_batch_sketch(spark, tmp_path):
         for r in read_kmv_estimates(spark, state, k=8).collect()
     }
     assert got2 == got
+
+
+def test_ams_stream_matches_batch_sketch(spark, tmp_path):
+    """Batch/stream parity for the AMS F2 sketch: documents streamed in
+    micro-batches, per-batch 9-row (i, zi) partials summed read-side,
+    must EQUAL (exact int64, zero tolerance) the Z vector of the full
+    corpus computed in one batch pass — Z_i is additive, the sketch's
+    merge — and the folded median-of-means estimate must equal the
+    batch estimate. Replay with the same checkpoint changes nothing."""
+    import json as _json
+
+    from e_commerce_data_engineering_spark.functions.text import tokens
+    from e_commerce_data_engineering_spark.plans.graph_sketch import (
+        ams_f2_estimate,
+        ams_zvector,
+    )
+    from e_commerce_data_engineering_spark.sources.tables import load_table
+    from e_commerce_data_engineering_spark.streaming.pipeline import (
+        read_ams_f2,
+        read_ams_state,
+        start_ams_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("text")
+    rows = [r["text"] for r in docs.collect()]
+    src = tmp_path / "ams-src"
+    src.mkdir()
+    third = max(1, len(rows) // 3)
+    for i in range(3):
+        chunk = rows[i * third :] if i == 2 else rows[i * third : (i + 1) * third]
+        (src / f"part{i}.jsonl").write_text(
+            "\n".join(_json.dumps({"text": t}) for t in chunk)
+        )
+
+    schema = T.StructType([T.StructField("text", T.StringType())])
+    state = str(tmp_path / "ams-state")
+    ckpt = str(tmp_path / "ams-ckpt")
+
+    def _run():
+        q = start_ams_stream(spark, str(src), state, ckpt, schema)
+        q.awaitTermination(120)
+
+    _run()
+    got_z = {r["i"]: r["zi"] for r in read_ams_state(spark, state).collect()}
+
+    # one-pass batch Z over the full corpus through the same core
+    per_tok = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    want_z = {r["i"]: r["zi"] for r in ams_zvector(per_tok).collect()}
+    assert got_z == want_z and len(got_z) == 9  # exact, not approximate
+
+    got_f2 = read_ams_f2(spark, state).collect()[0]["ams_f2"]
+    want_f2 = ams_f2_estimate(ams_zvector(per_tok)).collect()[0]["ams_f2"]
+    assert got_f2 == want_f2
+
+    _run()  # replay drained checkpoint -> no-op
+    got_z2 = {r["i"]: r["zi"] for r in read_ams_state(spark, state).collect()}
+    assert got_z2 == got_z
