@@ -1518,3 +1518,141 @@ def e29_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e30 — stationary distribution of the event-type Markov chain (round 7)
+# ---------------------------------------------------------------------------
+
+_E30_Q = "1000000000000.0"  # 1e-12 contribution quantization (the g02
+# discipline): each pi(i)*p(i,j) product is floored to a BIGINT before
+# the per-state sum, so addition order cannot move a double bit; the
+# renormalization that follows is an exact integer ratio (q / totq),
+# and IEEE division of identical inputs is identical in both engines.
+
+
+@query(
+    "e30_markov_stationary",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    row_tot AS (
+        SELECT prev_type, CAST(SUM(n) AS BIGINT) AS tot
+        FROM trans GROUP BY prev_type
+    ),
+    p AS (
+        SELECT t.prev_type, t.next_type, CAST(t.n AS DOUBLE) / r.tot AS p
+        FROM trans t JOIN row_tot r ON t.prev_type = r.prev_type
+    ),
+    states AS (SELECT DISTINCT event_type AS state FROM events),
+    sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM states),
+    pi1q AS (
+        SELECT next_type AS state,
+               CAST(SUM(CAST(FLOOR((1.0 / sc.s) * p * {_E30_Q} + 0.5)
+                             AS BIGINT)) AS BIGINT) AS q
+        FROM p, sc GROUP BY next_type
+    ),
+    pi1t AS (SELECT CAST(SUM(q) AS BIGINT) AS totq FROM pi1q),
+    pi1 AS (
+        SELECT s.state,
+               CAST(COALESCE(q, 0) AS DOUBLE) / pi1t.totq AS pi
+        FROM states s LEFT JOIN pi1q ON s.state = pi1q.state, pi1t
+    ),
+    pi2q AS (
+        SELECT p.next_type AS state,
+               CAST(SUM(CAST(FLOOR(pi1.pi * p.p * {_E30_Q} + 0.5)
+                             AS BIGINT)) AS BIGINT) AS q
+        FROM p JOIN pi1 ON pi1.state = p.prev_type
+        GROUP BY p.next_type
+    ),
+    pi2t AS (SELECT CAST(SUM(q) AS BIGINT) AS totq FROM pi2q),
+    pi2 AS (
+        SELECT s.state,
+               CAST(COALESCE(q, 0) AS DOUBLE) / pi2t.totq AS pi
+        FROM states s LEFT JOIN pi2q ON s.state = pi2q.state, pi2t
+    )
+    SELECT pi1.state,
+           {sql_fround("pi1.pi", 6)} AS pi_step1,
+           {sql_fround("pi2.pi", 6)} AS pi_step2,
+           {sql_fround("abs(pi2.pi - pi1.pi)", 6)} AS drift
+    FROM pi1 JOIN pi2 ON pi1.state = pi2.state
+    """,
+    doc="Stationary-distribution estimate of the event-type Markov "
+    "chain: two power-iteration steps from the uniform start, unrolled "
+    "over e18's row-stochastic transition matrix (the g02 PageRank-"
+    "twin discipline — fixed step count makes the iteration SQL-"
+    "expressible and hash-checkable). Each step's pi(i)·p(i,j) "
+    "contributions are floored to 1e-12 BIGINTs before the per-state "
+    "sum (addition order cannot flip a bit) and the step renormalizes "
+    "by the exact integer total (q/totq — an IEEE division of "
+    "identical inputs, engine-identical), which also repairs any mass "
+    "lost to states without outgoing transitions. The per-step drift "
+    "column is the convergence readout (|pi2 - pi1|). Scale: the only "
+    "data-sized work is e18's LAG window + count shuffle; everything "
+    "after lives on the |event_types|² matrix, broadcast.",
+)
+def e30_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    row_tot = trans.groupBy("prev_type").agg(F.sum("n").cast("bigint").alias("tot"))
+    p = trans.join(F.broadcast(row_tot), "prev_type").select(
+        "prev_type", "next_type", (F.col("n").cast("double") / F.col("tot")).alias("p")
+    )
+    states = e.select(F.col("event_type").alias("state")).distinct()
+    sc = states.agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+    q12 = float(_E30_Q)
+
+    def step(pi: DataFrame) -> DataFrame:
+        """One quantized power-iteration step: pi (state, pi) -> next."""
+        contrib = p.join(
+            F.broadcast(pi), p["prev_type"] == pi["state"]
+        ).select(
+            F.col("next_type").alias("state"),
+            F.floor(F.col("pi") * F.col("p") * q12 + 0.5).cast("bigint").alias("qc"),
+        )
+        qs = contrib.groupBy("state").agg(F.sum("qc").cast("bigint").alias("q"))
+        tot = qs.agg(F.sum("q").cast("bigint").alias("totq"))
+        return (
+            states.join(qs, "state", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "state",
+                (
+                    F.coalesce(F.col("q"), F.lit(0)).cast("double") / F.col("totq")
+                ).alias("pi"),
+            )
+        )
+
+    pi0 = states.crossJoin(F.broadcast(sc)).select(
+        "state", (F.lit(1.0) / F.col("s")).alias("pi")
+    )
+    pi1 = step(pi0)
+    pi2 = step(pi1)
+    return (
+        pi1.withColumnRenamed("pi", "_pi1")
+        .join(pi2.withColumnRenamed("pi", "_pi2"), "state")
+        .select(
+            "state",
+            fround(F.col("_pi1"), 6).alias("pi_step1"),
+            fround(F.col("_pi2"), 6).alias("pi_step2"),
+            fround(F.abs(F.col("_pi2") - F.col("_pi1")), 6).alias("drift"),
+        )
+    )

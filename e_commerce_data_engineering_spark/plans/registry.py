@@ -91,6 +91,8 @@ _PRIORITY: tuple[str, ...] = (
     # through r6), then the youngest already-recorded rounds for
     # re-checks.
     "m08_image_neardup_pairs",
+    "e30_markov_stationary",
+    "t48_pmi_cooccurrence",
     # --- already driver-recorded: round-6 block (r6 recorded these),
     # youngest first.
     "t45_novelty_decay",

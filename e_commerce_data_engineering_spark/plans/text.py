@@ -2783,6 +2783,8 @@ def t45_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # divergence (round 6)
 # ---------------------------------------------------------------------------
 
+_T47_LN2 = 0.6931471805599453  # nearest IEEE double to ln 2, pinned as a
+# literal so both engines use the identical constant (never their libm)
 _T47_Q = 1_000_000_000.0  # 1e-9 term quantization (t21 pattern): JS terms
 # are summed as exact BIGINTs so float addition order cannot flip the hash
 
@@ -2863,68 +2865,202 @@ def t46_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tok GROUP BY source, tok
     ),
     t AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot FROM c GROUP BY source),
-    vocab AS (SELECT DISTINCT tok FROM c),
-    dense AS (
-        SELECT t.source, v.tok,
-               CAST(COALESCE(c.cnt, 0) AS DOUBLE) / t.tot AS p
-        FROM t CROSS JOIN vocab v
-        LEFT JOIN c ON c.source = t.source AND c.tok = v.tok
+    p AS (
+        SELECT c.source, c.tok, CAST(c.cnt AS DOUBLE) / t.tot AS p
+        FROM c JOIN t ON c.source = t.source
     ),
-    terms AS (
+    shared AS (
         SELECT a.source AS src_a, b.source AS src_b,
                CAST(FLOOR((
-                   CASE WHEN a.p > 0
-                        THEN 0.5 * a.p * ln(a.p / ((a.p + b.p) / 2)) ELSE 0 END
-                 + CASE WHEN b.p > 0
-                        THEN 0.5 * b.p * ln(b.p / ((a.p + b.p) / 2)) ELSE 0 END
+                   0.5 * a.p * ln(a.p / ((a.p + b.p) / 2))
+                 + 0.5 * b.p * ln(b.p / ((a.p + b.p) / 2))
+                 - 0.5 * {_T47_LN2} * (a.p + b.p)
                ) * {_T47_Q} + 0.5) AS BIGINT) AS q_term
-        FROM dense a JOIN dense b ON a.tok = b.tok AND a.source < b.source
+        FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source
+    ),
+    sums AS (
+        SELECT src_a, src_b, CAST(SUM(q_term) AS BIGINT) AS q
+        FROM shared GROUP BY src_a, src_b
+    ),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b
+        FROM t a JOIN t b ON a.source < b.source
     )
-    SELECT src_a, src_b,
-           {sql_fround(f"CAST(SUM(q_term) AS DOUBLE) / {_T47_Q}", 6)} AS js_nats
-    FROM terms GROUP BY src_a, src_b
+    SELECT pairs.src_a, pairs.src_b,
+           {sql_fround(f"{_T47_LN2} + CAST(COALESCE(q, 0) AS DOUBLE) / {_T47_Q}", 6)}
+               AS js_nats
+    FROM pairs LEFT JOIN sums
+      ON pairs.src_a = sums.src_a AND pairs.src_b = sums.src_b
     """,
     doc="Jensen–Shannon divergence between every pair of sources' "
     "unigram distributions — the symmetric, always-finite corpus-drift "
     "metric (0 = identical mixes) a data-curation pipeline uses to "
     "spot a crawl slice whose token mix shifted, or to pick maximally "
-    "diverse sources for a training mixture. The distributions are "
-    "DENSIFIED onto the shared vocabulary grid first (sources × "
-    "vocab), so the pair join is a plain equi-join on token with no "
-    "missing-mass special cases; per-token JS terms are quantized to "
+    "diverse sources for a training mixture. NO densified vocabulary "
+    "grid and no vocab broadcast (round-6 ADVICE: vocabulary grows "
+    "with the corpus under Heaps' law, so a broadcast grid would OOM "
+    "at scale): tokens present in only one of the pair contribute "
+    "exactly 0.5·p·ln2, so JS = ln2 + Σ_shared[term − 0.5·ln2·(pa+pb)] "
+    "and the whole query is an INNER equi-join on the (source, token) "
+    "count table. ln2 is a pinned literal (both engines use the same "
+    "IEEE double, never their libm); per-token terms are quantized to "
     "1e-9 BIGINTs before the per-pair sum (t21 pattern) so addition "
-    "order cannot flip the hash. Scale: the pair space is "
-    "sources² · vocab — dimension-sized, never corpus-sized; the only "
-    "data-sized work is the (source, token) count shuffle.",
+    "order cannot flip the hash; the pair universe comes from a "
+    "broadcast of the SOURCES list (genuinely dimension-sized) so a "
+    "pair sharing zero tokens still lands at JS = ln2. Scale: work is "
+    "Σ_t n_t² ≤ sources · |counts| on the shared-token join — bounded "
+    "by the count-table size, never sources²·vocab.",
 )
 def t47_js_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("source", F.explode(X.tokens(F.col("text"))).alias("tok"))
     c = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     t = c.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("tot"))
-    vocab = c.select("tok").distinct()
-    dense = (
-        t.crossJoin(F.broadcast(vocab))
-        .join(c, ["source", "tok"], "left")
-        .select(
-            "source",
-            "tok",
-            (F.coalesce(F.col("cnt"), F.lit(0)).cast("double") / F.col("tot")).alias("p"),
-        )
+    p = c.join(t, "source").select(
+        "source", "tok", (F.col("cnt").cast("double") / F.col("tot")).alias("p")
     )
-    a = dense.select(F.col("source").alias("src_a"), "tok", F.col("p").alias("pa"))
-    b = dense.select(F.col("source").alias("src_b"), "tok", F.col("p").alias("pb"))
+    a = p.select(F.col("source").alias("src_a"), "tok", F.col("p").alias("pa"))
+    b = p.select(
+        F.col("source").alias("src_b"),
+        F.col("tok").alias("tok_b"),
+        F.col("p").alias("pb"),
+    )
     m = (F.col("pa") + F.col("pb")) / 2
-    term = F.when(F.col("pa") > 0, 0.5 * F.col("pa") * F.log(F.col("pa") / m)).otherwise(
-        0.0
-    ) + F.when(F.col("pb") > 0, 0.5 * F.col("pb") * F.log(F.col("pb") / m)).otherwise(0.0)
+    # shared tokens have pa > 0 AND pb > 0 by construction (inner join
+    # on counts), so no zero guards; the -0.5·ln2·(pa+pb) term folds
+    # the one-sided missing-mass contribution into the shared sum
+    term = (
+        0.5 * F.col("pa") * F.log(F.col("pa") / m)
+        + 0.5 * F.col("pb") * F.log(F.col("pb") / m)
+        - 0.5 * _T47_LN2 * (F.col("pa") + F.col("pb"))
+    )
     q_term = F.floor(term * _T47_Q + 0.5).cast("bigint")
-    return (
-        a.join(
-            b.withColumnRenamed("tok", "tok_b"),
-            (F.col("tok") == F.col("tok_b")) & (F.col("src_a") < F.col("src_b")),
-        )
+    sums = (
+        a.join(b, (F.col("tok") == F.col("tok_b")) & (F.col("src_a") < F.col("src_b")))
         .select("src_a", "src_b", q_term.alias("q_term"))
         .groupBy("src_a", "src_b")
-        .agg(fround(F.sum("q_term").cast("double") / _T47_Q, 6).alias("js_nats"))
+        .agg(F.sum("q_term").cast("bigint").alias("q"))
+    )
+    pairs = (
+        t.select(F.col("source").alias("src_a"))
+        .crossJoin(F.broadcast(t.select(F.col("source").alias("src_b"))))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    return pairs.join(sums, ["src_a", "src_b"], "left").select(
+        "src_a",
+        "src_b",
+        fround(
+            _T47_LN2 + F.coalesce(F.col("q"), F.lit(0)).cast("double") / _T47_Q, 6
+        ).alias("js_nats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t48 — windowed co-occurrence PMI (round 7)
+# ---------------------------------------------------------------------------
+
+_T48_WIN = 3  # context window: ordered (center, context) pairs at offsets 1..3
+_T48_MIN = 5  # minimum pair count — kills one-off flukes before the margins
+_T48_TOPK = 30
+
+
+@query(
+    "t48_pmi_cooccurrence",
+    oracle=f"""
+    WITH t AS (SELECT {_DUCK_TOKS} AS toks FROM documents),
+    pairs AS (
+        {" UNION ALL ".join(
+            f'''SELECT z[1] AS w1, z[2] AS w2
+            FROM (SELECT unnest(list_zip(toks[1:len(toks) - {d}],
+                                         toks[{d + 1}:len(toks)])) AS z
+                  FROM t WHERE len(toks) > {d})'''
+            for d in range(1, _T48_WIN + 1)
+        )}
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs),
+    cab AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+        FROM pairs GROUP BY w1, w2 HAVING COUNT(*) >= {_T48_MIN}
+    ),
+    ca AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c_a FROM pairs GROUP BY w1),
+    cb AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c_b FROM pairs GROUP BY w2),
+    scored AS (
+        SELECT cab.w1, cab.w2, c_ab,
+               (CAST(c_ab * n_pairs AS DOUBLE)) / (CAST(c_a * c_b AS DOUBLE))
+                   AS ratio
+        FROM cab JOIN ca ON cab.w1 = ca.w1
+                 JOIN cb ON cab.w2 = cb.w2
+        CROSS JOIN n
+    )
+    SELECT w1 AS center, w2 AS context, c_ab AS n_pair,
+           {sql_fround("ln(ratio)", 6)} AS pmi
+    FROM scored
+    ORDER BY ratio DESC, w1, w2 LIMIT {_T48_TOPK}
+    """,
+    doc="Pointwise mutual information of (center, context) token pairs "
+    f"within a {_T48_WIN}-token forward window — the co-occurrence "
+    "statistic under word2vec/GloVe-era embeddings (SGNS factorizes "
+    "the shifted-PMI matrix; Church & Hanks 1990) and the collocation "
+    "detector a curation pipeline runs to find templated boilerplate. "
+    "Pair generation is a SHUFFLE-FREE narrow map: each doc zips its "
+    "token array against itself at offsets 1..k (array slices, no "
+    "per-doc window shuffle, no positional self-join); the only "
+    "data-sized shuffle is the (center, context) count. PMI ordering "
+    "uses the exact-integer ratio c_ab·N / (c_a·c_b) — products stay "
+    "under 2^53 so the double is exact and the top-"
+    f"{_T48_TOPK} cut is engine-deterministic (ratio, then pair "
+    "tiebreak); ln is applied only to the already-agreed double. "
+    f"Pairs rarer than {_T48_MIN} are pruned BEFORE the margin joins. "
+    "Scale: margins are vocab-sized, surviving pairs are "
+    "min-count-bounded, top-k is TakeOrdered — never a global sort of "
+    "the pair space.",
+)
+def t48_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tk = X.tokens(F.col("text"))
+
+    def pairs_at(dd: int):
+        # guard short docs: slice() rejects non-positive lengths, and
+        # the oracle's WHERE len(toks) > d drops them the same way
+        n = F.size(tk) - dd
+        return F.when(
+            n > 0,
+            F.zip_with(
+                F.slice(tk, 1, n),
+                F.slice(tk, dd + 1, n),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            ),
+        ).otherwise(F.array())
+
+    pairs = d.select(
+        F.explode(
+            F.flatten(F.array(*[pairs_at(dd) for dd in range(1, _T48_WIN + 1)]))
+        ).alias("z")
+    ).select(F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+    n = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    cab = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= _T48_MIN)
+    )
+    ca = pairs.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("c_a"))
+    cb = pairs.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("c_b"))
+    ratio = (F.col("c_ab") * F.col("n_pairs")).cast("double") / (
+        F.col("c_a") * F.col("c_b")
+    ).cast("double")
+    return (
+        cab.join(ca, "w1")
+        .join(cb, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("w1").alias("center"),
+            F.col("w2").alias("context"),
+            F.col("c_ab").alias("n_pair"),
+            ratio.alias("_ratio"),
+        )
+        .orderBy(F.col("_ratio").desc(), "center", "context")
+        .limit(_T48_TOPK)
+        .select(
+            "center", "context", "n_pair", fround(F.log(F.col("_ratio")), 6).alias("pmi")
+        )
     )
