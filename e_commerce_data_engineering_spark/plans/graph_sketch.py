@@ -1218,3 +1218,115 @@ def x10_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# g07 — link prediction on the supplier co-supply graph (round 7)
+# ---------------------------------------------------------------------------
+
+_G07_DF_CAP = 256  # drop parts supplied by more than this many suppliers
+# BEFORE anything else: the classic df-bound (t05/t22 discipline). A
+# mega-part contributes deg² wedges but near-zero signal (its 1/ln(deg)
+# Adamic-Adar weight vanishes), so capping bounds the wedge join at
+# |parts|·CAP² while leaving the ranking semantics on the filtered
+# graph self-consistent (degrees AND wedges both come from ef).
+_G07_TOPK = 25
+_G07_Q = "1000000000.0"  # 1e-9 quantization of 1/ln(deg) AA terms
+
+
+@query(
+    "g07_link_prediction",
+    oracle=f"""
+    WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    dp AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS deg_p FROM e GROUP BY p),
+    ef AS (
+        SELECT e.p, e.s, dp.deg_p FROM e JOIN dp ON e.p = dp.p
+        WHERE dp.deg_p <= {_G07_DF_CAP}
+    ),
+    ds AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg_s FROM ef GROUP BY s),
+    w AS (
+        SELECT a.s AS s_a, b.s AS s_b,
+               CAST(COUNT(*) AS BIGINT) AS common,
+               CAST(SUM(CAST(FLOOR({_G07_Q} / ln(a.deg_p) + 0.5) AS BIGINT))
+                    AS BIGINT) AS aa_q
+        FROM ef a JOIN ef b ON a.p = b.p AND a.s < b.s
+        GROUP BY a.s, b.s
+    ),
+    scored AS (
+        SELECT s_a, s_b, common,
+               da.deg_s + db.deg_s - common AS un,
+               CAST(common AS DOUBLE) / (da.deg_s + db.deg_s - common) AS jacc,
+               aa_q
+        FROM w JOIN ds da ON w.s_a = da.s JOIN ds db ON w.s_b = db.s
+    )
+    SELECT s_a AS supp_a, s_b AS supp_b,
+           common AS common_parts, CAST(un AS BIGINT) AS union_parts,
+           {sql_fround("jacc", 6)} AS jaccard,
+           {sql_fround(f"CAST(aa_q AS DOUBLE) / {_G07_Q}", 6)} AS adamic_adar
+    FROM scored ORDER BY jacc DESC, s_a, s_b LIMIT {_G07_TOPK}
+    """,
+    doc="Link prediction on the supplier co-supply graph: Jaccard "
+    "neighbor similarity AND Adamic–Adar (1/ln(deg) down-weighted "
+    "common neighbors — Liben-Nowell & Kleinberg 2003) for the top "
+    f"{_G07_TOPK} supplier pairs sharing parts. Candidates come from "
+    "a WEDGE equi-join on the part key (never all supplier pairs), "
+    f"with parts over df {_G07_DF_CAP} dropped up front — the t05 "
+    "df-bound: a mega-part costs deg² wedges and carries vanishing "
+    "AA weight, so the filtered graph keeps degrees and wedges "
+    "self-consistent while bounding the join at |parts|·CAP². "
+    "Jaccard = common/(deg_a+deg_b−common) is an exact-integer ratio "
+    "(identical double both engines) and orders the deterministic "
+    "top-k; AA terms are 1e-9-BIGINT-quantized before the pair sum "
+    "(t21 pattern). Scale: one distinct-edge shuffle, one wedge join "
+    "bounded by the df-cap, degree joins on supplier-sized sides, "
+    "TakeOrdered for the cut.",
+)
+def g07_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    dp = e.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("deg_p"))
+    ef = e.join(dp, "p").filter(F.col("deg_p") <= _G07_DF_CAP)
+    ds = ef.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("deg_s"))
+    q9 = float(_G07_Q)
+    a = ef.select(F.col("p"), F.col("s").alias("s_a"), F.col("deg_p"))
+    b = ef.select(F.col("p").alias("_p2"), F.col("s").alias("s_b"))
+    w = (
+        a.join(b, (a["p"] == b["_p2"]) & (a["s_a"] < b["s_b"]))
+        .groupBy("s_a", "s_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common"),
+            F.sum(
+                F.floor(F.lit(q9) / F.log(F.col("deg_p")) + 0.5).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("aa_q"),
+        )
+    )
+    da = ds.select(F.col("s").alias("s_a"), F.col("deg_s").alias("deg_a"))
+    db = ds.select(F.col("s").alias("s_b"), F.col("deg_s").alias("deg_b"))
+    un = F.col("deg_a") + F.col("deg_b") - F.col("common")
+    jacc = F.col("common").cast("double") / un
+    return (
+        w.join(F.broadcast(da), "s_a")
+        .join(F.broadcast(db), "s_b")
+        .select(
+            F.col("s_a").alias("supp_a"),
+            F.col("s_b").alias("supp_b"),
+            F.col("common").alias("common_parts"),
+            un.cast("bigint").alias("union_parts"),
+            jacc.alias("_jacc"),
+            F.col("aa_q"),
+        )
+        .orderBy(F.col("_jacc").desc(), "supp_a", "supp_b")
+        .limit(_G07_TOPK)
+        .select(
+            "supp_a",
+            "supp_b",
+            "common_parts",
+            "union_parts",
+            fround(F.col("_jacc"), 6).alias("jaccard"),
+            fround(F.col("aa_q").cast("double") / q9, 6).alias("adamic_adar"),
+        )
+    )

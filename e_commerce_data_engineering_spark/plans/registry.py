@@ -93,6 +93,8 @@ _PRIORITY: tuple[str, ...] = (
     "m08_image_neardup_pairs",
     "e30_markov_stationary",
     "t48_pmi_cooccurrence",
+    "q78_compaction_bins",
+    "g07_link_prediction",
     # --- already driver-recorded: round-6 block (r6 recorded these),
     # youngest first.
     "t45_novelty_decay",

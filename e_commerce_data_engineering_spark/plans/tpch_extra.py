@@ -1041,3 +1041,93 @@ def q77_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.col("ols_slope"), 4).alias("ols_slope"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q78 — small-file compaction planner (round 7; layout/ops family, q71 kin)
+# ---------------------------------------------------------------------------
+
+_Q78_TARGET = 200_000  # target bin size in bytes — the compaction unit
+
+
+@query(
+    "q78_compaction_bins",
+    oracle=f"""
+    WITH seg AS (
+        SELECT strftime(l_shipdate, '%Y-%m') AS segment,
+               CAST(SUM(48 + length(CAST(l_orderkey AS VARCHAR))
+                        + length(CAST(l_partkey AS VARCHAR))) AS BIGINT)
+                   AS seg_bytes
+        FROM lineitem GROUP BY 1
+    ),
+    planned AS (
+        SELECT segment, seg_bytes,
+               CAST(FLOOR(
+                   CAST(COALESCE(SUM(seg_bytes) OVER (
+                       ORDER BY seg_bytes DESC, segment
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS DOUBLE) / {_Q78_TARGET}
+               ) AS BIGINT) AS bin_id
+        FROM seg
+    )
+    SELECT bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(seg_bytes) AS BIGINT) AS bin_bytes,
+           MIN(segment) AS first_segment,
+           {sql_fround(f"CAST(SUM(seg_bytes) AS DOUBLE) / {_Q78_TARGET}", 4)}
+               AS fill_ratio
+    FROM planned GROUP BY bin_id
+    """,
+    doc="Small-file compaction planner — the maintenance pass every "
+    "parquet lake schedules (Delta OPTIMIZE / Iceberg rewrite_data_"
+    "files semantics, planned as a query): per ship-month segment "
+    "sizes (integer-exact byte estimate) are packed into target-sized "
+    "compaction bins by the sequential-fill rule bin = "
+    "floor(preceding_cumulative_bytes / target) over the size-DESC "
+    "walk — the streaming variant of next-fit-decreasing, one window "
+    "over the SEGMENT list (not the fact table), deterministic via "
+    "the (bytes DESC, segment) total order. Output is the work order: "
+    "segments and bytes per bin with fill ratio. Scale: the only "
+    "data-sized work is the per-segment byte rollup (partial-agg "
+    "shuffle); the planning window runs on one row per segment — "
+    "file-manifest-sized, like q71's two-stage rollup, and at a "
+    "million files it windows WITHIN a partition grid (table/day) "
+    "exactly as the real planners do.",
+)
+def q78_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    seg = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("segment")
+    ).agg(
+        F.sum(
+            F.lit(48)
+            + F.length(F.col("l_orderkey").cast("string"))
+            + F.length(F.col("l_partkey").cast("string"))
+        )
+        .cast("bigint")
+        .alias("seg_bytes")
+    )
+    # window over the segment MANIFEST (82 rows at sf0.01), not facts —
+    # the single partition is the point: planning is driver-scale work
+    w = (
+        W.orderBy(F.col("seg_bytes").desc(), "segment")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    planned = seg.select(
+        "segment",
+        "seg_bytes",
+        F.floor(
+            F.coalesce(F.sum("seg_bytes").over(w), F.lit(0)).cast("double")
+            / _Q78_TARGET
+        )
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+    return planned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum("seg_bytes").cast("bigint").alias("bin_bytes"),
+        F.min("segment").alias("first_segment"),
+        fround(F.sum("seg_bytes").cast("double") / _Q78_TARGET, 4).alias("fill_ratio"),
+    )
