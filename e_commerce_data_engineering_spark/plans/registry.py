@@ -95,6 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "t48_pmi_cooccurrence",
     "q78_compaction_bins",
     "g07_link_prediction",
+    "s17_rerank_shortlist",
     # --- already driver-recorded: round-6 block (r6 recorded these),
     # youngest first.
     "t45_novelty_decay",

@@ -1106,9 +1106,10 @@ S15_DSUB = EMBEDDING_DIM // S15_M
 S15_KCODES = 16  # codes per subspace: entry k = unit subvector of vec_id k
 
 
-@query(
-    "s15_portable_ivfpq_topk",
-    oracle=f"""
+# Shared IVFADC CTE chain (fixed centroids/codebooks -> assign ->
+# encode -> probe -> LUT -> ADC scores): s15 ranks it directly; s17
+# reuses it as the retrieve stage under an exact-cosine rerank.
+_S15_ADC_CTES = f"""
     WITH base AS (
         SELECT vec_id, {_SQL_NORM_E} AS nrm, embedding FROM embeddings
     ),
@@ -1165,6 +1166,13 @@ S15_KCODES = 16  # codes per subspace: entry k = unit subvector of vec_id k
         WHERE a.vec_id <> p.q_id
         GROUP BY p.q_id, a.vec_id
     )
+"""
+
+
+@query(
+    "s15_portable_ivfpq_topk",
+    oracle=f"""
+{_S15_ADC_CTES}
     SELECT q_id, c_id, CAST(ai AS DOUBLE) / {_Q} AS adc, CAST(rn AS INTEGER) AS rn
     FROM (SELECT q_id, c_id, ai,
                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ai, c_id) AS rn
@@ -1187,6 +1195,20 @@ S15_KCODES = 16  # codes per subspace: entry k = unit subvector of vec_id k
     "pins the shared IVFADC machinery under the oracle hash gate.",
 )
 def s15_portable_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    adc = _ivfpq_adc(spark, sf_dir)
+    return (
+        adc.withColumn(
+            "rn", F.row_number().over(W.partitionBy("q_id").orderBy("ai", "c_id"))
+        )
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "c_id", (F.col("ai").cast("double") / _Q).alias("adc"), "rn")
+    )
+
+
+def _ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared IVFADC retrieve stage behind s15/s17: fixed
+    centroids/codebooks, cell assignment, subspace argmin encode,
+    probe LUT, quantized ADC scores — returns (q_id, c_id, ai)."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = e.filter(F.col("vec_id") < S15_NLIST).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
@@ -1249,13 +1271,7 @@ def s15_portable_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q_id", "c_id")
         .agg(F.sum("dq").alias("ai"))
     )
-    return (
-        adc.withColumn(
-            "rn", F.row_number().over(W.partitionBy("q_id").orderBy("ai", "c_id"))
-        )
-        .filter(F.col("rn") <= TOP_K)
-        .select("q_id", "c_id", (F.col("ai").cast("double") / _Q).alias("adc"), "rn")
-    )
+    return adc
 
 
 # ---------------------------------------------------------------------------
@@ -1450,4 +1466,90 @@ def s16_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("scan_fraction"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# s17 — retrieve-then-rerank: ADC shortlist -> exact-cosine rerank
+# (round 7; the production two-stage ANN serving pattern)
+# ---------------------------------------------------------------------------
+
+S17_SHORTLIST = 50  # ADC candidates per query fed to the exact rerank
+
+
+@query(
+    "s17_rerank_shortlist",
+    oracle=f"""{_S15_ADC_CTES},
+    shortlist AS (
+        SELECT q_id, c_id, rn_adc FROM (
+            SELECT q_id, c_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ai, c_id)
+                       AS rn_adc
+            FROM adc) r
+        WHERE rn_adc <= {S17_SHORTLIST}
+    ),
+    rerank AS (
+        SELECT s.q_id, s.c_id, s.rn_adc,
+               {_SQL_DOT_QC} / ({_SQL_NORM_Q} * {_SQL_NORM_C}) AS cos_sim
+        FROM shortlist s
+        JOIN (SELECT vec_id, embedding AS q_emb FROM embeddings) q
+          ON q.vec_id = s.q_id
+        JOIN (SELECT vec_id, embedding AS c_emb FROM embeddings) c
+          ON c.vec_id = s.c_id
+    )
+    SELECT q_id, c_id, {sql_fround("cos_sim", 6)} AS cos_sim,
+           CAST(rn AS INTEGER) AS rn, CAST(rn_adc AS INTEGER) AS adc_rank
+    FROM (SELECT q_id, c_id, cos_sim, rn_adc,
+                 ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id)
+                     AS rn
+          FROM rerank) ranked
+    WHERE rn <= {TOP_K}
+    """,
+    doc="Retrieve-then-rerank — THE production two-stage ANN serving "
+    f"pattern: the IVFADC stage (s15's machinery, shared code) pulls a "
+    f"{S17_SHORTLIST}-candidate shortlist per query from the probed "
+    "cells on compressed codes alone, then ONLY those candidates pay "
+    "the full-precision cosine (the left-fold dot both engines "
+    "replay bit-identically), and the top-5 is re-cut on the exact "
+    "score. The output carries each hit's shortlist position "
+    "(adc_rank) next to its final rank, making the rank movement the "
+    "rerank buys — the reason two-stage serving exists — visible and "
+    "hash-checked. Scale: the expensive exact scoring touches "
+    f"queries×{S17_SHORTLIST} rows however big the corpus; the "
+    "shortlist join back to raw embeddings is an equi-join on vec_id "
+    "(at cluster scale a broadcast of the shortlist against the "
+    "vector table's bucketed layout).",
+)
+def s17_rerank_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    adc = _ivfpq_adc(spark, sf_dir)
+    shortlist = (
+        adc.withColumn(
+            "rn_adc", F.row_number().over(W.partitionBy("q_id").orderBy("ai", "c_id"))
+        )
+        .filter(F.col("rn_adc") <= S17_SHORTLIST)
+        .select("q_id", "c_id", "rn_adc")
+    )
+    joined = shortlist.join(
+        e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")),
+        "q_id",
+    ).join(
+        e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")),
+        "c_id",
+    )
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / (
+        l2_norm(F.col("q_emb")) * l2_norm(F.col("c_emb"))
+    )
+    ranked = joined.select("q_id", "c_id", "rn_adc", cos.alias("cos_sim")).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "c_id")
+        ),
+    )
+    return ranked.filter(F.col("rn") <= TOP_K).select(
+        "q_id",
+        "c_id",
+        fround(F.col("cos_sim"), 6).alias("cos_sim"),
+        "rn",
+        F.col("rn_adc").alias("adc_rank"),
     )
