@@ -1395,3 +1395,69 @@ def m08_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(ham <= M08_MAX_HAM).select(
         "id_a", "id_b", ham.cast("int").alias("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# d16 — dedup savings report (round 7; the FinOps endpoint of dedup)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d16_dedup_savings",
+    oracle=f"""
+    WITH c AS (
+        SELECT doc_id, source, md5(text) AS h,
+               CAST(length(text) AS BIGINT) AS b
+        FROM documents
+    ),
+    canon AS (SELECT h, MIN(doc_id) AS keep FROM c GROUP BY h)
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(b) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN c.doc_id = canon.keep THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN c.doc_id = canon.keep THEN 0 ELSE b END)
+                AS BIGINT) AS dropped_chars,
+           {sql_fround(
+               "CAST(SUM(CASE WHEN c.doc_id = canon.keep THEN 0 ELSE b END)"
+               " AS DOUBLE) / SUM(b)",
+               6,
+           )} AS savings_frac
+    FROM c JOIN canon ON c.h = canon.h
+    GROUP BY c.source
+    """,
+    doc="Dedup savings report — the number that justifies the dedup "
+    "stage's bill: exact content clusters (md5 of the text, t03's "
+    "keep-first discipline with MIN(doc_id) as the deterministic "
+    "canonical), then per source: docs, characters, how many survive, "
+    "and the fraction of stored characters dedup deletes. Clusters "
+    "are GLOBAL (a copy pasted across sources counts as a duplicate "
+    "and the savings accrue to the source holding the copy, not the "
+    "canonical's source). Scale: one content-hash groupBy + one "
+    "equi-join back on the hash — exactly the t03 plan plus a "
+    "source rollup; no pairwise anything.",
+)
+def d16_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    c = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text")).alias("h"),
+        F.length("text").cast("bigint").alias("b"),
+    )
+    canon = c.groupBy("h").agg(F.min("doc_id").alias("keep"))
+    kept = F.when(F.col("doc_id") == F.col("keep"), 1).otherwise(0)
+    dropped_b = F.when(F.col("doc_id") == F.col("keep"), 0).otherwise(F.col("b"))
+    return (
+        c.join(canon, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("b").cast("bigint").alias("total_chars"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+            F.sum(dropped_b).cast("bigint").alias("dropped_chars"),
+            fround(
+                F.sum(dropped_b).cast("double") / F.sum("b"), 6
+            ).alias("savings_frac"),
+        )
+    )

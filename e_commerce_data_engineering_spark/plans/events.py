@@ -1656,3 +1656,207 @@ def e30_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.abs(F.col("_pi2") - F.col("_pi1")), 6).alias("drift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e31 — bot-rhythm screen: per-user inter-event regularity (round 7)
+# ---------------------------------------------------------------------------
+
+_E31_MIN_GAPS = 20  # users with fewer gaps have no measurable rhythm
+_E31_CAP_S = 86_400  # gaps over a day are absences, not rhythm — and the
+# cap bounds the integer moment sums: sg2 <= n·86400², so n·sg2 − sg²
+# stays exact in int64 (and under 2^53) at any realistic per-user count
+_E31_CV = 0.5  # flag threshold: CV below this is machine-like regularity
+_E31_TOPK = 10
+
+
+@query(
+    "e31_regularity_screen",
+    oracle=f"""
+    WITH e AS (SELECT user_id, epoch(ts) AS tsec, event_id FROM events),
+    g AS (
+        SELECT user_id,
+               CAST(FLOOR(tsec - LAG(tsec) OVER (
+                   PARTITION BY user_id ORDER BY tsec, event_id) + 0.5)
+                   AS BIGINT) AS gap
+        FROM e
+    ),
+    agg AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(gap) AS BIGINT) AS sg,
+               CAST(SUM(gap * gap) AS BIGINT) AS sg2
+        FROM g WHERE gap IS NOT NULL AND gap <= {_E31_CAP_S}
+        GROUP BY user_id
+        HAVING COUNT(*) >= {_E31_MIN_GAPS} AND SUM(gap) > 0
+    ),
+    scored AS (
+        SELECT user_id, n, sg,
+               sqrt(CAST(n * sg2 - sg * sg AS DOUBLE)) / sg AS cv
+        FROM agg
+    )
+    SELECT user_id, n AS n_gaps,
+           {sql_fround("CAST(sg AS DOUBLE) / n", 4)} AS mean_gap_s,
+           {sql_fround("cv", 6)} AS cv,
+           cv < {_E31_CV} AS machine_like
+    FROM scored ORDER BY cv, user_id LIMIT {_E31_TOPK}
+    """,
+    doc="Bot-rhythm screen: the coefficient of variation of each "
+    "user's inter-event gaps — humans are bursty (CV >= 1, exponential-"
+    "ish arrivals), schedulers and scrapers are metronomic (CV → 0) — "
+    f"ranking the {_E31_TOPK} most machine-regular users with a "
+    f"CV < {_E31_CV} flag. The abuse screen upstream of sessions and "
+    "funnels (complements e20's burst COUNT: a slow steady bot never "
+    "bursts but still pins CV ≈ 0). Exactness: gaps are floor-rounded "
+    f"to integer seconds and capped at {_E31_CAP_S} s (a day — longer "
+    "is absence, not rhythm), so n, Σg, Σg² are exact int64 moments "
+    "with n·Σg² − Σg² under 2^53, and CV = sqrt(n·Σg²−Σg²)/Σg is one "
+    "sqrt and one division of identical doubles in both engines. One "
+    "LAG window per user + one keyed aggregate; TakeOrdered cut.",
+)
+def e31_regularity_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tsec = F.col("ts").cast("double")
+    w = W.partitionBy("user_id").orderBy(tsec, "event_id")
+    g = ev.select(
+        "user_id",
+        F.floor(tsec - F.lag(tsec).over(w) + 0.5).cast("bigint").alias("gap"),
+    ).filter(F.col("gap").isNotNull() & (F.col("gap") <= _E31_CAP_S))
+    agg = (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("gap").cast("bigint").alias("sg"),
+            F.sum(F.col("gap") * F.col("gap")).cast("bigint").alias("sg2"),
+        )
+        .filter((F.col("n") >= _E31_MIN_GAPS) & (F.col("sg") > 0))
+    )
+    cv = F.sqrt((F.col("n") * F.col("sg2") - F.col("sg") * F.col("sg")).cast("double")) / F.col("sg")
+    return (
+        agg.select("user_id", "n", "sg", cv.alias("_cv"))
+        .orderBy("_cv", "user_id")
+        .limit(_E31_TOPK)
+        .select(
+            "user_id",
+            F.col("n").alias("n_gaps"),
+            fround(F.col("sg").cast("double") / F.col("n"), 4).alias("mean_gap_s"),
+            fround(F.col("_cv"), 6).alias("cv"),
+            (F.col("_cv") < _E31_CV).alias("machine_like"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# e32 — funnel time-to-convert (round 7; e28's latency companion)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e32_funnel_latency",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = '{_E28_STEPS[0]}' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        WHERE e.event_type = '{_E28_STEPS[1]}' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        WHERE e.event_type = '{_E28_STEPS[2]}' GROUP BY e.user_id
+    ),
+    d1 AS (SELECT epoch(c.t2) - epoch(v.t1) AS dt
+           FROM c JOIN v ON c.user_id = v.user_id),
+    d2 AS (SELECT epoch(p.t3) - epoch(c.t2) AS dt
+           FROM p JOIN c ON p.user_id = c.user_id),
+    d3 AS (SELECT epoch(p.t3) - epoch(v.t1) AS dt
+           FROM p JOIN v ON p.user_id = v.user_id)
+    SELECT * FROM (
+        SELECT '{_E28_STEPS[0]}->{_E28_STEPS[1]}' AS transition,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               {sql_fround("CAST(quantile_cont(dt, 0.5) AS DOUBLE)", 4)} AS p50_s,
+               {sql_fround("CAST(quantile_cont(dt, 0.9) AS DOUBLE)", 4)} AS p90_s,
+               {sql_fround(
+                   "CAST(SUM(CAST(FLOOR(dt + 0.5) AS BIGINT)) AS DOUBLE) / COUNT(*)",
+                   4,
+               )} AS mean_s
+        FROM d1
+        UNION ALL
+        SELECT '{_E28_STEPS[1]}->{_E28_STEPS[2]}', CAST(COUNT(*) AS BIGINT),
+               {sql_fround("CAST(quantile_cont(dt, 0.5) AS DOUBLE)", 4)},
+               {sql_fround("CAST(quantile_cont(dt, 0.9) AS DOUBLE)", 4)},
+               {sql_fround(
+                   "CAST(SUM(CAST(FLOOR(dt + 0.5) AS BIGINT)) AS DOUBLE) / COUNT(*)",
+                   4,
+               )}
+        FROM d2
+        UNION ALL
+        SELECT '{_E28_STEPS[0]}->{_E28_STEPS[2]}', CAST(COUNT(*) AS BIGINT),
+               {sql_fround("CAST(quantile_cont(dt, 0.5) AS DOUBLE)", 4)},
+               {sql_fround("CAST(quantile_cont(dt, 0.9) AS DOUBLE)", 4)},
+               {sql_fround(
+                   "CAST(SUM(CAST(FLOOR(dt + 0.5) AS BIGINT)) AS DOUBLE) / COUNT(*)",
+                   4,
+               )}
+        FROM d3
+    ) t
+    """,
+    doc="Funnel time-to-convert: for users completing e28's ordered "
+    "chain (view → click → purchase, each step's FIRST qualifying "
+    "event after the previous one), the p50/p90/mean seconds spent on "
+    "each transition and end-to-end — the latency half of funnel "
+    "analysis (e28 reports WHO converts; this reports HOW LONG "
+    "conversion takes, the number a growth team actually watches). "
+    "Deltas are epoch-second differences (timezone-invariant, "
+    "engine-exact doubles); percentiles share the p·(n-1) "
+    "interpolation (q40 pattern, Spark percentile ⇔ DuckDB "
+    "quantile_cont); the mean floor-quantizes to integer seconds "
+    "before summing so addition order cannot flip the hash. Scale: "
+    "the same k shrinking user-keyed MIN semi-joins as e28 (never a "
+    "per-user sequence sort), then three single-row aggregates.",
+)
+def e32_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == _E28_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == _E28_STEPS[1])
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == _E28_STEPS[2])
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def leg(a: DataFrame, ta: str, b: DataFrame, tb: str, label: str) -> DataFrame:
+        dt = (F.col(tb).cast("double") - F.col(ta).cast("double")).alias("dt")
+        d = b.join(a, "user_id").select(dt)
+        return d.agg(
+            F.lit(label).alias("transition"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            fround(F.percentile("dt", F.lit(0.5)), 4).alias("p50_s"),
+            fround(F.percentile("dt", F.lit(0.9)), 4).alias("p90_s"),
+            fround(
+                F.sum(F.floor(F.col("dt") + 0.5).cast("bigint")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_s"),
+        )
+    s0, s1, s2 = _E28_STEPS
+    return (
+        leg(v, "t1", c, "t2", f"{s0}->{s1}")
+        .unionByName(leg(c, "t2", p, "t3", f"{s1}->{s2}"))
+        .unionByName(leg(v, "t1", p, "t3", f"{s0}->{s2}"))
+    )

@@ -96,6 +96,10 @@ _PRIORITY: tuple[str, ...] = (
     "q78_compaction_bins",
     "g07_link_prediction",
     "s17_rerank_shortlist",
+    "e31_regularity_screen",
+    "t49_boilerplate_prefixes",
+    "e32_funnel_latency",
+    "d16_dedup_savings",
     # --- already driver-recorded: round-6 block (r6 recorded these),
     # youngest first.
     "t45_novelty_decay",

@@ -3064,3 +3064,63 @@ def t48_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "center", "context", "n_pair", fround(F.log(F.col("_ratio")), 6).alias("pmi")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t49 — boilerplate prefix detection (round 7)
+# ---------------------------------------------------------------------------
+
+_T49_PLEN = 5  # fingerprint: the document's first 5 tokens
+_T49_MIN_SHARE = 0.02  # a prefix owning >=2% of a source is boilerplate
+
+
+@query(
+    "t49_boilerplate_prefixes",
+    oracle=f"""
+    WITH t AS (SELECT source, {_DUCK_TOKS} AS toks FROM documents),
+    pre AS (
+        SELECT source,
+               list_aggregate(toks[1:{_T49_PLEN}], 'string_agg', ' ') AS prefix
+        FROM t WHERE len(toks) >= {_T49_PLEN}
+    ),
+    n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM pre GROUP BY source),
+    c AS (
+        SELECT source, prefix, CAST(COUNT(*) AS BIGINT) AS n_with
+        FROM pre GROUP BY source, prefix
+    )
+    SELECT c.source, c.prefix, n_with, n_docs,
+           {sql_fround("CAST(n_with AS DOUBLE) / n_docs", 6)} AS share
+    FROM c JOIN n ON c.source = n.source
+    WHERE CAST(n_with AS DOUBLE) / n_docs >= {_T49_MIN_SHARE}
+    """,
+    doc=f"Boilerplate-prefix detection: documents sharing their first "
+    f"{_T49_PLEN} tokens within a source, reported when one prefix "
+    f"owns >= {int(_T49_MIN_SHARE * 100)}% of the source — the "
+    "template/header screen (C4-style cleaning strips repeated "
+    "leading boilerplate; a crawler that prepends a cookie banner or "
+    "nav header to every page lights this up) run before span-level "
+    "dedup pays for what a cheap prefix groupBy already finds. The "
+    "prefix key is an exact token join, not a hash, so the whole "
+    "report is engine-identical. Scale: one narrow map (array slice "
+    "+ join to string) and two keyed aggregates — the prefix space "
+    "is df-bounded by construction (at most one per document), and "
+    "the share filter prunes the long tail before the join back to "
+    "source totals (broadcast, source-count-sized).",
+)
+def t49_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tk = X.tokens(F.col("text"))
+    pre = d.select(
+        "source",
+        F.array_join(F.slice(tk, 1, _T49_PLEN), " ").alias("prefix"),
+    ).filter(F.size(tk) >= _T49_PLEN)
+    n = pre.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    c = pre.groupBy("source", "prefix").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_with")
+    )
+    share = F.col("n_with").cast("double") / F.col("n_docs")
+    return (
+        c.join(F.broadcast(n), "source")
+        .filter(share >= _T49_MIN_SHARE)
+        .select("source", "prefix", "n_with", "n_docs", fround(share, 6).alias("share"))
+    )
