@@ -83,6 +83,11 @@ HEADLINE = [
     "m07_image_ahash",
     "x10_ams_f2",
     "m08_image_neardup_pairs",
+    # round-7 queries with distinct plan shapes: two-stage ADC+rerank,
+    # df-capped wedge join, shuffle-free PMI pair generation
+    "s17_rerank_shortlist",
+    "g07_link_prediction",
+    "t48_pmi_cooccurrence",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every
@@ -137,6 +142,11 @@ HEAVY = {
     "q05_region_nation_revenue",
     # first run pays the shingle-index codegen; min-of-3 is steady state
     "t40_dup_spans",
+    # round-7: decode-bound mapInPandas (m08), two-stage ADC+rerank
+    # (s17), wedge join (g07) — all first-run JIT/Arrow-spin-up heavy
+    "m08_image_neardup_pairs",
+    "s17_rerank_shortlist",
+    "g07_link_prediction",
 }
 
 
