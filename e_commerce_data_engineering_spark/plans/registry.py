@@ -100,6 +100,8 @@ _PRIORITY: tuple[str, ...] = (
     "t49_boilerplate_prefixes",
     "e32_funnel_latency",
     "d16_dedup_savings",
+    "s18_rerank_recall",
+    "t50_vocab_coverage",
     # --- already driver-recorded: round-6 block (r6 recorded these),
     # youngest first.
     "t45_novelty_decay",

@@ -1553,3 +1553,101 @@ def s17_rerank_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn",
         F.col("rn_adc").alias("adc_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s18 — recall audit of the two-stage rerank (round 7; closes s17's loop)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s18_rerank_recall",
+    oracle=f"""{_S15_ADC_CTES},
+    shortlist AS (
+        SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ai, c_id)
+                       AS rn_adc
+            FROM adc) r
+        WHERE rn_adc <= {S17_SHORTLIST}
+    ),
+    truth AS (
+        SELECT q_id, c_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_reduce(list_transform(
+                               generate_series(1, {EMBEDDING_DIM}),
+                               i -> CAST(q.embedding[i] AS DOUBLE)
+                                    * CAST(c.embedding[i] AS DOUBLE)),
+                               (a,b) -> a+b)
+                           / ({_sql_norm("q.embedding")} * {_sql_norm("c.embedding")})
+                           DESC,
+                           c.vec_id) AS rn
+            FROM embeddings q CROSS JOIN embeddings c
+            WHERE q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id
+        ) t WHERE rn <= {TOP_K}
+    )
+    SELECT t.q_id,
+           CAST(COUNT(s.c_id) AS BIGINT) AS n_found,
+           {sql_fround(f"CAST(COUNT(s.c_id) AS DOUBLE) / {TOP_K}", 6)}
+               AS recall_at_{TOP_K}
+    FROM truth t LEFT JOIN shortlist s
+      ON s.q_id = t.q_id AND s.c_id = t.c_id
+    GROUP BY t.q_id
+    """,
+    doc=f"Recall audit of the two-stage serving path: does s17's "
+    f"{S17_SHORTLIST}-candidate ADC shortlist contain the TRUE "
+    f"exact-cosine top-{TOP_K} for each query? Reported per query as "
+    "n_found and recall — the number that decides whether the "
+    "shortlist width (and s16's probe width) is large enough, closing "
+    "the s15→s17 family the way d07/s06 audit their ANN stages. The "
+    "truth ranking is the exact cosine DESC — the identical left-fold "
+    "arithmetic in both engines — with vec_id ties broken the same "
+    "way on both sides. Scale: the truth side is "
+    "the s02 brute-force baseline (probe-set-sized broadcast cross "
+    "join — an AUDIT, not the serving path); the shortlist side is "
+    "s15's bounded cell probes.",
+)
+def s18_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    adc = _ivfpq_adc(spark, sf_dir)
+    shortlist = (
+        adc.withColumn(
+            "rn_adc", F.row_number().over(W.partitionBy("q_id").orderBy("ai", "c_id"))
+        )
+        .filter(F.col("rn_adc") <= S17_SHORTLIST)
+        .select("q_id", "c_id")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / (
+        l2_norm(F.col("q_emb")) * l2_norm(F.col("c_emb"))
+    )
+    truth = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", cos.alias("cos_sim"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "c_id")
+            ),
+        )
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "c_id")
+    )
+    hit = shortlist.withColumn("_hit", F.lit(1))
+    return (
+        truth.join(hit, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("_hit").cast("bigint").alias("n_found"),
+            fround(F.count("_hit").cast("double") / TOP_K, 6).alias(
+                f"recall_at_{TOP_K}"
+            ),
+        )
+    )

@@ -3124,3 +3124,90 @@ def t49_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(share >= _T49_MIN_SHARE)
         .select("source", "prefix", "n_with", "n_docs", fround(share, 6).alias("share"))
     )
+
+
+# ---------------------------------------------------------------------------
+# t50 — vocabulary coverage curve (round 7)
+# ---------------------------------------------------------------------------
+
+_T50_KS = (1, 2, 4, 8, 16, 32, 64, 128)  # type-budget checkpoints
+
+
+@query(
+    "t50_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+    r AS (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk,
+               SUM(cnt) OVER (ORDER BY cnt DESC, tok
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               SUM(cnt) OVER () AS tot,
+               COUNT(*) OVER () AS n_types
+        FROM c
+    )
+    SELECT CAST(k.k AS BIGINT) AS top_k_types,
+           CAST(MAX(CASE WHEN rnk <= k.k THEN cum END) AS BIGINT)
+               AS covered_tokens,
+           CAST(MAX(tot) AS BIGINT) AS total_tokens,
+           {sql_fround(
+               "CAST(MAX(CASE WHEN rnk <= k.k THEN cum END) AS DOUBLE) / MAX(tot)",
+               6,
+           )} AS coverage
+    FROM r CROSS JOIN (SELECT unnest(ARRAY{list(_T50_KS)}) AS k) k
+    WHERE k.k <= n_types
+    GROUP BY k.k
+    """,
+    doc="Vocabulary coverage curve: what fraction of the token stream "
+    f"do the top-k most frequent types cover, at k ∈ {_T50_KS} — the "
+    "Zipf-mass readout that sizes a tokenizer's vocabulary budget "
+    "(t35 fits the exponent; this reports the actual mass curve a "
+    "vocab cut keeps) and flags a template-closed corpus (coverage "
+    "hits 1.0 at tiny k, cf. t44's Heaps β≈0). Deterministic via the "
+    "(count DESC, token) total order shared by both engines; "
+    "checkpoints beyond the type count are dropped on both sides. "
+    "Scale: one token-count shuffle; the ranking window runs over the "
+    "TYPE table (vocab-sized, not corpus-sized) and at web scale the "
+    "same curve reads off a count-histogram rollup instead of a "
+    "global sort — the x08 move.",
+)
+def t50_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.select(F.explode(X.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    ww = W.orderBy(F.col("cnt").desc(), "tok")
+    r = c.select(
+        "cnt",
+        F.row_number().over(ww).alias("rnk"),
+        F.sum("cnt").over(ww.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(W.partitionBy()).alias("tot"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n_types"),
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in _T50_KS])).alias("k")
+    )
+    return (
+        r.select("rnk", "cum", "tot", "n_types")
+        .crossJoin(F.broadcast(ks))
+        .filter(F.col("k") <= F.col("n_types"))
+        .groupBy(F.col("k").cast("bigint").alias("top_k_types"))
+        .agg(
+            F.max(F.when(F.col("rnk") <= F.col("k"), F.col("cum")))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            F.max("tot").cast("bigint").alias("total_tokens"),
+            fround(
+                F.max(F.when(F.col("rnk") <= F.col("k"), F.col("cum"))).cast("double")
+                / F.max("tot"),
+                6,
+            ).alias("coverage"),
+        )
+    )
