@@ -57,28 +57,66 @@ def timed(fn):
     return rows, round(time.perf_counter() - t0, 2)
 
 
+# Which replicated tables each op reads — a targeted SPARK_GRAFT_OPS run
+# only pays replication for what it measures (image_neardup_m08's corpus
+# is generator-built, so it replicates nothing).
+OP_TABLES = {
+    "join_agg": {"lineitem", "orders"},
+    "event_windows": {"events"},
+    "exact_dedup": {"documents"},
+    "greedy_lsh_dedupe": {"documents"},
+    "ivf_ann_probe": {"embeddings"},
+    "semdedup": {"embeddings"},
+    "ppjoin_t09": {"documents"},
+    "segment_dedup_t29": {"documents"},
+    "triangles_g04": {"lineitem", "orders"},
+    "kcore_g06": {"lineitem", "orders"},
+    "dup_spans_t40": {"documents"},
+    "ivfpq_adc_s11": {"embeddings"},
+    "link_pred_g07": {"lineitem"},
+    "pmi_t48": {"documents"},
+    "image_neardup_m08": set(),
+}
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-stress")
     spark.sparkContext.setLogLevel("ERROR")
     results = []
+    only = os.environ.get("SPARK_GRAFT_OPS")
+    only_ops = set(only.split(",")) if only else None
+    needed = (
+        set().union(*(OP_TABLES[o] for o in only_ops))
+        if only_ops
+        else {"lineitem", "orders", "events", "documents", "embeddings"}
+    )
 
     for k in SCALES:
         root = f"{OUT_ROOT}/x{k}"
         # l_suppkey shifts too so the g04 co-purchase projection sees K
-        # disjoint replica subgraphs (join_agg/dedup ops never read it)
-        n_li = replicate(
-            spark, "lineitem", k, f"{root}/lineitem", ["l_orderkey", "l_suppkey"]
-        )
-        replicate(spark, "orders", k, f"{root}/orders", ["o_orderkey", "o_custkey"])
-        n_ev = replicate(spark, "events", k, f"{root}/events", ["event_id", "user_id"])
-        n_doc = replicate(spark, "documents", k, f"{root}/documents", ["doc_id"])
-        n_em = replicate(spark, "embeddings", k, f"{root}/embeddings", ["vec_id"])
-
-        li = spark.read.parquet(f"{root}/lineitem")
-        orders = spark.read.parquet(f"{root}/orders")
-        ev = spark.read.parquet(f"{root}/events")
-        docs = spark.read.parquet(f"{root}/documents")
-        emb = spark.read.parquet(f"{root}/embeddings")
+        # disjoint replica subgraphs (join_agg/dedup ops never read it);
+        # l_partkey shifts so g07's co-supply graph is likewise K
+        # disjoint replicas (nothing else reads it)
+        n_li = n_ev = n_doc = n_em = 0
+        li = orders = ev = docs = emb = None
+        if "lineitem" in needed:
+            n_li = replicate(
+                spark, "lineitem", k, f"{root}/lineitem",
+                ["l_orderkey", "l_suppkey", "l_partkey"],
+            )
+            li = spark.read.parquet(f"{root}/lineitem")
+        if "orders" in needed:
+            replicate(spark, "orders", k, f"{root}/orders", ["o_orderkey", "o_custkey"])
+            orders = spark.read.parquet(f"{root}/orders")
+        if "events" in needed:
+            n_ev = replicate(spark, "events", k, f"{root}/events", ["event_id", "user_id"])
+            ev = spark.read.parquet(f"{root}/events")
+        if "documents" in needed:
+            n_doc = replicate(spark, "documents", k, f"{root}/documents", ["doc_id"])
+            docs = spark.read.parquet(f"{root}/documents")
+        if "embeddings" in needed:
+            n_em = replicate(spark, "embeddings", k, f"{root}/embeddings", ["vec_id"])
+            emb = spark.read.parquet(f"{root}/embeddings")
 
         # join + aggregate (the core relational path)
         def join_agg():
@@ -243,9 +281,128 @@ def main() -> None:
         # answer itself — cap it and document the output-bound regime.
         # dup_spans shares ppjoin's quadratic-TRUE-OUTPUT regime on
         # replicas (every replica pair shares full-doc runs)
+        # g07-shaped link prediction: l_partkey shifts make the K
+        # replicas disjoint co-supply subgraphs, so edges, wedges, and
+        # result pairs all grow K-fold — a linear target for the
+        # df-capped wedge join.
+        def link_pred():
+            e = li.select(
+                F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+            ).distinct()
+            dp = e.groupBy("p").agg(F.count(F.lit(1)).alias("deg_p"))
+            ef = e.join(dp, "p").filter(F.col("deg_p") <= 256)
+            a = ef.select("p", F.col("s").alias("s_a"))
+            b = ef.select(F.col("p").alias("_p2"), F.col("s").alias("s_b"))
+            return (
+                a.join(b, (a["p"] == b["_p2"]) & (a["s_a"] < b["s_b"]))
+                .groupBy("s_a", "s_b")
+                .agg(F.count(F.lit(1)).alias("common"))
+                .count()
+            )
+
+        # t48-shaped PMI pair counting: replica docs are exact copies,
+        # so the distinct (center, context) pair SPACE stays constant
+        # while pair counts grow K-fold — pair generation is a narrow
+        # map and the count shuffle's key space is fixed: linear.
+        def pmi_pairs():
+            from e_commerce_data_engineering_spark.functions.text import tokens
+
+            tk = tokens(F.col("text"))
+
+            def pairs_at(dd):
+                n = F.size(tk) - dd
+                return F.when(
+                    n > 0,
+                    F.zip_with(
+                        F.slice(tk, 1, n),
+                        F.slice(tk, dd + 1, n),
+                        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+                    ),
+                ).otherwise(F.array())
+
+            pairs = docs.select(
+                F.explode(
+                    F.flatten(F.array(*[pairs_at(d) for d in (1, 2, 3)]))
+                ).alias("z")
+            ).select("z.w1", "z.w2")
+            return (
+                pairs.groupBy("w1", "w2")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") >= 5)
+                .count()
+            )
+
+        # m08-shaped image near-dup: PNG corpus grows K-fold (PNG-ONLY —
+        # make_real_assets' JPEG/AVI rows would bill driver-side codec
+        # ENCODE time to an op that never reads them; at real scale the
+        # asset table pre-exists), every PNG paired with its upscaled
+        # re-encode. Decode is a narrow map (linear); the 16-bit band
+        # join's accidental collision pairs grow ~quadratically in
+        # images-per-bucket but stay Hamming-filtered — rows_out tracks
+        # that regime.
+        def image_neardup():
+            from e_commerce_data_engineering_spark.operators.multimodal import (
+                ASSET_SCHEMA,
+                image_ahash,
+                png_bytes,
+                upscale_assets,
+            )
+
+            n = 40 * k
+            rows = []
+            for i in range(n):
+                w, h = 4 + i % 13, 3 + i % 9
+                rows.append(
+                    (i, "image", png_bytes(w, h, 42 + i), ("png", w, h, None, None))
+                )
+            n_parts = max(1, min(spark.sparkContext.defaultParallelism, n // 32))
+            assets = spark.createDataFrame(rows, ASSET_SCHEMA).coalesce(n_parts)
+            both = assets.unionByName(
+                upscale_assets(assets, factor=2, id_offset=1_000_000)
+            )
+            fp = image_ahash(both).select(
+                "asset_id",
+                F.conv(F.substring("ahash_bits", 1, 32), 2, 10)
+                .cast("bigint")
+                .alias("hi"),
+                F.conv(F.substring("ahash_bits", 33, 32), 2, 10)
+                .cast("bigint")
+                .alias("lo"),
+            )
+            bands = fp.select(
+                "asset_id", "hi", "lo",
+                F.explode(F.sequence(F.lit(0), F.lit(3))).alias("c"),
+            ).withColumn(
+                "v",
+                F.expr(
+                    "CASE WHEN c < 2 THEN shiftright(hi, 16 * (1 - c)) & 65535 "
+                    "ELSE shiftright(lo, 16 * (3 - c)) & 65535 END"
+                ),
+            )
+            a = bands.select(
+                F.col("asset_id").alias("id_a"), F.col("hi").alias("ha"),
+                F.col("lo").alias("la"), "c", "v",
+            )
+            b = bands.select(
+                F.col("asset_id").alias("id_b"), F.col("hi").alias("hb"),
+                F.col("lo").alias("lb"), F.col("c").alias("_c2"),
+                F.col("v").alias("_v2"),
+            )
+            cand = (
+                a.join(
+                    b,
+                    (a["c"] == b["_c2"]) & (a["v"] == b["_v2"])
+                    & (a["id_a"] < b["id_b"]),
+                )
+                .select("id_a", "id_b", "ha", "la", "hb", "lb")
+                .distinct()
+            )
+            ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) + F.bit_count(
+                F.col("la").bitwiseXOR(F.col("lb"))
+            )
+            return cand.filter(ham <= 3).count()
+
         op_max_scale = {"ppjoin_t09": 16, "dup_spans_t40": 16}
-        only = os.environ.get("SPARK_GRAFT_OPS")
-        only_ops = set(only.split(",")) if only else None
         for name, fn, rows_in in (
             ("join_agg", join_agg, n_li),
             ("event_windows", windows, n_ev),
@@ -259,6 +416,9 @@ def main() -> None:
             ("kcore_g06", kcore_peel, n_li),
             ("dup_spans_t40", dup_spans, n_doc),
             ("ivfpq_adc_s11", ivfpq_adc, n_em),
+            ("link_pred_g07", link_pred, n_li),
+            ("pmi_t48", pmi_pairs, n_doc),
+            ("image_neardup_m08", image_neardup, 40 * k),
         ):
             if only_ops is not None and name not in only_ops:
                 continue
