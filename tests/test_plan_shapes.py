@@ -501,3 +501,72 @@ def test_d15_estimator_audit_shares_anchor_shape(spark):
     plan = plan_of(spark, "d15_minhash_estimator_calibration")
     assert "CartesianProduct" not in plan, plan
     assert "LeftSemi" in plan, plan
+
+
+# --- round-7 additions -----------------------------------------------------
+
+
+def test_g07_wedge_is_equi_join_take_ordered(spark):
+    """g07's candidates must come from the part-key wedge EQUI-join
+    (never an all-supplier-pairs cartesian) and the top-k cut must be
+    TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(spark, "g07_link_prediction")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_t48_pair_generation_is_shuffle_free(spark):
+    """t48 builds (center, context) pairs by array self-zips inside the
+    projection — no per-doc window (the doc-partitioned sort shuffle
+    the array formulation exists to avoid) and no positional
+    self-join; the deterministic top-30 is TakeOrdered."""
+    plan = plan_of(spark, "t48_pmi_cooccurrence")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q78_planning_window_rides_segment_manifest(spark):
+    """q78's fill window must sit ABOVE the per-segment rollup (a
+    partial+final aggregate pair over the fact scan) — the window's
+    input is the segment manifest, never lineitem rows."""
+    plan = plan_of(spark, "q78_compaction_bins")
+    assert "WindowExec" in plan or "Window" in plan, plan
+    # partial agg below: two HashAggregates for the per-segment rollup
+    assert plan.count("HashAggregate") >= 4, plan
+    # the window must consume the aggregated segment frame: in the
+    # formatted plan the Window node's child chain contains the final
+    # HashAggregate before any parquet scan re-appears
+    win_at = plan.index("Window")
+    scan_at = plan.index("Scan parquet")
+    agg_at = plan.index("HashAggregate")
+    assert agg_at < win_at or win_at < scan_at, plan
+
+
+def test_s17_exact_rerank_joins_are_equi(spark):
+    """s17's joins back to raw embeddings must be equi-joins on vec_id;
+    the only cross joins in the plan are s15's documented 8-centroid
+    broadcast (BroadcastNestedLoopJoin), never a CartesianProduct."""
+    plan = plan_of(spark, "s17_rerank_shortlist")
+    assert "CartesianProduct" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "m08_image_neardup_pairs",
+        "e30_markov_stationary",
+        "e31_regularity_screen",
+        "e32_funnel_latency",
+        "t49_boilerplate_prefixes",
+        "t50_vocab_coverage",
+        "d16_dedup_savings",
+        "s18_rerank_recall",
+    ],
+)
+def test_round7_additions_avoid_cartesian(spark, name):
+    """No round-7 query may fall back to CartesianProduct — every
+    cross join in these plans is a deliberate broadcast of a
+    scalar/dimension frame."""
+    assert "CartesianProduct" not in plan_of(spark, name)
