@@ -1330,3 +1330,133 @@ def g07_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.col("aa_q").cast("double") / q9, 6).alias("adamic_adar"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x11 — Bloom-filter FPR calibration (round 7; the d14/d15 move for x06)
+# ---------------------------------------------------------------------------
+
+# fill^k with k explicit multiplications: no pow()/exp() in either
+# engine, so the prediction is a deterministic product of an exact
+# rational (set_bits/m) — the operational form of the textbook
+# (1 - e^(-kn/m))^k, since the measured fill IS 1 - e^(-kn/m) up to
+# the exact (1-1/m)^kn load
+_X11_FILLK_SQL = " * ".join(["fill"] * BLOOM_K)
+
+
+@query(
+    "x11_bloom_fpr_calibration",
+    oracle=f"""
+    WITH members AS (
+        SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1995-04-01'
+    ),
+    bits AS (
+        SELECT DISTINCT {_SQL_BLOOM_M} AS bit
+        FROM members m, (SELECT unnest(range({BLOOM_K})) AS i) ii
+    ),
+    probes AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+    ppos AS (
+        SELECT p.k, {_SQL_BLOOM_P} AS bit
+        FROM probes p, (SELECT unnest(range({BLOOM_K})) AS i) ii
+    ),
+    claimed AS (
+        SELECT pp.k, (COUNT(b.bit) = {BLOOM_K}) AS claimed_member
+        FROM ppos pp LEFT JOIN bits b USING (bit)
+        GROUP BY pp.k
+    ),
+    neg AS (
+        SELECT c.claimed_member FROM claimed c
+        LEFT JOIN members m ON c.k = m.k
+        WHERE m.k IS NULL
+    ),
+    stats AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS set_bits,
+               CAST(COUNT(*) AS BIGINT) AS n_true_neg,
+               CAST(SUM(CASE WHEN claimed_member THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_false_pos
+        FROM neg
+    )
+    SELECT n_members, set_bits, n_true_neg, n_false_pos,
+           {sql_fround(f"CAST(set_bits AS DOUBLE) / {BLOOM_M}", 6)} AS fill_frac,
+           {sql_fround("CAST(n_false_pos AS DOUBLE) / n_true_neg", 6)}
+               AS measured_fpr,
+           {sql_fround(
+               f"(SELECT {_X11_FILLK_SQL} FROM "
+               f"(SELECT CAST(set_bits AS DOUBLE) / {BLOOM_M} AS fill))",
+               6,
+           )} AS predicted_fpr,
+           {sql_fround(
+               f"abs(CAST(n_false_pos AS DOUBLE) / n_true_neg - "
+               f"(SELECT {_X11_FILLK_SQL} FROM "
+               f"(SELECT CAST(set_bits AS DOUBLE) / {BLOOM_M} AS fill)))",
+               6,
+           )} AS calib_error
+    FROM stats
+    """,
+    doc="Bloom-filter false-positive-rate CALIBRATION — the d14/d15 "
+    "audit move applied to x06's filter: probe the true NEGATIVES "
+    "(customers without an urgent Q1-1995 order), measure the real "
+    f"FPR, and compare to the fill-based prediction fill^{BLOOM_K} "
+    "where fill = set_bits/m is the filter's EXACT measured load (the "
+    "operational form of (1−e^(−kn/m))^k, computed as k explicit "
+    "multiplications of an exact rational — no pow/exp libm call in "
+    "either engine, so the whole calibration row is hash-checked). "
+    "This is the number that decides whether a deployed filter is "
+    "sized right before it ships to every scan task. Scale: the bit "
+    "table is <= m rows broadcast; probes ride the x06 map-side "
+    "join; one single-row stats aggregate.",
+)
+def x11_bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import bloom_build, bloom_probe
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    members = (
+        o.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .select(F.col("o_custkey").cast("string").alias("k"))
+        .distinct()
+    )
+    bits = bloom_build(members, "k", BLOOM_M, BLOOM_K)
+    probes = c.select(F.col("c_custkey").cast("string").alias("k")).distinct()
+    claimed = bloom_probe(bits, probes, "k", BLOOM_M, BLOOM_K)
+    neg = claimed.join(
+        members.withColumnRenamed("k", "_mk"),
+        claimed["k"] == F.col("_mk"),
+        "left_anti",
+    )
+    n_members = members.agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    set_bits = bits.agg(F.count(F.lit(1)).cast("bigint").alias("set_bits"))
+    stats = (
+        neg.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true_neg"),
+            F.sum(F.when(F.col("claimed_member"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_false_pos"),
+        )
+        .crossJoin(F.broadcast(n_members))
+        .crossJoin(F.broadcast(set_bits))
+    )
+    fill = F.col("set_bits").cast("double") / BLOOM_M
+    pred = fill
+    for _ in range(BLOOM_K - 1):
+        pred = pred * fill
+    measured = F.col("n_false_pos").cast("double") / F.col("n_true_neg")
+    return stats.select(
+        "n_members",
+        "set_bits",
+        "n_true_neg",
+        "n_false_pos",
+        fround(fill, 6).alias("fill_frac"),
+        fround(measured, 6).alias("measured_fpr"),
+        fround(pred, 6).alias("predicted_fpr"),
+        fround(F.abs(measured - pred), 6).alias("calib_error"),
+    )

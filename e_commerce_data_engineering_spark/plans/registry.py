@@ -102,6 +102,8 @@ _PRIORITY: tuple[str, ...] = (
     "d16_dedup_savings",
     "s18_rerank_recall",
     "t50_vocab_coverage",
+    "x11_bloom_fpr_calibration",
+    "q79_forecast_backtest",
     # --- already driver-recorded: round-6 block (r6 recorded these),
     # youngest first.
     "t45_novelty_decay",

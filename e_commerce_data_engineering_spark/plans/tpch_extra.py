@@ -1131,3 +1131,89 @@ def q78_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("segment").alias("first_segment"),
         fround(F.sum("seg_bytes").cast("double") / _Q78_TARGET, 4).alias("fill_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q79 — seasonal-naive forecast backtest (round 7; q74/q77 family)
+# ---------------------------------------------------------------------------
+
+_Q79_Q = "1000000000.0"  # 1e-9 quantization of per-month APE terms
+
+
+@query(
+    "q79_forecast_backtest",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS midx,
+               CAST({sql_money_sum(_DISC_PRICE)} AS DOUBLE) AS rev
+        FROM lineitem GROUP BY 1
+    ),
+    bt AS (
+        SELECT cur.midx, cur.rev, s.rev AS rev12, p.rev AS rev1
+        FROM m cur
+        JOIN m s ON s.midx = cur.midx - 12
+        JOIN m p ON p.midx = cur.midx - 1
+    ),
+    terms AS (
+        SELECT
+            CAST(FLOOR(abs(rev - rev12) / rev * {_Q79_Q} + 0.5) AS BIGINT) AS qs,
+            CAST(FLOOR(abs(rev - rev1) / rev * {_Q79_Q} + 0.5) AS BIGINT) AS q1,
+            CAST(FLOOR(abs(rev - rev12) * 100 + 0.5) AS BIGINT) AS es,
+            CAST(FLOOR(abs(rev - rev1) * 100 + 0.5) AS BIGINT) AS e1
+        FROM bt
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_backtest_months,
+           {sql_fround(f"CAST(SUM(qs) AS DOUBLE) / {_Q79_Q} / COUNT(*)", 6)}
+               AS mape_seasonal,
+           {sql_fround(f"CAST(SUM(q1) AS DOUBLE) / {_Q79_Q} / COUNT(*)", 6)}
+               AS mape_naive,
+           {sql_fround("CAST(SUM(es) AS DOUBLE) / SUM(e1)", 6)} AS mase
+    FROM terms
+    """,
+    doc="Walk-forward forecast backtest over monthly discounted "
+    "revenue: the seasonal-naive model ŷ(m) = y(m−12) scored against "
+    "the naive-1 drift model ŷ(m) = y(m−1) on every month that has "
+    "both references — MAPE for each and the MASE-style ratio "
+    "(seasonal MAE / naive MAE; < 1 means seasonality carries real "
+    "signal), the Hyndman & Koehler 2006 scale-free comparison that "
+    "decides whether a seasonal model earns its keep BEFORE anything "
+    "fancier ships. Lag references are exact midx−12/midx−1 "
+    "equi-joins (gap-safe, unlike positional LAG), monthly revenue is "
+    "the DECIMAL-exact 2dp sum, APE terms are 1e-9-BIGINT-quantized "
+    "and absolute errors 1e-2-quantized before summing, so every "
+    "reported number is engine-identical. Scale: one fact-table "
+    "partial-agg shuffle; the backtest runs on the ~83-row month "
+    "manifest, broadcast.",
+)
+def q79_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = dmoney("l_extendedprice") * (1 - dfrac("l_discount"))
+    m = li.groupBy(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        .cast("bigint")
+        .alias("midx")
+    ).agg(money_sum(disc_price).cast("double").alias("rev"))
+    s = m.select((F.col("midx") + 12).alias("midx"), F.col("rev").alias("rev12"))
+    p = m.select((F.col("midx") + 1).alias("midx"), F.col("rev").alias("rev1"))
+    bt = m.join(F.broadcast(s), "midx").join(F.broadcast(p), "midx")
+    q9 = float(_Q79_Q)
+    qs = F.floor(F.abs(F.col("rev") - F.col("rev12")) / F.col("rev") * q9 + 0.5).cast(
+        "bigint"
+    )
+    q1 = F.floor(F.abs(F.col("rev") - F.col("rev1")) / F.col("rev") * q9 + 0.5).cast(
+        "bigint"
+    )
+    es = F.floor(F.abs(F.col("rev") - F.col("rev12")) * 100 + 0.5).cast("bigint")
+    e1 = F.floor(F.abs(F.col("rev") - F.col("rev1")) * 100 + 0.5).cast("bigint")
+    return bt.select(
+        qs.alias("qs"), q1.alias("q1"), es.alias("es"), e1.alias("e1")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_backtest_months"),
+        fround(F.sum("qs").cast("double") / q9 / F.count(F.lit(1)), 6).alias(
+            "mape_seasonal"
+        ),
+        fround(F.sum("q1").cast("double") / q9 / F.count(F.lit(1)), 6).alias(
+            "mape_naive"
+        ),
+        fround(F.sum("es").cast("double") / F.sum("e1"), 6).alias("mase"),
+    )
