@@ -292,3 +292,144 @@ def backfill_partitions(
         out = transform(df)
         out.write.mode("overwrite").format(file_format).save(f"{target_dir}/{rel}")
     return todo
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-versioned parquet table: atomic publish + time travel
+# (round 7 — the native stand-in for the Delta/Iceberg commit log this
+# container can't load; see README "lakehouse formats")
+# ---------------------------------------------------------------------------
+
+_LATEST = "_latest"
+
+
+def _fs(spark: SparkSession, path: str):
+    jPath = spark._jvm.org.apache.hadoop.fs.Path
+    p = jPath(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), jPath
+
+
+def _read_pointer(spark: SparkSession, table_dir: str) -> int | None:
+    """Committed version from the pointer file, None for an empty table."""
+    fs, jPath = _fs(spark, table_dir)
+    ptr = jPath(f"{table_dir}/{_LATEST}")
+    if not fs.exists(ptr):
+        return None
+    stream = fs.open(ptr)
+    try:
+        out = b""
+        while True:
+            b = stream.read()  # one byte as int, -1 at EOF; file is tiny
+            if b == -1:
+                break
+            out += bytes([b])
+    finally:
+        stream.close()
+    return int(out.decode().strip())
+
+
+def snapshot_commit(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
+    """Append ``df`` as the table's next immutable version and publish
+    it ATOMICALLY: data lands under ``v=<n>/`` first, the ``_latest``
+    pointer file is swapped last via write-to-temp + rename (one atomic
+    metadata op on HDFS/local). A crash before the swap leaves an
+    orphan ``v=<n>`` directory that NO reader ever sees — readers go
+    through the pointer — and the next commit simply claims the next
+    number. Old versions are never touched, so every committed version
+    remains readable forever (time travel) until a retention job
+    prunes it. This is the commit-log kernel of Delta/Iceberg reduced
+    to one pointer; what the real formats add on top is a manifest per
+    commit (file-level pruning) and multi-writer conflict detection.
+    Returns the committed version number."""
+    fs, jPath = _fs(spark, table_dir)
+    cur = _read_pointer(spark, table_dir)
+    nxt = 1 if cur is None else cur + 1
+    # claim the first free version dir (repairs orphans from crashes)
+    while fs.exists(jPath(f"{table_dir}/v={nxt}")):
+        nxt += 1
+    df.write.mode("errorifexists").parquet(f"{table_dir}/v={nxt}")
+    tmp = jPath(f"{table_dir}/{_LATEST}.tmp")
+    fs.delete(tmp, False)
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(bytearray(str(nxt).encode()))
+    finally:
+        stream.close()
+    ptr = jPath(f"{table_dir}/{_LATEST}")
+    fs.delete(ptr, False)
+    fs.rename(tmp, ptr)
+    return nxt
+
+
+def snapshot_read(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the table at ``version`` (time travel) or at the latest
+    COMMITTED version (default). Uncommitted/orphan version dirs are
+    invisible by construction — only the pointer decides. Raises
+    ValueError for an empty table or a version that was never
+    committed (greater than the pointer or missing on disk)."""
+    fs, jPath = _fs(spark, table_dir)
+    latest = _read_pointer(spark, table_dir)
+    if latest is None:
+        raise ValueError(f"snapshot table {table_dir} has no committed version")
+    v = latest if version is None else version
+    if v > latest or not fs.exists(jPath(f"{table_dir}/v={v}")):
+        raise ValueError(f"version {v} not committed in {table_dir} (latest={latest})")
+    return spark.read.parquet(f"{table_dir}/v={v}")
+
+
+def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """(version, n_files, total_bytes, is_latest) for every committed
+    version — the audit view a retention/VACUUM job plans from.
+    Orphan (uncommitted) dirs are excluded, like every reader."""
+    fs, jPath = _fs(spark, table_dir)
+    latest = _read_pointer(spark, table_dir)
+    rows = []
+    for v in range(1, (latest or 0) + 1):
+        vp = jPath(f"{table_dir}/v={v}")
+        if not fs.exists(vp):
+            continue
+        n_files = total = 0
+        it = fs.listFiles(vp, True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if name.startswith("_"):
+                continue
+            n_files += 1
+            total += st.getLen()
+        rows.append((v, n_files, total, v == latest))
+    return spark.createDataFrame(
+        rows, "version int, n_files int, total_bytes bigint, is_latest boolean"
+    )
+
+
+def snapshot_upsert(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key_col: str,
+    version_col: str,
+) -> int:
+    """Keep-latest-by-key MERGE published as a NEW snapshot version:
+    same merge semantics as ``upsert_parquet`` (highest version_col per
+    key, updates win ties) but instead of swapping directories the
+    result commits through ``snapshot_commit`` — so the pre-merge table
+    remains readable at its old version during AND after the merge
+    (readers never block, time travel keeps the audit trail). One
+    shuffle on the key. Returns the new version number."""
+    from pyspark.sql import Window as W
+
+    try:
+        current = snapshot_read(spark, table_dir).withColumn("_src", F.lit(0))
+    except ValueError:
+        current = updates.limit(0).withColumn("_src", F.lit(0))
+    merged = current.unionByName(updates.withColumn("_src", F.lit(1)))
+    w = W.partitionBy(key_col).orderBy(F.col(version_col).desc(), F.col("_src").desc())
+    latest = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+    return snapshot_commit(spark, latest, table_dir)

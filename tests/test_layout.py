@@ -211,3 +211,72 @@ def test_backfill_repairs_partition_missing_success_marker(spark, tmp_path):
     assert done == ["year=2026/month=02/day=01"]
     assert spark.read.parquet(part).count() == 5
     assert os.path.exists(os.path.join(part, "_SUCCESS"))
+
+
+def test_snapshot_commit_read_time_travel(spark, tmp_path):
+    """Snapshot table kernel: commits are immutable versions, the
+    pointer decides what readers see, old versions stay readable
+    (time travel), and an orphan (uncommitted) version directory is
+    invisible to every reader."""
+    from e_commerce_data_engineering_spark.operators.layout import (
+        snapshot_commit,
+        snapshot_history,
+        snapshot_read,
+        snapshot_upsert,
+    )
+
+    t = str(tmp_path / "snap")
+    df1 = spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "k int, v string, ver int")
+    assert snapshot_commit(spark, df1, t) == 1
+    df2 = spark.createDataFrame([(1, "a2", 2), (3, "c", 2)], "k int, v string, ver int")
+    assert snapshot_commit(spark, df2, t) == 2
+
+    # latest = v2, time travel to v1 unchanged
+    assert {r["v"] for r in snapshot_read(spark, t).collect()} == {"a2", "c"}
+    assert {r["v"] for r in snapshot_read(spark, t, version=1).collect()} == {"a", "b"}
+
+    # crash simulation: a version dir WITHOUT a pointer swap (orphan)
+    df3 = spark.createDataFrame([(9, "never", 9)], "k int, v string, ver int")
+    df3.write.parquet(f"{t}/v=3")
+    assert {r["v"] for r in snapshot_read(spark, t).collect()} == {"a2", "c"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        snapshot_read(spark, t, version=3)  # never committed
+
+    # history excludes the orphan and marks the latest
+    hist = {r["version"]: r["is_latest"] for r in snapshot_history(spark, t).collect()}
+    assert hist == {1: False, 2: True}
+
+    # next commit claims the next FREE dir (repairing past the orphan)
+    v4 = snapshot_commit(spark, df3, t)
+    assert v4 == 4
+    assert {r["v"] for r in snapshot_read(spark, t).collect()} == {"never"}
+
+
+def test_snapshot_upsert_merges_and_preserves_old_version(spark, tmp_path):
+    """snapshot_upsert publishes the keep-latest merge as a NEW
+    version; the pre-merge table stays readable at its old version."""
+    from e_commerce_data_engineering_spark.operators.layout import (
+        snapshot_commit,
+        snapshot_read,
+        snapshot_upsert,
+    )
+
+    t = str(tmp_path / "snap-up")
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "k int, v string, ver int"
+    )
+    snapshot_commit(spark, base, t)
+    upd = spark.createDataFrame([(2, "b9", 9), (3, "c", 2)], "k int, v string, ver int")
+    v = snapshot_upsert(spark, t, upd, "k", "ver")
+    assert v == 2
+    got = {r["k"]: r["v"] for r in snapshot_read(spark, t).collect()}
+    assert got == {1: "a", 2: "b9", 3: "c"}
+    old = {r["k"]: r["v"] for r in snapshot_read(spark, t, version=1).collect()}
+    assert old == {1: "a", 2: "b"}
+
+    # empty-table upsert path: first commit via merge
+    t2 = str(tmp_path / "snap-empty")
+    assert snapshot_upsert(spark, t2, upd, "k", "ver") == 1
+    assert snapshot_read(spark, t2).count() == 2

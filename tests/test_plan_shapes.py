@@ -563,6 +563,8 @@ def test_s17_exact_rerank_joins_are_equi(spark):
         "t50_vocab_coverage",
         "d16_dedup_savings",
         "s18_rerank_recall",
+        "x11_bloom_fpr_calibration",
+        "q79_forecast_backtest",
     ],
 )
 def test_round7_additions_avoid_cartesian(spark, name):
