@@ -1860,3 +1860,90 @@ def e32_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leg(c, "t2", p, "t3", f"{s1}->{s2}"))
         .unionByName(leg(v, "t1", p, "t3", f"{s0}->{s2}"))
     )
+
+
+# ---------------------------------------------------------------------------
+# e33 — activity concentration: Gini coefficient per event type (round 7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e33_gini_activity",
+    oracle="""
+    WITH u AS (
+        SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY event_type, user_id
+    ),
+    h AS (
+        SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS h
+        FROM u GROUP BY event_type, c
+    ),
+    b AS (
+        SELECT event_type, c, h,
+               CAST(COALESCE(SUM(h) OVER (
+                   PARTITION BY event_type ORDER BY c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS below
+        FROM h
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(SUM(h) AS BIGINT) AS n_users,
+               CAST(SUM(c * h) AS BIGINT) AS n_events,
+               CAST(SUM(c * (h * below + h * (h + 1) / 2)) AS BIGINT) AS rank_mass
+        FROM b GROUP BY event_type
+    )
+    SELECT event_type, n_users, n_events,
+           (FLOOR((CAST(2 * rank_mass AS DOUBLE)
+                   / (CAST(n_users AS DOUBLE) * n_events)
+                   - CAST(n_users + 1 AS DOUBLE) / n_users)
+                  * 1000000.0 + 0.5) / 1000000.0) AS gini
+    FROM s
+    """,
+    doc="How concentrated is each event type's activity? The GINI "
+    "coefficient of the per-user event-count distribution, computed "
+    "WITHOUT sorting users: group users into a count-value histogram, "
+    "then the classic rank formula G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n "
+    "collapses per histogram bucket to c·(h·below + h(h+1)/2) — ties "
+    "make the bucket's rank sum exact regardless of order, so the "
+    "whole statistic is a ratio of exact int64 sums (engine-identical "
+    "before the 6dp rounding). Scale: one fact shuffle to (type,user) "
+    "grain, one to the tiny (type,count-value) histogram; the "
+    "cumulative window runs per event type over count-value rows "
+    "(bounded by max per-user activity, not by users), never a "
+    "global sort of the user population.",
+)
+def e33_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    h = u.groupBy("event_type", "c").agg(F.count(F.lit(1)).cast("bigint").alias("h"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    b = h.withColumn(
+        "below", F.coalesce(F.sum("h").over(w), F.lit(0)).cast("bigint")
+    )
+    rank_mass = F.sum(
+        F.col("c")
+        * (
+            F.col("h") * F.col("below")
+            + F.floor(F.col("h") * (F.col("h") + 1) / 2).cast("bigint")
+        )
+    ).cast("bigint")
+    s = b.groupBy("event_type").agg(
+        F.sum("h").cast("bigint").alias("n_users"),
+        F.sum(F.col("c") * F.col("h")).cast("bigint").alias("n_events"),
+        rank_mass.alias("rank_mass"),
+    )
+    gini = (
+        (2 * F.col("rank_mass")).cast("double")
+        / (F.col("n_users").cast("double") * F.col("n_events"))
+        - (F.col("n_users") + 1).cast("double") / F.col("n_users")
+    )
+    return s.select(
+        "event_type", "n_users", "n_events", fround(gini, 6).alias("gini")
+    )

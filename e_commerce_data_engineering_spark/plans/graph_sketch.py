@@ -1460,3 +1460,125 @@ def x11_bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(pred, 6).alias("predicted_fpr"),
         fround(F.abs(measured - pred), 6).alias("calib_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g08 — majority-label community propagation (round 7; the LPA step)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "g08_label_communities",
+    oracle=f"""
+    WITH base AS ({_G03_EDGES_SQL}),
+    e2 AS (
+        SELECT src, dst FROM base
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM base
+    ),
+    l0 AS (
+        SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node,
+               CAST(s_nationkey AS BIGINT) AS lbl
+        FROM supplier
+        UNION ALL
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node,
+               CAST(c_nationkey AS BIGINT) AS lbl
+        FROM customer
+    ),
+    r1 AS (
+        SELECT e2.src AS node, nb.lbl, CAST(COUNT(*) AS BIGINT) AS c
+        FROM e2 JOIN l0 nb ON e2.dst = nb.node
+        GROUP BY e2.src, nb.lbl
+    ),
+    l1 AS (
+        SELECT node, lbl FROM (
+            SELECT node, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lbl) AS rn
+            FROM r1
+        ) WHERE rn = 1
+    ),
+    r2 AS (
+        SELECT e2.src AS node, nb.lbl, CAST(COUNT(*) AS BIGINT) AS c
+        FROM e2 JOIN l1 nb ON e2.dst = nb.node
+        GROUP BY e2.src, nb.lbl
+    ),
+    l2 AS (
+        SELECT node, lbl FROM (
+            SELECT node, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lbl) AS rn
+            FROM r2
+        ) WHERE rn = 1
+    )
+    SELECT lbl AS community,
+           CAST(SUM(CASE WHEN substr(node, 1, 1) = 's' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_suppliers,
+           CAST(SUM(CASE WHEN substr(node, 1, 1) = 'c' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM l2 GROUP BY lbl
+    """,
+    doc="Community detection by MAJORITY-label propagation (Raghavan "
+    "et al. 2007), the mode-vote counterpart of g03's min-label CC "
+    "step: labels start as the node's NATION (so votes are meaningful "
+    "from round one — unique-id initialization degenerates mode into "
+    "min and collapses onto g03), then two synchronized rounds of "
+    "'adopt the most frequent neighbor label, ties to the smallest', "
+    "reported as the per-community node census on each bipartite "
+    "side. Each round is one edge join + one (node,label) count + one "
+    "per-node ROW_NUMBER argmax — all keyed by node, no global "
+    "window, no iteration state on the driver; the tie-break makes "
+    "every round fully deterministic so both engines agree exactly. "
+    "Scale: rounds cost |E| shuffle each, the argmax window "
+    "partitions by node (hash-distributed), and the census output is "
+    "nation-cardinality-sized.",
+)
+def g08_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    base = (
+        li.filter(F.col("l_quantity") >= 48)
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    e2 = base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    l0 = sup.select(
+        F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"),
+        F.col("s_nationkey").cast("bigint").alias("lbl"),
+    ).union(
+        cust.select(
+            F.concat(F.lit("c"), F.col("c_custkey")).alias("node"),
+            F.col("c_nationkey").cast("bigint").alias("lbl"),
+        )
+    )
+
+    def lpa_round(labels: DataFrame) -> DataFrame:
+        nb = labels.select(F.col("node").alias("_nb"), F.col("lbl").alias("_nb_lbl"))
+        counts = (
+            e2.join(nb, e2["dst"] == nb["_nb"])
+            .groupBy(F.col("src").alias("node"), F.col("_nb_lbl").alias("lbl"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        w = W.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl"))
+        return (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+
+    l2 = lpa_round(lpa_round(l0))
+    side = F.substring(F.col("node"), 1, 1)
+    return l2.groupBy(F.col("lbl").alias("community")).agg(
+        F.sum(F.when(side == "s", 1).otherwise(0)).cast("bigint").alias("n_suppliers"),
+        F.sum(F.when(side == "c", 1).otherwise(0)).cast("bigint").alias("n_customers"),
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+    )

@@ -104,6 +104,12 @@ _PRIORITY: tuple[str, ...] = (
     "t50_vocab_coverage",
     "x11_bloom_fpr_calibration",
     "q79_forecast_backtest",
+    "q80_wilson_return_rate",
+    "q81_ols_price_model",
+    "g08_label_communities",
+    "d17_prefix_subsumed",
+    "e33_gini_activity",
+    "t51_token_entropy",
     # --- already driver-recorded: round-6 block (r6 recorded these),
     # youngest first.
     "t45_novelty_decay",

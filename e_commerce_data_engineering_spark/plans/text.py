@@ -3211,3 +3211,80 @@ def t50_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t51 — per-source unigram entropy (round 7; the mixture-diversity dial)
+# ---------------------------------------------------------------------------
+
+_T51_Q = 1_000_000_000.0  # 1e-9 quantization of -p·ln p terms (t21 pattern)
+
+
+@query(
+    "t51_token_entropy",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    c AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY source, tok
+    ),
+    t AS (
+        SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS vocab
+        FROM c GROUP BY source
+    ),
+    q AS (
+        SELECT c.source,
+               CAST(SUM(CAST(FLOOR(
+                   -(CAST(cnt AS DOUBLE) / tot)
+                   * ln(CAST(cnt AS DOUBLE) / tot) * {_T51_Q} + 0.5
+               ) AS BIGINT)) AS BIGINT) AS qh
+        FROM c JOIN t ON c.source = t.source
+        GROUP BY c.source
+    )
+    SELECT t.source, tot AS n_tokens, vocab,
+           {sql_fround(f"CAST(qh AS DOUBLE) / {_T51_Q}", 6)} AS entropy_nats,
+           {sql_fround(f"CAST(qh AS DOUBLE) / {_T51_Q} / ln(CAST(vocab AS DOUBLE))", 6)}
+               AS norm_entropy
+    FROM t JOIN q ON t.source = q.source
+    """,
+    doc="Per-source unigram Shannon entropy — the diversity dial a "
+    "training-mixture designer reads next to size (low-entropy "
+    "sources are templated/repetitive and deserve down-weighting; "
+    "t47's JS divergence says how sources DIFFER, this says how much "
+    "each source varies internally) — plus the vocab-normalized "
+    "entropy H/ln(V) in [0,1] that compares sources of different "
+    "vocabulary sizes. Every -p·ln p term is quantized to a 1e-9 "
+    "BIGINT before the per-source sum (t21/t47 discipline: addition "
+    "order can never flip the hash; p is an exact integer ratio), so "
+    "the reported nats are engine-identical. Scale: one (source, "
+    "token) count shuffle + one source rollup — Heaps'-law-safe, no "
+    "vocab broadcast, no densified grid; the totals join is on the "
+    "count table's own grain.",
+)
+def t51_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(X.tokens(F.col("text"))).alias("tok"))
+    c = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    t = c.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    p = F.col("cnt").cast("double") / F.col("tot")
+    q_term = F.floor(-p * F.log(p) * _T51_Q + 0.5).cast("bigint")
+    q = (
+        c.join(t.select("source", "tot"), "source")
+        .select("source", q_term.alias("qt"))
+        .groupBy("source")
+        .agg(F.sum("qt").cast("bigint").alias("qh"))
+    )
+    h = F.col("qh").cast("double") / _T51_Q
+    return t.join(q, "source").select(
+        "source",
+        F.col("tot").alias("n_tokens"),
+        "vocab",
+        fround(h, 6).alias("entropy_nats"),
+        fround(h / F.log(F.col("vocab").cast("double")), 6).alias("norm_entropy"),
+    )

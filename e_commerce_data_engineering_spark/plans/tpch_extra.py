@@ -1217,3 +1217,228 @@ def q79_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         fround(F.sum("es").cast("double") / F.sum("e1"), 6).alias("mase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q80 — Wilson lower-bound supplier return-rate ranking (round 7)
+# ---------------------------------------------------------------------------
+
+_Q80_Z = "1.96"       # 95% two-sided normal quantile, shared literal
+_Q80_Z2 = "3.8416"    # z^2 as an exact shared literal (1.96*1.96)
+_Q80_TOPK = 25
+
+
+@query(
+    "q80_wilson_return_rate",
+    oracle=f"""
+    WITH s AS (
+        SELECT l_suppkey,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_returned
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    w AS (
+        SELECT l_suppkey, n_items, n_returned,
+               CAST(n_returned AS DOUBLE) / n_items AS phat
+        FROM s
+    ),
+    lcb AS (
+        SELECT l_suppkey, n_items, n_returned, phat,
+               ((phat + {_Q80_Z2} / (2 * n_items))
+                - {_Q80_Z} * sqrt((phat * (1 - phat)
+                                   + {_Q80_Z2} / (4 * n_items)) / n_items))
+               / (1 + {_Q80_Z2} / n_items) AS wilson
+        FROM w
+    )
+    SELECT lcb.l_suppkey AS suppkey, s_name, n_items, n_returned,
+           {sql_fround("phat", 6)} AS return_rate,
+           {sql_fround("wilson", 6)} AS wilson_lcb
+    FROM lcb JOIN supplier ON s_suppkey = lcb.l_suppkey
+    ORDER BY wilson DESC, suppkey LIMIT {_Q80_TOPK}
+    """,
+    doc="Confidently-high return-rate suppliers: rank by the WILSON "
+    "score lower confidence bound (z=1.96) of the per-supplier "
+    "returned-lineitem proportion, not the raw rate — the standard "
+    "fix (Agresti & Coull 1998 framing; the 'how not to sort by "
+    "average rating' correction) for small-n suppliers whose 2/3 "
+    "returned lines would otherwise top the list. p-hat is an exact "
+    "integer ratio, z and z-squared are shared decimal literals, and "
+    "the bound is one identically-parenthesized expression over "
+    "exact-integer-derived doubles (sqrt is IEEE-correctly-rounded in "
+    "both engines), so the ranking and the 6dp-rounded bounds are "
+    "engine-identical. Scale: one fact-table partial-agg shuffle to "
+    "supplier grain, broadcast join to the supplier dim for names, "
+    "TakeOrdered for the cut.",
+)
+def q80_wilson_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    s = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_returned"),
+    )
+    z, z2 = float(_Q80_Z), float(_Q80_Z2)
+    n = F.col("n_items")
+    phat = F.col("n_returned").cast("double") / n
+    wilson = (
+        (phat + z2 / (2 * n))
+        - z * F.sqrt((phat * (1 - phat) + z2 / (4 * n)) / n)
+    ) / (1 + z2 / n)
+    return (
+        s.select(
+            F.col("l_suppkey").alias("suppkey"),
+            "n_items",
+            "n_returned",
+            phat.alias("_phat"),
+            wilson.alias("_wilson"),
+        )
+        .join(
+            F.broadcast(sup), F.col("suppkey") == F.col("s_suppkey")
+        )
+        .orderBy(F.col("_wilson").desc(), "suppkey")
+        .limit(_Q80_TOPK)
+        .select(
+            "suppkey",
+            "s_name",
+            "n_items",
+            "n_returned",
+            fround(F.col("_phat"), 6).alias("return_rate"),
+            fround(F.col("_wilson"), 6).alias("wilson_lcb"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q81 — two-regressor OLS price model via exact moments (round 7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q81_ols_price_model",
+    oracle="""
+    WITH t AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x1,
+               CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x1) AS BIGINT) AS s1,
+               CAST(SUM(x2) AS BIGINT) AS s2,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+               CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+               CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+               CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+               CAST(SUM(x2 * y) AS BIGINT) AS s2y
+        FROM t
+    ),
+    d AS (
+        SELECT n,
+               CAST(n AS DOUBLE) AS dn, CAST(s1 AS DOUBLE) AS d1,
+               CAST(s2 AS DOUBLE) AS d2, CAST(sy AS DOUBLE) AS dy,
+               CAST(s11 AS DOUBLE) AS d11, CAST(s22 AS DOUBLE) AS d22,
+               CAST(s12 AS DOUBLE) AS d12, CAST(s1y AS DOUBLE) AS d1y,
+               CAST(s2y AS DOUBLE) AS d2y
+        FROM m
+    ),
+    c AS (
+        SELECT n,
+               (dn * (d11 * d22 - d12 * d12) - d1 * (d1 * d22 - d12 * d2)
+                + d2 * (d1 * d12 - d11 * d2)) AS det,
+               (dy * (d11 * d22 - d12 * d12) - d1 * (d1y * d22 - d12 * d2y)
+                + d2 * (d1y * d12 - d11 * d2y)) AS det0,
+               (dn * (d1y * d22 - d12 * d2y) - dy * (d1 * d22 - d12 * d2)
+                + d2 * (d1 * d2y - d1y * d2)) AS det1,
+               (dn * (d11 * d2y - d1y * d12) - d1 * (d1 * d2y - d1y * d2)
+                + dy * (d1 * d12 - d11 * d2)) AS det2
+        FROM d
+    )
+    SELECT n AS n_rows,
+           (FLOOR((det0 / det / 100) * 1000000.0 + 0.5) / 1000000.0)
+               AS b_intercept,
+           (FLOOR((det1 / det / 100) * 1000000.0 + 0.5) / 1000000.0)
+               AS b_qty,
+           (FLOOR((det2 / det / 100) * 1000000.0 + 0.5) / 1000000.0)
+               AS b_discount_bp
+    FROM c
+    """,
+    doc="Multiple linear regression WITHOUT any iterative solver: "
+    "extended price (cents) on quantity and discount basis points via "
+    "the closed-form normal equations, Cramer's rule on the 3x3 "
+    "moment matrix. Every moment (n, Sx, Sxx, Sxy, ...) is an EXACT "
+    "int64 sum of exact integers (quantity is integral, discount and "
+    "price are 2dp so x100-quantization is lossless), making the "
+    "partial-aggregate shuffle order-independent; the determinants "
+    "are then identically-parenthesized double expressions over those "
+    "exact moments, so both engines produce bit-identical "
+    "coefficients before the 6dp rounding. Reported in dollars "
+    "(cents/100). Largest moment S_x1y is ~3e14 at sf0.1 — int64 "
+    "headroom to ~sf100; beyond that the moments switch to "
+    "DECIMAL(38,0) with the same plan shape. Scale: ONE map + one "
+    "all-to-one partial agg (9 scalars per partition), zero joins, "
+    "zero windows; the Cramer arithmetic runs on a single row.",
+)
+def q81_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint").alias("x2"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").alias("y"),
+    )
+    m = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).cast("bigint").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("bigint").alias("s2y"),
+    )
+    d = m.select(
+        "n",
+        F.col("n").cast("double").alias("dn"),
+        F.col("s1").cast("double").alias("d1"),
+        F.col("s2").cast("double").alias("d2"),
+        F.col("sy").cast("double").alias("dy"),
+        F.col("s11").cast("double").alias("d11"),
+        F.col("s22").cast("double").alias("d22"),
+        F.col("s12").cast("double").alias("d12"),
+        F.col("s1y").cast("double").alias("d1y"),
+        F.col("s2y").cast("double").alias("d2y"),
+    )
+    dn, d1, d2, dy = F.col("dn"), F.col("d1"), F.col("d2"), F.col("dy")
+    d11, d22, d12 = F.col("d11"), F.col("d22"), F.col("d12")
+    d1y, d2y = F.col("d1y"), F.col("d2y")
+    det = (
+        dn * (d11 * d22 - d12 * d12)
+        - d1 * (d1 * d22 - d12 * d2)
+        + d2 * (d1 * d12 - d11 * d2)
+    )
+    det0 = (
+        dy * (d11 * d22 - d12 * d12)
+        - d1 * (d1y * d22 - d12 * d2y)
+        + d2 * (d1y * d12 - d11 * d2y)
+    )
+    det1 = (
+        dn * (d1y * d22 - d12 * d2y)
+        - dy * (d1 * d22 - d12 * d2)
+        + d2 * (d1 * d2y - d1y * d2)
+    )
+    det2 = (
+        dn * (d11 * d2y - d1y * d12)
+        - d1 * (d1 * d2y - d1y * d2)
+        + dy * (d1 * d12 - d11 * d2)
+    )
+    return d.select(
+        F.col("n").alias("n_rows"),
+        fround(det0 / det / 100, 6).alias("b_intercept"),
+        fround(det1 / det / 100, 6).alias("b_qty"),
+        fround(det2 / det / 100, 6).alias("b_discount_bp"),
+    )

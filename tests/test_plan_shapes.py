@@ -572,3 +572,60 @@ def test_round7_additions_avoid_cartesian(spark, name):
     cross join in these plans is a deliberate broadcast of a
     scalar/dimension frame."""
     assert "CartesianProduct" not in plan_of(spark, name)
+
+def test_q80_wilson_is_single_agg_take_ordered(spark):
+    """q80 aggregates the fact table to supplier grain once, broadcasts
+    the supplier dim for names, and cuts top-k via
+    TakeOrderedAndProject — no global sort, no shuffle join."""
+    plan = plan_of(spark, "q80_wilson_return_rate")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q81_ols_is_joinless_moment_agg(spark):
+    """q81 is ONE map + one all-to-one partial aggregate: the plan may
+    contain no join of any kind and exactly one aggregate pair; the
+    Cramer arithmetic is projection over a single row."""
+    plan = plan_of(spark, "q81_ols_price_model")
+    for node in ("Join", "CartesianProduct", "Window", "Exchange rangepartitioning"):
+        assert node not in plan, plan
+
+
+def test_g08_rounds_are_keyed_windows_no_cartesian(spark):
+    """g08's two LPA rounds are edge equi-joins + per-node ROW_NUMBER
+    windows partitioned by node — no cartesian, no single-partition
+    global window (every Window node carries a partition key)."""
+    plan = plan_of(spark, "g08_label_communities")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_d17_containment_rides_block_equi_join(spark):
+    """d17's prefix pairs must come from the 32-char block EQUI-join
+    (starts_with is a post-join filter, never the join condition
+    alone): a cartesian or nested-loop fallback means the block key
+    fell out of the condition."""
+    plan = plan_of(spark, "d17_prefix_subsumed")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_e33_gini_window_rides_histogram(spark):
+    """e33's cumulative window must partition by event_type and run
+    over the count-value histogram — the plan has two aggregate pairs
+    below the Window (user grain, then histogram grain), never a
+    global-sort window over raw users."""
+    plan = plan_of(spark, "e33_gini_activity")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "Window" in plan, plan
+
+
+def test_t51_entropy_is_two_rollups_no_broadcast_grid(spark):
+    """t51 is (source,token) counts + a source rollup joined back on
+    source — no cartesian/nested-loop densification onto a vocabulary
+    grid (the t47 Heaps'-law rule)."""
+    plan = plan_of(spark, "t51_token_entropy")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
