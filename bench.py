@@ -88,6 +88,21 @@ HEADLINE = [
     "s17_rerank_shortlist",
     "g07_link_prediction",
     "t48_pmi_cooccurrence",
+    # round-7 late additions: LPA rounds (two edge joins + keyed-window
+    # argmax), blocked prefix-containment pair join, joinless moment
+    # aggregate, histogram-window Gini
+    "g08_label_communities",
+    "d17_prefix_subsumed",
+    "q81_ols_price_model",
+    "e33_gini_activity",
+    # round-7 session-3 additions: degree-moment equi-joins, partkey
+    # year self-join, per-row G2 + source-keyed top-k, day-grid KM
+    "g09_degree_assortativity",
+    "q83_price_index",
+    "t53_llr_keywords",
+    "q84_km_repeat_purchase",
+    "e34_autocorrelation",
+    "q85_cohort_ltv",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

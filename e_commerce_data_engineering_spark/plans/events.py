@@ -1947,3 +1947,105 @@ def e33_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "event_type", "n_users", "n_events", fround(gini, 6).alias("gini")
     )
+
+
+# ---------------------------------------------------------------------------
+# e34 — daily-count autocorrelation function (round 7; the memory dial
+# behind e22's seasonality and q79's seasonal-naive forecast)
+# ---------------------------------------------------------------------------
+
+_E34_MAX_LAG = 7
+
+
+@query(
+    "e34_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS didx,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT d.event_type, l.lag, d.didx + l.lag AS key, d.c AS x
+        FROM daily d,
+             (SELECT unnest(generate_series(1, {_E34_MAX_LAG})) AS lag) l
+    ),
+    pairs AS (
+        SELECT a.event_type, a.lag, a.x, b.c AS y
+        FROM lagged a
+        JOIN daily b ON b.event_type = a.event_type AND b.didx = a.key
+    ),
+    m AS (
+        SELECT event_type, lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lag AS INTEGER) AS lag, n AS n_pairs,
+           {sql_fround(
+               "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+               " / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+               "    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))",
+               6,
+           )} AS acf
+    FROM m
+    """,
+    doc=f"Sample autocorrelation of the daily event-count series at lags "
+    f"1..{_E34_MAX_LAG}, per event type — the dial that says whether "
+    "yesterday predicts today (lag-1) and whether a weekly rhythm "
+    "exists (lag-7 spiking above its neighbours is the signature e22 "
+    "decomposes and q79's seasonal-naive forecast exploits). Lag "
+    "alignment is a GAP-SAFE day-index equi-join (q79's midx trick: "
+    "missing days simply produce no pair, never a misaligned one), "
+    "and every Pearson moment is an exact int64 sum of exact integer "
+    "daily counts, so the correlation is one identically-shaped "
+    "double expression — sqrt IEEE-exact — bit-identical both "
+    "engines before rounding. Scale: one (type, day) rollup (the "
+    "calendar-bounded daily frame), a 7-fold explode of THAT frame "
+    "(never the raw events), one co-partitioned self-join, and a "
+    "(type, lag)-grain aggregate; no window anywhere.",
+)
+def e34_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "didx"
+        ),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    lags = spark.range(1, _E34_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    lagged = daily.crossJoin(F.broadcast(lags)).select(
+        "event_type", "lag", (F.col("didx") + F.col("lag")).alias("key"), F.col("c").alias("x")
+    )
+    b = daily.select(
+        F.col("event_type").alias("_et2"), F.col("didx").alias("_didx2"), F.col("c").alias("y")
+    )
+    pairs = lagged.join(
+        b, (lagged["event_type"] == b["_et2"]) & (lagged["key"] == b["_didx2"])
+    )
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    dn = F.col("n").cast("double")
+    dsx = F.col("sx").cast("double")
+    dsy = F.col("sy").cast("double")
+    num = dn * F.col("sxy") - dsx * F.col("sy")
+    den = F.sqrt(dn * F.col("sxx") - dsx * F.col("sx")) * F.sqrt(
+        dn * F.col("syy") - dsy * F.col("sy")
+    )
+    return m.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        fround(num / den, 6).alias("acf"),
+    )

@@ -1582,3 +1582,115 @@ def g08_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(side == "c", 1).otherwise(0)).cast("bigint").alias("n_customers"),
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g09 — degree assortativity of the transaction graph (round 7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "g09_degree_assortativity",
+    oracle=f"""
+    WITH base AS ({_G03_EDGES_SQL}),
+    e2 AS (
+        SELECT src, dst FROM base
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM base
+    ),
+    deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM e2 GROUP BY src
+    ),
+    nodem AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(d) AS BIGINT) AS sd,
+               CAST(SUM(d * d) AS BIGINT) AS sd2,
+               CAST(SUM(d * d * d) AS BIGINT) AS sd3
+        FROM deg
+    ),
+    edgem AS (
+        SELECT CAST(SUM(du.d * dv.d) AS BIGINT) AS sxy
+        FROM e2 JOIN deg du ON e2.src = du.node
+                JOIN deg dv ON e2.dst = dv.node
+    )
+    SELECT n_nodes,
+           sd AS n_directed_edges,
+           {sql_fround("CAST(sd AS DOUBLE) / n_nodes", 4)} AS mean_degree,
+           {sql_fround(
+               "sqrt(CAST(sd2 AS DOUBLE) / n_nodes"
+               " - (CAST(sd AS DOUBLE) / n_nodes) * (CAST(sd AS DOUBLE) / n_nodes))",
+               4,
+           )} AS sd_degree,
+           {sql_fround(
+               "(CAST(sd AS DOUBLE) * sxy - CAST(sd2 AS DOUBLE) * sd2)"
+               " / (CAST(sd AS DOUBLE) * sd3 - CAST(sd2 AS DOUBLE) * sd2)",
+               6,
+           )} AS assortativity
+    FROM nodem CROSS JOIN edgem
+    """,
+    doc="Newman's degree assortativity coefficient (Newman 2002) over "
+    "the sparse high-quantity transaction graph — the Pearson "
+    "correlation of endpoint degrees across directed edges, the "
+    "one-number answer to 'do hubs trade with hubs or with leaves?' "
+    "(bipartite commerce graphs are expected strongly DISassortative: "
+    "big suppliers serve many small customers). The identity "
+    "sum_edges deg(src) = sum_nodes d^2 and sum_edges deg(src)^2 = "
+    "sum_nodes d^3 moves every moment except the cross term onto the "
+    "node-grain rollup, so the only edge-side work is one join of the "
+    "edge list against its own degree table (both sides keyed on the "
+    "node id, co-partitioned) and ALL moments are exact int64 sums — "
+    "r is then one identically-shaped double expression, sqrt "
+    "IEEE-exact, bit-identical both engines before rounding (at "
+    "100 TB the d^3 partials would ride DECIMAL(38,0), same plan). "
+    "Scale: degree rollup + two co-partitioned equi-joins + "
+    "all-to-one moment aggregate; no window, no broadcast of "
+    "anything population-sized.",
+)
+def g09_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    base = (
+        li.filter(F.col("l_quantity") >= 48)
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    e2 = base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = e2.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    nodem = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum("d").cast("bigint").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sd2"),
+        F.sum(F.col("d") * F.col("d") * F.col("d")).cast("bigint").alias("sd3"),
+    )
+    du = deg.select(F.col("node").alias("src"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("dst"), F.col("d").alias("dv"))
+    edgem = (
+        e2.join(du, "src")
+        .join(dv, "dst")
+        .agg(F.sum(F.col("du") * F.col("dv")).cast("bigint").alias("sxy"))
+    )
+    dsd = F.col("sd").cast("double")
+    dsd2 = F.col("sd2").cast("double")
+    mean = dsd / F.col("n_nodes")
+    return nodem.crossJoin(edgem).select(
+        "n_nodes",
+        F.col("sd").alias("n_directed_edges"),
+        fround(mean, 4).alias("mean_degree"),
+        fround(
+            F.sqrt(dsd2 / F.col("n_nodes") - mean * mean), 4
+        ).alias("sd_degree"),
+        fround(
+            (dsd * F.col("sxy") - dsd2 * F.col("sd2"))
+            / (dsd * F.col("sd3") - dsd2 * F.col("sd2")),
+            6,
+        ).alias("assortativity"),
+    )

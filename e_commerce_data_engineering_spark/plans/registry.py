@@ -110,6 +110,17 @@ _PRIORITY: tuple[str, ...] = (
     "d17_prefix_subsumed",
     "e33_gini_activity",
     "t51_token_entropy",
+    "s19_pq_distortion",
+    "q82_neyman_allocation",
+    "t52_simpson_diversity",
+    "t53_llr_keywords",
+    "g09_degree_assortativity",
+    "q83_price_index",
+    "q84_km_repeat_purchase",
+    "e34_autocorrelation",
+    "q85_cohort_ltv",
+    "t54_token_burstiness",
+    "s20_ivf_balance",
     # --- already driver-recorded: round-6 block (r6 recorded these),
     # youngest first.
     "t45_novelty_decay",

@@ -1205,29 +1205,12 @@ def s15_portable_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The shared IVFADC retrieve stage behind s15/s17: fixed
-    centroids/codebooks, cell assignment, subspace argmin encode,
-    probe LUT, quantized ADC scores — returns (q_id, c_id, ai)."""
+def _pq_encd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared PQ encode-distance stage (s15/s17/s19): unit-normalize,
+    split into S15_M subspaces, join each subvector against the fixed
+    codebook — returns (vec_id, m, code, d) with d the exact squared
+    distance to that codebook entry."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = e.filter(F.col("vec_id") < S15_NLIST).select(
-        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
-    )
-    sqd_full = F.aggregate(
-        F.zip_with(
-            "embedding",
-            "c_emb",
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    dists = e.crossJoin(F.broadcast(cents)).select("vec_id", "cell", sqd_full.alias("d"))
-    ranked_cells = dists.withColumn(
-        "rn", F.row_number().over(W.partitionBy("vec_id").orderBy("d", "cell"))
-    )
-    assigned = ranked_cells.filter(F.col("rn") == 1).select("vec_id", "cell")
     units = e.select(
         "vec_id",
         F.transform(
@@ -1247,7 +1230,43 @@ def _ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    encd = sub.join(F.broadcast(cb), "m").select("vec_id", "m", "code", sqd_sub.alias("d"))
+    return sub.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "code", sqd_sub.alias("d")
+    )
+
+
+def _ivf_ranked_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared IVF coarse-quantizer stage (s15/s17/s20): distance of
+    every vector to the fixed centroids, ranked per vector — returns
+    (vec_id, cell, d, rn); rn=1 is the cell assignment, rn<=nprobe the
+    probe list."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = e.filter(F.col("vec_id") < S15_NLIST).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    sqd_full = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "c_emb",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = e.crossJoin(F.broadcast(cents)).select("vec_id", "cell", sqd_full.alias("d"))
+    return dists.withColumn(
+        "rn", F.row_number().over(W.partitionBy("vec_id").orderBy("d", "cell"))
+    )
+
+
+def _ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared IVFADC retrieve stage behind s15/s17: fixed
+    centroids/codebooks, cell assignment, subspace argmin encode,
+    probe LUT, quantized ADC scores — returns (q_id, c_id, ai)."""
+    ranked_cells = _ivf_ranked_cells(spark, sf_dir)
+    assigned = ranked_cells.filter(F.col("rn") == 1).select("vec_id", "cell")
+    encd = _pq_encd(spark, sf_dir)
     enc = (
         encd.withColumn(
             "rn", F.row_number().over(W.partitionBy("vec_id", "m").orderBy("d", "code"))
@@ -1650,4 +1669,127 @@ def s18_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"recall_at_{TOP_K}"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# s19 — PQ codebook distortion audit (round 7; the quality dial behind
+# s10/s11/s15: is the codebook actually covering the data?)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s19_pq_distortion",
+    oracle=f"""
+{_S15_ADC_CTES},
+    chosen AS (
+        SELECT enc.vec_id, enc.m, enc.code, encd.d
+        FROM enc JOIN encd ON encd.vec_id = enc.vec_id
+                          AND encd.m = enc.m AND encd.code = enc.code
+    ),
+    cc AS (
+        SELECT m, code, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CAST(FLOOR(d * {_Q} + 0.5) AS BIGINT)) AS BIGINT) AS qd
+        FROM chosen GROUP BY m, code
+    )
+    SELECT CAST(m AS INTEGER) AS m,
+           CAST(SUM(cnt) AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) AS BIGINT) AS codes_used,
+           {sql_fround("CAST(MAX(cnt) AS DOUBLE) / SUM(cnt)", 6)} AS top_code_share,
+           {sql_fround(f"CAST(SUM(qd) AS DOUBLE) / {_Q} / SUM(cnt)", 6)} AS avg_sqdist
+    FROM cc GROUP BY m
+    """,
+    doc=f"Per-subspace PQ codebook audit over the shared s15 encode "
+    "stage: mean squared quantization distortion (the loss the ADC "
+    "approximation pays — Jégou et al. 2011 §III sizes codebooks by "
+    f"exactly this number), how many of the {S15_KCODES} codes the "
+    "data actually uses, and the hottest code's assignment share "
+    "(a code soaking up most vectors means the codebook under-covers "
+    f"that subspace and ADC scores lose discrimination there). "
+    "Per-vector distortions are 1e-6-quantized BIGINTs before the "
+    "per-code sums (order-independent), counts and ratios are exact "
+    "integers, so the whole audit is engine-identical. Scale: the "
+    "encode is a broadcast codebook join (s15's shape), the audit "
+    f"itself aggregates to (m,code) grain — {S15_M}x{S15_KCODES} rows "
+    f"— then to the {S15_M}-row report; nothing in the plan grows "
+    "faster than the corpus scan.",
+)
+def s19_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    encd = _pq_encd(spark, sf_dir)
+    chosen = (
+        encd.withColumn(
+            "rn", F.row_number().over(W.partitionBy("vec_id", "m").orderBy("d", "code"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("m", "code", quantized(F.col("d")).alias("dq"))
+    )
+    cc = chosen.groupBy("m", "code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("dq").cast("bigint").alias("qd"),
+    )
+    return cc.groupBy(F.col("m").cast("int").alias("m")).agg(
+        F.sum("cnt").cast("bigint").alias("n_vecs"),
+        F.count(F.lit(1)).cast("bigint").alias("codes_used"),
+        fround(F.max("cnt").cast("double") / F.sum("cnt"), 6).alias("top_code_share"),
+        fround(F.sum("qd").cast("double") / _Q / F.sum("cnt"), 6).alias("avg_sqdist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# s20 — IVF cell-balance audit (round 7; the other quality dial behind
+# s05/s11/s15: is the coarse quantizer spreading the data?)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s20_ivf_balance",
+    oracle=f"""
+{_S15_ADC_CTES},
+    sizes AS (
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM assigned GROUP BY cell
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_vecs) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM sizes
+    )
+    SELECT CAST(cell AS BIGINT) AS cell, n_vecs,
+           {sql_fround("CAST(n_vecs AS DOUBLE) / total", 6)} AS share,
+           {sql_fround(
+               "CAST(n_vecs AS DOUBLE) * n_cells / total", 4
+           )} AS load_factor
+    FROM sizes CROSS JOIN tot
+    """,
+    doc=f"Occupancy audit of the IVF coarse quantizer behind s05/s11/"
+    f"s15: vectors per cell, each cell's share of the corpus, and its "
+    "load factor vs the uniform ideal (1.0 = perfectly balanced; a "
+    "cell at 3x means probing it costs 3x the average and nprobe "
+    "recall curves like s16's lose their meaning — cell balance is "
+    "THE operational dial an IVF index is re-trained on, Jégou et "
+    "al. 2011 §V). Rides the shared `_ivf_ranked_cells` stage "
+    "(broadcast fixed centroids, per-vector argmin window) and "
+    "collapses to the {S15_NLIST}-row cell grain; counts and ratios "
+    "are exact integers and single divisions — engine-identical. "
+    "Scale: the assignment is the same corpus-scan shape the index "
+    "build itself pays; the audit aggregates to nlist rows, so "
+    "nothing downstream grows with the corpus.",
+)
+def s20_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = _ivf_ranked_cells(spark, sf_dir).filter(F.col("rn") == 1).select(
+        "vec_id", "cell"
+    )
+    sizes = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    tot = sizes.agg(
+        F.sum("n_vecs").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
+    dn = F.col("n_vecs").cast("double")
+    return sizes.crossJoin(F.broadcast(tot)).select(
+        F.col("cell").cast("bigint").alias("cell"),
+        "n_vecs",
+        fround(dn / F.col("total"), 6).alias("share"),
+        fround(dn * F.col("n_cells") / F.col("total"), 4).alias("load_factor"),
     )

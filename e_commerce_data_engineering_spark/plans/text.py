@@ -3288,3 +3288,285 @@ def t51_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(h, 6).alias("entropy_nats"),
         fround(h / F.log(F.col("vocab").cast("double")), 6).alias("norm_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t52 — per-source Simpson diversity (round 7; the exact-rational twin of
+# t51's entropy: order-2 Renyi diversity with NO transcendental anywhere)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t52_simpson_diversity",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    c AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY source, tok
+    ),
+    t AS (
+        SELECT source,
+               CAST(SUM(cnt) AS BIGINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(SUM(cnt * (cnt - 1)) AS BIGINT) AS coll
+        FROM c GROUP BY source
+    )
+    SELECT source, tot AS n_tokens, vocab,
+           {sql_fround(
+               "CAST(coll AS DOUBLE) / (CAST(tot AS DOUBLE) * (tot - 1))", 6
+           )} AS simpson_lambda,
+           {sql_fround(
+               "1.0 - CAST(coll AS DOUBLE) / (CAST(tot AS DOUBLE) * (tot - 1))", 6
+           )} AS gini_simpson,
+           {sql_fround(
+               "(CAST(tot AS DOUBLE) * (tot - 1)) / coll", 4
+           )} AS effective_vocab
+    FROM t
+    """,
+    doc="Per-source Simpson diversity — the probability two tokens drawn "
+    "WITHOUT replacement from a source are the same type (unbiased "
+    "collision estimator sum c(c-1)/(N(N-1)), Simpson 1949), its "
+    "Gini-Simpson complement, and the inverse-Simpson 'effective "
+    "vocabulary' (order-2 Renyi / Hill number: how many equally-common "
+    "types would give the same collision rate). Reads next to t51's "
+    "Shannon entropy as the heavy-tail-sensitive diversity dial — a "
+    "source whose effective_vocab is tiny next to its vocab is "
+    "dominated by a few boilerplate tokens even if raw entropy looks "
+    "healthy. Unlike entropy there is NO logarithm anywhere: the "
+    "collision mass sum c(c-1) is an exact int64 rollup, so both "
+    "engines divide the same exact integers and the result is "
+    "bit-identical before the rounding (at 100 TB the c^2 moments "
+    "would ride DECIMAL(38,0) partials, same plan). Scale: one "
+    "(source, token) count shuffle + one source rollup — no vocab "
+    "broadcast, no window, Heaps'-law-safe.",
+)
+def t52_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(X.tokens(F.col("text"))).alias("tok"))
+    c = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    t = c.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.col("cnt") * (F.col("cnt") - 1)).cast("bigint").alias("coll"),
+    )
+    dtot = F.col("tot").cast("double")
+    dcoll = F.col("coll").cast("double")
+    lam = dcoll / (dtot * (F.col("tot") - 1))
+    return t.select(
+        "source",
+        F.col("tot").alias("n_tokens"),
+        "vocab",
+        fround(lam, 6).alias("simpson_lambda"),
+        fround(F.lit(1.0) - lam, 6).alias("gini_simpson"),
+        fround((dtot * (F.col("tot") - 1)) / dcoll, 4).alias("effective_vocab"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t53 — distinctive keywords per source via Dunning's log-likelihood ratio
+# (round 7; the "what makes this source DIFFERENT" report)
+# ---------------------------------------------------------------------------
+
+_T53_TOPK = 12
+_T53_Q = 1_000_000.0  # 1e-6 quantization of the per-token G² statistic
+
+
+@query(
+    "t53_llr_keywords",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    c AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS a
+        FROM tok GROUP BY source, tok
+    ),
+    ct AS (
+        SELECT tok, CAST(SUM(a) AS BIGINT) AS c_all FROM c GROUP BY tok
+    ),
+    st AS (
+        SELECT source, CAST(SUM(a) AS BIGINT) AS n1 FROM c GROUP BY source
+    ),
+    n AS (SELECT CAST(SUM(n1) AS BIGINT) AS nn FROM st),
+    scored AS (
+        SELECT c.source, c.tok, c.a,
+               ct.c_all - c.a AS b,
+               CAST(FLOOR(
+                   2.0 * (
+                       c.a * (ln(CAST(c.a AS DOUBLE) / st.n1)
+                              - ln(CAST(ct.c_all AS DOUBLE) / n.nn))
+                       + CASE WHEN ct.c_all - c.a = 0 THEN 0.0
+                         ELSE (ct.c_all - c.a)
+                              * (ln(CAST(ct.c_all - c.a AS DOUBLE) / (n.nn - st.n1))
+                                 - ln(CAST(ct.c_all AS DOUBLE) / n.nn))
+                         END
+                   ) * {_T53_Q} + 0.5
+               ) AS BIGINT) AS q
+        FROM c JOIN ct ON c.tok = ct.tok
+               JOIN st ON c.source = st.source
+               CROSS JOIN n
+        WHERE CAST(c.a AS DOUBLE) / st.n1 > CAST(ct.c_all AS DOUBLE) / n.nn
+    ),
+    ranked AS (
+        SELECT source, tok, a, b, q,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY q DESC, tok
+               ) AS rn
+        FROM scored
+    )
+    SELECT source, tok AS token, a AS cnt_in_source, b AS cnt_elsewhere,
+           CAST(q AS DOUBLE) / {_T53_Q} AS llr_g2
+    FROM ranked WHERE rn <= {_T53_TOPK}
+    """,
+    doc=f"Top-{_T53_TOPK} distinctive keywords per source by Dunning's "
+    "log-likelihood ratio (Dunning 1993) — the signed-G² keyword "
+    "extraction every corpus-comparison toolkit ships, restricted to "
+    "OVER-represented tokens (in-source rate above the corpus rate). "
+    "The G² statistic is a single identically-shaped double "
+    "expression per (source, token) row over exact int64 counts — "
+    "there is no floating sum across rows at all, so the only "
+    "determinism steps are the shared-subexpression discipline and "
+    "one 1e-6 quantization that makes the top-k ORDER BY an integer "
+    "sort (ties broken by token). b=0 tokens (unique to the source) "
+    "contribute only the first term, guarded identically both "
+    "engines. Scale: token-grain count shuffle joined to token "
+    "totals on its own key (co-partitioned), source totals broadcast "
+    "(source cardinality is small), and the per-source top-k window "
+    "sorts vocab-per-source rows — bounded by vocabulary, never by "
+    "corpus size.",
+)
+def t53_llr_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(X.tokens(F.col("text"))).alias("tok"))
+    c = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    ct = c.groupBy("tok").agg(F.sum("a").cast("bigint").alias("c_all"))
+    st = c.groupBy("source").agg(F.sum("a").cast("bigint").alias("n1"))
+    n = st.agg(F.sum("n1").cast("bigint").alias("nn"))
+    j = (
+        c.join(ct, "tok")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(n))
+    )
+    b = F.col("c_all") - F.col("a")
+    term1 = F.col("a") * (
+        F.log(F.col("a").cast("double") / F.col("n1"))
+        - F.log(F.col("c_all").cast("double") / F.col("nn"))
+    )
+    term2 = F.when(b == 0, F.lit(0.0)).otherwise(
+        b
+        * (
+            F.log(b.cast("double") / (F.col("nn") - F.col("n1")))
+            - F.log(F.col("c_all").cast("double") / F.col("nn"))
+        )
+    )
+    scored = j.filter(
+        F.col("a").cast("double") / F.col("n1")
+        > F.col("c_all").cast("double") / F.col("nn")
+    ).select(
+        "source",
+        "tok",
+        "a",
+        b.alias("b"),
+        F.floor(2.0 * (term1 + term2) * _T53_Q + 0.5).cast("bigint").alias("q"),
+    )
+    w = W.partitionBy("source").orderBy(F.col("q").desc(), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _T53_TOPK)
+        .select(
+            "source",
+            F.col("tok").alias("token"),
+            F.col("a").alias("cnt_in_source"),
+            F.col("b").alias("cnt_elsewhere"),
+            (F.col("q").cast("double") / _T53_Q).alias("llr_g2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# t54 — token burstiness / dispersion profile (round 7; Church & Gale's
+# observation: real words clump, function words spread)
+# ---------------------------------------------------------------------------
+
+_T54_TOPK = 25
+
+
+@query(
+    "t54_token_burstiness",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    dt AS (
+        SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY tok, doc_id
+    ),
+    m AS (
+        SELECT tok,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(tf) AS BIGINT) AS cf,
+               CAST(SUM(tf * tf) AS BIGINT) AS s2
+        FROM dt GROUP BY tok
+    )
+    SELECT tok AS token, df, cf,
+           {sql_fround("CAST(cf AS DOUBLE) / df", 4)} AS mean_tf,
+           {sql_fround(
+               "CAST(s2 AS DOUBLE) / df"
+               " - (CAST(cf AS DOUBLE) / df) * (CAST(cf AS DOUBLE) / df)",
+               4,
+           )} AS var_tf,
+           {sql_fround(
+               "(CAST(s2 AS DOUBLE) / df"
+               " - (CAST(cf AS DOUBLE) / df) * (CAST(cf AS DOUBLE) / df))"
+               " / (CAST(cf AS DOUBLE) / df)",
+               4,
+           )} AS vmr
+    FROM m
+    ORDER BY cf DESC, tok
+    LIMIT {_T54_TOPK}
+    """,
+    doc=f"Burstiness profile of the {_T54_TOPK} most frequent tokens: "
+    "within-document term-frequency mean, variance, and "
+    "variance-to-mean ratio (the index of dispersion — 1 under a "
+    "Poisson process). Church & Gale's classic observation is that "
+    "content words CLUMP (a document that says a word once says it "
+    "again, VMR >> 1) while function words spread Poisson-like — the "
+    "dial that separates topical from boilerplate vocabulary, and a "
+    "direct input to Poisson-mixture language models and t27-style "
+    "importance weights. All moments (df, cf, sum tf^2) are exact "
+    "int64 rollups of exact per-(token, doc) counts; the "
+    "mean/variance/VMR are identically-shaped double expressions on "
+    "those exact integers, bit-identical both engines before the "
+    "rounding. Scale: one (token, doc) count shuffle, one token-grain "
+    "rollup, TakeOrdered top-k cut — no window, no global sort, no "
+    "vocab broadcast.",
+)
+def t54_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("tok"))
+    dt = tok.groupBy("tok", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    m = dt.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("s2"),
+    )
+    mean = F.col("cf").cast("double") / F.col("df")
+    var = F.col("s2").cast("double") / F.col("df") - mean * mean
+    return (
+        m.select(
+            F.col("tok").alias("token"),
+            "df",
+            "cf",
+            fround(mean, 4).alias("mean_tf"),
+            fround(var, 4).alias("var_tf"),
+            fround(var / mean, 4).alias("vmr"),
+        )
+        .orderBy(F.col("cf").desc(), "token")
+        .limit(_T54_TOPK)
+    )

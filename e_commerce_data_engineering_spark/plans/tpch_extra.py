@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from ..sources.tables import load_table
 from .money import dfrac, dmoney, fround, money_sum, sql_fround, sql_money_sum
@@ -1441,4 +1442,495 @@ def q81_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(det0 / det / 100, 6).alias("b_intercept"),
         fround(det1 / det / 100, 6).alias("b_qty"),
         fround(det2 / det / 100, 6).alias("b_discount_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q82 — Neyman allocation for a stratified audit sample (round 7)
+# ---------------------------------------------------------------------------
+
+_Q82_BUDGET = 1000  # total audit sample size to apportion across nations
+
+
+@query(
+    "q82_neyman_allocation",
+    oracle=f"""
+    WITH c AS (
+        SELECT n_name,
+               CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS y
+        FROM customer JOIN nation ON n_nationkey = c_nationkey
+    ),
+    m AS (
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_h,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM c GROUP BY n_name
+    ),
+    s AS (
+        SELECT n_name, n_h, sy, syy,
+               sqrt(CAST(syy AS DOUBLE) / n_h
+                    - (CAST(sy AS DOUBLE) / n_h) * (CAST(sy AS DOUBLE) / n_h))
+                   AS sd_c
+        FROM m
+    ),
+    t AS (SELECT SUM(n_h * sd_c) AS tot FROM s),
+    q AS (
+        SELECT n_name, n_h, sy, syy, sd_c,
+               {_Q82_BUDGET} * (n_h * sd_c) / tot AS quota
+        FROM s, t
+    ),
+    fl AS (
+        SELECT n_name, n_h, sy, syy, sd_c, quota,
+               CAST(FLOOR(quota) AS BIGINT) AS base,
+               quota - FLOOR(quota) AS rem
+        FROM q
+    ),
+    rk AS (
+        SELECT fl.*,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, n_name) AS rn,
+               {_Q82_BUDGET} - SUM(base) OVER () AS leftover
+        FROM fl
+    )
+    SELECT n_name,
+           n_h AS stratum_size,
+           {sql_fround("CAST(sy AS DOUBLE) / n_h / 100", 4)} AS mean_acctbal,
+           {sql_fround("sd_c / 100", 4)} AS sd_acctbal,
+           CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT)
+               AS alloc_n
+    FROM rk
+    """,
+    doc=f"Variance-optimal audit sampling design: Neyman allocation "
+    f"(Neyman 1934) splits a {_Q82_BUDGET}-unit audit budget across "
+    "customer nations proportional to N_h*S_h — strata that are big "
+    "AND internally variable get the auditors — followed by "
+    "largest-remainder (Hamilton) apportionment so the integer "
+    "allocations sum to the budget EXACTLY, ties broken by nation "
+    "name. Per-stratum SDs come from exact int64 cent moments "
+    "(population variance = Syy/N - (Sy/N)^2 on identical exact "
+    "integers, sqrt IEEE-correctly-rounded), the quota is one "
+    "identically-shaped double expression, and the remainder rank is "
+    "deterministic — engine-identical allocations all the way. "
+    "Scale: one customer-table rollup to the 25-nation grain "
+    "(broadcast dim join); the apportionment windows run over 25 "
+    "rows — bounded by the stratum count, never the population.",
+)
+def q82_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"]).select(
+        "n_name",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias("y"),
+    )
+    m = c.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    mu = F.col("sy").cast("double") / F.col("n_h")
+    sd_c = F.sqrt(F.col("syy").cast("double") / F.col("n_h") - mu * mu)
+    s = m.withColumn("sd_c", sd_c)
+    t = s.agg(F.sum(F.col("n_h") * F.col("sd_c")).alias("tot"))
+    q = s.crossJoin(F.broadcast(t)).withColumn(
+        "quota", _Q82_BUDGET * (F.col("n_h") * F.col("sd_c")) / F.col("tot")
+    )
+    fl = q.withColumn("base", F.floor(F.col("quota")).cast("bigint")).withColumn(
+        "rem", F.col("quota") - F.floor(F.col("quota"))
+    )
+    # both windows run over the 25-row stratum frame: the rank orders
+    # remainders, the unpartitioned sum computes the leftover seats
+    w_rank = W.orderBy(F.col("rem").desc(), "n_name")
+    w_all = W.partitionBy()
+    rk = fl.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "leftover", _Q82_BUDGET - F.sum("base").over(w_all)
+    )
+    return rk.select(
+        "n_name",
+        F.col("n_h").alias("stratum_size"),
+        fround(F.col("sy").cast("double") / F.col("n_h") / 100, 4).alias(
+            "mean_acctbal"
+        ),
+        fround(F.col("sd_c") / 100, 4).alias("sd_acctbal"),
+        (
+            F.col("base")
+            + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q83 — chained Laspeyres / Paasche / Fisher price index (round 7)
+# ---------------------------------------------------------------------------
+
+_Q83_Q = 1_000_000.0  # 1e-6 quantization of the cross-year value terms
+
+
+@query(
+    "q83_price_index",
+    oracle=f"""
+    WITH py AS (
+        SELECT l_partkey AS p,
+               CAST(year(l_shipdate) AS INTEGER) AS y,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+               CAST(SUM(CAST(FLOOR(
+                   l_extendedprice * (1 - l_discount) * 100 + 0.5
+               ) AS BIGINT)) AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT a.y AS base_year, b.y AS next_year,
+               a.qty AS q0, a.rev AS rev0, b.qty AS q1, b.rev AS rev1,
+               CAST(a.rev AS DOUBLE) / a.qty AS u0,
+               CAST(b.rev AS DOUBLE) / b.qty AS u1
+        FROM py a JOIN py b ON b.p = a.p AND b.y = a.y + 1
+    ),
+    agg AS (
+        SELECT base_year, next_year,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(rev0) AS BIGINT) AS l_den,
+               CAST(SUM(rev1) AS BIGINT) AS p_num,
+               CAST(SUM(CAST(FLOOR(u1 * q0 * {_Q83_Q} + 0.5) AS BIGINT))
+                    AS BIGINT) AS l_num_q,
+               CAST(SUM(CAST(FLOOR(u0 * q1 * {_Q83_Q} + 0.5) AS BIGINT))
+                    AS BIGINT) AS p_den_q
+        FROM j GROUP BY 1, 2
+    )
+    SELECT base_year, next_year, n_parts,
+           {sql_fround(
+               f"CAST(l_num_q AS DOUBLE) / {_Q83_Q} / l_den", 6
+           )} AS laspeyres,
+           {sql_fround(
+               f"CAST(p_num AS DOUBLE) / (CAST(p_den_q AS DOUBLE) / {_Q83_Q})", 6
+           )} AS paasche,
+           {sql_fround(
+               f"sqrt((CAST(l_num_q AS DOUBLE) / {_Q83_Q} / l_den)"
+               f" * (CAST(p_num AS DOUBLE) / (CAST(p_den_q AS DOUBLE) / {_Q83_Q})))",
+               6,
+           )} AS fisher
+    FROM agg
+    """,
+    doc="Year-over-year price inflation of the traded basket, computed "
+    "three textbook ways: Laspeyres (base-year quantities as weights "
+    "— what would last year's basket cost at this year's prices), "
+    "Paasche (current-year weights), and their geometric mean, the "
+    "Fisher ideal index (the CPI-style superlative). Effective unit "
+    "prices are per-(part,year) exact-cent revenue over integral "
+    "quantity; the two identities u0*q0 = rev0 and u1*q1 = rev1 make "
+    "one side of each index an EXACT integer sum, and the two genuine "
+    "cross-year value terms (u1*q0, u0*q1) are 1e-6-quantized BIGINTs "
+    "before summing so shuffle order cannot flip the hash; Fisher's "
+    "sqrt is IEEE-correctly-rounded on an identically-shaped product. "
+    "Scale: one (part, year) rollup, one self-join co-partitioned on "
+    "partkey (year+1 rides the same shuffle), final rollup to one row "
+    "per consecutive-year pair; no window, no broadcast of anything "
+    "part-sized.",
+)
+def q83_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    py = li.groupBy(
+        F.col("l_partkey").alias("p"),
+        F.year("l_shipdate").cast("int").alias("y"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("rev"),
+    )
+    a = py.select(
+        F.col("p"),
+        F.col("y").alias("base_year"),
+        F.col("qty").alias("q0"),
+        F.col("rev").alias("rev0"),
+    )
+    b = py.select(
+        F.col("p").alias("_p2"),
+        F.col("y").alias("next_year"),
+        F.col("qty").alias("q1"),
+        F.col("rev").alias("rev1"),
+    )
+    j = a.join(
+        b, (a["p"] == b["_p2"]) & (b["next_year"] == a["base_year"] + 1)
+    ).select(
+        "base_year",
+        "next_year",
+        "q0",
+        "rev0",
+        "q1",
+        "rev1",
+        (F.col("rev0").cast("double") / F.col("q0")).alias("u0"),
+        (F.col("rev1").cast("double") / F.col("q1")).alias("u1"),
+    )
+    agg = j.groupBy("base_year", "next_year").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("rev0").cast("bigint").alias("l_den"),
+        F.sum("rev1").cast("bigint").alias("p_num"),
+        F.sum(F.floor(F.col("u1") * F.col("q0") * _Q83_Q + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("l_num_q"),
+        F.sum(F.floor(F.col("u0") * F.col("q1") * _Q83_Q + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("p_den_q"),
+    )
+    lasp = F.col("l_num_q").cast("double") / _Q83_Q / F.col("l_den")
+    paas = F.col("p_num").cast("double") / (F.col("p_den_q").cast("double") / _Q83_Q)
+    return agg.select(
+        "base_year",
+        "next_year",
+        "n_parts",
+        fround(lasp, 6).alias("laspeyres"),
+        fround(paas, 6).alias("paasche"),
+        fround(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q84 — Kaplan–Meier repeat-purchase survival curve (round 7)
+# ---------------------------------------------------------------------------
+
+_Q84_Q = 1_000_000_000.0  # 1e-9 quantization of the per-day ln(1 - d/n) terms
+_Q84_COHORT_END = "1995-07-01"  # first order must land before this
+_Q84_STUDY_END = "1995-12-31"  # administrative right-censoring date
+
+
+@query(
+    "q84_km_repeat_purchase",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS rn
+        FROM orders
+    ),
+    subj AS (
+        SELECT a.o_custkey,
+               CASE WHEN b.od IS NOT NULL AND b.od <= DATE '{_Q84_STUDY_END}'
+                    THEN datediff('day', a.od, b.od)
+                    ELSE datediff('day', a.od, DATE '{_Q84_STUDY_END}') END AS t,
+               CASE WHEN b.od IS NOT NULL AND b.od <= DATE '{_Q84_STUDY_END}'
+                    THEN 1 ELSE 0 END AS ev
+        FROM ranked a
+        LEFT JOIN ranked b ON b.o_custkey = a.o_custkey AND b.rn = 2
+        WHERE a.rn = 1 AND a.od < DATE '{_Q84_COHORT_END}'
+    ),
+    grid AS (
+        SELECT CAST(t AS BIGINT) AS day,
+               CAST(SUM(ev) AS BIGINT) AS d_ev,
+               CAST(SUM(1 - ev) AS BIGINT) AS n_cen
+        FROM subj GROUP BY t
+    ),
+    risk AS (
+        SELECT day, d_ev, n_cen,
+               CAST(SUM(d_ev + n_cen) OVER () AS BIGINT)
+               - CAST(COALESCE(SUM(d_ev + n_cen) OVER (
+                     ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS n_risk
+        FROM grid
+    ),
+    terms AS (
+        SELECT day, d_ev, n_cen, n_risk,
+               CASE WHEN d_ev = 0 OR n_risk <= d_ev THEN CAST(0 AS BIGINT)
+                    ELSE CAST(FLOOR(
+                        ln(CAST(n_risk - d_ev AS DOUBLE) / n_risk)
+                        * {_Q84_Q} + 0.5
+                    ) AS BIGINT) END AS qterm
+        FROM risk
+    )
+    SELECT day, n_risk, d_ev AS n_events, n_cen AS n_censored,
+           {sql_fround("CAST(d_ev AS DOUBLE) / n_risk", 6)} AS hazard,
+           {sql_fround(
+               f"exp(CAST(SUM(qterm) OVER ("
+               f"ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+               f") AS DOUBLE) / {_Q84_Q})",
+               6,
+           )} AS km_survival
+    FROM terms
+    """,
+    doc="Kaplan–Meier product-limit estimator (Kaplan & Meier 1958) of "
+    f"the repeat-purchase curve: customers whose first order lands "
+    f"before {_Q84_COHORT_END} are followed until their second order "
+    f"(event) or administratively right-CENSORED at {_Q84_STUDY_END} "
+    "— the censored customers are exactly what a naive 'average days "
+    "to reorder' silently drops, and they are why KM exists. The "
+    "product Π(1 - d/n) is carried in log domain: each day's "
+    "ln(1 - d_u/n_u) is an identically-shaped double on exact-integer "
+    "operands, 1e-9-quantized to a BIGINT before the cumulative sum "
+    "(t21/t51 discipline), then one exp at the end — engine-identical "
+    "at every step. Scale: the subject table is one customer-keyed "
+    "window (per-customer order ranking, population-partitioned); "
+    "everything after collapses to the DAY GRID, bounded by the "
+    "study calendar (~300 rows), so the unpartitioned cumulative "
+    "windows run over a calendar-bounded frame, never the population "
+    "(the intentional-global-window pattern of q76/e33).",
+)
+def q84_km_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    w_cust = W.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    ranked = o.select("o_custkey", "od", F.row_number().over(w_cust).alias("rn"))
+    first = ranked.filter(
+        (F.col("rn") == 1) & (F.col("od") < F.lit(_Q84_COHORT_END).cast("date"))
+    ).select("o_custkey", F.col("od").alias("d1"))
+    second = ranked.filter(F.col("rn") == 2).select(
+        F.col("o_custkey").alias("_c2"), F.col("od").alias("d2")
+    )
+    study_end = F.lit(_Q84_STUDY_END).cast("date")
+    observed = F.col("d2").isNotNull() & (F.col("d2") <= study_end)
+    subj = first.join(second, first["o_custkey"] == second["_c2"], "left").select(
+        F.when(observed, F.datediff(F.col("d2"), F.col("d1")))
+        .otherwise(F.datediff(study_end, F.col("d1")))
+        .cast("bigint")
+        .alias("t"),
+        F.when(observed, F.lit(1)).otherwise(F.lit(0)).alias("ev"),
+    )
+    grid = subj.groupBy(F.col("t").alias("day")).agg(
+        F.sum("ev").cast("bigint").alias("d_ev"),
+        F.sum(1 - F.col("ev")).cast("bigint").alias("n_cen"),
+    )
+    # day-grid windows: calendar-bounded (~300 rows), intentional global
+    w_all = W.partitionBy()
+    w_prev = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    w_cum = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    risk = grid.select(
+        "day",
+        "d_ev",
+        "n_cen",
+        (
+            F.sum(F.col("d_ev") + F.col("n_cen")).over(w_all).cast("bigint")
+            - F.coalesce(
+                F.sum(F.col("d_ev") + F.col("n_cen")).over(w_prev), F.lit(0)
+            ).cast("bigint")
+        ).alias("n_risk"),
+    )
+    qterm = (
+        F.when(
+            (F.col("d_ev") == 0) | (F.col("n_risk") <= F.col("d_ev")),
+            F.lit(0).cast("bigint"),
+        )
+        .otherwise(
+            F.floor(
+                F.log(
+                    (F.col("n_risk") - F.col("d_ev")).cast("double")
+                    / F.col("n_risk")
+                )
+                * _Q84_Q
+                + 0.5
+            ).cast("bigint")
+        )
+        .alias("qterm")
+    )
+    terms = risk.select("day", "d_ev", "n_cen", "n_risk", qterm)
+    return terms.select(
+        "day",
+        "n_risk",
+        F.col("d_ev").alias("n_events"),
+        F.col("n_cen").alias("n_censored"),
+        fround(F.col("d_ev").cast("double") / F.col("n_risk"), 6).alias("hazard"),
+        fround(
+            F.exp(F.sum("qterm").over(w_cum).cast("double") / _Q84_Q), 6
+        ).alias("km_survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q85 — cohort lifetime-value curve (round 7; the revenue twin of e29's
+# retention matrix, on the orders fact)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q85_cohort_ltv",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_custkey,
+               year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ),
+    cohort AS (
+        SELECT o_custkey, MIN(midx) AS c_midx FROM o GROUP BY o_custkey
+    ),
+    csize AS (
+        SELECT c_midx, CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM cohort GROUP BY c_midx
+    ),
+    rev AS (
+        SELECT c.c_midx, o.midx - c.c_midx AS age,
+               CAST(SUM(o.cents) AS BIGINT) AS rev_cents
+        FROM o JOIN cohort c ON o.o_custkey = c.o_custkey
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT c_midx, age, rev_cents,
+               CAST(SUM(rev_cents) OVER (
+                   PARTITION BY c_midx ORDER BY age
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_cents
+        FROM rev
+    )
+    SELECT CAST((c_midx - 1) // 12 AS INTEGER) AS cohort_year,
+           CAST((c_midx - 1) % 12 + 1 AS INTEGER) AS cohort_month,
+           CAST(age AS INTEGER) AS age_months,
+           n_customers,
+           {sql_fround("CAST(cum_cents AS DOUBLE) / 100", 2)} AS cum_revenue,
+           {sql_fround(
+               "CAST(cum_cents AS DOUBLE) / 100 / n_customers", 4
+           )} AS ltv_per_customer
+    FROM cum JOIN csize USING (c_midx)
+    """,
+    doc="Cohort lifetime-value curve: customers grouped by FIRST-order "
+    "month, cumulative revenue per cohort tracked by months-since-"
+    "acquisition and normalized per cohort head — the curve whose "
+    "plateau is the number a CAC budget is allowed to approach, and "
+    "the revenue-side twin of e29's retention matrix. Month indexes "
+    "are integer year*12+month arithmetic (identical both engines — "
+    "never months_between, whose fractional semantics differ), "
+    "revenue rides exact int64 cents, and the cumulative window runs "
+    "over the (cohort, age) GRID — bounded by calendar-months "
+    "squared, never by customers or orders. Scale: one custkey "
+    "rollup for cohort assignment, one custkey-co-partitioned join "
+    "back to the fact, a (cohort, age)-grain aggregate, and the "
+    "grid-sized window; cohort sizes join at grid grain.",
+)
+def q85_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("midx"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    cohort = o.groupBy("o_custkey").agg(F.min("midx").alias("c_midx"))
+    csize = cohort.groupBy("c_midx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+    rev = (
+        o.join(cohort, "o_custkey")
+        .groupBy("c_midx", (F.col("midx") - F.col("c_midx")).alias("age"))
+        .agg(F.sum("cents").cast("bigint").alias("rev_cents"))
+    )
+    w_cum = (
+        W.partitionBy("c_midx").orderBy("age").rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = rev.select(
+        "c_midx",
+        "age",
+        F.sum("rev_cents").over(w_cum).cast("bigint").alias("cum_cents"),
+    )
+    dcum = F.col("cum_cents").cast("double")
+    return cum.join(csize, "c_midx").select(
+        ((F.col("c_midx") - 1) / 12).cast("int").alias("cohort_year"),
+        ((F.col("c_midx") - 1) % 12 + 1).cast("int").alias("cohort_month"),
+        F.col("age").cast("int").alias("age_months"),
+        "n_customers",
+        fround(dcum / 100, 2).alias("cum_revenue"),
+        fround(dcum / 100 / F.col("n_customers"), 4).alias("ltv_per_customer"),
     )

@@ -629,3 +629,105 @@ def test_t51_entropy_is_two_rollups_no_broadcast_grid(spark):
     plan = plan_of(spark, "t51_token_entropy")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_s19_distortion_rides_broadcast_codebook(spark):
+    """s19's encode stage is the shared s15 shape: subvectors joined
+    against a BROADCAST codebook — no cartesian, no shuffle join for
+    the (m)-keyed codebook lookup."""
+    plan = plan_of(spark, "s19_pq_distortion")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q82_neyman_windows_ride_stratum_grain(spark):
+    """q82 rolls customers up to the 25-nation stratum grain BEFORE any
+    window: the plan's windows sit above aggregates, and the only
+    nested-loop join is the broadcast of the 1-row total."""
+    plan = plan_of(spark, "q82_neyman_allocation")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_t52_simpson_is_two_rollups_no_window(spark):
+    """t52 is pure rollup arithmetic: (source,token) counts then a
+    source-grain aggregate — no window, no join of any kind, no
+    transcendental-bearing shuffle."""
+    plan = plan_of(spark, "t52_simpson_diversity")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_t53_llr_topk_window_is_source_keyed(spark):
+    """t53's top-k window partitions by source; the token-total join is
+    an equi-join on the count table's own key and the source totals /
+    grand total ride broadcasts — no cartesian fallback."""
+    plan = plan_of(spark, "t53_llr_keywords")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_g09_assortativity_is_equi_joins_no_window(spark):
+    """g09's only edge-side work is the edge list equi-joined twice
+    against its own degree table; the moments meet in a broadcast of
+    two single-row aggregates — no cartesian, no window, no sort."""
+    plan = plan_of(spark, "g09_degree_assortativity")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_q83_price_index_self_join_is_partkey_equi(spark):
+    """q83's year-over-year match is a self-join co-partitioned on
+    partkey (the +1-year predicate rides the same equi-join) — no
+    cartesian, no window anywhere in the plan."""
+    plan = plan_of(spark, "q83_price_index")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_q84_km_windows_are_keyed_or_day_grid(spark):
+    """q84 has exactly one population-sized window (per-customer order
+    ranking, custkey-partitioned); the unpartitioned cumulative
+    windows run above the day-grid aggregate, so the plan shows an
+    aggregate between the subject table and the global windows."""
+    plan = plan_of(spark, "q84_km_repeat_purchase")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_e34_acf_is_grid_self_join_no_window(spark):
+    """e34's lag alignment is an equi-join of the daily frame against
+    itself on (type, day-index) — no window, no cartesian beyond the
+    broadcast 7-row lag frame."""
+    plan = plan_of(spark, "e34_autocorrelation")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_q85_ltv_window_rides_cohort_age_grid(spark):
+    """q85's cumulative window partitions by cohort and runs over the
+    (cohort, age) grid — the plan shows aggregates below the Window
+    (cohort assignment, then grid revenue), never a raw-order sort."""
+    plan = plan_of(spark, "q85_cohort_ltv")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_t54_burstiness_is_rollups_take_ordered(spark):
+    """t54 is two count rollups and a TakeOrderedAndProject top-k cut —
+    no window, no global sort, no cartesian."""
+    plan = plan_of(spark, "t54_token_burstiness")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_s20_balance_rides_broadcast_centroids(spark):
+    """s20's assignment stage broadcasts the fixed centroids (the
+    shared ranked-cells shape); the audit itself is cell-grain — no
+    cartesian fallback, no shuffle join for the centroid lookup."""
+    plan = plan_of(spark, "s20_ivf_balance")
+    assert "CartesianProduct" not in plan, plan

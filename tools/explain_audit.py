@@ -49,6 +49,24 @@ AUDIT = [
     ("g07_link_prediction", "df-capped wedge equi-join on part key, broadcast degree joins, TakeOrdered"),
     ("t48_pmi_cooccurrence", "PMI pairs via array self-zips: no per-doc window, one count shuffle"),
     ("q78_compaction_bins", "segment-manifest planning window above a partial-agg fact rollup"),
+    # round-7 late additions
+    ("q80_wilson_return_rate", "supplier-grain partial agg, broadcast name join, TakeOrdered cut"),
+    ("q81_ols_price_model", "joinless OLS: one map + one all-to-one moment aggregate"),
+    ("g08_label_communities", "LPA rounds: edge equi-joins + node-keyed ROW_NUMBER argmax windows"),
+    ("d17_prefix_subsumed", "prefix containment rides the 32-char block equi-join"),
+    ("e33_gini_activity", "Gini window over the count-value histogram, partitioned by event type"),
+    ("t51_token_entropy", "entropy as two rollups on (source,token) counts, no vocab broadcast"),
+    ("s19_pq_distortion", "shared PQ encode stage (broadcast codebook), audit at (m,code) grain"),
+    ("q82_neyman_allocation", "stratum rollup first; apportionment windows over 25 rows"),
+    ("t52_simpson_diversity", "exact-rational diversity: two rollups, no window, no ln"),
+    ("t53_llr_keywords", "per-row G2 on exact counts; source-keyed top-k window"),
+    ("g09_degree_assortativity", "degree equi-joins + all-to-one exact moments, no window"),
+    ("q83_price_index", "partkey-co-partitioned year self-join, quantized value terms"),
+    ("q84_km_repeat_purchase", "custkey-keyed ranking; KM windows over the day grid"),
+    ("e34_autocorrelation", "gap-safe day-index self-join of the daily frame; no window"),
+    ("q85_cohort_ltv", "cohort-keyed cumulative window over the (cohort,age) grid"),
+    ("t54_token_burstiness", "two count rollups + TakeOrdered cut, exact moments"),
+    ("s20_ivf_balance", "broadcast-centroid assignment collapsing to nlist rows"),
 ]
 
 

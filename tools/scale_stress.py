@@ -76,6 +76,10 @@ OP_TABLES = {
     "link_pred_g07": {"lineitem"},
     "pmi_t48": {"documents"},
     "image_neardup_m08": set(),
+    "assortativity_g09": {"lineitem", "orders"},
+    "price_index_q83": {"lineitem"},
+    "llr_keywords_t53": {"documents"},
+    "km_survival_q84": {"orders"},
 }
 
 
@@ -97,7 +101,7 @@ def main() -> None:
         # disjoint replica subgraphs (join_agg/dedup ops never read it);
         # l_partkey shifts so g07's co-supply graph is likewise K
         # disjoint replicas (nothing else reads it)
-        n_li = n_ev = n_doc = n_em = 0
+        n_li = n_ord = n_ev = n_doc = n_em = 0
         li = orders = ev = docs = emb = None
         if "lineitem" in needed:
             n_li = replicate(
@@ -106,7 +110,7 @@ def main() -> None:
             )
             li = spark.read.parquet(f"{root}/lineitem")
         if "orders" in needed:
-            replicate(spark, "orders", k, f"{root}/orders", ["o_orderkey", "o_custkey"])
+            n_ord = replicate(spark, "orders", k, f"{root}/orders", ["o_orderkey", "o_custkey"])
             orders = spark.read.parquet(f"{root}/orders")
         if "events" in needed:
             n_ev = replicate(spark, "events", k, f"{root}/events", ["event_id", "user_id"])
@@ -402,6 +406,133 @@ def main() -> None:
             )
             return cand.filter(ham <= 3).count()
 
+        # g09-shaped degree assortativity: suppkey+custkey shifts make
+        # the K replicas disjoint subgraphs, so nodes/edges/degree
+        # moments all grow K-fold — the edge-degree equi-joins and the
+        # all-to-one moment aggregate are a linear target.
+        def assortativity():
+            base = (
+                li.filter(F.col("l_quantity") >= 45)
+                .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+                .select(
+                    F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+                    F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+                )
+                .distinct()
+            )
+            e2 = base.union(
+                base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            deg = e2.groupBy(F.col("src").alias("node")).agg(
+                F.count(F.lit(1)).cast("bigint").alias("d")
+            )
+            du = deg.select(F.col("node").alias("src"), F.col("d").alias("du"))
+            dv = deg.select(F.col("node").alias("dst"), F.col("d").alias("dv"))
+            return (
+                e2.join(du, "src")
+                .join(dv, "dst")
+                .agg(F.sum(F.col("du") * F.col("dv")).alias("sxy"))
+                .count()
+            )
+
+        # q83-shaped price index: l_partkey shifts make replica
+        # (part, year) groups disjoint, so matched pairs grow K-fold
+        # and the partkey-co-partitioned year self-join is linear.
+        def price_index():
+            py = li.groupBy(
+                F.col("l_partkey").alias("p"),
+                F.year("l_shipdate").alias("y"),
+            ).agg(
+                F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                        + 0.5
+                    ).cast("bigint")
+                ).alias("rev"),
+            )
+            a = py.select("p", F.col("y").alias("y0"), F.col("qty").alias("q0"))
+            b = py.select(
+                F.col("p").alias("_p2"),
+                F.col("y").alias("y1"),
+                (F.col("rev").cast("double") / F.col("qty")).alias("u1"),
+            )
+            return (
+                a.join(b, (a["p"] == b["_p2"]) & (b["y1"] == a["y0"] + 1))
+                .groupBy("y0")
+                .agg(F.sum(F.col("u1") * F.col("q0")).alias("v"))
+                .count()
+            )
+
+        # t53-shaped LLR keywords: replica docs are exact copies, so the
+        # (source, token) key space is constant while counts grow K-fold
+        # — the count shuffles absorb K map-side and the per-source
+        # top-k window sorts a fixed vocabulary: flat-ish target.
+        def llr_keywords():
+            from pyspark.sql import Window as W
+
+            from e_commerce_data_engineering_spark.functions.text import tokens
+
+            tok = docs.select(
+                "source", F.explode(tokens(F.col("text"))).alias("tok")
+            )
+            c = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("a"))
+            ct = c.groupBy("tok").agg(F.sum("a").alias("c_all"))
+            st = c.groupBy("source").agg(F.sum("a").alias("n1"))
+            n = st.agg(F.sum("n1").alias("nn"))
+            j = c.join(ct, "tok").join(F.broadcast(st), "source").crossJoin(
+                F.broadcast(n)
+            )
+            scored = j.select(
+                "source",
+                "tok",
+                (
+                    F.col("a")
+                    * (
+                        F.log(F.col("a").cast("double") / F.col("n1"))
+                        - F.log(F.col("c_all").cast("double") / F.col("nn"))
+                    )
+                ).alias("g"),
+            )
+            w = W.partitionBy("source").orderBy(F.col("g").desc(), "tok")
+            return (
+                scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 12)
+                .count()
+            )
+
+        # q84-shaped KM survival: o_custkey shifts make replica cohorts
+        # disjoint (K-fold subjects), while the day grid is bounded by
+        # the study calendar — the custkey-keyed ranking window is the
+        # only population-sized stage: linear.
+        def km_survival():
+            from pyspark.sql import Window as W
+
+            ww = W.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+            ranked = orders.select(
+                "o_custkey",
+                "o_orderkey",
+                F.to_date("o_orderdate").alias("od"),
+            ).select(
+                "o_custkey", "od", F.row_number().over(ww).alias("rn")
+            )
+            first = ranked.filter(
+                (F.col("rn") == 1) & (F.col("od") < F.lit("1995-07-01").cast("date"))
+            ).select("o_custkey", F.col("od").alias("d1"))
+            second = ranked.filter(F.col("rn") == 2).select(
+                F.col("o_custkey").alias("_c2"), F.col("od").alias("d2")
+            )
+            end = F.lit("1995-12-31").cast("date")
+            obs = F.col("d2").isNotNull() & (F.col("d2") <= end)
+            subj = first.join(second, first["o_custkey"] == second["_c2"], "left")
+            grid = subj.select(
+                F.when(obs, F.datediff(F.col("d2"), F.col("d1")))
+                .otherwise(F.datediff(end, F.col("d1")))
+                .alias("t"),
+                F.when(obs, F.lit(1)).otherwise(F.lit(0)).alias("ev"),
+            ).groupBy("t").agg(F.sum("ev").alias("d_ev"))
+            return grid.count()
+
         op_max_scale = {"ppjoin_t09": 16, "dup_spans_t40": 16}
         for name, fn, rows_in in (
             ("join_agg", join_agg, n_li),
@@ -419,6 +550,10 @@ def main() -> None:
             ("link_pred_g07", link_pred, n_li),
             ("pmi_t48", pmi_pairs, n_doc),
             ("image_neardup_m08", image_neardup, 40 * k),
+            ("assortativity_g09", assortativity, n_li),
+            ("price_index_q83", price_index, n_li),
+            ("llr_keywords_t53", llr_keywords, n_doc),
+            ("km_survival_q84", km_survival, n_ord),
         ):
             if only_ops is not None and name not in only_ops:
                 continue
