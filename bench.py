@@ -103,6 +103,8 @@ HEADLINE = [
     "q84_km_repeat_purchase",
     "e34_autocorrelation",
     "q85_cohort_ltv",
+    "x12_count_sketch",
+    "q86_price_elasticity",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

@@ -1694,3 +1694,195 @@ def g09_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x12 — Count-Sketch heavy-hitter estimates (round 7; the signed-median
+# sibling of x05's count-min: unbiased, two-sided error)
+# ---------------------------------------------------------------------------
+
+_X12_DEPTH = 3
+_X12_WIDTH = 256
+# sign-hash multipliers per depth row (disjoint from the bucket family's
+# 31/131 so sign and bucket are independent fold functions)
+_X12_SIGN_MULTS = (41, 67, 101)
+
+
+def cs_grid(per_tok: DataFrame) -> DataFrame:
+    """(token, cnt) → the Count-Sketch grid ``(d, bucket, s)``:
+    s = Σ sign_d(token)·cnt over tokens hashing into (d, bucket)
+    (Charikar–Chen–Farach-Colton 2002). Exact int64 and ADDITIVE in
+    cnt, so grids from shards/micro-batches merge by element-wise
+    addition — the same mergeable-store contract as the CMS/AMS
+    family; batch x12 and the streaming count-sketch store both fold
+    through here, so parity holds by construction."""
+    from ..operators.sketch import _portable_bucket, portable_hash
+
+    rows = per_tok.select(
+        "cnt",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        _portable_bucket(F.col("token"), F.lit(d), _X12_WIDTH)
+                        .cast("bigint")
+                        .alias("bucket"),
+                        (1 - 2 * (portable_hash(F.col("token"), m) % 2))
+                        .cast("bigint")
+                        .alias("sign"),
+                    )
+                    for d, m in enumerate(_X12_SIGN_MULTS)
+                ]
+            )
+        ).alias("d", "z"),
+    )
+    return rows.groupBy(
+        F.col("d").cast("bigint").alias("d"), F.col("z.bucket").alias("bucket")
+    ).agg(F.sum(F.col("cnt") * F.col("z.sign")).cast("bigint").alias("s"))
+
+
+def cs_estimates(grid: DataFrame, targets: DataFrame) -> DataFrame:
+    """Probe the Count-Sketch grid for each target ``token``: per depth
+    the estimate is sign_d(t)·grid[d, bucket_d(t)], combined by the
+    exact median of the {_X12_DEPTH} depth estimates — computed as
+    sum − greatest − least, an integer expression no engine can
+    reorder. The grid is depth·width rows however large the corpus, so
+    the probe join broadcasts it."""
+    from ..operators.sketch import _portable_bucket, portable_hash
+
+    probes = targets.select(
+        "token",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        _portable_bucket(F.col("token"), F.lit(d), _X12_WIDTH)
+                        .cast("bigint")
+                        .alias("bucket"),
+                        (1 - 2 * (portable_hash(F.col("token"), m) % 2))
+                        .cast("bigint")
+                        .alias("sign"),
+                    )
+                    for d, m in enumerate(_X12_SIGN_MULTS)
+                ]
+            )
+        ).alias("d", "z"),
+    ).select(
+        "token", F.col("d").cast("bigint").alias("d"), "z.bucket", "z.sign"
+    )
+    est = probes.join(F.broadcast(grid), ["d", "bucket"], "left").select(
+        "token",
+        "d",
+        (F.col("sign") * F.coalesce(F.col("s"), F.lit(0))).alias("e"),
+    )
+    pivot = est.groupBy("token").agg(
+        *[
+            F.max(F.when(F.col("d") == d, F.col("e"))).alias(f"e{d}")
+            for d in range(_X12_DEPTH)
+        ]
+    )
+    e = [F.col(f"e{d}") for d in range(_X12_DEPTH)]
+    return pivot.select(
+        "token",
+        (e[0] + e[1] + e[2] - F.greatest(*e) - F.least(*e))
+        .cast("bigint")
+        .alias("cs_est"),
+    )
+
+
+def _x12_bucket_sql(d: int) -> str:
+    from ..operators.sketch import sql_portable_bucket
+
+    return sql_portable_bucket("token", str(d), _X12_WIDTH)
+
+
+def _x12_sign_sql(d: int) -> str:
+    from ..operators.sketch import sql_portable_hash
+
+    return f"(1 - 2 * (({sql_portable_hash('token', _X12_SIGN_MULTS[d])}) % 2))"
+
+
+@query(
+    "x12_count_sketch",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        FROM documents
+    ),
+    per_tok AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY token
+    ),
+    grid AS (
+        SELECT d.d,
+               CASE d.d {" ".join(f"WHEN {d} THEN {_x12_bucket_sql(d)}" for d in range(_X12_DEPTH))} END AS bucket,
+               CAST(SUM(cnt * CASE d.d
+                   {" ".join(f"WHEN {d} THEN {_x12_sign_sql(d)}" for d in range(_X12_DEPTH))}
+               END) AS BIGINT) AS s
+        FROM per_tok, (SELECT unnest(generate_series(0, {_X12_DEPTH - 1})) AS d) d
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT token, cnt AS exact_cnt
+        FROM per_tok ORDER BY cnt DESC, token LIMIT {TOP_TOKENS}
+    ),
+    probes AS (
+        SELECT e.token, d.d,
+               CASE d.d {" ".join(f"WHEN {d} THEN {_x12_bucket_sql(d)}" for d in range(_X12_DEPTH))} END AS bucket,
+               CASE d.d {" ".join(f"WHEN {d} THEN {_x12_sign_sql(d)}" for d in range(_X12_DEPTH))} END AS sign
+        FROM (SELECT token FROM exact) e,
+             (SELECT unnest(generate_series(0, {_X12_DEPTH - 1})) AS d) d
+    ),
+    ests AS (
+        SELECT token, d, sign * COALESCE(s, 0) AS e
+        FROM probes LEFT JOIN grid USING (d, bucket)
+    ),
+    med AS (
+        SELECT token,
+               MAX(CASE WHEN d = 0 THEN e END) AS e0,
+               MAX(CASE WHEN d = 1 THEN e END) AS e1,
+               MAX(CASE WHEN d = 2 THEN e END) AS e2
+        FROM ests GROUP BY token
+    )
+    SELECT exact.token, exact_cnt,
+           CAST(e0 + e1 + e2 - greatest(e0, e1, e2) - least(e0, e1, e2)
+                AS BIGINT) AS cs_est,
+           CAST(e0 + e1 + e2 - greatest(e0, e1, e2) - least(e0, e1, e2)
+                - exact_cnt AS BIGINT) AS err
+    FROM exact JOIN med USING (token)
+    """,
+    doc=f"Count-Sketch frequency estimates (Charikar–Chen–Farach-Colton "
+    f"2002) for the top {TOP_TOKENS} tokens, on the same "
+    "engine-portable hash family as x05's count-min — the SIGNED "
+    f"sibling: each of {_X12_DEPTH} depth rows adds ±cnt into one of "
+    f"{_X12_WIDTH} buckets, the probe multiplies the bucket back by "
+    "the sign, and the median of the depth estimates is UNBIASED with "
+    "two-sided error (count-min only ever overestimates; count-sketch "
+    "is what frequent-directions and feature hashing build on). The "
+    "median of 3 is computed as sum − greatest − least: pure integer "
+    "arithmetic, no engine median function, so the whole sketch is "
+    "hash-checked with zero tolerance. Scale: grid state is "
+    f"{_X12_DEPTH}·{_X12_WIDTH} int64 cells however large the corpus, "
+    "built map-side-combined per DISTINCT token (3·|vocab| hash "
+    "folds, not 3·|stream|), merged across shards by addition — the "
+    "streaming twin stores per-batch grids and folds them read-side.",
+)
+def x12_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    per_tok = (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    grid = cs_grid(per_tok)
+    exact = per_tok.select("token", F.col("cnt").alias("exact_cnt")).orderBy(
+        F.col("exact_cnt").desc(), "token"
+    ).limit(TOP_TOKENS)
+    est = cs_estimates(grid, exact.select("token"))
+    return exact.join(est, "token").select(
+        "token",
+        "exact_cnt",
+        "cs_est",
+        (F.col("cs_est") - F.col("exact_cnt")).cast("bigint").alias("err"),
+    )

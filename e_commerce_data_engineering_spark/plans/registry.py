@@ -121,6 +121,8 @@ _PRIORITY: tuple[str, ...] = (
     "q85_cohort_ltv",
     "t54_token_burstiness",
     "s20_ivf_balance",
+    "x12_count_sketch",
+    "q86_price_elasticity",
     # --- already driver-recorded: round-6 block (r6 recorded these),
     # youngest first.
     "t45_novelty_decay",

@@ -1934,3 +1934,98 @@ def q85_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(dcum / 100, 2).alias("cum_revenue"),
         fround(dcum / 100 / F.col("n_customers"), 4).alias("ltv_per_customer"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q86 — log-log price elasticity of demand per brand (round 7)
+# ---------------------------------------------------------------------------
+
+_Q86_Q = 1_000_000.0  # 1e-6 quantization of the centered ln terms
+_Q86_PRICE_C = 100_000.0  # centering constant: cents scale anchor
+
+
+@query(
+    "q86_price_elasticity",
+    oracle=f"""
+    WITH t AS (
+        SELECT p_brand,
+               CAST(FLOOR(
+                   ln(CAST(FLOOR(l_extendedprice * (1 - l_discount) / l_quantity
+                                 * 100 + 0.5) AS BIGINT) / {_Q86_PRICE_C})
+                   * {_Q86_Q} + 0.5) AS BIGINT) AS qx,
+               CAST(FLOOR(
+                   ln(CAST(CAST(l_quantity AS BIGINT) AS DOUBLE))
+                   * {_Q86_Q} + 0.5) AS BIGINT) AS qy
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    m AS (
+        SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(qx) AS BIGINT) AS sx,
+               CAST(SUM(qy) AS BIGINT) AS sy,
+               CAST(SUM(qx * qy) AS BIGINT) AS sxy,
+               CAST(SUM(qx * qx) AS BIGINT) AS sxx
+        FROM t GROUP BY p_brand
+    )
+    SELECT p_brand, n AS n_lineitems,
+           {sql_fround(
+               "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+               " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)",
+               6,
+           )} AS elasticity
+    FROM m
+    """,
+    doc="Own-price elasticity of demand per brand: the slope of "
+    "ln(quantity) on ln(effective unit price) across that brand's "
+    "lineitems — the log-log regression coefficient economists read "
+    "directly as %-demand per %-price (elastic below -1, inelastic "
+    "above), exploiting the discount-driven price variation within "
+    "each part. The q81 closed-form discipline applied to logs: unit "
+    "prices are first made EXACT integer cents, each centered ln term "
+    "is quantized to a 1e-6 BIGINT (the centering anchor keeps "
+    "qx^2 sums far from int64 range; slope is scale/shift-invariant "
+    "so the anchor cancels), and the slope is one identically-shaped "
+    "double expression over exact int64 moments — bit-identical both "
+    "engines before rounding. Scale: one partkey-co-partitioned dim "
+    "join (broadcastable), one brand-grain moment rollup; no window, "
+    "no second pass.",
+)
+def q86_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    unit_cents = F.floor(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        / F.col("l_quantity")
+        * 100
+        + 0.5
+    ).cast("bigint")
+    qx = F.floor(
+        F.log(unit_cents / _Q86_PRICE_C) * _Q86_Q + 0.5
+    ).cast("bigint")
+    qy = F.floor(
+        F.log(F.col("l_quantity").cast("bigint").cast("double")) * _Q86_Q + 0.5
+    ).cast("bigint")
+    t = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        "p_brand", qx.alias("qx"), qy.alias("qy")
+    )
+    m = t.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qx").cast("bigint").alias("sx"),
+        F.sum("qy").cast("bigint").alias("sy"),
+        F.sum(F.col("qx") * F.col("qy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("qx") * F.col("qx")).cast("bigint").alias("sxx"),
+    )
+    dn = F.col("n").cast("double")
+    dsx = F.col("sx").cast("double")
+    return m.select(
+        "p_brand",
+        F.col("n").alias("n_lineitems"),
+        fround(
+            (dn * F.col("sxy") - dsx * F.col("sy"))
+            / (dn * F.col("sxx") - dsx * F.col("sx")),
+            6,
+        ).alias("elasticity"),
+    )

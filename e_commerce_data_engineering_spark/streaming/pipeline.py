@@ -1133,3 +1133,74 @@ def read_histogram_quantiles(
         F.lit(float(mn)).alias("mn"), F.lit(float(width)).alias("width"), "n"
     )
     return quantiles_from_histogram(hist, w, qs)
+
+
+def start_count_sketch_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Streaming twin of the x12 Count-Sketch over document tokens:
+    each micro-batch reduces its token stream to per-token counts,
+    folds them through the SAME ``plans/graph_sketch.cs_grid`` core
+    the batch query uses, and writes the (d, bucket, s) grid partial
+    under ``batch_id=N`` with overwrite — the exactly-once discipline
+    of the KMV/AMS stores (a replayed epoch rewrites its own partial,
+    never double-counts). The grid is ADDITIVE: the union stream's
+    grid equals the element-wise (d, bucket) sum of per-batch grids,
+    all exact int64, so stream-vs-batch parity is exact equality.
+    State is at most depth*width integers per drained micro-batch
+    regardless of stream volume."""
+    from ..functions.text import tokens
+    from ..plans.graph_sketch import cs_grid
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+    def _partial(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        per_tok = (
+            batch_df.select(F.explode(tokens(F.col("text"))).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        cs_grid(per_tok).write.mode("overwrite").parquet(
+            f"{state_dir}/batch_id={epoch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_partial)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_count_sketch_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Fold the streamed per-batch Count-Sketch partials by (d, bucket)
+    addition (the sketch's merge) back into one grid — exact int64,
+    comparable by equality to the batch ``cs_grid`` over the union of
+    all drained rows."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("d", "bucket")
+        .agg(F.sum("s").cast("bigint").alias("s"))
+    )
+
+
+def read_count_sketch_estimates(
+    spark: SparkSession, state_dir: str, targets: DataFrame
+) -> DataFrame:
+    """Probe the folded stream grid for the target tokens through the
+    SAME ``plans/graph_sketch.cs_estimates`` core the batch x12 query
+    uses, so batch/stream parity holds by construction."""
+    from ..plans.graph_sketch import cs_estimates
+
+    return cs_estimates(read_count_sketch_state(spark, state_dir), targets)

@@ -731,3 +731,22 @@ def test_s20_balance_rides_broadcast_centroids(spark):
     cartesian fallback, no shuffle join for the centroid lookup."""
     plan = plan_of(spark, "s20_ivf_balance")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_x12_grid_is_vocab_side_fold_no_cartesian(spark):
+    """x12's grid hashes the DISTINCT vocabulary (count rollup below
+    the posexplode) and the probe join broadcasts the depth*width
+    grid — no cartesian, no shuffle join for the probe."""
+    plan = plan_of(spark, "x12_count_sketch")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q86_elasticity_is_broadcast_dim_one_rollup(spark):
+    """q86 is the q81 shape with a dim join: broadcast part dim onto
+    the fact scan, one brand-grain moment aggregate — no window, no
+    sort exchange, no cartesian."""
+    plan = plan_of(spark, "q86_price_elasticity")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -1563,3 +1563,88 @@ def test_ams_stream_matches_batch_sketch(spark, tmp_path):
     _run()  # replay drained checkpoint -> no-op
     got_z2 = {r["i"]: r["zi"] for r in read_ams_state(spark, state).collect()}
     assert got_z2 == got_z
+
+
+def test_count_sketch_stream_matches_batch_grid(spark, tmp_path):
+    """Batch/stream parity for the x12 Count-Sketch: documents streamed
+    in micro-batches, per-batch (d, bucket, s) grid partials summed
+    read-side, must EQUAL (exact int64, zero tolerance) the grid of
+    the full corpus computed in one batch pass — the signed cells are
+    additive, the sketch's merge — and the folded median probe for the
+    top tokens must equal the batch estimates. Replay with the same
+    checkpoint changes nothing."""
+    import json as _json
+
+    from e_commerce_data_engineering_spark.functions.text import tokens
+    from e_commerce_data_engineering_spark.plans.graph_sketch import (
+        cs_estimates,
+        cs_grid,
+    )
+    from e_commerce_data_engineering_spark.sources.tables import load_table
+    from e_commerce_data_engineering_spark.streaming.pipeline import (
+        read_count_sketch_estimates,
+        read_count_sketch_state,
+        start_count_sketch_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("text")
+    rows = [r["text"] for r in docs.collect()]
+    src = tmp_path / "cs-src"
+    src.mkdir()
+    third = max(1, len(rows) // 3)
+    for i in range(3):
+        chunk = rows[i * third :] if i == 2 else rows[i * third : (i + 1) * third]
+        (src / f"part{i}.jsonl").write_text(
+            "\n".join(_json.dumps({"text": t}) for t in chunk)
+        )
+
+    schema = T.StructType([T.StructField("text", T.StringType())])
+    state = str(tmp_path / "cs-state")
+    ckpt = str(tmp_path / "cs-ckpt")
+
+    def _run():
+        q = start_count_sketch_stream(spark, str(src), state, ckpt, schema)
+        q.awaitTermination(120)
+
+    _run()
+    got = {
+        (r["d"], r["bucket"]): r["s"]
+        for r in read_count_sketch_state(spark, state).collect()
+        if r["s"] != 0
+    }
+
+    # one-pass batch grid over the full corpus through the same core
+    per_tok = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    want = {
+        (r["d"], r["bucket"]): r["s"]
+        for r in cs_grid(per_tok).collect()
+        if r["s"] != 0
+    }
+    assert got == want and len(want) > 0  # exact, not approximate
+
+    # probe parity for the 5 hottest tokens through the same core
+    top = (
+        per_tok.orderBy(F.col("cnt").desc(), "token").limit(5).select("token")
+    )
+    got_est = {
+        r["token"]: r["cs_est"]
+        for r in read_count_sketch_estimates(spark, state, top).collect()
+    }
+    want_est = {
+        r["token"]: r["cs_est"]
+        for r in cs_estimates(cs_grid(per_tok), top).collect()
+    }
+    assert got_est == want_est and len(got_est) == 5
+
+    _run()  # replay drained checkpoint -> no-op
+    got2 = {
+        (r["d"], r["bucket"]): r["s"]
+        for r in read_count_sketch_state(spark, state).collect()
+        if r["s"] != 0
+    }
+    assert got2 == got

@@ -67,6 +67,8 @@ AUDIT = [
     ("q85_cohort_ltv", "cohort-keyed cumulative window over the (cohort,age) grid"),
     ("t54_token_burstiness", "two count rollups + TakeOrdered cut, exact moments"),
     ("s20_ivf_balance", "broadcast-centroid assignment collapsing to nlist rows"),
+    ("x12_count_sketch", "vocab-side signed grid fold; broadcast grid probe"),
+    ("q86_price_elasticity", "broadcast dim join + one brand-grain moment rollup"),
 ]
 
 
