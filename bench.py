@@ -105,6 +105,8 @@ HEADLINE = [
     "q85_cohort_ltv",
     "x12_count_sketch",
     "q86_price_elasticity",
+    "q87_abc_classes",
+    "q88_spend_band_migration",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

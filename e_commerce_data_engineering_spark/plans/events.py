@@ -1531,9 +1531,9 @@ _E30_Q = "1000000000000.0"  # 1e-12 contribution quantization (the g02
 # and IEEE division of identical inputs is identical in both engines.
 
 
-@query(
-    "e30_markov_stationary",
-    oracle=f"""
+# Shared oracle CTE chain behind e30/e35: transition matrix -> two
+# quantized power-iteration steps (pi1, pi2).
+_E30_CTES = f"""
     WITH seq AS (
         SELECT user_id, event_type,
                LAG(event_type) OVER (
@@ -1581,6 +1581,74 @@ _E30_Q = "1000000000000.0"  # 1e-12 contribution quantization (the g02
                CAST(COALESCE(q, 0) AS DOUBLE) / pi2t.totq AS pi
         FROM states s LEFT JOIN pi2q ON s.state = pi2q.state, pi2t
     )
+"""
+
+
+def _markov_frames(spark: SparkSession, sf_dir: str):
+    """Shared Markov-chain stages behind e30/e35: (states, sc, p) where
+    p is the row-stochastic transition matrix of e18's event-type chain
+    (exact transition counts over broadcast row totals)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    row_tot = trans.groupBy("prev_type").agg(F.sum("n").cast("bigint").alias("tot"))
+    p = trans.join(F.broadcast(row_tot), "prev_type").select(
+        "prev_type", "next_type", (F.col("n").cast("double") / F.col("tot")).alias("p")
+    )
+    states = e.select(F.col("event_type").alias("state")).distinct()
+    sc = states.agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+    return states, sc, p
+
+
+def _markov_step(states: DataFrame, p: DataFrame, pi: DataFrame) -> DataFrame:
+    """One quantized power-iteration step: pi (state, pi) -> next (the
+    g02 discipline: 1e-12 BIGINT contributions, renormalized on exact
+    integer sums)."""
+    q12 = float(_E30_Q)
+    contrib = p.join(
+        F.broadcast(pi), p["prev_type"] == pi["state"]
+    ).select(
+        F.col("next_type").alias("state"),
+        F.floor(F.col("pi") * F.col("p") * q12 + 0.5).cast("bigint").alias("qc"),
+    )
+    qs = contrib.groupBy("state").agg(F.sum("qc").cast("bigint").alias("q"))
+    tot = qs.agg(F.sum("q").cast("bigint").alias("totq"))
+    return (
+        states.join(qs, "state", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "state",
+            (
+                F.coalesce(F.col("q"), F.lit(0)).cast("double") / F.col("totq")
+            ).alias("pi"),
+        )
+    )
+
+
+def _markov_pi2(spark: SparkSession, sf_dir: str):
+    """(states, p, pi2): two quantized power-iteration steps from the
+    uniform start — the stationary-distribution estimate e30 reports
+    and e35 weights by."""
+    states, sc, p = _markov_frames(spark, sf_dir)
+    pi0 = states.crossJoin(F.broadcast(sc)).select(
+        "state", (F.lit(1.0) / F.col("s")).alias("pi")
+    )
+    pi1 = _markov_step(states, p, pi0)
+    pi2 = _markov_step(states, p, pi1)
+    return states, p, pi1, pi2
+
+
+@query(
+    "e30_markov_stationary",
+    oracle=f"""
+{_E30_CTES}
     SELECT pi1.state,
            {sql_fround("pi1.pi", 6)} AS pi_step1,
            {sql_fround("pi2.pi", 6)} AS pi_step2,
@@ -1602,50 +1670,7 @@ _E30_Q = "1000000000000.0"  # 1e-12 contribution quantization (the g02
     "after lives on the |event_types|² matrix, broadcast.",
 )
 def e30_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = e.select(
-        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
-    )
-    trans = (
-        seq.filter(F.col("prev_type").isNotNull())
-        .groupBy("prev_type", F.col("event_type").alias("next_type"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    )
-    row_tot = trans.groupBy("prev_type").agg(F.sum("n").cast("bigint").alias("tot"))
-    p = trans.join(F.broadcast(row_tot), "prev_type").select(
-        "prev_type", "next_type", (F.col("n").cast("double") / F.col("tot")).alias("p")
-    )
-    states = e.select(F.col("event_type").alias("state")).distinct()
-    sc = states.agg(F.count(F.lit(1)).cast("bigint").alias("s"))
-    q12 = float(_E30_Q)
-
-    def step(pi: DataFrame) -> DataFrame:
-        """One quantized power-iteration step: pi (state, pi) -> next."""
-        contrib = p.join(
-            F.broadcast(pi), p["prev_type"] == pi["state"]
-        ).select(
-            F.col("next_type").alias("state"),
-            F.floor(F.col("pi") * F.col("p") * q12 + 0.5).cast("bigint").alias("qc"),
-        )
-        qs = contrib.groupBy("state").agg(F.sum("qc").cast("bigint").alias("q"))
-        tot = qs.agg(F.sum("q").cast("bigint").alias("totq"))
-        return (
-            states.join(qs, "state", "left")
-            .crossJoin(F.broadcast(tot))
-            .select(
-                "state",
-                (
-                    F.coalesce(F.col("q"), F.lit(0)).cast("double") / F.col("totq")
-                ).alias("pi"),
-            )
-        )
-
-    pi0 = states.crossJoin(F.broadcast(sc)).select(
-        "state", (F.lit(1.0) / F.col("s")).alias("pi")
-    )
-    pi1 = step(pi0)
-    pi2 = step(pi1)
+    _states, _p, pi1, pi2 = _markov_pi2(spark, sf_dir)
     return (
         pi1.withColumnRenamed("pi", "_pi1")
         .join(pi2.withColumnRenamed("pi", "_pi2"), "state")
@@ -2048,4 +2073,70 @@ def e34_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lag").cast("int").alias("lag"),
         F.col("n").alias("n_pairs"),
         fround(num / den, 6).alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# e35 — entropy rate of the event-type Markov chain (round 7; composes
+# e18's transition matrix with e30's stationary weights)
+# ---------------------------------------------------------------------------
+
+_E35_Q = 1_000_000_000.0  # 1e-9 quantization of the -p ln p terms
+
+
+@query(
+    "e35_markov_entropy_rate",
+    oracle=f"""
+{_E30_CTES},
+    hq AS (
+        SELECT prev_type AS state,
+               CAST(SUM(CAST(FLOOR(-p * ln(p) * {_E35_Q} + 0.5)
+                             AS BIGINT)) AS BIGINT) AS q
+        FROM p GROUP BY prev_type
+    )
+    SELECT pi2.state,
+           {sql_fround("pi2.pi", 6)} AS pi_weight,
+           {sql_fround(f"CAST(COALESCE(hq.q, 0) AS DOUBLE) / {_E35_Q}", 6)}
+               AS cond_entropy_nats,
+           {sql_fround(
+               f"pi2.pi * (CAST(COALESCE(hq.q, 0) AS DOUBLE) / {_E35_Q})", 6
+           )} AS contribution_nats
+    FROM pi2 LEFT JOIN hq ON pi2.state = hq.state
+    """,
+    doc="Entropy rate of the event-type Markov chain, reported per "
+    "state: each state's conditional next-step entropy "
+    "H_i = -sum_j p_ij ln p_ij (how unpredictable behaviour is FROM "
+    "that state) and its stationary-weighted contribution pi_i * H_i, "
+    "whose column total is the chain's entropy rate H(X_next | X_now) "
+    "— the compressibility / predictability ceiling of the event "
+    "stream, and the one-number summary of how much structure e18's "
+    "transition matrix actually holds (a uniform matrix maxes it; a "
+    "deterministic funnel zeroes it). Composes the two committed "
+    "frames: e18's exact-count transition matrix and e30's quantized "
+    "two-step stationary estimate. Every -p ln p term is a 1e-9 "
+    "BIGINT before the per-state sum (t51 discipline), pi is e30's "
+    "exact-integer-ratio double, and the contribution is one "
+    "identically-shaped product — engine-identical throughout. "
+    "Scale: the only data-sized work is the LAG window + count "
+    "shuffle behind the matrix; every later frame is states^2 or "
+    "smaller.",
+)
+def e35_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _states, p, _pi1, pi2 = _markov_pi2(spark, sf_dir)
+    hq = (
+        p.select(
+            F.col("prev_type").alias("state"),
+            F.floor(-F.col("p") * F.log(F.col("p")) * _E35_Q + 0.5)
+            .cast("bigint")
+            .alias("qt"),
+        )
+        .groupBy("state")
+        .agg(F.sum("qt").cast("bigint").alias("q"))
+    )
+    h = F.coalesce(F.col("q"), F.lit(0)).cast("double") / _E35_Q
+    return pi2.join(hq, "state", "left").select(
+        "state",
+        fround(F.col("pi"), 6).alias("pi_weight"),
+        fround(h, 6).alias("cond_entropy_nats"),
+        fround(F.col("pi") * h, 6).alias("contribution_nats"),
     )

@@ -123,6 +123,9 @@ _PRIORITY: tuple[str, ...] = (
     "s20_ivf_balance",
     "x12_count_sketch",
     "q86_price_elasticity",
+    "e35_markov_entropy_rate",
+    "q87_abc_classes",
+    "q88_spend_band_migration",
     # --- already driver-recorded: round-6 block (r6 recorded these),
     # youngest first.
     "t45_novelty_decay",

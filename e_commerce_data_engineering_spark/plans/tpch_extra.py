@@ -2029,3 +2029,199 @@ def q86_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("elasticity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q87 — ABC (Pareto) inventory classification (round 7)
+# ---------------------------------------------------------------------------
+
+_Q87_BLOCK = 10_000  # revenue-block width in cents ($100) — the grid grain
+
+
+@query(
+    "q87_abc_classes",
+    oracle=f"""
+    WITH pr AS (
+        SELECT l_partkey AS p,
+               CAST(SUM(CAST(FLOOR(
+                   l_extendedprice * (1 - l_discount) * 100 + 0.5
+               ) AS BIGINT)) AS BIGINT) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ),
+    blocks AS (
+        SELECT rev // {_Q87_BLOCK} AS blk,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(rev) AS BIGINT) AS blk_rev
+        FROM pr GROUP BY 1
+    ),
+    cum AS (
+        SELECT blk, n_parts, blk_rev,
+               CAST(SUM(blk_rev) OVER (
+                   ORDER BY blk DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_rev,
+               CAST(SUM(blk_rev) OVER () AS BIGINT) AS tot_rev
+        FROM blocks
+    ),
+    classed AS (
+        SELECT CASE WHEN cum_rev * 100 <= tot_rev * 80 THEN 'A'
+                    WHEN cum_rev * 100 <= tot_rev * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               n_parts, blk_rev, tot_rev
+        FROM cum
+    )
+    SELECT abc_class,
+           CAST(SUM(n_parts) AS BIGINT) AS n_parts,
+           {sql_fround("CAST(SUM(blk_rev) AS DOUBLE) / 100", 2)} AS revenue,
+           {sql_fround("CAST(SUM(blk_rev) AS DOUBLE) / MAX(tot_rev)", 6)}
+               AS rev_share
+    FROM classed GROUP BY abc_class
+    """,
+    doc="ABC / Pareto inventory classification: parts ranked by revenue "
+    "into class A (top blocks covering <=80% of revenue), B (to 95%) "
+    "and C (the tail) — the classic 'which 20% of SKUs earn 80%' "
+    "cut that drives stocking policy. Built WITHOUT sorting parts "
+    "(the e33 rank-block discipline): per-part exact-cent revenues "
+    f"collapse onto a ${_Q87_BLOCK // 100}-wide revenue-block "
+    "histogram, the cumulative window runs over that bounded VALUE "
+    "grid ordered descending (parts inside one block share a class — "
+    "deterministic by construction), and the class cut is a pure "
+    "int64 comparison (cum*100 <= tot*80), so there is not a single "
+    "float until the two report divisions. Scale: one partkey rollup, "
+    "one block-grain rollup, windows over the price-range-bounded "
+    "grid (intentional global window over ~thousands of rows, the "
+    "q76/e33 pattern), final 3-row report.",
+)
+def q87_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    pr = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("rev")
+    )
+    blocks = pr.groupBy(F.floor(F.col("rev") / _Q87_BLOCK).alias("blk")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("rev").cast("bigint").alias("blk_rev"),
+    )
+    # windows over the revenue-block VALUE grid (price-range-bounded,
+    # intentional global — the q76/e33 pattern)
+    w_cum = W.orderBy(F.col("blk").desc()).rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy()
+    cum = blocks.select(
+        "n_parts",
+        "blk_rev",
+        F.sum("blk_rev").over(w_cum).cast("bigint").alias("cum_rev"),
+        F.sum("blk_rev").over(w_all).cast("bigint").alias("tot_rev"),
+    )
+    classed = cum.select(
+        F.when(F.col("cum_rev") * 100 <= F.col("tot_rev") * 80, "A")
+        .when(F.col("cum_rev") * 100 <= F.col("tot_rev") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "n_parts",
+        "blk_rev",
+        "tot_rev",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.sum("n_parts").cast("bigint").alias("n_parts"),
+        fround(F.sum("blk_rev").cast("double") / 100, 2).alias("revenue"),
+        fround(F.sum("blk_rev").cast("double") / F.max("tot_rev"), 6).alias(
+            "rev_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q88 — customer spend-band migration matrix (round 7)
+# ---------------------------------------------------------------------------
+
+# annual-spend band edges in exact cents (pure-integer classification)
+_Q88_BANDS = (10_000_00, 25_000_00, 50_000_00)  # $10k / $25k / $50k
+
+
+def _q88_band_sql(col: str) -> str:
+    return (
+        f"CASE WHEN {col} < {_Q88_BANDS[0]} THEN 'low'"
+        f" WHEN {col} < {_Q88_BANDS[1]} THEN 'mid'"
+        f" WHEN {col} < {_Q88_BANDS[2]} THEN 'high'"
+        f" ELSE 'vip' END"
+    )
+
+
+@query(
+    "q88_spend_band_migration",
+    oracle=f"""
+    WITH cy AS (
+        SELECT o_custkey, year(o_orderdate) AS y,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    b AS (SELECT o_custkey, y, {_q88_band_sql("cents")} AS band FROM cy),
+    m AS (
+        SELECT a.band AS band_from, c.band AS band_to,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM b a JOIN b c ON c.o_custkey = a.o_custkey AND c.y = a.y + 1
+        GROUP BY 1, 2
+    ),
+    rt AS (
+        SELECT band_from, CAST(SUM(n) AS BIGINT) AS tot
+        FROM m GROUP BY band_from
+    )
+    SELECT m.band_from, m.band_to, m.n AS n_customers,
+           {sql_fround("CAST(m.n AS DOUBLE) / rt.tot", 6)} AS share_of_from
+    FROM m JOIN rt ON m.band_from = rt.band_from
+    """,
+    doc="Customer value-migration matrix: annual spend classified into "
+    "fixed bands (low/mid/high/vip at $10k/$25k/$50k — LITERAL edges, "
+    "never data-dependent quantiles, so the classification is a pure "
+    "int64-cents comparison and needs no global sort), then each "
+    "customer-year joined to the same customer's NEXT year and the "
+    "(from, to) transitions counted with row-share — the retention/"
+    "upgrade/churn-risk matrix a CRM team reads (off-diagonal mass is "
+    "movement; the 'vip'->'low' cell is the account-manager alarm). "
+    "Counts exact, shares single divisions of exact integers. Scale: "
+    "one (customer, year) rollup, one custkey-co-partitioned "
+    "year-over-year self-join (the q83 shape at customer grain), a "
+    "16-cell matrix rollup; no window anywhere.",
+)
+def q88_spend_band_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("y"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    cy = o.groupBy("o_custkey", "y").agg(
+        F.sum("cents").cast("bigint").alias("cents")
+    )
+    band = (
+        F.when(F.col("cents") < _Q88_BANDS[0], "low")
+        .when(F.col("cents") < _Q88_BANDS[1], "mid")
+        .when(F.col("cents") < _Q88_BANDS[2], "high")
+        .otherwise("vip")
+    )
+    b = cy.select("o_custkey", "y", band.alias("band"))
+    a = b.select("o_custkey", F.col("y").alias("y0"), F.col("band").alias("band_from"))
+    c = b.select(
+        F.col("o_custkey").alias("_c2"),
+        F.col("y").alias("y1"),
+        F.col("band").alias("band_to"),
+    )
+    m = (
+        a.join(c, (a["o_custkey"] == c["_c2"]) & (c["y1"] == a["y0"] + 1))
+        .groupBy("band_from", "band_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    rt = m.groupBy("band_from").agg(F.sum("n").cast("bigint").alias("tot"))
+    return m.join(F.broadcast(rt), "band_from").select(
+        "band_from",
+        "band_to",
+        F.col("n").alias("n_customers"),
+        fround(F.col("n").cast("double") / F.col("tot"), 6).alias("share_of_from"),
+    )

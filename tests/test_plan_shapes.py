@@ -750,3 +750,33 @@ def test_q86_elasticity_is_broadcast_dim_one_rollup(spark):
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_e35_entropy_rate_matrix_is_broadcast(spark):
+    """e35's only data-sized work is the LAG window + count shuffle
+    behind e18's transition matrix; every later join (row totals, pi
+    steps, entropy terms) lives on the states^2 grid and broadcasts —
+    no cartesian fallback."""
+    plan = plan_of(spark, "e35_markov_entropy_rate")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q87_abc_windows_ride_block_histogram(spark):
+    """q87's cumulative window runs over the revenue-block histogram —
+    two aggregate pairs (part grain, block grain) sit below the
+    Window, never a global sort of raw parts (the e33 rank-block
+    discipline)."""
+    plan = plan_of(spark, "q87_abc_classes")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_q88_migration_is_custkey_self_join_no_window(spark):
+    """q88's year-over-year match is a custkey-co-partitioned equi
+    self-join on the (customer, year) rollup; band assignment is a
+    literal-edge CASE — no window, no cartesian."""
+    plan = plan_of(spark, "q88_spend_band_migration")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan

@@ -69,6 +69,9 @@ AUDIT = [
     ("s20_ivf_balance", "broadcast-centroid assignment collapsing to nlist rows"),
     ("x12_count_sketch", "vocab-side signed grid fold; broadcast grid probe"),
     ("q86_price_elasticity", "broadcast dim join + one brand-grain moment rollup"),
+    ("e35_markov_entropy_rate", "LAG+count matrix; states^2 broadcast chain"),
+    ("q87_abc_classes", "rank-block Pareto: windows over the revenue-block histogram"),
+    ("q88_spend_band_migration", "custkey year self-join, literal band CASE, no window"),
 ]
 
 
