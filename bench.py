@@ -107,6 +107,11 @@ HEADLINE = [
     "q86_price_elasticity",
     "q87_abc_classes",
     "q88_spend_band_migration",
+    "q89_weibull_reorder",
+    "g10_rich_club",
+    "m09_audio_neardup_pairs",
+    "t55_dedup_waterfall",
+    "e36_session_affinity",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

@@ -781,3 +781,134 @@ def upscale_assets(
         "asset_id", "modality", "content", "meta"
     )
     return imgs.mapInPandas(_upscale_batch, ASSET_SCHEMA)
+
+
+FINGERPRINT_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("fp_hash", T.LongType(), False),
+    ]
+)
+
+FP_BANDS = 4  # log-ish frequency bands, one peak landmark per band/frame
+FP_FAN = 3  # pair each landmark with peaks up to this many frames ahead
+
+
+def audio_fingerprint(
+    assets: DataFrame, frame: int = 256, hop: int = 48
+) -> DataFrame:
+    """Landmark audio fingerprinting (the Shazam scheme, Wang 2003):
+    Hann-windowed STFT over Arrow batches, ONE peak bin per frequency
+    band per frame (the constellation), each landmark paired with the
+    same band's peaks up to FP_FAN frames ahead, and every pair packed
+    into one int64 hash (band | bin1 | bin2 | dt). Peak BINS are
+    amplitude-invariant — a volume-rescaled copy of a clip emits the
+    IDENTICAL hash set, which is what makes hash-intersection a
+    near-dup detector where byte/exact-hash dedup sees two different
+    files. Non-WAV / non-16-bit rows are skipped (quarantine
+    upstream). Scale: a shuffle-free narrow map emitting a few dozen
+    8-byte hashes per clip; the downstream pair join is an equi-join
+    on fp_hash (m08's band-bucket discipline — never all-pairs)."""
+
+    def _fp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        win = np.hanning(frame)
+        n_bins = frame // 2 + 1
+        # FP_BANDS geometric band edges over the positive-frequency bins
+        edges = [1]
+        for b in range(1, FP_BANDS + 1):
+            edges.append(max(edges[-1] + 1, int(round(n_bins ** (b / FP_BANDS)))))
+        for pdf in batches:
+            out = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(content)
+                if not (b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
+                    continue
+                with wave.open(io.BytesIO(b)) as w:
+                    width, n = w.getsampwidth(), w.getnframes()
+                    pcm = w.readframes(n)
+                if width != 2:
+                    continue
+                x = np.frombuffer(pcm, dtype="<i2").astype(np.float64) / 32768.0
+                if len(x) < frame:
+                    x = np.pad(x, (0, frame - len(x)))
+                n_fr = 1 + (len(x) - frame) // hop
+                starts = np.arange(n_fr) * hop
+                segs = np.stack([x[s : s + frame] * win for s in starts])
+                mag = np.abs(np.fft.rfft(segs, axis=1))
+                # landmark gate: a band peak only counts if it carries
+                # real energy (>= 1% of the frame's global peak) — in
+                # noise-floor bands the argmax is int16 quantization
+                # noise and flips under a volume re-encode, which would
+                # break the invariance the fingerprint exists for
+                frame_peak = mag.max(axis=1)
+                # constellation: per frame, the argmax bin inside each band
+                for band in range(FP_BANDS):
+                    lo_e, hi_e = edges[band], min(edges[band + 1], n_bins)
+                    if hi_e <= lo_e:
+                        continue
+                    band_mag = mag[:, lo_e:hi_e]
+                    peaks = lo_e + band_mag.argmax(axis=1)
+                    strong = band_mag.max(axis=1) >= 0.01 * frame_peak
+                    for t in range(n_fr):
+                        if not strong[t]:
+                            continue
+                        for dt in range(1, FP_FAN + 1):
+                            if t + dt >= n_fr:
+                                break
+                            if not strong[t + dt]:
+                                continue
+                            h = (
+                                (band << 40)
+                                | (int(peaks[t]) << 24)
+                                | (int(peaks[t + dt]) << 8)
+                                | dt
+                            )
+                            out.append((asset_id, h))
+            yield pd.DataFrame(out, columns=["asset_id", "fp_hash"])
+
+    auds = assets.filter(F.col("modality") == "audio").select("asset_id", "content")
+    return auds.mapInPandas(_fp_batch, FINGERPRINT_SCHEMA)
+
+
+def rescale_audio(
+    assets: DataFrame, gain: float = 0.4, id_offset: int = 0
+) -> DataFrame:
+    """Re-encode WAV assets at a different volume (REAL PCM rescale +
+    re-encode through the stdlib wave writer): the byte stream changes
+    completely — exact-hash dedup goes blind — while the spectral peak
+    constellation is untouched, which is exactly the invariance
+    ``audio_fingerprint`` exists to exploit."""
+
+    def _rescale_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for asset_id, modality, content, meta in zip(
+                pdf["asset_id"], pdf["modality"], pdf["content"], pdf["meta"]
+            ):
+                b = bytes(content)
+                if not (b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
+                    continue
+                with wave.open(io.BytesIO(b)) as w:
+                    sr, width, n = w.getframerate(), w.getsampwidth(), w.getnframes()
+                    pcm = w.readframes(n)
+                if width != 2:
+                    continue
+                x = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
+                y = np.clip(x * gain, -32768, 32767).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sr)
+                    w.writeframes(y.tobytes())
+                out.append((asset_id + id_offset, modality, buf.getvalue(), meta))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "modality", "content", "meta"]
+            )
+
+    auds = assets.filter(F.col("modality") == "audio")
+    return auds.mapInPandas(_rescale_batch, assets.schema)

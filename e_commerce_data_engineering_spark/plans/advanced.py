@@ -1567,3 +1567,58 @@ def d17_prefix_subsumed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("subsumed_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m09 — audio near-dup pairs via landmark fingerprints (round 7; the
+# audio twin of m08's image banding)
+# ---------------------------------------------------------------------------
+
+M09_N_ASSETS = 120
+M09_MIN_SHARED = 3  # pairs must share at least this many landmark hashes
+
+
+@query(
+    "m09_audio_neardup_pairs",
+    oracle=None,  # real STFT peak landmarks — no SQL twin (the audio
+    # corpus is synthesized float PCM; unlike m07's integer PNG pixels
+    # the rfft magnitudes are not arithmetically reproducible in SQL).
+    # Differential-tested instead: tests/test_operators.py pins that a
+    # volume-rescaled copy emits the IDENTICAL hash set and that every
+    # audio asset pairs with its rescaled twin at full shared count.
+    doc="Audio near-duplicate detection on Shazam-style landmark "
+    "fingerprints (Wang 2003; operators/multimodal.audio_fingerprint): "
+    "the corpus is every WAV asset plus a volume-rescaled re-encode of "
+    "each (REAL PCM gain + wave re-encode — completely different "
+    "bytes, so exact-hash dedup sees nothing), fingerprinted via "
+    "Hann-STFT band-peak constellations paired into int64 landmark "
+    "hashes; candidate pairs come from an EQUI-JOIN on fp_hash and "
+    f"survive at >= {M09_MIN_SHARED} shared landmarks. Peak bins are "
+    "amplitude-invariant, so each clip finds its rescaled twin at "
+    "full shared count — the m08 banding discipline transplanted to "
+    "audio (hash-bucket equi-join, never all-pairs; dedup work is "
+    "bounded by true collisions, not corpus^2). Scale: fingerprinting "
+    "is a shuffle-free narrow map emitting dozens of 8-byte hashes "
+    "per clip; the pair join shuffles on fp_hash.",
+)
+def m09_audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        audio_fingerprint,
+        make_real_assets,
+        rescale_audio,
+    )
+
+    assets = make_real_assets(spark, M09_N_ASSETS).select(
+        "asset_id", "modality", "content", "meta"
+    )
+    both = assets.unionByName(rescale_audio(assets, gain=0.4, id_offset=1000))
+    fp = audio_fingerprint(both).distinct()
+    a = fp.select(F.col("asset_id").alias("id_a"), "fp_hash")
+    b = fp.select(F.col("asset_id").alias("id_b"), F.col("fp_hash").alias("_h2"))
+    pairs = (
+        a.join(b, (a["fp_hash"] == b["_h2"]) & (a["id_a"] < b["id_b"]))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_hashes"))
+        .filter(F.col("shared_hashes") >= M09_MIN_SHARED)
+    )
+    return pairs.select("id_a", "id_b", "shared_hashes")

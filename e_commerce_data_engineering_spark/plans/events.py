@@ -2140,3 +2140,138 @@ def e35_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(h, 6).alias("cond_entropy_nats"),
         fround(F.col("pi") * h, 6).alias("contribution_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e36 — event-type affinity within sessions (round 7; market-basket
+# lift on e03's sessionization)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e36_session_affinity",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > {SESSION_GAP_MS}
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_type,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sess
+        FROM flagged
+    ),
+    st AS (SELECT DISTINCT user_id, sess, event_type FROM sessions),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions
+            FROM (SELECT DISTINCT user_id, sess FROM st) s),
+    ct AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM st GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS c_ab
+        FROM st a JOIN st b
+          ON a.user_id = b.user_id AND a.sess = b.sess
+         AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, c_ab AS n_sessions_both,
+           {sql_fround(
+               "CAST(c_ab AS DOUBLE) * tot.n_sessions"
+               " / (CAST(ca.c AS DOUBLE) * cb.c)",
+               4,
+           )} AS lift,
+           {sql_fround(
+               "ln(CAST(c_ab AS DOUBLE) * tot.n_sessions"
+               " / (CAST(ca.c AS DOUBLE) * cb.c))",
+               6,
+           )} AS pmi
+    FROM pairs
+    JOIN ct ca ON ca.event_type = pairs.type_a
+    JOIN ct cb ON cb.event_type = pairs.type_b
+    CROSS JOIN tot
+    """,
+    doc="Within-session affinity between event types: q67's "
+    "market-basket lift transplanted onto e03's gap-sessionization — "
+    "for each type pair, the ratio of observed co-occurrence (both "
+    "types in one session) to the independence expectation, plus its "
+    "log (PMI). Lift > 1 pairs are the cross-sell / funnel-adjacency "
+    "signals a product team reads off the event stream; the "
+    "session (not user) grain is what makes it behavioural rather "
+    "than demographic. Session ids are the committed lag+cumsum rule "
+    "(user-keyed windows), all counts exact integers off DISTINCT "
+    "(session, type) sets, lift a single division and PMI one ln on "
+    "it — engine-identical. Scale: user-keyed sessionization windows, "
+    "one distinct shuffle to the (session, type) set, a per-session "
+    "type self-join bounded by types-per-session squared (types "
+    "cardinality is small), and broadcast type totals.",
+)
+def e36_session_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    prev_ms = F.lag(ms).over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(prev_ms.isNull() | ((ms - prev_ms) > SESSION_GAP_MS), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.select(
+        "user_id",
+        "event_type",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .alias("sess"),
+    )
+    st = sessions.select("user_id", "sess", "event_type").distinct()
+    tot = (
+        st.select("user_id", "sess")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    )
+    ct = st.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = st.select("user_id", "sess", F.col("event_type").alias("type_a"))
+    b = st.select(
+        F.col("user_id").alias("_u2"),
+        F.col("sess").alias("_s2"),
+        F.col("event_type").alias("type_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (a["user_id"] == b["_u2"])
+            & (a["sess"] == b["_s2"])
+            & (a["type_a"] < b["type_b"]),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    )
+    ca = ct.select(F.col("event_type").alias("type_a"), F.col("c").alias("ca"))
+    cb = ct.select(F.col("event_type").alias("type_b"), F.col("c").alias("cb"))
+    lift = (
+        F.col("c_ab").cast("double")
+        * F.col("n_sessions")
+        / (F.col("ca").cast("double") * F.col("cb"))
+    )
+    return (
+        pairs.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("c_ab").alias("n_sessions_both"),
+            fround(lift, 4).alias("lift"),
+            fround(F.log(lift), 6).alias("pmi"),
+        )
+    )

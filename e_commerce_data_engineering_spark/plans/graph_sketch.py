@@ -1886,3 +1886,201 @@ def x12_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cs_est",
         (F.col("cs_est") - F.col("exact_cnt")).cast("bigint").alias("err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g10 — rich-club coefficient profile (round 7; do hubs interconnect?)
+# ---------------------------------------------------------------------------
+
+_G10_KS = (2, 4, 8, 16, 32)
+
+
+@query(
+    "g10_rich_club",
+    oracle=f"""
+    WITH base AS ({_G03_EDGES_SQL}),
+    e2 AS (
+        SELECT src, dst FROM base
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM base
+    ),
+    deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM e2 GROUP BY src
+    ),
+    ks AS (SELECT unnest(ARRAY{list(_G10_KS)}) AS k),
+    nk AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM deg, ks WHERE d >= k GROUP BY k
+    ),
+    ek AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n_edges
+        FROM e2 JOIN deg du ON e2.src = du.node
+                JOIN deg dv ON e2.dst = dv.node, ks
+        WHERE du.d >= k AND dv.d >= k
+        GROUP BY k
+    )
+    SELECT CAST(nk.k AS INTEGER) AS k, nk.n_nodes,
+           CAST(COALESCE(ek.n_edges, 0) AS BIGINT) AS n_directed_edges,
+           {sql_fround(
+               "CAST(COALESCE(ek.n_edges, 0) AS DOUBLE)"
+               " / (CAST(nk.n_nodes AS DOUBLE) * (nk.n_nodes - 1))",
+               6,
+           )} AS rich_club_phi
+    FROM nk LEFT JOIN ek ON nk.k = ek.k
+    WHERE nk.n_nodes >= 2
+    """,
+    doc="Rich-club coefficient profile (Zhou & Mondragón 2004) of the "
+    "sparse transaction graph: for each degree threshold k, the edge "
+    "density phi(k) among nodes of degree >= k — a RISING profile "
+    "means hubs preferentially interconnect (a trading elite), a "
+    "flat/falling one means hubs fan out to the periphery, the "
+    "structural complement to g09's single assortativity number (a "
+    "graph can be globally disassortative yet still hide a rich "
+    "club). Node and edge survivors per threshold are exact int64 "
+    "counts on the SAME edge-degree join g09 builds (both endpoints' "
+    "degrees ride one co-partitioned equi-join; the 5-row threshold "
+    "grid broadcasts onto it), and phi is one division of exact "
+    "integers. Scale: degree rollup + two co-partitioned equi-joins "
+    "+ a 5-row grid fanout of grid-filtered aggregates; no window, "
+    "no pair enumeration — phi needs edge COUNTS, never the pairs "
+    "themselves.",
+)
+def g10_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    base = (
+        li.filter(F.col("l_quantity") >= 48)
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    e2 = base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = e2.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in _G10_KS])).alias("k")
+    )
+    nk = (
+        deg.crossJoin(F.broadcast(ks))
+        .filter(F.col("d") >= F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )
+    du = deg.select(F.col("node").alias("src"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("dst"), F.col("d").alias("dv"))
+    ek = (
+        e2.join(du, "src")
+        .join(dv, "dst")
+        .crossJoin(F.broadcast(ks))
+        .filter((F.col("du") >= F.col("k")) & (F.col("dv") >= F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    )
+    ekc = F.coalesce(F.col("n_edges"), F.lit(0)).cast("bigint")
+    return (
+        nk.join(ek, "k", "left")
+        .filter(F.col("n_nodes") >= 2)
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "n_nodes",
+            ekc.alias("n_directed_edges"),
+            fround(
+                ekc.cast("double")
+                / (F.col("n_nodes").cast("double") * (F.col("n_nodes") - 1)),
+                6,
+            ).alias("rich_club_phi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x13 — linear counting distinct estimate (round 7; the small-n sibling
+# of x07's HyperLogLog on the same portable hash)
+# ---------------------------------------------------------------------------
+
+_X13_M = 4096  # bitmap width (n << m*ln m regime, Whang et al. 1990)
+
+
+@query(
+    "x13_linear_counting",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        FROM documents
+    ),
+    hit AS (
+        SELECT DISTINCT source,
+               ({sql_portable_hash("token", 31, 1_000_000_007)}) % {_X13_M} AS b
+        FROM tok
+    ),
+    occ AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS occupied
+        FROM hit GROUP BY source
+    ),
+    exact AS (
+        SELECT source, CAST(COUNT(DISTINCT token) AS BIGINT) AS exact_distinct
+        FROM tok GROUP BY source
+    )
+    SELECT exact.source, exact_distinct, occupied,
+           {sql_fround(
+               f"{_X13_M} * ln(CAST({_X13_M} AS DOUBLE)"
+               f" / ({_X13_M} - occupied))",
+               4,
+           )} AS lc_est,
+           {sql_fround(
+               f"abs({_X13_M} * ln(CAST({_X13_M} AS DOUBLE)"
+               f" / ({_X13_M} - occupied)) - exact_distinct)"
+               f" / exact_distinct",
+               6,
+           )} AS rel_err
+    FROM exact JOIN occ ON exact.source = occ.source
+    """,
+    doc="Linear counting (Whang et al. 1990) per source on the same "
+    "engine-portable hash family as x07's HLL: distinct tokens mark "
+    f"buckets in an m={_X13_M} bitmap and the estimate is the "
+    "occupancy inversion m*ln(m/empty) — the estimator every "
+    "HLL implementation (including x07's) switches TO in the "
+    "small-cardinality regime, where it beats HLL's bias; reported "
+    "against the exact distinct count with relative error. The "
+    "bitmap state is the DISTINCT (source, bucket) set — exact "
+    "integers, mergeable by union across shards — and the only "
+    "doubles are one ln on an exact-integer ratio, so the whole "
+    "estimate is engine-identical. Scale: the bitmap rollup is one "
+    "distinct shuffle bounded by sources*m; the exact side is the "
+    "(source, token) distinct the sketch exists to replace at "
+    "100 TB.",
+)
+def x13_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+    from ..operators.sketch import portable_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens(F.col("text"))).alias("token"))
+    hit = tok.select(
+        "source", (portable_hash(F.col("token"), 31) % _X13_M).alias("b")
+    ).distinct()
+    occ = hit.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("occupied")
+    )
+    exact = tok.groupBy("source").agg(
+        F.countDistinct("token").cast("bigint").alias("exact_distinct")
+    )
+    m = float(_X13_M)
+    est = m * F.log(F.lit(m) / (_X13_M - F.col("occupied")))
+    return exact.join(occ, "source").select(
+        "source",
+        "exact_distinct",
+        "occupied",
+        fround(est, 4).alias("lc_est"),
+        fround(F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 6).alias(
+            "rel_err"
+        ),
+    )

@@ -126,6 +126,12 @@ _PRIORITY: tuple[str, ...] = (
     "e35_markov_entropy_rate",
     "q87_abc_classes",
     "q88_spend_band_migration",
+    "q89_weibull_reorder",
+    "g10_rich_club",
+    "m09_audio_neardup_pairs",
+    "t55_dedup_waterfall",
+    "x13_linear_counting",
+    "e36_session_affinity",
     # --- already driver-recorded: round-6 block (r6 recorded these),
     # youngest first.
     "t45_novelty_decay",

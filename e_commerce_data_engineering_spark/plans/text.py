@@ -3570,3 +3570,149 @@ def t54_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cf").desc(), "token")
         .limit(_T54_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# t55 — staged dedup waterfall (round 7; the pipeline report that says
+# which dedup stage actually earns its compute)
+# ---------------------------------------------------------------------------
+
+_T55_PK = 32  # d17's prefix block width, reused for stage 2
+
+
+@query(
+    "t55_dedup_waterfall",
+    oracle=f"""
+    WITH s0 AS (
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+        FROM documents
+    ),
+    ex_keep AS (
+        SELECT md5(text) AS h, MIN(doc_id) AS keeper FROM s0 GROUP BY md5(text)
+    ),
+    ex_rm AS (
+        SELECT s0.doc_id, s0.len FROM s0
+        JOIN ex_keep ON md5(s0.text) = ex_keep.h AND s0.doc_id > ex_keep.keeper
+    ),
+    s1 AS (
+        SELECT * FROM s0 WHERE doc_id NOT IN (SELECT doc_id FROM ex_rm)
+    ),
+    pre_rm AS (
+        SELECT DISTINCT a.doc_id, a.len
+        FROM s1 a JOIN s1 b
+          ON substr(a.text, 1, {_T55_PK}) = substr(b.text, 1, {_T55_PK})
+         AND a.len < b.len AND starts_with(b.text, a.text)
+    ),
+    s2 AS (
+        SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM pre_rm)
+    ),
+    fp AS (
+        SELECT doc_id, len,
+               list_min(list_transform(
+                   generate_series(1, len(toks) - 2),
+                   i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               )) AS f
+        FROM (SELECT doc_id, len, {_DUCK_TOKS} AS toks FROM s2) t
+        WHERE len(toks) >= 3
+    ),
+    fp_keep AS (SELECT f, MIN(doc_id) AS keeper FROM fp GROUP BY f),
+    fp_rm AS (
+        SELECT fp.doc_id, fp.len FROM fp
+        JOIN fp_keep ON fp.f = fp_keep.f AND fp.doc_id > fp_keep.keeper
+    ),
+    stages AS (
+        SELECT 1 AS stage, 'exact_hash' AS stage_name,
+               (SELECT COUNT(*) FROM s0) AS docs_in,
+               (SELECT COUNT(*) FROM ex_rm) AS docs_removed,
+               (SELECT COALESCE(SUM(len), 0) FROM ex_rm) AS chars_removed
+        UNION ALL
+        SELECT 2, 'prefix_subsumed',
+               (SELECT COUNT(*) FROM s1),
+               (SELECT COUNT(*) FROM pre_rm),
+               (SELECT COALESCE(SUM(len), 0) FROM pre_rm)
+        UNION ALL
+        SELECT 3, 'shingle_fingerprint',
+               (SELECT COUNT(*) FROM s2),
+               (SELECT COUNT(*) FROM fp_rm),
+               (SELECT COALESCE(SUM(len), 0) FROM fp_rm)
+    )
+    SELECT CAST(stage AS INTEGER) AS stage, stage_name,
+           CAST(docs_in AS BIGINT) AS docs_in,
+           CAST(docs_removed AS BIGINT) AS docs_removed,
+           CAST(chars_removed AS BIGINT) AS chars_removed,
+           CAST(docs_in - docs_removed AS BIGINT) AS docs_out,
+           {sql_fround("CAST(docs_removed AS DOUBLE) / docs_in", 6)}
+               AS removed_share
+    FROM stages
+    """,
+    doc="Staged dedup waterfall — the audit every dedup pipeline owner "
+    "wants before burning compute: exact-hash dedup (t03's rule), "
+    "then full-text prefix subsumption on the survivors (d17's rule: "
+    "what truncation hides from hashing), then min-shingle "
+    "fingerprint near-dup collapse (t04's MinHash-floor rule) — each "
+    "stage reporting docs in, removed, characters reclaimed, and "
+    "removal share, SEQUENCED so every stage only sees the previous "
+    "stage's survivors (the marginal value of each stage, not its "
+    "standalone value — the number that justifies or kills a stage). "
+    "All counts are exact integers off deterministic keeper rules "
+    "(min doc_id per group). Scale: stage 1 is a hash rollup, stage "
+    "2 the d17 block-bounded pair join, stage 3 a fingerprint rollup "
+    "— each removal set joins back anti-style on doc_id; nothing "
+    "enumerates cross-stage pairs.",
+)
+def t55_dedup_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s0 = d.select("doc_id", "text", F.length("text").cast("bigint").alias("len"))
+
+    h = F.md5(F.col("text").cast("binary"))
+    ex_keep = s0.groupBy(h.alias("h")).agg(F.min("doc_id").alias("keeper"))
+    ex_rm = s0.select("doc_id", "len", h.alias("_h")).join(
+        ex_keep, F.col("_h") == ex_keep["h"]
+    ).filter(F.col("doc_id") > F.col("keeper")).select("doc_id", "len")
+    s1 = s0.join(ex_rm.select("doc_id"), "doc_id", "left_anti")
+
+    blk = F.substring("text", 1, _T55_PK)
+    a = s1.select("doc_id", "len", "text", blk.alias("blk"))
+    b = s1.select(
+        F.col("len").alias("_len2"), F.col("text").alias("_t2"), blk.alias("_blk2")
+    )
+    pre_rm = (
+        a.join(b, (a["blk"] == b["_blk2"]) & (a["len"] < b["_len2"]))
+        .filter(F.col("_t2").startswith(F.col("text")))
+        .select("doc_id", "len")
+        .distinct()
+    )
+    s2 = s1.join(pre_rm.select("doc_id"), "doc_id", "left_anti")
+
+    toks = X.tokens(F.col("text"))
+    fp = s2.filter(F.size(toks) >= 3).select(
+        "doc_id", "len", X.min_shingle_fingerprint(toks).alias("f")
+    )
+    fp_keep = fp.groupBy("f").agg(F.min("doc_id").alias("keeper"))
+    fp_rm = fp.join(fp_keep, "f").filter(F.col("doc_id") > F.col("keeper")).select(
+        "doc_id", "len"
+    )
+
+    def stage_row(stage: int, name: str, pop: DataFrame, rm: DataFrame) -> DataFrame:
+        pops = pop.agg(F.count(F.lit(1)).cast("bigint").alias("docs_in"))
+        rms = rm.agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs_removed"),
+            F.coalesce(F.sum("len"), F.lit(0)).cast("bigint").alias("chars_removed"),
+        )
+        return pops.crossJoin(rms).select(
+            F.lit(stage).cast("int").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            "docs_in",
+            "docs_removed",
+            "chars_removed",
+            (F.col("docs_in") - F.col("docs_removed")).cast("bigint").alias("docs_out"),
+            fround(
+                F.col("docs_removed").cast("double") / F.col("docs_in"), 6
+            ).alias("removed_share"),
+        )
+
+    return (
+        stage_row(1, "exact_hash", s0, ex_rm)
+        .unionByName(stage_row(2, "prefix_subsumed", s1, pre_rm))
+        .unionByName(stage_row(3, "shingle_fingerprint", s2, fp_rm))
+    )

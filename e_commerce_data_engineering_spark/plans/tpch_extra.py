@@ -1700,9 +1700,9 @@ _Q84_COHORT_END = "1995-07-01"  # first order must land before this
 _Q84_STUDY_END = "1995-12-31"  # administrative right-censoring date
 
 
-@query(
-    "q84_km_repeat_purchase",
-    oracle=f"""
+# Shared oracle CTE chain behind q84/q89: subjects -> day grid ->
+# at-risk counts -> quantized log-survival terms -> cumulative km.
+_Q84_CTES = f"""
     WITH ranked AS (
         SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
                ROW_NUMBER() OVER (
@@ -1744,35 +1744,22 @@ _Q84_STUDY_END = "1995-12-31"  # administrative right-censoring date
                         * {_Q84_Q} + 0.5
                     ) AS BIGINT) END AS qterm
         FROM risk
+    ),
+    km AS (
+        SELECT day, n_risk, d_ev, n_cen,
+               CAST(SUM(qterm) OVER (
+                   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW
+               ) AS BIGINT) AS qcum
+        FROM terms
     )
-    SELECT day, n_risk, d_ev AS n_events, n_cen AS n_censored,
-           {sql_fround("CAST(d_ev AS DOUBLE) / n_risk", 6)} AS hazard,
-           {sql_fround(
-               f"exp(CAST(SUM(qterm) OVER ("
-               f"ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
-               f") AS DOUBLE) / {_Q84_Q})",
-               6,
-           )} AS km_survival
-    FROM terms
-    """,
-    doc="Kaplan–Meier product-limit estimator (Kaplan & Meier 1958) of "
-    f"the repeat-purchase curve: customers whose first order lands "
-    f"before {_Q84_COHORT_END} are followed until their second order "
-    f"(event) or administratively right-CENSORED at {_Q84_STUDY_END} "
-    "— the censored customers are exactly what a naive 'average days "
-    "to reorder' silently drops, and they are why KM exists. The "
-    "product Π(1 - d/n) is carried in log domain: each day's "
-    "ln(1 - d_u/n_u) is an identically-shaped double on exact-integer "
-    "operands, 1e-9-quantized to a BIGINT before the cumulative sum "
-    "(t21/t51 discipline), then one exp at the end — engine-identical "
-    "at every step. Scale: the subject table is one customer-keyed "
-    "window (per-customer order ranking, population-partitioned); "
-    "everything after collapses to the DAY GRID, bounded by the "
-    "study calendar (~300 rows), so the unpartitioned cumulative "
-    "windows run over a calendar-bounded frame, never the population "
-    "(the intentional-global-window pattern of q76/e33).",
-)
-def q84_km_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _km_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared KM day-grid stage behind q84/q89: (day, n_risk, d_ev,
+    n_cen, qcum) with qcum the cumulative 1e-9-quantized log-survival
+    — the product-limit curve in log domain, exact int64."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("od")
     )
@@ -1833,12 +1820,47 @@ def q84_km_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.select(
         "day",
         "n_risk",
+        "d_ev",
+        "n_cen",
+        F.sum("qterm").over(w_cum).cast("bigint").alias("qcum"),
+    )
+
+
+@query(
+    "q84_km_repeat_purchase",
+    oracle=f"""
+{_Q84_CTES}
+    SELECT day, n_risk, d_ev AS n_events, n_cen AS n_censored,
+           {sql_fround("CAST(d_ev AS DOUBLE) / n_risk", 6)} AS hazard,
+           {sql_fround(f"exp(CAST(qcum AS DOUBLE) / {_Q84_Q})", 6)} AS km_survival
+    FROM km
+    """,
+    doc="Kaplan–Meier product-limit estimator (Kaplan & Meier 1958) of "
+    f"the repeat-purchase curve: customers whose first order lands "
+    f"before {_Q84_COHORT_END} are followed until their second order "
+    f"(event) or administratively right-CENSORED at {_Q84_STUDY_END} "
+    "— the censored customers are exactly what a naive 'average days "
+    "to reorder' silently drops, and they are why KM exists. The "
+    "product Π(1 - d/n) is carried in log domain: each day's "
+    "ln(1 - d_u/n_u) is an identically-shaped double on exact-integer "
+    "operands, 1e-9-quantized to a BIGINT before the cumulative sum "
+    "(t21/t51 discipline), then one exp at the end — engine-identical "
+    "at every step. Scale: the subject table is one customer-keyed "
+    "window (per-customer order ranking, population-partitioned); "
+    "everything after collapses to the DAY GRID, bounded by the "
+    "study calendar (~300 rows), so the unpartitioned cumulative "
+    "windows run over a calendar-bounded frame, never the population "
+    "(the intentional-global-window pattern of q76/e33).",
+)
+def q84_km_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    km = _km_grid(spark, sf_dir)
+    return km.select(
+        "day",
+        "n_risk",
         F.col("d_ev").alias("n_events"),
         F.col("n_cen").alias("n_censored"),
         fround(F.col("d_ev").cast("double") / F.col("n_risk"), 6).alias("hazard"),
-        fround(
-            F.exp(F.sum("qterm").over(w_cum).cast("double") / _Q84_Q), 6
-        ).alias("km_survival"),
+        fround(F.exp(F.col("qcum").cast("double") / _Q84_Q), 6).alias("km_survival"),
     )
 
 
@@ -2224,4 +2246,112 @@ def q88_spend_band_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band_to",
         F.col("n").alias("n_customers"),
         fround(F.col("n").cast("double") / F.col("tot"), 6).alias("share_of_from"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q89 — Weibull fit of the repeat-purchase hazard (round 7; the
+# parametric read of q84's nonparametric curve)
+# ---------------------------------------------------------------------------
+
+_Q89_Q = 1_000_000.0  # 1e-6 quantization of the log-log regression terms
+
+
+@query(
+    "q89_weibull_reorder",
+    oracle=f"""
+{_Q84_CTES},
+    pts AS (
+        SELECT CAST(FLOOR(ln(CAST(day AS DOUBLE)) * {_Q89_Q} + 0.5)
+                    AS BIGINT) AS qx,
+               CAST(FLOOR(ln(-(CAST(qcum AS DOUBLE) / {_Q84_Q}))
+                          * {_Q89_Q} + 0.5) AS BIGINT) AS qy
+        FROM km WHERE day >= 1 AND qcum < 0
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(qx) AS BIGINT) AS sx,
+               CAST(SUM(qy) AS BIGINT) AS sy,
+               CAST(SUM(qx * qy) AS BIGINT) AS sxy,
+               CAST(SUM(qx * qx) AS BIGINT) AS sxx,
+               CAST(SUM(qy * qy) AS BIGINT) AS syy
+        FROM pts
+    ),
+    fit AS (
+        SELECT n,
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS k,
+               CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy,
+               CAST(n AS DOUBLE) AS dn,
+               CAST(sxy AS BIGINT) AS i_sxy, CAST(sxx AS BIGINT) AS i_sxx,
+               CAST(syy AS BIGINT) AS i_syy,
+               CAST(sx AS BIGINT) AS i_sx, CAST(sy AS BIGINT) AS i_sy
+        FROM m
+    )
+    SELECT n AS n_grid_points,
+           {sql_fround("k", 4)} AS weibull_k,
+           {sql_fround(
+               f"exp(-((dy / dn - k * (dx / dn)) / {_Q89_Q}) / k)", 2
+           )} AS weibull_lambda_days,
+           {sql_fround(
+               "(dn * i_sxy - dx * i_sy) * (dn * i_sxy - dx * i_sy)"
+               " / ((dn * i_sxx - dx * i_sx) * (dn * i_syy - dy * i_sy))",
+               4,
+           )} AS r_squared
+    FROM fit
+    """,
+    doc="Parametric read of q84's nonparametric curve: a Weibull "
+    "S(t) = exp(-(t/lambda)^k) fit by the classic linearization "
+    "ln(-ln S) = k ln t - k ln lambda — OLS on the KM grid's log-log "
+    "points. The SHAPE k is the verdict a lifecycle team acts on: "
+    "k < 1 means the reorder hazard FALLS with time (win them back "
+    "early or never), k > 1 means it rises (subscription-like "
+    "rhythm). ln S comes exact from q84's shared km stage (cumulative "
+    "1e-9-quantized BIGINT log-survival), both regression coordinates "
+    "are 1e-6-quantized BIGINTs, the moments are exact int64, and "
+    "slope/intercept/R^2 are identically-shaped double expressions — "
+    "engine-identical before rounding (q81's closed-form discipline "
+    "composed onto q84). Scale: everything after the shared KM "
+    "day-grid stage runs on ~300 calendar-bounded rows; the fit is "
+    "one all-to-one moment aggregate.",
+)
+def q89_weibull_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    km = _km_grid(spark, sf_dir)
+    pts = km.filter((F.col("day") >= 1) & (F.col("qcum") < 0)).select(
+        F.floor(F.log(F.col("day").cast("double")) * _Q89_Q + 0.5)
+        .cast("bigint")
+        .alias("qx"),
+        F.floor(
+            F.log(-(F.col("qcum").cast("double") / _Q84_Q)) * _Q89_Q + 0.5
+        )
+        .cast("bigint")
+        .alias("qy"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qx").cast("bigint").alias("sx"),
+        F.sum("qy").cast("bigint").alias("sy"),
+        F.sum(F.col("qx") * F.col("qy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("qx") * F.col("qx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("qy") * F.col("qy")).cast("bigint").alias("syy"),
+    )
+    dn = F.col("n").cast("double")
+    dx = F.col("sx").cast("double")
+    dy = F.col("sy").cast("double")
+    k = (dn * F.col("sxy") - dx * F.col("sy")) / (dn * F.col("sxx") - dx * F.col("sx"))
+    num = dn * F.col("sxy") - dx * F.col("sy")
+    return m.select(
+        F.col("n").alias("n_grid_points"),
+        fround(k, 4).alias("weibull_k"),
+        fround(
+            F.exp(-((dy / dn - k * (dx / dn)) / _Q89_Q) / k), 2
+        ).alias("weibull_lambda_days"),
+        fround(
+            num * num
+            / (
+                (dn * F.col("sxx") - dx * F.col("sx"))
+                * (dn * F.col("syy") - dy * F.col("sy"))
+            ),
+            4,
+        ).alias("r_squared"),
     )

@@ -1349,3 +1349,57 @@ def test_upscale_assets_ahash_invariant(spark):
     for k in base:
         w, h = metas[k]
         assert metas[k + 1000] == (2 * w, 2 * h)
+
+
+def test_audio_fingerprint_is_volume_invariant(spark):
+    """Landmark contract behind m09: a volume-rescaled re-encode (REAL
+    PCM gain 0.4 + wave re-encode — different bytes, different RMS)
+    must emit the IDENTICAL landmark hash set, because STFT peak BINS
+    are amplitude-invariant; and fingerprints must be deterministic
+    across two runs on the same bytes."""
+    from e_commerce_data_engineering_spark.operators.multimodal import (
+        audio_fingerprint,
+        make_real_assets,
+        rescale_audio,
+    )
+    from pyspark.sql import functions as F
+
+    assets = make_real_assets(spark, 30).filter(F.col("modality") == "audio")
+    scaled = rescale_audio(assets, gain=0.4, id_offset=1000)
+    fp_a = audio_fingerprint(assets).collect()
+    fp_b = audio_fingerprint(scaled).collect()
+    by_a: dict[int, set[int]] = {}
+    for r in fp_a:
+        by_a.setdefault(r["asset_id"], set()).add(r["fp_hash"])
+    by_b: dict[int, set[int]] = {}
+    for r in fp_b:
+        by_b.setdefault(r["asset_id"] - 1000, set()).add(r["fp_hash"])
+    assert by_a and set(by_a) == set(by_b)
+    for aid, hashes in by_a.items():
+        assert hashes == by_b[aid], aid
+        assert len(hashes) >= 3, aid  # enough landmarks to pair on
+    # determinism across runs
+    fp_a2 = audio_fingerprint(assets).collect()
+    assert sorted((r["asset_id"], r["fp_hash"]) for r in fp_a) == sorted(
+        (r["asset_id"], r["fp_hash"]) for r in fp_a2
+    )
+
+
+def test_m09_pairs_recover_rescaled_twins(spark):
+    """m09 end-to-end: every audio asset must pair with its rescaled
+    twin (id + 1000) at >= the query threshold, and distinct-tone
+    clips must NOT all collapse into one blob (different frequencies
+    land in different peak bins)."""
+    from e_commerce_data_engineering_spark.plans.registry import all_queries
+
+    rows = all_queries()["m09_audio_neardup_pairs"](spark, "unused").collect()
+    pairs = {(r["id_a"], r["id_b"]): r["shared_hashes"] for r in rows}
+    # audio assets in make_real_assets(120) are i % 3 == 1
+    audio_ids = [i for i in range(120) if i % 3 == 1]
+    for aid in audio_ids:
+        assert (aid, aid + 1000) in pairs, f"twin pair missing for {aid}"
+    # not a blob: same-tone twins dominate; unrelated-pair count stays
+    # below the twin count (tones differ by 5 Hz steps, some adjacent
+    # tones may share bins at coarse FFT resolution — that's fine)
+    twin_pairs = sum(1 for (a, b) in pairs if b == a + 1000)
+    assert twin_pairs == len(audio_ids)

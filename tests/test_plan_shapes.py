@@ -780,3 +780,55 @@ def test_q88_migration_is_custkey_self_join_no_window(spark):
     plan = plan_of(spark, "q88_spend_band_migration")
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_q89_weibull_fit_rides_km_grid(spark):
+    """q89's regression runs on the shared KM day grid: the plan shows
+    the custkey-keyed ranking window and the grid windows below one
+    all-to-one moment aggregate — no cartesian beyond broadcast
+    single-row frames."""
+    plan = plan_of(spark, "q89_weibull_reorder")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_g10_rich_club_counts_without_pair_enumeration(spark):
+    """g10 counts surviving edges per threshold on the g09 edge-degree
+    equi-join with a broadcast 5-row grid — no cartesian fallback, no
+    window, no global sort."""
+    plan = plan_of(spark, "g10_rich_club")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_m09_pair_join_is_hash_equi(spark):
+    """m09's candidate pairs ride the fp_hash equi-join (the m08
+    banding discipline on audio landmarks) — no cartesian, no
+    nested-loop all-pairs fallback."""
+    plan = plan_of(spark, "m09_audio_neardup_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_t55_waterfall_has_no_cross_stage_cartesian(spark):
+    """t55's three stages chain anti-joins off keeper rollups; the only
+    pair join is d17's block-bounded prefix check — no cartesian, and
+    the single-row stage summaries meet via broadcast."""
+    plan = plan_of(spark, "t55_dedup_waterfall")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_x13_bitmap_is_distinct_rollup_no_join_blowup(spark):
+    """x13's sketch side is one DISTINCT (source, bucket) rollup — no
+    cartesian, no window; the exact side joins at source grain."""
+    plan = plan_of(spark, "x13_linear_counting")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_e36_affinity_rides_session_keyed_joins(spark):
+    """e36's pair join is keyed by (user, session) with broadcast type
+    totals — no cartesian fallback; the sessionization windows are
+    user-partitioned."""
+    plan = plan_of(spark, "e36_session_affinity")
+    assert "CartesianProduct" not in plan, plan

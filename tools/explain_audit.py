@@ -72,6 +72,12 @@ AUDIT = [
     ("e35_markov_entropy_rate", "LAG+count matrix; states^2 broadcast chain"),
     ("q87_abc_classes", "rank-block Pareto: windows over the revenue-block histogram"),
     ("q88_spend_band_migration", "custkey year self-join, literal band CASE, no window"),
+    ("q89_weibull_reorder", "log-log OLS on the shared KM day grid, one moment agg"),
+    ("g10_rich_club", "edge-degree equi-join x broadcast threshold grid, counts only"),
+    ("m09_audio_neardup_pairs", "narrow-map STFT landmarks; fp_hash equi-join pairs"),
+    ("t55_dedup_waterfall", "three sequenced keeper rules; anti-joins, no cross-stage pairs"),
+    ("x13_linear_counting", "distinct (source,bucket) bitmap rollup, one ln"),
+    ("e36_session_affinity", "sessionize windows; per-session type self-join, broadcast totals"),
 ]
 
 
