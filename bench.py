@@ -112,6 +112,8 @@ HEADLINE = [
     "m09_audio_neardup_pairs",
     "t55_dedup_waterfall",
     "e36_session_affinity",
+    "q90_supplier_hhi",
+    "e37_kruskal_wallis",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

@@ -2275,3 +2275,134 @@ def e36_session_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.log(lift), 6).alias("pmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e37 — Kruskal–Wallis weekday effect test (round 7; the significance
+# test behind e22's seasonal indices)
+# ---------------------------------------------------------------------------
+
+_E37_Q = 1_000_000.0  # 1e-6 quantization of the per-group rank-sum terms
+
+
+@query(
+    "e37_kruskal_wallis",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               isodow(CAST(ts AS DATE)) AS dow,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS y
+        FROM events GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+        SELECT event_type, dow, y,
+               RANK() OVER (PARTITION BY event_type ORDER BY y) AS rnk,
+               COUNT(*) OVER (PARTITION BY event_type, y) AS t
+        FROM daily
+    ),
+    g AS (
+        SELECT event_type, dow,
+               CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(2 * rnk + t - 1) AS BIGINT) AS s2r
+        FROM ranked GROUP BY 1, 2
+    ),
+    ties AS (
+        SELECT event_type,
+               CAST(SUM(t * t * t - t) AS BIGINT) AS tie_mass
+        FROM (SELECT DISTINCT event_type, y, t FROM ranked) u
+        GROUP BY event_type
+    ),
+    agg AS (
+        SELECT g.event_type,
+               CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k_groups,
+               CAST(SUM(CAST(FLOOR(
+                   CAST(s2r AS DOUBLE) * s2r / (4 * n_g) * {_E37_Q} + 0.5
+               ) AS BIGINT)) AS BIGINT) AS qterm
+        FROM g GROUP BY g.event_type
+    )
+    SELECT agg.event_type,
+           n AS n_days,
+           CAST(k_groups AS INTEGER) AS k_groups,
+           {sql_fround(
+               f"12.0 / (CAST(n AS DOUBLE) * (n + 1))"
+               f" * (CAST(qterm AS DOUBLE) / {_E37_Q}) - 3.0 * (n + 1)",
+               4,
+           )} AS kw_h,
+           {sql_fround(
+               f"(12.0 / (CAST(n AS DOUBLE) * (n + 1))"
+               f" * (CAST(qterm AS DOUBLE) / {_E37_Q}) - 3.0 * (n + 1))"
+               f" / (1.0 - CAST(tie_mass AS DOUBLE)"
+               f"     / (CAST(n AS DOUBLE) * n * n - n))",
+               4,
+           )} AS kw_h_tie_corrected
+    FROM agg JOIN ties ON agg.event_type = ties.event_type
+    """,
+    doc="Kruskal–Wallis rank test (1952) of the weekday effect on daily "
+    "revenue, per event type — the nonparametric one-way ANOVA that "
+    "says whether e22's seasonal indices are SIGNAL or noise, with no "
+    "normality assumption a revenue distribution would violate. "
+    "Midranks are carried as exact integers (2·rank + ties − 1 — "
+    "twice the midrank, so ties never create a float), each group's "
+    "ranksum term S²/(4n_g) is 1e-6-quantized to a BIGINT before the "
+    "7-group sum (addition order can never flip the hash), and the "
+    "classic H identity plus the exact tie-mass correction "
+    "Σ(t³−t)/(N³−N) are identically-shaped double expressions — "
+    "engine-identical before rounding. H ~ chi²(k−1) under the null: "
+    "for k=7 weekdays, H above ~12.6 rejects at 5%. Scale: one "
+    "(type, day) rollup; the ranking window partitions by event type "
+    "over the CALENDAR-bounded daily frame (the q76/e33 bounded-"
+    "window pattern), and everything after lives on 7-row group "
+    "frames.",
+)
+def e37_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        (F.weekday(F.col("ts").cast("date")) + F.lit(1)).alias("dow"),
+    ).agg((F.sum(dmoney("value")) * 100).cast("bigint").alias("y"))
+    w_rank = W.partitionBy("event_type").orderBy("y")
+    w_tie = W.partitionBy("event_type", "y")
+    ranked = daily.select(
+        "event_type",
+        "dow",
+        "y",
+        F.rank().over(w_rank).alias("rnk"),
+        F.count(F.lit(1)).over(w_tie).alias("t"),
+    )
+    g = ranked.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(2 * F.col("rnk") + F.col("t") - 1).cast("bigint").alias("s2r"),
+    )
+    ties = (
+        ranked.select("event_type", "y", "t")
+        .distinct()
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("bigint")
+            .alias("tie_mass")
+        )
+    )
+    qterm = F.floor(
+        F.col("s2r").cast("double") * F.col("s2r") / (4 * F.col("n_g")) * _E37_Q
+        + 0.5
+    ).cast("bigint")
+    agg = g.select("event_type", "n_g", qterm.alias("qt")).groupBy("event_type").agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+        F.sum("qt").cast("bigint").alias("qterm"),
+    )
+    dn = F.col("n").cast("double")
+    h = 12.0 / (dn * (F.col("n") + 1)) * (
+        F.col("qterm").cast("double") / _E37_Q
+    ) - 3.0 * (F.col("n") + 1)
+    tie_d = 1.0 - F.col("tie_mass").cast("double") / (dn * F.col("n") * F.col("n") - F.col("n"))
+    return agg.join(ties, "event_type").select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("k_groups").cast("int").alias("k_groups"),
+        fround(h, 4).alias("kw_h"),
+        fround(h / tie_d, 4).alias("kw_h_tie_corrected"),
+    )

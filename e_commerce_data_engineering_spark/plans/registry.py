@@ -132,6 +132,8 @@ _PRIORITY: tuple[str, ...] = (
     "t55_dedup_waterfall",
     "x13_linear_counting",
     "e36_session_affinity",
+    "q90_supplier_hhi",
+    "e37_kruskal_wallis",
     # --- already driver-recorded: round-6 block (r6 recorded these),
     # youngest first.
     "t45_novelty_decay",

@@ -2355,3 +2355,93 @@ def q89_weibull_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("r_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q90 — Herfindahl–Hirschman market concentration per nation (round 7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q90_supplier_hhi",
+    oracle=f"""
+    WITH sr AS (
+        SELECT s.s_nationkey, l.l_suppkey,
+               CAST(SUM(CAST(FLOOR(
+                   l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5
+               ) AS BIGINT)) AS BIGINT) AS rev
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(SUM(rev) AS BIGINT) AS tot,
+               CAST(SUM(CAST(rev AS DECIMAL(38,0)) * rev) AS DECIMAL(38,0)) AS sq
+        FROM sr JOIN nation ON n_nationkey = s_nationkey
+        GROUP BY n_name
+    )
+    SELECT n_name,
+           n_suppliers,
+           {sql_fround("CAST(tot AS DOUBLE) / 100", 2)} AS market_revenue,
+           {sql_fround(
+               "CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * tot)", 6
+           )} AS hhi,
+           {sql_fround(
+               "(CAST(tot AS DOUBLE) * tot) / sq", 4
+           )} AS effective_competitors
+    FROM m
+    """,
+    doc="Herfindahl–Hirschman concentration of each nation's supplier "
+    "market: HHI = sum of squared revenue shares = (sum rev_i^2) / "
+    "(sum rev_i)^2 — the antitrust screening number (US guidelines "
+    "flag markets above 0.25), with its inverse, the 'effective "
+    "number of competitors' (25 equal suppliers -> 25; one dominant "
+    "-> ~1). The share-squaring identity keeps EVERYTHING integer "
+    "until two final divisions: revenues are exact int64 cents, the "
+    "squared sum an exact int64 rollup (t52's Simpson trick applied "
+    "to market shares — at 100 TB the rev^2 partials ride "
+    "DECIMAL(38,0), same plan), so both engines divide the same "
+    "exact integers. Scale: one (nation, supplier) rollup riding a "
+    "broadcast supplier dim join, then a 25-row nation rollup; no "
+    "window, no shares materialized per supplier.",
+)
+def q90_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sr = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    m = (
+        sr.join(F.broadcast(nat), sr["s_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum("rev").cast("bigint").alias("tot"),
+            F.sum(F.col("rev").cast("decimal(38,0)") * F.col("rev"))
+            .cast("decimal(38,0)")
+            .alias("sq"),
+        )
+    )
+    dtot = F.col("tot").cast("double")
+    dsq = F.col("sq").cast("double")
+    return m.select(
+        "n_name",
+        "n_suppliers",
+        fround(dtot / 100, 2).alias("market_revenue"),
+        fround(dsq / (dtot * F.col("tot")), 6).alias("hhi"),
+        fround((dtot * F.col("tot")) / dsq, 4).alias("effective_competitors"),
+    )

@@ -832,3 +832,23 @@ def test_e36_affinity_rides_session_keyed_joins(spark):
     user-partitioned."""
     plan = plan_of(spark, "e36_session_affinity")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q90_hhi_is_two_rollups_broadcast_dims(spark):
+    """q90 is the t52 exact-rational shape on market shares: broadcast
+    dim joins, a (nation, supplier) rollup, a nation rollup — no
+    window, no cartesian, no per-supplier share materialization."""
+    plan = plan_of(spark, "q90_supplier_hhi")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_e37_rank_windows_ride_daily_frame(spark):
+    """e37's ranking windows partition by event type over the daily
+    frame (an aggregate sits below the Window), and the H arithmetic
+    runs on 7-row group frames — no cartesian."""
+    plan = plan_of(spark, "e37_kruskal_wallis")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
+    assert "HashAggregate" in plan, plan

@@ -78,6 +78,8 @@ AUDIT = [
     ("t55_dedup_waterfall", "three sequenced keeper rules; anti-joins, no cross-stage pairs"),
     ("x13_linear_counting", "distinct (source,bucket) bitmap rollup, one ln"),
     ("e36_session_affinity", "sessionize windows; per-session type self-join, broadcast totals"),
+    ("q90_supplier_hhi", "share-squaring identity: all-integer until two report divisions"),
+    ("e37_kruskal_wallis", "calendar-bounded rank windows; quantized 7-group rank terms"),
 ]
 
 
