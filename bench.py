@@ -114,6 +114,7 @@ HEADLINE = [
     "e36_session_affinity",
     "q90_supplier_hhi",
     "e37_kruskal_wallis",
+    "t56_bpe_merges",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

@@ -2406,3 +2406,108 @@ def e37_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(h, 4).alias("kw_h"),
         fround(h / tie_d, 4).alias("kw_h_tie_corrected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e38 — daily activity peak detection (round 7; the ops-monitoring
+# "what days spiked" readout, gap-safe and integer-exact)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e38_peak_days",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(ts AS DATE) AS day,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS didx,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2, 3
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(SUM(c) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS nd
+        FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.c AS n_events,
+           {sql_fround(
+               "CAST(d.c AS DOUBLE) * nd / total", 4
+           )} AS ratio_to_mean
+    FROM daily d
+    JOIN tot ON tot.event_type = d.event_type
+    LEFT JOIN daily p ON p.event_type = d.event_type AND p.didx = d.didx - 1
+    LEFT JOIN daily n ON n.event_type = d.event_type AND n.didx = d.didx + 1
+    WHERE d.c > COALESCE(p.c, 0) AND d.c > COALESCE(n.c, 0)
+      AND d.c * nd * 100 >= 115 * total
+    """,
+    doc="Daily activity peaks per event type: days that are strict "
+    "local maxima against BOTH calendar neighbours AND carry at least "
+    "1.15x the type's mean daily volume — the spike shortlist an on-call "
+    "dashboard shows, with each peak's ratio to the mean. Neighbour "
+    "lookup is the gap-safe day-index equi-join (e34/q79 discipline: "
+    "a missing neighbour day counts as zero, so a lone spike after a "
+    "quiet gap IS a peak — LAG over a dense-looking frame would "
+    "silently compare against the wrong day), and the prominence "
+    "gate is the cross-multiplied PURE INTEGER comparison "
+    "c*n_days*100 >= 115*total — no float ever decides membership, so the "
+    "row set is engine-identical by construction; the reported ratio "
+    "is the only double. Scale: one (type, day) rollup, two "
+    "co-partitioned self-joins on the calendar-bounded daily frame, "
+    "broadcast type totals; no window.",
+)
+def e38_peak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "didx"
+        ),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+    )
+    p = daily.select(
+        F.col("event_type").alias("_et_p"),
+        F.col("didx").alias("_didx_p"),
+        F.col("c").alias("c_prev"),
+    )
+    n = daily.select(
+        F.col("event_type").alias("_et_n"),
+        F.col("didx").alias("_didx_n"),
+        F.col("c").alias("c_next"),
+    )
+    j = (
+        daily.join(F.broadcast(tot), "event_type")
+        .join(
+            p,
+            (daily["event_type"] == p["_et_p"])
+            & (p["_didx_p"] == daily["didx"] - 1),
+            "left",
+        )
+        .join(
+            n,
+            (daily["event_type"] == n["_et_n"])
+            & (n["_didx_n"] == daily["didx"] + 1),
+            "left",
+        )
+    )
+    cp = F.coalesce(F.col("c_prev"), F.lit(0))
+    cn = F.coalesce(F.col("c_next"), F.lit(0))
+    return (
+        j.filter(
+            (F.col("c") > cp)
+            & (F.col("c") > cn)
+            & (F.col("c") * F.col("nd") * 100 >= 115 * F.col("total"))
+        )
+        .select(
+            "event_type",
+            "day",
+            F.col("c").alias("n_events"),
+            fround(
+                F.col("c").cast("double") * F.col("nd") / F.col("total"), 4
+            ).alias("ratio_to_mean"),
+        )
+    )

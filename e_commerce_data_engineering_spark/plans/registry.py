@@ -134,6 +134,8 @@ _PRIORITY: tuple[str, ...] = (
     "e36_session_affinity",
     "q90_supplier_hhi",
     "e37_kruskal_wallis",
+    "e38_peak_days",
+    "t56_bpe_merges",
     # --- already driver-recorded: round-6 block (r6 recorded these),
     # youngest first.
     "t45_novelty_decay",

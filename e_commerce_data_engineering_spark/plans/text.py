@@ -3716,3 +3716,133 @@ def t55_dedup_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage_row(2, "prefix_subsumed", s1, pre_rm))
         .unionByName(stage_row(3, "shingle_fingerprint", s2, fp_rm))
     )
+
+
+# ---------------------------------------------------------------------------
+# t56 — BPE merge training, two unrolled rounds (round 7; the tokenizer-
+# training step itself, g02-style fixed-round unrolling)
+# ---------------------------------------------------------------------------
+
+# merge placeholder: a codepoint the corpus alphabet cannot contain
+_T56_MARK = "\x01"
+
+
+@query(
+    "t56_bpe_merges",
+    oracle=f"""
+    WITH w AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest({_DUCK_TOKS}) AS token FROM documents) t
+        GROUP BY token
+    ),
+    p1 AS (
+        SELECT substr(token, i, 1) AS l, substr(token, i + 1, 1) AS r,
+               CAST(SUM(cnt) AS BIGINT) AS c
+        FROM w, (SELECT unnest(generate_series(1, 100)) AS i) g
+        WHERE i < length(token)
+        GROUP BY 1, 2
+    ),
+    m1 AS (
+        SELECT l, r, c FROM p1
+        ORDER BY c DESC, l, r LIMIT 1
+    ),
+    w2 AS (
+        SELECT replace(w.token, m1.l || m1.r, chr(1)) AS tok2, w.cnt,
+               m1.l || m1.r AS merged
+        FROM w CROSS JOIN m1
+    ),
+    p2 AS (
+        SELECT CASE WHEN substr(tok2, i, 1) = chr(1) THEN merged
+                    ELSE substr(tok2, i, 1) END AS l,
+               CASE WHEN substr(tok2, i + 1, 1) = chr(1) THEN merged
+                    ELSE substr(tok2, i + 1, 1) END AS r,
+               CAST(SUM(cnt) AS BIGINT) AS c
+        FROM w2, (SELECT unnest(generate_series(1, 100)) AS i) g
+        WHERE i < length(tok2)
+        GROUP BY 1, 2
+    ),
+    m2 AS (
+        SELECT l, r, c FROM p2
+        ORDER BY c DESC, l, r LIMIT 1
+    )
+    SELECT CAST(1 AS INTEGER) AS round, l AS left_sym, r AS right_sym,
+           c AS pair_count
+    FROM m1
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), l, r, c FROM m2
+    """,
+    doc="Byte-pair-encoding TRAINING, two statically-unrolled merge "
+    "rounds (Sennrich et al. 2016) — the step every BPE/WordPiece "
+    "tokenizer build repeats 30k times, expressed as pure relational "
+    "algebra: weight each distinct word by its corpus count, count "
+    "adjacent character pairs, crown the max (count desc, pair asc — "
+    "deterministic tie-break), REWRITE the vocabulary with the merge "
+    "(leftmost non-overlapping replace, identical semantics both "
+    "engines, a sentinel codepoint standing in for the merged "
+    "symbol), and count again — the g02/g03 fixed-round-unroll trick "
+    "applied to tokenizer training, so the whole thing is "
+    "hash-checked. Pair counts are exact int64; no floats anywhere. "
+    "Scale: pair counting runs once per DISTINCT word (vocab-, never "
+    "corpus-sized — the same reason production BPE trainers "
+    "pre-aggregate to word counts), the argmax is a top-1 over an "
+    "alphabet-bounded pair table, and the rewrite is a broadcast of "
+    "one merge rule.",
+)
+def t56_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        d.select(F.explode(X.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+    def pair_counts(df: DataFrame, tok_col: str, sym) -> DataFrame:
+        chars = F.sequence(F.lit(1), F.length(tok_col) - 1)
+        pairs = df.select(
+            "cnt",
+            F.explode(chars).alias("i"),
+            F.col(tok_col).alias("_t"),
+            *([F.col("merged")] if sym else []),
+        ).select(
+            "cnt",
+            F.expr("substr(_t, i, 1)").alias("lc"),
+            F.expr("substr(_t, i + 1, 1)").alias("rc"),
+            *([F.col("merged")] if sym else []),
+        )
+        if sym:
+            l = F.when(F.col("lc") == _T56_MARK, F.col("merged")).otherwise(F.col("lc"))
+            r = F.when(F.col("rc") == _T56_MARK, F.col("merged")).otherwise(F.col("rc"))
+        else:
+            l, r = F.col("lc"), F.col("rc")
+        return (
+            pairs.select(l.alias("l"), r.alias("r"), "cnt")
+            .groupBy("l", "r")
+            .agg(F.sum("cnt").cast("bigint").alias("c"))
+        )
+
+    m1 = pair_counts(w, "token", sym=False).orderBy(
+        F.col("c").desc(), "l", "r"
+    ).limit(1)
+    w2 = w.crossJoin(F.broadcast(m1)).select(
+        F.replace(
+            F.col("token"), F.concat(F.col("l"), F.col("r")), F.lit(_T56_MARK)
+        ).alias("tok2"),
+        "cnt",
+        F.concat(F.col("l"), F.col("r")).alias("merged"),
+    )
+    m2 = pair_counts(w2, "tok2", sym=True).orderBy(
+        F.col("c").desc(), "l", "r"
+    ).limit(1)
+    one = m1.select(
+        F.lit(1).cast("int").alias("round"),
+        F.col("l").alias("left_sym"),
+        F.col("r").alias("right_sym"),
+        F.col("c").alias("pair_count"),
+    )
+    two = m2.select(
+        F.lit(2).cast("int").alias("round"),
+        F.col("l").alias("left_sym"),
+        F.col("r").alias("right_sym"),
+        F.col("c").alias("pair_count"),
+    )
+    return one.unionByName(two)

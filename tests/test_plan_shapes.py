@@ -852,3 +852,22 @@ def test_e37_rank_windows_ride_daily_frame(spark):
     assert "CartesianProduct" not in plan, plan
     assert "Window" in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_e38_peaks_are_grid_joins_no_window(spark):
+    """e38's neighbour lookups are gap-safe day-index equi-joins on the
+    daily frame with broadcast type totals — no window, no cartesian,
+    and the prominence gate is a pure integer filter."""
+    plan = plan_of(spark, "e38_peak_days")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_t56_bpe_counts_ride_vocab_not_corpus(spark):
+    """t56's pair counting hashes the DISTINCT word vocabulary (a count
+    rollup sits below the character explode) and each round's argmax
+    is a top-1 TakeOrdered over the alphabet-bounded pair table; the
+    merge rule reaches the rewrite as a broadcast."""
+    plan = plan_of(spark, "t56_bpe_merges")
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan

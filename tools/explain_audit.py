@@ -80,6 +80,8 @@ AUDIT = [
     ("e36_session_affinity", "sessionize windows; per-session type self-join, broadcast totals"),
     ("q90_supplier_hhi", "share-squaring identity: all-integer until two report divisions"),
     ("e37_kruskal_wallis", "calendar-bounded rank windows; quantized 7-group rank terms"),
+    ("e38_peak_days", "gap-safe neighbour equi-joins; pure-integer prominence gate"),
+    ("t56_bpe_merges", "vocab-side pair counts; broadcast merge rule; top-1 TakeOrdered"),
 ]
 
 

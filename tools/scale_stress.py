@@ -80,6 +80,7 @@ OP_TABLES = {
     "price_index_q83": {"lineitem"},
     "llr_keywords_t53": {"documents"},
     "km_survival_q84": {"orders"},
+    "dedup_waterfall_t55": {"documents"},
 }
 
 
@@ -533,6 +534,55 @@ def main() -> None:
             ).groupBy("t").agg(F.sum("ev").alias("d_ev"))
             return grid.count()
 
+        # t55-shaped staged dedup waterfall: replicas are EXACT copies,
+        # so stage 1 (hash dedup) removes (K-1)/K of the corpus and the
+        # later stages only ever see one replica's worth of survivors —
+        # the sequencing is exactly what keeps the block-bounded prefix
+        # join from paying K^2 on duplicate blocks.
+        def dedup_waterfall():
+            from e_commerce_data_engineering_spark.functions.text import (
+                min_shingle_fingerprint,
+                tokens,
+            )
+
+            s0 = docs.select(
+                "doc_id", "text", F.length("text").cast("bigint").alias("len")
+            )
+            h = F.md5(F.col("text").cast("binary"))
+            ex_keep = s0.groupBy(h.alias("h")).agg(F.min("doc_id").alias("keeper"))
+            ex_rm = (
+                s0.select("doc_id", "len", h.alias("_h"))
+                .join(ex_keep, F.col("_h") == ex_keep["h"])
+                .filter(F.col("doc_id") > F.col("keeper"))
+                .select("doc_id", "len")
+            )
+            s1 = s0.join(ex_rm.select("doc_id"), "doc_id", "left_anti")
+            blk = F.substring("text", 1, 32)
+            a = s1.select("doc_id", "len", "text", blk.alias("blk"))
+            b = s1.select(
+                F.col("len").alias("_len2"),
+                F.col("text").alias("_t2"),
+                blk.alias("_blk2"),
+            )
+            pre_rm = (
+                a.join(b, (a["blk"] == b["_blk2"]) & (a["len"] < b["_len2"]))
+                .filter(F.col("_t2").startswith(F.col("text")))
+                .select("doc_id", "len")
+                .distinct()
+            )
+            s2 = s1.join(pre_rm.select("doc_id"), "doc_id", "left_anti")
+            tk = tokens(F.col("text"))
+            fp = s2.filter(F.size(tk) >= 3).select(
+                "doc_id", min_shingle_fingerprint(tk).alias("f")
+            )
+            fp_keep = fp.groupBy("f").agg(F.min("doc_id").alias("keeper"))
+            fp_rm = (
+                fp.join(fp_keep, "f")
+                .filter(F.col("doc_id") > F.col("keeper"))
+                .select("doc_id")
+            )
+            return ex_rm.count() + pre_rm.count() + fp_rm.count()
+
         op_max_scale = {"ppjoin_t09": 16, "dup_spans_t40": 16}
         for name, fn, rows_in in (
             ("join_agg", join_agg, n_li),
@@ -554,6 +604,7 @@ def main() -> None:
             ("price_index_q83", price_index, n_li),
             ("llr_keywords_t53", llr_keywords, n_doc),
             ("km_survival_q84", km_survival, n_ord),
+            ("dedup_waterfall_t55", dedup_waterfall, n_doc),
         ):
             if only_ops is not None and name not in only_ops:
                 continue
