@@ -3669,7 +3669,10 @@ def t55_dedup_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex_rm = s0.select("doc_id", "len", h.alias("_h")).join(
         ex_keep, F.col("_h") == ex_keep["h"]
     ).filter(F.col("doc_id") > F.col("keeper")).select("doc_id", "len")
-    s1 = s0.join(ex_rm.select("doc_id"), "doc_id", "left_anti")
+    # s1 feeds its own self-join (two scan sides) plus two downstream
+    # stages — persist once or the exact-hash chain recomputes per
+    # consumer (the m08 persist discipline)
+    s1 = s0.join(ex_rm.select("doc_id"), "doc_id", "left_anti").persist()
 
     blk = F.substring("text", 1, _T55_PK)
     a = s1.select("doc_id", "len", "text", blk.alias("blk"))
@@ -3685,36 +3688,69 @@ def t55_dedup_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = s1.join(pre_rm.select("doc_id"), "doc_id", "left_anti")
 
     toks = X.tokens(F.col("text"))
+    # the shingle-md5 map is the expensive leaf and feeds both the
+    # keeper rollup and the removal join — persist or it runs twice
     fp = s2.filter(F.size(toks) >= 3).select(
         "doc_id", "len", X.min_shingle_fingerprint(toks).alias("f")
-    )
+    ).persist()
     fp_keep = fp.groupBy("f").agg(F.min("doc_id").alias("keeper"))
     fp_rm = fp.join(fp_keep, "f").filter(F.col("doc_id") > F.col("keeper")).select(
         "doc_id", "len"
     )
 
-    def stage_row(stage: int, name: str, pop: DataFrame, rm: DataFrame) -> DataFrame:
-        pops = pop.agg(F.count(F.lit(1)).cast("bigint").alias("docs_in"))
-        rms = rm.agg(
-            F.count(F.lit(1)).cast("bigint").alias("docs_removed"),
-            F.coalesce(F.sum("len"), F.lit(0)).cast("bigint").alias("chars_removed"),
-        )
-        return pops.crossJoin(rms).select(
-            F.lit(stage).cast("int").alias("stage"),
-            F.lit(name).alias("stage_name"),
-            "docs_in",
-            "docs_removed",
-            "chars_removed",
-            (F.col("docs_in") - F.col("docs_removed")).cast("bigint").alias("docs_out"),
-            fround(
-                F.col("docs_removed").cast("double") / F.col("docs_in"), 6
-            ).alias("removed_share"),
+    # Single pass: each chain frame aggregates ONCE (stage populations
+    # follow arithmetically from upstream removals — recounting s1/s2
+    # would recompute the whole chain per stage), and the four
+    # single-row summaries meet via broadcast.
+    def rm_stats(rm: DataFrame, n_col: str, ch_col: str) -> DataFrame:
+        return rm.agg(
+            F.count(F.lit(1)).cast("bigint").alias(n_col),
+            F.coalesce(F.sum("len"), F.lit(0)).cast("bigint").alias(ch_col),
         )
 
-    return (
-        stage_row(1, "exact_hash", s0, ex_rm)
-        .unionByName(stage_row(2, "prefix_subsumed", s1, pre_rm))
-        .unionByName(stage_row(3, "shingle_fingerprint", s2, fp_rm))
+    n0 = s0.agg(F.count(F.lit(1)).cast("bigint").alias("n0"))
+    combined = (
+        n0.crossJoin(F.broadcast(rm_stats(ex_rm, "ex_n", "ex_ch")))
+        .crossJoin(F.broadcast(rm_stats(pre_rm, "pre_n", "pre_ch")))
+        .crossJoin(F.broadcast(rm_stats(fp_rm, "fp_n", "fp_ch")))
+    )
+    stages = combined.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).cast("int").alias("stage"),
+                    F.lit("exact_hash").alias("stage_name"),
+                    F.col("n0").alias("docs_in"),
+                    F.col("ex_n").alias("docs_removed"),
+                    F.col("ex_ch").alias("chars_removed"),
+                ),
+                F.struct(
+                    F.lit(2).cast("int").alias("stage"),
+                    F.lit("prefix_subsumed").alias("stage_name"),
+                    (F.col("n0") - F.col("ex_n")).alias("docs_in"),
+                    F.col("pre_n").alias("docs_removed"),
+                    F.col("pre_ch").alias("chars_removed"),
+                ),
+                F.struct(
+                    F.lit(3).cast("int").alias("stage"),
+                    F.lit("shingle_fingerprint").alias("stage_name"),
+                    (F.col("n0") - F.col("ex_n") - F.col("pre_n")).alias("docs_in"),
+                    F.col("fp_n").alias("docs_removed"),
+                    F.col("fp_ch").alias("chars_removed"),
+                ),
+            )
+        ).alias("s")
+    )
+    return stages.select(
+        "s.stage",
+        "s.stage_name",
+        F.col("s.docs_in").cast("bigint").alias("docs_in"),
+        F.col("s.docs_removed").cast("bigint").alias("docs_removed"),
+        F.col("s.chars_removed").cast("bigint").alias("chars_removed"),
+        (F.col("s.docs_in") - F.col("s.docs_removed")).cast("bigint").alias("docs_out"),
+        fround(
+            F.col("s.docs_removed").cast("double") / F.col("s.docs_in"), 6
+        ).alias("removed_share"),
     )
 
 
