@@ -115,6 +115,7 @@ HEADLINE = [
     "q90_supplier_hhi",
     "e37_kruskal_wallis",
     "t56_bpe_merges",
+    "s21_adc_rank_correlation",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

@@ -136,6 +136,7 @@ _PRIORITY: tuple[str, ...] = (
     "e37_kruskal_wallis",
     "e38_peak_days",
     "t56_bpe_merges",
+    "s21_adc_rank_correlation",
     # --- already driver-recorded: round-6 block (r6 recorded these),
     # youngest first.
     "t45_novelty_decay",

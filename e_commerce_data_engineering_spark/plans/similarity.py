@@ -1793,3 +1793,116 @@ def s20_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(dn / F.col("total"), 6).alias("share"),
         fround(dn * F.col("n_cells") / F.col("total"), 4).alias("load_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s21 — ADC-vs-exact rank agreement (round 7; HOW well-ordered is the
+# compressed shortlist, not just whether the top-k survives)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s21_adc_rank_correlation",
+    oracle=f"""{_S15_ADC_CTES},
+    shortlist AS (
+        SELECT q_id, c_id, rn_adc FROM (
+            SELECT q_id, c_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ai, c_id)
+                       AS rn_adc
+            FROM adc) r
+        WHERE rn_adc <= {S17_SHORTLIST}
+    ),
+    rerank AS (
+        SELECT s.q_id, s.c_id, s.rn_adc,
+               {_SQL_DOT_QC} / ({_SQL_NORM_Q} * {_SQL_NORM_C}) AS cos_sim
+        FROM shortlist s
+        JOIN (SELECT vec_id, embedding AS q_emb FROM embeddings) q
+          ON q.vec_id = s.q_id
+        JOIN (SELECT vec_id, embedding AS c_emb FROM embeddings) c
+          ON c.vec_id = s.c_id
+    ),
+    both_ranked AS (
+        SELECT q_id, rn_adc,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id)
+                   AS rn_exact
+        FROM rerank
+    ),
+    m AS (
+        SELECT q_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM((rn_adc - rn_exact) * (rn_adc - rn_exact)) AS BIGINT)
+                   AS sd2,
+               CAST(SUM(CASE WHEN rn_adc = 1 AND rn_exact = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS top1
+        FROM both_ranked GROUP BY q_id
+    )
+    SELECT q_id,
+           n AS n_candidates,
+           {sql_fround(
+               "1.0 - 6.0 * sd2 / (CAST(n AS DOUBLE) * (CAST(n AS BIGINT)"
+               " * n - 1))",
+               6,
+           )} AS spearman_rho,
+           CAST(top1 AS INTEGER) AS top1_agree
+    FROM m
+    """,
+    doc="Rank-agreement audit of the compressed stage: Spearman's rho "
+    "between each query's ADC ordering and the exact-cosine ordering "
+    "over the SAME shortlist, plus whether the two stages agree on "
+    "the single best hit. s18 reports whether the true top-k SURVIVES "
+    "the shortlist; this reports how well-ORDERED the shortlist "
+    "already is — the dial that sizes the rerank budget (rho near 1 "
+    "means a smaller shortlist suffices; low rho with high recall "
+    "means ADC finds but cannot sort, so rerank more). Both rank "
+    "columns are deterministic integer ROW_NUMBERs (ADC scores are "
+    "exact quantized BIGINTs with c_id tie-break; exact cosines are "
+    "bit-identical fold sums), so Spearman's 1 - 6*sum(d^2)/(n(n^2-1)) "
+    "runs on EXACT integers into one closing division — "
+    "engine-identical. Scale: everything downstream of the shared ADC "
+    f"stage lives on queries x {S17_SHORTLIST} rows.",
+)
+def s21_adc_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    adc = _ivfpq_adc(spark, sf_dir)
+    shortlist = (
+        adc.withColumn(
+            "rn_adc", F.row_number().over(W.partitionBy("q_id").orderBy("ai", "c_id"))
+        )
+        .filter(F.col("rn_adc") <= S17_SHORTLIST)
+        .select("q_id", "c_id", "rn_adc")
+    )
+    joined = shortlist.join(
+        e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")),
+        "q_id",
+    ).join(
+        e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")),
+        "c_id",
+    )
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / (
+        l2_norm(F.col("q_emb")) * l2_norm(F.col("c_emb"))
+    )
+    both = joined.select("q_id", "c_id", "rn_adc", cos.alias("cos_sim")).withColumn(
+        "rn_exact",
+        F.row_number().over(
+            W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "c_id")
+        ),
+    )
+    d = F.col("rn_adc") - F.col("rn_exact")
+    m = both.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d * d).cast("bigint").alias("sd2"),
+        F.sum(
+            F.when((F.col("rn_adc") == 1) & (F.col("rn_exact") == 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("top1"),
+    )
+    dn = F.col("n").cast("double")
+    return m.select(
+        "q_id",
+        F.col("n").alias("n_candidates"),
+        fround(
+            1.0 - 6.0 * F.col("sd2") / (dn * (F.col("n") * F.col("n") - 1)), 6
+        ).alias("spearman_rho"),
+        F.col("top1").cast("int").alias("top1_agree"),
+    )

@@ -871,3 +871,12 @@ def test_t56_bpe_counts_ride_vocab_not_corpus(spark):
     plan = plan_of(spark, "t56_bpe_merges")
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_s21_rank_audit_lives_on_shortlist_grain(spark):
+    """s21's Spearman machinery runs on queries x shortlist rows below
+    q_id-keyed windows; the embedding joins are vec_id equi-joins — no
+    cartesian fallback."""
+    plan = plan_of(spark, "s21_adc_rank_correlation")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan

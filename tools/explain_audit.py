@@ -82,6 +82,7 @@ AUDIT = [
     ("e37_kruskal_wallis", "calendar-bounded rank windows; quantized 7-group rank terms"),
     ("e38_peak_days", "gap-safe neighbour equi-joins; pure-integer prominence gate"),
     ("t56_bpe_merges", "vocab-side pair counts; broadcast merge rule; top-1 TakeOrdered"),
+    ("s21_adc_rank_correlation", "shared ADC stage; exact-int Spearman on shortlist grain"),
 ]
 
 
