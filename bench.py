@@ -116,6 +116,7 @@ HEADLINE = [
     "e37_kruskal_wallis",
     "t56_bpe_merges",
     "s21_adc_rank_correlation",
+    "q91_mann_whitney",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

@@ -2430,7 +2430,8 @@ def e37_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS nd
         FROM daily GROUP BY event_type
     )
-    SELECT d.event_type, d.day, d.c AS n_events,
+    SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+           d.c AS n_events,
            {sql_fround(
                "CAST(d.c AS DOUBLE) * nd / total", 4
            )} AS ratio_to_mean
@@ -2504,7 +2505,7 @@ def e38_peak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "event_type",
-            "day",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
             F.col("c").alias("n_events"),
             fround(
                 F.col("c").cast("double") * F.col("nd") / F.col("total"), 4

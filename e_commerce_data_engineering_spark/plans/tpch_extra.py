@@ -2445,3 +2445,144 @@ def q90_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(dsq / (dtot * F.col("tot")), 6).alias("hhi"),
         fround((dtot * F.col("tot")) / dsq, 4).alias("effective_competitors"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q91 — Mann–Whitney U test: urgent vs low-priority order values
+# (round 7; the two-sample sibling of e37's k-sample Kruskal–Wallis)
+# ---------------------------------------------------------------------------
+
+_Q91_HI = ("1-URGENT", "2-HIGH")
+_Q91_LO = ("4-NOT SPECIFIED", "5-LOW")
+
+
+@query(
+    "q91_mann_whitney",
+    oracle=f"""
+    WITH pop AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS grp,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+        FROM orders
+        WHERE o_orderpriority IN
+              ('1-URGENT', '2-HIGH', '4-NOT SPECIFIED', '5-LOW')
+    ),
+    vals AS (
+        SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(grp) AS BIGINT) AS cnt1
+        FROM pop GROUP BY y
+    ),
+    cum AS (
+        SELECT y, cnt, cnt1,
+               CAST(COALESCE(SUM(cnt) OVER (
+                   ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING
+               ), 0) AS BIGINT) AS below
+        FROM vals
+    ),
+    g AS (
+        SELECT CAST(SUM(cnt1 * (2 * below + cnt + 1)) AS BIGINT) AS s2r1,
+               CAST(SUM(cnt1) AS BIGINT) AS n1,
+               CAST(SUM(cnt - cnt1) AS BIGINT) AS n2
+        FROM cum
+    ),
+    ties AS (
+        SELECT CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_mass
+        FROM vals
+    ),
+    u AS (
+        SELECT n1, n2, tie_mass,
+               s2r1 - n1 * (n1 + 1) AS u2_1  -- 2*U1, exact integer
+        FROM g CROSS JOIN ties
+    )
+    SELECT n1 AS n_high, n2 AS n_low,
+           {sql_fround("CAST(u2_1 AS DOUBLE) / 2", 1)} AS u_stat,
+           {sql_fround(
+               "(CAST(u2_1 AS DOUBLE) / 2 - CAST(n1 AS DOUBLE) * n2 / 2)"
+               " / sqrt(CAST(n1 AS DOUBLE) * n2 / 12"
+               "        * ((n1 + n2 + 1)"
+               "           - CAST(tie_mass AS DOUBLE)"
+               "             / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))",
+               4,
+           )} AS z_score,
+           {sql_fround(
+               "1.0 - CAST(u2_1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)", 6
+           )} AS rank_biserial
+    FROM u
+    """,
+    doc="Mann–Whitney U test (1947): do urgent/high-priority orders "
+    "carry different total values than low-priority ones? The "
+    "two-sample sibling of e37's Kruskal–Wallis, on the same "
+    "exact-integer midrank machinery (2·rank + ties − 1, so 2·U is a "
+    "pure integer), with the tie-corrected normal approximation "
+    "z-score and the rank-biserial effect size r = 1 − 2U/(n1·n2) — "
+    "the direction-and-magnitude readout (0 = stochastic equality; "
+    "positive means the high-priority group stochastically "
+    "dominates). Every statistic is a single identically-shaped "
+    "double expression over exact int64 rank sums and the exact tie "
+    "mass — sqrt IEEE-exact, engine-identical before rounding. "
+    "Scale: ranks never touch the order population — the midrank "
+    "identity 2R1 = sum cnt1*(2*below + cnt + 1) aggregates off the "
+    "cent-VALUE grid (one rollup + a cumulative window bounded by the "
+    "price domain, the e33/q87 rank-block discipline), then "
+    "single-row arithmetic.",
+)
+def q91_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    pop = o.filter(F.col("o_orderpriority").isin(*(_Q91_HI + _Q91_LO))).select(
+        F.when(F.col("o_orderpriority").isin(*_Q91_HI), 1).otherwise(0).alias("grp"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("y"),
+    )
+    vals = pop.groupBy("y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("grp").cast("bigint").alias("cnt1"),
+    )
+    # cumulative window over the VALUE grid — bounded by the cent-value
+    # domain of order totals, never by the order population (the
+    # e33/q87 rank-block discipline: midrank of value v is
+    # below(v) + (cnt+1)/2, so 2R1 aggregates off the grid directly)
+    w_cum = W.orderBy("y").rowsBetween(W.unboundedPreceding, -1)
+    cum = vals.select(
+        "y",
+        "cnt",
+        "cnt1",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).cast("bigint").alias("below"),
+    )
+    g = cum.agg(
+        F.sum(F.col("cnt1") * (2 * F.col("below") + F.col("cnt") + 1))
+        .cast("bigint")
+        .alias("s2r1"),
+        F.sum("cnt1").cast("bigint").alias("n1"),
+        F.sum(F.col("cnt") - F.col("cnt1")).cast("bigint").alias("n2"),
+    )
+    ties = vals.agg(
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("bigint")
+        .alias("tie_mass")
+    )
+    u = g.crossJoin(F.broadcast(ties)).select(
+        "n1",
+        "n2",
+        "tie_mass",
+        (F.col("s2r1") - F.col("n1") * (F.col("n1") + 1)).alias("u2_1"),
+    )
+    du = F.col("u2_1").cast("double")
+    dn1 = F.col("n1").cast("double")
+    ntot = F.col("n1") + F.col("n2")
+    z = (du / 2 - dn1 * F.col("n2") / 2) / F.sqrt(
+        dn1
+        * F.col("n2")
+        / 12
+        * (
+            (ntot + 1)
+            - F.col("tie_mass").cast("double")
+            / (ntot.cast("double") * (ntot - 1))
+        )
+    )
+    return u.select(
+        F.col("n1").alias("n_high"),
+        F.col("n2").alias("n_low"),
+        fround(du / 2, 1).alias("u_stat"),
+        fround(z, 4).alias("z_score"),
+        fround(1.0 - du / (dn1 * F.col("n2")), 6).alias("rank_biserial"),
+    )

@@ -880,3 +880,14 @@ def test_s21_rank_audit_lives_on_shortlist_grain(spark):
     plan = plan_of(spark, "s21_adc_rank_correlation")
     assert "CartesianProduct" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_q91_ranks_ride_value_grid_not_population(spark):
+    """q91's midrank machinery aggregates off the cent-VALUE grid: a
+    value rollup sits below the cumulative window (the e33/q87
+    rank-block discipline), so exact ranks never sort the order
+    population — no cartesian beyond broadcast single-row frames."""
+    plan = plan_of(spark, "q91_mann_whitney")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan

@@ -83,6 +83,7 @@ AUDIT = [
     ("e38_peak_days", "gap-safe neighbour equi-joins; pure-integer prominence gate"),
     ("t56_bpe_merges", "vocab-side pair counts; broadcast merge rule; top-1 TakeOrdered"),
     ("s21_adc_rank_correlation", "shared ADC stage; exact-int Spearman on shortlist grain"),
+    ("q91_mann_whitney", "midranks off the cent-value grid; single-row U/z arithmetic"),
 ]
 
 
