@@ -81,6 +81,8 @@ OP_TABLES = {
     "llr_keywords_t53": {"documents"},
     "km_survival_q84": {"orders"},
     "dedup_waterfall_t55": {"documents"},
+    "session_affinity_e36": {"events"},
+    "count_sketch_x12": {"documents"},
 }
 
 
@@ -583,6 +585,56 @@ def main() -> None:
             )
             return ex_rm.count() + pre_rm.count() + fp_rm.count()
 
+        # e36-shaped session affinity: user_id shifts make replica
+        # users disjoint, so sessions and (session, type) rows grow
+        # K-fold while the type-pair key space stays constant — the
+        # user-keyed sessionization windows are the only
+        # population-sized stage: linear.
+        def session_affinity():
+            from pyspark.sql import Window as W
+
+            w = W.partitionBy("user_id").orderBy("ts", "event_id")
+            ts = F.col("ts").cast("timestamp")
+            ms = F.unix_millis(ts)
+            prev = F.lag(ms).over(w)
+            flagged = ev.select(
+                "user_id", "ts", "event_id", "event_type",
+                F.when(prev.isNull() | ((ms - prev) > 30 * 60 * 1000), 1)
+                .otherwise(0)
+                .alias("ns"),
+            )
+            st = flagged.select(
+                "user_id", "event_type",
+                F.sum("ns").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("sess"),
+            ).select("user_id", "sess", "event_type").distinct()
+            a = st.select("user_id", "sess", F.col("event_type").alias("ta"))
+            b = st.select(
+                F.col("user_id").alias("_u"), F.col("sess").alias("_s"),
+                F.col("event_type").alias("tb"),
+            )
+            return (
+                a.join(b, (a["user_id"] == b["_u"]) & (a["sess"] == b["_s"])
+                       & (a["ta"] < b["tb"]))
+                .groupBy("ta", "tb")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .count()
+            )
+
+        # x12-shaped Count-Sketch build: replica docs are exact copies,
+        # so the distinct vocabulary (and the 3x256 grid) is constant
+        # while counts grow K-fold — the sign folds run per DISTINCT
+        # token and the grid shuffle's key space is fixed: flat target.
+        def count_sketch():
+            from e_commerce_data_engineering_spark.functions.text import tokens
+            from e_commerce_data_engineering_spark.plans.graph_sketch import cs_grid
+
+            per_tok = (
+                docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+                .groupBy("token")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            )
+            return cs_grid(per_tok).count()
+
         op_max_scale = {"ppjoin_t09": 16, "dup_spans_t40": 16}
         for name, fn, rows_in in (
             ("join_agg", join_agg, n_li),
@@ -605,6 +657,8 @@ def main() -> None:
             ("llr_keywords_t53", llr_keywords, n_doc),
             ("km_survival_q84", km_survival, n_ord),
             ("dedup_waterfall_t55", dedup_waterfall, n_doc),
+            ("session_affinity_e36", session_affinity, n_ev),
+            ("count_sketch_x12", count_sketch, n_doc),
         ):
             if only_ops is not None and name not in only_ops:
                 continue
