@@ -1204,3 +1204,80 @@ def read_count_sketch_estimates(
     from ..plans.graph_sketch import cs_estimates
 
     return cs_estimates(read_count_sketch_state(spark, state_dir), targets)
+
+
+def start_linear_counting_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Streaming twin of the x13 linear-counting bitmap over document
+    tokens: each micro-batch reduces its tokens to the DISTINCT
+    (source, bucket) hit set on the same portable hash the batch query
+    uses, written under ``batch_id=N`` with overwrite (the KMV/AMS/
+    Count-Sketch store discipline). The bitmap's merge is set UNION —
+    folding the per-batch hit sets with DISTINCT reproduces the batch
+    bitmap exactly, so stream-vs-batch parity is exact set equality.
+    State is at most sources*m rows per drained micro-batch however
+    large the stream."""
+    from ..functions.text import tokens
+    from ..operators.sketch import portable_hash
+    from ..plans.graph_sketch import _X13_M
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+    def _partial(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hit = (
+            batch_df.select(
+                "source", F.explode(tokens(F.col("text"))).alias("token")
+            )
+            .select(
+                "source",
+                (portable_hash(F.col("token"), 31) % _X13_M).alias("b"),
+            )
+            .distinct()
+        )
+        hit.write.mode("overwrite").parquet(f"{state_dir}/batch_id={epoch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(_partial)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_linear_counting_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Fold the streamed per-batch bitmap partials by set union (the
+    sketch's merge) back into the DISTINCT (source, bucket) hit set —
+    comparable by equality to the batch bitmap over the union of all
+    drained rows."""
+    return spark.read.parquet(state_dir).select("source", "b").distinct()
+
+
+def read_linear_counting_estimates(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """Per-source linear-counting estimate m*ln(m/empty) from the folded
+    stream bitmap — the same occupancy inversion the batch x13 query
+    reports, so batch/stream parity holds by construction."""
+    from ..plans.graph_sketch import _X13_M
+
+    occ = read_linear_counting_state(spark, state_dir).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("occupied")
+    )
+    m = float(_X13_M)
+    return occ.select(
+        "source",
+        "occupied",
+        (m * F.log(F.lit(m) / (_X13_M - F.col("occupied")))).alias("lc_est"),
+    )

@@ -1648,3 +1648,76 @@ def test_count_sketch_stream_matches_batch_grid(spark, tmp_path):
         if r["s"] != 0
     }
     assert got2 == got
+
+
+def test_linear_counting_stream_matches_batch_bitmap(spark, tmp_path):
+    """Batch/stream parity for the x13 linear-counting bitmap:
+    documents streamed in micro-batches, per-batch DISTINCT
+    (source, bucket) hit sets unioned read-side, must EQUAL (exact set
+    equality — union is the bitmap's merge) the batch bitmap over the
+    full corpus, and the folded occupancy estimates must match.
+    Replay with the same checkpoint changes nothing."""
+    import json as _json
+
+    from e_commerce_data_engineering_spark.functions.text import tokens
+    from e_commerce_data_engineering_spark.operators.sketch import portable_hash
+    from e_commerce_data_engineering_spark.plans.graph_sketch import _X13_M
+    from e_commerce_data_engineering_spark.sources.tables import load_table
+    from e_commerce_data_engineering_spark.streaming.pipeline import (
+        read_linear_counting_estimates,
+        read_linear_counting_state,
+        start_linear_counting_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("source", "text")
+    rows = [(r["source"], r["text"]) for r in docs.collect()]
+    src = tmp_path / "lc-src"
+    src.mkdir()
+    third = max(1, len(rows) // 3)
+    for i in range(3):
+        chunk = rows[i * third :] if i == 2 else rows[i * third : (i + 1) * third]
+        (src / f"part{i}.jsonl").write_text(
+            "\n".join(
+                _json.dumps({"source": s0, "text": t}) for s0, t in chunk
+            )
+        )
+
+    schema = T.StructType(
+        [T.StructField("source", T.StringType()), T.StructField("text", T.StringType())]
+    )
+    state = str(tmp_path / "lc-state")
+    ckpt = str(tmp_path / "lc-ckpt")
+
+    def _run():
+        q = start_linear_counting_stream(spark, str(src), state, ckpt, schema)
+        q.awaitTermination(120)
+
+    _run()
+    got = {
+        (r["source"], r["b"])
+        for r in read_linear_counting_state(spark, state).collect()
+    }
+    want = {
+        (r["source"], r["b"])
+        for r in docs.select(
+            "source", F.explode(tokens(F.col("text"))).alias("token")
+        )
+        .select("source", (portable_hash(F.col("token"), 31) % _X13_M).alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(want) > 0  # exact set equality
+
+    ests = {
+        r["source"]: r["lc_est"]
+        for r in read_linear_counting_estimates(spark, state).collect()
+    }
+    assert set(ests) == {s0 for s0, _ in want} and all(v > 0 for v in ests.values())
+
+    _run()  # replay drained checkpoint -> no-op
+    got2 = {
+        (r["source"], r["b"])
+        for r in read_linear_counting_state(spark, state).collect()
+    }
+    assert got2 == got
