@@ -16,7 +16,7 @@ from ..operators.dedup import (
     minhash_lsh_pairs_portable,
     simhash_pairs,
 )
-from ..operators.multimodal import decode_asset, make_fake_assets
+from ..operators.multimodal import decode_asset
 from ..operators.similarity import lsh_cosine_topk
 from ..operators.sketch import _P1, sql_portable_hash
 from ..sources.tables import load_table
