@@ -85,11 +85,12 @@ def _load_all_modules() -> None:
 # already-recorded query. Run it every round; the driver only re-checks
 # the front of this list.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-7 front block: new round-7 additions first (the whole
-    # ~50-record sweep window is free — r6 retired the last
-    # never-recorded names; cumulative driver record is 218/218
-    # through r6), then the youngest already-recorded rounds for
-    # re-checks.
+    # --- round-7 front block: 48 round-7 additions fill the ~50-record
+    # sweep window almost exactly (r6 retired all prior debt; cumulative
+    # driver record is 218/218 through r6). ROUND-8 NOTE: rotate BEFORE
+    # adding — check CORRECTNESS_r07 for which of these 48 got recorded,
+    # move the recorded ones below the round-6 block (youngest first),
+    # and keep any never-recorded stragglers at the very front.
     "m08_image_neardup_pairs",
     "e30_markov_stationary",
     "t48_pmi_cooccurrence",
