@@ -309,37 +309,42 @@ def _fs(spark: SparkSession, path: str):
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), jPath
 
 
-def _read_pointer(spark: SparkSession, table_dir: str) -> int | None:
-    """Committed version from the pointer file, None for an empty table."""
+def _committed_versions(spark: SparkSession, table_dir: str) -> list[int]:
+    """Sorted committed versions = the ``_latest.N`` marker files
+    (Delta-style commit log: one append-only marker per commit)."""
     fs, jPath = _fs(spark, table_dir)
-    ptr = jPath(f"{table_dir}/{_LATEST}")
-    if not fs.exists(ptr):
-        return None
-    stream = fs.open(ptr)
-    try:
-        out = b""
-        while True:
-            b = stream.read()  # one byte as int, -1 at EOF; file is tiny
-            if b == -1:
-                break
-            out += bytes([b])
-    finally:
-        stream.close()
-    return int(out.decode().strip())
+    root = jPath(table_dir)
+    if not fs.exists(root):
+        return []
+    prefix = _LATEST + "."
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith(prefix) and name[len(prefix) :].isdigit():
+            out.append(int(name[len(prefix) :]))
+    return sorted(out)
+
+
+def _read_pointer(spark: SparkSession, table_dir: str) -> int | None:
+    """Latest committed version (max marker N), None for an empty table."""
+    versions = _committed_versions(spark, table_dir)
+    return versions[-1] if versions else None
 
 
 def snapshot_commit(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
     """Append ``df`` as the table's next immutable version and publish
-    it ATOMICALLY: data lands under ``v=<n>/`` first, the ``_latest``
-    pointer file is swapped last via write-to-temp + rename (one atomic
-    metadata op on HDFS/local). A crash before the swap leaves an
-    orphan ``v=<n>`` directory that NO reader ever sees — readers go
-    through the pointer — and the next commit simply claims the next
-    number. Old versions are never touched, so every committed version
-    remains readable forever (time travel) until a retention job
-    prunes it. This is the commit-log kernel of Delta/Iceberg reduced
-    to one pointer; what the real formats add on top is a manifest per
-    commit (file-level pruning) and multi-writer conflict detection.
+    it ATOMICALLY via a Delta-style commit log: data lands under
+    ``v=<n>/`` first, then ONE empty marker file ``_latest.<n>`` is
+    created (a single atomic create — no delete, no rename, no window
+    where the table has no pointer; readers take the max marker N). A
+    crash before the marker leaves an orphan ``v=<n>`` directory that
+    NO reader ever sees, and the next commit simply claims the next
+    free number. Old versions and old markers are never touched, so
+    every committed version remains readable forever (time travel)
+    until a retention job prunes it. This is the commit-log kernel of
+    Delta/Iceberg (``_delta_log/N.json`` reduced to an empty marker);
+    what the real formats add on top is a manifest per commit
+    (file-level pruning) and multi-writer conflict detection.
     Returns the committed version number."""
     fs, jPath = _fs(spark, table_dir)
     cur = _read_pointer(spark, table_dir)
@@ -348,16 +353,8 @@ def snapshot_commit(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
     while fs.exists(jPath(f"{table_dir}/v={nxt}")):
         nxt += 1
     df.write.mode("errorifexists").parquet(f"{table_dir}/v={nxt}")
-    tmp = jPath(f"{table_dir}/{_LATEST}.tmp")
-    fs.delete(tmp, False)
-    stream = fs.create(tmp, True)
-    try:
-        stream.write(bytearray(str(nxt).encode()))
-    finally:
-        stream.close()
-    ptr = jPath(f"{table_dir}/{_LATEST}")
-    fs.delete(ptr, False)
-    fs.rename(tmp, ptr)
+    stream = fs.create(jPath(f"{table_dir}/{_LATEST}.{nxt}"), True)
+    stream.close()
     return nxt
 
 
@@ -369,12 +366,12 @@ def snapshot_read(
     invisible by construction — only the pointer decides. Raises
     ValueError for an empty table or a version that was never
     committed (greater than the pointer or missing on disk)."""
-    fs, jPath = _fs(spark, table_dir)
-    latest = _read_pointer(spark, table_dir)
-    if latest is None:
+    versions = _committed_versions(spark, table_dir)
+    if not versions:
         raise ValueError(f"snapshot table {table_dir} has no committed version")
+    latest = versions[-1]
     v = latest if version is None else version
-    if v > latest or not fs.exists(jPath(f"{table_dir}/v={v}")):
+    if v not in versions:
         raise ValueError(f"version {v} not committed in {table_dir} (latest={latest})")
     return spark.read.parquet(f"{table_dir}/v={v}")
 
@@ -384,9 +381,10 @@ def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
     version — the audit view a retention/VACUUM job plans from.
     Orphan (uncommitted) dirs are excluded, like every reader."""
     fs, jPath = _fs(spark, table_dir)
-    latest = _read_pointer(spark, table_dir)
+    versions = _committed_versions(spark, table_dir)
+    latest = versions[-1] if versions else None
     rows = []
-    for v in range(1, (latest or 0) + 1):
+    for v in versions:
         vp = jPath(f"{table_dir}/v={v}")
         if not fs.exists(vp):
             continue
@@ -395,7 +393,9 @@ def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
         while it.hasNext():
             st = it.next()
             name = st.getPath().getName()
-            if name.startswith("_"):
+            # "_" = Spark markers (_SUCCESS), "." = Hadoop hidden files
+            # (ChecksumFileSystem's .part-*.crc sidecars on local FS)
+            if name.startswith("_") or name.startswith("."):
                 continue
             n_files += 1
             total += st.getLen()

@@ -1012,8 +1012,9 @@ def d10_portable_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
+    # persist (lazy) — the chunk fanout below reuses sg; materialized
+    # once at the consumer's first action, no eager action in a builder
     sig = d.select("doc_id", _bind(votes, sig_of).alias("sg")).persist()
-    sig.count()  # materialize: the chunk fanout below reuses sg
     chunks = sig.select(
         "doc_id",
         "sg",
@@ -1353,8 +1354,10 @@ def m08_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lo"),
         )
         .persist()
+        # lazy: the band fanout below reuses hi/lo; the decode pipeline
+        # materializes once at the consumer's first action (building
+        # the plan must not trigger the PNG decode — ADVICE r7)
     )
-    fp.count()  # materialize once: the band fanout below reuses hi/lo
     bands = fp.select(
         "asset_id",
         "hi",

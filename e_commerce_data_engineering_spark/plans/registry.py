@@ -85,12 +85,28 @@ def _load_all_modules() -> None:
 # already-recorded query. Run it every round; the driver only re-checks
 # the front of this list.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-7 front block: 48 round-7 additions fill the ~50-record
-    # sweep window almost exactly (r6 retired all prior debt; cumulative
-    # driver record is 218/218 through r6). ROUND-8 NOTE: rotate BEFORE
-    # adding — check CORRECTNESS_r07 for which of these 48 got recorded,
-    # move the recorded ones below the round-6 block (youngest first),
-    # and keep any never-recorded stragglers at the very front.
+    # --- round-8 front block: never-driver-recorded additions go here,
+    # oracle-backed before rows-only. CORRECTNESS_r07 recorded every
+    # round-7 name (cumulative driver record 266/266 through r7), so the
+    # front is clear for round-8. ROUND-9 NOTE: rotate BEFORE adding —
+    # check CORRECTNESS_r08 for which of these got recorded and move the
+    # recorded ones into a labelled block below (youngest first).
+    "m10_portable_audio_pairs",
+    "t57_bpe_apply",
+    "q92_price_spread_ratio",
+    "q93_order_gap_percentiles",
+    "e39_sessionization_stats",
+    "t58_winsorized_quality",
+    "d18_minhash_band_tuning",
+    "s22_ann_frontier",
+    "g11_bipartite_projection",
+    "x14_theta_sketch_diff",
+    "q94_shipmode_mix_shift",
+    "e40_powerlaw_tail_fit",
+    "t59_kneedle_threshold",
+    "q95_holiday_lift",
+    # --- already driver-recorded: round-7 block (all 47 recorded in
+    # CORRECTNESS_r07), youngest first.
     "m08_image_neardup_pairs",
     "e30_markov_stationary",
     "t48_pmi_cooccurrence",

@@ -3772,10 +3772,15 @@ _T56_MARK = "\x01"
         GROUP BY token
     ),
     p1 AS (
+        -- per-row unnest derives the position bound from EACH token's
+        -- length (no fixed generate_series cap to outgrow — ADVICE r7)
         SELECT substr(token, i, 1) AS l, substr(token, i + 1, 1) AS r,
                CAST(SUM(cnt) AS BIGINT) AS c
-        FROM w, (SELECT unnest(generate_series(1, 100)) AS i) g
-        WHERE i < length(token)
+        FROM (
+            SELECT token, cnt,
+                   unnest(generate_series(1, length(token) - 1)) AS i
+            FROM w
+        ) u
         GROUP BY 1, 2
     ),
     m1 AS (
@@ -3793,8 +3798,11 @@ _T56_MARK = "\x01"
                CASE WHEN substr(tok2, i + 1, 1) = chr(1) THEN merged
                     ELSE substr(tok2, i + 1, 1) END AS r,
                CAST(SUM(cnt) AS BIGINT) AS c
-        FROM w2, (SELECT unnest(generate_series(1, 100)) AS i) g
-        WHERE i < length(tok2)
+        FROM (
+            SELECT tok2, cnt, merged,
+                   unnest(generate_series(1, length(tok2) - 1)) AS i
+            FROM w2
+        ) u
         GROUP BY 1, 2
     ),
     m2 AS (

@@ -253,6 +253,32 @@ def test_snapshot_commit_read_time_travel(spark, tmp_path):
     assert v4 == 4
     assert {r["v"] for r in snapshot_read(spark, t).collect()} == {"never"}
 
+    # the orphan stays invisible to history even BELOW the latest
+    # marker (commit-log semantics: history = marker set, not a range)
+    hist2 = {r["version"] for r in snapshot_history(spark, t).collect()}
+    assert hist2 == {1, 2, 4}
+
+    # commit log is append-only: every marker file still exists, so at
+    # no point between commits is the table pointerless (the old
+    # delete-then-rename pointer swap had a crash window with no
+    # pointer at all — ADVICE r7)
+    import os
+
+    markers = {n for n in os.listdir(t) if n.startswith("_latest.")}
+    assert markers == {"_latest.1", "_latest.2", "_latest.4"}
+
+    # history byte/file tallies exclude Hadoop hidden files — the
+    # local ChecksumFileSystem writes .part-*.crc sidecars that must
+    # not inflate a retention job's numbers (ADVICE r7)
+    v4_dir = os.path.join(t, "v=4")
+    real = [
+        n for n in os.listdir(v4_dir) if not n.startswith("_") and not n.startswith(".")
+    ]
+    assert any(n.startswith(".") for n in os.listdir(v4_dir))  # crc sidecars exist
+    row4 = [r for r in snapshot_history(spark, t).collect() if r["version"] == 4][0]
+    assert row4["n_files"] == len(real)
+    assert row4["total_bytes"] == sum(os.path.getsize(os.path.join(v4_dir, n)) for n in real)
+
 
 def test_snapshot_upsert_merges_and_preserves_old_version(spark, tmp_path):
     """snapshot_upsert publishes the keep-latest merge as a NEW

@@ -891,3 +891,31 @@ def test_q91_ranks_ride_value_grid_not_population(spark):
     assert "CartesianProduct" not in plan, plan
     assert "Window" in plan, plan
     assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_no_bare_actions_in_plan_builders():
+    """Plan builders must stay LAZY: merely building a query can never
+    trigger an action (m08's eager fp.count() once ran the full PNG
+    decode pipeline inside the builder — ADVICE r7). Grep-style pin
+    over every plans/ source file: no statement-level .count() /
+    .collect() / .show() / .toPandas() / .first(). Actions that feed a
+    variable or expression (bounded-state collects in operators/) are
+    out of scope — this scans plans/ only, where builders return
+    DataFrames for an external consumer to act on."""
+    import pathlib
+    import re
+
+    plans_dir = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "e_commerce_data_engineering_spark"
+        / "plans"
+    )
+    bare_action = re.compile(
+        r"^\s+\w[\w.]*\.(count|collect|show|toPandas|first|take)\(\)\s*(#.*)?$"
+    )
+    offenders = []
+    for src in sorted(plans_dir.glob("*.py")):
+        for i, line in enumerate(src.read_text().splitlines(), 1):
+            if bare_action.match(line):
+                offenders.append(f"{src.name}:{i}: {line.strip()}")
+    assert not offenders, "\n".join(offenders)

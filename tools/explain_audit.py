@@ -41,7 +41,7 @@ AUDIT = [
     ("q74_rolling_corr", "calendar-bounded RANGE frames, partitioned by month grid"),
     ("q76_revenue_deciles", "Lorenz deciles without a global ntile: broadcast fences, map-side decile assign"),
     ("q77_theil_sen_trend", "pairwise median slope on the broadcast 83-row monthly aggregate"),
-    ("t47_js_source_divergence", "JS drift: (source,token) counts joined to densified grid, quantized BIGINT terms"),
+    ("t47_js_source_divergence", "JS drift: shared-token inner join (no vocab broadcast), ln2 folding, quantized BIGINT terms"),
     ("x10_ams_f2", "AMS F2: 9 sign-folds over distinct tokens, map-side combined to 9 integers"),
     ("m08_image_neardup_pairs", "ahash banding: 4x16-bit band equi-join, exact Hamming verify, no all-pairs"),
     # round-7 additions
