@@ -1625,3 +1625,125 @@ def m09_audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared_hashes") >= M09_MIN_SHARED)
     )
     return pairs.select("id_a", "id_b", "shared_hashes")
+
+
+# ---------------------------------------------------------------------------
+# m10 — the hash-checked PORTABLE TWIN of m09's pair stage (round 8;
+# the d08/d09 move applied to audio landmark dedup): m09's real STFT
+# landmarks are rfft floats no SQL engine reproduces, so the driver can
+# only row-count it. m10 reruns the IDENTICAL fp_hash equi-join →
+# shared-count threshold pipeline on engine-portable landmarks — token
+# adjacency pairs Horner-hashed with the shared portable hash — so the
+# pair machinery itself sits under the oracle hash gate.
+# ---------------------------------------------------------------------------
+
+M10_N_ASSETS = 120  # mirror M09_N_ASSETS: corpus = originals + twins
+M10_GAP = 3  # landmark pairs peak i with peak i+GAP (Wang 2003's dt)
+M10_DROP = 4  # the "re-encode": trim the first DROP tokens of the twin
+M10_MAX_DF = 12  # drop hyper-common landmarks (> DF assets) pre-join
+M10_MIN_SHARED = 9  # pairing threshold on df-capped shared landmarks
+
+
+@query(
+    "m10_portable_audio_pairs",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+        WHERE doc_id < {M10_N_ASSETS}
+    ),
+    corpus AS (
+        SELECT doc_id AS asset_id, tk FROM base
+        UNION ALL
+        SELECT doc_id + 1000 AS asset_id, tk[{M10_DROP + 1}:] AS tk FROM base
+    ),
+    lm AS (
+        SELECT DISTINCT asset_id, {sql_portable_hash("lmstr")} AS fp_hash
+        FROM (
+            SELECT asset_id,
+                   unnest(list_distinct(
+                       [tk[i] || '>' || tk[i + {M10_GAP}]
+                        for i in range(1, len(tk) - {M10_GAP - 1})]
+                   )) AS lmstr
+            FROM corpus WHERE len(tk) > {M10_GAP}
+        ) u
+    ),
+    rare AS (
+        SELECT fp_hash FROM lm GROUP BY fp_hash
+        HAVING COUNT(*) <= {M10_MAX_DF}
+    ),
+    lmr AS (SELECT asset_id, lm.fp_hash FROM lm JOIN rare USING (fp_hash))
+    SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_hashes
+    FROM lmr a JOIN lmr b
+      ON a.fp_hash = b.fp_hash AND a.asset_id < b.asset_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {M10_MIN_SHARED}
+    """,
+    doc="m09's audio landmark PAIR STAGE made oracle-checkable (the "
+    "d08/d09 portable-twin move): stand-in landmark fingerprints are "
+    "token ADJACENCY pairs (token i with token i+3 — the analog of "
+    "Wang 2003 pairing peak(t) with peak(t+dt)) Horner-hashed with "
+    "the engine-portable integer fold, and each asset's 're-encode' "
+    "twin trims its first 4 tokens — different bytes, landmark set "
+    "mostly preserved, exactly how m09's volume rescale preserves "
+    "peak bins while changing every sample. The downstream pipeline "
+    "is IDENTICAL to m09 (plans/advanced.py m09): distinct per-asset "
+    "hash set, fp_hash equi-join with id ordering, shared-count "
+    "threshold — so the one rows-only query family now has its "
+    "banding machinery hash-checked end to end, plus the df-cap "
+    "every production fingerprint store applies (hashes present in "
+    f"> {M10_MAX_DF} assets are dropped before pairing — Wang 2003's "
+    "over-dense-region suppression / the d14 rare-anchor move), "
+    "which makes the threshold razor-sharp here: 93 twin pairs, "
+    "ZERO coincidental pairs at sf0.01. Scale: landmark emission is "
+    "a shuffle-free narrow map; the df-cap bounds every hash bucket "
+    f"at {M10_MAX_DF} rows, so the pair join fanout is <= df^2 per "
+    "hash, never corpus^2 — and hot template landmarks can never "
+    "skew the shuffle.",
+)
+def m10_portable_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as X
+    from ..operators.sketch import portable_hash
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < M10_N_ASSETS)
+    base = d.select("doc_id", X.tokens(F.col("text")).alias("tk"))
+    twin = base.select(
+        (F.col("doc_id") + F.lit(1000)).alias("asset_id"),
+        F.expr(f"slice(tk, {M10_DROP + 1}, size(tk))").alias("tk"),
+    )
+    corpus = base.select(F.col("doc_id").alias("asset_id"), "tk").unionByName(twin)
+    landmarks = corpus.filter(F.size("tk") > M10_GAP).select(
+        "asset_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - M10_GAP),
+                    lambda i: F.concat(
+                        F.element_at(F.col("tk"), i),
+                        F.lit(">"),
+                        F.element_at(F.col("tk"), i + M10_GAP),
+                    ),
+                )
+            )
+        ).alias("lmstr"),
+    )
+    fp = landmarks.select("asset_id", portable_hash(F.col("lmstr")).alias("fp_hash")).distinct()
+    # df-cap: landmarks shared by more than M10_MAX_DF assets carry no
+    # pairing signal and would hot-key the fp_hash shuffle — drop them
+    # BEFORE the join (bounds every bucket's fanout at df^2)
+    rare = (
+        fp.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= M10_MAX_DF)
+        .select("fp_hash")
+    )
+    fpr = fp.join(rare, "fp_hash")
+    a = fpr.select(F.col("asset_id").alias("id_a"), "fp_hash")
+    b = fpr.select(F.col("asset_id").alias("id_b"), F.col("fp_hash").alias("_h2"))
+    pairs = (
+        a.join(b, (a["fp_hash"] == b["_h2"]) & (a["id_a"] < b["id_b"]))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_hashes"))
+        .filter(F.col("shared_hashes") >= M10_MIN_SHARED)
+    )
+    return pairs.select("id_a", "id_b", "shared_hashes")

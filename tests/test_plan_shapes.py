@@ -919,3 +919,14 @@ def test_no_bare_actions_in_plan_builders():
             if bare_action.match(line):
                 offenders.append(f"{src.name}:{i}: {line.strip()}")
     assert not offenders, "\n".join(offenders)
+
+
+def test_m10_portable_pair_join_is_df_capped_hash_equi(spark):
+    """m10 (m09's hash-checked twin) rides the SAME fp_hash equi-join
+    shape as m09, with the df-cap aggregate sitting BELOW the pair
+    join — no cartesian, no nested-loop all-pairs, and the hot-key
+    guard visible as an extra aggregate+join pair."""
+    plan = plan_of(spark, "m10_portable_audio_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # df-cap + pair count
