@@ -3762,11 +3762,11 @@ def t55_dedup_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # merge placeholder: a codepoint the corpus alphabet cannot contain
 _T56_MARK = "\x01"
 
-
-@query(
-    "t56_bpe_merges",
-    oracle=f"""
-    WITH w AS (
+# shared training CTEs (w -> p1 -> m1 -> w2 -> p2 -> m2): t56 reports
+# the merges, t57 applies them — ONE definition so the oracles can
+# never drift apart
+_T56_TRAIN_CTES = f"""
+    w AS (
         SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
         FROM (SELECT unnest({_DUCK_TOKS}) AS token FROM documents) t
         GROUP BY token
@@ -3809,31 +3809,15 @@ _T56_MARK = "\x01"
         SELECT l, r, c FROM p2
         ORDER BY c DESC, l, r LIMIT 1
     )
-    SELECT CAST(1 AS INTEGER) AS round, l AS left_sym, r AS right_sym,
-           c AS pair_count
-    FROM m1
-    UNION ALL
-    SELECT CAST(2 AS INTEGER), l, r, c FROM m2
-    """,
-    doc="Byte-pair-encoding TRAINING, two statically-unrolled merge "
-    "rounds (Sennrich et al. 2016) — the step every BPE/WordPiece "
-    "tokenizer build repeats 30k times, expressed as pure relational "
-    "algebra: weight each distinct word by its corpus count, count "
-    "adjacent character pairs, crown the max (count desc, pair asc — "
-    "deterministic tie-break), REWRITE the vocabulary with the merge "
-    "(leftmost non-overlapping replace, identical semantics both "
-    "engines, a sentinel codepoint standing in for the merged "
-    "symbol), and count again — the g02/g03 fixed-round-unroll trick "
-    "applied to tokenizer training, so the whole thing is "
-    "hash-checked. Pair counts are exact int64; no floats anywhere. "
-    "Scale: pair counting runs once per DISTINCT word (vocab-, never "
-    "corpus-sized — the same reason production BPE trainers "
-    "pre-aggregate to word counts), the argmax is a top-1 over an "
-    "alphabet-bounded pair table, and the rewrite is a broadcast of "
-    "one merge rule.",
-)
-def t56_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+"""
+
+
+
+def _t56_merges(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The t56 training chain as a shared stage: global vocab counts →
+    top-1 pair (m1) → vocab rewrite → top-1 pair again (m2). Returns
+    the two single-row merge frames so t57 (apply) consumes the SAME
+    learned merges the t56 report shows."""
     w = (
         d.select(F.explode(X.tokens(F.col("text"))).alias("token"))
         .groupBy("token")
@@ -3877,6 +3861,39 @@ def t56_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     m2 = pair_counts(w2, "tok2", sym=True).orderBy(
         F.col("c").desc(), "l", "r"
     ).limit(1)
+    return m1, m2
+
+
+@query(
+    "t56_bpe_merges",
+    oracle=f"""
+    WITH {_T56_TRAIN_CTES}
+    SELECT CAST(1 AS INTEGER) AS round, l AS left_sym, r AS right_sym,
+           c AS pair_count
+    FROM m1
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), l, r, c FROM m2
+    """,
+    doc="Byte-pair-encoding TRAINING, two statically-unrolled merge "
+    "rounds (Sennrich et al. 2016) — the step every BPE/WordPiece "
+    "tokenizer build repeats 30k times, expressed as pure relational "
+    "algebra: weight each distinct word by its corpus count, count "
+    "adjacent character pairs, crown the max (count desc, pair asc — "
+    "deterministic tie-break), REWRITE the vocabulary with the merge "
+    "(leftmost non-overlapping replace, identical semantics both "
+    "engines, a sentinel codepoint standing in for the merged "
+    "symbol), and count again — the g02/g03 fixed-round-unroll trick "
+    "applied to tokenizer training, so the whole thing is "
+    "hash-checked. Pair counts are exact int64; no floats anywhere. "
+    "Scale: pair counting runs once per DISTINCT word (vocab-, never "
+    "corpus-sized — the same reason production BPE trainers "
+    "pre-aggregate to word counts), the argmax is a top-1 over an "
+    "alphabet-bounded pair table, and the rewrite is a broadcast of "
+    "one merge rule.",
+)
+def t56_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    m1, m2 = _t56_merges(d)
     one = m1.select(
         F.lit(1).cast("int").alias("round"),
         F.col("l").alias("left_sym"),
@@ -3890,3 +3907,111 @@ def t56_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("pair_count"),
     )
     return one.unionByName(two)
+
+
+# ---------------------------------------------------------------------------
+# t57 — BPE APPLY: tokenize the corpus with t56's learned merges and
+# report per-source symbol compression (round 8; closes the
+# train-without-apply gap the same way m08 closed m07's)
+# ---------------------------------------------------------------------------
+
+_T57_MARK2 = "\x02"  # second merged symbol; disjoint from _T56_MARK
+
+
+@query(
+    "t57_bpe_apply",
+    oracle=f"""
+    WITH {_T56_TRAIN_CTES},
+    ws AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT source, unnest({_DUCK_TOKS}) AS token FROM documents) t
+        GROUP BY 1, 2
+    ),
+    v AS (SELECT DISTINCT token FROM ws),
+    enc AS (
+        SELECT v.token,
+               CAST(length(v.token) AS BIGINT) AS pre_len,
+               CAST(length(replace(
+                   replace(v.token, m1.l || m1.r, chr(1)),
+                   (CASE WHEN m2.l = m1.l || m1.r THEN chr(1) ELSE m2.l END)
+                   || (CASE WHEN m2.r = m1.l || m1.r THEN chr(1) ELSE m2.r END),
+                   chr(2))) AS BIGINT) AS post_len
+        FROM v CROSS JOIN m1 CROSS JOIN m2
+    )
+    SELECT ws.source,
+           CAST(SUM(ws.cnt * enc.pre_len) AS BIGINT) AS pre_symbols,
+           CAST(SUM(ws.cnt * enc.post_len) AS BIGINT) AS post_symbols,
+           CAST(SUM(ws.cnt * (enc.pre_len - enc.post_len)) AS BIGINT)
+               AS symbols_saved,
+           {sql_fround("CAST(SUM(ws.cnt * enc.post_len) AS DOUBLE)"
+                       " / SUM(ws.cnt * enc.pre_len)", 6)} AS compression
+    FROM ws JOIN enc USING (token)
+    GROUP BY 1
+    """,
+    doc="BPE APPLY — the consumer of t56's trained merges (tokenizers "
+    "train once, then encode trillions of tokens; training without "
+    "application is half a tokenizer): re-derive the SAME two learned "
+    "merges (shared stage _t56_merges / _T56_TRAIN_CTES, so report "
+    "and apply can never disagree), encode every vocabulary word as "
+    "leftmost-non-overlapping replaces with sentinel codepoints "
+    "(merge 2's pattern rewritten into merge-1 space — exactly how a "
+    "real BPE encoder walks its merge table), and roll per-SOURCE "
+    "symbol counts pre/post. All counts are exact int64 products of "
+    "corpus counts and vocab-word lengths; the only float is the "
+    "final compression ratio. Scale: encoding runs once per DISTINCT "
+    "word (vocab-, never corpus-grain — the production trick), the "
+    "two merge rules arrive by broadcast, and the per-source rollup "
+    "is one shuffle on (source, token) that the ws aggregate already "
+    "paid.",
+)
+def t57_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    m1, m2 = _t56_merges(d)
+    pat1 = F.concat(F.col("_l1"), F.col("_r1"))
+    pat2 = F.concat(
+        F.when(F.col("_l2") == pat1, F.lit(_T56_MARK)).otherwise(F.col("_l2")),
+        F.when(F.col("_r2") == pat1, F.lit(_T56_MARK)).otherwise(F.col("_r2")),
+    )
+    merges = F.broadcast(
+        m1.select(F.col("l").alias("_l1"), F.col("r").alias("_r1")).crossJoin(
+            m2.select(F.col("l").alias("_l2"), F.col("r").alias("_r2"))
+        )
+    )
+    ws = (
+        d.select("source", F.explode(X.tokens(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    enc = (
+        ws.select("token").distinct()
+        .crossJoin(merges)
+        .select(
+            "token",
+            F.length("token").cast("bigint").alias("pre_len"),
+            F.length(
+                F.replace(
+                    F.replace(F.col("token"), pat1, F.lit(_T56_MARK)),
+                    pat2,
+                    F.lit(_T57_MARK2),
+                )
+            )
+            .cast("bigint")
+            .alias("post_len"),
+        )
+    )
+    return (
+        ws.join(enc, "token")
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("cnt") * F.col("pre_len")).cast("bigint").alias("pre_symbols"),
+            F.sum(F.col("cnt") * F.col("post_len")).cast("bigint").alias("post_symbols"),
+            F.sum(F.col("cnt") * (F.col("pre_len") - F.col("post_len")))
+            .cast("bigint")
+            .alias("symbols_saved"),
+            fround(
+                F.sum(F.col("cnt") * F.col("post_len")).cast("double")
+                / F.sum(F.col("cnt") * F.col("pre_len")),
+                6,
+            ).alias("compression"),
+        )
+    )

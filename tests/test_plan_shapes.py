@@ -930,3 +930,13 @@ def test_m10_portable_pair_join_is_df_capped_hash_equi(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("HashAggregate") >= 4, plan  # df-cap + pair count
+
+
+def test_t57_encode_rides_vocab_grain_broadcast_merges(spark):
+    """t57 encodes once per DISTINCT vocab word — the merge rules
+    arrive as broadcast single-row frames (BNLJ over one row is the
+    sanctioned shape), the (source, token) rollup joins the encoded
+    vocab by token equi-join, and no CartesianProduct appears."""
+    plan = plan_of(spark, "t57_bpe_apply")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
