@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.window import Window
 
 from ..operators.dedup import minhash_signature, shingles_of
 
@@ -538,3 +539,237 @@ def start_semantic_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _store_before(
+    s: SparkSession, store_dir: str, epoch: int
+) -> DataFrame | None:
+    """Read a per-batch-partitioned state store, visible rows = batches
+    strictly earlier than the current epoch (replay of batch N never
+    sees its own partial writes — the semantic-store discipline)."""
+    jvm_path = s._jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = jvm_path.getFileSystem(s._jsc.hadoopConfiguration())
+    if not fs.exists(jvm_path):
+        return None
+    return (
+        s.read.option("basePath", store_dir)
+        .parquet(store_dir)
+        .filter(F.col("batch_id") < epoch)
+        .drop("batch_id")
+    )
+
+
+def start_dedup_waterfall_stream(
+    spark: SparkSession,
+    source_dir: str,
+    accepted_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_block: int = 32,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """The t55 three-stage dedup waterfall as ONE streaming ingest
+    pipeline — exact hash → prefix subsumption → shingle fingerprint,
+    each stage sequenced on the previous stage's survivors, with the
+    cross-batch state each stage needs (plans/text.py t55 is the batch
+    twin; the stage rules are identical).
+
+    The streaming twist is RETRACTION: prefix subsumption can be
+    triggered by a LATER arrival (a short doc is accepted, then the
+    long doc it prefixes arrives). A batch engine removes the short
+    doc; a stream cannot un-write it, so it writes a TOMBSTONE instead
+    — the survivor set is accepted MINUS tombstones
+    (``read_waterfall_survivors``), and tombstoned docs' fingerprints
+    leave the probe universe exactly as a batch run's stage-2 removals
+    never reach stage 3. With arrivals ordered by ascending doc id
+    (crawl-ingest: monotone ids), the final survivor set is
+    bit-identical to the batch waterfall over the union of all batches
+    — pinned by the stream-vs-batch parity test.
+
+    State stores (all ``batch_id=N`` overwrite dirs; probes read only
+    batches strictly earlier than the current epoch → replay-safe):
+      ``{state_dir}/hashes``     — (h) of every exact-stage keeper,
+      ``{state_dir}/texts``      — (blk, doc_id, len, text) of every
+        exact-stage keeper: the stage-2 subsumer universe. Full text is
+        genuinely required here (prefix verification reads the longer
+        doc); at 100 TB this is the one store you'd bucket by ``blk``
+        so each batch's probe is a co-located block join,
+      ``{state_dir}/fps``        — (f, doc_id) of stage-3 survivors,
+      ``{state_dir}/tombstones`` — (doc_id) retractions,
+      ``{state_dir}/metrics``    — per-batch stage counts mirroring the
+        t55 report columns.
+
+    Every join is block- or hash-bounded: stage 1 is an equi-join on
+    the content hash, stage 2 equi-joins on the ``prefix_block``-char
+    block before any startswith verification (the d17 discipline), and
+    stage 3 equi-joins on the min-shingle fingerprint — nothing
+    enumerates cross-batch pairs."""
+    from ..functions import text as X
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+    hash_store = f"{state_dir}/hashes"
+    text_store = f"{state_dir}/texts"
+    fp_store = f"{state_dir}/fps"
+    tomb_store = f"{state_dir}/tombstones"
+    metrics_store = f"{state_dir}/metrics"
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        s0 = batch_df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+            F.length(text_col).cast("bigint").alias("len"),
+            F.md5(F.col(text_col).cast("binary")).alias("h"),
+            F.substring(text_col, 1, prefix_block).alias("blk"),
+        )
+        n_in = s0.count()
+
+        # ---- stage 1: exact hash (batch-internal min-id keeper, then
+        # the cross-batch hash store)
+        keepers = s0.withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("h").orderBy("doc_id")),
+        ).filter(F.col("_rn") == 1).drop("_rn")
+        seen_h = _store_before(s, hash_store, epoch_id)
+        s1 = (
+            keepers.join(seen_h, "h", "left_anti") if seen_h is not None else keepers
+        ).persist()
+        n_s1 = s1.count()
+        ex_removed = n_in - n_s1
+
+        # ---- stage 2: prefix subsumption (d17's block equi-join).
+        # Subsumer universe = ALL exact-stage keepers ever (a doc later
+        # removed by stage 3 still subsumes — exactly as t55's pre_rm
+        # ranges over s1, not s2), so the text store is NOT tombstone-
+        # filtered; transitivity covers prefix-removed subsumers.
+        stored_texts = _store_before(s, text_store, epoch_id)
+        if stored_texts is not None:
+            universe = s1.select("doc_id", "len", "text", "blk").unionByName(
+                stored_texts.select("doc_id", "len", "text", "blk")
+            )
+        else:
+            universe = s1.select("doc_id", "len", "text", "blk")
+        bside = universe.select(
+            F.col("blk").alias("_blk2"),
+            F.col("len").alias("_len2"),
+            F.col("text").alias("_t2"),
+        )
+        arr_rm = (
+            s1.join(bside, (s1["blk"] == bside["_blk2"]) & (s1["len"] < bside["_len2"]))
+            .filter(F.col("_t2").startswith(F.col("text")))
+            .select("doc_id")
+            .distinct()
+        )
+        s2 = s1.join(arr_rm, "doc_id", "left_anti").persist()
+        n_s2 = s2.count()
+        pre_removed = n_s1 - n_s2
+
+        # retractions: an already-accepted doc subsumed by THIS batch's
+        # exact-stage keepers (the batch engine would have removed it)
+        if stored_texts is not None:
+            batch_b = s1.select(
+                F.col("blk").alias("_blk2"),
+                F.col("len").alias("_len2"),
+                F.col("text").alias("_t2"),
+            )
+            tombs = (
+                stored_texts.join(
+                    batch_b,
+                    (stored_texts["blk"] == batch_b["_blk2"])
+                    & (stored_texts["len"] < batch_b["_len2"]),
+                )
+                .filter(F.col("_t2").startswith(F.col("text")))
+                .select("doc_id")
+                .distinct()
+                .persist()
+            )
+        else:
+            tombs = s.createDataFrame([], "doc_id bigint").persist()
+        n_tombs = tombs.count()
+
+        # ---- stage 3: shingle fingerprint. Probe universe = stored
+        # stage-3 survivors MINUS every tombstone (batch semantics:
+        # stage-2 removals never reach stage 3).
+        toks = X.tokens(F.col("text"))
+        fp = s2.filter(F.size(toks) >= 3).select(
+            "doc_id", X.min_shingle_fingerprint(toks).alias("f")
+        )
+        fp_keep = fp.withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("f").orderBy("doc_id")),
+        ).filter(F.col("_rn") == 1).drop("_rn")
+        stored_fps = _store_before(s, fp_store, epoch_id)
+        old_tombs = _store_before(s, tomb_store, epoch_id)
+        all_tombs = (
+            tombs.unionByName(old_tombs) if old_tombs is not None else tombs
+        ).distinct()
+        if stored_fps is not None:
+            live_fps = stored_fps.join(all_tombs, "doc_id", "left_anti").select("f")
+            fp_new = fp_keep.join(live_fps, "f", "left_anti")
+        else:
+            fp_new = fp_keep
+        kept_fp = fp_new.persist()
+        survivors = s2.join(
+            kept_fp.select("doc_id"), "doc_id", "left_semi"
+        ).unionByName(
+            # short docs (< 3 tokens) never fingerprint and pass through
+            s2.filter(F.size(toks) < 3)
+        ).persist()
+        n_kept = survivors.count()
+        fp_removed = n_s2 - n_kept
+
+        # ---- writes (all overwrite per batch_id → replay rewrites the
+        # same bytes)
+        out = batch_df.join(
+            survivors.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
+        )
+        out.write.mode("overwrite").parquet(f"{accepted_dir}/batch_id={epoch_id}")
+        s1.select("h").write.mode("overwrite").parquet(
+            f"{hash_store}/batch_id={epoch_id}"
+        )
+        s1.select("blk", "doc_id", "len", "text").write.mode("overwrite").parquet(
+            f"{text_store}/batch_id={epoch_id}"
+        )
+        kept_fp.select("f", "doc_id").write.mode("overwrite").parquet(
+            f"{fp_store}/batch_id={epoch_id}"
+        )
+        tombs.write.mode("overwrite").parquet(f"{tomb_store}/batch_id={epoch_id}")
+        s.createDataFrame(
+            [(n_in, ex_removed, pre_removed, n_tombs, fp_removed, n_kept)],
+            "n_in bigint, ex_removed bigint, pre_removed bigint, "
+            "n_tombstoned bigint, fp_removed bigint, n_kept bigint",
+        ).write.mode("overwrite").parquet(f"{metrics_store}/batch_id={epoch_id}")
+        for frame in (s1, s2, tombs, kept_fp, survivors):
+            frame.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_waterfall_survivors(
+    spark: SparkSession, accepted_dir: str, state_dir: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Final survivor set of the waterfall stream: everything accepted,
+    minus retractions (docs a later arrival subsumed)."""
+    accepted = spark.read.parquet(accepted_dir)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(f"{state_dir}/tombstones")
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm_path):
+        return accepted
+    tombs = spark.read.parquet(f"{state_dir}/tombstones").select(
+        F.col("doc_id").alias(id_col)
+    )
+    return accepted.join(tombs, id_col, "left_anti")

@@ -1721,3 +1721,127 @@ def test_linear_counting_stream_matches_batch_bitmap(spark, tmp_path):
         for r in read_linear_counting_state(spark, state).collect()
     }
     assert got2 == got
+
+
+def test_streaming_dedup_waterfall_matches_batch_and_replays(spark, tmp_path):
+    """Waterfall stream (t55's streaming twin): the three-stage
+    sequencing runs incrementally with tombstone retractions, and the
+    final survivor set (accepted minus tombstones) is IDENTICAL to the
+    batch waterfall over the union of all batches — expected set
+    computed independently in DuckDB with t55's exact stage rules.
+    Checkpointed replay changes nothing."""
+    import os
+    import time
+
+    import duckdb
+
+    from e_commerce_data_engineering_spark.streaming.dedup_stream import (
+        read_waterfall_survivors,
+        start_dedup_waterfall_stream,
+    )
+
+    pad = "zq" * 20  # 40-char shared lead so prefix blocks (32) align
+    docs = [
+        # batch 1
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta theta"},
+        {"doc_id": 2, "text": "alpha beta gamma delta epsilon zeta eta theta"},  # exact dup (intra)
+        {"doc_id": 3, "text": pad + " one two three"},
+        {"doc_id": 4, "text": pad + " one two three four five"},  # subsumes 3 (intra)
+        {"doc_id": 5, "text": "short stub " + pad + " seed words linger"},
+        {"doc_id": 6, "text": "kappa lambda mu nu xi omicron pi rho"},
+        {"doc_id": 7, "text": "sigma tau upsilon phi chi psi omega"},
+        {"doc_id": 8, "text": "sigma tau  upsilon phi chi psi omega"},  # fp dup of 7 (intra)
+        # batch 2
+        {"doc_id": 10, "text": "alpha beta gamma delta epsilon zeta eta theta"},  # exact dup (cross)
+        {"doc_id": 11, "text": pad + " one two"},  # prefix of accepted 4 (cross)
+        {"doc_id": 12, "text": "short stub " + pad + " seed words linger on and on"},  # RETRACTS 5
+        {"doc_id": 13, "text": "kappa lambda  mu nu xi omicron pi rho"},  # fp dup of 6 (cross)
+        # batch 3
+        {"doc_id": 14, "text": "totally novel closing document here"},
+    ]
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+
+    # independent expected set: t55's stage rules verbatim in DuckDB
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", [(d["doc_id"], d["text"]) for d in docs])
+    expected = {
+        r[0]
+        for r in con.execute("""
+        WITH s0 AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len FROM docs),
+        ex_keep AS (SELECT md5(text) AS h, MIN(doc_id) AS keeper FROM s0 GROUP BY md5(text)),
+        ex_rm AS (SELECT s0.doc_id FROM s0 JOIN ex_keep
+                  ON md5(s0.text) = ex_keep.h AND s0.doc_id > ex_keep.keeper),
+        s1 AS (SELECT * FROM s0 WHERE doc_id NOT IN (SELECT doc_id FROM ex_rm)),
+        pre_rm AS (SELECT DISTINCT a.doc_id FROM s1 a JOIN s1 b
+                   ON substr(a.text, 1, 32) = substr(b.text, 1, 32)
+                   AND a.len < b.len AND starts_with(b.text, a.text)),
+        s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM pre_rm)),
+        fp AS (SELECT doc_id, list_min(list_transform(
+                   generate_series(1, len(toks) - 2),
+                   i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS f
+               FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                     FROM s2) t
+               WHERE len(toks) >= 3),
+        fp_keep AS (SELECT f, MIN(doc_id) AS keeper FROM fp GROUP BY f),
+        fp_rm AS (SELECT fp.doc_id FROM fp JOIN fp_keep
+                  ON fp.f = fp_keep.f AND fp.doc_id > fp_keep.keeper)
+        SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM fp_rm)
+        """).fetchall()
+    }
+    # the crafted corpus must exercise every stage + the retraction
+    assert 5 not in expected  # doc 12 subsumes doc 5 -> batch removes 5
+    assert {2, 10} & expected == set()      # exact stage fires
+    assert {3, 11} & expected == set()      # prefix stage fires
+    assert {8, 13} & expected == set()      # fingerprint stage fires
+
+    src = tmp_path / "in"
+    src.mkdir()
+    f1, f2, f3 = src / "b1.jsonl", src / "b2.jsonl", src / "b3.jsonl"
+    f1.write_text("\n".join(json.dumps(r) for r in docs[:8]))
+    f2.write_text("\n".join(json.dumps(r) for r in docs[8:12]))
+    f3.write_text("\n".join(json.dumps(r) for r in docs[12:]))
+    now = time.time()
+    os.utime(f1, (now - 120, now - 120))
+    os.utime(f2, (now - 60, now - 60))
+    os.utime(f3, (now, now))
+
+    accepted = str(tmp_path / "accepted")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt-waterfall")
+
+    def _run():
+        q = start_dedup_waterfall_stream(
+            spark, str(src), accepted, state, ckpt, schema, max_files_per_trigger=1
+        )
+        q.awaitTermination(180)
+
+    _run()
+    survivors = {
+        r["doc_id"] for r in read_waterfall_survivors(spark, accepted, state).collect()
+    }
+    assert survivors == expected
+
+    # doc 5 was ACCEPTED in batch 1 (nothing subsumed it yet), then
+    # retracted by doc 12 — visible as a tombstone, not a rewrite
+    raw_accept = {r["doc_id"] for r in spark.read.parquet(accepted).collect()}
+    assert 5 in raw_accept
+    tombs = {r["doc_id"] for r in spark.read.parquet(f"{state}/tombstones").collect()}
+    assert 5 in tombs
+
+    # metrics expose the per-stage story
+    m = spark.read.parquet(f"{state}/metrics").collect()
+    assert sum(r["n_in"] for r in m) == len(docs)
+    assert sum(r["ex_removed"] for r in m) == 2   # docs 2, 10
+    assert sum(r["pre_removed"] for r in m) == 2  # docs 3, 11
+    assert sum(r["fp_removed"] for r in m) == 2   # docs 8, 13
+    assert sum(r["n_tombstoned"] for r in m) == 1  # doc 5
+
+    # replay: same checkpoint, no new files -> identical verdicts
+    _run()
+    survivors2 = {
+        r["doc_id"] for r in read_waterfall_survivors(spark, accepted, state).collect()
+    }
+    assert survivors2 == expected
