@@ -95,7 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "t57_bpe_apply",
     "q92_price_spread_ratio",
     "q93_order_gap_percentiles",
-    "e39_sessionization_stats",
+    "e39_transition_dwell",
     "t58_winsorized_quality",
     "d18_minhash_band_tuning",
     "s22_ann_frontier",

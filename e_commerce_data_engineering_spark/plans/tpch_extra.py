@@ -2586,3 +2586,162 @@ def q91_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(z, 4).alias("z_score"),
         fround(1.0 - du / (dn1 * F.col("n2")), 6).alias("rank_biserial"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q92 — realized unit-price dispersion per brand (round 8): the pricing
+# hygiene audit a catalog owner runs before trusting "the" price
+# ---------------------------------------------------------------------------
+
+Q92_TOP = 15
+
+
+@query(
+    "q92_price_spread_ratio",
+    oracle=f"""
+    WITH up AS (
+        SELECT p.p_brand,
+               l.l_extendedprice / l.l_quantity AS unit_price
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    b AS (
+        SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               MIN(unit_price) AS lo,
+               MAX(unit_price) AS hi
+        FROM up GROUP BY 1
+    )
+    SELECT p_brand,
+           n_lines,
+           {sql_fround("lo", 2)} AS min_unit_price,
+           {sql_fround("hi", 2)} AS max_unit_price,
+           {sql_fround("(hi - lo) / lo", 4)} AS spread_ratio
+    FROM b
+    ORDER BY (hi - lo) / lo DESC, p_brand
+    LIMIT {Q92_TOP}
+    """,
+    doc="Realized unit-price dispersion per brand: unit price = "
+    "extended price over quantity per line, per-brand min/max and the "
+    "spread ratio (max-min)/min — the catalog-hygiene screen that "
+    "flags brands whose 'price' is not one number (pricing errors, "
+    "unit mismatches, gray-market listings). MIN/MAX are exact picks "
+    "(no sum-order float hazard — the only division is per-row and "
+    "final), so the oracle agrees bit-for-bit after portable "
+    "rounding. Scale: one narrow map for the per-line ratio, a "
+    "broadcast part-dim join, a brand-grain partial+final aggregate, "
+    f"and a top-{Q92_TOP} TakeOrdered — no window, no global sort.",
+)
+def q92_price_spread_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.min("unit_price").alias("lo"),
+            F.max("unit_price").alias("hi"),
+        )
+    )
+    spread = (F.col("hi") - F.col("lo")) / F.col("lo")
+    return (
+        b.orderBy(spread.desc(), "p_brand")
+        .limit(Q92_TOP)
+        .select(
+            "p_brand",
+            "n_lines",
+            fround(F.col("lo"), 2).alias("min_unit_price"),
+            fround(F.col("hi"), 2).alias("max_unit_price"),
+            fround(spread, 4).alias("spread_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q93 — inter-order gap percentiles per market segment (round 8):
+# exact type-1 quantiles off the day-VALUE grid, never a population
+# sort (the q91/e33/q87 rank-block discipline)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q93_order_gap_percentiles",
+    oracle="""
+    WITH seq AS (
+        SELECT c.c_mktsegment AS segment,
+               date_diff('day',
+                   LAG(o.o_orderdate) OVER (
+                       PARTITION BY o.o_custkey
+                       ORDER BY o.o_orderdate, o.o_orderkey),
+                   o.o_orderdate) AS gap
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    g AS (SELECT segment, CAST(gap AS BIGINT) AS gap FROM seq WHERE gap IS NOT NULL),
+    vals AS (
+        SELECT segment, gap, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT segment, gap, cnt,
+               SUM(cnt) OVER (PARTITION BY segment ORDER BY gap) AS cum,
+               SUM(cnt) OVER (PARTITION BY segment) AS n
+        FROM vals
+    )
+    SELECT segment,
+           CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.50 * n) THEN gap END) AS BIGINT)
+               AS p50_days,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.90 * n) THEN gap END) AS BIGINT)
+               AS p90_days,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN gap END) AS BIGINT)
+               AS p99_days
+    FROM cum
+    GROUP BY segment
+    """,
+    doc="Reorder-cadence percentiles: per market segment, exact type-1 "
+    "p50/p90/p99 of the days between a customer's consecutive orders "
+    "— the inventory-planning number ('how long until the median "
+    "customer returns'). Gaps are exact integer day diffs off a "
+    "per-customer LAG; percentiles are the smallest value whose "
+    "cumulative count reaches ceil(p*n), computed on the (segment, "
+    "gap-VALUE) grid — the q91/e33 rank-block discipline, so the "
+    "cumulative window walks distinct day values (thousands), never "
+    "the gap population (billions at 100 TB). All integer logic; no "
+    "interpolation to diverge between engines. Scale: one shuffle on "
+    "customer for the LAG, one (segment, gap) rollup, a bounded "
+    "window over the value grid, and a 5-row final rollup.",
+)
+def q93_order_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    wl = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(wl)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    g = seq.join(F.broadcast(c), seq["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"), F.col("gap").cast("bigint").alias("gap")
+    )
+    vals = g.groupBy("segment", "gap").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wc = W.partitionBy("segment").orderBy("gap")
+    wn = W.partitionBy("segment")
+    cum = vals.select(
+        "segment",
+        "gap",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+
+    def pick(p: float, name: str):
+        hit = F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n")), F.col("gap"))
+        return F.min(hit).cast("bigint").alias(name)
+
+    return cum.groupBy("segment").agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        pick(0.50, "p50_days"),
+        pick(0.90, "p90_days"),
+        pick(0.99, "p99_days"),
+    )
