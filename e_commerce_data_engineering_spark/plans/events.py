@@ -2512,3 +2512,184 @@ def e38_peak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ratio_to_mean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e39 — transition dwell-time percentiles (round 8): e18 counts HOW
+# OFTEN each transition fires; e39 measures HOW LONG it takes, with
+# exact type-1 quantiles off the dwell-second VALUE grid
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e39_transition_dwell",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER w AS to_type,
+               (epoch_ms(LEAD(ts) OVER w) - epoch_ms(ts)) // 1000 AS dwell_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+        SELECT from_type, to_type, CAST(dwell_s AS BIGINT) AS dwell_s
+        FROM seq WHERE to_type IS NOT NULL
+    ),
+    vals AS (
+        SELECT from_type, to_type, dwell_s, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM g GROUP BY 1, 2, 3
+    ),
+    cum AS (
+        SELECT from_type, to_type, dwell_s, cnt,
+               SUM(cnt) OVER (PARTITION BY from_type, to_type ORDER BY dwell_s)
+                   AS cum,
+               SUM(cnt) OVER (PARTITION BY from_type, to_type) AS n
+        FROM vals
+    )
+    SELECT from_type, to_type,
+           CAST(MAX(n) AS BIGINT) AS n_transitions,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.50 * n) THEN dwell_s END) AS BIGINT)
+               AS p50_dwell_s,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.90 * n) THEN dwell_s END) AS BIGINT)
+               AS p90_dwell_s
+    FROM cum
+    GROUP BY 1, 2
+    """,
+    doc="Transition DWELL percentiles: for every ordered (from, to) "
+    "event-type transition in a user's stream, the exact type-1 "
+    "median and p90 of seconds spent before the next step — the UX "
+    "number e18's transition MATRIX (counts only) cannot answer "
+    "('users do move cart->purchase, but how long do they stall?'). "
+    "Dwell is an exact integer: millisecond epoch diff floor-divided "
+    "to whole seconds on both engines, then the q93 rank-block "
+    "discipline picks percentiles off the (transition, dwell-VALUE) "
+    "grid — the cumulative window walks distinct dwell seconds, "
+    "never the transition population. Scale: one shuffle on user for "
+    "the LEAD, one (from, to, dwell) rollup, a value-grid window "
+    "partitioned by the 25-cell transition key, and a 25-row final "
+    "rollup.",
+)
+def e39_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(wl).alias("to_type"),
+        F.floor((F.lead(ms).over(wl) - ms) / 1000).cast("bigint").alias("dwell_s"),
+    ).filter(F.col("to_type").isNotNull())
+    vals = seq.groupBy("from_type", "to_type", "dwell_s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wc = W.partitionBy("from_type", "to_type").orderBy("dwell_s")
+    wn = W.partitionBy("from_type", "to_type")
+    cum = vals.select(
+        "from_type",
+        "to_type",
+        "dwell_s",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+
+    def pick(p: float, name: str):
+        hit = F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n")), F.col("dwell_s"))
+        return F.min(hit).cast("bigint").alias(name)
+
+    return cum.groupBy("from_type", "to_type").agg(
+        F.max("n").cast("bigint").alias("n_transitions"),
+        pick(0.50, "p50_dwell_s"),
+        pick(0.90, "p90_dwell_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# e40 — Hill tail-index audit of user activity (round 8): IS the
+# activity distribution heavy-tailed? (Hill 1975; the fit-before-you-
+# assume step of Clauset–Shalizi–Newman 2009)
+# ---------------------------------------------------------------------------
+
+E40_K = 10  # top-K order statistics enter the estimator
+_E40_Q = "1000000.0"  # 1e-6 log-term quantization (the t21/t47 move)
+
+
+@query(
+    "e40_powerlaw_tail_fit",
+    oracle=f"""
+    WITH act AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_users
+        FROM act
+    ),
+    thr AS (SELECT cnt AS x_k1 FROM ranked WHERE rn = {E40_K} + 1),
+    terms AS (
+        SELECT CAST(FLOOR(ln(CAST(r.cnt AS DOUBLE) / t.x_k1) * {_E40_Q} + 0.5)
+                    AS BIGINT) AS qterm,
+               r.n_users
+        FROM ranked r CROSS JOIN thr t
+        WHERE r.rn <= {E40_K}
+    )
+    SELECT CAST(MAX(n_users) AS BIGINT) AS n_users,
+           CAST({E40_K} AS INTEGER) AS k_used,
+           (SELECT CAST(x_k1 AS BIGINT) FROM thr) AS tail_threshold,
+           {sql_fround(
+               f"{E40_K} * {_E40_Q} / CAST(SUM(qterm) AS DOUBLE)", 4
+           )} AS alpha_hat,
+           CAST(SUM(qterm) AS DOUBLE) / {_E40_Q} >= {E40_K} / 3.0
+               AS heavy_tail
+    FROM terms
+    """,
+    doc="Hill tail-index audit: is per-user activity heavy-tailed "
+    "enough to plan for (hot users, skewed shuffles), or Poisson-thin? "
+    "alpha_hat = k / sum ln(x_(i)/x_(k+1)) over the top-k order "
+    "statistics (Hill 1975) — the estimate Clauset–Shalizi–Newman "
+    "2009 insist you RUN before assuming a power law; alpha < 3 "
+    "(infinite variance) flags genuinely heavy tails, and this "
+    "corpus's Poisson-ish activity correctly reads as thin "
+    "(heavy_tail = false). Each log-ratio term is quantized to 1e-6 "
+    "BIGINTs before summing (the t21/t47 move), so the sum is "
+    "order-independent and both engines divide the same exact "
+    "integer. Scale: one user-grain count, a top-(k+1) selection "
+    "(k = {E40_K}, constant — TakeOrdered, no global sort), and a "
+    "k-row fold; the estimator state is O(k) regardless of corpus "
+    "size.",
+)
+def e40_powerlaw_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    act = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    n_users = act.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    topk1 = act.orderBy(F.col("cnt").desc(), "user_id").limit(E40_K + 1).select(
+        "cnt",
+        F.row_number()
+        .over(W.orderBy(F.col("cnt").desc(), "user_id"))
+        .alias("rn"),
+    )
+    thr = topk1.filter(F.col("rn") == E40_K + 1).select(F.col("cnt").alias("x_k1"))
+    q = float(_E40_Q)
+    terms = (
+        topk1.filter(F.col("rn") <= E40_K)
+        .crossJoin(F.broadcast(thr))
+        .select(
+            F.floor(
+                F.log(F.col("cnt").cast("double") / F.col("x_k1")) * q + 0.5
+            )
+            .cast("bigint")
+            .alias("qterm"),
+            F.col("x_k1"),
+        )
+    )
+    agg = terms.groupBy("x_k1").agg(F.sum("qterm").cast("bigint").alias("s"))
+    return (
+        agg.crossJoin(F.broadcast(n_users))
+        .select(
+            "n_users",
+            F.lit(E40_K).cast("int").alias("k_used"),
+            F.col("x_k1").cast("bigint").alias("tail_threshold"),
+            fround(F.lit(E40_K) * q / F.col("s").cast("double"), 4).alias("alpha_hat"),
+            (F.col("s").cast("double") / q >= E40_K / 3.0).alias("heavy_tail"),
+        )
+    )

@@ -101,7 +101,7 @@ _PRIORITY: tuple[str, ...] = (
     "s22_ann_frontier",
     "g11_bipartite_projection",
     "x14_theta_sketch_diff",
-    "q94_shipmode_mix_shift",
+    "q94_priority_mix_shift",
     "e40_powerlaw_tail_fit",
     "t59_kneedle_threshold",
     "q95_holiday_lift",

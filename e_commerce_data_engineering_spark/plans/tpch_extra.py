@@ -2745,3 +2745,204 @@ def q93_order_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.90, "p90_days"),
         pick(0.99, "p99_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q94 — year-over-year order-priority mix shift per market segment
+# (round 8): total-variation distance on exact integer cross products
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q94_priority_mix_shift",
+    oracle="""
+    WITH mix AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS yr,
+               o.o_orderpriority AS pri,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2, 3
+    ),
+    tot AS (
+        SELECT segment, yr, CAST(SUM(cnt) AS BIGINT) AS n
+        FROM mix GROUP BY 1, 2
+    ),
+    paired AS (
+        SELECT COALESCE(a.segment, b.segment) AS segment,
+               COALESCE(a.yr, b.yr + 1) AS yr,
+               COALESCE(a.cnt, 0) AS a_cnt,
+               COALESCE(b.cnt, 0) AS b_cnt
+        FROM (SELECT * FROM mix) a
+        FULL OUTER JOIN (SELECT * FROM mix) b
+          ON a.segment = b.segment AND a.pri = b.pri AND a.yr = b.yr + 1
+        WHERE COALESCE(a.yr, b.yr + 1) > (SELECT MIN(yr) FROM tot)
+          AND COALESCE(a.yr, b.yr + 1) <= (SELECT MAX(yr) FROM tot)
+    ),
+    tv AS (
+        SELECT p.segment, p.yr,
+               ta.n AS n_cur, tb.n AS n_prev,
+               CAST(SUM(ABS(p.a_cnt * tb.n - p.b_cnt * ta.n)) AS BIGINT) AS num
+        FROM paired p
+        JOIN tot ta ON ta.segment = p.segment AND ta.yr = p.yr
+        JOIN tot tb ON tb.segment = p.segment AND tb.yr = p.yr - 1
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT segment, yr, n_cur, n_prev,
+           (FLOOR((CAST(num AS DOUBLE) / (2.0 * n_cur * n_prev)) * 1000000.0
+                  + 0.5) / 1000000.0) AS tv_distance
+    FROM tv
+    """,
+    doc="Order-priority MIX SHIFT: per market segment, the total-"
+    "variation distance between consecutive years' priority "
+    "distributions — TV = max-probability-difference any event family "
+    "can see, the standard drift alarm for categorical mixes "
+    "(monitoring the ingest mix of a training pipeline uses the "
+    "identical statistic). The integer identity keeps it exact: "
+    "TV = sum|a_i*m - b_i*n| / (2nm) where a, b are raw counts and "
+    "n, m the year totals — both engines sum exact int64 cross "
+    "products and divide once at the end (the q90 share-squaring "
+    "move applied to L1). Missing priority cells ride a FULL OUTER "
+    "join with zero fill, so a category that vanishes still "
+    "contributes its full mass. Scale: one (segment, year, priority) "
+    "rollup off a broadcast customer-dim join; the year-pair join "
+    "runs on the ~segment*year*5-row aggregate, never the fact "
+    "table.",
+)
+def q94_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", F.year("o_orderdate").cast("int").alias("yr")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    mix = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"), "yr", F.col("o_orderpriority").alias("pri"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = mix.groupBy("segment", "yr").agg(F.sum("cnt").cast("bigint").alias("n"))
+    yr_bounds = tot.agg(
+        F.min("yr").alias("_ymin"), F.max("yr").alias("_ymax")
+    )
+    a = mix.select("segment", "yr", "pri", F.col("cnt").alias("a_cnt"))
+    b = mix.select(
+        F.col("segment").alias("_seg2"),
+        (F.col("yr") + 1).alias("_yr2"),
+        F.col("pri").alias("_pri2"),
+        F.col("cnt").alias("b_cnt"),
+    )
+    paired = (
+        a.join(
+            b,
+            (a["segment"] == b["_seg2"]) & (a["yr"] == b["_yr2"]) & (a["pri"] == b["_pri2"]),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("segment"), F.col("_seg2")).alias("segment"),
+            F.coalesce(F.col("yr"), F.col("_yr2")).alias("yr"),
+            F.coalesce(F.col("a_cnt"), F.lit(0)).alias("a_cnt"),
+            F.coalesce(F.col("b_cnt"), F.lit(0)).alias("b_cnt"),
+        )
+        .crossJoin(F.broadcast(yr_bounds))
+        .filter((F.col("yr") > F.col("_ymin")) & (F.col("yr") <= F.col("_ymax")))
+    )
+    ta = tot.select("segment", "yr", F.col("n").alias("n_cur"))
+    tb = tot.select(
+        F.col("segment").alias("_seg3"), (F.col("yr") + 1).alias("_yr3"), F.col("n").alias("n_prev")
+    )
+    tv = (
+        paired.join(ta, ["segment", "yr"])
+        .join(tb, (F.col("segment") == F.col("_seg3")) & (F.col("yr") == F.col("_yr3")))
+        .groupBy("segment", "yr", "n_cur", "n_prev")
+        .agg(
+            F.sum(
+                F.abs(F.col("a_cnt") * F.col("n_prev") - F.col("b_cnt") * F.col("n_cur"))
+            )
+            .cast("bigint")
+            .alias("num")
+        )
+    )
+    return tv.select(
+        "segment",
+        "yr",
+        "n_cur",
+        "n_prev",
+        fround(
+            F.col("num").cast("double") / (2.0 * F.col("n_cur") * F.col("n_prev")), 6
+        ).alias("tv_distance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q95 — December seasonality lift per year (round 8): the seasonal
+# capacity-planning number, all-integer until one final ratio
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q95_holiday_lift",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+               CAST(SUM(CASE WHEN EXTRACT(month FROM o_orderdate) = 12
+                   THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS dec_cents,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS yr_cents,
+               CAST(COUNT(CASE WHEN EXTRACT(month FROM o_orderdate) = 12
+                   THEN 1 END) AS BIGINT) AS dec_orders,
+               CAST(COUNT(*) AS BIGINT) AS yr_orders,
+               CAST(COUNT(DISTINCT EXTRACT(month FROM o_orderdate)) AS BIGINT)
+                   AS n_months
+        FROM orders GROUP BY 1
+    )
+    SELECT yr, dec_orders, yr_orders,
+           {sql_fround("CAST(dec_cents AS DOUBLE) / 100", 2)} AS dec_revenue,
+           {sql_fround(
+               "CAST(n_months * dec_cents AS DOUBLE) / yr_cents", 4
+           )} AS revenue_lift,
+           {sql_fround(
+               "CAST(n_months * dec_orders AS DOUBLE) / yr_orders", 4
+           )} AS volume_lift
+    FROM m
+    WHERE n_months = 12
+    """,
+    doc="December seasonality lift: per complete year, December's "
+    "revenue and order volume against the uniform-month baseline "
+    "(lift = 12 * december / year-total; 1.0 = no seasonality) — the "
+    "capacity-planning number behind holiday staffing and inventory "
+    "pre-positioning. Years without all 12 months are excluded "
+    "(their baseline would be biased by construction). Revenue rides "
+    "exact integer cents; every lift is a single final division of "
+    "exact int64s (the q90/q94 discipline). Scale: ONE conditional "
+    "aggregate over orders, grouped by year — no join, no window; "
+    "the month filter folds into the aggregate as CASE arms, so the "
+    "fact table is scanned once.",
+)
+def q95_holiday_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    is_dec = F.col("mo") == 12
+    m = o.groupBy("yr").agg(
+        F.sum(F.when(is_dec, F.col("cents")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("dec_cents"),
+        F.sum("cents").cast("bigint").alias("yr_cents"),
+        F.count(F.when(is_dec, F.lit(1))).cast("bigint").alias("dec_orders"),
+        F.count(F.lit(1)).cast("bigint").alias("yr_orders"),
+        F.countDistinct("mo").cast("bigint").alias("n_months"),
+    )
+    return m.filter(F.col("n_months") == 12).select(
+        "yr",
+        "dec_orders",
+        "yr_orders",
+        fround(F.col("dec_cents").cast("double") / 100, 2).alias("dec_revenue"),
+        fround(
+            (F.col("n_months") * F.col("dec_cents")).cast("double") / F.col("yr_cents"), 4
+        ).alias("revenue_lift"),
+        fround(
+            (F.col("n_months") * F.col("dec_orders")).cast("double") / F.col("yr_orders"), 4
+        ).alias("volume_lift"),
+    )
