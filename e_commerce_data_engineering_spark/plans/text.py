@@ -4015,3 +4015,269 @@ def t57_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("compression"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t58/t59 — robust-statistics consumers of the t06 quality score
+# (round 8): winsorized/trimmed means and the Kneedle threshold pick.
+# Scores ride as exact basis-point integers (quality is 4dp-portable-
+# rounded, so *10000 is integer-valued on both engines), making every
+# aggregate an exact int64 identity.
+# ---------------------------------------------------------------------------
+
+_T58_QBP_SQL = """
+    SELECT doc_id, source,
+           CAST(FLOOR((0.4 * LEAST(n_tokens / 20.0, 1.0)
+                       + 0.4 * (1.0 - stop_ratio)
+                       + 0.2 * LEAST(avg_token_len / 8.0, 1.0)) * 10000.0
+                      + 0.5) AS BIGINT) // 10 * 10 AS qbp
+    FROM (
+        SELECT doc_id, source,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               {stop_ratio} AS stop_ratio,
+               {avg_len} AS avg_token_len
+        FROM (SELECT doc_id, source, {toks} AS toks FROM documents) t
+    ) m
+"""
+
+
+def _t58_qbp_sql() -> str:
+    return _T58_QBP_SQL.format(
+        stop_ratio=sql_fround(
+            f"CAST(len(list_filter(toks, x -> x IN ({_SQL_STOPS}))) AS DOUBLE)"
+            " / len(toks)",
+            4,
+        ),
+        avg_len=sql_fround(
+            "CAST(list_reduce(list_transform(toks, x -> len(x)), (a,b) -> a+b)"
+            " AS DOUBLE) / len(toks)",
+            4,
+        ),
+        toks=_DUCK_TOKS,
+    )
+
+
+def _t58_qbp(d: DataFrame) -> DataFrame:
+    """(doc_id, source, qbp): the t06 quality score as exact basis-point
+    int64, floored to 10-bp buckets. The *10000 quantization is safe
+    because quality is produced by portable 4-dp rounding on both
+    engines; the 10-bp floor keeps the value grid comfortably smaller
+    than the doc population (the rank-block precondition)."""
+    toks = X.tokens(F.col("text"))
+    m = d.select(
+        "doc_id",
+        "source",
+        X.token_count(toks).alias("n_tokens"),
+        fround(X.stopword_count(toks).cast("double") / X.token_count(toks), 4).alias(
+            "_sr"
+        ),
+        fround(X.total_chars(toks).cast("double") / X.token_count(toks), 4).alias(
+            "_al"
+        ),
+    )
+    q = X.quality_score(F.col("n_tokens"), F.col("_sr"), F.col("_al"))
+    return m.select(
+        "doc_id",
+        "source",
+        (F.floor(q * 10000.0 + 0.5).cast("bigint") / 10).cast("bigint").alias("_q10"),
+    ).select("doc_id", "source", (F.col("_q10") * 10).alias("qbp"))
+
+
+@query(
+    "t58_winsorized_quality",
+    oracle=f"""
+    WITH q AS ({_t58_qbp_sql()}),
+    vals AS (
+        SELECT source, qbp, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM q GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT source, qbp, cnt,
+               SUM(cnt) OVER (PARTITION BY source ORDER BY qbp) AS cum,
+               SUM(cnt) OVER (PARTITION BY source) AS n
+        FROM vals
+    ),
+    fence AS (
+        SELECT source,
+               CAST(MAX(n) AS BIGINT) AS n_docs,
+               MIN(CASE WHEN cum >= CEIL(0.10 * n) THEN qbp END) AS lo,
+               MIN(CASE WHEN cum >= CEIL(0.90 * n) THEN qbp END) AS hi
+        FROM cum GROUP BY 1
+    ),
+    agg AS (
+        SELECT v.source, f.n_docs, f.lo, f.hi,
+               CAST(SUM(v.qbp * v.cnt) AS BIGINT) AS s_raw,
+               CAST(SUM(LEAST(GREATEST(v.qbp, f.lo), f.hi) * v.cnt) AS BIGINT)
+                   AS s_wins,
+               CAST(SUM(CASE WHEN v.qbp BETWEEN f.lo AND f.hi
+                             THEN v.qbp * v.cnt ELSE 0 END) AS BIGINT) AS s_trim,
+               CAST(SUM(CASE WHEN v.qbp BETWEEN f.lo AND f.hi
+                             THEN v.cnt ELSE 0 END) AS BIGINT) AS n_trim
+        FROM vals v JOIN fence f USING (source)
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT source, n_docs,
+           {sql_fround("CAST(lo AS DOUBLE) / 10000", 4)} AS p10_quality,
+           {sql_fround("CAST(hi AS DOUBLE) / 10000", 4)} AS p90_quality,
+           {sql_fround("CAST(s_raw AS DOUBLE) / (10000.0 * n_docs)", 6)} AS mean_q,
+           {sql_fround("CAST(s_wins AS DOUBLE) / (10000.0 * n_docs)", 6)}
+               AS winsorized_q,
+           {sql_fround("CAST(s_trim AS DOUBLE) / (10000.0 * n_trim)", 6)}
+               AS trimmed_q
+    FROM agg
+    """,
+    doc="Winsorized and trimmed mean quality per source (Dixon 1960; "
+    "Tukey's robust-location toolkit): the plain mean of the t06 "
+    "quality score beside the 10/90-winsorized mean (outliers CLAMPED "
+    "to the fences) and the value-trimmed mean (outliers DROPPED) — "
+    "the comparison that tells a corpus owner whether a source's mean "
+    "quality is real or two garbage outliers wide. Scores ride as "
+    "exact 10-basis-point int64 buckets; fences are type-1 quantiles "
+    "off the (source, value) grid (q93's rank-block discipline), and "
+    "every mean is an exact integer product sum with one final "
+    "division. Scale: one doc-grain score map, one (source, value) "
+    "rollup, a bounded value-grid window, and a 20-row fence join "
+    "back to the value grid — the doc population is never sorted.",
+)
+def t58_winsorized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    vals = _t58_qbp(d).groupBy("source", "qbp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wc = W.partitionBy("source").orderBy("qbp")
+    wn = W.partitionBy("source")
+    cum = vals.select(
+        "source",
+        "qbp",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    fence = cum.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(0.10 * F.col("n")), F.col("qbp"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(0.90 * F.col("n")), F.col("qbp"))
+        ).alias("hi"),
+    )
+    wq = F.least(F.greatest(F.col("qbp"), F.col("lo")), F.col("hi"))
+    in_rng = F.col("qbp").between(F.col("lo"), F.col("hi"))
+    agg = (
+        vals.join(F.broadcast(fence), "source")
+        .groupBy("source", "n_docs", "lo", "hi")
+        .agg(
+            F.sum(F.col("qbp") * F.col("cnt")).cast("bigint").alias("s_raw"),
+            F.sum(wq * F.col("cnt")).cast("bigint").alias("s_wins"),
+            F.sum(F.when(in_rng, F.col("qbp") * F.col("cnt")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("s_trim"),
+            F.sum(F.when(in_rng, F.col("cnt")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_trim"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        fround(F.col("lo").cast("double") / 10000, 4).alias("p10_quality"),
+        fround(F.col("hi").cast("double") / 10000, 4).alias("p90_quality"),
+        fround(F.col("s_raw").cast("double") / (10000.0 * F.col("n_docs")), 6).alias(
+            "mean_q"
+        ),
+        fround(F.col("s_wins").cast("double") / (10000.0 * F.col("n_docs")), 6).alias(
+            "winsorized_q"
+        ),
+        fround(F.col("s_trim").cast("double") / (10000.0 * F.col("n_trim")), 6).alias(
+            "trimmed_q"
+        ),
+    )
+
+
+@query(
+    "t59_kneedle_threshold",
+    oracle=f"""
+    WITH q AS ({_t58_qbp_sql()}),
+    vals AS (
+        SELECT source, qbp, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM q GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT source, qbp, cnt,
+               SUM(cnt) OVER (PARTITION BY source ORDER BY qbp DESC) AS cum,
+               SUM(cnt) OVER (PARTITION BY source) AS n,
+               MAX(qbp) OVER (PARTITION BY source) AS ymax,
+               MIN(qbp) OVER (PARTITION BY source) AS ymin
+        FROM vals
+    ),
+    scored AS (
+        SELECT source, qbp, cum, n, ymax, ymin,
+               CAST((qbp - ymin) * (n - 1) + (ymax - ymin) * (cum - 1)
+                    AS BIGINT) AS d_scaled,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY (qbp - ymin) * (n - 1) + (ymax - ymin) * (cum - 1)
+                            DESC, qbp DESC
+               ) AS rn
+        FROM cum
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           {sql_fround("CAST(qbp AS DOUBLE) / 10000", 4)} AS knee_quality,
+           CAST(cum AS BIGINT) AS kept_docs,
+           {sql_fround("CAST(cum AS DOUBLE) / n", 6)} AS kept_share
+    FROM scored WHERE rn = 1
+    """,
+    doc="Kneedle threshold pick (Satopaa et al. 2011): per source, "
+    "sort the quality curve descending, normalize to the unit square, "
+    "and return the KNEE — the point of maximum distance above the "
+    "no-curvature diagonal — as the quality-filter threshold plus how "
+    "much of the source survives it. The argmax runs on an exact "
+    "integer identity: d = (y-ymin)/(ymax-ymin) + (i-1)/(n-1) - 1 "
+    "maximized equals (y-ymin)*(n-1) + (ymax-ymin)*(i-1) maximized "
+    "(positive common scale, constant dropped), so both engines "
+    "compare identical int64s — no normalize-then-compare float "
+    "hazard, and a flat curve (ymax = ymin) degrades gracefully to "
+    "the max-quality tiebreak instead of dividing by zero. Within a "
+    "run of equal scores d grows with i, so evaluating at each "
+    "distinct value's END position (cum) is exactly the per-row "
+    "argmax — the curve is never materialized at doc grain. Scale: "
+    "one (source, value) rollup, bounded value-grid windows, a "
+    "top-1-per-source pick.",
+)
+def t59_kneedle_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    vals = _t58_qbp(d).groupBy("source", "qbp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wdesc = W.partitionBy("source").orderBy(F.col("qbp").desc())
+    wall = W.partitionBy("source")
+    cum = vals.select(
+        "source",
+        "qbp",
+        F.sum("cnt").over(wdesc).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+        F.max("qbp").over(wall).alias("ymax"),
+        F.min("qbp").over(wall).alias("ymin"),
+    )
+    d_scaled = (F.col("qbp") - F.col("ymin")) * (F.col("n") - 1) + (
+        F.col("ymax") - F.col("ymin")
+    ) * (F.col("cum") - 1)
+    scored = cum.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(d_scaled.desc(), F.col("qbp").desc())
+        ),
+    )
+    return scored.filter(F.col("rn") == 1).select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        fround(F.col("qbp").cast("double") / 10000, 4).alias("knee_quality"),
+        F.col("cum").cast("bigint").alias("kept_docs"),
+        fround(F.col("cum").cast("double") / F.col("n"), 6).alias("kept_share"),
+    )
