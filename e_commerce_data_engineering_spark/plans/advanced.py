@@ -1747,3 +1747,211 @@ def m10_portable_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared_hashes") >= M10_MIN_SHARED)
     )
     return pairs.select("id_a", "id_b", "shared_hashes")
+
+
+# ---------------------------------------------------------------------------
+# d18 — MinHash banding CONFIG TUNER (round 8): d14 measured ONE
+# config's S-curve; d18 evaluates the whole b*r=32 menu against the
+# corpus's true pair-similarity mass and reports what each knob buys
+# ---------------------------------------------------------------------------
+
+# (bands, rows) menu for a 32-perm signature, with (1/b)^(1/r) — the
+# S-curve's 50%-catch threshold — precomputed in Python so both engines
+# carry the IDENTICAL double literal (no cross-engine pow())
+D18_CONFIGS = tuple(
+    (b, 32 // b, (1.0 / b) ** (1.0 / (32 // b))) for b in (32, 16, 8, 4, 2, 1)
+)
+D18_TAU = 0.5  # near-dup intent threshold: 2*n_inter >= n_union, exact
+_D18_Q = "1000000000.0"  # 1e-9 catch-probability quantization (t47 move)
+
+
+def _d18_sql_chain(var: str, out: str) -> str:
+    """SQL squaring chain {var}->{out}1..{out}32 (identical IEEE ops)."""
+    return (
+        f"{var} AS {out}1, ({var}*{var}) AS {out}2, "
+        f"(({var}*{var})*({var}*{var})) AS {out}4"
+    )
+
+
+@query(
+    "d18_minhash_band_tuning",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                              for i in range(1, len(tk) - 1)]) AS shl
+        FROM (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents)
+        WHERE len(tk) >= 3
+    ),
+    px AS (
+        SELECT DISTINCT doc_id, h
+        FROM (SELECT doc_id, unnest(list_transform(shl, s -> {_D09_HASH_S})) AS h
+              FROM sh)
+    ),
+    freq AS (
+        SELECT h FROM px GROUP BY h
+        HAVING COUNT(*) BETWEEN 2 AND {D14_MAX_DF}
+    ),
+    pxf AS (SELECT px.doc_id, px.h FROM px JOIN freq USING (h)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pxf a JOIN pxf b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    jac AS (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(x.shl, y.shl)) AS BIGINT) AS ni,
+               CAST(len(x.shl) + len(y.shl)
+                    - len(list_intersect(x.shl, y.shl)) AS BIGINT) AS nu
+        FROM cand
+        JOIN sh x ON x.doc_id = cand.id_a
+        JOIN sh y ON y.doc_id = cand.id_b
+    ),
+    cfg AS (
+        SELECT * FROM (VALUES (32, 1, CAST(0.03125 AS DOUBLE)), (16, 2, CAST(0.25 AS DOUBLE)), (8, 4, CAST(0.5946035575013605 AS DOUBLE)), (4, 8, CAST(0.8408964152537145 AS DOUBLE)), (2, 16, CAST(0.9576032806985737 AS DOUBLE)), (1, 32, CAST(1.0 AS DOUBLE))) AS t(bands, rws, s_star)
+    ),
+    chain AS (
+        SELECT j.ni, j.nu, c.bands, c.rws, c.s_star,
+               CAST(j.ni AS DOUBLE) / j.nu AS s1
+        FROM jac j CROSS JOIN cfg c
+    ),
+    spow AS (
+        SELECT *,
+               CASE rws WHEN 1 THEN s1
+                        WHEN 2 THEN s1*s1
+                        WHEN 4 THEN (s1*s1)*(s1*s1)
+                        WHEN 8 THEN ((s1*s1)*(s1*s1))*((s1*s1)*(s1*s1))
+                        WHEN 16 THEN (((s1*s1)*(s1*s1))*((s1*s1)*(s1*s1)))
+                                   * (((s1*s1)*(s1*s1))*((s1*s1)*(s1*s1)))
+                        ELSE ((((s1*s1)*(s1*s1))*((s1*s1)*(s1*s1)))
+                              * (((s1*s1)*(s1*s1))*((s1*s1)*(s1*s1))))
+                             * ((((s1*s1)*(s1*s1))*((s1*s1)*(s1*s1)))
+                                * (((s1*s1)*(s1*s1))*((s1*s1)*(s1*s1))))
+               END AS sr
+        FROM chain
+    ),
+    upow AS (
+        SELECT *, (1.0 - sr) AS u1 FROM spow
+    ),
+    catch AS (
+        SELECT bands, rws, s_star, ni, nu,
+               CAST(FLOOR((1.0 - CASE bands
+                   WHEN 1 THEN u1
+                   WHEN 2 THEN u1*u1
+                   WHEN 4 THEN (u1*u1)*(u1*u1)
+                   WHEN 8 THEN ((u1*u1)*(u1*u1))*((u1*u1)*(u1*u1))
+                   WHEN 16 THEN (((u1*u1)*(u1*u1))*((u1*u1)*(u1*u1)))
+                              * (((u1*u1)*(u1*u1))*((u1*u1)*(u1*u1)))
+                   ELSE ((((u1*u1)*(u1*u1))*((u1*u1)*(u1*u1)))
+                         * (((u1*u1)*(u1*u1))*((u1*u1)*(u1*u1))))
+                        * ((((u1*u1)*(u1*u1))*((u1*u1)*(u1*u1)))
+                           * (((u1*u1)*(u1*u1))*((u1*u1)*(u1*u1))))
+               END) * {_D18_Q} + 0.5) AS BIGINT) AS qp
+        FROM upow
+    )
+    SELECT bands, rws,
+           {sql_fround("s_star", 6)} AS s_star,
+           CAST(SUM(CASE WHEN 2*ni >= nu THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_pairs,
+           {sql_fround(
+               "CAST(SUM(CASE WHEN 2*ni >= nu THEN qp ELSE 0 END) AS DOUBLE)"
+               f" / (SUM(CASE WHEN 2*ni >= nu THEN 1 ELSE 0 END) * {_D18_Q})",
+               6,
+           )} AS expected_recall,
+           {sql_fround(
+               "CAST(SUM(CASE WHEN 2*ni < nu THEN qp ELSE 0 END) AS DOUBLE)"
+               f" / (SUM(CASE WHEN 2*ni < nu THEN 1 ELSE 0 END) * {_D18_Q})",
+               6,
+           )} AS expected_fp_rate
+    FROM catch
+    GROUP BY 1, 2, 3
+    """,
+    doc="MinHash banding CONFIG TUNER: every (bands, rows) split of the "
+    "32-perm signature evaluated against the corpus's OWN pair-"
+    "similarity mass — per config, the S-curve catch probability "
+    "1-(1-s^r)^b averaged over true near-dup pairs (expected recall) "
+    "and over sub-threshold pairs (expected false-candidate rate), "
+    "beside the analytic 50%-threshold (1/b)^(1/r) — the table that "
+    "justifies d09's (8,4) choice with numbers instead of folklore "
+    "(Leskovec-Rajaraman-Ullman ch.3 tuning, run on real mass, not "
+    "assumed uniform similarity). Ground-truth pairs are the d14 "
+    "rare-anchored set (df-bounded join); true Jaccard stays the "
+    "exact integer pair (2*ni >= nu decides the class with no float); "
+    "s^r and (1-s^r)^b run as explicit squaring chains (r, b are "
+    "powers of 2 by construction), so both engines execute the "
+    "IDENTICAL IEEE sequence; per-pair catch probabilities are 1e-9-"
+    "quantized before summing (order-independent). Scale: the pair "
+    "set is df^2-bounded per anchor; the config fanout is a 6-row "
+    "broadcast; everything downstream is one 6-group aggregate.",
+)
+def d18_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import anchored_candidate_pairs, portable_signature_frame
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = portable_signature_frame(d, "doc_id", "text", _D09_K, 3, cache_key=sf_dir)
+    cand = anchored_candidate_pairs(
+        d, "doc_id", "text", shingle_n=3, max_df=D14_MAX_DF, cache_key=sf_dir
+    )
+    sh = sig.select("_id", "_sh")
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("bigint")
+    union = (F.size("_sh_a") + F.size("_sh_b")).cast("bigint") - inter
+    jac = (
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
+        .select("id_a", "id_b", inter.alias("ni"), union.alias("nu"))
+    )
+    cfg = spark.createDataFrame(
+        list(D18_CONFIGS), "bands int, rws int, s_star double"
+    )
+    s1 = F.col("ni").cast("double") / F.col("nu")
+    chain = jac.crossJoin(F.broadcast(cfg)).withColumn("s1", s1)
+
+    def sq_chain(col, picks: dict):
+        c1 = F.col(col)
+        c2 = c1 * c1
+        c4 = c2 * c2
+        c8 = c4 * c4
+        c16 = c8 * c8
+        c32 = c16 * c16
+        pows = {1: c1, 2: c2, 4: c4, 8: c8, 16: c16, 32: c32}
+        expr = None
+        for k, v in pows.items():
+            if k not in picks:
+                continue
+            cond = F.col(picks[k]) == k
+            expr = F.when(cond, v) if expr is None else expr.when(cond, v)
+        return expr
+
+    spow = chain.withColumn("sr", sq_chain("s1", {k: "rws" for k in (1, 2, 4, 8, 16, 32)}))
+    upow = spow.withColumn("u1", F.lit(1.0) - F.col("sr"))
+    q = float(_D18_Q)
+    catch = upow.withColumn(
+        "qp",
+        F.floor(
+            (F.lit(1.0) - sq_chain("u1", {k: "bands" for k in (1, 2, 4, 8, 16, 32)}))
+            * q
+            + 0.5
+        ).cast("bigint"),
+    )
+    is_true = (2 * F.col("ni")) >= F.col("nu")
+    agg = catch.groupBy("bands", "rws", "s_star").agg(
+        F.sum(F.when(is_true, 1).otherwise(0)).cast("bigint").alias("n_true_pairs"),
+        F.sum(F.when(is_true, F.col("qp")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("s_t"),
+        F.sum(F.when(~is_true, 1).otherwise(0)).cast("bigint").alias("n_sub"),
+        F.sum(F.when(~is_true, F.col("qp")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("s_f"),
+    )
+    return agg.select(
+        "bands",
+        "rws",
+        fround(F.col("s_star"), 6).alias("s_star"),
+        "n_true_pairs",
+        fround(F.col("s_t").cast("double") / (F.col("n_true_pairs") * q), 6).alias(
+            "expected_recall"
+        ),
+        fround(F.col("s_f").cast("double") / (F.col("n_sub") * q), 6).alias(
+            "expected_fp_rate"
+        ),
+    )
