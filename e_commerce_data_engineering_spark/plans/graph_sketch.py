@@ -2084,3 +2084,270 @@ def x13_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_err"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# x14 — theta-sketch SET DIFFERENCE over event audiences (round 8):
+# the a-not-b estimator of the Theta-Sketch Framework (Dasgupta, Lang,
+# Rhodes & Thaler 2016) — the set operation behind every "reached but
+# did not convert" audience count, built on x09's KMV base
+# ---------------------------------------------------------------------------
+
+X14_K = 64  # sketch size; >= distinct users at sf0.001 (exact branch
+# exercised there), << users at 100 TB (estimator branch at sf>=0.01)
+
+_X14_H = (
+    f"(({sql_portable_hash('uid', 31, _X09_P)}) * {_X09_MIX} + {_X09_ADD})"
+    f" % {_X09_P}"
+)
+
+
+@query(
+    "x14_theta_sketch_diff",
+    oracle=f"""
+    WITH aud AS (
+        SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS uid
+        FROM events
+    ),
+    hv AS (
+        SELECT DISTINCT event_type, {_X14_H} AS hv FROM aud
+    ),
+    sk AS (
+        SELECT event_type, hv FROM (
+            SELECT event_type, hv,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+            FROM hv
+        ) r WHERE rn <= {X14_K}
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    pr AS (SELECT a.event_type AS ta, b.event_type AS tb
+           FROM types a JOIN types b ON a.event_type < b.event_type),
+    m AS (
+        SELECT pr.ta, pr.tb, s.hv,
+               MAX(CASE WHEN s.event_type = pr.ta THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN s.event_type = pr.tb THEN 1 ELSE 0 END) AS in_b
+        FROM pr JOIN sk s ON s.event_type IN (pr.ta, pr.tb)
+        GROUP BY pr.ta, pr.tb, s.hv
+    ),
+    rk AS (
+        SELECT ta, tb, in_a, in_b, hv,
+               ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY hv) AS rn
+        FROM m
+    ),
+    ag AS (
+        SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS cnt, MAX(hv) AS kth,
+               CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS n_a_only,
+               CAST(SUM(in_b * (1 - in_a)) AS BIGINT) AS n_b_only
+        FROM rk WHERE rn <= {X14_K} GROUP BY ta, tb
+    ),
+    ag2 AS (
+        SELECT ta, tb, cnt, n_a_only, n_b_only,
+               CASE WHEN cnt < {X14_K} THEN CAST(cnt AS DOUBLE)
+                    ELSE CAST({X14_K - 1} AS DOUBLE) * {_X09_P} / kth
+               END AS est_union
+        FROM ag
+    ),
+    flags AS (
+        SELECT pr.ta, pr.tb, au.uid,
+               MAX(CASE WHEN au.event_type = pr.ta THEN 1 ELSE 0 END) AS has_a,
+               MAX(CASE WHEN au.event_type = pr.tb THEN 1 ELSE 0 END) AS has_b
+        FROM pr JOIN aud au ON au.event_type IN (pr.ta, pr.tb)
+        GROUP BY 1, 2, 3
+    ),
+    ex AS (
+        SELECT ta, tb,
+               CAST(SUM(has_a * (1 - has_b)) AS BIGINT) AS exact_a_not_b,
+               CAST(SUM(has_b * (1 - has_a)) AS BIGINT) AS exact_b_not_a
+        FROM flags GROUP BY 1, 2
+    )
+    SELECT g.ta AS type_a, g.tb AS type_b,
+           g.n_a_only, g.n_b_only,
+           {sql_fround("g.est_union", 4)} AS est_union,
+           {sql_fround(f"g.n_a_only * g.est_union / LEAST({X14_K}, g.cnt)", 4)}
+               AS est_a_not_b,
+           {sql_fround(f"g.n_b_only * g.est_union / LEAST({X14_K}, g.cnt)", 4)}
+               AS est_b_not_a,
+           ex.exact_a_not_b, ex.exact_b_not_a
+    FROM ag2 g JOIN ex ON ex.ta = g.ta AND ex.tb = g.tb
+    """,
+    doc=f"Theta-sketch SET DIFFERENCE (Dasgupta–Lang–Rhodes–Thaler "
+    f"2016) over per-event-type user audiences, K={X14_K}: merge two "
+    "KMV sketches, keep the K smallest hashes, estimate the union "
+    "from the K-th minimum, and scale the fraction of merged-sketch "
+    "members in A-but-not-B — the 'reached but did not convert' "
+    "audience subtraction HLL cannot do at all and exact COUNT "
+    "DISTINCT pays a full shuffle for; exact differences ride along "
+    "so estimator error is visible (at sf0.001 user counts sit under "
+    "K, exercising the exact branch; above, the estimator branch). "
+    "Built on x09's rank-scrambled portable hash, so every stage "
+    "replays in DuckDB. Scale: sketch state is K rows per event "
+    "type; the pair stage joins K-row sketches, never user rows — "
+    "the exact companion join is audience-grain, not event-grain.",
+)
+def x14_theta_sketch_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import kmv_hash
+
+    e = load_table(spark, sf_dir, "events")
+    aud = e.select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    ).distinct()
+    hv = aud.select("event_type", kmv_hash(F.col("uid")).alias("hv")).distinct()
+    sk = (
+        hv.withColumn(
+            "rn", F.row_number().over(W.partitionBy("event_type").orderBy("hv"))
+        )
+        .filter(F.col("rn") <= X14_K)
+        .select("event_type", "hv")
+    )
+    types = e.select("event_type").distinct()
+    pr = types.select(F.col("event_type").alias("ta")).join(
+        types.select(F.col("event_type").alias("tb")), F.col("ta") < F.col("tb")
+    )
+    m = (
+        F.broadcast(pr)
+        .join(sk, (F.col("event_type") == F.col("ta")) | (F.col("event_type") == F.col("tb")))
+        .groupBy("ta", "tb", "hv")
+        .agg(
+            F.max(F.when(F.col("event_type") == F.col("ta"), 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("event_type") == F.col("tb"), 1).otherwise(0)).alias("in_b"),
+        )
+    )
+    rk = m.withColumn(
+        "rn", F.row_number().over(W.partitionBy("ta", "tb").orderBy("hv"))
+    ).filter(F.col("rn") <= X14_K)
+    ag = rk.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.max("hv").alias("kth"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b"))).cast("bigint").alias("n_a_only"),
+        F.sum(F.col("in_b") * (1 - F.col("in_a"))).cast("bigint").alias("n_b_only"),
+    )
+    est_union = F.when(
+        F.col("cnt") < X14_K, F.col("cnt").cast("double")
+    ).otherwise(F.lit(float(X14_K - 1)) * F.lit(1_000_000_007) / F.col("kth"))
+    ag2 = ag.withColumn("est_union", est_union)
+    flags = (
+        F.broadcast(pr)
+        .join(aud, (F.col("event_type") == F.col("ta")) | (F.col("event_type") == F.col("tb")))
+        .groupBy("ta", "tb", "uid")
+        .agg(
+            F.max(F.when(F.col("event_type") == F.col("ta"), 1).otherwise(0)).alias("has_a"),
+            F.max(F.when(F.col("event_type") == F.col("tb"), 1).otherwise(0)).alias("has_b"),
+        )
+    )
+    ex = flags.groupBy("ta", "tb").agg(
+        F.sum(F.col("has_a") * (1 - F.col("has_b"))).cast("bigint").alias("exact_a_not_b"),
+        F.sum(F.col("has_b") * (1 - F.col("has_a"))).cast("bigint").alias("exact_b_not_a"),
+    )
+    scale = F.col("est_union") / F.least(F.lit(X14_K), F.col("cnt"))
+    return (
+        ag2.join(ex, ["ta", "tb"])
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "n_a_only",
+            "n_b_only",
+            fround(F.col("est_union"), 4).alias("est_union"),
+            fround(F.col("n_a_only") * scale, 4).alias("est_a_not_b"),
+            fround(F.col("n_b_only") * scale, 4).alias("est_b_not_a"),
+            "exact_a_not_b",
+            "exact_b_not_a",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# g11 — weighted bipartite projection with Salton cosine weights
+# (round 8): g04 consumed a thresholded projection as an unweighted
+# edge list; g11 makes the PROJECTION ITSELF the deliverable, with
+# the normalization that separates "bought together" from "both
+# popular" (Newman 2001 scientific-collaboration projection weights)
+# ---------------------------------------------------------------------------
+
+G11_BASKET_CAP = 64  # drop customers with more distinct parts (the
+# g07 df-cap move: bounds the pair fanout at |customers|*CAP^2)
+G11_MIN_SHARED = 2  # pairs need >= 2 shared customers (kills noise)
+G11_TOP = 20
+
+
+@query(
+    "g11_bipartite_projection",
+    oracle=f"""
+    WITH co AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    keep AS (
+        SELECT c FROM co GROUP BY c HAVING COUNT(*) <= {G11_BASKET_CAP}
+    ),
+    cof AS (SELECT co.c, co.p FROM co JOIN keep USING (c)),
+    deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM cof GROUP BY p),
+    pairs AS (
+        SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS shared
+        FROM cof a JOIN cof b ON a.c = b.c AND a.p < b.p
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {G11_MIN_SHARED}
+    ),
+    w AS (
+        SELECT pairs.p1, pairs.p2, pairs.shared,
+               da.d AS deg_1, db.d AS deg_2,
+               CAST(pairs.shared AS DOUBLE)
+                   / sqrt(CAST(da.d * db.d AS DOUBLE)) AS salton
+        FROM pairs
+        JOIN deg da ON da.p = pairs.p1
+        JOIN deg db ON db.p = pairs.p2
+    )
+    SELECT p1, p2, shared, deg_1, deg_2,
+           {sql_fround("salton", 6)} AS salton
+    FROM w
+    ORDER BY salton DESC, p1, p2
+    LIMIT {G11_TOP}
+    """,
+    doc="Weighted bipartite PROJECTION: the customer-part purchase "
+    "graph projected onto parts with Salton cosine weights — shared "
+    "customers over sqrt(deg1*deg2) (Newman 2001's collaboration-"
+    "network normalization) — so two niche parts bought by the same "
+    "three customers outrank two bestsellers that overlap by "
+    "accident; the top edges are the item-item recommender's "
+    f"candidate list. Customers with > {G11_BASKET_CAP} distinct "
+    "parts are dropped up front (the g07 df-cap: whale accounts "
+    "carry no co-purchase signal and would quadratically dominate "
+    "the pair fanout), degrees are computed on the SAME capped "
+    "universe (self-consistent weights), and shared counts / degrees "
+    "stay exact int64 with one sqrt+division at the end — identical "
+    "IEEE ops both engines, so the float ORDER BY cuts the same "
+    f"top-{G11_TOP}. Scale: pair generation is sum(basket^2) bounded "
+    f"by CAP^2 per customer; degree joins are part-grain; TakeOrdered "
+    "cuts without a global sort.",
+)
+def g11_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    co = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    keep = co.groupBy("c").agg(F.count(F.lit(1)).alias("_bsz")).filter(
+        F.col("_bsz") <= G11_BASKET_CAP
+    ).select("c")
+    cof = co.join(keep, "c")
+    deg = cof.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    a = cof.select("c", F.col("p").alias("p1"))
+    b = cof.select(F.col("c").alias("_c2"), F.col("p").alias("p2"))
+    pairs = (
+        a.join(b, (a["c"] == b["_c2"]) & (a["p1"] < b["p2"]))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+        .filter(F.col("shared") >= G11_MIN_SHARED)
+    )
+    da = deg.select(F.col("p").alias("p1"), F.col("d").alias("deg_1"))
+    db = deg.select(F.col("p").alias("p2"), F.col("d").alias("deg_2"))
+    salton = F.col("shared").cast("double") / F.sqrt(
+        (F.col("deg_1") * F.col("deg_2")).cast("double")
+    )
+    w = pairs.join(da, "p1").join(db, "p2").withColumn("salton", salton)
+    return (
+        w.orderBy(F.col("salton").desc(), "p1", "p2")
+        .limit(G11_TOP)
+        .select("p1", "p2", "shared", "deg_1", "deg_2", fround(F.col("salton"), 6).alias("salton"))
+    )

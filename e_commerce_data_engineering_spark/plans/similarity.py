@@ -1906,3 +1906,237 @@ def s21_adc_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("spearman_rho"),
         F.col("top1").cast("int").alias("top1_agree"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s22 — the ANN OPERATING FRONTIER (round 8): s16 swept nprobe alone
+# and s18 audited one shortlist width; s22 sweeps the (nprobe,
+# shortlist) grid TOGETHER and flags the Pareto-optimal operating
+# points — the capacity-planning table an ANN deployment reads before
+# picking its two knobs
+# ---------------------------------------------------------------------------
+
+S22_NPROBES = (1, 2, 4)
+S22_SHORTLISTS = (10, 25, 50)
+
+_S22_PREFIX = _S15_ADC_CTES.split("    probes AS (")[0].rstrip().rstrip(",")
+
+
+@query(
+    "s22_ann_frontier",
+    oracle=f"""{_S22_PREFIX},
+    nps AS (SELECT unnest([{", ".join(str(p) for p in S22_NPROBES)}]) AS np),
+    probes AS (
+        SELECT np, vec_id AS q_id, cell
+        FROM ranked_cells CROSS JOIN nps
+        WHERE vec_id < {N_QUERY_VECS} AND rn <= np
+    ),
+    lut AS (
+        SELECT vec_id AS q_id, m, code, CAST(FLOOR(d * {_Q} + 0.5) AS BIGINT) AS dq
+        FROM encd WHERE vec_id < {N_QUERY_VECS}
+    ),
+    adc AS (
+        SELECT p.np, p.q_id, a.vec_id AS c_id, SUM(dq) AS ai
+        FROM probes p
+        JOIN assigned a ON a.cell = p.cell
+        JOIN enc ON enc.vec_id = a.vec_id
+        JOIN lut ON lut.q_id = p.q_id AND lut.m = enc.m AND lut.code = enc.code
+        WHERE a.vec_id <> p.q_id
+        GROUP BY 1, 2, 3
+    ),
+    rankd AS (
+        SELECT np, q_id, c_id, ai,
+               ROW_NUMBER() OVER (PARTITION BY np, q_id ORDER BY ai, c_id)
+                   AS rn_adc,
+               COUNT(*) OVER (PARTITION BY np, q_id) AS n_scored
+        FROM adc
+    ),
+    truth AS (
+        SELECT q_id, c_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_reduce(list_transform(
+                               generate_series(1, {EMBEDDING_DIM}),
+                               i -> CAST(q.embedding[i] AS DOUBLE)
+                                    * CAST(c.embedding[i] AS DOUBLE)),
+                               (a,b) -> a+b)
+                           / ({_sql_norm("q.embedding")} * {_sql_norm("c.embedding")})
+                           DESC,
+                           c.vec_id) AS rn
+            FROM embeddings q CROSS JOIN embeddings c
+            WHERE q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id
+        ) t WHERE rn <= {TOP_K}
+    ),
+    kss AS (SELECT unnest([{", ".join(str(k) for k in S22_SHORTLISTS)}]) AS ks),
+    cells AS (
+        SELECT r.np, k.ks, r.q_id,
+               MAX(r.n_scored) AS n_scored,
+               CAST(SUM(CASE WHEN r.rn_adc <= k.ks AND t.c_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS found
+        FROM rankd r CROSS JOIN kss k
+        LEFT JOIN truth t ON t.q_id = r.q_id AND t.c_id = r.c_id
+        GROUP BY 1, 2, 3
+    ),
+    agg AS (
+        SELECT np, ks,
+               CAST(COUNT(*) AS BIGINT) AS n_q,
+               CAST(SUM(found) AS BIGINT) AS sum_found,
+               CAST(SUM(n_scored) AS BIGINT) AS total_scored,
+               CAST(SUM(LEAST(ks, n_scored)) AS BIGINT) AS total_reranked
+        FROM cells GROUP BY 1, 2
+    ),
+    dom AS (
+        SELECT DISTINCT a.np, a.ks
+        FROM agg a JOIN agg b ON NOT (a.np = b.np AND a.ks = b.ks)
+        WHERE (b.sum_found >= a.sum_found
+               AND b.total_scored + b.total_reranked
+                   < a.total_scored + a.total_reranked)
+           OR (b.sum_found > a.sum_found
+               AND b.total_scored + b.total_reranked
+                   <= a.total_scored + a.total_reranked)
+    )
+    SELECT agg.np AS nprobe, agg.ks AS shortlist_k,
+           {sql_fround(f"CAST(sum_found AS DOUBLE) / ({TOP_K} * n_q)", 6)}
+               AS mean_recall,
+           total_scored, total_reranked,
+           (dom.np IS NULL) AS pareto_optimal
+    FROM agg LEFT JOIN dom ON dom.np = agg.np AND dom.ks = agg.ks
+    """,
+    doc="ANN OPERATING FRONTIER: the (nprobe, shortlist) grid of the "
+    "two-stage IVFADC+rerank serving path, each cell reporting mean "
+    f"recall@{TOP_K} against the exact-cosine truth plus its two cost "
+    "integers (candidates ADC-scored; candidates exactly reranked), "
+    "with Pareto-dominated cells flagged — a config is kept iff no "
+    "other achieves >= recall at < cost (Jégou et al. 2011 §V's "
+    "operating-point analysis made a table). Recall numerators, cost "
+    "totals, and the dominance test are ALL exact int64 (found counts "
+    "and candidate counts), so both engines flag identical frontiers "
+    "— no float comparison decides anything. Rides the shared "
+    "_S15_ADC_CTES machinery (same fixed centroids/codebooks/LUT); "
+    "the truth side is the s18 brute-force audit join, probe-set-"
+    "bounded. Scale: the grid multiplies probe-set work by "
+    f"{len(S22_NPROBES) * len(S22_SHORTLISTS)} cells, never corpus "
+    "work; all joins are cell/code equi-joins.",
+)
+def s22_ann_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ranked_cells = _ivf_ranked_cells(spark, sf_dir)
+    assigned = ranked_cells.filter(F.col("rn") == 1).select("vec_id", "cell")
+    encd = _pq_encd(spark, sf_dir)
+    enc = (
+        encd.withColumn(
+            "rn", F.row_number().over(W.partitionBy("vec_id", "m").orderBy("d", "code"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+    nps = spark.createDataFrame([(p,) for p in S22_NPROBES], "np int")
+    probes = (
+        ranked_cells.filter(F.col("vec_id") < N_QUERY_VECS)
+        .crossJoin(F.broadcast(nps))
+        .filter(F.col("rn") <= F.col("np"))
+        .select("np", F.col("vec_id").alias("q_id"), "cell")
+    )
+    lut = encd.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), "m", "code", quantized(F.col("d")).alias("dq")
+    )
+    adc = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(enc, "vec_id")
+        .join(F.broadcast(lut), ["q_id", "m", "code"])
+        .select("np", "q_id", F.col("vec_id").alias("c_id"), "dq")
+        .groupBy("np", "q_id", "c_id")
+        .agg(F.sum("dq").alias("ai"))
+    )
+    rankd = adc.select(
+        "np",
+        "q_id",
+        "c_id",
+        F.row_number()
+        .over(W.partitionBy("np", "q_id").orderBy("ai", "c_id"))
+        .alias("rn_adc"),
+        F.count(F.lit(1)).over(W.partitionBy("np", "q_id")).alias("n_scored"),
+    )
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / (
+        l2_norm(F.col("q_emb")) * l2_norm(F.col("c_emb"))
+    )
+    truth = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", cos.alias("cos_sim"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "c_id")
+            ),
+        )
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "c_id", F.lit(1).alias("_t"))
+    )
+    kss = spark.createDataFrame([(k,) for k in S22_SHORTLISTS], "ks int")
+    cells = (
+        rankd.crossJoin(F.broadcast(kss))
+        .join(F.broadcast(truth), ["q_id", "c_id"], "left")
+        .groupBy("np", "ks", "q_id")
+        .agg(
+            F.max("n_scored").alias("n_scored"),
+            F.sum(
+                F.when(
+                    (F.col("rn_adc") <= F.col("ks")) & F.col("_t").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("found"),
+        )
+    )
+    agg = cells.groupBy("np", "ks").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_q"),
+        F.sum("found").cast("bigint").alias("sum_found"),
+        F.sum("n_scored").cast("bigint").alias("total_scored"),
+        F.sum(F.least(F.col("ks").cast("bigint"), F.col("n_scored"))).cast("bigint").alias(
+            "total_reranked"
+        ),
+    ).persist()
+    a = agg.select(
+        "np", "ks", "sum_found", (F.col("total_scored") + F.col("total_reranked")).alias("cost")
+    )
+    b = a.select(
+        F.col("np").alias("_np2"),
+        F.col("ks").alias("_ks2"),
+        F.col("sum_found").alias("_sf2"),
+        F.col("cost").alias("_cost2"),
+    )
+    dom = (
+        a.join(
+            b,
+            (~((a["np"] == b["_np2"]) & (a["ks"] == b["_ks2"])))
+            & (
+                ((b["_sf2"] >= a["sum_found"]) & (b["_cost2"] < a["cost"]))
+                | ((b["_sf2"] > a["sum_found"]) & (b["_cost2"] <= a["cost"]))
+            ),
+        )
+        .select("np", "ks")
+        .distinct()
+        .withColumn("_dom", F.lit(1))
+    )
+    return (
+        agg.join(F.broadcast(dom), ["np", "ks"], "left")
+        .select(
+            F.col("np").alias("nprobe"),
+            F.col("ks").alias("shortlist_k"),
+            fround(
+                F.col("sum_found").cast("double") / (TOP_K * F.col("n_q")), 6
+            ).alias("mean_recall"),
+            "total_scored",
+            "total_reranked",
+            F.col("_dom").isNull().alias("pareto_optimal"),
+        )
+    )
