@@ -2116,7 +2116,7 @@ def s22_ann_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dom = (
         a.join(
-            b,
+            F.broadcast(b),  # 9-row dominance grid: BNLJ, never cartesian
             (~((a["np"] == b["_np2"]) & (a["ks"] == b["_ks2"])))
             & (
                 ((b["_sf2"] >= a["sum_found"]) & (b["_cost2"] < a["cost"]))

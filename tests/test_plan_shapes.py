@@ -940,3 +940,62 @@ def test_t57_encode_rides_vocab_grain_broadcast_merges(spark):
     plan = plan_of(spark, "t57_bpe_apply")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q92_price_spread_ratio",
+        "q93_order_gap_percentiles",
+        "q94_priority_mix_shift",
+        "q95_holiday_lift",
+        "e39_transition_dwell",
+        "e40_powerlaw_tail_fit",
+        "t58_winsorized_quality",
+        "t59_kneedle_threshold",
+        "d18_minhash_band_tuning",
+        "s22_ann_frontier",
+        "g11_bipartite_projection",
+        "x14_theta_sketch_diff",
+    ],
+)
+def test_round8_additions_avoid_cartesian(spark, name):
+    """No round-8 query may fall back to CartesianProduct — every
+    cross join in these plans is a deliberate broadcast of a scalar,
+    config-grid, or dimension frame (s22's probe/rerank grids, d18's
+    6-config menu, e40's single-row threshold)."""
+    assert "CartesianProduct" not in plan_of(spark, name)
+
+
+def test_q92_topk_is_take_ordered_broadcast_dim(spark):
+    """q92 cuts its top brands with TakeOrderedAndProject over a
+    broadcast part-dim join — no global sort, no shuffle on part."""
+    plan = plan_of(spark, "q92_price_spread_ratio")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q93_percentiles_ride_value_grid(spark):
+    """q93's cumulative window sits above a (segment, gap) value-grid
+    rollup — a HashAggregate BELOW the Window — so the gap population
+    is never sorted (the q91/e33 rank-block shape)."""
+    plan = plan_of(spark, "q93_order_gap_percentiles")
+    assert "Window" in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_g11_projection_is_capped_equi_join(spark):
+    """g11's pair stage rides the customer equi-join with the basket
+    cap applied below it (aggregate + join before the pair join); no
+    nested-loop fallback anywhere."""
+    plan = plan_of(spark, "g11_bipartite_projection")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_x14_pair_stage_joins_sketches_not_users(spark):
+    """x14's pair stage fans the K-row sketches over the broadcast
+    type-pair grid; the only shuffles are sketch- and audience-grain
+    aggregates — no cartesian."""
+    plan = plan_of(spark, "x14_theta_sketch_diff")
+    assert "CartesianProduct" not in plan, plan
