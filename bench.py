@@ -117,6 +117,23 @@ HEADLINE = [
     "t56_bpe_merges",
     "s21_adc_rank_correlation",
     "q91_mann_whitney",
+    # round-8 additions (R3_SUBSET stays frozen): portable landmark
+    # banding, vocab-grain BPE encode, measured-mass band tuning, the
+    # (nprobe, shortlist) frontier grid, capped bipartite projection,
+    # K-row theta sketches, value-grid percentiles, robust means,
+    # integer-argmax knee pick, TV mix shift
+    "m10_portable_audio_pairs",
+    "t57_bpe_apply",
+    "d18_minhash_band_tuning",
+    "s22_ann_frontier",
+    "g11_bipartite_projection",
+    "x14_theta_sketch_diff",
+    "q93_order_gap_percentiles",
+    "t58_winsorized_quality",
+    "t59_kneedle_threshold",
+    "q94_priority_mix_shift",
+    "e39_transition_dwell",
+    "e40_powerlaw_tail_fit",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

@@ -84,6 +84,15 @@ AUDIT = [
     ("t56_bpe_merges", "vocab-side pair counts; broadcast merge rule; top-1 TakeOrdered"),
     ("s21_adc_rank_correlation", "shared ADC stage; exact-int Spearman on shortlist grain"),
     ("q91_mann_whitney", "midranks off the cent-value grid; single-row U/z arithmetic"),
+    # round-8 additions
+    ("m10_portable_audio_pairs", "portable landmark hashes: df-capped fp_hash equi-join, never all-pairs"),
+    ("t57_bpe_apply", "vocab-grain encode, broadcast merge rules, (source,token) rollup"),
+    ("d18_minhash_band_tuning", "df-bounded ground-truth pairs x broadcast 6-config grid, one 6-group agg"),
+    ("s22_ann_frontier", "shared IVFADC stages x broadcast probe/shortlist grids; BNLJ dominance on 9 rows"),
+    ("g11_bipartite_projection", "basket-capped customer equi-join pair stage, part-grain degree joins, TakeOrdered"),
+    ("x14_theta_sketch_diff", "K-row sketches x broadcast type-pair grid; audience-grain exact companion"),
+    ("q93_order_gap_percentiles", "cumulative window rides the (segment, gap-value) grid, never the population"),
+    ("t59_kneedle_threshold", "integer argmax over the value grid; top-1 per source"),
 ]
 
 
