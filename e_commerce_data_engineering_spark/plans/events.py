@@ -2693,3 +2693,240 @@ def e40_powerlaw_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s").cast("double") / q >= E40_K / 3.0).alias("heavy_tail"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e41 — dominant-period detection (round 8): e34 reports the ACF
+# table; e41 turns it into a VERDICT — which lag dominates, and is
+# the peak prominent enough to schedule around? (the same
+# report→consumer closure t57 gave t56)
+# ---------------------------------------------------------------------------
+
+_E41_MAX_LAG = 14  # scan two weeks of lags (catches daily AND weekly)
+_E41_Q = "1000000000.0"  # 1e-9 ACF quantization for the integer argmax
+
+
+@query(
+    "e41_dominant_period",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS didx,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT d.event_type, l.lag, d.didx + l.lag AS key, d.c AS x
+        FROM daily d,
+             (SELECT unnest(generate_series(2, {_E41_MAX_LAG})) AS lag) l
+    ),
+    pairs AS (
+        SELECT a.event_type, a.lag, a.x, b.c AS y
+        FROM lagged a
+        JOIN daily b ON b.event_type = a.event_type AND b.didx = a.key
+    ),
+    m AS (
+        SELECT event_type, lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pairs GROUP BY 1, 2
+    ),
+    acfq AS (
+        SELECT event_type, lag,
+               CAST(FLOOR(
+                   (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                   * {_E41_Q} + 0.5) AS BIGINT) AS qacf
+        FROM m
+    ),
+    best AS (
+        SELECT event_type, lag, qacf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY qacf DESC, lag) AS rn,
+               CAST(SUM(qacf) OVER (PARTITION BY event_type) AS BIGINT) AS qsum,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nlags
+        FROM acfq
+    )
+    SELECT event_type,
+           CAST(lag AS INTEGER) AS dominant_lag,
+           {sql_fround(f"CAST(qacf AS DOUBLE) / {_E41_Q}", 6)} AS peak_acf,
+           {sql_fround(
+               f"CAST(qsum - qacf AS DOUBLE) / ((nlags - 1) * {_E41_Q})", 6
+           )} AS mean_other_acf,
+           {sql_fround(
+               f"CAST(qacf AS DOUBLE) / {_E41_Q}"
+               f" - CAST(qsum - qacf AS DOUBLE) / ((nlags - 1) * {_E41_Q})",
+               6,
+           )} AS prominence
+    FROM best WHERE rn = 1
+    """,
+    doc=f"Dominant-period VERDICT per event type: scan the daily-count "
+    f"autocorrelation over lags 2..{_E41_MAX_LAG} (lag 1 excluded — "
+    "trend, not rhythm), pick the argmax, and report its PROMINENCE "
+    "over the mean of the other lags — the consumer that turns e34's "
+    "ACF table into the single number a scheduler or a seasonal-naive "
+    "forecaster (q79) actually needs ('is lag 7 THE period, or just "
+    "noise?'). Each ACF rides e34's exact-int64 moment identity and "
+    "is 1e-9-quantized BEFORE the argmax, so the winning lag and the "
+    "prominence arithmetic are integer comparisons both engines "
+    "settle identically. Scale: the (type, day) rollup is calendar-"
+    f"bounded, the lag fanout multiplies THAT frame by {_E41_MAX_LAG - 1}, "
+    "and the windows run over a 13-row-per-type ACF grid.",
+)
+def e41_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "didx"
+        ),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    lags = spark.range(2, _E41_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    lagged = daily.crossJoin(F.broadcast(lags)).select(
+        "event_type", "lag", (F.col("didx") + F.col("lag")).alias("key"), F.col("c").alias("x")
+    )
+    b = daily.select(
+        F.col("event_type").alias("_et2"), F.col("didx").alias("_didx2"), F.col("c").alias("y")
+    )
+    pairs = lagged.join(
+        b, (lagged["event_type"] == b["_et2"]) & (lagged["key"] == b["_didx2"])
+    )
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    dn = F.col("n").cast("double")
+    dsx = F.col("sx").cast("double")
+    dsy = F.col("sy").cast("double")
+    acf = (dn * F.col("sxy") - dsx * F.col("sy")) / (
+        F.sqrt(dn * F.col("sxx") - dsx * F.col("sx"))
+        * F.sqrt(dn * F.col("syy") - dsy * F.col("sy"))
+    )
+    q = float(_E41_Q)
+    acfq = m.select(
+        "event_type", "lag", F.floor(acf * q + 0.5).cast("bigint").alias("qacf")
+    )
+    wt = W.partitionBy("event_type")
+    best = acfq.select(
+        "event_type",
+        "lag",
+        "qacf",
+        F.row_number().over(wt.orderBy(F.col("qacf").desc(), "lag")).alias("rn"),
+        F.sum("qacf").over(wt).cast("bigint").alias("qsum"),
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("nlags"),
+    ).filter(F.col("rn") == 1)
+    peak = F.col("qacf").cast("double") / q
+    others = (F.col("qsum") - F.col("qacf")).cast("double") / (
+        (F.col("nlags") - 1) * q
+    )
+    return best.select(
+        "event_type",
+        F.col("lag").cast("int").alias("dominant_lag"),
+        fround(peak, 6).alias("peak_acf"),
+        fround(others, 6).alias("mean_other_acf"),
+        fround(peak - others, 6).alias("prominence"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# e42 — Fano-factor burstiness (round 8): index of dispersion of the
+# daily arrival counts — IS the stream Poisson, or does it burst?
+# (Fano 1947; the dial behind e20's burst-user screen)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e42_fano_burstiness",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS lo,
+               MAX(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT t.event_type, g.didx
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(generate_series(
+            (SELECT lo FROM bounds), (SELECT hi FROM bounds))) AS didx) g
+    ),
+    daily AS (
+        SELECT event_type,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS didx,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT g.event_type, COALESCE(d.c, 0) AS c
+        FROM grid g LEFT JOIN daily d
+          ON d.event_type = g.event_type AND d.didx = g.didx
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(c) AS BIGINT) AS s1,
+               CAST(SUM(c * c) AS BIGINT) AS s2
+        FROM dense GROUP BY 1
+    )
+    SELECT event_type, n_days, s1 AS n_events,
+           {sql_fround("CAST(s1 AS DOUBLE) / n_days", 4)} AS mean_daily,
+           {sql_fround(
+               "(CAST(n_days AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)"
+               " / (CAST(n_days AS DOUBLE) * s1)",
+               6,
+           )} AS fano,
+           (CAST(n_days AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+               / (CAST(n_days AS DOUBLE) * s1) > 1.5 AS bursty
+    FROM m
+    """,
+    doc="Fano factor (index of dispersion) of the daily arrival counts "
+    "per event type: Var/mean of counts over the DENSE calendar grid "
+    "(zero-event days count — omitting them is the classic "
+    "burstiness-estimation bug, so the grid is generated from the "
+    "observed day bounds and left-joined). Fano = 1 is Poisson; "
+    "materially above means bursts — the per-TYPE dial behind e20's "
+    "per-user burst screen, and the number that says whether a "
+    "capacity plan can assume smooth arrivals. The identity "
+    "(n*S2 - S1^2)/(n*S1) keeps everything exact int64 until one "
+    "final division (population variance over mean — the q90 "
+    "moment discipline). Scale: one (type, day) rollup, a calendar-"
+    "bounded broadcast grid join, and a 5-row final rollup.",
+)
+def e42_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    didx = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+    daily = e.groupBy("event_type", didx.alias("didx")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    bounds = e.agg(F.min(didx).alias("lo"), F.max(didx).alias("hi"))
+    types = e.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("didx"))
+    )
+    dense = grid.join(daily, ["event_type", "didx"], "left").select(
+        "event_type", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    m = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    dn = F.col("n_days").cast("double")
+    ds1 = F.col("s1").cast("double")
+    fano = (dn * F.col("s2") - ds1 * F.col("s1")) / (dn * F.col("s1"))
+    return m.select(
+        "event_type",
+        "n_days",
+        F.col("s1").alias("n_events"),
+        fround(ds1 / F.col("n_days"), 4).alias("mean_daily"),
+        fround(fano, 6).alias("fano"),
+        (fano > 1.5).alias("bursty"),
+    )

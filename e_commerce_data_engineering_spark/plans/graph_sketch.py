@@ -2351,3 +2351,106 @@ def g11_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(G11_TOP)
         .select("p1", "p2", "shared", "deg_1", "deg_2", fround(F.col("salton"), 6).alias("salton"))
     )
+
+
+# ---------------------------------------------------------------------------
+# g12 — 2-hop harmonic centrality (round 8): WHO is central, asked
+# with the only centrality that handles disconnected graphs cleanly
+# (Boldi & Vigna 2014), truncated to radius 2 so the whole number is
+# an exact integer — no iteration, no floats until the final display
+# ---------------------------------------------------------------------------
+
+G12_TOP = 20
+
+
+@query(
+    "g12_harmonic_centrality",
+    oracle=f"""
+    WITH co AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity >= {G04_MIN_QTY}
+    ),
+    ed AS (
+        SELECT a.s AS u, b.s AS v
+        FROM co a JOIN co b ON a.c = b.c AND a.s < b.s
+        GROUP BY a.s, b.s HAVING COUNT(*) >= {G04_MIN_SHARED}
+    ),
+    und AS (
+        SELECT u AS src, v AS dst FROM ed
+        UNION ALL
+        SELECT v AS src, u AS dst FROM ed
+    ),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1),
+    two AS (
+        SELECT DISTINCT a.src AS node, b.dst AS w
+        FROM und a JOIN und b ON b.src = a.dst
+        WHERE b.dst <> a.src
+    ),
+    strict2 AS (
+        SELECT t.node, t.w FROM two t
+        LEFT JOIN und e ON e.src = t.node AND e.dst = t.w
+        WHERE e.dst IS NULL
+    ),
+    n2 AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n2 FROM strict2 GROUP BY 1)
+    SELECT deg.node, deg.d AS n_dist1,
+           COALESCE(n2.n2, 0) AS n_dist2,
+           CAST(2 * deg.d + COALESCE(n2.n2, 0) AS BIGINT) AS h2_x2,
+           {sql_fround("CAST(2 * deg.d + COALESCE(n2.n2, 0) AS DOUBLE) / 2", 1)}
+               AS harmonic_r2
+    FROM deg LEFT JOIN n2 ON n2.node = deg.node
+    ORDER BY 2 * deg.d + COALESCE(n2.n2, 0) DESC, deg.node
+    LIMIT {G12_TOP}
+    """,
+    doc="Radius-2 harmonic centrality on the supplier co-purchase "
+    "graph: H2(v) = |N1(v)| + |N2(v)|/2, the truncated form of the "
+    "centrality Boldi & Vigna 2014 argue is the ONLY one that "
+    "behaves on disconnected graphs (unreachable nodes contribute "
+    "zero, not infinity) — ranking suppliers by how much of the "
+    "market sits within two handshakes. The whole rank key is the "
+    "exact integer 2*|N1| + |N2| (the only float is display "
+    "division), so the top-k cut is an integer sort both engines "
+    "settle identically; distance-2 neighbors are a one-join BFS "
+    "unroll with a direct-edge anti-join (STRICT distance 2 — the "
+    "g03 two-hop move pointed at a metric instead of a label). "
+    "Scale: the wedge join is the g04-shaped equi-join on the "
+    "shared co-purchase edges; everything aggregates at node grain; "
+    "TakeOrdered cuts without a global sort. Unrolling past radius "
+    "2 composes the same join once more per hop.",
+)
+def g12_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(spark, sf_dir).persist()
+    und = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    b = und.select(F.col("src").alias("_mid"), F.col("dst").alias("w"))
+    two = (
+        und.join(b, und["dst"] == b["_mid"])
+        .filter(F.col("w") != F.col("src"))
+        .select(F.col("src").alias("node"), "w")
+        .distinct()
+    )
+    direct = und.select(F.col("src").alias("node"), F.col("dst").alias("w"))
+    strict2 = two.join(direct, ["node", "w"], "left_anti")
+    n2 = strict2.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    joined = deg.join(n2, "node", "left").select(
+        "node",
+        F.col("d").alias("n_dist1"),
+        F.coalesce(F.col("n2"), F.lit(0)).cast("bigint").alias("n_dist2"),
+    )
+    key = (2 * F.col("n_dist1") + F.col("n_dist2")).cast("bigint")
+    return (
+        joined.withColumn("h2_x2", key)
+        .orderBy(F.col("h2_x2").desc(), "node")
+        .limit(G12_TOP)
+        .select(
+            "node",
+            "n_dist1",
+            "n_dist2",
+            "h2_x2",
+            fround(F.col("h2_x2").cast("double") / 2, 1).alias("harmonic_r2"),
+        )
+    )

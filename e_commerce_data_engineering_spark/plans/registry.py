@@ -93,6 +93,10 @@ _PRIORITY: tuple[str, ...] = (
     # recorded ones into a labelled block below (youngest first).
     "m10_portable_audio_pairs",
     "t57_bpe_apply",
+    "t60_cohens_kappa",
+    "e41_dominant_period",
+    "e42_fano_burstiness",
+    "g12_harmonic_centrality",
     "q92_price_spread_ratio",
     "q93_order_gap_percentiles",
     "e39_transition_dwell",

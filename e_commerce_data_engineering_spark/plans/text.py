@@ -4281,3 +4281,96 @@ def t59_kneedle_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum").cast("bigint").alias("kept_docs"),
         fround(F.col("cum").cast("double") / F.col("n"), 6).alias("kept_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t60 — Cohen's kappa for the language-ID classifier (round 8): t36
+# reports per-class precision/recall; t60 answers the question PRF
+# cannot — is the classifier better than CHANCE agreement with the
+# labels? (Cohen 1960)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t60_cohens_kappa",
+    oracle=f"""
+    WITH conf AS (
+        SELECT lang, {X.sql_predict_lang("toks")} AS pred,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT lang, {_DUCK_TOKS} AS toks FROM documents) t
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM conf),
+    rows_ AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS rn FROM conf GROUP BY 1),
+    cols_ AS (SELECT pred, CAST(SUM(n) AS BIGINT) AS cn FROM conf GROUP BY 1),
+    diag AS (
+        SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS agree
+        FROM conf WHERE lang = pred
+    ),
+    chance AS (
+        SELECT CAST(SUM(r.rn * c.cn) AS BIGINT) AS exp_num
+        FROM rows_ r JOIN cols_ c ON c.pred = r.lang
+    )
+    SELECT tot.nn AS n_docs,
+           diag.agree AS n_agree,
+           {sql_fround("CAST(diag.agree AS DOUBLE) / tot.nn", 6)} AS p_observed,
+           {sql_fround(
+               "CAST(chance.exp_num AS DOUBLE) / (CAST(tot.nn AS DOUBLE) * tot.nn)",
+               6,
+           )} AS p_chance,
+           {sql_fround(
+               "(CAST(diag.agree AS DOUBLE) * tot.nn - chance.exp_num)"
+               " / (CAST(tot.nn AS DOUBLE) * tot.nn - chance.exp_num)",
+               6,
+           )} AS kappa
+    FROM tot, diag, chance
+    """,
+    doc="Cohen's kappa for the t07 language-ID classifier against the "
+    "corpus labels (Cohen 1960): chance-corrected agreement "
+    "kappa = (po - pe)/(1 - pe), the one number that exposes a "
+    "classifier that merely predicts the majority class — t36's "
+    "precision/recall table cannot (a degenerate all-'en' predictor "
+    "scores decent micro-accuracy on an en-heavy corpus but kappa "
+    "~ 0). The identity is computed on exact int64 cross products "
+    "(agree*N - sum(row_i*col_i), all integers) with ONE final "
+    "division, so both engines divide identical exact integers — "
+    "the q90/q94 discipline applied to inter-rater statistics. "
+    "Scale: one (label, prediction) confusion rollup (25 cells), "
+    "then arithmetic on broadcast single-row frames; the corpus is "
+    "scanned once.",
+)
+def t60_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    conf = (
+        d.select("lang", X.predict_lang(toks).alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()
+    )
+    tot = conf.agg(F.sum("n").cast("bigint").alias("nn"))
+    rows_ = conf.groupBy("lang").agg(F.sum("n").cast("bigint").alias("rn"))
+    cols_ = conf.groupBy("pred").agg(F.sum("n").cast("bigint").alias("cn"))
+    diag = conf.filter(F.col("lang") == F.col("pred")).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("agree")
+    )
+    chance = (
+        rows_.join(cols_, rows_["lang"] == cols_["pred"])
+        .agg(F.sum(F.col("rn") * F.col("cn")).cast("bigint").alias("exp_num"))
+    )
+    out = (
+        tot.crossJoin(F.broadcast(diag))
+        .crossJoin(F.broadcast(chance))
+    )
+    dnn = F.col("nn").cast("double")
+    dagree = F.col("agree").cast("double")
+    dexp = F.col("exp_num").cast("double")
+    return out.select(
+        F.col("nn").alias("n_docs"),
+        F.col("agree").alias("n_agree"),
+        fround(dagree / F.col("nn"), 6).alias("p_observed"),
+        fround(dexp / (dnn * F.col("nn")), 6).alias("p_chance"),
+        fround((dagree * F.col("nn") - F.col("exp_num")) / (dnn * F.col("nn") - dexp), 6).alias(
+            "kappa"
+        ),
+    )

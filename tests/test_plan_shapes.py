@@ -999,3 +999,20 @@ def test_x14_pair_stage_joins_sketches_not_users(spark):
     aggregates — no cartesian."""
     plan = plan_of(spark, "x14_theta_sketch_diff")
     assert "CartesianProduct" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "t60_cohens_kappa",
+        "e41_dominant_period",
+        "e42_fano_burstiness",
+        "g12_harmonic_centrality",
+    ],
+)
+def test_round8_batch2_avoid_cartesian(spark, name):
+    """Second round-8 batch: kappa's single-row frames broadcast, e41's
+    lag fanout multiplies the daily frame only, e42's calendar grid is
+    a broadcast bounds join, g12's BFS unroll is the g04-shaped edge
+    equi-join — no CartesianProduct anywhere."""
+    assert "CartesianProduct" not in plan_of(spark, name)
