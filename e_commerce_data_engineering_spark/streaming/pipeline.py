@@ -1281,3 +1281,206 @@ def read_linear_counting_estimates(
         "occupied",
         (m * F.log(F.lit(m) / (_X13_M - F.col("occupied")))).alias("lc_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DGIM sliding-window counting store (Datar–Gionis–Indyk–Motwani 2002):
+# "how many qualifying events in each key's last W arrivals?" with
+# O(log^2 W) state per key instead of a W-deep buffer — the sketch for
+# count-based sliding windows, which no mergeable sketch (KMV/AMS/CMS)
+# can express because expiry depends on arrival ORDER.
+# ---------------------------------------------------------------------------
+
+DGIM_MAX_PER_SIZE = 2  # canonical DGIM: at most 2 buckets per size
+
+
+def _dgim_fold(
+    buckets: list[list[int]], items: list[tuple[int, int]], window: int
+) -> list[list[int]]:
+    """Pure sequential DGIM fold: ``buckets`` is [(size, newest_pos)]
+    oldest->newest; ``items`` is [(pos, bit)] in arrival order. Expiry
+    runs PER ARRIVAL (the canonical formulation), so the final state
+    is a pure function of the ordered stream — batch boundaries cannot
+    change it, which is exactly what the stream-split parity test
+    pins."""
+    for pos, bit in items:
+        # expire per arrival: oldest buckets whose newest bit left the window
+        while buckets and buckets[0][1] <= pos - window:
+            buckets.pop(0)
+        if not bit:
+            continue
+        buckets.append([1, pos])
+        size = 1
+        while True:
+            idxs = [i for i, b in enumerate(buckets) if b[0] == size]
+            if len(idxs) <= DGIM_MAX_PER_SIZE:
+                break
+            i0, i1 = idxs[0], idxs[1]  # the two OLDEST of this size
+            merged = [size * 2, buckets[i1][1]]
+            buckets = [b for j, b in enumerate(buckets) if j not in (i0, i1)]
+            buckets.append(merged)
+            buckets.sort(key=lambda b: b[1])
+            size *= 2
+    return buckets
+
+
+def dgim_estimate(buckets: list[list[int]], latest_pos: int, window: int) -> int:
+    """DGIM count estimate: every non-expired bucket contributes its
+    full size except the oldest, which contributes half (its bits
+    straddle the window edge) — error <= half the oldest bucket, i.e.
+    <= 25% with 2 buckets per size."""
+    live = [b for b in buckets if b[1] > latest_pos - window]
+    if not live:
+        return 0
+    total = sum(b[0] for b in live)
+    return total - live[0][0] // 2 if len(live) > 1 else total
+
+
+def start_dgim_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    threshold: float = 100.0,
+    window: int = 128,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Streaming per-key DGIM store: for every key, maintain the
+    O(log^2 W) bucket state answering "how many events with
+    ``value >= threshold`` among the key's last ``window`` arrivals?".
+
+    Unlike the KMV/AMS/Count-Sketch/linear-counting stores (mergeable
+    partials folded at read time), DGIM state EVOLVES sequentially —
+    expiry depends on arrival order — so each batch writes the FULL
+    per-key snapshot under ``batch_id=N`` (tiny: <= 2*(log2 W)+2
+    buckets per key) and reads only the latest snapshot strictly
+    before its epoch (replay-safe, the semantic-store discipline).
+    Arrivals are ordered by (ts, event_id) and numbered from the
+    key's persisted ``n_seen``, so the fold is a pure function of the
+    stream prefix: delivering the same events in 1 batch or 5 yields
+    bit-identical buckets (pinned by the parity test). The per-key
+    fold runs DISTRIBUTED via applyInPandas — state rows and batch
+    events group by key; the driver never sees an event."""
+    import pandas as pd
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+    state_schema = (
+        f"{key_col} string, size bigint, newest_pos bigint, n_seen bigint"
+    )
+
+    def _latest_state(s: SparkSession, epoch: int) -> DataFrame | None:
+        jvm_path = s._jvm.org.apache.hadoop.fs.Path(state_dir)
+        fs = jvm_path.getFileSystem(s._jsc.hadoopConfiguration())
+        if not fs.exists(jvm_path):
+            return None
+        st = (
+            s.read.option("basePath", state_dir)
+            .parquet(state_dir)
+            .filter(F.col("batch_id") < epoch)
+        )
+        mx = st.agg(F.max("batch_id").alias("m")).collect()[0]["m"]
+        if mx is None:
+            return None
+        return st.filter(F.col("batch_id") == mx).drop("batch_id")
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        events = batch_df.select(
+            F.col(key_col).alias("k"),
+            F.col("ts"),
+            F.col("event_id"),
+            (F.col(value_col) >= threshold).cast("int").alias("bit"),
+        ).withColumn(
+            "seq",
+            F.row_number().over(W.partitionBy("k").orderBy("ts", "event_id")),
+        ).select("k", "seq", "bit", F.lit("event").alias("kind"),
+                 F.lit(0).cast("bigint").alias("size"),
+                 F.lit(0).cast("bigint").alias("newest_pos"),
+                 F.lit(0).cast("bigint").alias("n_seen"))
+        prior = _latest_state(s, epoch_id)
+        if prior is not None:
+            prior_rows = prior.select(
+                F.col(key_col).alias("k"),
+                F.lit(0).cast("int").alias("seq"),
+                F.lit(0).cast("int").alias("bit"),
+                F.lit("bucket").alias("kind"),
+                "size",
+                "newest_pos",
+                "n_seen",
+            )
+            merged = events.unionByName(prior_rows)
+        else:
+            merged = events
+
+        out_schema = state_schema
+
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            key = pdf["k"].iloc[0]
+            b = pdf[pdf["kind"] == "bucket"].sort_values("newest_pos")
+            buckets = [[int(r.size), int(r.newest_pos)] for r in b.itertuples()]
+            n_seen = int(b["n_seen"].iloc[0]) if len(b) else 0
+            ev = pdf[pdf["kind"] == "event"].sort_values("seq")
+            items = [
+                (n_seen + int(r.seq), int(r.bit)) for r in ev.itertuples()
+            ]
+            n_new = n_seen + len(items)
+            buckets = _dgim_fold(buckets, items, window)
+            if not buckets:
+                # keep the key alive in state so n_seen persists
+                return pd.DataFrame(
+                    {key_col: [key], "size": [0], "newest_pos": [0],
+                     "n_seen": [n_new]}
+                )
+            return pd.DataFrame(
+                {
+                    key_col: [key] * len(buckets),
+                    "size": [x[0] for x in buckets],
+                    "newest_pos": [x[1] for x in buckets],
+                    "n_seen": [n_new] * len(buckets),
+                }
+            )
+
+        new_state = merged.groupBy("k").applyInPandas(fold, out_schema)
+        new_state.write.mode("overwrite").parquet(
+            f"{state_dir}/batch_id={epoch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_dgim_estimates(
+    spark: SparkSession, state_dir: str, window: int = 128,
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Per-key DGIM window-count estimates from the latest snapshot:
+    (key, n_seen, n_buckets, estimate)."""
+    st = spark.read.option("basePath", state_dir).parquet(state_dir)
+    mx = st.agg(F.max("batch_id").alias("m")).collect()[0]["m"]
+    latest = st.filter(F.col("batch_id") == mx).drop("batch_id")
+    rows = latest.collect()  # O(keys * log^2 W) rows — state, never data
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r[key_col], {"buckets": [], "n_seen": r["n_seen"]})
+        if r["size"] > 0:
+            by_key[r[key_col]]["buckets"].append([r["size"], r["newest_pos"]])
+    out = []
+    for k, v in by_key.items():
+        bs = sorted(v["buckets"], key=lambda b: b[1])
+        out.append((k, v["n_seen"], len(bs), dgim_estimate(bs, v["n_seen"], window)))
+    return spark.createDataFrame(
+        out, f"{key_col} string, n_seen bigint, n_buckets int, estimate bigint"
+    )

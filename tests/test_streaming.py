@@ -1845,3 +1845,109 @@ def test_streaming_dedup_waterfall_matches_batch_and_replays(spark, tmp_path):
         r["doc_id"] for r in read_waterfall_survivors(spark, accepted, state).collect()
     }
     assert survivors2 == expected
+
+
+def test_streaming_dgim_window_count_parity_and_bound(spark, tmp_path):
+    """DGIM store (Datar et al. 2002): per-key sliding-window count
+    with O(log^2 W) state. Split delivery yields bucket state
+    bit-identical to one-batch delivery (the fold is a pure function
+    of the ordered stream — per-arrival expiry), estimates respect the
+    25% DGIM bound against the exact window count, state stays
+    logarithmic, and a checkpointed replay changes nothing."""
+    import os
+    import time
+
+    from e_commerce_data_engineering_spark.streaming.pipeline import (
+        _dgim_fold,
+        dgim_estimate,
+        read_dgim_estimates,
+        start_dgim_stream,
+    )
+
+    import random
+
+    rng = random.Random(42)
+    wnd = 64
+    rows = []
+    for i in range(600):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": f"2024-01-01T{i // 3600:02d}:{(i // 60) % 60:02d}:{i % 60:02d}",
+                "event_type": "click" if i % 2 == 0 else "view",
+                "value": 200.0 if rng.random() < 0.35 else 10.0,
+            }
+        )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def deliver(splits, tag):
+        src = tmp_path / f"in-{tag}"
+        src.mkdir()
+        now = time.time()
+        start = 0
+        for j, end in enumerate(splits):
+            f = src / f"b{j}.jsonl"
+            f.write_text("\n".join(json.dumps(r) for r in rows[start:end]))
+            os.utime(f, (now - 60 * (len(splits) - j), now - 60 * (len(splits) - j)))
+            start = end
+        state = str(tmp_path / f"state-{tag}")
+        q = start_dgim_stream(
+            spark, str(src), state, str(tmp_path / f"ck-{tag}"), schema,
+            window=wnd, max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+        return state
+
+    st_one = deliver([600], "one")
+    st_split = deliver([150, 400, 600], "split")
+
+    def snapshot(state):
+        df = spark.read.option("basePath", state).parquet(state)
+        mx = df.agg(F.max("batch_id").alias("m")).collect()[0]["m"]
+        return sorted(
+            (r["event_type"], r["size"], r["newest_pos"], r["n_seen"])
+            for r in df.filter(F.col("batch_id") == mx).collect()
+        )
+
+    assert snapshot(st_one) == snapshot(st_split)  # bucket-state parity
+
+    # estimates: DGIM bound vs the exact count in each key's last wnd
+    est = {
+        r["event_type"]: (r["estimate"], r["n_buckets"])
+        for r in read_dgim_estimates(spark, st_split, window=wnd).collect()
+    }
+    import math
+
+    for key in ("click", "view"):
+        stream_k = [r for r in rows if r["event_type"] == key]
+        exact = sum(1 for r in stream_k[-wnd:] if r["value"] >= 100.0)
+        got, n_buckets = est[key]
+        assert abs(got - exact) <= max(1, exact * 0.25), (key, got, exact)
+        assert n_buckets <= 2 * (int(math.log2(wnd)) + 1)  # logarithmic state
+
+    # python-fold differential: the distributed state equals a pure
+    # local replay of the same ordered per-key stream
+    for key in ("click", "view"):
+        stream_k = [r for r in rows if r["event_type"] == key]
+        items = [(i + 1, int(r["value"] >= 100.0)) for i, r in enumerate(stream_k)]
+        local = _dgim_fold([], items, wnd)
+        got_b = sorted(
+            (s, p) for (k, s, p, _) in snapshot(st_split) if k == key and s > 0
+        )
+        assert got_b == sorted((s, p) for s, p in local), key
+        assert dgim_estimate(local, len(stream_k), wnd) == est[key][0]
+
+    # replay: no new files -> identical state
+    q = start_dgim_stream(
+        spark, str(tmp_path / "in-split"), st_split,
+        str(tmp_path / "ck-split"), schema, window=wnd, max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    assert snapshot(st_split) == snapshot(st_one)
