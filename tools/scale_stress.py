@@ -83,6 +83,9 @@ OP_TABLES = {
     "dedup_waterfall_t55": {"documents"},
     "session_affinity_e36": {"events"},
     "count_sketch_x12": {"documents"},
+    "bipartite_g11": {"lineitem", "orders"},
+    "theta_diff_x14": {"events"},
+    "gap_percentiles_q93": {"orders"},
 }
 
 
@@ -635,6 +638,67 @@ def main() -> None:
             )
             return cs_grid(per_tok).count()
 
+        def bipartite_g11():
+            from e_commerce_data_engineering_spark.plans.graph_sketch import (
+                G11_BASKET_CAP,
+                G11_MIN_SHARED,
+            )
+
+            co = (
+                li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+                .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+                .distinct()
+            )
+            keep = co.groupBy("c").agg(F.count(F.lit(1)).alias("b")).filter(
+                F.col("b") <= G11_BASKET_CAP
+            ).select("c")
+            cof = co.join(keep, "c")
+            a = cof.select("c", F.col("p").alias("p1"))
+            b = cof.select(F.col("c").alias("c2"), F.col("p").alias("p2"))
+            return (
+                a.join(b, (a["c"] == b["c2"]) & (a["p1"] < b["p2"]))
+                .groupBy("p1", "p2")
+                .agg(F.count(F.lit(1)).alias("shared"))
+                .filter(F.col("shared") >= G11_MIN_SHARED)
+                .count()
+            )
+
+        def theta_diff_x14():
+            from pyspark.sql import Window as W
+
+            from e_commerce_data_engineering_spark.operators.sketch import kmv_hash
+
+            aud = ev.select(
+                "event_type", F.col("user_id").cast("string").alias("uid")
+            ).distinct()
+            hv = aud.select("event_type", kmv_hash(F.col("uid")).alias("hv")).distinct()
+            sk = (
+                hv.withColumn(
+                    "rn", F.row_number().over(W.partitionBy("event_type").orderBy("hv"))
+                )
+                .filter(F.col("rn") <= 64)
+                .select("event_type", "hv")
+            )
+            return sk.count()
+
+        def gap_percentiles_q93():
+            from pyspark.sql import Window as W
+
+            wl = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+            seq = orders.select(
+                "o_custkey",
+                F.datediff(
+                    F.col("o_orderdate"), F.lag("o_orderdate").over(wl)
+                ).alias("gap"),
+            ).filter(F.col("gap").isNotNull())
+            vals = seq.groupBy("gap").agg(F.count(F.lit(1)).alias("cnt"))
+            wc = W.orderBy("gap")
+            cum = vals.select(
+                "gap", F.sum("cnt").over(wc).alias("cum"),
+                F.sum("cnt").over(W.partitionBy(F.lit(1))).alias("n"),
+            )
+            return cum.filter(F.col("cum") >= F.ceil(0.5 * F.col("n"))).count()
+
         op_max_scale = {"ppjoin_t09": 16, "dup_spans_t40": 16}
         for name, fn, rows_in in (
             ("join_agg", join_agg, n_li),
@@ -659,6 +723,9 @@ def main() -> None:
             ("dedup_waterfall_t55", dedup_waterfall, n_doc),
             ("session_affinity_e36", session_affinity, n_ev),
             ("count_sketch_x12", count_sketch, n_doc),
+            ("bipartite_g11", bipartite_g11, n_li),
+            ("theta_diff_x14", theta_diff_x14, n_ev),
+            ("gap_percentiles_q93", gap_percentiles_q93, n_ord),
         ):
             if only_ops is not None and name not in only_ops:
                 continue
