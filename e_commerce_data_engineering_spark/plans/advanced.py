@@ -1955,3 +1955,94 @@ def d18_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "expected_fp_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# d19 — cross-source exact-duplication matrix (round 8): WHO mirrors
+# WHOM — t32 measures soft n-gram overlap between sources; d19 counts
+# verbatim full-text duplication, the provenance audit that decides
+# which feed to de-prioritize at ingest
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d19_cross_source_dup_matrix",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT source,
+               list_min(list_transform(
+                   generate_series(1, len(toks) - 2),
+                   i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               )) AS hh
+        FROM (SELECT source, {_DUCK_TOKS} AS toks FROM documents) t
+        WHERE len(toks) >= 3
+    ),
+    per AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct FROM h GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM h a JOIN h b ON a.hh = b.hh AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b, p.n_shared,
+           pa.n_distinct AS n_a, pb.n_distinct AS n_b,
+           {sql_fround("CAST(p.n_shared AS DOUBLE) / pa.n_distinct", 6)}
+               AS share_of_a,
+           {sql_fround("CAST(p.n_shared AS DOUBLE) / pb.n_distinct", 6)}
+               AS share_of_b
+    FROM pairs p
+    JOIN per pa ON pa.source = p.source_a
+    JOIN per pb ON pb.source = p.source_b
+    """,
+    doc="Cross-source NEAR-duplication matrix: for every source pair, "
+    "how many distinct min-shingle fingerprints (t04's 1-permutation "
+    "MinHash rule) appear in both, as an absolute count and as a "
+    "share of each side's distinct fingerprint corpus — the "
+    "mirror-detection audit that tells an ingest owner which feed "
+    "re-crawls which (t32's n-gram overlap scores SOFT similarity "
+    "doc-by-doc; this counts provenance-grain collisions, and d16 "
+    "prices what removing them saves). Fingerprint grain matters: "
+    "this corpus has ZERO verbatim cross-source texts (md5 grain "
+    "returns an empty matrix) but dozens of shared fingerprints — "
+    "exactly the near-dup mass exact hashing cannot see. All counts "
+    "exact int64; shares are single final divisions. Scale: the pair "
+    "stage is an equi-join on the fingerprint — fanout bounded by "
+    "true cross-source collision groups, never |sources|^2 x corpus "
+    "— and per-source distinct counts are one fingerprint-grain "
+    "rollup.",
+)
+def d19_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as X
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    h = (
+        d.filter(F.size(toks) >= 3)
+        .select("source", X.min_shingle_fingerprint(toks).alias("hh"))
+        .distinct()
+    )
+    per = h.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct"))
+    a = h.select(F.col("source").alias("source_a"), "hh")
+    b = h.select(F.col("source").alias("source_b"), F.col("hh").alias("_h2"))
+    pairs = (
+        a.join(b, (a["hh"] == b["_h2"]) & (a["source_a"] < b["source_b"]))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    pa = per.select(F.col("source").alias("source_a"), F.col("n_distinct").alias("n_a"))
+    pb = per.select(F.col("source").alias("source_b"), F.col("n_distinct").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            fround(F.col("n_shared").cast("double") / F.col("n_a"), 6).alias("share_of_a"),
+            fround(F.col("n_shared").cast("double") / F.col("n_b"), 6).alias("share_of_b"),
+        )
+    )

@@ -2548,9 +2548,9 @@ def e38_peak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT from_type, to_type,
            CAST(MAX(n) AS BIGINT) AS n_transitions,
-           CAST(MIN(CASE WHEN cum >= CEIL(0.50 * n) THEN dwell_s END) AS BIGINT)
+           CAST(MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN dwell_s END) AS BIGINT)
                AS p50_dwell_s,
-           CAST(MIN(CASE WHEN cum >= CEIL(0.90 * n) THEN dwell_s END) AS BIGINT)
+           CAST(MIN(CASE WHEN cum >= (90 * n + 99) // 100 THEN dwell_s END) AS BIGINT)
                AS p90_dwell_s
     FROM cum
     GROUP BY 1, 2
@@ -2591,14 +2591,17 @@ def e39_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").over(wn).alias("n"),
     )
 
-    def pick(p: float, name: str):
-        hit = F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n")), F.col("dwell_s"))
+    def pick(pct: int, name: str):
+        # exact integer ceil(pct*n/100) — see q93: double 0.90*n can
+        # overshoot an integral threshold while DuckDB decimals don't
+        thr = F.expr(f"({pct} * n + 99) div 100")
+        hit = F.when(F.col("cum") >= thr, F.col("dwell_s"))
         return F.min(hit).cast("bigint").alias(name)
 
     return cum.groupBy("from_type", "to_type").agg(
         F.max("n").cast("bigint").alias("n_transitions"),
-        pick(0.50, "p50_dwell_s"),
-        pick(0.90, "p90_dwell_s"),
+        pick(50, "p50_dwell_s"),
+        pick(90, "p90_dwell_s"),
     )
 
 

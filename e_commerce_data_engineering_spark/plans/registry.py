@@ -94,6 +94,9 @@ _PRIORITY: tuple[str, ...] = (
     "m10_portable_audio_pairs",
     "t57_bpe_apply",
     "t60_cohens_kappa",
+    "s23_embedding_anisotropy",
+    "d19_cross_source_dup_matrix",
+    "t61_ttr_by_length",
     "e41_dominant_period",
     "e42_fano_burstiness",
     "g12_harmonic_centrality",

@@ -2140,3 +2140,100 @@ def s22_ann_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_dom").isNull().alias("pareto_optimal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# s23 — embedding ANISOTROPY / effective-dimension audit (round 8):
+# the collapse check every embedding pipeline runs before trusting
+# cosine geometry (Ethayarajh 2019; participation ratio as the
+# diagonal-covariance effective dimensionality)
+# ---------------------------------------------------------------------------
+
+_S23_Q = "1000000.0"  # 1e-6 component quantization -> exact int sums
+
+
+@query(
+    "s23_embedding_anisotropy",
+    oracle=f"""
+    WITH comp AS (
+        SELECT d, CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * {_S23_Q} + 0.5)
+                       AS BIGINT) AS xq
+        FROM embeddings,
+             (SELECT unnest(generate_series(1, {EMBEDDING_DIM})) AS d) g
+    ),
+    m AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xq) AS BIGINT) AS s1,
+               CAST(SUM(xq * xq) AS BIGINT) AS s2
+        FROM comp GROUP BY d
+    ),
+    v AS (
+        SELECT d, n, CAST(n * s2 - s1 * s1 AS BIGINT) AS vnum FROM m
+    ),
+    agg AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n_vecs,
+               CAST(COUNT(*) AS BIGINT) AS n_dims,
+               CAST(SUM(vnum) AS BIGINT) AS sv,
+               CAST(SUM(CAST(vnum AS DECIMAL(38,0)) * vnum) AS DECIMAL(38,0))
+                   AS svv,
+               CAST(MAX(vnum) AS BIGINT) AS vmax
+        FROM v
+    )
+    SELECT n_vecs, CAST(n_dims AS INTEGER) AS n_dims,
+           {sql_fround(
+               "CAST(sv AS DOUBLE) * sv / CAST(svv AS DOUBLE)", 4
+           )} AS participation_ratio,
+           {sql_fround("CAST(vmax AS DOUBLE) / sv", 6)} AS top_dim_var_share,
+           CAST(sv AS DOUBLE) * sv / CAST(svv AS DOUBLE)
+               < CAST(n_dims AS DOUBLE) / 2 AS anisotropic
+    FROM agg
+    """,
+    doc="Embedding ANISOTROPY audit: per-dimension variances of the "
+    "embedding components collapsed into the participation ratio "
+    "PR = (sum v_d)^2 / sum v_d^2 — the diagonal-covariance effective "
+    "dimensionality (PR = D for isotropic space, PR -> 1 when one "
+    "direction dominates; Ethayarajh 2019's anisotropy concern made a "
+    "single number), plus the hottest dimension's variance share. A "
+    "collapsed space silently breaks every cosine-based stage "
+    "upstream (s02-s22, d04-d08), so this is the audit to run FIRST. "
+    "Components are 1e-6-quantized so every moment is an exact int64 "
+    "sum (the t21 move applied to floats-at-rest); variance "
+    "numerators n*S2 - S1^2 stay int64 and their squared sum rides "
+    "DECIMAL(38,0) on both engines (the q90 share-squaring "
+    "discipline) — two final divisions, nothing order-dependent. "
+    "Scale: one narrow explode to (dim, component) grain, one "
+    "64-group aggregate, one single-row fold; at 100 TB the moment "
+    "partials ride the same decimal lane.",
+)
+def s23_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = float(_S23_Q)
+    comp = e.select(
+        F.posexplode("embedding").alias("d0", "x")
+    ).select(
+        (F.col("d0") + 1).alias("d"),
+        F.floor(F.col("x").cast("double") * q + 0.5).cast("bigint").alias("xq"),
+    )
+    m = comp.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xq").cast("bigint").alias("s1"),
+        F.sum(F.col("xq") * F.col("xq")).cast("bigint").alias("s2"),
+    )
+    v = m.select(
+        "d", "n", (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("bigint").alias("vnum")
+    )
+    agg = v.agg(
+        F.max("n").cast("bigint").alias("n_vecs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+        F.sum("vnum").cast("bigint").alias("sv"),
+        F.sum(F.col("vnum").cast("decimal(38,0)") * F.col("vnum")).cast("decimal(38,0)").alias("svv"),
+        F.max("vnum").cast("bigint").alias("vmax"),
+    )
+    pr = F.col("sv").cast("double") * F.col("sv") / F.col("svv").cast("double")
+    return agg.select(
+        "n_vecs",
+        F.col("n_dims").cast("int").alias("n_dims"),
+        fround(pr, 4).alias("participation_ratio"),
+        fround(F.col("vmax").cast("double") / F.col("sv"), 6).alias("top_dim_var_share"),
+        (pr < F.col("n_dims").cast("double") / 2).alias("anisotropic"),
+    )

@@ -4100,8 +4100,8 @@ def _t58_qbp(d: DataFrame) -> DataFrame:
     fence AS (
         SELECT source,
                CAST(MAX(n) AS BIGINT) AS n_docs,
-               MIN(CASE WHEN cum >= CEIL(0.10 * n) THEN qbp END) AS lo,
-               MIN(CASE WHEN cum >= CEIL(0.90 * n) THEN qbp END) AS hi
+               MIN(CASE WHEN cum >= (10 * n + 99) // 100 THEN qbp END) AS lo,
+               MIN(CASE WHEN cum >= (90 * n + 99) // 100 THEN qbp END) AS hi
         FROM cum GROUP BY 1
     ),
     agg AS (
@@ -4157,11 +4157,12 @@ def t58_winsorized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fence = cum.groupBy("source").agg(
         F.max("n").cast("bigint").alias("n_docs"),
+        # exact integer ceil(pct*n/100) — see q93's fence note
         F.min(
-            F.when(F.col("cum") >= F.ceil(0.10 * F.col("n")), F.col("qbp"))
+            F.when(F.col("cum") >= F.expr("(10 * n + 99) div 100"), F.col("qbp"))
         ).alias("lo"),
         F.min(
-            F.when(F.col("cum") >= F.ceil(0.90 * F.col("n")), F.col("qbp"))
+            F.when(F.col("cum") >= F.expr("(90 * n + 99) div 100"), F.col("qbp"))
         ).alias("hi"),
     )
     wq = F.least(F.greatest(F.col("qbp"), F.col("lo")), F.col("hi"))
@@ -4373,4 +4374,126 @@ def t60_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround((dagree * F.col("nn") - F.col("exp_num")) / (dnn * F.col("nn") - dexp), 6).alias(
             "kappa"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t61 — type-token-ratio curve by length decile (round 8): lexical
+# diversity vs document length, the Herdan/Guiraud companion to t44's
+# corpus-level Heaps fit — TTR falls with length BY CONSTRUCTION, so
+# judging sources on raw TTR without length control is the classic
+# corpus-linguistics blunder this table prevents
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t61_ttr_by_length",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(len(toks) AS BIGINT) AS n_toks,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_types
+        FROM (SELECT {_DUCK_TOKS} AS toks FROM documents) t
+        WHERE len(toks) > 0
+    ),
+    vals AS (
+        SELECT n_toks, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1
+    ),
+    cum AS (
+        SELECT n_toks, cnt,
+               SUM(cnt) OVER (ORDER BY n_toks) AS cum,
+               SUM(cnt) OVER () AS n
+        FROM vals
+    ),
+    fence AS (
+        SELECT g.dec,
+               MIN(CASE WHEN cum >= (g.dec * n + 4) // 5 THEN n_toks END)
+                   AS hi
+        FROM cum CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS dec) g
+        GROUP BY 1
+    ),
+    bucketed AS (
+        SELECT d.n_toks, d.n_types,
+               (SELECT MIN(dec) FROM fence WHERE d.n_toks <= fence.hi)
+                   AS bucket
+        FROM d
+    )
+    SELECT CAST(bucket AS INTEGER) AS length_quintile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS tokens,
+           CAST(SUM(n_types) AS BIGINT) AS types,
+           {sql_fround("CAST(SUM(n_types) AS DOUBLE) / SUM(n_toks)", 6)} AS ttr,
+           {sql_fround(
+               "CAST(SUM(n_types) AS DOUBLE) / sqrt(CAST(SUM(n_toks) AS DOUBLE))",
+               4,
+           )} AS guiraud_r
+    FROM bucketed
+    GROUP BY 1
+    """,
+    doc="Type-token ratio by LENGTH QUINTILE: documents bucketed by "
+    "exact type-1 length quintiles (the q93 value-grid fences), each "
+    "bucket reporting pooled TTR = types/tokens and Guiraud's "
+    "length-corrected R = types/sqrt(tokens) (Guiraud 1954; Herdan's "
+    "law makes raw TTR fall with length, so comparing sources or "
+    "filtering docs on uncontrolled TTR systematically punishes long "
+    "documents — this table is the control). Token/type counts are "
+    "exact int64 rollups; fences are integer picks off the "
+    "length-VALUE grid; the only floats are two final divisions and "
+    "one IEEE sqrt. Scale: one doc-grain count map, a bounded "
+    "value-grid window for the fences (broadcast back as 5 rows), "
+    "and a 5-group rollup — no window over the doc population.",
+)
+def t61_ttr_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    doc = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    d = doc.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_toks"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_types"),
+    ).filter(F.col("n_toks") > 0)
+    vals = d.groupBy("n_toks").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    cum = vals.select(
+        "n_toks",
+        F.sum("cnt").over(W.orderBy("n_toks")).alias("cum"),
+        F.sum("cnt").over(W.partitionBy(F.lit(1))).alias("n"),
+    )
+    decs = cum.sparkSession.range(1, 6).select(F.col("id").alias("dec"))
+    fence = (
+        cum.crossJoin(F.broadcast(decs))
+        .groupBy("dec")
+        .agg(
+            # exact integer ceil(dec*n/5) — the double literal 0.2
+            # overshoots integral thresholds (caught at sf0.001)
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(dec * n + 4) div 5"),
+                    F.col("n_toks"),
+                )
+            ).alias("hi")
+        )
+    )
+    bucketed = (
+        d.crossJoin(F.broadcast(fence))
+        .filter(F.col("n_toks") <= F.col("hi"))
+        .groupBy("doc_id", "n_toks", "n_types")
+        .agg(F.min("dec").alias("bucket"))
+    )
+    return (
+        bucketed.groupBy(F.col("bucket").cast("int").alias("length_quintile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("tokens"),
+            F.sum("n_types").cast("bigint").alias("types"),
+        )
+        .select(
+            "length_quintile",
+            "n_docs",
+            "tokens",
+            "types",
+            fround(F.col("types").cast("double") / F.col("tokens"), 6).alias("ttr"),
+            fround(
+                F.col("types").cast("double") / F.sqrt(F.col("tokens").cast("double")), 4
+            ).alias("guiraud_r"),
+        )
     )

@@ -2690,11 +2690,11 @@ def q92_price_spread_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT segment,
            CAST(MAX(n) AS BIGINT) AS n_gaps,
-           CAST(MIN(CASE WHEN cum >= CEIL(0.50 * n) THEN gap END) AS BIGINT)
+           CAST(MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN gap END) AS BIGINT)
                AS p50_days,
-           CAST(MIN(CASE WHEN cum >= CEIL(0.90 * n) THEN gap END) AS BIGINT)
+           CAST(MIN(CASE WHEN cum >= (90 * n + 99) // 100 THEN gap END) AS BIGINT)
                AS p90_days,
-           CAST(MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN gap END) AS BIGINT)
+           CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN gap END) AS BIGINT)
                AS p99_days
     FROM cum
     GROUP BY segment
@@ -2735,15 +2735,20 @@ def q93_order_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").over(wn).alias("n"),
     )
 
-    def pick(p: float, name: str):
-        hit = F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n")), F.col("gap"))
+    def pick(pct: int, name: str):
+        # exact integer ceil(pct*n/100): a double 0.90*n overshoots when
+        # pct*n is integral (0.9 is not a binary double) while DuckDB's
+        # DECIMAL literal stays exact — integer ceil-division on BOTH
+        # engines removes the hazard
+        thr = F.expr(f"({pct} * n + 99) div 100")
+        hit = F.when(F.col("cum") >= thr, F.col("gap"))
         return F.min(hit).cast("bigint").alias(name)
 
     return cum.groupBy("segment").agg(
         F.max("n").cast("bigint").alias("n_gaps"),
-        pick(0.50, "p50_days"),
-        pick(0.90, "p90_days"),
-        pick(0.99, "p99_days"),
+        pick(50, "p50_days"),
+        pick(90, "p90_days"),
+        pick(99, "p99_days"),
     )
 
 

@@ -1016,3 +1016,41 @@ def test_round8_batch2_avoid_cartesian(spark, name):
     a broadcast bounds join, g12's BFS unroll is the g04-shaped edge
     equi-join — no CartesianProduct anywhere."""
     assert "CartesianProduct" not in plan_of(spark, name)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "s23_embedding_anisotropy",
+        "d19_cross_source_dup_matrix",
+        "t61_ttr_by_length",
+    ],
+)
+def test_round8_batch3_avoid_cartesian(spark, name):
+    """Third round-8 batch: s23's moment fold is dim-grain, d19's pair
+    stage rides the fingerprint equi-join, t61's quintile fences are a
+    broadcast 5-row frame — no CartesianProduct."""
+    assert "CartesianProduct" not in plan_of(spark, name)
+
+
+def test_percentile_fences_are_integer_ceil_division():
+    """The rank-block fences must use exact integer ceil-division, not
+    CEIL(double literal * n): DuckDB multiplies by a DECIMAL 0.2/0.9
+    (exact) while a Spark double literal overshoots when pct*n lands
+    on an integer — caught live at sf0.001 in t61. Grep-style pin:
+    no F.ceil over a float-literal threshold in plans/."""
+    import pathlib
+    import re
+
+    plans_dir = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "e_commerce_data_engineering_spark"
+        / "plans"
+    )
+    bad = re.compile(r"F\.ceil\(\s*(F\.lit\()?\s*0?\.\d|F\.ceil\(F\.col\([^)]*\)\s*\*\s*0?\.\d")
+    offenders = []
+    for src in sorted(plans_dir.glob("*.py")):
+        for i, line in enumerate(src.read_text().splitlines(), 1):
+            if bad.search(line):
+                offenders.append(f"{src.name}:{i}: {line.strip()}")
+    assert not offenders, "\n".join(offenders)
