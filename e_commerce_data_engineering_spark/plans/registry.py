@@ -97,6 +97,8 @@ _PRIORITY: tuple[str, ...] = (
     "s23_embedding_anisotropy",
     "d19_cross_source_dup_matrix",
     "t61_ttr_by_length",
+    "q96_seasonal_decompose",
+    "t62_dedup_survivorship",
     "e41_dominant_period",
     "e42_fano_burstiness",
     "g12_harmonic_centrality",

@@ -3580,6 +3580,49 @@ def t54_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T55_PK = 32  # d17's prefix block width, reused for stage 2
 
 
+def _t55_chain(d: DataFrame) -> dict:
+    """The t55 waterfall stage chain as a shared stage (t55 reports
+    stage economics; t62 audits WHICH docs each stage removes):
+    returns s0 and the three removal frames, each (doc_id, len)."""
+    s0 = d.select("doc_id", "text", F.length("text").cast("bigint").alias("len"))
+
+    h = F.md5(F.col("text").cast("binary"))
+    ex_keep = s0.groupBy(h.alias("h")).agg(F.min("doc_id").alias("keeper"))
+    ex_rm = s0.select("doc_id", "len", h.alias("_h")).join(
+        ex_keep, F.col("_h") == ex_keep["h"]
+    ).filter(F.col("doc_id") > F.col("keeper")).select("doc_id", "len")
+    # s1 feeds its own self-join (two scan sides) plus two downstream
+    # stages — persist once or the exact-hash chain recomputes per
+    # consumer (the m08 persist discipline)
+    s1 = s0.join(ex_rm.select("doc_id"), "doc_id", "left_anti").persist()
+
+    blk = F.substring("text", 1, _T55_PK)
+    a = s1.select("doc_id", "len", "text", blk.alias("blk"))
+    b = s1.select(
+        F.col("len").alias("_len2"), F.col("text").alias("_t2"), blk.alias("_blk2")
+    )
+    pre_rm = (
+        a.join(b, (a["blk"] == b["_blk2"]) & (a["len"] < b["_len2"]))
+        .filter(F.col("_t2").startswith(F.col("text")))
+        .select("doc_id", "len")
+        .distinct()
+    )
+    s2 = s1.join(pre_rm.select("doc_id"), "doc_id", "left_anti")
+
+    toks = X.tokens(F.col("text"))
+    # the shingle-md5 map is the expensive leaf and feeds both the
+    # keeper rollup and the removal join — persist or it runs twice
+    fp = s2.filter(F.size(toks) >= 3).select(
+        "doc_id", "len", X.min_shingle_fingerprint(toks).alias("f")
+    ).persist()
+    fp_keep = fp.groupBy("f").agg(F.min("doc_id").alias("keeper"))
+    fp_rm = fp.join(fp_keep, "f").filter(F.col("doc_id") > F.col("keeper")).select(
+        "doc_id", "len"
+    )
+    return {"s0": s0, "ex_rm": ex_rm, "pre_rm": pre_rm, "fp_rm": fp_rm}
+
+
+
 @query(
     "t55_dedup_waterfall",
     oracle=f"""
@@ -3662,40 +3705,9 @@ _T55_PK = 32  # d17's prefix block width, reused for stage 2
 )
 def t55_dedup_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    s0 = d.select("doc_id", "text", F.length("text").cast("bigint").alias("len"))
-
-    h = F.md5(F.col("text").cast("binary"))
-    ex_keep = s0.groupBy(h.alias("h")).agg(F.min("doc_id").alias("keeper"))
-    ex_rm = s0.select("doc_id", "len", h.alias("_h")).join(
-        ex_keep, F.col("_h") == ex_keep["h"]
-    ).filter(F.col("doc_id") > F.col("keeper")).select("doc_id", "len")
-    # s1 feeds its own self-join (two scan sides) plus two downstream
-    # stages — persist once or the exact-hash chain recomputes per
-    # consumer (the m08 persist discipline)
-    s1 = s0.join(ex_rm.select("doc_id"), "doc_id", "left_anti").persist()
-
-    blk = F.substring("text", 1, _T55_PK)
-    a = s1.select("doc_id", "len", "text", blk.alias("blk"))
-    b = s1.select(
-        F.col("len").alias("_len2"), F.col("text").alias("_t2"), blk.alias("_blk2")
-    )
-    pre_rm = (
-        a.join(b, (a["blk"] == b["_blk2"]) & (a["len"] < b["_len2"]))
-        .filter(F.col("_t2").startswith(F.col("text")))
-        .select("doc_id", "len")
-        .distinct()
-    )
-    s2 = s1.join(pre_rm.select("doc_id"), "doc_id", "left_anti")
-
-    toks = X.tokens(F.col("text"))
-    # the shingle-md5 map is the expensive leaf and feeds both the
-    # keeper rollup and the removal join — persist or it runs twice
-    fp = s2.filter(F.size(toks) >= 3).select(
-        "doc_id", "len", X.min_shingle_fingerprint(toks).alias("f")
-    ).persist()
-    fp_keep = fp.groupBy("f").agg(F.min("doc_id").alias("keeper"))
-    fp_rm = fp.join(fp_keep, "f").filter(F.col("doc_id") > F.col("keeper")).select(
-        "doc_id", "len"
+    chain = _t55_chain(d)
+    s0, ex_rm, pre_rm, fp_rm = (
+        chain["s0"], chain["ex_rm"], chain["pre_rm"], chain["fp_rm"]
     )
 
     # Single pass: each chain frame aggregates ONCE (stage populations
@@ -4496,4 +4508,142 @@ def t61_ttr_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("types").cast("double") / F.sqrt(F.col("tokens").cast("double")), 4
             ).alias("guiraud_r"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# t62 — dedup SURVIVORSHIP audit (round 8): t55 prices each stage in
+# docs and bytes; t62 asks the question a data-quality owner actually
+# fears — is dedup silently FILTERING BY QUALITY (removing docs that
+# differ systematically from survivors)?
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t62_dedup_survivorship",
+    oracle=f"""
+    WITH q AS ({_t58_qbp_sql()}),
+    s0 AS (
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+        FROM documents
+    ),
+    ex_keep AS (
+        SELECT md5(text) AS h, MIN(doc_id) AS keeper FROM s0 GROUP BY md5(text)
+    ),
+    ex_rm AS (
+        SELECT s0.doc_id FROM s0
+        JOIN ex_keep ON md5(s0.text) = ex_keep.h AND s0.doc_id > ex_keep.keeper
+    ),
+    s1 AS (SELECT * FROM s0 WHERE doc_id NOT IN (SELECT doc_id FROM ex_rm)),
+    pre_rm AS (
+        SELECT DISTINCT a.doc_id
+        FROM s1 a JOIN s1 b
+          ON substr(a.text, 1, {_T55_PK}) = substr(b.text, 1, {_T55_PK})
+         AND a.len < b.len AND starts_with(b.text, a.text)
+    ),
+    s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM pre_rm)),
+    fp AS (
+        SELECT doc_id,
+               list_min(list_transform(
+                   generate_series(1, len(toks) - 2),
+                   i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               )) AS f
+        FROM (SELECT doc_id, {{toks}} AS toks FROM s2) t
+        WHERE len(toks) >= 3
+    ),
+    fp_keep AS (SELECT f, MIN(doc_id) AS keeper FROM fp GROUP BY f),
+    fp_rm AS (
+        SELECT fp.doc_id FROM fp
+        JOIN fp_keep ON fp.f = fp_keep.f AND fp.doc_id > fp_keep.keeper
+    ),
+    labeled AS (
+        SELECT s0.doc_id, s0.len,
+               CASE WHEN s0.doc_id IN (SELECT doc_id FROM ex_rm)
+                        THEN 'exact_hash'
+                    WHEN s0.doc_id IN (SELECT doc_id FROM pre_rm)
+                        THEN 'prefix_subsumed'
+                    WHEN s0.doc_id IN (SELECT doc_id FROM fp_rm)
+                        THEN 'shingle_fingerprint'
+                    ELSE 'kept' END AS fate
+        FROM s0
+    ),
+    g AS (
+        SELECT l.fate, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(q.qbp) AS BIGINT) AS sq,
+               CAST(SUM(l.len) AS BIGINT) AS sl
+        FROM labeled l JOIN q ON q.doc_id = l.doc_id
+        GROUP BY 1
+    ),
+    kept AS (SELECT sq AS ksq, n_docs AS kn FROM g WHERE fate = 'kept')
+    SELECT g.fate, g.n_docs,
+           {{mean_q}} AS mean_quality,
+           {{mean_len}} AS mean_len,
+           {{dq}} AS quality_delta_vs_kept
+    FROM g CROSS JOIN kept
+    """.format(
+        toks=_DUCK_TOKS,
+        mean_q=sql_fround("CAST(g.sq AS DOUBLE) / (10000.0 * g.n_docs)", 6),
+        mean_len=sql_fround("CAST(g.sl AS DOUBLE) / g.n_docs", 2),
+        dq=sql_fround(
+            "CAST(g.sq AS DOUBLE) / (10000.0 * g.n_docs)"
+            " - CAST(kept.ksq AS DOUBLE) / (10000.0 * kept.kn)",
+            6,
+        ),
+    ),
+    doc="Dedup SURVIVORSHIP audit: every document labeled with its "
+    "waterfall fate (removed at exact-hash / prefix-subsumption / "
+    "fingerprint stage, or kept — the SAME sequenced rules as t55 via "
+    "the shared _t55_chain stage), then per fate the mean t06 quality "
+    "and mean length plus the quality DELTA against survivors — the "
+    "selection-bias check every dedup pipeline owner should run "
+    "before celebrating d16's savings (Lee et al. 2022 report dedup "
+    "can shift corpus composition; this measures it on YOUR corpus). "
+    "Quality rides the exact 10-bp int64 buckets (t58's "
+    "quantization); all aggregates are exact integer sums with final "
+    "display divisions. Scale: the chain's joins are t55's (hash "
+    "rollup, d17 block join, fingerprint rollup); labeling is three "
+    "doc_id anti/semi joins; the report is a 4-row rollup.",
+)
+def t62_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    chain = _t55_chain(d)
+    qbp = _t58_qbp(d).select("doc_id", "qbp")
+    ex_ids = chain["ex_rm"].select("doc_id").withColumn("_f1", F.lit(1))
+    pre_ids = chain["pre_rm"].select("doc_id").withColumn("_f2", F.lit(1))
+    fp_ids = chain["fp_rm"].select("doc_id").withColumn("_f3", F.lit(1))
+    labeled = (
+        chain["s0"].select("doc_id", "len")
+        .join(ex_ids, "doc_id", "left")
+        .join(pre_ids, "doc_id", "left")
+        .join(fp_ids, "doc_id", "left")
+        .select(
+            "doc_id",
+            "len",
+            F.when(F.col("_f1").isNotNull(), F.lit("exact_hash"))
+            .when(F.col("_f2").isNotNull(), F.lit("prefix_subsumed"))
+            .when(F.col("_f3").isNotNull(), F.lit("shingle_fingerprint"))
+            .otherwise(F.lit("kept"))
+            .alias("fate"),
+        )
+    )
+    g = (
+        labeled.join(qbp, "doc_id")
+        .groupBy("fate")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("qbp").cast("bigint").alias("sq"),
+            F.sum("len").cast("bigint").alias("sl"),
+        )
+    )
+    kept = g.filter(F.col("fate") == "kept").select(
+        F.col("sq").alias("ksq"), F.col("n_docs").alias("kn")
+    )
+    mean_q = F.col("sq").cast("double") / (10000.0 * F.col("n_docs"))
+    kept_q = F.col("ksq").cast("double") / (10000.0 * F.col("kn"))
+    return g.crossJoin(F.broadcast(kept)).select(
+        "fate",
+        "n_docs",
+        fround(mean_q, 6).alias("mean_quality"),
+        fround(F.col("sl").cast("double") / F.col("n_docs"), 2).alias("mean_len"),
+        fround(mean_q - kept_q, 6).alias("quality_delta_vs_kept"),
     )

@@ -2951,3 +2951,125 @@ def q95_holiday_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_months") * F.col("dec_orders")).cast("double") / F.col("yr_orders"), 4
         ).alias("volume_lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q96 — classical seasonal decomposition of monthly revenue (round 8):
+# the 2x12 centered moving average + month-of-year seasonal indices of
+# classical additive decomposition (the pre-STL standard; Kendall &
+# Stuart), all integer until the display divisions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q96_seasonal_decompose",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT (EXTRACT(year FROM o_orderdate) * 12
+                + EXTRACT(month FROM o_orderdate) - 1) AS midx,
+               CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS moy,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    offs AS (SELECT unnest(generate_series(-6, 6)) AS k),
+    win AS (
+        SELECT m.midx, m.moy, m.cents,
+               CAST(SUM(nb.cents * (CASE WHEN ABS(o.k) = 6 THEN 1 ELSE 2 END))
+                   AS BIGINT) AS trend24,
+               CAST(COUNT(*) AS BIGINT) AS n_terms
+        FROM monthly m
+        CROSS JOIN offs o
+        JOIN monthly nb ON nb.midx = m.midx + o.k
+        GROUP BY 1, 2, 3
+    ),
+    det AS (
+        -- only complete 13-term windows: the 2x12 MA needs every term
+        SELECT moy, CAST(cents * 24 - trend24 AS BIGINT) AS det24
+        FROM win WHERE n_terms = 13
+    ),
+    seas AS (
+        SELECT moy, CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(det24) AS BIGINT) AS s24
+        FROM det GROUP BY 1
+    ),
+    base AS (
+        SELECT CAST(SUM(cents) AS BIGINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS nm
+        FROM monthly
+    )
+    SELECT seas.moy AS month_of_year, seas.n_windows,
+           {sql_fround(
+               "CAST(seas.s24 AS DOUBLE) / (seas.n_windows * 24 * 100.0)", 2
+           )} AS seasonal_component,
+           {sql_fround(
+               "CAST(seas.s24 AS DOUBLE) * base.nm"
+               " / (CAST(seas.n_windows AS DOUBLE) * 24 * base.tot)",
+               6,
+           )} AS seasonal_share
+    FROM seas CROSS JOIN base
+    """,
+    doc="Classical additive seasonal decomposition of monthly revenue "
+    "(Kendall's 2x12 centered moving average — the textbook pre-STL "
+    "method): detrend each month with the 13-term MA (end terms "
+    "half-weighted so the even period centers), then average the "
+    "detrended values per month-of-year into seasonal indices, "
+    "reported in currency and as a share of the mean month — the "
+    "decomposition behind q95's December-lift headline, giving ALL "
+    "twelve months their seasonal component. The MA rides an exact "
+    "integer identity: trend*24 is an integer weight-sum of cent "
+    "totals, detrended*24 = cents*24 - trend24 stays int64, and the "
+    "per-month averages divide exact integers once at display (the "
+    "q90 discipline applied to time-series decomposition). Incomplete "
+    "windows are excluded exactly, not padded. Scale: one month-grain "
+    "rollup (calendar-bounded), a 13-offset self-join on THAT frame, "
+    "and a 12-row rollup.",
+)
+def q96_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("midx"),
+        F.month("o_orderdate").cast("int").alias("moy"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    offs = spark.range(-6, 7).select(F.col("id").alias("k"))
+    nb = monthly.select(F.col("midx").alias("_m2"), F.col("cents").alias("_c2"))
+    win = (
+        monthly.crossJoin(F.broadcast(offs))
+        .join(nb, F.col("_m2") == F.col("midx") + F.col("k"))
+        .groupBy("midx", "moy", "cents")
+        .agg(
+            F.sum(
+                F.col("_c2") * F.when(F.abs(F.col("k")) == 6, 1).otherwise(2)
+            )
+            .cast("bigint")
+            .alias("trend24"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        )
+    )
+    det = win.filter(F.col("n_terms") == 13).select(
+        "moy", (F.col("cents") * 24 - F.col("trend24")).cast("bigint").alias("det24")
+    )
+    seas = det.groupBy("moy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.sum("det24").cast("bigint").alias("s24"),
+    )
+    base = monthly.agg(
+        F.sum("cents").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("nm"),
+    )
+    return seas.crossJoin(F.broadcast(base)).select(
+        F.col("moy").alias("month_of_year"),
+        "n_windows",
+        fround(
+            F.col("s24").cast("double") / (F.col("n_windows") * 24 * 100.0), 2
+        ).alias("seasonal_component"),
+        fround(
+            F.col("s24").cast("double") * F.col("nm")
+            / (F.col("n_windows").cast("double") * 24 * F.col("tot")),
+            6,
+        ).alias("seasonal_share"),
+    )

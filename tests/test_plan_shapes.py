@@ -1054,3 +1054,15 @@ def test_percentile_fences_are_integer_ceil_division():
             if bad.search(line):
                 offenders.append(f"{src.name}:{i}: {line.strip()}")
     assert not offenders, "\n".join(offenders)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q96_seasonal_decompose", "t62_dedup_survivorship"],
+)
+def test_round8_batch4_avoid_cartesian(spark, name):
+    """Fourth round-8 batch: q96's 13-offset MA self-join runs on the
+    month-grain frame with a broadcast offset grid; t62's fate labels
+    are doc_id equi-joins off the shared t55 chain — no
+    CartesianProduct."""
+    assert "CartesianProduct" not in plan_of(spark, name)
