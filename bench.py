@@ -134,6 +134,19 @@ HEADLINE = [
     "q94_priority_mix_shift",
     "e39_transition_dwell",
     "e40_powerlaw_tail_fit",
+    # round-8 late additions: chance-corrected agreement, ACF argmax,
+    # dense-grid dispersion, 2-hop BFS unroll, dim-grain moment fold,
+    # fingerprint-grain provenance matrix, value-grid quintiles,
+    # 13-term MA self-join, shared-chain fate labeling
+    "t60_cohens_kappa",
+    "e41_dominant_period",
+    "e42_fano_burstiness",
+    "g12_harmonic_centrality",
+    "s23_embedding_anisotropy",
+    "d19_cross_source_dup_matrix",
+    "t61_ttr_by_length",
+    "q96_seasonal_decompose",
+    "t62_dedup_survivorship",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

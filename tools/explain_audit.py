@@ -93,6 +93,12 @@ AUDIT = [
     ("x14_theta_sketch_diff", "K-row sketches x broadcast type-pair grid; audience-grain exact companion"),
     ("q93_order_gap_percentiles", "cumulative window rides the (segment, gap-value) grid, never the population"),
     ("t59_kneedle_threshold", "integer argmax over the value grid; top-1 per source"),
+    # round-8 late additions
+    ("g12_harmonic_centrality", "one BFS-unroll equi-join + direct-edge anti-join; integer rank key, TakeOrdered"),
+    ("s23_embedding_anisotropy", "dim-grain moment fold; DECIMAL(38,0) variance squares; single-row output"),
+    ("d19_cross_source_dup_matrix", "fingerprint equi-join pair stage; per-source rollups broadcast back"),
+    ("t62_dedup_survivorship", "shared t55 chain; fate labels as doc_id equi-joins; 4-row rollup"),
+    ("q96_seasonal_decompose", "month-grain 13-offset self-join; exact int trend*24; 12-row rollup"),
 ]
 
 
