@@ -91,6 +91,9 @@ _PRIORITY: tuple[str, ...] = (
     # front is clear for round-8. ROUND-9 NOTE: rotate BEFORE adding —
     # check CORRECTNESS_r08 for which of these got recorded and move the
     # recorded ones into a labelled block below (youngest first).
+    "t63_winnowing_fingerprints",
+    "t64_perplexity_buckets",
+    "q97_bootstrap_ci",
     "m10_portable_audio_pairs",
     "t57_bpe_apply",
     "t60_cohens_kappa",

@@ -858,10 +858,11 @@ def t22_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _T23_ALPHA = 0.5  # add-alpha smoothing
 
-
-@query(
-    "t23_bigram_logprob",
-    oracle=f"""
+# Shared WITH-prefix for the add-alpha bigram LM: per-doc exact bigram
+# count and the 1e-6-quantized surprisal sum. t23 reports it directly;
+# t64 buckets the corpus on it (CCNet-style) — one constant so the two
+# oracles cannot drift.
+_SQL_T23_SCORED = f"""
     WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
     big AS (
         SELECT doc_id, z[1] AS w1, z[2] AS w2
@@ -885,23 +886,13 @@ _T23_ALPHA = 0.5  # add-alpha smoothing
         JOIN uni ON b.w1 = uni.w1
         CROSS JOIN v
         GROUP BY b.doc_id
-    )
-    SELECT doc_id, n_bigrams,
-           {sql_fround("CAST(q_bits AS DOUBLE) / 1000000.0 / n_bigrams", 4)} AS bits_per_bigram
-    FROM scored
-    """,
-    doc="Bigram-LM surprisal scoring: average -log2 p(w2 | w1) per "
-    "document under the corpus's own add-alpha-smoothed bigram model — "
-    "the next step up from t21's unigram filter (catches shuffled-"
-    "token gibberish that unigram statistics cannot). Conditional "
-    "probabilities join the bigram and context counts; per-occurrence "
-    "surprisals are quantized to 1e-6 BIGINTs before the per-doc sum "
-    "so float addition order cannot flip the cross-engine hash. Two "
-    "count shuffles + one scoring join, all broadcast-eligible when "
-    "the LM fits.",
-)
-def t23_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    )"""
+
+
+def _bigram_doc_bits(d: DataFrame) -> DataFrame:
+    """Spark twin of ``_SQL_T23_SCORED``: (doc_id, n_bigrams, _qb) where
+    _qb is the exact BIGINT sum of 1e-6-quantized -log2 p(w2|w1) terms
+    under the corpus's own add-alpha bigram model."""
     toks = X.tokens(F.col("text"))
     big = (
         d.select("doc_id", toks.alias("_t"))
@@ -938,6 +929,30 @@ def t23_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_bigrams"),
             F.sum(surprisal_q).alias("_qb"),
         )
+    )
+
+
+@query(
+    "t23_bigram_logprob",
+    oracle=f"""{_SQL_T23_SCORED}
+    SELECT doc_id, n_bigrams,
+           {sql_fround("CAST(q_bits AS DOUBLE) / 1000000.0 / n_bigrams", 4)} AS bits_per_bigram
+    FROM scored
+    """,
+    doc="Bigram-LM surprisal scoring: average -log2 p(w2 | w1) per "
+    "document under the corpus's own add-alpha-smoothed bigram model — "
+    "the next step up from t21's unigram filter (catches shuffled-"
+    "token gibberish that unigram statistics cannot). Conditional "
+    "probabilities join the bigram and context counts; per-occurrence "
+    "surprisals are quantized to 1e-6 BIGINTs before the per-doc sum "
+    "so float addition order cannot flip the cross-engine hash. Two "
+    "count shuffles + one scoring join, all broadcast-eligible when "
+    "the LM fits.",
+)
+def t23_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        _bigram_doc_bits(d)
         .select(
             "doc_id",
             "n_bigrams",
@@ -4646,4 +4661,190 @@ def t62_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(mean_q, 6).alias("mean_quality"),
         fround(F.col("sl").cast("double") / F.col("n_docs"), 2).alias("mean_len"),
         fround(mean_q - kept_q, 6).alias("quality_delta_vs_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t63 — winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+# algorithm): guarantee-based local fingerprint selection (round 8)
+# ---------------------------------------------------------------------------
+
+_WINNOW_W = 4  # winnowing window: any match of >= w + 1 grams is guaranteed caught
+
+
+@query(
+    "t63_winnowing_fingerprints",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+    g AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(ts) - 1),
+                   i -> md5(ts[i] || ' ' || ts[i + 1])) AS h
+        FROM t WHERE len(ts) >= {_WINNOW_W + 1}
+    ),
+    sel AS (
+        SELECT doc_id, CAST(len(h) AS INTEGER) AS n_grams,
+               list_distinct(list_transform(
+                   generate_series(1, len(h) - {_WINNOW_W - 1}),
+                   i -> list_min(h[i:i + {_WINNOW_W - 1}]))) AS fps
+        FROM g
+    )
+    SELECT doc_id, n_grams,
+           CAST(len(fps) AS INTEGER) AS n_selected,
+           {sql_fround("CAST(len(fps) AS DOUBLE) / n_grams", 4)} AS density,
+           list_min(fps) AS min_fp
+    FROM sel
+    """,
+    doc=f"Winnowing document fingerprints (Schleimer, Wilkerson & Aiken "
+    f"2003 — the MOSS local-selection algorithm): hash every token "
+    f"2-gram, slide a window of w={_WINNOW_W} hashes, keep each "
+    "window's minimum; the distinct minima are the fingerprint set. "
+    "Unlike t04's single min-shingle (one hash per doc) or d01's "
+    "MinHash rows (fixed-size sketch), winnowing GUARANTEES any "
+    f"shared run of >= w+1 consecutive grams produces a shared "
+    "fingerprint — the property plagiarism/near-dup detectors need. "
+    "Expected density is 2/(w+1) = 0.4; the per-doc density column "
+    "audits the guarantee/compression trade empirically. All inside "
+    "per-row higher-order functions (sequence/transform/slice/"
+    "array_min) — zero shuffle, zero UDF, embarrassingly parallel at "
+    "100 TB; downstream pair-finding explodes ONLY the selected "
+    "minima (a 60% gram discount before the first shuffle). "
+    "Hash-checked against DuckDB computing identical windows.",
+)
+def t63_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    g = (
+        d.select("doc_id", toks.alias("ts"))
+        .filter(F.size("ts") >= _WINNOW_W + 1)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(1, size(ts) - 1), "
+                "i -> md5(cast(concat(element_at(ts, i), ' ', "
+                "element_at(ts, i + 1)) as binary)))"
+            ).alias("h"),
+        )
+    )
+    sel = g.select(
+        "doc_id",
+        F.size("h").alias("n_grams"),
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, size(h) - {_WINNOW_W - 1}), "
+                f"i -> array_min(slice(h, i, {_WINNOW_W})))"
+            )
+        ).alias("fps"),
+    )
+    return sel.select(
+        "doc_id",
+        "n_grams",
+        F.size("fps").alias("n_selected"),
+        fround(F.size("fps").cast("double") / F.col("n_grams"), 4).alias("density"),
+        F.array_min("fps").alias("min_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t64 — CCNet-style perplexity buckets (Wenzek et al. 2020): tercile the
+# corpus by LM surprisal, report per-source composition (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t64_perplexity_buckets",
+    oracle=f"""{_SQL_T23_SCORED},
+    keyed AS (
+        SELECT s.doc_id, s.q_bits // s.n_bigrams AS key, d.source
+        FROM scored s JOIN documents d USING (doc_id)
+    ),
+    grid AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS cnt FROM keyed GROUP BY key),
+    cum AS (
+        SELECT key, SUM(cnt) OVER (ORDER BY key) AS cum,
+               SUM(cnt) OVER () AS n
+        FROM grid
+    ),
+    f AS (
+        SELECT MIN(CASE WHEN cum >= (n + 2) // 3 THEN key END) AS f1,
+               MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN key END) AS f2
+        FROM cum
+    ),
+    b AS (
+        SELECT source,
+               CASE WHEN key <= f1 THEN 'head'
+                    WHEN key <= f2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               key
+        FROM keyed CROSS JOIN f
+    ),
+    per AS (
+        SELECT source, bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(key) AS BIGINT) AS sk
+        FROM b GROUP BY 1, 2
+    )
+    SELECT source, bucket, n_docs,
+           {sql_fround("CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY source)", 4)} AS doc_share,
+           {sql_fround("CAST(sk AS DOUBLE) / n_docs / 1000000.0", 4)} AS avg_bits_per_bigram
+    FROM per
+    """,
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020): score "
+    "every document with the t23 bigram-LM surprisal, split the corpus "
+    "into head/middle/tail TERCILES by that score, and report each "
+    "source's composition across buckets — the standard web-corpus "
+    "quality triage (head = most LM-like text kept, tail = candidate "
+    "drop). Doc keys are exact integer 1e-6-bit surprisal-per-bigram "
+    "(q_bits div n_bigrams); tercile fences use the engine-wide exact "
+    "integer ceil-division rank-block rule on the VALUE grid, so the "
+    "cumulative window walks distinct score values, never the doc "
+    "population, and ties land identically in both engines. Scale: "
+    "the LM counts shuffle on (w1,w2) with map-side combine, the "
+    "fence frame is two scalars broadcast back, and the final rollup "
+    "is sources x 3 rows.",
+)
+def t64_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = (
+        _bigram_doc_bits(d)
+        .select("doc_id", F.expr("_qb div n_bigrams").alias("key"))
+        .join(d.select("doc_id", "source"), "doc_id")
+    )
+    grid = keyed.groupBy("key").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    nrow = grid.agg(F.sum("cnt").cast("bigint").alias("n"))
+    # global window over the VALUE grid (distinct surprisal keys — bounded),
+    # never over the document population
+    cum = grid.select(
+        "key", F.sum("cnt").over(W.orderBy("key")).alias("cum")
+    ).crossJoin(F.broadcast(nrow))
+    fences = cum.agg(
+        F.min(F.when(F.col("cum") >= F.expr("(n + 2) div 3"), F.col("key"))).alias("f1"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(2 * n + 2) div 3"), F.col("key"))
+        ).alias("f2"),
+    )
+    bucketed = keyed.crossJoin(F.broadcast(fences)).select(
+        "source",
+        "key",
+        F.when(F.col("key") <= F.col("f1"), F.lit("head"))
+        .when(F.col("key") <= F.col("f2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    per = bucketed.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("key").cast("bigint").alias("sk"),
+    )
+    ws = W.partitionBy("source")
+    return per.select(
+        "source",
+        "bucket",
+        "n_docs",
+        fround(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(ws), 4
+        ).alias("doc_share"),
+        fround(F.col("sk").cast("double") / F.col("n_docs") / 1_000_000.0, 4).alias(
+            "avg_bits_per_bigram"
+        ),
     )

@@ -3073,3 +3073,146 @@ def q96_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonal_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q97 — one-pass bootstrap confidence intervals via exchangeable hash
+# weights (the Poisson-bootstrap shape: Chamandy et al. 2012; Praestgaard
+# & Wellner 1993) (round 8)
+# ---------------------------------------------------------------------------
+
+_BOOT_R = 32  # bootstrap replicates
+_BOOT_A = 1103515245  # LCG multiplier (key side) — products stay < 2^62
+_BOOT_B = 2654435761  # Knuth multiplicative constant (replicate side)
+_BOOT_M = 2147483647  # 2^31 - 1
+
+
+@query(
+    "q97_bootstrap_ci",
+    oracle=f"""
+    WITH base AS (
+        SELECT c.c_mktsegment AS segment, o.o_orderkey AS k,
+               CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    reps AS (SELECT unnest(generate_series(0, {_BOOT_R - 1})) AS r),
+    wtd AS (
+        SELECT segment, r,
+               (({_BOOT_A} * (k % {_BOOT_M}) + {_BOOT_B} * r) % {_BOOT_M}) % 3 AS w,
+               cents
+        FROM base CROSS JOIN reps
+    ),
+    rep_means AS (
+        SELECT segment, r,
+               CAST(SUM(w * cents) AS BIGINT) AS swc,
+               CAST(SUM(w) AS BIGINT) AS sw
+        FROM wtd GROUP BY 1, 2
+    ),
+    mm AS (
+        SELECT segment,
+               (swc // sw) * 1000000 + ((swc % sw) * 1000000) // sw AS mean_micro
+        FROM rep_means
+    ),
+    grid AS (
+        SELECT segment, mean_micro, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM mm GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT segment, mean_micro,
+               SUM(cnt) OVER (PARTITION BY segment ORDER BY mean_micro) AS cum,
+               SUM(cnt) OVER (PARTITION BY segment) AS n
+        FROM grid
+    ),
+    ci AS (
+        SELECT segment,
+               MIN(CASE WHEN cum >= (5 * n + 99) // 100 THEN mean_micro END) AS p05,
+               MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN mean_micro END) AS p50,
+               MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN mean_micro END) AS p95
+        FROM cum GROUP BY segment
+    ),
+    samp AS (
+        SELECT segment, CAST(SUM(cents) AS BIGINT) AS sc,
+               CAST(COUNT(*) AS BIGINT) AS no
+        FROM base GROUP BY segment
+    )
+    SELECT ci.segment,
+           CAST({_BOOT_R} AS INTEGER) AS n_reps,
+           {sql_fround("CAST(sc AS DOUBLE) / no / 100.0", 4)} AS sample_mean,
+           {sql_fround("CAST(p05 AS DOUBLE) / 100000000.0", 4)} AS boot_p05,
+           {sql_fround("CAST(p50 AS DOUBLE) / 100000000.0", 4)} AS boot_p50,
+           {sql_fround("CAST(p95 AS DOUBLE) / 100000000.0", 4)} AS boot_p95
+    FROM ci JOIN samp ON samp.segment = ci.segment
+    """,
+    doc="One-pass bootstrap CI for mean order value per market segment "
+    "— the exchangeably-weighted bootstrap (Praestgaard & Wellner "
+    "1993) in the streaming/Poisson-bootstrap shape Google described "
+    "for massive data (Chamandy et al. 2012): instead of materializing "
+    f"{_BOOT_R} resampled copies, every row gets {_BOOT_R} integer "
+    "weights w in {{0,1,2}} (mean 1) from a portable LCG on "
+    "(o_orderkey, replicate), so ONE scan computes every replicate's "
+    "weighted mean. Replicate means are exact integer micro-cents via "
+    "overflow-safe long division ((swc div sw)*1e6 + rem*1e6 div sw); "
+    "the p05/p50/p95 percentile CI uses the engine-wide integer "
+    "ceil-division fences on the (segment, mean) value grid. Scale: "
+    "the x{_BOOT_R} fan-out is absorbed by map-side combine — shuffle "
+    "rows are segments x replicates, never data x replicates; at 100 "
+    "TB this is THE way to put error bars on a mean without a second "
+    "pass. Hash-checked against DuckDB running the identical LCG.",
+)
+def q97_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    reps = spark.range(_BOOT_R).select(F.col("id").cast("bigint").alias("r"))
+    w = (
+        (F.lit(_BOOT_A) * (F.col("k") % _BOOT_M) + F.lit(_BOOT_B) * F.col("r"))
+        % _BOOT_M
+    ) % 3
+    rep_means = (
+        base.crossJoin(F.broadcast(reps))
+        .select("segment", "r", w.alias("w"), "cents")
+        .groupBy("segment", "r")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("swc"),
+            F.sum("w").cast("bigint").alias("sw"),
+        )
+    )
+    mm = rep_means.select(
+        "segment",
+        F.expr("(swc div sw) * 1000000 + ((swc % sw) * 1000000) div sw").alias(
+            "mean_micro"
+        ),
+    )
+    grid = mm.groupBy("segment", "mean_micro").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wc = W.partitionBy("segment").orderBy("mean_micro")
+    wn = W.partitionBy("segment")
+    cum = grid.select(
+        "segment",
+        "mean_micro",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+
+    def pick(pct: int, name: str):
+        thr = F.expr(f"({pct} * n + 99) div 100")
+        return F.min(F.when(F.col("cum") >= thr, F.col("mean_micro"))).alias(name)
+
+    ci = cum.groupBy("segment").agg(pick(5, "_p05"), pick(50, "_p50"), pick(95, "_p95"))
+    samp = base.groupBy("segment").agg(
+        F.sum("cents").cast("bigint").alias("sc"),
+        F.count(F.lit(1)).cast("bigint").alias("no"),
+    )
+    return ci.join(samp, "segment").select(
+        "segment",
+        F.lit(_BOOT_R).cast("int").alias("n_reps"),
+        fround(F.col("sc").cast("double") / F.col("no") / 100.0, 4).alias("sample_mean"),
+        fround(F.col("_p05").cast("double") / 1e8, 4).alias("boot_p05"),
+        fround(F.col("_p50").cast("double") / 1e8, 4).alias("boot_p50"),
+        fround(F.col("_p95").cast("double") / 1e8, 4).alias("boot_p95"),
+    )
