@@ -1,7 +1,8 @@
 """As-of (nearest-neighbor-in-time) join — an operator Spark lacks
 natively (SURVEY §2.3 notes it as expressible; reference has no joins
 at all). Backward (nearest predecessor), forward (nearest successor),
-and an optional tolerance bound, matching the pd.merge_asof surface.
+nearest (either direction, ties backward), and an optional tolerance
+bound, matching the pd.merge_asof surface.
 
 Implementation is the scalable union+window pattern, NOT a range cross
 join: tag both sides, union on (key, time), and carry the nearest right
@@ -45,13 +46,16 @@ def asof_join(
     JSON text of the payload (orderable for ANY payload type, including
     maps, unlike ordering by the struct itself).
     """
-    assert direction in ("backward", "forward"), direction
+    assert direction in ("backward", "forward", "nearest"), direction
     payload = F.struct(
         *[F.col(c) for c in payload_cols], F.col(right_time).alias("_asof_time")
     )
     # side ordering puts right rows at equal time INSIDE the left row's
-    # window span: before it for backward, after it for forward
-    r_side, l_side = (0, 1) if direction == "backward" else (1, 0)
+    # window span: before it for backward, after it for forward.
+    # 'nearest' uses the backward ordering: an exact-time match lands in
+    # the backward pick, and Δ=0 always wins the nearest comparison, so
+    # the forward pick missing exact ties is harmless.
+    r_side, l_side = (0, 1) if direction in ("backward", "nearest") else (1, 0)
     # The whole left row rides through the union as one struct, so the
     # match comes back without a rowid join — no second shuffle, and no
     # monotonically_increasing_id to misalign under plan recomputation.
@@ -74,18 +78,41 @@ def asof_join(
         lrow.alias("_lrow"),
     )
     base_w = W.partitionBy("_k").orderBy("_t", "_side", "_tb")
-    if direction == "backward":
-        w = base_w.rowsBetween(W.unboundedPreceding, W.currentRow)
-        pick = F.last("_payload", ignorenulls=True)
+    if direction == "nearest":
+        # both picks ride the SAME union and window sort — still one
+        # shuffle; the closer |Δt| wins, ties break backward (the
+        # pd.merge_asof 'nearest' convention)
+        wb = base_w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        wf = base_w.rowsBetween(W.currentRow, W.unboundedFollowing)
+        back = F.last("_payload", ignorenulls=True).over(wb)
+        fwd = F.first("_payload", ignorenulls=True).over(wf)
+        gb = F.abs(F.col("_t").cast("double") - back["_asof_time"].cast("double"))
+        gf = F.abs(F.col("_t").cast("double") - fwd["_asof_time"].cast("double"))
+        pick_expr = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(gf < gb, fwd)
+            .otherwise(back)
+        )
+        merged = (
+            r.unionByName(l)
+            .withColumn("_match", pick_expr)
+            .filter(F.col("_side") == l_side)
+            .select("_t", "_lrow", "_match")
+        )
     else:
-        w = base_w.rowsBetween(W.currentRow, W.unboundedFollowing)
-        pick = F.first("_payload", ignorenulls=True)
-    merged = (
-        r.unionByName(l)
-        .withColumn("_match", pick.over(w))
-        .filter(F.col("_side") == l_side)
-        .select("_t", "_lrow", "_match")
-    )
+        if direction == "backward":
+            w = base_w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            pick = F.last("_payload", ignorenulls=True)
+        else:
+            w = base_w.rowsBetween(W.currentRow, W.unboundedFollowing)
+            pick = F.first("_payload", ignorenulls=True)
+        merged = (
+            r.unionByName(l)
+            .withColumn("_match", pick.over(w))
+            .filter(F.col("_side") == l_side)
+            .select("_t", "_lrow", "_match")
+        )
     if tolerance_seconds is not None:
         gap = F.abs(
             F.col("_t").cast("double") - F.col("_match._asof_time").cast("double")

@@ -2046,3 +2046,78 @@ def d19_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.col("n_shared").cast("double") / F.col("n_b"), 6).alias("share_of_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a04 — nearest-direction as-of join (round 8): completes the as-of menu
+# (a01 backward, a02 forward+tolerance, a03 point-in-time, a04 nearest)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a04_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    agg AS (
+        SELECT p.event_id, p.user_id, p.ts,
+               MAX(CASE WHEN v.ts <= p.ts THEN v.ts END) AS bt,
+               MIN(CASE WHEN v.ts >= p.ts THEN v.ts END) AS ft
+        FROM p JOIN v ON p.user_id = v.user_id
+        GROUP BY 1, 2, 3
+    ),
+    m AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN bt IS NULL THEN ft
+                    WHEN ft IS NULL THEN bt
+                    WHEN epoch_ms(ft) - epoch_ms(ts)
+                         < epoch_ms(ts) - epoch_ms(bt) THEN ft
+                    ELSE bt END AS view_ts
+        FROM agg
+    )
+    SELECT event_id, user_id, view_ts,
+           CAST(epoch_ms(view_ts) - epoch_ms(ts) AS BIGINT) AS ms_offset
+    FROM m
+    WHERE ABS(epoch_ms(view_ts) - epoch_ms(ts)) <= 7200000
+    """,
+    doc="Nearest-direction as-of join (pd.merge_asof direction="
+    "'nearest'): each purchase matched to the user's closest view in "
+    "EITHER direction within 2 hours, ties broken backward — the "
+    "attribution question 'which impression sits closest to this "
+    "conversion' when late-arriving impressions make backward-only "
+    "matching lossy. Completes the as-of menu (a01 backward, a02 "
+    "forward+tolerance, a03 point-in-time). Spark side: the SAME "
+    "union+window operator (operators/asof.py direction='nearest') — "
+    "both directional picks ride ONE shuffle and one window sort, the "
+    "closer |dt| wins per row; never a range cross join. Oracle: "
+    "bounded correlated MAX/MIN per side with the same tie rule. "
+    "ms_offset is signed (negative = view before purchase).",
+)
+def a04_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        payload_cols=[],
+        how="inner",
+        direction="nearest",
+        tolerance_seconds=7200.0,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("_asof_time").alias("view_ts"),
+        (
+            F.unix_millis(F.col("_asof_time").cast("timestamp"))
+            - F.unix_millis(F.col("ts").cast("timestamp"))
+        ).alias("ms_offset"),
+    )

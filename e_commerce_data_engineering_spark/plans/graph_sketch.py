@@ -2454,3 +2454,100 @@ def g12_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.col("h2_x2").cast("double") / 2, 1).alias("harmonic_r2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# g13 — HITS hubs & authorities (Kleinberg 1999), two statically-unrolled
+# iterations on the DIRECTED supplier -> customer edge set (round 8)
+# ---------------------------------------------------------------------------
+
+_HITS_TOP = 15
+
+
+@query(
+    "g13_hits_scores",
+    oracle=f"""
+    WITH e AS (
+        SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    a0 AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS a FROM e GROUP BY c),
+    h1 AS (
+        SELECT e.s, CAST(SUM(a0.a) AS BIGINT) AS h
+        FROM e JOIN a0 USING (c) GROUP BY e.s
+    ),
+    a2 AS (
+        SELECT e.c, CAST(SUM(h1.h) AS BIGINT) AS a
+        FROM e JOIN h1 USING (s) GROUP BY e.c
+    ),
+    h2 AS (
+        SELECT e.s, CAST(SUM(a2.a) AS BIGINT) AS h
+        FROM e JOIN a2 USING (c) GROUP BY e.s
+    ),
+    ranked AS (
+        SELECT 'authority' AS side, c AS node_key, a AS score,
+               ROW_NUMBER() OVER (ORDER BY a DESC, c) AS rn
+        FROM a2
+        UNION ALL
+        SELECT 'hub' AS side, s AS node_key, h AS score,
+               ROW_NUMBER() OVER (ORDER BY h DESC, s) AS rn
+        FROM h2
+    )
+    SELECT side, CAST(node_key AS BIGINT) AS node_key,
+           CAST(score AS BIGINT) AS score, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= {_HITS_TOP}
+    """,
+    doc="HITS hubs and authorities (Kleinberg 1999) on the DIRECTED "
+    "supplier->customer transaction graph — the bipartite complement "
+    "to g01/g02's PageRank on the symmetrized graph: suppliers are "
+    "hubs (good hubs ship to many well-bought-from customers), "
+    "customers are authorities. Two power iterations statically "
+    "unrolled (a0 = indegree, h1 = E a0, a2 = E^T h1, h2 = E a2); "
+    "because the un-normalized HITS update is a pure integer sum, "
+    "every score is EXACT BIGINT arithmetic — no quantization needed "
+    "at all, the only graph query in the battery with that property "
+    "(g02 needs 1e-12 quantization because PageRank divides by "
+    f"outdegree). Top-{_HITS_TOP} per side with key tiebreak — cut "
+    "via orderBy().limit() so Catalyst plans TakeOrderedAndProject "
+    "and the rank window only ever sees the cut rows. Scale: each "
+    "iteration is one edge equi-join + groupBy (the Pregel step), "
+    "shuffle bounded by |E|; scores grow ~|E|^2 per round so two "
+    "unrolled rounds stay far inside int64 for any realistic degree "
+    "distribution (normalize before round 3+ at 100 TB).",
+)
+def g13_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+        .persist()
+    )
+    a0 = e.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    h1 = e.join(a0, "c").groupBy("s").agg(F.sum("a").cast("bigint").alias("h"))
+    a2 = e.join(h1, "s").groupBy("c").agg(F.sum("h").cast("bigint").alias("a"))
+    h2 = e.join(a2, "c").groupBy("s").agg(F.sum("a").cast("bigint").alias("h"))
+    # TakeOrderedAndProject cut FIRST; the single-partition rank window
+    # then only ever sees _HITS_TOP rows
+    auth = (
+        a2.orderBy(F.col("a").desc(), F.col("c"))
+        .limit(_HITS_TOP)
+        .select(
+            F.lit("authority").alias("side"),
+            F.col("c").cast("bigint").alias("node_key"),
+            F.col("a").alias("score"),
+            F.row_number().over(W.orderBy(F.col("a").desc(), F.col("c"))).alias("rn"),
+        )
+    )
+    hubs = (
+        h2.orderBy(F.col("h").desc(), F.col("s"))
+        .limit(_HITS_TOP)
+        .select(
+            F.lit("hub").alias("side"),
+            F.col("s").cast("bigint").alias("node_key"),
+            F.col("h").alias("score"),
+            F.row_number().over(W.orderBy(F.col("h").desc(), F.col("s"))).alias("rn"),
+        )
+    )
+    return auth.unionAll(hubs)

@@ -94,6 +94,13 @@ _PRIORITY: tuple[str, ...] = (
     "t63_winnowing_fingerprints",
     "t64_perplexity_buckets",
     "q97_bootstrap_ci",
+    "g13_hits_scores",
+    "s24_label_silhouette",
+    "q98_seasonal_anomaly",
+    "d20_winnowing_pairs",
+    "s25_top_component",
+    "a04_asof_nearest",
+    "t65_rake_keywords",
     "m10_portable_audio_pairs",
     "t57_bpe_apply",
     "t60_cohens_kappa",

@@ -2237,3 +2237,282 @@ def s23_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("vmax").cast("double") / F.col("sv"), 6).alias("top_dim_var_share"),
         (pr < F.col("n_dims").cast("double") / 2).alias("anisotropic"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s24 — simplified (centroid-based) silhouette per label: the standard
+# cluster-quality score at embedding scale (round 8)
+# ---------------------------------------------------------------------------
+
+_S24_CQ = 10_000.0  # centroid quantization (4dp BIGINT, the s06 discipline)
+
+
+@query(
+    "s24_label_silhouette",
+    oracle=f"""
+    WITH exploded AS (
+        SELECT vec_id, label, dim,
+               CAST(FLOOR(CAST(embedding[dim + 1] AS DOUBLE) * 1000000.0 + 0.5)
+                   AS BIGINT) AS vq
+        FROM embeddings, range(0, {EMBEDDING_DIM}) t(dim)
+    ),
+    centroids AS (
+        SELECT label AS label_c, dim,
+               CAST(FLOOR(CAST(SUM(vq) AS DOUBLE) / 1000000.0 / COUNT(*)
+                   * {_S24_CQ} + 0.5) AS BIGINT) AS cq
+        FROM exploded GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT e.vec_id, e.label, c.label_c,
+               CAST(SUM(e.vq * c.cq) AS DOUBLE)
+                 / (sqrt(CAST(SUM(e.vq * e.vq) AS DOUBLE))
+                    * sqrt(CAST(SUM(c.cq * c.cq) AS DOUBLE))) AS cos_sim
+        FROM exploded e JOIN centroids c USING (dim)
+        GROUP BY 1, 2, 3
+    ),
+    ab AS (
+        SELECT vec_id, label,
+               1.0 - MAX(CASE WHEN label_c = label THEN cos_sim END) AS a,
+               1.0 - MAX(CASE WHEN label_c <> label THEN cos_sim END) AS b
+        FROM scored GROUP BY 1, 2
+    ),
+    q AS (
+        SELECT label,
+               CAST(FLOOR((b - a) / GREATEST(a, b) * 1000000.0 + 0.5) AS BIGINT) AS silq,
+               CAST(FLOOR(a * 1000000.0 + 0.5) AS BIGINT) AS aq,
+               CAST(FLOOR(b * 1000000.0 + 0.5) AS BIGINT) AS bq
+        FROM ab
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           {sql_fround("CAST(SUM(silq) AS DOUBLE) / 1000000.0 / COUNT(*)", 4)} AS mean_silhouette,
+           {sql_fround("CAST(SUM(aq) AS DOUBLE) / 1000000.0 / COUNT(*)", 4)} AS mean_intra_dist,
+           {sql_fround("CAST(SUM(bq) AS DOUBLE) / 1000000.0 / COUNT(*)", 4)} AS mean_nearest_other
+    FROM q GROUP BY label
+    """,
+    doc="Simplified silhouette score per label (Hruschka et al. 2004 "
+    "— the centroid-based silhouette every large-scale clustering "
+    "eval uses because the classic one needs all-pairs distances): "
+    "a = cosine distance to the OWN label centroid, b = distance to "
+    "the nearest OTHER centroid, s = (b-a)/max(a,b). Centroids ride "
+    "the s06 4dp-BIGINT quantization so every dot product is an exact "
+    "integer sum; per-vector silhouettes are 1e-6-quantized before "
+    "the per-label mean so summation order cannot flip the hash. "
+    "Verdict on this corpus: silhouettes hover near 0 — the labels "
+    "are NOT geometrically separated (consistent with s23's "
+    "near-isotropic participation ratio). Scale: centroids are "
+    "labels x dim rows (broadcast); scoring is one equi-join on dim "
+    "with |labels| partial aggregates per vector — data x labels x "
+    "dim flops, never data x data; the classic silhouette's O(n^2) "
+    "never appears.",
+)
+def s24_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+    ).select("vec_id", "label", "dim", quantized(F.col("v")).cast("bigint").alias("vq"))
+    centroids = exploded.groupBy(F.col("label").alias("label_c"), F.col("dim")).agg(
+        F.floor(
+            F.sum("vq").cast("double") / _Q / F.count(F.lit(1)) * _S24_CQ + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("cq")
+    )
+    scored = (
+        exploded.join(F.broadcast(centroids), "dim")
+        .groupBy("vec_id", "label", "label_c")
+        .agg(
+            (
+                F.sum(F.col("vq") * F.col("cq")).cast("double")
+                / (
+                    F.sqrt(F.sum(F.col("vq") * F.col("vq")).cast("double"))
+                    * F.sqrt(F.sum(F.col("cq") * F.col("cq")).cast("double"))
+                )
+            ).alias("cos_sim")
+        )
+    )
+    ab = scored.groupBy("vec_id", "label").agg(
+        (
+            1.0 - F.max(F.when(F.col("label_c") == F.col("label"), F.col("cos_sim")))
+        ).alias("a"),
+        (
+            1.0 - F.max(F.when(F.col("label_c") != F.col("label"), F.col("cos_sim")))
+        ).alias("b"),
+    )
+    q6 = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    q = ab.select(
+        "label",
+        q6((F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))).alias("silq"),
+        q6(F.col("a")).alias("aq"),
+        q6(F.col("b")).alias("bq"),
+    )
+    return q.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        fround(F.sum("silq").cast("double") / _Q / F.count(F.lit(1)), 4).alias(
+            "mean_silhouette"
+        ),
+        fround(F.sum("aq").cast("double") / _Q / F.count(F.lit(1)), 4).alias(
+            "mean_intra_dist"
+        ),
+        fround(F.sum("bq").cast("double") / _Q / F.count(F.lit(1)), 4).alias(
+            "mean_nearest_other"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# s25 — dominant principal component via two statically-unrolled power-
+# iteration steps on the EXACT integer covariance (round 8): the
+# "all-but-the-top" direction (Mu & Viswanath 2018)
+# ---------------------------------------------------------------------------
+
+_S25_PAIRS = EMBEDDING_DIM * EMBEDDING_DIM
+
+
+@query(
+    "s25_top_component",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+               ) AS qa
+        FROM embeddings
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    prods AS (
+        SELECT k, qa[k // {EMBEDDING_DIM} + 1] * qa[k % {EMBEDDING_DIM} + 1] AS p
+        FROM q, (SELECT unnest(generate_series(0, {_S25_PAIRS - 1})) AS k)
+    ),
+    spp AS (SELECT k, CAST(SUM(p) AS BIGINT) AS spp FROM prods GROUP BY k),
+    sums AS (
+        SELECT dim, CAST(SUM(qa[dim + 1]) AS BIGINT) AS sq
+        FROM q, range(0, {EMBEDDING_DIM}) t(dim)
+        GROUP BY dim
+    ),
+    s AS (
+        SELECT k // {EMBEDDING_DIM} AS i, k % {EMBEDDING_DIM} AS j,
+               CAST(nn.n AS HUGEINT) * spp.spp
+                 - CAST(si.sq AS HUGEINT) * sj.sq AS s
+        FROM spp
+        JOIN sums si ON si.dim = k // {EMBEDDING_DIM}
+        JOIN sums sj ON sj.dim = k % {EMBEDDING_DIM}
+        CROSS JOIN nn
+    ),
+    v1 AS (SELECT i, CAST(SUM(s) AS DOUBLE) AS vd FROM s GROUP BY i),
+    m1 AS (SELECT MAX(ABS(vd)) AS m FROM v1),
+    u1 AS (
+        SELECT i, CAST(FLOOR(vd / m * 1000000.0 + 0.5) AS BIGINT) AS u
+        FROM v1 CROSS JOIN m1
+    ),
+    v2 AS (
+        SELECT s.i, CAST(SUM(s.s * CAST(u1.u AS HUGEINT)) AS DOUBLE) AS vd
+        FROM s JOIN u1 ON u1.i = s.j
+        GROUP BY s.i
+    ),
+    m2 AS (SELECT MAX(ABS(vd)) AS m FROM v2),
+    u2 AS (
+        SELECT i, CAST(FLOOR(vd / m * 1000000.0 + 0.5) AS BIGINT) AS u
+        FROM v2 CROSS JOIN m2
+    )
+    SELECT CAST(u1.i AS INTEGER) AS dim,
+           {sql_fround("CAST(u1.u AS DOUBLE) / 1000000.0", 6)} AS comp1,
+           {sql_fround("CAST(u2.u AS DOUBLE) / 1000000.0", 6)} AS comp2
+    FROM u1 JOIN u2 ON u2.i = u1.i
+    """,
+    doc="Dominant principal component of the embedding cloud — the "
+    "direction 'all-but-the-top' post-processing removes (Mu & "
+    "Viswanath 2018) and the concrete companion to s23's isotropy "
+    "verdict: two power-iteration steps (v0 = all-ones) statically "
+    "unrolled on the EXACT centered covariance. The data pass never "
+    "shuffles vectors: each row emits its 64x64 quantized outer "
+    "product via per-row HOFs and ONE 4096-key map-side-combined "
+    "aggregate builds the Gram matrix; n*Spp - Sq_i*Sq_j then rides "
+    "DECIMAL(38,0)/HUGEINT so the covariance is exact integer math. "
+    "The iteration itself touches only the 64x64 matrix; between "
+    "steps the iterate is renormalized to a 1e-6 integer grid (max-"
+    "abs scaling), keeping every engine bit-identical and the decimal "
+    "magnitudes bounded. comp1 vs comp2 shows the direction already "
+    "stabilizing. Scale: state is dim^2 regardless of row count — "
+    "the covariance pass is one scan + a 4096-row reduce; iterations "
+    "are free. Near-isotropic corpus => components spread out, "
+    "consistent with s23's PR of ~64/64.",
+)
+def s25_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint))"
+        ).alias("qa")
+    )
+    nn = e.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    prods = q.select(
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_S25_PAIRS - 1}), "
+                f"k -> element_at(qa, cast(k div {EMBEDDING_DIM} + 1 as int))"
+                f" * element_at(qa, cast(k % {EMBEDDING_DIM} + 1 as int)))"
+            )
+        ).alias("k", "p")
+    )
+    spp = prods.groupBy("k").agg(F.sum("p").cast("bigint").alias("spp"))
+    sums = (
+        q.select(F.posexplode("qa").alias("dim", "qv"))
+        .groupBy("dim")
+        .agg(F.sum("qv").cast("bigint").alias("sq"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = (
+        spp.withColumn("i", F.expr(f"k div {EMBEDDING_DIM}"))
+        .withColumn("j", F.expr(f"k % {EMBEDDING_DIM}"))
+        .join(
+            F.broadcast(sums.select(F.col("dim").alias("i"), F.col("sq").alias("sqi"))),
+            "i",
+        )
+        .join(
+            F.broadcast(sums.select(F.col("dim").alias("j"), F.col("sq").alias("sqj"))),
+            "j",
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "i",
+            "j",
+            (dec("n") * dec("spp") - dec("sqi") * dec("sqj")).alias("s"),
+        )
+        .persist()
+    )
+
+    def _step(vec: DataFrame) -> DataFrame:
+        # vec: (j, u bigint) -> (i, u bigint), renormalized to the 1e-6 grid
+        v = (
+            s.join(F.broadcast(vec), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("s") * F.col("u").cast("decimal(38,0)")).alias("_v"))
+            .select("i", F.col("_v").cast("double").alias("vd"))
+        )
+        m = v.agg(F.max(F.abs(F.col("vd"))).alias("m"))
+        return v.crossJoin(F.broadcast(m)).select(
+            "i",
+            F.floor(F.col("vd") / F.col("m") * 1_000_000.0 + F.lit(0.5))
+            .cast("bigint")
+            .alias("u"),
+        )
+
+    # v1 = S . ones, renormalized (u1); v2 = S . u1, renormalized (u2)
+    v1 = s.groupBy("i").agg(F.sum("s").cast("double").alias("vd"))
+    m1 = v1.agg(F.max(F.abs(F.col("vd"))).alias("m"))
+    u1 = v1.crossJoin(F.broadcast(m1)).select(
+        "i",
+        F.floor(F.col("vd") / F.col("m") * 1_000_000.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("u"),
+    )
+    u2 = _step(u1.select(F.col("i").alias("j"), "u"))
+    return (
+        u1.select("i", F.col("u").alias("_u1"))
+        .join(F.broadcast(u2.select("i", F.col("u").alias("_u2"))), "i")
+        .select(
+            F.col("i").cast("int").alias("dim"),
+            fround(F.col("_u1").cast("double") / 1_000_000.0, 6).alias("comp1"),
+            fround(F.col("_u2").cast("double") / 1_000_000.0, 6).alias("comp2"),
+        )
+    )

@@ -4848,3 +4848,256 @@ def t64_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_bits_per_bigram"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# d20 — winnowing match pairs: the MOSS pair stage on t63's fingerprints
+# (round 8; t63's consumer)
+# ---------------------------------------------------------------------------
+
+_D20_DF_CAP = 50  # fingerprints seen in more docs are boilerplate — drop
+_D20_MIN_SHARED = 3  # pairs must share >= 3 winnowed fingerprints
+
+
+@query(
+    "d20_winnowing_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+    g AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(ts) - 1),
+                   i -> md5(ts[i] || ' ' || ts[i + 1])) AS h
+        FROM t WHERE len(ts) >= {_WINNOW_W + 1}
+    ),
+    sel AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(h) - {_WINNOW_W - 1}),
+                   i -> list_min(h[i:i + {_WINNOW_W - 1}]))) AS fps
+        FROM g
+    ),
+    fp AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+    keep AS (
+        SELECT fp FROM fp GROUP BY fp
+        HAVING COUNT(*) <= {_D20_DF_CAP}
+    ),
+    fpk AS (SELECT doc_id, fp.fp FROM fp JOIN keep USING (fp)),
+    nsel AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ns FROM fpk GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_fps
+        FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_D20_MIN_SHARED}
+    )
+    SELECT doc_a, doc_b, shared_fps,
+           {sql_fround("CAST(shared_fps AS DOUBLE) / LEAST(na.ns, nb.ns)", 4)} AS overlap
+    FROM pairs
+    JOIN nsel na ON na.doc_id = doc_a
+    JOIN nsel nb ON nb.doc_id = doc_b
+    """,
+    doc="The MOSS match stage — t63's consumer (the m07->m08 pattern): "
+    "explode each document's winnowed fingerprints, drop fingerprints "
+    f"shared by more than {_D20_DF_CAP} documents (boilerplate, the "
+    "d17/g07 document-frequency cap), and pair documents through a "
+    "fingerprint EQUI-JOIN — work is bounded by true collisions "
+    "(sum of df^2 over kept fingerprints), never all-pairs. The "
+    f"winnowing guarantee makes >= {_D20_MIN_SHARED} shared "
+    "fingerprints a high-precision overlap signal: any shared token "
+    f"run of {_WINNOW_W + 1}+ grams MUST surface at least one shared "
+    "fingerprint, so long plagiarized spans cannot hide (the property "
+    "min-shingle sampling lacks). Overlap = shared / min(|fps_a|, "
+    "|fps_b|) — the containment-style score MOSS reports. Scale: "
+    "fingerprint grain shuffles only; the df cap bounds every bucket; "
+    "the guarantee means recall does not depend on sketch luck.",
+)
+def d20_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    sel = (
+        d.select("doc_id", toks.alias("ts"))
+        .filter(F.size("ts") >= _WINNOW_W + 1)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(1, size(ts) - 1), "
+                "i -> md5(cast(concat(element_at(ts, i), ' ', "
+                "element_at(ts, i + 1)) as binary)))"
+            ).alias("h"),
+        )
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(h) - {_WINNOW_W - 1}), "
+                    f"i -> array_min(slice(h, i, {_WINNOW_W})))"
+                )
+            ).alias("fps"),
+        )
+    )
+    fp = sel.select("doc_id", F.explode("fps").alias("fp"))
+    keep = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= _D20_DF_CAP)
+        .select("fp")
+    )
+    fpk = fp.join(keep, "fp").persist()
+    nsel = fpk.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("ns"))
+    a = fpk.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fpk.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= _D20_MIN_SHARED)
+    )
+    na = nsel.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("_na"))
+    nb = nsel.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("_nb"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fps",
+            fround(
+                F.col("shared_fps").cast("double")
+                / F.least(F.col("_na"), F.col("_nb")),
+                4,
+            ).alias("overlap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# t65 — RAKE keyword extraction (Rose et al. 2010): stopword-delimited
+# candidate phrases scored by word degree/frequency (round 8)
+# ---------------------------------------------------------------------------
+
+_RAKE_MAX_LEN = 4  # longer candidates are run-on noise (standard RAKE cap)
+_RAKE_TOP = 25
+
+
+@query(
+    "t65_rake_keywords",
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, i AS p, toks[i] AS tok,
+               CAST(toks[i] IN ({_SQL_STOPS}) AS INTEGER) AS is_stop
+        FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents) t,
+             unnest(generate_series(1, len(toks))) u(i)
+    ),
+    grp AS (
+        SELECT doc_id, p, tok, is_stop,
+               SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY p) AS g
+        FROM pos
+    ),
+    phrases AS (
+        SELECT doc_id, g,
+               list_aggregate(list(tok ORDER BY p), 'string_agg', ' ') AS phrase,
+               CAST(COUNT(*) AS BIGINT) AS plen
+        FROM grp WHERE is_stop = 0
+        GROUP BY doc_id, g
+        HAVING COUNT(*) <= {_RAKE_MAX_LEN}
+    ),
+    words AS (
+        SELECT doc_id, g, phrase, plen, unnest(string_split(phrase, ' ')) AS w
+        FROM phrases
+    ),
+    wstat AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(plen) AS BIGINT) AS deg
+        FROM words GROUP BY w
+    ),
+    wscore AS (SELECT w, (deg * 1000000) // freq AS sq FROM wstat),
+    pscore AS (
+        SELECT words.phrase, CAST(SUM(ws.sq) AS BIGINT) AS score_q
+        FROM words JOIN wscore ws ON ws.w = words.w
+        GROUP BY words.doc_id, words.g, words.phrase
+    ),
+    agg AS (
+        SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(MIN(score_q) AS BIGINT) AS score_q
+        FROM pscore GROUP BY phrase
+    )
+    SELECT phrase, n_occurrences,
+           {sql_fround("CAST(score_q AS DOUBLE) / 1000000.0", 4)} AS rake_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score_q DESC, phrase) AS INTEGER) AS rn
+    FROM agg
+    ORDER BY score_q DESC, phrase
+    LIMIT {_RAKE_TOP}
+    """,
+    doc="RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010): "
+    "split each document into candidate phrases at stopword boundaries "
+    f"(cap {_RAKE_MAX_LEN} tokens), score every word by degree/"
+    "frequency over the candidate set (degree = summed length of the "
+    "phrases it appears in — rewards words that co-occur in longer "
+    "phrases), and score a phrase as the sum of its word scores — the "
+    "classic unsupervised keyphrase extractor, a different family from "
+    "t53's corpus-contrastive LLR keywords. Word scores are EXACT "
+    "integer (deg*1e6) div freq so the phrase sum is order-"
+    "independent; identical phrase texts share one score by "
+    "construction (same words => same sum), so the corpus rollup "
+    "takes MIN = the common value. Scale: phrase building is one "
+    "doc-keyed window (bounded by doc length); word stats shuffle on "
+    "the word grain; the final TopK is "
+    "TakeOrderedAndProject-shaped. Top-"
+    f"{_RAKE_TOP} with phrase tiebreak.",
+)
+def t65_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    stops = [s for s in X.STOPWORDS_EN]
+    pos = d.select("doc_id", F.posexplode(toks).alias("p", "tok")).select(
+        "doc_id",
+        "p",
+        "tok",
+        F.col("tok").isin(stops).cast("int").alias("is_stop"),
+    )
+    wg = W.partitionBy("doc_id").orderBy("p")
+    grp = pos.withColumn("g", F.sum("is_stop").over(wg))
+    phrases = (
+        grp.filter(F.col("is_stop") == 0)
+        .groupBy("doc_id", "g")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("bigint").alias("plen"),
+        )
+        .filter(F.col("plen") <= _RAKE_MAX_LEN)
+    )
+    # every phrase INSTANCE keeps its (doc_id, g) identity through the
+    # word explode so duplicate words inside one phrase count per
+    # occurrence and duplicate phrase texts stay separate occurrences
+    words = phrases.select(
+        "doc_id", "g", "phrase", "plen", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    wstat = words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+    )
+    wscore = wstat.select("w", F.expr("(deg * 1000000) div freq").alias("sq"))
+    pscore = (
+        words.join(wscore, "w")
+        .groupBy("doc_id", "g", "phrase")
+        .agg(F.sum("sq").cast("bigint").alias("score_q"))
+    )
+    agg = pscore.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.min("score_q").cast("bigint").alias("score_q"),
+    )
+    top = agg.orderBy(F.col("score_q").desc(), "phrase").limit(_RAKE_TOP)
+    return top.select(
+        "phrase",
+        "n_occurrences",
+        fround(F.col("score_q").cast("double") / 1_000_000.0, 4).alias("rake_score"),
+        F.row_number()
+        .over(W.orderBy(F.col("score_q").desc(), "phrase"))
+        .alias("rn"),
+    )

@@ -2961,9 +2961,13 @@ def q95_holiday_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "q96_seasonal_decompose",
-    oracle=f"""
+# Shared WITH-prefix for the 2x12 centered-MA detrending: monthly cent
+# totals, the 13-term weighted trend sum (x24), and the exact-integer
+# detrended series over complete windows. q96 averages det24 per
+# month-of-year into seasonal indices; q98 subtracts those indices back
+# out per month and MAD-screens the residuals — one constant so the two
+# oracles cannot drift.
+_SQL_Q96_DET = """
     WITH monthly AS (
         SELECT (EXTRACT(year FROM o_orderdate) * 12
                 + EXTRACT(month FROM o_orderdate) - 1) AS midx,
@@ -2985,9 +2989,52 @@ def q95_holiday_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     det AS (
         -- only complete 13-term windows: the 2x12 MA needs every term
-        SELECT moy, CAST(cents * 24 - trend24 AS BIGINT) AS det24
+        SELECT midx, moy, cents,
+               CAST(cents * 24 - trend24 AS BIGINT) AS det24
         FROM win WHERE n_terms = 13
-    ),
+    )"""
+
+
+def _monthly_det24(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Spark twin of ``_SQL_Q96_DET``: returns {'monthly', 'det'} where
+    det carries (midx, moy, cents, det24) — the exact-integer 2x12-MA
+    detrended monthly revenue over complete 13-term windows."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("midx"),
+        F.month("o_orderdate").cast("int").alias("moy"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    offs = spark.range(-6, 7).select(F.col("id").alias("k"))
+    nb = monthly.select(F.col("midx").alias("_m2"), F.col("cents").alias("_c2"))
+    win = (
+        monthly.crossJoin(F.broadcast(offs))
+        .join(nb, F.col("_m2") == F.col("midx") + F.col("k"))
+        .groupBy("midx", "moy", "cents")
+        .agg(
+            F.sum(
+                F.col("_c2") * F.when(F.abs(F.col("k")) == 6, 1).otherwise(2)
+            )
+            .cast("bigint")
+            .alias("trend24"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        )
+    )
+    det = win.filter(F.col("n_terms") == 13).select(
+        "midx",
+        "moy",
+        "cents",
+        (F.col("cents") * 24 - F.col("trend24")).cast("bigint").alias("det24"),
+    )
+    return {"monthly": monthly, "det": det}
+
+
+@query(
+    "q96_seasonal_decompose",
+    oracle=f"""{_SQL_Q96_DET},
     seas AS (
         SELECT moy, CAST(COUNT(*) AS BIGINT) AS n_windows,
                CAST(SUM(det24) AS BIGINT) AS s24
@@ -3026,33 +3073,8 @@ def q95_holiday_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and a 12-row rollup.",
 )
 def q96_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    monthly = o.groupBy(
-        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("midx"),
-        F.month("o_orderdate").cast("int").alias("moy"),
-    ).agg(
-        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
-        .cast("bigint")
-        .alias("cents")
-    )
-    offs = spark.range(-6, 7).select(F.col("id").alias("k"))
-    nb = monthly.select(F.col("midx").alias("_m2"), F.col("cents").alias("_c2"))
-    win = (
-        monthly.crossJoin(F.broadcast(offs))
-        .join(nb, F.col("_m2") == F.col("midx") + F.col("k"))
-        .groupBy("midx", "moy", "cents")
-        .agg(
-            F.sum(
-                F.col("_c2") * F.when(F.abs(F.col("k")) == 6, 1).otherwise(2)
-            )
-            .cast("bigint")
-            .alias("trend24"),
-            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
-        )
-    )
-    det = win.filter(F.col("n_terms") == 13).select(
-        "moy", (F.col("cents") * 24 - F.col("trend24")).cast("bigint").alias("det24")
-    )
+    frames = _monthly_det24(spark, sf_dir)
+    monthly, det = frames["monthly"], frames["det"]
     seas = det.groupBy("moy").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_windows"),
         F.sum("det24").cast("bigint").alias("s24"),
@@ -3215,4 +3237,115 @@ def q97_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("_p05").cast("double") / 1e8, 4).alias("boot_p05"),
         fround(F.col("_p50").cast("double") / 1e8, 4).alias("boot_p50"),
         fround(F.col("_p95").cast("double") / 1e8, 4).alias("boot_p95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q98 — seasonally-adjusted anomaly months: MAD screen on the q96
+# decomposition residuals (round 8; q96's consumer)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q98_seasonal_anomaly",
+    oracle=f"""{_SQL_Q96_DET},
+    seas AS (
+        SELECT moy, CAST(COUNT(*) AS BIGINT) AS nw,
+               CAST(SUM(det24) AS BIGINT) AS s24
+        FROM det GROUP BY 1
+    ),
+    resid AS (
+        SELECT d.midx, d.moy, d.cents,
+               CAST(FLOOR(CAST(d.det24 * seas.nw - seas.s24 AS DOUBLE)
+                   / (24.0 * seas.nw) + 0.5) AS BIGINT) AS rq
+        FROM det d JOIN seas USING (moy)
+    ),
+    grid1 AS (SELECT rq, CAST(COUNT(*) AS BIGINT) AS cnt FROM resid GROUP BY rq),
+    cum1 AS (
+        SELECT rq, SUM(cnt) OVER (ORDER BY rq) AS cum, SUM(cnt) OVER () AS n
+        FROM grid1
+    ),
+    med AS (SELECT MIN(CASE WHEN cum >= (n + 1) // 2 THEN rq END) AS med FROM cum1),
+    devs AS (
+        SELECT midx, moy, cents, rq, ABS(rq - med) AS dev
+        FROM resid CROSS JOIN med
+    ),
+    grid2 AS (SELECT dev, CAST(COUNT(*) AS BIGINT) AS cnt FROM devs GROUP BY dev),
+    cum2 AS (
+        SELECT dev, SUM(cnt) OVER (ORDER BY dev) AS cum, SUM(cnt) OVER () AS n
+        FROM grid2
+    ),
+    mad AS (SELECT MIN(CASE WHEN cum >= (n + 1) // 2 THEN dev END) AS mad FROM cum2)
+    SELECT CAST(midx // 12 AS INTEGER) AS yr, CAST(moy AS INTEGER) AS mon,
+           {sql_fround("CAST(cents AS DOUBLE) / 100.0", 2)} AS revenue,
+           {sql_fround("CAST(rq AS DOUBLE) / 100.0", 2)} AS residual,
+           CASE WHEN mad > 0
+                THEN {sql_fround("CAST(dev AS DOUBLE) / mad", 4)} END AS mad_score,
+           (dev > 3 * mad) AS is_anomaly
+    FROM devs CROSS JOIN mad
+    """,
+    doc="Seasonally-adjusted anomaly screen — q96's consumer: subtract "
+    "the 2x12-MA trend AND the month-of-year seasonal index from each "
+    "month's revenue, then flag months whose residual sits more than "
+    "3 robust-MADs from the median residual (the STL-residual outlier "
+    "rule, done with the classical decomposition). The residual is an "
+    "exact integer identity until one double division: det24*nw - s24 "
+    "is pure int64 (detrended x24 x n_windows minus the seasonal "
+    "sum), then a single quantize-to-cents; median and MAD ride the "
+    "engine-wide ceil-division fences on VALUE grids, so the screen "
+    "is bit-deterministic across engines. A December spike q95 calls "
+    "lift does NOT fire here — it is absorbed by the seasonal index; "
+    "only months breaking their OWN seasonal pattern flag. Scale: "
+    "everything after the month-grain rollup is calendar-bounded "
+    "(dozens of rows); int64 headroom holds to ~1e15 monthly cents — "
+    "switch det24*nw to DECIMAL(38,0) beyond that.",
+)
+def q98_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    det = _monthly_det24(spark, sf_dir)["det"]
+    seas = det.groupBy("moy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nw"),
+        F.sum("det24").cast("bigint").alias("s24"),
+    )
+    resid = det.join(F.broadcast(seas), "moy").select(
+        "midx",
+        "moy",
+        "cents",
+        F.floor(
+            (F.col("det24") * F.col("nw") - F.col("s24")).cast("double")
+            / (24.0 * F.col("nw"))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("rq"),
+    )
+
+    def _grid_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        grid = df.groupBy(col).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        nrow = grid.agg(F.sum("cnt").cast("bigint").alias("n"))
+        # value grid is calendar-bounded (distinct monthly residuals)
+        cum = grid.select(
+            col, F.sum("cnt").over(W.orderBy(col)).alias("cum")
+        ).crossJoin(F.broadcast(nrow))
+        return cum.agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col(col))
+            ).alias(out)
+        )
+
+    med = _grid_median(resid, "rq", "med")
+    devs = resid.crossJoin(F.broadcast(med)).withColumn(
+        "dev", F.abs(F.col("rq") - F.col("med"))
+    )
+    mad = _grid_median(devs, "dev", "mad")
+    return devs.crossJoin(F.broadcast(mad)).select(
+        F.expr("midx div 12").cast("int").alias("yr"),
+        F.col("moy").cast("int").alias("mon"),
+        fround(F.col("cents").cast("double") / 100.0, 2).alias("revenue"),
+        fround(F.col("rq").cast("double") / 100.0, 2).alias("residual"),
+        F.when(
+            F.col("mad") > 0, fround(F.col("dev").cast("double") / F.col("mad"), 4)
+        ).alias("mad_score"),
+        (F.col("dev") > 3 * F.col("mad")).alias("is_anomaly"),
     )

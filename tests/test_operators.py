@@ -1403,3 +1403,41 @@ def test_m09_pairs_recover_rescaled_twins(spark):
     # tones may share bins at coarse FFT resolution — that's fine)
     twin_pairs = sum(1 for (a, b) in pairs if b == a + 1000)
     assert twin_pairs == len(audio_ids)
+
+
+def test_asof_nearest_picks_closer_side_and_ties_backward(spark):
+    """direction='nearest': the closer |dt| wins in either direction;
+    an exact tie (equidistant candidates) breaks BACKWARD, matching
+    pd.merge_asof; tolerance still voids far matches."""
+    from e_commerce_data_engineering_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 100.0), (2, "u", 207.0), (3, "u", 260.0), (4, "v", 10.0)],
+        "id int, k string, t double",
+    )
+    right = spark.createDataFrame(
+        [("u", 90.0), ("u", 110.0), ("u", 203.0), ("u", 300.0)],
+        "k string, t double",
+    )
+    got = {
+        r["id"]: r["_asof_time"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="t",
+            payload_cols=[], how="inner", direction="nearest",
+        ).collect()
+    }
+    assert got[1] == 90.0  # equidistant 90/110 -> backward wins
+    assert got[2] == 203.0  # backward 203 (|4|) beats forward 300
+    assert got[3] == 300.0  # forward 300 (|40|) beats backward 203 (|57|)
+    assert 4 not in got  # no right rows for key v -> inner drops
+
+    # tolerance voids matches farther than the bound
+    tol = {
+        r["id"]: r["_asof_time"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="t",
+            payload_cols=[], how="inner", direction="nearest",
+            tolerance_seconds=10.0,
+        ).collect()
+    }
+    assert set(tol) == {1, 2}

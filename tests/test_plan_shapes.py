@@ -1066,3 +1066,57 @@ def test_round8_batch4_avoid_cartesian(spark, name):
     are doc_id equi-joins off the shared t55 chain — no
     CartesianProduct."""
     assert "CartesianProduct" not in plan_of(spark, name)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "t63_winnowing_fingerprints",
+        "t64_perplexity_buckets",
+        "q97_bootstrap_ci",
+        "g13_hits_scores",
+        "s24_label_silhouette",
+        "q98_seasonal_anomaly",
+    ],
+)
+def test_round8_batch5_avoid_cartesian(spark, name):
+    """Fifth round-8 batch: t63 is pure per-row HOFs, t64/q98 broadcast
+    scalar fence frames, q97's replicate fan-out is a broadcast 32-row
+    grid, g13 is pure edge equi-joins, s24 scores via the dim equi-join
+    — no CartesianProduct anywhere."""
+    assert "CartesianProduct" not in plan_of(spark, name)
+
+
+def test_t63_winnowing_is_shuffle_free(spark):
+    """t63 selects fingerprints entirely inside per-row higher-order
+    functions: the plan has NO shuffle exchange at all."""
+    plan = plan_of(spark, "t63_winnowing_fingerprints")
+    assert "Exchange" not in plan, plan
+
+
+def test_g13_topk_is_take_ordered(spark):
+    """g13 cuts each side with TakeOrderedAndProject before the rank
+    window ever runs — the window sees only the cut rows."""
+    plan = plan_of(spark, "g13_hits_scores")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["d20_winnowing_pairs", "s25_top_component", "a04_asof_nearest",
+     "t65_rake_keywords"],
+)
+def test_round8_batch6_avoid_cartesian(spark, name):
+    """Sixth round-8 batch: d20's pair stage is a df-capped fingerprint
+    equi-join, s25's Gram pass is per-row HOFs into a 4096-key
+    aggregate with broadcast dim-sum joins — no CartesianProduct."""
+    assert "CartesianProduct" not in plan_of(spark, name)
+
+
+def test_s25_gram_pass_has_no_vector_join(spark):
+    """s25 must build the covariance WITHOUT self-joining the exploded
+    vector frame: the only joins in the plan sit above the 4096-row
+    Gram aggregate (broadcast dim-sum frames), so no shuffle ever
+    carries data-grain rows twice."""
+    plan = plan_of(spark, "s25_top_component")
+    assert "SortMergeJoin" not in plan, plan
