@@ -1484,3 +1484,180 @@ def read_dgim_estimates(
     return spark.createDataFrame(
         out, f"{key_col} string, n_seen bigint, n_buckets int, estimate bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy-hitter store (Misra & Gries 1982; the SpaceSaving /
+# frequent-items family): 6th streaming sketch store (round 8)
+# ---------------------------------------------------------------------------
+
+
+def _mg_fold(
+    counters: list[list], items: list[str], k: int
+) -> list[list]:
+    """Pure sequential Misra–Gries fold: ``counters`` is [[item, cnt]]
+    and ``items`` the arrivals in stream order. The classic update —
+    increment a tracked item, adopt into a free slot, else decrement
+    ALL counters by 1 (dropping zeros) — is deterministic in arrival
+    order, so the final summary is a pure function of the ordered
+    stream prefix: batch boundaries cannot change it (parity-tested).
+    Guarantee: true_count - floor(n/(k+1)) <= cnt <= true_count, and
+    every item with true_count > floor(n/(k+1)) survives."""
+    counts = {item: cnt for item, cnt in counters}
+    for x in items:
+        if x in counts:
+            counts[x] += 1
+        elif len(counts) < k:
+            counts[x] = 1
+        else:
+            drop = []
+            for it in counts:
+                counts[it] -= 1
+                if counts[it] == 0:
+                    drop.append(it)
+            for it in drop:
+                del counts[it]
+    return sorted([it, c] for it, c in counts.items())
+
+
+def start_misra_gries_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema,
+    key_col: str = "event_type",
+    item_col: str = "user_id",
+    k: int = 8,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Streaming per-key Misra–Gries heavy-hitter store: for every key
+    (e.g. event_type), maintain the k-counter frequent-items summary of
+    the ``item_col`` stream — "which users dominate this event type" in
+    O(k) state per key however long the stream runs.
+
+    Like the DGIM store (and unlike the mergeable KMV/AMS/Count-Sketch/
+    linear-counting folds), the MG summary EVOLVES sequentially — a
+    decrement depends on what arrived before — so each batch persists
+    the full per-key snapshot under ``batch_id=N`` (<= k rows per key)
+    and folds arrivals ordered by (ts, event_id) from the persisted
+    ``n_seen``: the state is a pure function of the stream prefix, and
+    split-vs-one-batch delivery is bit-identical (parity-tested). The
+    fold runs DISTRIBUTED via applyInPandas — the driver never sees an
+    event, only the O(keys x k) snapshot at read time."""
+    import pandas as pd
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+    state_schema = f"{key_col} string, item string, cnt bigint, n_seen bigint"
+
+    def _latest_state(s: SparkSession, epoch: int) -> DataFrame | None:
+        jvm_path = s._jvm.org.apache.hadoop.fs.Path(state_dir)
+        fs = jvm_path.getFileSystem(s._jsc.hadoopConfiguration())
+        if not fs.exists(jvm_path):
+            return None
+        st = (
+            s.read.option("basePath", state_dir)
+            .parquet(state_dir)
+            .filter(F.col("batch_id") < epoch)
+        )
+        mx = st.agg(F.max("batch_id").alias("m")).collect()[0]["m"]
+        if mx is None:
+            return None
+        return st.filter(F.col("batch_id") == mx).drop("batch_id")
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        events = (
+            batch_df.select(
+                F.col(key_col).alias("kk"),
+                F.col("ts"),
+                F.col("event_id"),
+                F.col(item_col).cast("string").alias("item"),
+            )
+            .withColumn(
+                "seq",
+                F.row_number().over(W.partitionBy("kk").orderBy("ts", "event_id")),
+            )
+            .select(
+                "kk",
+                "seq",
+                "item",
+                F.lit("event").alias("kind"),
+                F.lit(0).cast("bigint").alias("cnt"),
+                F.lit(0).cast("bigint").alias("n_seen"),
+            )
+        )
+        prior = _latest_state(s, epoch_id)
+        if prior is not None:
+            prior_rows = prior.select(
+                F.col(key_col).alias("kk"),
+                F.lit(0).cast("int").alias("seq"),
+                "item",
+                F.lit("counter").alias("kind"),
+                "cnt",
+                "n_seen",
+            )
+            merged = events.unionByName(prior_rows)
+        else:
+            merged = events
+
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            key = pdf["kk"].iloc[0]
+            pr = pdf[pdf["kind"] == "counter"]
+            counters = [
+                [r.item, int(r.cnt)] for r in pr.itertuples() if int(r.cnt) > 0
+            ]
+            n_seen = int(pr["n_seen"].iloc[0]) if len(pr) else 0
+            ev = pdf[pdf["kind"] == "event"].sort_values("seq")
+            items = [r.item for r in ev.itertuples()]
+            n_new = n_seen + len(items)
+            counters = _mg_fold(counters, items, k)
+            if not counters:
+                # keep the key alive so n_seen persists across batches
+                return pd.DataFrame(
+                    {key_col: [key], "item": [""], "cnt": [0], "n_seen": [n_new]}
+                )
+            return pd.DataFrame(
+                {
+                    key_col: [key] * len(counters),
+                    "item": [c[0] for c in counters],
+                    "cnt": [c[1] for c in counters],
+                    "n_seen": [n_new] * len(counters),
+                }
+            )
+
+        new_state = merged.groupBy("kk").applyInPandas(fold, state_schema)
+        new_state.write.mode("overwrite").parquet(f"{state_dir}/batch_id={epoch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_misra_gries_summary(
+    spark: SparkSession, state_dir: str, k: int = 8, key_col: str = "event_type"
+) -> DataFrame:
+    """Latest per-key MG summary: (key, item, mg_count, n_seen,
+    err_bound) where true_count ∈ [mg_count, mg_count + err_bound] and
+    err_bound = floor(n_seen / (k + 1))."""
+    st = spark.read.option("basePath", state_dir).parquet(state_dir)
+    mx = st.agg(F.max("batch_id").alias("m")).collect()[0]["m"]
+    return (
+        st.filter((F.col("batch_id") == mx) & (F.col("cnt") > 0))
+        .select(
+            key_col,
+            "item",
+            F.col("cnt").alias("mg_count"),
+            "n_seen",
+            F.expr(f"n_seen div {k + 1}").alias("err_bound"),
+        )
+    )

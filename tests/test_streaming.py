@@ -1951,3 +1951,113 @@ def test_streaming_dgim_window_count_parity_and_bound(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert snapshot(st_split) == snapshot(st_one)
+
+
+def test_streaming_misra_gries_parity_and_guarantee(spark, tmp_path):
+    """Misra–Gries store (Misra & Gries 1982): per-key frequent-items
+    summary in O(k) state. Split delivery yields counter state
+    bit-identical to one-batch delivery (the fold is a pure function
+    of the ordered stream), the MG guarantee holds against exact
+    counts (cnt <= true <= cnt + n/(k+1), and every item above the
+    n/(k+1) bar survives), and a checkpointed replay changes nothing."""
+    import os
+    import random
+    import time
+
+    from e_commerce_data_engineering_spark.streaming.pipeline import (
+        _mg_fold,
+        read_misra_gries_summary,
+        start_misra_gries_stream,
+    )
+
+    rng = random.Random(7)
+    kk = 6  # counters per key
+    # skewed item stream: a few heavy users + a long uniform tail
+    heavy = ["u1", "u2", "u3"]
+    tail = [f"t{i}" for i in range(40)]
+    rows = []
+    for i in range(600):
+        pick = rng.choices(
+            heavy + tail, weights=[30, 20, 12] + [1] * len(tail), k=1
+        )[0]
+        rows.append(
+            {
+                "event_id": i,
+                "ts": f"2024-01-01T{i // 3600:02d}:{(i // 60) % 60:02d}:{i % 60:02d}",
+                "event_type": "click" if i % 2 == 0 else "view",
+                "user_id": pick,
+            }
+        )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.StringType()),
+        ]
+    )
+
+    def deliver(splits, tag):
+        src = tmp_path / f"in-{tag}"
+        src.mkdir()
+        now = time.time()
+        start = 0
+        for j, end in enumerate(splits):
+            f = src / f"b{j}.jsonl"
+            f.write_text("\n".join(json.dumps(r) for r in rows[start:end]))
+            os.utime(f, (now - 60 * (len(splits) - j), now - 60 * (len(splits) - j)))
+            start = end
+        state = str(tmp_path / f"state-{tag}")
+        q = start_misra_gries_stream(
+            spark, str(src), state, str(tmp_path / f"ck-{tag}"), schema,
+            k=kk, max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+        return state
+
+    st_one = deliver([600], "one")
+    st_split = deliver([150, 400, 600], "split")
+
+    def snapshot(state):
+        df = spark.read.option("basePath", state).parquet(state)
+        mx = df.agg(F.max("batch_id").alias("m")).collect()[0]["m"]
+        return sorted(
+            (r["event_type"], r["item"], r["cnt"], r["n_seen"])
+            for r in df.filter(F.col("batch_id") == mx).collect()
+        )
+
+    assert snapshot(st_one) == snapshot(st_split)  # counter-state parity
+
+    # guarantee + differential vs a pure local replay per key
+    summ = {}
+    for r in read_misra_gries_summary(spark, st_split, k=kk).collect():
+        summ.setdefault(r["event_type"], {})[r["item"]] = (
+            r["mg_count"], r["n_seen"], r["err_bound"]
+        )
+    for key in ("click", "view"):
+        stream_k = [r["user_id"] for r in rows if r["event_type"] == key]
+        n = len(stream_k)
+        exact = {}
+        for u in stream_k:
+            exact[u] = exact.get(u, 0) + 1
+        got = summ.get(key, {})
+        assert len(got) <= kk  # O(k) state
+        bar = n // (kk + 1)
+        for item, (cnt, n_seen, err) in got.items():
+            assert n_seen == n
+            assert err == bar
+            assert cnt <= exact.get(item, 0) <= cnt + bar, (key, item)
+        for u, c in exact.items():
+            if c > bar:  # every true heavy hitter must survive
+                assert u in got, (key, u, c, bar)
+        # distributed state == pure local fold of the same ordered stream
+        local = {it: c for it, c in _mg_fold([], stream_k, kk)}
+        assert {it: c[0] for it, c in got.items()} == local, key
+
+    # replay: no new files -> identical state
+    q = start_misra_gries_stream(
+        spark, str(tmp_path / "in-split"), st_split,
+        str(tmp_path / "ck-split"), schema, k=kk, max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    assert snapshot(st_split) == snapshot(st_one)
