@@ -86,6 +86,9 @@ OP_TABLES = {
     "bipartite_g11": {"lineitem", "orders"},
     "theta_diff_x14": {"events"},
     "gap_percentiles_q93": {"orders"},
+    "hits_g13": {"lineitem", "orders"},
+    "bootstrap_q97": {"orders"},
+    "winnowing_t63": {"documents"},
 }
 
 
@@ -699,6 +702,66 @@ def main() -> None:
             )
             return cum.filter(F.col("cum") >= F.ceil(0.5 * F.col("n"))).count()
 
+        def hits_g13():
+            e = (
+                li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+                .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+                .distinct()
+                .persist()
+            )
+            a0 = e.groupBy("c").agg(F.count(F.lit(1)).alias("a"))
+            h1 = e.join(a0, "c").groupBy("s").agg(F.sum("a").alias("h"))
+            a2 = e.join(h1, "s").groupBy("c").agg(F.sum("h").alias("a"))
+            h2 = e.join(a2, "c").groupBy("s").agg(F.sum("a").alias("h"))
+            n = h2.filter(F.col("h") > 0).count()
+            e.unpersist()
+            return n
+
+        def bootstrap_q97():
+            base = orders.select(
+                F.col("o_orderkey").alias("kk"),
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+            )
+            reps = spark.range(32).select(F.col("id").cast("bigint").alias("r"))
+            w = (
+                (F.lit(1103515245) * (F.col("kk") % 2147483647)
+                 + F.lit(2654435761) * F.col("r")) % 2147483647
+            ) % 3
+            rep_means = (
+                base.crossJoin(F.broadcast(reps))
+                .select("r", w.alias("w"), "cents")
+                .groupBy("r")
+                .agg(F.sum(F.col("w") * F.col("cents")).alias("swc"),
+                     F.sum("w").alias("sw"))
+            )
+            return rep_means.filter(F.expr("swc div sw") > 0).count()
+
+        def winnowing_t63():
+            from e_commerce_data_engineering_spark.functions.text import tokens
+
+            g = (
+                docs.select(tokens(F.col("text")).alias("ts"))
+                .filter(F.size("ts") >= 5)
+                .select(
+                    F.expr(
+                        "transform(sequence(1, size(ts) - 1), "
+                        "i -> md5(cast(concat(element_at(ts, i), ' ', "
+                        "element_at(ts, i + 1)) as binary)))"
+                    ).alias("h")
+                )
+            )
+            sel = g.select(
+                F.size(
+                    F.array_distinct(
+                        F.expr(
+                            "transform(sequence(1, size(h) - 3), "
+                            "i -> array_min(slice(h, i, 4)))"
+                        )
+                    )
+                ).alias("ns")
+            )
+            return sel.agg(F.sum("ns")).collect()[0][0]
+
         op_max_scale = {"ppjoin_t09": 16, "dup_spans_t40": 16}
         for name, fn, rows_in in (
             ("join_agg", join_agg, n_li),
@@ -726,6 +789,9 @@ def main() -> None:
             ("bipartite_g11", bipartite_g11, n_li),
             ("theta_diff_x14", theta_diff_x14, n_ev),
             ("gap_percentiles_q93", gap_percentiles_q93, n_ord),
+            ("hits_g13", hits_g13, n_li),
+            ("bootstrap_q97", bootstrap_q97, n_ord),
+            ("winnowing_t63", winnowing_t63, n_doc),
         ):
             if only_ops is not None and name not in only_ops:
                 continue
