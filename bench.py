@@ -147,6 +147,19 @@ HEADLINE = [
     "t61_ttr_by_length",
     "q96_seasonal_decompose",
     "t62_dedup_survivorship",
+    # round-8 continuation: winnowing HOF selection, shared-LM tercile
+    # fences, x32 weighted-bootstrap fan-out, exact-integer HITS
+    # unroll, dim-grain silhouette scoring, MAD residual screen
+    "t63_winnowing_fingerprints",
+    "t64_perplexity_buckets",
+    "q97_bootstrap_ci",
+    "g13_hits_scores",
+    "s24_label_silhouette",
+    "q98_seasonal_anomaly",
+    "d20_winnowing_pairs",
+    "s25_top_component",
+    "a04_asof_nearest",
+    "t65_rake_keywords",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

@@ -99,6 +99,17 @@ AUDIT = [
     ("d19_cross_source_dup_matrix", "fingerprint equi-join pair stage; per-source rollups broadcast back"),
     ("t62_dedup_survivorship", "shared t55 chain; fate labels as doc_id equi-joins; 4-row rollup"),
     ("q96_seasonal_decompose", "month-grain 13-offset self-join; exact int trend*24; 12-row rollup"),
+    # round-8 continuation
+    ("t63_winnowing_fingerprints", "winnowing entirely in per-row HOFs: zero Exchange in the plan"),
+    ("t64_perplexity_buckets", "shared bigram LM; tercile fences broadcast as a 1-row frame"),
+    ("q97_bootstrap_ci", "x32 replicate fan-out absorbed by partial agg; shuffle = segments x reps"),
+    ("g13_hits_scores", "two unrolled HITS rounds as edge equi-joins; TakeOrdered before rank window"),
+    ("s24_label_silhouette", "centroids broadcast; scoring on the dim equi-join, labels-x-vec grain"),
+    ("q98_seasonal_anomaly", "q96 detrend stages reused; median/MAD fences broadcast scalar frames"),
+    ("d20_winnowing_pairs", "MOSS pair stage: df-capped fingerprint equi-join, never all-pairs"),
+    ("s25_top_component", "Gram via per-row outer products into a 4096-key aggregate; no vector join"),
+    ("a04_asof_nearest", "nearest as-of: both directional picks on ONE union+window shuffle"),
+    ("t65_rake_keywords", "RAKE: doc-keyed phrase windows, word-grain stats, TakeOrdered top-k"),
 ]
 
 
