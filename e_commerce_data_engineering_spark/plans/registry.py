@@ -101,6 +101,8 @@ _PRIORITY: tuple[str, ...] = (
     "s25_top_component",
     "a04_asof_nearest",
     "t65_rake_keywords",
+    "t66_readability",
+    "s26_abtt_retrieval_shift",
     "m10_portable_audio_pairs",
     "t57_bpe_apply",
     "t60_cohens_kappa",

@@ -2367,10 +2367,11 @@ def s24_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _S25_PAIRS = EMBEDDING_DIM * EMBEDDING_DIM
 
-
-@query(
-    "s25_top_component",
-    oracle=f"""
+# Shared WITH-prefix computing u2, the 1e-6-integer-grid dominant
+# direction after two power-iteration steps. s25 reports it; s26
+# projects it out and re-measures retrieval — one constant so the two
+# oracles cannot drift.
+_SQL_S25_CTES = f"""
     WITH q AS (
         SELECT vec_id,
                list_transform(embedding,
@@ -2413,31 +2414,12 @@ _S25_PAIRS = EMBEDDING_DIM * EMBEDDING_DIM
     u2 AS (
         SELECT i, CAST(FLOOR(vd / m * 1000000.0 + 0.5) AS BIGINT) AS u
         FROM v2 CROSS JOIN m2
-    )
-    SELECT CAST(u1.i AS INTEGER) AS dim,
-           {sql_fround("CAST(u1.u AS DOUBLE) / 1000000.0", 6)} AS comp1,
-           {sql_fround("CAST(u2.u AS DOUBLE) / 1000000.0", 6)} AS comp2
-    FROM u1 JOIN u2 ON u2.i = u1.i
-    """,
-    doc="Dominant principal component of the embedding cloud — the "
-    "direction 'all-but-the-top' post-processing removes (Mu & "
-    "Viswanath 2018) and the concrete companion to s23's isotropy "
-    "verdict: two power-iteration steps (v0 = all-ones) statically "
-    "unrolled on the EXACT centered covariance. The data pass never "
-    "shuffles vectors: each row emits its 64x64 quantized outer "
-    "product via per-row HOFs and ONE 4096-key map-side-combined "
-    "aggregate builds the Gram matrix; n*Spp - Sq_i*Sq_j then rides "
-    "DECIMAL(38,0)/HUGEINT so the covariance is exact integer math. "
-    "The iteration itself touches only the 64x64 matrix; between "
-    "steps the iterate is renormalized to a 1e-6 integer grid (max-"
-    "abs scaling), keeping every engine bit-identical and the decimal "
-    "magnitudes bounded. comp1 vs comp2 shows the direction already "
-    "stabilizing. Scale: state is dim^2 regardless of row count — "
-    "the covariance pass is one scan + a 4096-row reduce; iterations "
-    "are free. Near-isotropic corpus => components spread out, "
-    "consistent with s23's PR of ~64/64.",
-)
-def s25_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    )"""
+
+
+def _s25_power_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Spark twin of ``_SQL_S25_CTES``: (u1, u2) frames of (i, u) — the
+    1e-6-integer-grid power iterates over the exact integer covariance."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.select(
         F.expr(
@@ -2507,6 +2489,37 @@ def s25_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("u"),
     )
     u2 = _step(u1.select(F.col("i").alias("j"), "u"))
+    return u1, u2
+
+
+@query(
+    "s25_top_component",
+    oracle=f"""{_SQL_S25_CTES}
+    SELECT CAST(u1.i AS INTEGER) AS dim,
+           {sql_fround("CAST(u1.u AS DOUBLE) / 1000000.0", 6)} AS comp1,
+           {sql_fround("CAST(u2.u AS DOUBLE) / 1000000.0", 6)} AS comp2
+    FROM u1 JOIN u2 ON u2.i = u1.i
+    """,
+    doc="Dominant principal component of the embedding cloud — the "
+    "direction 'all-but-the-top' post-processing removes (Mu & "
+    "Viswanath 2018) and the concrete companion to s23's isotropy "
+    "verdict: two power-iteration steps (v0 = all-ones) statically "
+    "unrolled on the EXACT centered covariance. The data pass never "
+    "shuffles vectors: each row emits its 64x64 quantized outer "
+    "product via per-row HOFs and ONE 4096-key map-side-combined "
+    "aggregate builds the Gram matrix; n*Spp - Sq_i*Sq_j then rides "
+    "DECIMAL(38,0)/HUGEINT so the covariance is exact integer math. "
+    "The iteration itself touches only the 64x64 matrix; between "
+    "steps the iterate is renormalized to a 1e-6 integer grid (max-"
+    "abs scaling), keeping every engine bit-identical and the decimal "
+    "magnitudes bounded. comp1 vs comp2 shows the direction already "
+    "stabilizing. Scale: state is dim^2 regardless of row count — "
+    "the covariance pass is one scan + a 4096-row reduce; iterations "
+    "are free. Near-isotropic corpus => components spread out, "
+    "consistent with s23's PR of ~64/64.",
+)
+def s25_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u1, u2 = _s25_power_frames(spark, sf_dir)
     return (
         u1.select("i", F.col("u").alias("_u1"))
         .join(F.broadcast(u2.select("i", F.col("u").alias("_u2"))), "i")
@@ -2514,5 +2527,165 @@ def s25_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("i").cast("int").alias("dim"),
             fround(F.col("_u1").cast("double") / 1_000_000.0, 6).alias("comp1"),
             fround(F.col("_u2").cast("double") / 1_000_000.0, 6).alias("comp2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# s26 — all-but-the-top retrieval shift: project out s25's dominant
+# direction and re-measure top-k (round 8; s25's consumer)
+# ---------------------------------------------------------------------------
+
+_SQL_S26_VU = (
+    f"list_reduce(list_transform(generate_series(1, {EMBEDDING_DIM}),"
+    " i -> CAST(embedding[i] AS DOUBLE) * ua.uarr[i]), (a,b) -> a+b)"
+)
+
+
+@query(
+    "s26_abtt_retrieval_shift",
+    oracle=f"""{_SQL_S25_CTES},
+    ua AS (SELECT list(CAST(u AS DOUBLE) ORDER BY i) AS uarr FROM u2),
+    uu AS (
+        SELECT list_reduce(list_transform(uarr, x -> x * x), (a, b) -> a + b) AS uu
+        FROM ua
+    ),
+    vecs AS (
+        SELECT vec_id, embedding,
+               {_sql_norm("embedding")} AS nrm,
+               {_SQL_S26_VU} AS vu
+        FROM embeddings CROSS JOIN ua
+    ),
+    qv AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_n, vu AS q_vu
+           FROM vecs WHERE vec_id < {N_QUERY_VECS}),
+    cv AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_n, vu AS c_vu
+           FROM vecs),
+    pairs AS (
+        SELECT q_id, c_id,
+               {_SQL_DOT_QC} / (q_n * c_n) AS cos_orig,
+               ({_SQL_DOT_QC} - q_vu * c_vu / uu.uu)
+                 / (sqrt(q_n * q_n - q_vu * q_vu / uu.uu)
+                    * sqrt(c_n * c_n - c_vu * c_vu / uu.uu)) AS cos_proj
+        FROM qv CROSS JOIN cv CROSS JOIN uu
+        WHERE q_id <> c_id
+    ),
+    ro AS (
+        SELECT q_id, c_id, cos_orig, cos_proj,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_orig DESC, c_id) AS rn_o
+        FROM pairs
+    ),
+    rp AS (
+        SELECT q_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_proj DESC, c_id) AS rn_p
+        FROM pairs
+    )
+    SELECT ro.q_id,
+           CAST(COUNT(rp.c_id) AS BIGINT) AS n_overlap,
+           CAST(SUM(CAST(FLOOR(ABS(ro.cos_orig - ro.cos_proj) * 1000000.0 + 0.5)
+               AS BIGINT)) AS BIGINT) AS shift_q
+    FROM ro LEFT JOIN rp
+      ON rp.q_id = ro.q_id AND rp.c_id = ro.c_id AND rp.rn_p <= {TOP_K}
+    WHERE ro.rn_o <= {TOP_K}
+    GROUP BY ro.q_id
+    """,
+    doc="All-but-the-top retrieval shift — s25's consumer (Mu & "
+    "Viswanath 2018 apply step): project the dominant component out "
+    "of every embedding and measure how the exact cosine top-k "
+    "changes (overlap with the unprojected top-k, plus the summed "
+    "|cos| shift over the original neighbors, 1e-6-quantized). The "
+    "projection never materializes: v'.w' = v.w - (v.u)(w.u)/(u.u) "
+    "and |v'|^2 = |v|^2 - (v.u)^2/(u.u), so each vector carries just "
+    "TWO extra scalars (norm, v.u) through the s02-shaped broadcast "
+    "scoring pass — the identity that makes ABTT free at 100 TB "
+    "(no rewritten vector column, no second store). On this "
+    "near-isotropic corpus the top direction carries ~1/64 of the "
+    "variance, so overlap stays high — the audit that tells you "
+    "whether ABTT is worth applying before you reindex anything.",
+)
+def s26_abtt_retrieval_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, u2 = _s25_power_frames(spark, sf_dir)
+    ua = u2.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "u"))),
+            lambda x: x["u"].cast("double"),
+        ).alias("uarr")
+    )
+    uu = ua.select(
+        F.aggregate(
+            F.transform("uarr", lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+        ).alias("uu")
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    vu = F.aggregate(
+        F.zip_with("embedding", "uarr", lambda x, u: x.cast("double") * u),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    vecs = (
+        e.crossJoin(F.broadcast(ua))
+        .select(
+            "vec_id",
+            "embedding",
+            l2_norm(F.col("embedding")).alias("nrm"),
+            vu.alias("vu"),
+        )
+    )
+    q = vecs.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_n"),
+        F.col("vu").alias("q_vu"),
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_n"),
+        F.col("vu").alias("c_vu"),
+    )
+    dqc = dot(F.col("q_emb"), F.col("c_emb"))
+    cos_orig = dqc / (F.col("q_n") * F.col("c_n"))
+    cos_proj = (dqc - F.col("q_vu") * F.col("c_vu") / F.col("uu")) / (
+        F.sqrt(F.col("q_n") * F.col("q_n") - F.col("q_vu") * F.col("q_vu") / F.col("uu"))
+        * F.sqrt(
+            F.col("c_n") * F.col("c_n") - F.col("c_vu") * F.col("c_vu") / F.col("uu")
+        )
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .crossJoin(F.broadcast(uu))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id", "c_id", cos_orig.alias("cos_orig"), cos_proj.alias("cos_proj")
+        )
+    )
+    ro = pairs.withColumn(
+        "rn_o",
+        F.row_number().over(W.partitionBy("q_id").orderBy(F.col("cos_orig").desc(), "c_id")),
+    ).filter(F.col("rn_o") <= TOP_K)
+    rp = pairs.select(
+        F.col("q_id").alias("_q2"),
+        F.col("c_id").alias("_c2"),
+        F.row_number()
+        .over(W.partitionBy("q_id").orderBy(F.col("cos_proj").desc(), "c_id"))
+        .alias("rn_p"),
+    ).filter(F.col("rn_p") <= TOP_K)
+    return (
+        ro.join(
+            rp,
+            (F.col("_q2") == F.col("q_id")) & (F.col("_c2") == F.col("c_id")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("_c2").cast("bigint").alias("n_overlap"),
+            F.sum(
+                F.floor(
+                    F.abs(F.col("cos_orig") - F.col("cos_proj")) * 1_000_000.0
+                    + F.lit(0.5)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("shift_q"),
         )
     )

@@ -4934,6 +4934,12 @@ def d20_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("fps"),
         )
+        # MATERIALIZATION BARRIER, load-bearing: exploding directly over
+        # the computed fps expression makes Generate re-evaluate the
+        # whole md5+window-min pipeline per OUTPUT element — measured
+        # 236 s vs 1.5 s at sf0.1 (a repartition barrier does NOT help;
+        # column pruning pushes the projection back above the exchange).
+        .persist()
     )
     fp = sel.select("doc_id", F.explode("fps").alias("fp"))
     keep = (
@@ -5100,4 +5106,93 @@ def t65_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(W.orderBy(F.col("score_q").desc(), "phrase"))
         .alias("rn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t66 — Flesch–Kincaid readability (Kincaid et al. 1975): the classic
+# syllable-heuristic quality feature, fully per-row (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t66_readability",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               GREATEST(1, len(list_filter(
+                   string_split_regex(text, '[.!?]+'),
+                   s -> len(trim(s)) > 0))) AS n_sentences,
+               {_DUCK_TOKS} AS toks
+        FROM documents
+    ),
+    counted AS (
+        SELECT doc_id, n_sentences,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(list_reduce(list_prepend(0, list_transform(toks,
+                   w -> GREATEST(1, len(regexp_extract_all(lower(w), '[aeiouy]+'))))),
+                   (a, b) -> a + b) AS BIGINT) AS n_syllables
+        FROM base WHERE len(toks) > 0
+    )
+    SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences, n_words, n_syllables,
+           {sql_fround(
+               "0.39 * (CAST(n_words AS DOUBLE) / n_sentences)"
+               " + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59", 4
+           )} AS fk_grade
+    FROM counted
+    """,
+    doc="Flesch–Kincaid grade level (Kincaid et al. 1975) — the classic "
+    "readability feature web-corpus quality filters add next to t06's "
+    "length/punct ratios: sentences split on [.!?]+ runs, syllables "
+    "counted as vowel-group runs per lowercased word (min 1, the "
+    "standard heuristic), grade = 0.39*(words/sentence) + "
+    "11.8*(syllables/word) - 15.59. Everything is per-row: two regex "
+    "passes and integer HOF folds, zero shuffle, zero UDF — "
+    "embarrassingly parallel at 100 TB, and the per-doc integer "
+    "counts make the one double formula bit-identical across engines "
+    "(Java regex and RE2 agree on these character-class patterns). "
+    "Output is doc-grain so the oracle hashes every intermediate "
+    "count, not just an aggregate.",
+)
+def t66_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.greatest(
+            F.lit(1),
+            F.size(
+                F.filter(
+                    F.split(F.col("text"), r"[.!?]+"),
+                    lambda s: F.length(F.trim(s)) > 0,
+                )
+            ),
+        ).alias("n_sentences"),
+        toks.alias("toks"),
+    ).filter(F.size("toks") > 0)
+    counted = base.select(
+        "doc_id",
+        F.col("n_sentences").cast("bigint").alias("n_sentences"),
+        F.size("toks").cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform(
+                F.col("toks"),
+                lambda w: F.greatest(
+                    F.lit(1),
+                    F.size(F.regexp_extract_all(F.lower(w), F.lit("[aeiouy]+"), 0)),
+                ),
+            ),
+            F.lit(0),
+            lambda a, b: a + b,
+        )
+        .cast("bigint")
+        .alias("n_syllables"),
+    )
+    fk = (
+        0.39 * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        + 11.8 * (F.col("n_syllables").cast("double") / F.col("n_words"))
+        - 15.59
+    )
+    return counted.select(
+        "doc_id", "n_sentences", "n_words", "n_syllables", fround(fk, 4).alias("fk_grade")
     )

@@ -1104,7 +1104,7 @@ def test_g13_topk_is_take_ordered(spark):
 @pytest.mark.parametrize(
     "name",
     ["d20_winnowing_pairs", "s25_top_component", "a04_asof_nearest",
-     "t65_rake_keywords"],
+     "t65_rake_keywords", "s26_abtt_retrieval_shift"],
 )
 def test_round8_batch6_avoid_cartesian(spark, name):
     """Sixth round-8 batch: d20's pair stage is a df-capped fingerprint
@@ -1120,3 +1120,10 @@ def test_s25_gram_pass_has_no_vector_join(spark):
     carries data-grain rows twice."""
     plan = plan_of(spark, "s25_top_component")
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_t66_readability_is_shuffle_free(spark):
+    """t66 computes sentences/words/syllables entirely inside per-row
+    regex + HOF folds: the plan has NO shuffle exchange at all."""
+    plan = plan_of(spark, "t66_readability")
+    assert "Exchange" not in plan, plan
