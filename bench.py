@@ -160,6 +160,8 @@ HEADLINE = [
     "s25_top_component",
     "a04_asof_nearest",
     "t65_rake_keywords",
+    "t66_readability",
+    "s26_abtt_retrieval_shift",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

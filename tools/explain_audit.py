@@ -110,6 +110,8 @@ AUDIT = [
     ("s25_top_component", "Gram via per-row outer products into a 4096-key aggregate; no vector join"),
     ("a04_asof_nearest", "nearest as-of: both directional picks on ONE union+window shuffle"),
     ("t65_rake_keywords", "RAKE: doc-keyed phrase windows, word-grain stats, TakeOrdered top-k"),
+    ("t66_readability", "Flesch-Kincaid entirely per-row: regex + HOF folds, zero Exchange"),
+    ("s26_abtt_retrieval_shift", "ABTT via the projection identity: two scalars per vector, s02-shaped scoring"),
 ]
 
 
