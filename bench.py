@@ -162,6 +162,7 @@ HEADLINE = [
     "t65_rake_keywords",
     "t66_readability",
     "s26_abtt_retrieval_shift",
+    "q99_concentration_ratios",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

@@ -103,6 +103,7 @@ _PRIORITY: tuple[str, ...] = (
     "t65_rake_keywords",
     "t66_readability",
     "s26_abtt_retrieval_shift",
+    "q99_concentration_ratios",
     "m10_portable_audio_pairs",
     "t57_bpe_apply",
     "t60_cohens_kappa",

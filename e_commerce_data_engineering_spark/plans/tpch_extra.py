@@ -3349,3 +3349,99 @@ def q98_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mad_score"),
         (F.col("dev") > 3 * F.col("mad")).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q99 — customer concentration ratios (CR-k): the industrial-economics
+# companion to q90's Herfindahl index (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q99_concentration_ratios",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey AS cust,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT segment, cents,
+               ROW_NUMBER() OVER (PARTITION BY segment
+                                  ORDER BY cents DESC, cust) AS rn
+        FROM per_cust
+    ),
+    agg AS (
+        SELECT segment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS tot,
+               CAST(SUM(CASE WHEN rn <= 4 THEN cents ELSE 0 END) AS BIGINT) AS top4,
+               CAST(SUM(CASE WHEN rn <= 8 THEN cents ELSE 0 END) AS BIGINT) AS top8,
+               CAST(SUM(CASE WHEN rn <= 20 THEN cents ELSE 0 END) AS BIGINT) AS top20
+        FROM ranked GROUP BY segment
+    )
+    SELECT segment, n_customers,
+           (FLOOR(CAST(top4 AS DOUBLE) / tot * 1000000.0 + 0.5) / 1000000.0) AS cr4,
+           (FLOOR(CAST(top8 AS DOUBLE) / tot * 1000000.0 + 0.5) / 1000000.0) AS cr8,
+           (FLOOR(CAST(top20 AS DOUBLE) / tot * 1000000.0 + 0.5) / 1000000.0) AS cr20
+    FROM agg
+    """,
+    doc="Customer concentration ratios per market segment: CR-k = the "
+    "revenue share of the top k customers (CR4/CR8/CR20) — the "
+    "industrial-organization concentration measure regulators quote "
+    "next to the Herfindahl index (q90 computes HHI for suppliers; "
+    "CR-k answers 'how exposed is this segment to its whale "
+    "accounts'). Revenue is exact integer cents; the rank window runs "
+    "on the CUSTOMER-GRAIN rollup (one row per customer, partitioned "
+    "by segment — never the order population), rn ties broken by "
+    "custkey; shares quantize to 1e-6 before display so the hash "
+    "cannot flip. Scale: one fact rollup with map-side combine, one "
+    "bounded window per segment, 5 output rows.",
+)
+def q99_concentration_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_cust = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), F.col("o_custkey").alias("cust")
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    ranked = per_cust.select(
+        "segment",
+        "cents",
+        F.row_number()
+        .over(W.partitionBy("segment").orderBy(F.col("cents").desc(), "cust"))
+        .alias("rn"),
+    )
+    agg = ranked.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("tot"),
+        F.sum(F.when(F.col("rn") <= 4, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("top4"),
+        F.sum(F.when(F.col("rn") <= 8, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("top8"),
+        F.sum(F.when(F.col("rn") <= 20, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("top20"),
+    )
+
+    def share(col: str, name: str):
+        return (
+            F.floor(F.col(col).cast("double") / F.col("tot") * 1_000_000.0 + F.lit(0.5))
+            / 1_000_000.0
+        ).alias(name)
+
+    return agg.select(
+        "segment", "n_customers", share("top4", "cr4"), share("top8", "cr8"),
+        share("top20", "cr20"),
+    )

@@ -1104,7 +1104,8 @@ def test_g13_topk_is_take_ordered(spark):
 @pytest.mark.parametrize(
     "name",
     ["d20_winnowing_pairs", "s25_top_component", "a04_asof_nearest",
-     "t65_rake_keywords", "s26_abtt_retrieval_shift"],
+     "t65_rake_keywords", "s26_abtt_retrieval_shift",
+     "q99_concentration_ratios"],
 )
 def test_round8_batch6_avoid_cartesian(spark, name):
     """Sixth round-8 batch: d20's pair stage is a df-capped fingerprint

@@ -112,6 +112,7 @@ AUDIT = [
     ("t65_rake_keywords", "RAKE: doc-keyed phrase windows, word-grain stats, TakeOrdered top-k"),
     ("t66_readability", "Flesch-Kincaid entirely per-row: regex + HOF folds, zero Exchange"),
     ("s26_abtt_retrieval_shift", "ABTT via the projection identity: two scalars per vector, s02-shaped scoring"),
+    ("q99_concentration_ratios", "CR-k on the customer-grain rollup: one fact rollup, segment-bounded window"),
 ]
 
 
