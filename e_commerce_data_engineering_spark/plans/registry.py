@@ -85,12 +85,17 @@ def _load_all_modules() -> None:
 # already-recorded query. Run it every round; the driver only re-checks
 # the front of this list.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-8 front block: never-driver-recorded additions go here,
-    # oracle-backed before rows-only. CORRECTNESS_r07 recorded every
-    # round-7 name (cumulative driver record 266/266 through r7), so the
-    # front is clear for round-8. ROUND-9 NOTE: rotate BEFORE adding —
-    # check CORRECTNESS_r08 for which of these got recorded and move the
+    # --- round-9 front block: never-driver-recorded additions go here,
+    # oracle-backed before rows-only. CORRECTNESS_r08 recorded every
+    # round-8 name (cumulative driver record 302/302 through r8), so the
+    # front is clear for round-9. ROUND-10 NOTE: rotate BEFORE adding —
+    # check CORRECTNESS_r09 for which of these got recorded and move the
     # recorded ones into a labelled block below (youngest first).
+    "q91_mann_whitney",  # fell off _PRIORITY in a past rotation; never
+    # driver-recorded (absent from CORRECTNESS_r01..r08) — front of the
+    # round-9 window so it finally gets an official record
+    # --- already driver-recorded: round-8 block (all 37 recorded in
+    # CORRECTNESS_r08), youngest first.
     "t63_winnowing_fingerprints",
     "t64_perplexity_buckets",
     "q97_bootstrap_ci",

@@ -4755,24 +4755,25 @@ def t63_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t64_perplexity_buckets",
     oracle=f"""{_SQL_T23_SCORED},
     keyed AS (
-        SELECT s.doc_id, s.q_bits // s.n_bigrams AS key, d.source
+        SELECT s.doc_id, s.q_bits // s.n_bigrams AS key,
+               (s.q_bits // s.n_bigrams) // 10000 AS ckey, d.source
         FROM scored s JOIN documents d USING (doc_id)
     ),
-    grid AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS cnt FROM keyed GROUP BY key),
+    grid AS (SELECT ckey, CAST(COUNT(*) AS BIGINT) AS cnt FROM keyed GROUP BY ckey),
     cum AS (
-        SELECT key, SUM(cnt) OVER (ORDER BY key) AS cum,
+        SELECT ckey, SUM(cnt) OVER (ORDER BY ckey) AS cum,
                SUM(cnt) OVER () AS n
         FROM grid
     ),
     f AS (
-        SELECT MIN(CASE WHEN cum >= (n + 2) // 3 THEN key END) AS f1,
-               MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN key END) AS f2
+        SELECT MIN(CASE WHEN cum >= (n + 2) // 3 THEN ckey END) AS f1,
+               MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN ckey END) AS f2
         FROM cum
     ),
     b AS (
         SELECT source,
-               CASE WHEN key <= f1 THEN 'head'
-                    WHEN key <= f2 THEN 'middle'
+               CASE WHEN ckey <= f1 THEN 'head'
+                    WHEN ckey <= f2 THEN 'middle'
                     ELSE 'tail' END AS bucket,
                key
         FROM keyed CROSS JOIN f
@@ -4793,11 +4794,16 @@ def t63_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "into head/middle/tail TERCILES by that score, and report each "
     "source's composition across buckets — the standard web-corpus "
     "quality triage (head = most LM-like text kept, tail = candidate "
-    "drop). Doc keys are exact integer 1e-6-bit surprisal-per-bigram "
-    "(q_bits div n_bigrams); tercile fences use the engine-wide exact "
-    "integer ceil-division rank-block rule on the VALUE grid, so the "
-    "cumulative window walks distinct score values, never the doc "
-    "population, and ties land identically in both engines. Scale: "
+    "drop). Doc scores are exact integer 1e-6-bit surprisal-per-bigram "
+    "(q_bits div n_bigrams); the tercile FENCE grid re-quantizes them "
+    "to centibits (key div 10000), so the cumulative window walks a "
+    "value grid bounded by the score RANGE (a few thousand distinct "
+    "centibit cells however many documents exist — at micro-bit "
+    "granularity distinct keys would grow ~one per doc and the global "
+    "window would walk the population). Fences use the engine-wide "
+    "exact integer ceil-division rank-block rule; ties land "
+    "identically in both engines; the per-source average keeps full "
+    "micro-bit precision. Scale: "
     "the LM counts shuffle on (w1,w2) with map-side combine, the "
     "fence frame is two scalars broadcast back, and the final rollup "
     "is sources x 3 rows.",
@@ -4808,27 +4814,34 @@ def t64_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     keyed = (
         _bigram_doc_bits(d)
-        .select("doc_id", F.expr("_qb div n_bigrams").alias("key"))
+        .select(
+            "doc_id",
+            F.expr("_qb div n_bigrams").alias("key"),
+            F.expr("(_qb div n_bigrams) div 10000").alias("ckey"),
+        )
         .join(d.select("doc_id", "source"), "doc_id")
     )
-    grid = keyed.groupBy("key").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    grid = keyed.groupBy("ckey").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     nrow = grid.agg(F.sum("cnt").cast("bigint").alias("n"))
-    # global window over the VALUE grid (distinct surprisal keys — bounded),
-    # never over the document population
+    # global window over the CENTIBIT value grid: distinct cells are
+    # bounded by the score range (not the doc count — micro-bit keys
+    # would be ~one per doc and the window would walk the population)
     cum = grid.select(
-        "key", F.sum("cnt").over(W.orderBy("key")).alias("cum")
+        "ckey", F.sum("cnt").over(W.orderBy("ckey")).alias("cum")
     ).crossJoin(F.broadcast(nrow))
     fences = cum.agg(
-        F.min(F.when(F.col("cum") >= F.expr("(n + 2) div 3"), F.col("key"))).alias("f1"),
         F.min(
-            F.when(F.col("cum") >= F.expr("(2 * n + 2) div 3"), F.col("key"))
+            F.when(F.col("cum") >= F.expr("(n + 2) div 3"), F.col("ckey"))
+        ).alias("f1"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(2 * n + 2) div 3"), F.col("ckey"))
         ).alias("f2"),
     )
     bucketed = keyed.crossJoin(F.broadcast(fences)).select(
         "source",
         "key",
-        F.when(F.col("key") <= F.col("f1"), F.lit("head"))
-        .when(F.col("key") <= F.col("f2"), F.lit("middle"))
+        F.when(F.col("ckey") <= F.col("f1"), F.lit("head"))
+        .when(F.col("ckey") <= F.col("f2"), F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )

@@ -3133,7 +3133,7 @@ _BOOT_M = 2147483647  # 2^31 - 1
     mm AS (
         SELECT segment,
                (swc // sw) * 1000000 + ((swc % sw) * 1000000) // sw AS mean_micro
-        FROM rep_means
+        FROM rep_means WHERE sw > 0
     ),
     grid AS (
         SELECT segment, mean_micro, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -3170,13 +3170,13 @@ _BOOT_M = 2147483647  # 2^31 - 1
     "1993) in the streaming/Poisson-bootstrap shape Google described "
     "for massive data (Chamandy et al. 2012): instead of materializing "
     f"{_BOOT_R} resampled copies, every row gets {_BOOT_R} integer "
-    "weights w in {{0,1,2}} (mean 1) from a portable LCG on "
+    "weights w in {0,1,2} (mean 1) from a portable LCG on "
     "(o_orderkey, replicate), so ONE scan computes every replicate's "
     "weighted mean. Replicate means are exact integer micro-cents via "
     "overflow-safe long division ((swc div sw)*1e6 + rem*1e6 div sw); "
     "the p05/p50/p95 percentile CI uses the engine-wide integer "
     "ceil-division fences on the (segment, mean) value grid. Scale: "
-    "the x{_BOOT_R} fan-out is absorbed by map-side combine — shuffle "
+    f"the x{_BOOT_R} fan-out is absorbed by map-side combine — shuffle "
     "rows are segments x replicates, never data x replicates; at 100 "
     "TB this is THE way to put error bars on a mean without a second "
     "pass. Hash-checked against DuckDB running the identical LCG.",
@@ -3203,7 +3203,11 @@ def q97_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w").cast("bigint").alias("sw"),
         )
     )
-    mm = rep_means.select(
+    # a replicate whose weights all hashed to 0 has sw=0: Spark's div
+    # would yield NULL where DuckDB's // raises — drop the degenerate
+    # replicate identically in both engines (P(all-zero) ~ (1/3)^n, only
+    # tiny segments are ever at risk)
+    mm = rep_means.filter(F.col("sw") > 0).select(
         "segment",
         F.expr("(swc div sw) * 1000000 + ((swc % sw) * 1000000) div sw").alias(
             "mean_micro"

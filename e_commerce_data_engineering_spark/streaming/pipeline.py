@@ -1517,7 +1517,12 @@ def _mg_fold(
                     drop.append(it)
             for it in drop:
                 del counts[it]
-    return sorted([it, c] for it, c in counts.items())
+    # null-safe sort: a None/NaN item (possible if a caller feeds raw
+    # pandas values) must not TypeError against str keys
+    return sorted(
+        ([it, c] for it, c in counts.items()),
+        key=lambda p: (p[0] is None or p[0] != p[0], str(p[0])),
+    )
 
 
 def start_misra_gries_stream(
@@ -1552,7 +1557,12 @@ def start_misra_gries_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .json(source_dir)
     )
-    state_schema = f"{key_col} string, item string, cnt bigint, n_seen bigint"
+    # k is persisted WITH the state: the error bound floor(n/(k+1)) is a
+    # property of the store as written, so readers must derive it from
+    # the snapshot rather than trust a caller-supplied k that can drift
+    state_schema = (
+        f"{key_col} string, item string, cnt bigint, n_seen bigint, k int"
+    )
 
     def _latest_state(s: SparkSession, epoch: int) -> DataFrame | None:
         jvm_path = s._jvm.org.apache.hadoop.fs.Path(state_dir)
@@ -1578,7 +1588,13 @@ def start_misra_gries_stream(
                 F.col(key_col).alias("kk"),
                 F.col("ts"),
                 F.col("event_id"),
-                F.col(item_col).cast("string").alias("item"),
+                # a null item must not reach the pandas fold (None/NaN
+                # breaks dict keys and ordering there); count nulls
+                # under an explicit sentinel instead of dropping them —
+                # "null user dominates this event type" is a real signal
+                F.coalesce(
+                    F.col(item_col).cast("string"), F.lit("\u0000null")
+                ).alias("item"),
             )
             .withColumn(
                 "seq",
@@ -1621,7 +1637,13 @@ def start_misra_gries_stream(
             if not counters:
                 # keep the key alive so n_seen persists across batches
                 return pd.DataFrame(
-                    {key_col: [key], "item": [""], "cnt": [0], "n_seen": [n_new]}
+                    {
+                        key_col: [key],
+                        "item": [""],
+                        "cnt": [0],
+                        "n_seen": [n_new],
+                        "k": [k],
+                    }
                 )
             return pd.DataFrame(
                 {
@@ -1629,6 +1651,7 @@ def start_misra_gries_stream(
                     "item": [c[0] for c in counters],
                     "cnt": [c[1] for c in counters],
                     "n_seen": [n_new] * len(counters),
+                    "k": [k] * len(counters),
                 }
             )
 
@@ -1644,20 +1667,33 @@ def start_misra_gries_stream(
 
 
 def read_misra_gries_summary(
-    spark: SparkSession, state_dir: str, k: int = 8, key_col: str = "event_type"
+    spark: SparkSession, state_dir: str, k: int | None = None,
+    key_col: str = "event_type",
 ) -> DataFrame:
     """Latest per-key MG summary: (key, item, mg_count, n_seen,
     err_bound) where true_count ∈ [mg_count, mg_count + err_bound] and
-    err_bound = floor(n_seen / (k + 1))."""
+    err_bound = floor(n_seen / (k + 1)). k is read from the persisted
+    state rows (the writer stamps it), so a caller cannot silently
+    report a wrong err_bound by passing a k that differs from the one
+    the store was built with; the parameter remains only as a fallback
+    for pre-k snapshots and is ignored when the column is present."""
     st = spark.read.option("basePath", state_dir).parquet(state_dir)
     mx = st.agg(F.max("batch_id").alias("m")).collect()[0]["m"]
+    latest = st.filter(F.col("batch_id") == mx)
+    if "k" in latest.columns:
+        k_expr = F.col("k")
+    else:  # legacy snapshot without the stamped column
+        k_expr = F.lit(8 if k is None else k)
     return (
-        st.filter((F.col("batch_id") == mx) & (F.col("cnt") > 0))
+        latest.filter(F.col("cnt") > 0)
         .select(
             key_col,
             "item",
             F.col("cnt").alias("mg_count"),
             "n_seen",
-            F.expr(f"n_seen div {k + 1}").alias("err_bound"),
+            F.expr("n_seen").cast("bigint").alias("_n"),
+            k_expr.cast("bigint").alias("_k"),
         )
+        .withColumn("err_bound", F.expr("_n div (_k + 1)"))
+        .drop("_n", "_k")
     )

@@ -1985,9 +1985,13 @@ def test_streaming_misra_gries_parity_and_guarantee(spark, tmp_path):
                 "event_id": i,
                 "ts": f"2024-01-01T{i // 3600:02d}:{(i // 60) % 60:02d}:{i % 60:02d}",
                 "event_type": "click" if i % 2 == 0 else "view",
-                "user_id": pick,
+                # every 9th arrival is an anonymous (null) user: the fold
+                # must count these under the sentinel, not crash on
+                # None/NaN ordering inside the pandas fold
+                "user_id": None if i % 9 == 0 else pick,
             }
         )
+    null_sentinel = "\u0000null"
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -2028,14 +2032,20 @@ def test_streaming_misra_gries_parity_and_guarantee(spark, tmp_path):
 
     assert snapshot(st_one) == snapshot(st_split)  # counter-state parity
 
-    # guarantee + differential vs a pure local replay per key
+    # guarantee + differential vs a pure local replay per key; the
+    # reader derives k from the persisted state (no k argument) — a
+    # caller can no longer mis-report err_bound by passing a stale k
     summ = {}
-    for r in read_misra_gries_summary(spark, st_split, k=kk).collect():
+    for r in read_misra_gries_summary(spark, st_split).collect():
         summ.setdefault(r["event_type"], {})[r["item"]] = (
             r["mg_count"], r["n_seen"], r["err_bound"]
         )
     for key in ("click", "view"):
-        stream_k = [r["user_id"] for r in rows if r["event_type"] == key]
+        stream_k = [
+            r["user_id"] if r["user_id"] is not None else null_sentinel
+            for r in rows
+            if r["event_type"] == key
+        ]
         n = len(stream_k)
         exact = {}
         for u in stream_k:
