@@ -3449,3 +3449,515 @@ def q99_concentration_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment", "n_customers", share("top4", "cr4"), share("top8", "cr8"),
         share("top20", "cr20"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q100 — Kendall's tau-b between discount and quantity, computed on the
+# VALUE GRID (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q100_kendall_tau",
+    oracle="""
+    WITH cells AS (
+        SELECT l_returnflag AS flag,
+               CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS d,
+               CAST(l_quantity AS BIGINT) AS q,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2, 3
+    ),
+    pairs AS (
+        SELECT a.flag,
+               CAST(SUM(CASE WHEN (a.d < b.d AND a.q < b.q)
+                               OR (a.d > b.d AND a.q > b.q)
+                        THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS HUGEINT)
+                   AS conc,
+               CAST(SUM(CASE WHEN (a.d < b.d AND a.q > b.q)
+                               OR (a.d > b.d AND a.q < b.q)
+                        THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS HUGEINT)
+                   AS disc
+        FROM cells a JOIN cells b
+          ON a.flag = b.flag AND (a.d < b.d OR (a.d = b.d AND a.q < b.q))
+        GROUP BY 1
+    ),
+    dm AS (SELECT flag, d, CAST(SUM(c) AS BIGINT) AS td FROM cells GROUP BY 1, 2),
+    qm AS (SELECT flag, q, CAST(SUM(c) AS BIGINT) AS tq FROM cells GROUP BY 1, 2),
+    margins AS (
+        SELECT n.flag, n.n, t1.t1x2, t2.t2x2
+        FROM (SELECT flag, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY 1) n
+        JOIN (SELECT flag, CAST(SUM(CAST(td AS HUGEINT) * (td - 1)) AS HUGEINT)
+                  AS t1x2 FROM dm GROUP BY 1) t1 ON t1.flag = n.flag
+        JOIN (SELECT flag, CAST(SUM(CAST(tq AS HUGEINT) * (tq - 1)) AS HUGEINT)
+                  AS t2x2 FROM qm GROUP BY 1) t2 ON t2.flag = n.flag
+    ),
+    stats AS (
+        SELECT m.flag, m.n, p.conc, p.disc,
+               CAST(m.n AS HUGEINT) * (m.n - 1) AS n0x2,
+               m.t1x2, m.t2x2
+        FROM margins m JOIN pairs p ON p.flag = m.flag
+    )
+    SELECT flag, n,
+           CAST(conc AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           (FLOOR((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+               / SQRT((CAST(n0x2 AS DOUBLE) - CAST(t1x2 AS DOUBLE))
+                    * (CAST(n0x2 AS DOUBLE) - CAST(t2x2 AS DOUBLE)) / 4.0)
+               / 2.0 * 1000000.0 + 0.5) / 1000000.0) AS tau_b
+    FROM stats
+    """,
+    doc="Kendall's tau-b rank correlation (Kendall 1938) between "
+    "discount and quantity per return flag — the tie-corrected rank "
+    "correlation analysts reach for when Pearson's linearity "
+    "assumption (q34) is suspect. The naive statistic is O(rows^2) "
+    "sign comparisons; here concordant/discordant pair MASSES come "
+    "from the 11x50 (discount, quantity) VALUE GRID: one map-side-"
+    "combinable groupBy collapses the fact table to <=550 cells per "
+    "flag, the grid self-joins (bounded 550^2 cell pairs however many "
+    "rows the table has), and tie corrections n1, n2 fall out of the "
+    "grid margins. Pair masses are data^2-sized integers, so they "
+    "accumulate in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — both "
+    "cast the same exact integer to the same double before the final "
+    "tau, which quantizes to 1e-6. Doubled counts (n0x2 = 2*n0, "
+    "t1x2 = 2*n1) keep every intermediate an exact integer; the /4 "
+    "under the sqrt and the final /2 undo the doubling. Scale: the "
+    "only data-sized stage is the grid rollup; everything after is "
+    "O(grid^2) = constant.",
+)
+def q100_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        l.select(
+            F.col("l_returnflag").alias("flag"),
+            F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint").alias("d"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+        )
+        .groupBy("flag", "d", "q")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    big = "CAST(a.c AS DECIMAL(19,0)) * CAST(b.c AS DECIMAL(19,0))"
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.flag") == F.col("b.flag"))
+            & (
+                (F.col("a.d") < F.col("b.d"))
+                | ((F.col("a.d") == F.col("b.d")) & (F.col("a.q") < F.col("b.q")))
+            ),
+        )
+        .groupBy(F.col("a.flag").alias("flag"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN (a.d < b.d AND a.q < b.q) "
+                    f"OR (a.d > b.d AND a.q > b.q) THEN {big} "
+                    "ELSE CAST(0 AS DECIMAL(19,0)) END"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("conc"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN (a.d < b.d AND a.q > b.q) "
+                    f"OR (a.d > b.d AND a.q < b.q) THEN {big} "
+                    "ELSE CAST(0 AS DECIMAL(19,0)) END"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("disc"),
+        )
+    )
+    dm = cells.groupBy("flag", "d").agg(F.sum("c").cast("bigint").alias("td"))
+    qm = cells.groupBy("flag", "q").agg(F.sum("c").cast("bigint").alias("tq"))
+    nn = cells.groupBy("flag").agg(F.sum("c").cast("bigint").alias("n"))
+    t1 = dm.groupBy("flag").agg(
+        F.sum(F.expr("CAST(td AS DECIMAL(19,0)) * (td - 1)"))
+        .cast("decimal(38,0)")
+        .alias("t1x2")
+    )
+    t2 = qm.groupBy("flag").agg(
+        F.sum(F.expr("CAST(tq AS DECIMAL(19,0)) * (tq - 1)"))
+        .cast("decimal(38,0)")
+        .alias("t2x2")
+    )
+    margins = nn.join(F.broadcast(t1), "flag").join(F.broadcast(t2), "flag")
+    stats = margins.join(F.broadcast(pairs), "flag").withColumn(
+        "n0x2", F.expr("CAST(n AS DECIMAL(19,0)) * (n - 1)").cast("decimal(38,0)")
+    )
+    tau = (
+        (F.col("conc").cast("double") - F.col("disc").cast("double"))
+        / F.sqrt(
+            (F.col("n0x2").cast("double") - F.col("t1x2").cast("double"))
+            * (F.col("n0x2").cast("double") - F.col("t2x2").cast("double"))
+            / 4.0
+        )
+        / 2.0
+    )
+    return stats.select(
+        "flag",
+        "n",
+        F.col("conc").cast("bigint").alias("concordant"),
+        F.col("disc").cast("bigint").alias("discordant"),
+        fround(tau, 6).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q101 — Pettitt change-point test on the daily revenue series (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q101_pettitt_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    grid AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt FROM daily GROUP BY 1),
+    r2 AS (
+        SELECT cents,
+               2 * SUM(cnt) OVER (ORDER BY cents) - cnt + 1 AS rank2
+        FROM grid
+    ),
+    seq AS (
+        SELECT d.day,
+               d.cents,
+               ROW_NUMBER() OVER (ORDER BY d.day) AS t,
+               SUM(r2.rank2) OVER (ORDER BY d.day) AS s2
+        FROM daily d JOIN r2 ON r2.cents = d.cents
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    u AS (
+        SELECT day, t, s2 - t * (n + 1) AS u2, n
+        FROM seq CROSS JOIN nn WHERE t < n
+    ),
+    k AS (SELECT MAX(ABS(u2)) AS k2, MAX(n) AS n FROM u),
+    cp AS (
+        SELECT MIN(u.day) AS change_day, MAX(k.k2) AS k2, MAX(k.n) AS n
+        FROM u JOIN k ON ABS(u.u2) = k.k2
+    ),
+    halves AS (
+        SELECT cp.change_day, cp.k2, cp.n,
+               CAST(SUM(CASE WHEN d.day <= cp.change_day THEN d.cents END)
+                   AS BIGINT) AS sb,
+               CAST(SUM(CASE WHEN d.day <= cp.change_day THEN 1 END)
+                   AS BIGINT) AS nb,
+               CAST(SUM(CASE WHEN d.day > cp.change_day THEN d.cents END)
+                   AS BIGINT) AS sa,
+               CAST(SUM(CASE WHEN d.day > cp.change_day THEN 1 END)
+                   AS BIGINT) AS na
+        FROM daily d CROSS JOIN cp
+        GROUP BY 1, 2, 3
+    )
+    SELECT n AS n_days, change_day,
+           CAST(k2 AS DOUBLE) / 2.0 AS k_stat,
+           (FLOOR(2.0 * EXP(-1.5 * CAST(k2 AS DOUBLE) * k2
+                / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n))
+               * 1000000.0 + 0.5) / 1000000.0) AS p_value,
+           (FLOOR(CAST(sb AS DOUBLE) / nb + 0.5) / 100.0) AS mean_before,
+           (FLOOR(CAST(sa AS DOUBLE) / na + 0.5) / 100.0) AS mean_after
+    FROM halves
+    """,
+    doc="Pettitt's nonparametric change-point test (Pettitt 1979) on "
+    "the daily revenue series: U_t = sum of sign(x_i - x_j) over "
+    "(i <= t < j) peaks where the distribution shifts; K = max|U_t| "
+    "locates the most likely break and p ~ 2 exp(-6K^2/(n^3+n^2)) "
+    "screens it. The O(n^2) sign double-sum collapses through the "
+    "rank identity U_t = 2 S_t - t(n+1) with MIDRANKS for ties, and "
+    "midranks come off the revenue VALUE grid (2*cum - cnt + 1 keeps "
+    "everything integer by carrying DOUBLED ranks; k_stat halves at "
+    "display). Both global windows walk the DAY grid, bounded by the "
+    "calendar (~2.4k rows) however many orders exist — the only "
+    "data-sized stage is the per-day rollup with map-side combine. "
+    "Earliest day wins argmax ties; before/after means are exact "
+    "integer cents. The verdict on this synthetic series: uniform "
+    "generator, no break — p ~ 1, a calibrated null readout.",
+)
+def q101_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    grid = daily.groupBy("cents").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # global windows below run on the bounded day/value grids, never rows
+    r2 = grid.select(
+        "cents",
+        (2 * F.sum("cnt").over(W.orderBy("cents")) - F.col("cnt") + 1).alias("rank2"),
+    )
+    seq = daily.join(r2, "cents").select(
+        "day",
+        "cents",
+        F.row_number().over(W.orderBy("day")).alias("t"),
+        F.sum("rank2").over(W.orderBy("day")).alias("s2"),
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    u = (
+        seq.crossJoin(F.broadcast(nn))
+        .withColumn("u2", F.col("s2") - F.col("t") * (F.col("n") + 1))
+        .filter(F.col("t") < F.col("n"))
+    )
+    k = u.agg(F.max(F.abs(F.col("u2"))).alias("k2"), F.max("n").alias("n"))
+    cp = (
+        u.join(F.broadcast(k.select("k2")), F.abs(F.col("u2")) == F.col("k2"))
+        .agg(F.min("day").alias("change_day"))
+        .crossJoin(F.broadcast(k))
+    )
+    halves = (
+        daily.crossJoin(F.broadcast(cp))
+        .groupBy("change_day", "k2", "n")
+        .agg(
+            F.sum(F.when(F.col("day") <= F.col("change_day"), F.col("cents")))
+            .cast("bigint")
+            .alias("sb"),
+            F.sum(F.when(F.col("day") <= F.col("change_day"), F.lit(1)))
+            .cast("bigint")
+            .alias("nb"),
+            F.sum(F.when(F.col("day") > F.col("change_day"), F.col("cents")))
+            .cast("bigint")
+            .alias("sa"),
+            F.sum(F.when(F.col("day") > F.col("change_day"), F.lit(1)))
+            .cast("bigint")
+            .alias("na"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    return halves.select(
+        F.col("n").alias("n_days"),
+        "change_day",
+        (F.col("k2").cast("double") / 2.0).alias("k_stat"),
+        fround(
+            2.0
+            * F.exp(
+                -1.5 * F.col("k2").cast("double") * F.col("k2")
+                / (nd * nd * nd + nd * nd)
+            ),
+            6,
+        ).alias("p_value"),
+        (F.floor(F.col("sb").cast("double") / F.col("nb") + F.lit(0.5)) / 100.0).alias(
+            "mean_before"
+        ),
+        (F.floor(F.col("sa").cast("double") / F.col("na") + F.lit(0.5)) / 100.0).alias(
+            "mean_after"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q102 — Wald–Wolfowitz runs test for randomness of daily revenue (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q102_runs_test",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    grid AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt FROM daily GROUP BY 1),
+    med AS (
+        SELECT MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN cents END) AS med
+        FROM (
+            SELECT cents, SUM(cnt) OVER (ORDER BY cents) AS cum,
+                   SUM(cnt) OVER () AS n
+            FROM grid
+        )
+    ),
+    signs AS (
+        SELECT day, CASE WHEN cents > med THEN 1 ELSE 0 END AS s
+        FROM daily CROSS JOIN med
+    ),
+    flips AS (
+        SELECT s,
+               CASE WHEN LAG(s) OVER (ORDER BY day) IS NOT NULL
+                     AND LAG(s) OVER (ORDER BY day) <> s
+                    THEN 1 ELSE 0 END AS flip
+        FROM signs
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(s) AS BIGINT) AS n1,
+               CAST(COUNT(*) - SUM(s) AS BIGINT) AS n2,
+               CAST(1 + SUM(flip) AS BIGINT) AS runs
+        FROM flips
+    )
+    SELECT n AS n_days, n1 AS n_above, n2 AS n_below, runs,
+           (FLOOR((1.0 + 2.0 * n1 * n2 / n) * 1000000.0 + 0.5) / 1000000.0)
+               AS expected_runs,
+           (FLOOR((CAST(runs AS DOUBLE) - (1.0 + 2.0 * n1 * n2 / n))
+               / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+                    / (CAST(n AS DOUBLE) * n * (n - 1)))
+               * 1000000.0 + 0.5) / 1000000.0) AS z_stat
+    FROM agg
+    """,
+    doc="Wald–Wolfowitz runs test (Wald & Wolfowitz 1940) for "
+    "randomness of the daily revenue series: dichotomize each day "
+    "above/below the series median, count RUNS of consecutive same "
+    "signs, and compare to the exact null moments E[R] = 1 + 2 n1 n2 "
+    "/ n, Var[R] = 2 n1 n2 (2 n1 n2 - n) / (n^2 (n - 1)) — too few "
+    "runs means trend/autocorrelation, too many means oscillation; "
+    "the canonical pre-model sanity check on a KPI series (q77's "
+    "Theil–Sen measures the trend this test detects). The median is "
+    "the engine-wide exact integer ceil-division fence on the revenue "
+    "VALUE grid (ties land 'below' on both engines, deterministically); "
+    "runs come from one lag over the DAY grid. Both global windows "
+    "walk calendar-bounded grids (~2.4k rows); the only data-sized "
+    "stage is the per-day rollup with map-side combine. All moment "
+    "inputs are exact integers; z quantizes to 1e-6.",
+)
+def q102_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    grid = daily.groupBy("cents").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # global windows run on the bounded value/day grids, never rows
+    cum = grid.select(
+        "cents",
+        F.sum("cnt").over(W.orderBy("cents")).alias("cum"),
+        F.sum("cnt").over(W.partitionBy()).alias("n"),
+    )
+    med = cum.agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(50 * n + 99) div 100"), F.col("cents"))
+        ).alias("med")
+    )
+    signs = daily.crossJoin(F.broadcast(med)).select(
+        "day", F.when(F.col("cents") > F.col("med"), 1).otherwise(0).alias("s")
+    )
+    lag = F.lag("s").over(W.orderBy("day"))
+    flips = signs.select(
+        "s",
+        F.when(lag.isNotNull() & (lag != F.col("s")), 1).otherwise(0).alias("flip"),
+    )
+    agg = flips.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("bigint").alias("n2"),
+        (1 + F.sum("flip")).cast("bigint").alias("runs"),
+    )
+    e_runs = 1.0 + 2.0 * F.col("n1") * F.col("n2") / F.col("n")
+    var = (
+        2.0 * F.col("n1") * F.col("n2")
+        * (2.0 * F.col("n1") * F.col("n2") - F.col("n"))
+        / (F.col("n").cast("double") * F.col("n") * (F.col("n") - 1))
+    )
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        "runs",
+        fround(e_runs, 6).alias("expected_runs"),
+        fround((F.col("runs").cast("double") - e_runs) / F.sqrt(var), 6).alias(
+            "z_stat"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q103 — safety stock: P95 weekly demand fence per brand (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q103_safety_stock",
+    oracle="""
+    WITH weekly AS (
+        SELECT p.p_brand AS brand,
+               CAST(DATE_TRUNC('week', l.l_shipdate) AS DATE) AS week,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS demand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT brand, demand, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM weekly GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT brand, demand,
+               SUM(cnt) OVER (PARTITION BY brand ORDER BY demand) AS cum,
+               SUM(cnt) OVER (PARTITION BY brand) AS n
+        FROM grid
+    ),
+    fence AS (
+        SELECT brand, CAST(MAX(n) AS BIGINT) AS n_weeks,
+               MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN demand END) AS p95
+        FROM cum GROUP BY brand
+    ),
+    mean AS (
+        SELECT brand, CAST(SUM(demand) AS BIGINT) AS sd,
+               CAST(COUNT(*) AS BIGINT) AS nw
+        FROM weekly GROUP BY brand
+    )
+    SELECT f.brand, f.n_weeks, f.p95 AS p95_weekly,
+           (FLOOR(CAST(m.sd AS DOUBLE) / m.nw * 10000.0 + 0.5) / 10000.0)
+               AS mean_weekly,
+           (FLOOR((CAST(f.p95 AS DOUBLE) - CAST(m.sd AS DOUBLE) / m.nw)
+               * 10000.0 + 0.5) / 10000.0) AS safety_stock
+    FROM fence f JOIN mean m ON m.brand = f.brand
+    """,
+    doc="Safety-stock sizing per brand — the inventory-planning "
+    "critical-fractile readout (the newsvendor logic at a 95% cycle "
+    "service level): reorder to the P95 of WEEKLY demand, and hold "
+    "P95 - mean as safety stock. Demand folds to the (brand, week) "
+    "grain first (map-side combine on the fact scan), the P95 is the "
+    "engine-wide exact integer ceil-division fence on each brand's "
+    "demand VALUE grid — an empirical quantile, not a normal-z "
+    "approximation, so no distributional assumption and no float "
+    "percentile divergence — and the per-brand window walks distinct "
+    "demand values only. part rides in as a broadcast dim. Scale: "
+    "25 brands x calendar weeks bound every post-rollup stage; the "
+    "mean is exact integer units. Complements q93 (demand timing "
+    "percentiles) and q87 (ABC classes) on the inventory shelf.",
+)
+def q103_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    weekly = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("week", F.col("l_shipdate")).cast("date").alias("week"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("demand"))
+    )
+    grid = weekly.groupBy("brand", "demand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wb = W.partitionBy("brand").orderBy("demand")
+    wn = W.partitionBy("brand")
+    cum = grid.select(
+        "brand",
+        "demand",
+        F.sum("cnt").over(wb).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    fence = cum.groupBy("brand").agg(
+        F.max("n").alias("n_weeks"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(95 * n + 99) div 100"), F.col("demand"))
+        ).alias("p95"),
+    )
+    mean = weekly.groupBy("brand").agg(
+        F.sum("demand").cast("bigint").alias("sd"),
+        F.count(F.lit(1)).cast("bigint").alias("nw"),
+    )
+    mean_d = F.col("sd").cast("double") / F.col("nw")
+    return fence.join(mean, "brand").select(
+        "brand",
+        "n_weeks",
+        F.col("p95").alias("p95_weekly"),
+        fround(mean_d, 4).alias("mean_weekly"),
+        fround(F.col("p95").cast("double") - mean_d, 4).alias("safety_stock"),
+    )
