@@ -163,6 +163,21 @@ HEADLINE = [
     "t66_readability",
     "s26_abtt_retrieval_shift",
     "q99_concentration_ratios",
+    # round-9 additions: value-grid Kendall tau-b, Pettitt change-point,
+    # runs test, safety-stock quantiles, BH-FDR A/A suite, MMR rerank,
+    # participation ratio, Kneser-Ney LM, Yule's K
+    "q100_kendall_tau",
+    "q101_pettitt_changepoint",
+    "q102_runs_test",
+    "q103_safety_stock",
+    "e43_bh_fdr",
+    "s27_mmr_rerank",
+    "s28_participation_ratio",
+    "t67_kneser_ney",
+    "t68_yule_k",
+    "x15_sample_quantiles",
+    "d21_dedup_consensus",
+    "q105_wasserstein_drift",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

@@ -428,3 +428,75 @@ def kmv_estimate(sk: DataFrame, key_cols: list[str], k: int) -> DataFrame:
         F.lit(float(k - 1)) * F.lit(float(KMV_P)) / F.col("kth_hash").cast("double")
     )
     return ag.select(*key_cols, "n_sk", "kth_hash", est.alias("est_distinct"))
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k row sample: a fixed-size mergeable UNIFORM sample of rows,
+# the quantile-estimation counterpart of the KMV distinct sketch
+# ---------------------------------------------------------------------------
+
+BOTTOMK_M = 2147483647  # 2^31 - 1 (MINSTD modulus)
+BOTTOMK_A = 48271  # MINSTD multiplier; (key % M) * A < 2^47 fits int64
+
+
+def bottomk_hash(key: Column) -> Column:
+    """Deterministic int64 scramble of a unique integer row key (MINSTD
+    step). Uniform-ish over [0, M); good enough for sampling, and —
+    unlike xxhash64 — exact-integer reproducible by any engine."""
+    return ((key.cast("bigint") % BOTTOMK_M) * BOTTOMK_A) % BOTTOMK_M
+
+
+def bottomk_sample(
+    df: DataFrame, group_col: str, key_col: str, value_col: str, k: int
+) -> DataFrame:
+    """Keep the ``k`` rows with the smallest scrambled row-key hash per
+    group — a uniform k-row sample whose MERGE is exact: the bottom-k
+    of a union equals the bottom-k of the union of per-shard bottom-k
+    sets (same argument as KMV), so the sample is a fixed-size
+    mergeable summary. Columns out: (group, hv, key, value, k) — k
+    rides in the state so readers never guess it (the Misra-Gries
+    lesson from round-8 ADVICE)."""
+    from pyspark.sql import Window as W
+
+    hv = df.select(
+        F.col(group_col).alias("grp"),
+        bottomk_hash(F.col(key_col)).alias("hv"),
+        F.col(key_col).cast("bigint").alias("key"),
+        F.col(value_col).cast("bigint").alias("val"),
+    )
+    w = W.partitionBy("grp").orderBy("hv", "key")
+    return (
+        hv.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("grp", "hv", "key", "val", F.lit(k).cast("int").alias("k"))
+    )
+
+
+def bottomk_quantiles(sample: DataFrame, pcts: tuple[int, ...] = (50, 90, 99)) -> DataFrame:
+    """Exact type-1 quantile fences over each group's sampled values
+    (the q93 integer ceil-division discipline on a <= k-row frame). k
+    comes from the state rows, never a parameter that can drift from
+    the writer's."""
+    from pyspark.sql import Window as W
+
+    wc = W.partitionBy("grp").orderBy("val", "key")
+    wn = W.partitionBy("grp")
+    cum = sample.select(
+        "grp",
+        "val",
+        F.row_number().over(wc).alias("cum"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.max("k").over(wn).alias("k"),
+    )
+    aggs = [
+        F.max("n").cast("bigint").alias("n_sample"),
+        F.max("k").cast("int").alias("k"),
+    ]
+    for p in pcts:
+        thr = F.expr(f"({p} * n + 99) div 100")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= thr, F.col("val")))
+            .cast("bigint")
+            .alias(f"p{p}_est")
+        )
+    return cum.groupBy("grp").agg(*aggs)

@@ -2121,3 +2121,88 @@ def a04_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_millis(F.col("ts").cast("timestamp"))
         ).alias("ms_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d21 — dedup-method consensus matrix (round 9): where the three
+# oracle-checked pair families agree, on one pair universe
+# ---------------------------------------------------------------------------
+
+# the three pair stages are embedded as subqueries so the oracle replays
+# the IDENTICAL pipelines the individual queries already hash-check
+from . import text as _text_mod  # registers d20 before the lookup below
+from .registry import QUERIES as _REG
+
+_D21_M_SQL = _REG["d09_portable_minhash_pairs"].oracle
+_D21_S_SQL = _REG["d10_portable_simhash_pairs"].oracle
+_D21_W_SQL = _REG["d20_winnowing_pairs"].oracle
+
+
+@query(
+    "d21_dedup_consensus",
+    oracle=f"""
+    WITH u AS (
+        SELECT id_a, id_b,
+               MAX(m) = 1 AS in_minhash,
+               MAX(s) = 1 AS in_simhash,
+               MAX(w) = 1 AS in_winnow
+        FROM (
+            SELECT id_a, id_b, 1 AS m, 0 AS s, 0 AS w FROM ({_D21_M_SQL})
+            UNION ALL
+            SELECT id_a, id_b, 0 AS m, 1 AS s, 0 AS w FROM ({_D21_S_SQL})
+            UNION ALL
+            SELECT doc_a AS id_a, doc_b AS id_b, 0 AS m, 0 AS s, 1 AS w
+            FROM ({_D21_W_SQL})
+        )
+        GROUP BY 1, 2
+    )
+    SELECT in_minhash, in_simhash, in_winnow,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM u GROUP BY 1, 2, 3
+    """,
+    doc="Consensus matrix over the three hash-checked near-dup pair "
+    "families — MinHash-LSH verified Jaccard >= 0.5 (d09), SimHash "
+    "Hamming <= 1 (d10), winnowing >= 3 shared fingerprints (d20) — "
+    "on the union pair universe: one row per membership combination "
+    "with its pair count. This is the method-calibration readout a "
+    "dedup pipeline needs before picking its production detector: "
+    "pairs all three agree on are safe deletes, single-method pairs "
+    "are where that method's bias lives (SimHash's token-set cosine "
+    "vs MinHash's set Jaccard vs winnowing's positional containment "
+    "— Henzinger 2006 measured exactly this disagreement at web "
+    "scale). Each family's SQL is embedded VERBATIM from its own "
+    "oracle, so the consensus inherits the three already-green "
+    "gates; the Spark side reuses the three registered builders "
+    "unchanged. Scale: the flag union is pair-grain (each family is "
+    "banded/blocked/df-capped upstream, never all-pairs); the rollup "
+    "emits <= 7 rows.",
+)
+def d21_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import d20_winnowing_pairs as _d20
+
+    m = d09_portable_minhash_pairs(spark, sf_dir).select(
+        "id_a", "id_b", F.lit(1).alias("m"), F.lit(0).alias("s"), F.lit(0).alias("w")
+    )
+    s = d10_portable_simhash_pairs(spark, sf_dir).select(
+        "id_a", "id_b", F.lit(0).alias("m"), F.lit(1).alias("s"), F.lit(0).alias("w")
+    )
+    w = _d20(spark, sf_dir).select(
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        F.lit(0).alias("m"),
+        F.lit(0).alias("s"),
+        F.lit(1).alias("w"),
+    )
+    u = (
+        m.unionByName(s)
+        .unionByName(w)
+        .groupBy("id_a", "id_b")
+        .agg(
+            (F.max("m") == 1).alias("in_minhash"),
+            (F.max("s") == 1).alias("in_simhash"),
+            (F.max("w") == 1).alias("in_winnow"),
+        )
+    )
+    return u.groupBy("in_minhash", "in_simhash", "in_winnow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )

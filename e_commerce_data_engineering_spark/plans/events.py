@@ -2933,3 +2933,166 @@ def e42_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(fano, 6).alias("fano"),
         (fano > 1.5).alias("bursty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e43 — A/A calibration suite with Benjamini–Hochberg FDR control (round 9)
+# ---------------------------------------------------------------------------
+
+_E43_M = 2147483647  # 2^31 - 1
+_E43_A = 48271  # MINSTD multiplier — (u % M) * A stays < 2^47
+_E43_B = 2654435761  # Knuth multiplicative constant (experiment side)
+_E43_EXPTS = 16  # simultaneous A/A splits
+# Zelen & Severo / Abramowitz–Stegun 26.2.17 normal tail polynomial —
+# the SAME literal constants are compiled into both engines' expressions
+_E43_CDF = (
+    "(EXP(-(az * az) / 2.0) / 2.5066282746310002) * "
+    "(tt * (0.319381530 + tt * (-0.356563782 + tt * (1.781477937 + "
+    "tt * (-1.821255978 + tt * 1.330274429)))))"
+)
+
+
+@query(
+    "e43_bh_fdr",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x
+        FROM events GROUP BY user_id
+    ),
+    expts AS (SELECT unnest(generate_series(0, {_E43_EXPTS - 1})) AS e),
+    assigned AS (
+        SELECT e,
+               ((user_id % {_E43_M}) * {_E43_A} + {_E43_B} * e)
+                   % {_E43_M} % 2 AS variant,
+               x
+        FROM per_user CROSS JOIN expts
+    ),
+    v AS (
+        SELECT e, variant,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sx2
+        FROM assigned GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT e,
+               MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+               MAX(CASE WHEN variant = 0 THEN sx END) AS sx_a,
+               MAX(CASE WHEN variant = 0 THEN sx2 END) AS sx2_a,
+               MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+               MAX(CASE WHEN variant = 1 THEN sx END) AS sx_b,
+               MAX(CASE WHEN variant = 1 THEN sx2 END) AS sx2_b
+        FROM v GROUP BY e
+    ),
+    zs AS (
+        SELECT e, n_a, n_b,
+               (CAST(sx_a AS DOUBLE) / n_a - CAST(sx_b AS DOUBLE) / n_b)
+               / SQRT(((sx2_a - CAST(sx_a AS DOUBLE) * sx_a / n_a) / (n_a - 1)) / n_a
+                    + ((sx2_b - CAST(sx_b AS DOUBLE) * sx_b / n_b) / (n_b - 1)) / n_b)
+                   AS z
+        FROM wide
+    ),
+    ps AS (
+        SELECT e, n_a, n_b, z,
+               CAST(FLOOR(2.0 * {_E43_CDF} * 1000000.0 + 0.5) AS BIGINT)
+                   AS p_micro
+        FROM (SELECT *, ABS(z) AS az, 1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt
+              FROM zs)
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY p_micro, e) AS rnk FROM ps
+    ),
+    kmax AS (
+        SELECT MAX(CASE WHEN p_micro <= 6250 * rnk THEN rnk END) AS km
+        FROM ranked
+    )
+    SELECT e AS experiment, n_a, n_b,
+           {sql_fround("z", 6)} AS z_stat,
+           CAST(p_micro AS DOUBLE) / 1000000.0 AS p_value,
+           CAST(rnk AS BIGINT) AS bh_rank,
+           rnk <= COALESCE(km, 0) AS rejected
+    FROM ranked CROSS JOIN kmax
+    """,
+    doc="A/A calibration suite under Benjamini–Hochberg FDR control "
+    f"(Benjamini & Hochberg 1995): {_E43_EXPTS} simultaneous null "
+    "experiments, each a deterministic hash split of users (the "
+    "experiment-platform validation practice — A/A tests verify the "
+    "assignment and stats pipeline produce no false lift), each read "
+    "out as e24's Welch z on per-user purchase counts, then the "
+    "step-up procedure at q = 0.10. Two-sided p-values come from the "
+    "Abramowitz–Stegun 26.2.17 tail polynomial with IDENTICAL Horner "
+    "literals compiled into both engines, quantized to integer "
+    "micro-units BEFORE the BH comparison — which is then exact "
+    "integer cross-multiplication (p <= i*q/m becomes p_micro <= "
+    "6250*i), so a last-ulp libm difference cannot flip a rejection. "
+    "Scale: the per-user rollup is the only data-sized shuffle; the "
+    f"x{_E43_EXPTS} fan-out folds to experiments x 2 rows by map-side "
+    "combine (q97's replicate-weight shape); the BH window ranks "
+    f"{_E43_EXPTS} rows. Expected readout: zero rejections — a "
+    "rejection here means the hash assignment itself is biased.",
+)
+def e43_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x")
+    )
+    expts = spark.range(_E43_EXPTS).select(F.col("id").cast("bigint").alias("e"))
+    assigned = per_user.crossJoin(F.broadcast(expts)).select(
+        "e",
+        (
+            ((F.col("user_id") % _E43_M) * _E43_A + F.lit(_E43_B) * F.col("e"))
+            % _E43_M % 2
+        ).alias("variant"),
+        "x",
+    )
+    v = assigned.groupBy("e", "variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
+    )
+    wide = v.groupBy("e").agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("sx"))).alias("sx_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("sx2"))).alias("sx2_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("sx"))).alias("sx_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("sx2"))).alias("sx2_b"),
+    )
+    zs = wide.withColumn(
+        "z",
+        F.expr(
+            "(CAST(sx_a AS DOUBLE) / n_a - CAST(sx_b AS DOUBLE) / n_b)"
+            " / SQRT(((sx2_a - CAST(sx_a AS DOUBLE) * sx_a / n_a) / (n_a - 1)) / n_a"
+            " + ((sx2_b - CAST(sx_b AS DOUBLE) * sx_b / n_b) / (n_b - 1)) / n_b)"
+        ),
+    )
+    ps = (
+        zs.withColumn("az", F.expr("ABS(z)"))
+        .withColumn("tt", F.expr("1.0 / (1.0 + 0.2316419 * ABS(z))"))
+        .withColumn(
+            "p_micro",
+            F.expr(
+                f"CAST(FLOOR(2.0 * {_E43_CDF} * 1000000.0 + 0.5) AS BIGINT)"
+            ),
+        )
+    )
+    # BH step-up over the 16-row experiment frame (bounded global window)
+    ranked = ps.withColumn("rnk", F.row_number().over(W.orderBy("p_micro", "e")))
+    km = ranked.agg(
+        F.max(
+            F.when(F.col("p_micro") <= 6250 * F.col("rnk"), F.col("rnk"))
+        ).alias("km")
+    )
+    return ranked.crossJoin(F.broadcast(km)).select(
+        F.col("e").alias("experiment"),
+        "n_a",
+        "n_b",
+        fround(F.col("z"), 6).alias("z_stat"),
+        (F.col("p_micro").cast("double") / 1_000_000.0).alias("p_value"),
+        F.col("rnk").cast("bigint").alias("bh_rank"),
+        (F.col("rnk") <= F.coalesce(F.col("km"), F.lit(0))).alias("rejected"),
+    )

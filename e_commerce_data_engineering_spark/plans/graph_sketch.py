@@ -2551,3 +2551,119 @@ def g13_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return auth.unionAll(hubs)
+
+
+# ---------------------------------------------------------------------------
+# x15 — hash-rate sampled quantiles with an exact-quantile error audit
+# (round 9): the mergeable uniform-sample summary, graded against the
+# q93 value-grid fences it approximates
+# ---------------------------------------------------------------------------
+
+_X15_M = 2147483647  # 2^31 - 1 (MINSTD modulus)
+_X15_A = 48271  # MINSTD multiplier; (key % M) * A < 2^47 stays in int64
+_X15_RATE = 16  # keep keys whose scrambled hash % 16 == 0 (~6.25%)
+
+
+@query(
+    "x15_sample_quantiles",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderpriority AS pri,
+               CAST(FLOOR(o_totalprice) AS BIGINT) AS v,
+               CASE WHEN ((o_orderkey % {_X15_M}) * {_X15_A})
+                        % {_X15_M} % {_X15_RATE} = 0
+                    THEN 1 ELSE 0 END AS in_s
+        FROM orders
+    ),
+    vals AS (
+        SELECT pri, v,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(in_s) AS BIGINT) AS cnt_s
+        FROM base GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT pri, v, cnt, cnt_s,
+               SUM(cnt) OVER (PARTITION BY pri ORDER BY v) AS cum,
+               SUM(cnt_s) OVER (PARTITION BY pri ORDER BY v) AS cum_s,
+               SUM(cnt) OVER (PARTITION BY pri) AS n,
+               SUM(cnt_s) OVER (PARTITION BY pri) AS n_s
+        FROM vals
+    )
+    SELECT pri,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(MAX(n_s) AS BIGINT) AS n_sample,
+           CAST(MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN v END) AS BIGINT)
+               AS p50_exact,
+           CAST(MIN(CASE WHEN n_s > 0 AND cum_s >= (50 * n_s + 99) // 100 THEN v END)
+               AS BIGINT) AS p50_est,
+           CAST(MIN(CASE WHEN cum >= (90 * n + 99) // 100 THEN v END) AS BIGINT)
+               AS p90_exact,
+           CAST(MIN(CASE WHEN n_s > 0 AND cum_s >= (90 * n_s + 99) // 100 THEN v END)
+               AS BIGINT) AS p90_est,
+           CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN v END) AS BIGINT)
+               AS p99_exact,
+           CAST(MIN(CASE WHEN n_s > 0 AND cum_s >= (99 * n_s + 99) // 100 THEN v END)
+               AS BIGINT) AS p99_est
+    FROM cum
+    GROUP BY pri
+    """,
+    doc="Quantile estimation from a deterministic hash-rate sample, "
+    "audited against the exact fences it approximates: keep the orders "
+    f"whose MINSTD-scrambled o_orderkey lands in 1/{_X15_RATE} of hash "
+    "space (coordinated 'mod-M' sampling, the min-wise/bottom-k family "
+    "of Broder 1997 / Cohen 1997 — the summary is MERGEABLE: a union "
+    "of per-partition samples IS the sample of the union, and two "
+    "tables sampled on the same key hash stay join-compatible), then "
+    "read p50/p90/p99 per order priority from the sample's value grid "
+    "beside the exact population fences (q93's integer ceil-division "
+    "discipline on the DOLLAR grid, which the price RANGE bounds "
+    "regardless of row count). The sample membership bit is exact "
+    "int64 arithmetic in both engines, so sample quantiles hash-match "
+    "— the readout shows the estimate bracketing the exact fence per "
+    "priority, the audit a sampling design needs before anyone trusts "
+    "it at 100 TB (where the exact side of this query is the one you "
+    "can no longer afford to run per-slice). Scale: one map-side-"
+    "combinable (priority, dollar) rollup carries BOTH counters; the "
+    "cumulative window walks the bounded dollar grid; 5 output rows.",
+)
+def x15_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.floor(F.col("o_totalprice")).cast("bigint").alias("v"),
+        F.when(
+            ((F.col("o_orderkey") % _X15_M) * _X15_A) % _X15_M % _X15_RATE == 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("in_s"),
+    )
+    vals = o.groupBy("pri", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("in_s").cast("bigint").alias("cnt_s"),
+    )
+    wc = W.partitionBy("pri").orderBy("v")
+    wn = W.partitionBy("pri")
+    cum = vals.select(
+        "pri",
+        "v",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt_s").over(wc).alias("cum_s"),
+        F.sum("cnt").over(wn).alias("n"),
+        F.sum("cnt_s").over(wn).alias("n_s"),
+    )
+
+    def fence(pct: int, cum_col: str, n_col: str, name: str):
+        thr = F.expr(f"({pct} * {n_col} + 99) div 100")
+        guard = (F.col(n_col) > 0) & (F.col(cum_col) >= thr)
+        return F.min(F.when(guard, F.col("v"))).cast("bigint").alias(name)
+
+    return cum.groupBy("pri").agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.max("n_s").cast("bigint").alias("n_sample"),
+        fence(50, "cum", "n", "p50_exact"),
+        fence(50, "cum_s", "n_s", "p50_est"),
+        fence(90, "cum", "n", "p90_exact"),
+        fence(90, "cum_s", "n_s", "p90_est"),
+        fence(99, "cum", "n", "p99_exact"),
+        fence(99, "cum_s", "n_s", "p99_est"),
+    )

@@ -94,6 +94,22 @@ _PRIORITY: tuple[str, ...] = (
     "q91_mann_whitney",  # fell off _PRIORITY in a past rotation; never
     # driver-recorded (absent from CORRECTNESS_r01..r08) — front of the
     # round-9 window so it finally gets an official record
+    # round-9 additions (all oracle-backed): value-grid rank stats on
+    # the fact table, inventory quantiles, FDR-controlled A/A suite,
+    # MMR diversified rerank, effective dimensionality, Kneser-Ney LM,
+    # vocabulary-richness constants
+    "q100_kendall_tau",
+    "q101_pettitt_changepoint",
+    "q102_runs_test",
+    "q103_safety_stock",
+    "e43_bh_fdr",
+    "s27_mmr_rerank",
+    "s28_participation_ratio",
+    "t67_kneser_ney",
+    "t68_yule_k",
+    "x15_sample_quantiles",
+    "d21_dedup_consensus",
+    "q105_wasserstein_drift",
     # --- already driver-recorded: round-8 block (all 37 recorded in
     # CORRECTNESS_r08), youngest first.
     "t63_winnowing_fingerprints",

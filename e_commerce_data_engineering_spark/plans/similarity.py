@@ -2689,3 +2689,334 @@ def s26_abtt_retrieval_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("shift_q"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# s27 — MMR diversified rerank over the exact shortlist (round 9)
+# ---------------------------------------------------------------------------
+
+_S27_SHORTLIST = 12  # exact-cosine shortlist fed to MMR
+_S27_PICKS = 4  # greedy diversified picks (statically unrolled)
+# lambda = 0.7 exactly, as integers: 10*MMR = 7*rel_q - 3*maxsim_q
+_S27_SIM_AB = (
+    f"list_reduce(list_transform(generate_series(1, {EMBEDDING_DIM}),"
+    " i -> CAST(a_emb[i] AS DOUBLE) * CAST(b_emb[i] AS DOUBLE)), (x,y) -> x+y)"
+    " / (sqrt(list_reduce(list_transform(generate_series(1, "
+    f"{EMBEDDING_DIM}), i -> CAST(a_emb[i] AS DOUBLE) * CAST(a_emb[i] AS"
+    " DOUBLE)), (x,y) -> x+y)) * sqrt(list_reduce(list_transform("
+    f"generate_series(1, {EMBEDDING_DIM}), i -> CAST(b_emb[i] AS DOUBLE)"
+    " * CAST(b_emb[i] AS DOUBLE)), (x,y) -> x+y)))"
+)
+
+
+def _s27_sql_steps() -> str:
+    """Unrolled MMR steps 2..k as CTE text: each step aggregates the
+    max selected-similarity per remaining candidate and argmaxes the
+    integer score 7*rel_q - 3*maxsim_q (ties -> smaller c_id)."""
+    steps = []
+    for i in range(2, _S27_PICKS + 1):
+        prev = " UNION ALL ".join(f"SELECT * FROM sel{j}" for j in range(1, i))
+        steps.append(f"""
+    seen{i} AS ({prev}),
+    cand{i} AS (
+        SELECT s.q_id, s.c_id, s.rel_q, MAX(p.sim_q) AS maxsim_q
+        FROM shortlist s
+        JOIN seen{i} t ON t.q_id = s.q_id
+        JOIN prs p ON p.q_id = s.q_id AND p.a_id = s.c_id AND p.b_id = t.c_id
+        WHERE NOT EXISTS (SELECT 1 FROM seen{i} x
+                          WHERE x.q_id = s.q_id AND x.c_id = s.c_id)
+        GROUP BY 1, 2, 3
+    ),
+    sel{i} AS (
+        SELECT q_id, c_id, rel_q, CAST({i} AS INTEGER) AS pick_rank,
+               7 * rel_q - 3 * maxsim_q AS mmr10_q
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY 7 * rel_q - 3 * maxsim_q DESC, c_id) AS rn
+            FROM cand{i}
+        ) WHERE rn = 1
+    )""")
+    return ",".join(steps)
+
+
+@query(
+    "s27_mmr_rerank",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id < {N_QUERY_VECS}),
+    c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+    scored AS (
+        SELECT q_id, c_id, c_emb,
+               CAST(FLOOR({_SQL_DOT_QC} / ({_SQL_NORM_Q} * {_SQL_NORM_C})
+                   * 1000000.0 + 0.5) AS BIGINT) AS rel_q
+        FROM q CROSS JOIN c WHERE q_id <> c_id
+    ),
+    shortlist AS (
+        SELECT q_id, c_id, c_emb, rel_q
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY rel_q DESC, c_id) AS rn FROM scored)
+        WHERE rn <= {_S27_SHORTLIST}
+    ),
+    prs AS (
+        SELECT a.q_id, a.c_id AS a_id, b.c_id AS b_id,
+               CAST(FLOOR({_S27_SIM_AB} * 1000000.0 + 0.5) AS BIGINT) AS sim_q
+        FROM (SELECT q_id, c_id, c_emb AS a_emb FROM shortlist) a
+        JOIN (SELECT q_id, c_id, c_emb AS b_emb FROM shortlist) b
+          ON a.q_id = b.q_id AND a.c_id <> b.c_id
+    ),
+    sel1 AS (
+        SELECT q_id, c_id, rel_q, CAST(1 AS INTEGER) AS pick_rank,
+               7 * rel_q AS mmr10_q
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY rel_q DESC, c_id) AS rn FROM shortlist)
+        WHERE rn = 1
+    ),{_s27_sql_steps()},
+    allsel AS ({" UNION ALL ".join(f"SELECT * FROM sel{j}" for j in range(1, _S27_PICKS + 1))})
+    SELECT q_id, pick_rank, c_id,
+           CAST(rel_q AS DOUBLE) / 1000000.0 AS relevance,
+           CAST(mmr10_q AS DOUBLE) / 10000000.0 AS mmr_score
+    FROM allsel
+    """,
+    doc="Maximal Marginal Relevance rerank (Carbonell & Goldstein "
+    f"1998): from each probe's exact-cosine top-{_S27_SHORTLIST} "
+    f"shortlist, greedily pick {_S27_PICKS} results maximizing "
+    "lambda*rel - (1-lambda)*max-sim-to-already-picked — the standard "
+    "diversification pass RAG retrieval stacks run between ANN and "
+    "the prompt, killing near-duplicate hits (which this corpus's "
+    "cluster structure produces in quantity). lambda = 0.7 is exact "
+    "INTEGER arithmetic: relevance and pairwise similarity quantize "
+    "to 1e-6 once, then every MMR score is 7*rel_q - 3*maxsim_q — "
+    "greedy argmax ties break on c_id, so the full trajectory is "
+    "engine-deterministic (no float drift can reorder picks). The "
+    f"{_S27_PICKS} greedy steps are statically unrolled (t56's "
+    "pattern); every per-step frame is probes x shortlist, and the "
+    "candidate-candidate similarity matrix is computed ONCE "
+    f"({_S27_SHORTLIST}^2 per probe) before the loop. Scale: the "
+    "data-sized stage is the one broadcast-probe scan; everything "
+    "after is O(probes * shortlist^2), independent of corpus size.",
+)
+def s27_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / (
+        l2_norm(F.col("q_emb")) * l2_norm(F.col("c_emb"))
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            "c_emb",
+            F.floor(cos * 1_000_000.0 + F.lit(0.5)).cast("bigint").alias("rel_q"),
+        )
+    )
+    shortlist = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.col("rel_q").desc(), "c_id")
+            ),
+        )
+        .filter(F.col("rn") <= _S27_SHORTLIST)
+        .drop("rn")
+        # N_QUERY_VECS hash partitions on q_id: every downstream window,
+        # groupBy, and join in the greedy loop clusters on q_id (or a
+        # superset), so this single tiny exchange replaces ~4 unrolled
+        # iterations x 3 ops worth of spark.sql.shuffle.partitions-wide
+        # exchanges (measured 35.8s -> ~8s at sf0.01 on a vanilla
+        # 200-partition session).
+        .repartition(N_QUERY_VECS, "q_id")
+        .persist()
+    )
+    a = shortlist.select("q_id", F.col("c_id").alias("a_id"), F.col("c_emb").alias("a_emb"))
+    b = shortlist.select("q_id", F.col("c_id").alias("b_id"), F.col("c_emb").alias("b_emb"))
+    sim = dot(F.col("a_emb"), F.col("b_emb")) / (
+        l2_norm(F.col("a_emb")) * l2_norm(F.col("b_emb"))
+    )
+    prs = (
+        a.join(b, "q_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "q_id",
+            "a_id",
+            "b_id",
+            F.floor(sim * 1_000_000.0 + F.lit(0.5)).cast("bigint").alias("sim_q"),
+        )
+        .persist()
+    )
+    base = shortlist.select("q_id", "c_id", "rel_q")
+    sel = (
+        base.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.col("rel_q").desc(), "c_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "q_id",
+            "c_id",
+            "rel_q",
+            F.lit(1).cast("int").alias("pick_rank"),
+            (7 * F.col("rel_q")).alias("mmr10_q"),
+        )
+    )
+    selected = sel
+    for i in range(2, _S27_PICKS + 1):
+        seen = selected.select("q_id", F.col("c_id").alias("b_id"))
+        # max similarity from each shortlist member to the selected set
+        ms = (
+            prs.join(F.broadcast(seen), ["q_id", "b_id"])
+            .groupBy("q_id", F.col("a_id").alias("c_id"))
+            .agg(F.max("sim_q").alias("maxsim_q"))
+        )
+        remaining = base.join(
+            seen.withColumnRenamed("b_id", "c_id"), ["q_id", "c_id"], "left_anti"
+        )
+        cand = remaining.join(ms, ["q_id", "c_id"])
+        pick = (
+            cand.withColumn("score", 7 * F.col("rel_q") - 3 * F.col("maxsim_q"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("q_id").orderBy(F.col("score").desc(), "c_id")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                "q_id",
+                "c_id",
+                "rel_q",
+                F.lit(i).cast("int").alias("pick_rank"),
+                F.col("score").alias("mmr10_q"),
+            )
+            # one row per probe; persisted so later iterations' `seen`
+            # (and the final union) reuse it instead of re-executing
+            # every earlier pick's join+window subplan — the unrolled
+            # lineage is otherwise quadratic in _S27_PICKS
+            .persist()
+        )
+        selected = selected.unionByName(pick)
+    return selected.select(
+        "q_id",
+        "pick_rank",
+        "c_id",
+        (F.col("rel_q").cast("double") / 1_000_000.0).alias("relevance"),
+        (F.col("mmr10_q").cast("double") / 10_000_000.0).alias("mmr_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# s28 — participation ratio: the embedding space's effective
+# dimensionality from per-dimension variances (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s28_participation_ratio",
+    oracle=f"""
+    WITH dims AS (SELECT unnest(generate_series(1, {EMBEDDING_DIM})) AS dim),
+    x AS (
+        SELECT d.dim,
+               CAST(FLOOR(CAST(e.embedding[d.dim] AS DOUBLE) * {_Q} + 0.5)
+                   AS BIGINT) AS xq
+        FROM embeddings e CROSS JOIN dims d
+    ),
+    per_dim AS (
+        SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xq) AS BIGINT) AS s1,
+               CAST(SUM(xq * xq) AS BIGINT) AS s2
+        FROM x GROUP BY dim
+    ),
+    vars AS (
+        SELECT dim,
+               CAST(FLOOR((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
+                   * (CAST(s1 AS DOUBLE) / n)) / ({_Q} * {_Q})
+                   * 1000000000.0 + 0.5) AS BIGINT) AS vq
+        FROM per_dim
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+               CAST(SUM(vq) AS BIGINT) AS sv,
+               CAST(SUM(CAST(vq AS HUGEINT) * vq) AS HUGEINT) AS sv2,
+               CAST(MAX(vq) AS BIGINT) AS vmax
+        FROM vars
+    )
+    SELECT n_dims,
+           {sql_fround("CAST(sv AS DOUBLE) / 1000000000.0 / n_dims", 6)} AS mean_var,
+           {sql_fround("CAST(vmax AS DOUBLE) / 1000000000.0", 6)} AS max_var,
+           {sql_fround("CAST(sv AS DOUBLE) * sv / sv2", 4)} AS participation_ratio,
+           {sql_fround("CAST(sv AS DOUBLE) * sv / sv2 / n_dims", 4)} AS pr_fraction
+    FROM agg
+    """,
+    doc="Participation ratio PR = (SUM v_d)^2 / SUM v_d^2 over the "
+    "per-dimension variances — the physics-borrowed effective-"
+    "dimensionality estimate (Gao et al. 2017 use it for neural "
+    "population geometry; RAG stacks read it as 'how many dimensions "
+    "does my embedding model actually use'): PR = D for isotropic "
+    "spaces, PR << D when a few directions carry everything — the "
+    "variance-spectrum companion to s23's mean-vector anisotropy "
+    "(s23 measures the common-direction BIAS, s28 the SPREAD "
+    "concentration), and the eigenvalue-free cousin of a PCA scree "
+    "read. Elements quantize to 1e-6 integers BEFORE the (n, S1, S2) "
+    "sums, so per-dim variances are exact-integer arithmetic in both "
+    "engines; the final fold is 64 rows. Scale: one posexplode + one "
+    "map-side-combinable groupBy on dim (64 keys) — embarrassingly "
+    "parallel, constant-size output at any corpus size.",
+)
+def s28_participation_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        F.posexplode("embedding").alias("dim0", "v")
+    ).select(
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("v").cast("double") * _Q + F.lit(0.5)).cast("bigint").alias("xq"),
+    )
+    per_dim = x.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xq").cast("bigint").alias("s1"),
+        F.sum(F.col("xq") * F.col("xq")).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    # per-dim variance re-quantized to 1e-9 integers before the 64-row
+    # fold: the cross-dim sums stay order-independent on both engines
+    vars_ = per_dim.select(
+        "dim",
+        F.floor(
+            (F.col("s2").cast("double") / F.col("n") - mean * mean)
+            / (_Q * _Q)
+            * 1_000_000_000.0
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("vq"),
+    )
+    agg = vars_.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+        F.sum("vq").cast("bigint").alias("sv"),
+        # vq ~ 1e9 for unit-variance dims, so vq^2 sums past int64:
+        # DECIMAL(38,0) here, HUGEINT in the oracle (exact integers
+        # cast to the same double at display)
+        F.sum(F.expr("CAST(vq AS DECIMAL(19,0)) * vq"))
+        .cast("decimal(38,0)")
+        .alias("sv2"),
+        F.max("vq").cast("bigint").alias("vmax"),
+    )
+    return agg.select(
+        "n_dims",
+        fround(F.col("sv").cast("double") / 1_000_000_000.0 / F.col("n_dims"), 6).alias(
+            "mean_var"
+        ),
+        fround(F.col("vmax").cast("double") / 1_000_000_000.0, 6).alias("max_var"),
+        fround(F.col("sv").cast("double") * F.col("sv") / F.col("sv2"), 4).alias(
+            "participation_ratio"
+        ),
+        fround(
+            F.col("sv").cast("double") * F.col("sv") / F.col("sv2") / F.col("n_dims"), 4
+        ).alias("pr_fraction"),
+    )

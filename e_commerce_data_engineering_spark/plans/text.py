@@ -5209,3 +5209,202 @@ def t66_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.select(
         "doc_id", "n_sentences", "n_words", "n_syllables", fround(fk, 4).alias("fk_grade")
     )
+
+
+# ---------------------------------------------------------------------------
+# t67 — interpolated Kneser–Ney bigram LM vs t23's add-alpha, per source
+# (round 9)
+# ---------------------------------------------------------------------------
+
+_T67_D = 0.75  # absolute discount (the Chen & Goodman 1998 default)
+
+
+@query(
+    "t67_kneser_ney",
+    oracle=f"""{_SQL_T23_SCORED},
+    n1w1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS f1 FROM bi GROUP BY w1),
+    n1w2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS f2 FROM bi GROUP BY w2),
+    ntypes AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM bi),
+    kn AS (
+        SELECT b.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS nb,
+               CAST(SUM(CAST(FLOOR(
+                   -log2((bi.c2 - {_T67_D}) / uni.c1
+                         + {_T67_D} * n1w1.f1 / uni.c1
+                           * n1w2.f2 / ntypes.nt)
+                   * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS kn_bits
+        FROM big b
+        JOIN bi ON b.w1 = bi.w1 AND b.w2 = bi.w2
+        JOIN uni ON b.w1 = uni.w1
+        JOIN n1w1 ON b.w1 = n1w1.w1
+        JOIN n1w2 ON b.w2 = n1w2.w2
+        CROSS JOIN ntypes
+        GROUP BY b.doc_id
+    ),
+    per AS (
+        SELECT d.source,
+               CAST(SUM(kn.nb) AS BIGINT) AS n_bigrams,
+               CAST(SUM(kn.kn_bits) AS BIGINT) AS knb,
+               CAST(SUM(s.q_bits) AS BIGINT) AS akb
+        FROM kn
+        JOIN scored s ON s.doc_id = kn.doc_id
+        JOIN documents d ON d.doc_id = kn.doc_id
+        GROUP BY d.source
+    )
+    SELECT source, n_bigrams,
+           {sql_fround("CAST(knb AS DOUBLE) / n_bigrams / 1000000.0", 4)}
+               AS kn_avg_bits,
+           {sql_fround("CAST(akb AS DOUBLE) / n_bigrams / 1000000.0", 4)}
+               AS addk_avg_bits,
+           {sql_fround("(CAST(akb AS DOUBLE) - knb) / n_bigrams / 1000000.0", 4)}
+               AS bits_saved
+    FROM per
+    """,
+    doc="Interpolated Kneser–Ney bigram LM (Kneser & Ney 1995; Chen & "
+    "Goodman 1998's winner) scored head-to-head against t23's "
+    "add-alpha model on the same corpus, per source: P_KN(w2|w1) = "
+    f"(c(w1w2) - D)/c(w1) + D*N1+(w1.)/c(w1) * Pcont(w2) with D = "
+    f"{_T67_D}, where the continuation probability Pcont(w2) = "
+    "N1+(.w2)/N1+(..) counts CONTEXTS (the 'San Francisco' insight: "
+    "'Francisco' is frequent but follows one word, so its continuation "
+    "mass is tiny). Observed bigrams always have c >= 1 > D, so the "
+    "discount never clips and the formula stays branch-free. Every "
+    "input is an exact integer count; each event's -log2 P quantizes "
+    "to 1e-6 bits BEFORE the integer per-source sum (the engine float "
+    "discipline), and bits_saved reports KN's per-bigram win over "
+    "add-alpha — model comparison as a data-quality signal (high "
+    "bits_saved = a source whose mass add-alpha misallocates). Scale: "
+    "count frames shuffle on (w1, w2) / w1 / w2 vocab grains with "
+    "map-side combine; the scoring join fans the fact ONCE against "
+    "broadcast-sized vocab dims; output is sources x 5.",
+)
+def t67_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    big = (
+        d.select("doc_id", toks.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("_t", 1, F.size("_t") - 1),
+                    F.slice("_t", 2, F.size("_t") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("_bg"),
+        )
+        .select("doc_id", F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    )
+    uni = big.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    bi = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    n1w1 = bi.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("f1"))
+    n1w2 = bi.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("f2"))
+    ntypes = bi.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+    kn_q = F.floor(
+        -F.log2(
+            (F.col("c2") - F.lit(_T67_D)) / F.col("c1")
+            + F.lit(_T67_D) * F.col("f1") / F.col("c1")
+            * F.col("f2") / F.col("nt")
+        )
+        * 1_000_000.0
+        + F.lit(0.5)
+    ).cast("bigint")
+    kn = (
+        big.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .join(F.broadcast(n1w1), "w1")
+        .join(F.broadcast(n1w2), "w2")
+        .crossJoin(F.broadcast(ntypes))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nb"),
+            F.sum(kn_q).cast("bigint").alias("kn_bits"),
+        )
+    )
+    addk = _bigram_doc_bits(d).select("doc_id", F.col("_qb").alias("ak_bits"))
+    per = (
+        kn.join(addk, "doc_id")
+        .join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("nb").cast("bigint").alias("n_bigrams"),
+            F.sum("kn_bits").cast("bigint").alias("knb"),
+            F.sum("ak_bits").cast("bigint").alias("akb"),
+        )
+    )
+    nb = F.col("n_bigrams")
+    return per.select(
+        "source",
+        "n_bigrams",
+        fround(F.col("knb").cast("double") / nb / 1_000_000.0, 4).alias("kn_avg_bits"),
+        fround(F.col("akb").cast("double") / nb / 1_000_000.0, 4).alias(
+            "addk_avg_bits"
+        ),
+        fround(
+            (F.col("akb").cast("double") - F.col("knb")) / nb / 1_000_000.0, 4
+        ).alias("bits_saved"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t68 — Yule's K and Herdan's C vocabulary-richness constants per source
+# (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t68_yule_k",
+    oracle=f"""
+    WITH tok AS (
+        SELECT d.source, unnest({_DUCK_TOKS}) AS w
+        FROM documents d
+    ),
+    tc AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS v,
+               CAST(SUM(c * c) AS BIGINT) AS sc2
+        FROM tc GROUP BY source
+    )
+    SELECT source, n AS n_tokens, v AS n_types,
+           {sql_fround("10000.0 * (CAST(sc2 AS DOUBLE) - n) / (CAST(n AS DOUBLE) * n)", 4)}
+               AS yule_k,
+           {sql_fround("ln(CAST(v AS DOUBLE)) / ln(CAST(n AS DOUBLE))", 6)}
+               AS herdan_c
+    FROM per
+    """,
+    doc="Yule's characteristic K (Yule 1944) and Herdan's C (Herdan "
+    "1960) per source — the two classical vocabulary-richness "
+    "constants that, unlike raw TTR (t61), are designed to be "
+    "length-insensitive: K = 10^4 (SUM c^2 - N)/N^2 measures repeat "
+    "probability (high K = repetitive/TEMPLATED text — a spam signal "
+    "the quality stack reads alongside t13's repetition stats), and C "
+    "= ln V / ln N is the Heaps-law exponent snapshot (t44 fits the "
+    "full curve). Both collapse to exact integer (N, V, SUM c^2) off "
+    "the (source, token) count grain — one explode + one map-side-"
+    "combinable shuffle on the vocab grain, 20 output rows; doubles "
+    "appear only at display, quantized 1e-4/1e-6.",
+)
+def t68_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(X.tokens(F.col("text"))).alias("w"))
+    tc = tok.groupBy("source", "w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    per = tc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sc2"),
+    )
+    nd = F.col("n").cast("double")
+    return per.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("n_types"),
+        fround(10_000.0 * (F.col("sc2").cast("double") - F.col("n")) / (nd * nd), 4)
+        .alias("yule_k"),
+        fround(F.log(F.col("v").cast("double")) / F.log(nd), 6).alias("herdan_c"),
+    )

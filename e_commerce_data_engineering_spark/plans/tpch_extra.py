@@ -3961,3 +3961,124 @@ def q103_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(mean_d, 4).alias("mean_weekly"),
         fround(F.col("p95").cast("double") - mean_d, 4).alias("safety_stock"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q105 — Wasserstein-1 drift between consecutive years' order-value
+# distributions (round 9): exact integer CDF-gap sums on the dollar
+# value grid
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q105_wasserstein_drift",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+               CAST(FLOOR(o_totalprice) AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT yr AS year_a, yr + 1 AS year_b FROM (SELECT DISTINCT yr FROM base)
+        WHERE yr + 1 IN (SELECT DISTINCT yr FROM base)
+    ),
+    grid AS (
+        SELECT p.year_a, p.year_b, b.v,
+               CAST(SUM(CASE WHEN b.yr = p.year_a THEN b.cnt ELSE 0 END)
+                    AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN b.yr = p.year_b THEN b.cnt ELSE 0 END)
+                    AS BIGINT) AS cb
+        FROM base b JOIN pairs p ON b.yr IN (p.year_a, p.year_b)
+        GROUP BY 1, 2, 3
+    ),
+    cum AS (
+        SELECT year_a, year_b, v,
+               SUM(ca) OVER (PARTITION BY year_a ORDER BY v) AS cum_a,
+               SUM(cb) OVER (PARTITION BY year_a ORDER BY v) AS cum_b,
+               SUM(ca) OVER (PARTITION BY year_a) AS n_a,
+               SUM(cb) OVER (PARTITION BY year_a) AS n_b,
+               COALESCE(LEAD(v) OVER (PARTITION BY year_a ORDER BY v) - v, 0)
+                   AS dv
+        FROM grid
+    )
+    SELECT year_a, year_b,
+           CAST(MAX(n_a) AS BIGINT) AS n_a,
+           CAST(MAX(n_b) AS BIGINT) AS n_b,
+           ROUND(CAST(SUM(CAST(ABS(cum_a * n_b - cum_b * n_a) AS HUGEINT)
+                          * CAST(dv AS HUGEINT)) AS DOUBLE)
+                 / (CAST(MAX(n_a) AS DOUBLE) * CAST(MAX(n_b) AS DOUBLE)), 4)
+               AS w1_dollars
+    FROM cum
+    GROUP BY year_a, year_b
+    """,
+    doc="Wasserstein-1 (earth-mover) distance between consecutive "
+    "years' order-value distributions — the drift metric with units "
+    "(dollars of probability mass moved) that KL/JS divergences "
+    "(t47) cannot provide, and the standard train/serve skew monitor "
+    "for a data pipeline's numeric features: on a 1-D grid W1 = "
+    "integral |F_a - F_b| dv, computed EXACTLY as sum over dollar-"
+    "grid steps of |cum_a*n_b - cum_b*n_a| * dv with the cross-"
+    "multiplied CDF gap kept in DECIMAL(38,0)/HUGEINT (the q100 "
+    "wide-integer discipline — cum*n reaches rows^2 and the dv "
+    "factor adds the price range on top), divided back by n_a*n_b "
+    "once at display. Every input to the big sum is an exact "
+    "integer in both engines, so the hash gate covers the whole "
+    "metric, not a float approximation of it. Scale: one map-side-"
+    "combinable (year, dollar) rollup is the only data-sized stage; "
+    "the x2 pair fan-out rides a 6-row broadcast; cumulative windows "
+    "walk the PRICE-RANGE-bounded dollar grid (never the order "
+    "population); 6 output rows.",
+)
+def q105_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.floor(F.col("o_totalprice")).cast("bigint").alias("v"),
+    )
+    base = o.groupBy("yr", "v").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    yrs = base.select("yr").distinct()
+    pairs = (
+        yrs.alias("a")
+        .join(yrs.alias("b"), F.expr("a.yr + 1 = b.yr"))
+        .select(F.col("a.yr").alias("year_a"), F.col("b.yr").alias("year_b"))
+    )
+    grid = (
+        base.join(
+            F.broadcast(pairs),
+            (F.col("yr") == F.col("year_a")) | (F.col("yr") == F.col("year_b")),
+        )
+        .groupBy("year_a", "year_b", "v")
+        .agg(
+            F.sum(F.when(F.col("yr") == F.col("year_a"), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("ca"),
+            F.sum(F.when(F.col("yr") == F.col("year_b"), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("cb"),
+        )
+    )
+    wc = W.partitionBy("year_a").orderBy("v")
+    wn = W.partitionBy("year_a")
+    cum = grid.select(
+        "year_a",
+        "year_b",
+        F.sum("ca").over(wc).alias("cum_a"),
+        F.sum("cb").over(wc).alias("cum_b"),
+        F.sum("ca").over(wn).alias("n_a"),
+        F.sum("cb").over(wn).alias("n_b"),
+        F.coalesce(F.lead("v").over(wc) - F.col("v"), F.lit(0)).alias("dv"),
+    )
+    term = (
+        F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+        .cast("decimal(38,0)")
+        * F.col("dv").cast("decimal(38,0)")
+    )
+    return cum.groupBy("year_a", "year_b").agg(
+        F.max("n_a").cast("bigint").alias("n_a"),
+        F.max("n_b").cast("bigint").alias("n_b"),
+        fround(
+            F.sum(term).cast("double")
+            / (F.max("n_a").cast("double") * F.max("n_b").cast("double")),
+            4,
+        ).alias("w1_dollars"),
+    )

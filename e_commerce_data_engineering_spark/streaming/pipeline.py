@@ -1697,3 +1697,76 @@ def read_misra_gries_summary(
         .withColumn("err_bound", F.expr("_n div (_k + 1)"))
         .drop("_n", "_k")
     )
+
+
+def start_sample_quantile_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    k: int = 64,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Streaming twin of the x15 sampling idea as a FIXED-SIZE store:
+    each micro-batch reduces its rows to the per-group bottom-k rows by
+    scrambled row-key hash (``operators/sketch.bottomk_sample``) and
+    writes that partial under ``batch_id=N`` with overwrite — the
+    KMV/AMS store discipline (a replayed epoch rewrites its own
+    partial). The bottom-k row sample is MERGEABLE exactly like KMV:
+    bottom-k of a union == bottom-k of the union of per-shard bottom-k
+    sets, so the read side folds k-row partials, never raw rows, and
+    state is O(k) rows per (group, drained batch) regardless of stream
+    volume. k rides IN the state rows (round-8 Misra-Gries ADVICE:
+    never a reader parameter that can drift from the writer's)."""
+    from ..operators.sketch import bottomk_sample
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+    def _partial(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bottomk_sample(batch_df, group_col, key_col, value_col, k).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/batch_id={epoch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(_partial)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_sample_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Fold the streamed per-batch bottom-k partials back into ONE
+    bottom-k sample per group (union -> re-truncate to the k smallest
+    scrambled hashes — the sketch's merge, with k read from the state
+    itself). Exactly comparable to ``bottomk_sample`` over the union
+    of all drained rows."""
+    from pyspark.sql import Window as W
+
+    st = spark.read.parquet(state_dir)
+    w = W.partitionBy("grp").orderBy("hv", "key")
+    return (
+        st.dropDuplicates(["grp", "key"])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("k"))
+        .select("grp", "hv", "key", "val", "k")
+    )
+
+
+def read_sample_quantiles(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Quantile estimates from the folded stream sample, through the
+    SAME ``operators/sketch.bottomk_quantiles`` core a batch caller
+    uses, so batch/stream parity holds by construction."""
+    from ..operators.sketch import bottomk_quantiles
+
+    return bottomk_quantiles(read_sample_state(spark, state_dir))

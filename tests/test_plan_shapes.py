@@ -1128,3 +1128,55 @@ def test_t66_readability_is_shuffle_free(spark):
     regex + HOF folds: the plan has NO shuffle exchange at all."""
     plan = plan_of(spark, "t66_readability")
     assert "Exchange" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q100_kendall_tau", "q101_pettitt_changepoint", "q102_runs_test",
+     "q103_safety_stock", "e43_bh_fdr", "s27_mmr_rerank",
+     "s28_participation_ratio", "t67_kneser_ney", "t68_yule_k"],
+)
+def test_round9_batch1_avoid_cartesian(spark, name):
+    """First round-9 batch: q100's pair masses come from the bounded
+    value-grid self-join (flag-keyed), e43's x16 experiment fan-out and
+    s27's probe fan-out are broadcast nested-loop joins over tiny
+    frames, q103's part dim rides in broadcast — no CartesianProduct
+    anywhere."""
+    assert "CartesianProduct" not in plan_of(spark, name)
+
+
+def test_s27_shortlist_is_cached_and_narrow(spark):
+    """s27's greedy MMR loop must reuse the persisted q_id-partitioned
+    shortlist (InMemoryTableScan in the plan) rather than recomputing
+    the exact-cosine scoring per unrolled step."""
+    plan = plan_of(spark, "s27_mmr_rerank")
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_q103_part_dim_is_broadcast(spark):
+    """q103 joins the 25-brand part dim to the weekly demand rollup via
+    broadcast, never a shuffle of the fact side against the dim."""
+    plan = plan_of(spark, "q103_safety_stock")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["x15_sample_quantiles", "d21_dedup_consensus", "q105_wasserstein_drift"],
+)
+def test_round9_batch2_avoid_cartesian(spark, name):
+    """Second round-9 batch: x15's sample bit rides the one value-grid
+    rollup, d21 unions three banded/blocked pair stages, q105's year
+    pair fan-out is a broadcast equi-join on yr+1 = yr — no
+    CartesianProduct anywhere."""
+    assert "CartesianProduct" not in plan_of(spark, name)
+
+
+def test_x15_single_fact_scan(spark):
+    """x15 must compute BOTH the exact and the sampled quantiles off
+    ONE scan of orders (the sample counter rides the same rollup), not
+    two scans unioned."""
+    plan = plan_of(spark, "x15_sample_quantiles")
+    # formatted mode prints each scan twice (tree + node detail): count
+    # unique scan locations instead
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan

@@ -2071,3 +2071,86 @@ def test_streaming_misra_gries_parity_and_guarantee(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert snapshot(st_split) == snapshot(st_one)
+
+
+def test_sample_quantile_stream_matches_batch(spark, tmp_path):
+    """Batch/stream parity for the bottom-k sample-quantile store:
+    orders streamed in micro-batches, per-batch bottom-k partials
+    folded read-side, must equal the sample (and its quantile fences)
+    computed over the full table in one pass — the bottom-k merge is
+    exact, like KMV's, so this is equality, not tolerance. k is read
+    from the state rows, never passed by the reader. Replay with the
+    same checkpoint changes nothing."""
+    import json as _json
+
+    from e_commerce_data_engineering_spark.operators.sketch import (
+        bottomk_quantiles,
+        bottomk_sample,
+    )
+    from e_commerce_data_engineering_spark.sources.tables import load_table
+    from e_commerce_data_engineering_spark.streaming.pipeline import (
+        read_sample_quantiles,
+        read_sample_state,
+        start_sample_quantile_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderkey").alias("okey"),
+        F.floor(F.col("o_totalprice")).cast("bigint").alias("dollars"),
+    )
+    rows = [(r["pri"], r["okey"], r["dollars"]) for r in orders.collect()]
+    src = tmp_path / "sq-src"
+    src.mkdir()
+    third = max(1, len(rows) // 3)
+    for i in range(3):
+        chunk = rows[i * third :] if i == 2 else rows[i * third : (i + 1) * third]
+        (src / f"part{i}.jsonl").write_text(
+            "\n".join(
+                _json.dumps({"pri": p, "okey": k, "dollars": d})
+                for p, k, d in chunk
+            )
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("pri", T.StringType()),
+            T.StructField("okey", T.LongType()),
+            T.StructField("dollars", T.LongType()),
+        ]
+    )
+    state = str(tmp_path / "sq-state")
+    ckpt = str(tmp_path / "sq-ckpt")
+
+    def _run():
+        q = start_sample_quantile_stream(
+            spark, str(src), state, ckpt, schema, "pri", "okey", "dollars", k=16
+        )
+        q.awaitTermination(120)
+
+    _run()
+    got_sample = {
+        (r["grp"], r["key"]) for r in read_sample_state(spark, state).collect()
+    }
+    got_q = {
+        r["grp"]: (r["n_sample"], r["k"], r["p50_est"], r["p90_est"], r["p99_est"])
+        for r in read_sample_quantiles(spark, state).collect()
+    }
+
+    batch_sample = bottomk_sample(orders, "pri", "okey", "dollars", 16)
+    want_sample = {(r["grp"], r["key"]) for r in batch_sample.collect()}
+    want_q = {
+        r["grp"]: (r["n_sample"], r["k"], r["p50_est"], r["p90_est"], r["p99_est"])
+        for r in bottomk_quantiles(batch_sample).collect()
+    }
+    assert got_sample == want_sample
+    assert got_q == want_q and len(got_q) == 5
+    assert all(v[0] == 16 and v[1] == 16 for v in got_q.values())
+
+    _run()  # replay drained checkpoint -> no-op
+    got_q2 = {
+        r["grp"]: (r["n_sample"], r["k"], r["p50_est"], r["p90_est"], r["p99_est"])
+        for r in read_sample_quantiles(spark, state).collect()
+    }
+    assert got_q2 == got_q

@@ -113,6 +113,19 @@ AUDIT = [
     ("t66_readability", "Flesch-Kincaid entirely per-row: regex + HOF folds, zero Exchange"),
     ("s26_abtt_retrieval_shift", "ABTT via the projection identity: two scalars per vector, s02-shaped scoring"),
     ("q99_concentration_ratios", "CR-k on the customer-grain rollup: one fact rollup, segment-bounded window"),
+    # round-9 additions
+    ("q100_kendall_tau", "pair masses off the 11x50 value grid; 550^2 cell self-join, DECIMAL(38,0) sums"),
+    ("q101_pettitt_changepoint", "rank identity kills the O(n^2) sign sum; windows walk the day grid only"),
+    ("q102_runs_test", "integer median fence + one lag over the day grid; moments from n1/n2 margins"),
+    ("q103_safety_stock", "(brand,week) rollup with map-side combine; P95 fence on the demand value grid"),
+    ("e43_bh_fdr", "x16 A/A fan-out folds to expts x 2 by partial agg; BH window ranks 16 rows"),
+    ("s27_mmr_rerank", "shortlist repartitioned q_id-wise once; unrolled greedy picks persist per step"),
+    ("s28_participation_ratio", "dim-grain moment fold; exact-integer variances; single-row output"),
+    ("t67_kneser_ney", "bigram/context counts on the vocab grain; continuation mass via distinct-context rollup"),
+    ("t68_yule_k", "one explode + one vocab-grain shuffle; 20 output rows, doubles only at display"),
+    ("x15_sample_quantiles", "one rollup carries both counters; window walks the dollar grid; 5 rows"),
+    ("d21_dedup_consensus", "three banded/blocked pair stages unioned at pair grain; <=7-row rollup"),
+    ("q105_wasserstein_drift", "(year,dollar) rollup + broadcast pair fan-out; DECIMAL(38,0) CDF-gap sums"),
 ]
 
 
