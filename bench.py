@@ -178,6 +178,10 @@ HEADLINE = [
     "x15_sample_quantiles",
     "d21_dedup_consensus",
     "q105_wasserstein_drift",
+    "s29_mmr_diversity_gain",
+    "q106_woe_return_risk",
+    "q107_did_return_rate",
+    "t69_burrows_delta",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

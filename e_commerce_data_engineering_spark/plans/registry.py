@@ -110,6 +110,10 @@ _PRIORITY: tuple[str, ...] = (
     "x15_sample_quantiles",
     "d21_dedup_consensus",
     "q105_wasserstein_drift",
+    "s29_mmr_diversity_gain",
+    "q106_woe_return_risk",
+    "q107_did_return_rate",
+    "t69_burrows_delta",
     # --- already driver-recorded: round-8 block (all 37 recorded in
     # CORRECTNESS_r08), youngest first.
     "t63_winnowing_fingerprints",

@@ -2739,9 +2739,9 @@ def _s27_sql_steps() -> str:
     return ",".join(steps)
 
 
-@query(
-    "s27_mmr_rerank",
-    oracle=f"""
+# the full MMR CTE chain through `allsel` — shared verbatim by s27's
+# oracle and s29's (the consumer inherits the already-green chain)
+_S27_WITH = f"""
     WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
                WHERE vec_id < {N_QUERY_VECS}),
     c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
@@ -2771,7 +2771,12 @@ def _s27_sql_steps() -> str:
                   ORDER BY rel_q DESC, c_id) AS rn FROM shortlist)
         WHERE rn = 1
     ),{_s27_sql_steps()},
-    allsel AS ({" UNION ALL ".join(f"SELECT * FROM sel{j}" for j in range(1, _S27_PICKS + 1))})
+    allsel AS ({" UNION ALL ".join(f"SELECT * FROM sel{j}" for j in range(1, _S27_PICKS + 1))})"""
+
+
+@query(
+    "s27_mmr_rerank",
+    oracle=f"""{_S27_WITH}
     SELECT q_id, pick_rank, c_id,
            CAST(rel_q AS DOUBLE) / 1000000.0 AS relevance,
            CAST(mmr10_q AS DOUBLE) / 10000000.0 AS mmr_score
@@ -2796,6 +2801,21 @@ def _s27_sql_steps() -> str:
     "after is O(probes * shortlist^2), independent of corpus size.",
 )
 def s27_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, prs, selected = _s27_frames(spark, sf_dir)
+    return selected.select(
+        "q_id",
+        "pick_rank",
+        "c_id",
+        (F.col("rel_q").cast("double") / 1_000_000.0).alias("relevance"),
+        (F.col("mmr10_q").cast("double") / 10_000_000.0).alias("mmr_score"),
+    )
+
+
+def _s27_frames(spark: SparkSession, sf_dir: str):
+    """Shared MMR stages: (base = the persisted q_id-partitioned
+    shortlist, prs = its pairwise-similarity matrix, selected = the
+    greedy pick trajectory). s27 reads the trajectory; s29 grades it
+    against the relevance-only top-k on the same frames."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
@@ -2902,13 +2922,7 @@ def s27_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
         selected = selected.unionByName(pick)
-    return selected.select(
-        "q_id",
-        "pick_rank",
-        "c_id",
-        (F.col("rel_q").cast("double") / 1_000_000.0).alias("relevance"),
-        (F.col("mmr10_q").cast("double") / 10_000_000.0).alias("mmr_score"),
-    )
+    return base, prs, selected
 
 
 # ---------------------------------------------------------------------------
@@ -3019,4 +3033,120 @@ def s28_participation_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(
             F.col("sv").cast("double") * F.col("sv") / F.col("sv2") / F.col("n_dims"), 4
         ).alias("pr_fraction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# s29 — MMR diversity gain vs relevance-only top-k (round 9; s27's
+# grading consumer, the m07->m08 pattern)
+# ---------------------------------------------------------------------------
+
+_S29_NPAIRS = _S27_PICKS * (_S27_PICKS - 1) // 2
+
+
+@query(
+    "s29_mmr_diversity_gain",
+    oracle=f"""{_S27_WITH},
+    topk AS (
+        SELECT q_id, c_id, rel_q
+        FROM (SELECT q_id, c_id, rel_q, ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY rel_q DESC, c_id) AS rn FROM shortlist)
+        WHERE rn <= {_S27_PICKS}
+    ),
+    msel AS (SELECT q_id, c_id, rel_q FROM allsel),
+    mm_s AS (
+        SELECT p.q_id, CAST(SUM(p.sim_q) AS BIGINT) AS s
+        FROM prs p
+        JOIN msel a ON a.q_id = p.q_id AND a.c_id = p.a_id
+        JOIN msel b ON b.q_id = p.q_id AND b.c_id = p.b_id
+        WHERE p.a_id < p.b_id GROUP BY 1
+    ),
+    tk_s AS (
+        SELECT p.q_id, CAST(SUM(p.sim_q) AS BIGINT) AS s
+        FROM prs p
+        JOIN topk a ON a.q_id = p.q_id AND a.c_id = p.a_id
+        JOIN topk b ON b.q_id = p.q_id AND b.c_id = p.b_id
+        WHERE p.a_id < p.b_id GROUP BY 1
+    ),
+    mm_r AS (SELECT q_id, CAST(SUM(rel_q) AS BIGINT) AS r FROM msel GROUP BY 1),
+    tk_r AS (SELECT q_id, CAST(SUM(rel_q) AS BIGINT) AS r FROM topk GROUP BY 1)
+    SELECT mm_r.q_id,
+           {sql_fround(f"CAST(mm_r.r AS DOUBLE) / {_S27_PICKS}000000.0", 6)}
+               AS avg_rel_mmr,
+           {sql_fround(f"CAST(tk_r.r AS DOUBLE) / {_S27_PICKS}000000.0", 6)}
+               AS avg_rel_topk,
+           {sql_fround(f"CAST(mm_s.s AS DOUBLE) / {_S29_NPAIRS}000000.0", 6)}
+               AS avg_sim_mmr,
+           {sql_fround(f"CAST(tk_s.s AS DOUBLE) / {_S29_NPAIRS}000000.0", 6)}
+               AS avg_sim_topk,
+           {sql_fround(f"CAST(tk_s.s - mm_s.s AS DOUBLE) / {_S29_NPAIRS}000000.0", 6)}
+               AS diversity_gain,
+           {sql_fround(f"CAST(tk_r.r - mm_r.r AS DOUBLE) / {_S27_PICKS}000000.0", 6)}
+               AS relevance_cost
+    FROM mm_r
+    JOIN tk_r ON tk_r.q_id = mm_r.q_id
+    JOIN mm_s ON mm_s.q_id = mm_r.q_id
+    JOIN tk_s ON tk_s.q_id = mm_r.q_id
+    """,
+    doc="Grades s27's MMR trajectory against the relevance-only "
+    f"top-{_S27_PICKS} on the SAME shortlist (the m07->m08 consumer "
+    "pattern): per probe, mean relevance and mean pairwise intra-list "
+    "similarity of both result sets, plus diversity_gain (how much "
+    "redundancy MMR removed) and relevance_cost (what it paid) — the "
+    "two numbers a RAG stack reads before turning diversification on "
+    "(Carbonell & Goldstein 1998 frame MMR as exactly this trade). "
+    "All four means are integer sums of the 1e-6-quantized rel_q/"
+    "sim_q grids divided by constant set sizes, so the trade-off "
+    "readout is engine-exact, and the oracle embeds s27's CTE chain "
+    "VERBATIM — the consumer inherits the already-green trajectory. "
+    "Scale: reuses s27's persisted frames; every stage after the "
+    f"shortlist is O(probes x {_S27_SHORTLIST}^2); 5 output rows.",
+)
+def s29_mmr_diversity_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, prs, selected = _s27_frames(spark, sf_dir)
+    wr = W.partitionBy("q_id").orderBy(F.col("rel_q").desc(), "c_id")
+    topk = (
+        base.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= _S27_PICKS)
+        .select("q_id", "c_id", "rel_q")
+    )
+    msel = selected.select("q_id", "c_id", "rel_q")
+
+    def pair_sum(sel: DataFrame) -> DataFrame:
+        a = sel.select("q_id", F.col("c_id").alias("a_id"))
+        b = sel.select("q_id", F.col("c_id").alias("b_id"))
+        return (
+            prs.join(F.broadcast(a), ["q_id", "a_id"])
+            .join(F.broadcast(b), ["q_id", "b_id"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .groupBy("q_id")
+            .agg(F.sum("sim_q").cast("bigint").alias("s"))
+        )
+
+    def rel_sum(sel: DataFrame, name: str) -> DataFrame:
+        return sel.groupBy("q_id").agg(F.sum("rel_q").cast("bigint").alias(name))
+
+    mm_s = pair_sum(msel).withColumnRenamed("s", "sm")
+    tk_s = pair_sum(topk).withColumnRenamed("s", "st")
+    mm_r = rel_sum(msel, "rm")
+    tk_r = rel_sum(topk, "rt")
+    denom_r = float(_S27_PICKS) * 1_000_000.0
+    denom_s = float(_S29_NPAIRS) * 1_000_000.0
+    return (
+        mm_r.join(tk_r, "q_id")
+        .join(mm_s, "q_id")
+        .join(tk_s, "q_id")
+        .select(
+            "q_id",
+            fround(F.col("rm").cast("double") / denom_r, 6).alias("avg_rel_mmr"),
+            fround(F.col("rt").cast("double") / denom_r, 6).alias("avg_rel_topk"),
+            fround(F.col("sm").cast("double") / denom_s, 6).alias("avg_sim_mmr"),
+            fround(F.col("st").cast("double") / denom_s, 6).alias("avg_sim_topk"),
+            fround((F.col("st") - F.col("sm")).cast("double") / denom_s, 6).alias(
+                "diversity_gain"
+            ),
+            fround((F.col("rt") - F.col("rm")).cast("double") / denom_r, 6).alias(
+                "relevance_cost"
+            ),
+        )
     )

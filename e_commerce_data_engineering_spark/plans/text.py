@@ -5408,3 +5408,147 @@ def t68_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("yule_k"),
         fround(F.log(F.col("v").cast("double")) / F.log(nd), 6).alias("herdan_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t69 — Burrows' delta: stylometric distance between sources (round 9)
+# ---------------------------------------------------------------------------
+
+_T69_K = 30  # most-frequent corpus words form the function-word panel
+
+
+@query(
+    "t69_burrows_delta",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({_DUCK_TOKS}) AS w FROM documents
+    ),
+    cnts AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnts GROUP BY 1
+    ),
+    panel AS (
+        SELECT w FROM (
+            SELECT w, ROW_NUMBER() OVER (
+                ORDER BY CAST(SUM(c) AS BIGINT) DESC, w) AS rn
+            FROM cnts GROUP BY w
+        ) WHERE rn <= {_T69_K}
+    ),
+    f AS (
+        SELECT t.source, p.w,
+               COALESCE(c.c, 0) * 1000000000 // t.n AS fq
+        FROM totals t CROSS JOIN panel p
+        LEFT JOIN cnts c ON c.source = t.source AND c.w = p.w
+    ),
+    sig AS (
+        SELECT w,
+               CAST(COUNT(*) AS BIGINT) AS ns,
+               CAST(SUM(fq) AS BIGINT) AS s1,
+               CAST(SUM(fq * fq) AS BIGINT) AS s2
+        FROM f GROUP BY w
+    ),
+    z AS (
+        SELECT f.source, f.w, f.fq,
+               SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / ns) / ns)
+                   AS sd
+        FROM f JOIN sig ON sig.w = f.w
+    ),
+    pair_terms AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(FLOOR(ABS(CAST(a.fq - b.fq AS DOUBLE)) / a.sd * 1000000.0
+                          + 0.5) AS BIGINT) AS tq
+        FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+        WHERE a.sd > 0
+    )
+    SELECT source_a, source_b,
+           {sql_fround(f"CAST(CAST(SUM(tq) AS BIGINT) AS DOUBLE) / {_T69_K} / 1000000.0", 6)}
+               AS delta
+    FROM pair_terms
+    GROUP BY 1, 2
+    """,
+    doc="Burrows' delta (Burrows 2002; Evert et al. 2017's evaluation "
+    "made it stylometry's baseline) between every pair of sources: "
+    f"over the {_T69_K} most frequent corpus words (the function-word "
+    "panel — style lives in 'the/of/and' rates, not content words), "
+    "z-score each source's relative frequency against the across-"
+    "source distribution and average |z_a - z_b| — the authorship/"
+    "provenance distance a curation pipeline reads to spot a source "
+    "whose 'style' suddenly shifts (scraper drift, template "
+    "contamination, machine-generated infill). Engine discipline: "
+    "relative frequencies are exact integer parts-per-billion "
+    "(cnt*1e9 div total), the per-word mean/std come off exact "
+    "integer (n, S1, S2), and each |f_a - f_b|/sd term — an "
+    "identical IEEE op sequence in both engines — quantizes to 1e-6 "
+    "BEFORE the 30-term pair sum, so summation order cannot flip "
+    "the hash. Scale: the (source, token) rollup is the only data-"
+    "sized stage; the panel is top-30 by corpus count (TakeOrdered-"
+    "sized); pair terms are sources^2 x 30 rows; 45 output rows.",
+)
+def t69_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(X.tokens(F.col("text"))).alias("w"))
+    cnts = tok.groupBy("source", "w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    totals = cnts.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    panel = (
+        cnts.groupBy("w")
+        .agg(F.sum("c").cast("bigint").alias("tc"))
+        .withColumn(
+            "rn", F.row_number().over(W.orderBy(F.col("tc").desc(), "w"))
+        )
+        .filter(F.col("rn") <= _T69_K)
+        .select("w")
+    )
+    f = (
+        totals.crossJoin(F.broadcast(panel))
+        .join(cnts, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.expr("coalesce(c, 0) * 1000000000 div n").alias("fq"),
+        )
+    )
+    sig = f.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns"),
+        F.sum("fq").cast("bigint").alias("s1"),
+        F.sum(F.col("fq") * F.col("fq")).cast("bigint").alias("s2"),
+    )
+    z = f.join(F.broadcast(sig), "w").select(
+        "source",
+        "w",
+        "fq",
+        F.sqrt(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1") / F.col("ns")
+            )
+            / F.col("ns")
+        ).alias("sd"),
+    )
+    a = z.select(F.col("source").alias("source_a"), "w", F.col("fq").alias("fa"), "sd")
+    b = z.select(F.col("source").alias("source_b"), "w", F.col("fq").alias("fb"))
+    terms = (
+        a.join(b, "w")
+        .filter((F.col("source_a") < F.col("source_b")) & (F.col("sd") > 0))
+        .select(
+            "source_a",
+            "source_b",
+            F.floor(
+                F.abs((F.col("fa") - F.col("fb")).cast("double")) / F.col("sd")
+                * 1_000_000.0
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("tq"),
+        )
+    )
+    return terms.groupBy("source_a", "source_b").agg(
+        fround(
+            F.sum("tq").cast("bigint").cast("double") / _T69_K / 1_000_000.0,
+            6,
+        ).alias("delta")
+    )

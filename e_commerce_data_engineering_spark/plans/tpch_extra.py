@@ -4082,3 +4082,190 @@ def q105_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("w1_dollars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q106 — weight-of-evidence target encoding per brand (round 9): the
+# credit-scoring / feature-engineering readout on exact integer counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q106_woe_return_risk",
+    oracle="""
+    WITH c AS (
+        SELECT p.p_brand AS brand,
+               CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS bad,
+               CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 0 ELSE 1 END)
+                    AS BIGINT) AS good
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(bad) AS BIGINT) AS tb, CAST(SUM(good) AS BIGINT) AS tg
+        FROM c
+    )
+    SELECT brand,
+           CAST(bad + good AS BIGINT) AS n_lines,
+           CAST(bad AS BIGINT) AS n_returned,
+           ROUND(LN((CAST(2 * bad + 1 AS DOUBLE) * tg)
+                    / (CAST(2 * good + 1 AS DOUBLE) * tb)), 6) AS woe,
+           ROUND((CAST(2 * bad + 1 AS DOUBLE) / (2 * tb)
+                  - CAST(2 * good + 1 AS DOUBLE) / (2 * tg))
+                 * LN((CAST(2 * bad + 1 AS DOUBLE) * tg)
+                      / (CAST(2 * good + 1 AS DOUBLE) * tb)), 6) AS iv_term
+    FROM c CROSS JOIN tot
+    """,
+    doc="Weight-of-evidence target encoding of part brand against the "
+    "return flag, with the information-value decomposition — the "
+    "credit-scoring-born (Siddiqi 2006) categorical encoder ML "
+    "feature pipelines use when one-hot explodes and mean-encoding "
+    "leaks: WOE_i = ln(P(brand|returned)/P(brand|kept)) with "
+    "half-count (Laplace) smoothing, IV_i = (bad_share_i - "
+    "good_share_i) * WOE_i, sum(IV) grading the feature. The "
+    "smoothed odds collapse to ONE exact-integer ratio ((2b+1)*G / "
+    "((2g+1)*B)) so both engines feed ln the identical IEEE double "
+    "and the 6dp round absorbs any last-ulp libm drift (the t68 "
+    "Herdan-C precedent). Scale: one fact-dim broadcast join into a "
+    "25-key rollup; totals ride back on a broadcast 1-row frame; 25 "
+    "output rows.",
+)
+def q106_woe_return_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    c = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("bad"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 0).otherwise(1))
+            .cast("bigint")
+            .alias("good"),
+        )
+    )
+    tot = c.agg(
+        F.sum("bad").cast("bigint").alias("tb"),
+        F.sum("good").cast("bigint").alias("tg"),
+    )
+    j = c.crossJoin(F.broadcast(tot))
+    odds = (
+        (2 * F.col("bad") + 1).cast("double") * F.col("tg")
+    ) / ((2 * F.col("good") + 1).cast("double") * F.col("tb"))
+    woe = F.log(odds)
+    iv = (
+        (2 * F.col("bad") + 1).cast("double") / (2 * F.col("tb"))
+        - (2 * F.col("good") + 1).cast("double") / (2 * F.col("tg"))
+    ) * woe
+    return j.select(
+        "brand",
+        (F.col("bad") + F.col("good")).cast("bigint").alias("n_lines"),
+        F.col("bad").cast("bigint").alias("n_returned"),
+        fround(woe, 6).alias("woe"),
+        fround(iv, 6).alias("iv_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q107 — difference-in-differences: did deep discounts change return
+# behavior across the 1995 regime break? (round 9; the causal-inference
+# readout family)
+# ---------------------------------------------------------------------------
+
+_Q107_DISC = 0.05  # treatment: discount strictly above 5%
+_Q107_YEAR = 1995  # period break: ship year < 1995 = pre
+
+
+@query(
+    "q107_did_return_rate",
+    oracle=f"""
+    WITH cells AS (
+        SELECT CASE WHEN l_discount > {_Q107_DISC} THEN 1 ELSE 0 END AS treated,
+               CASE WHEN EXTRACT(year FROM l_shipdate) >= {_Q107_YEAR}
+                    THEN 1 ELSE 0 END AS post,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS r
+        FROM lineitem GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN treated = 1 AND post = 0 THEN n END) AS n_t0,
+            MAX(CASE WHEN treated = 1 AND post = 0 THEN r END) AS r_t0,
+            MAX(CASE WHEN treated = 1 AND post = 1 THEN n END) AS n_t1,
+            MAX(CASE WHEN treated = 1 AND post = 1 THEN r END) AS r_t1,
+            MAX(CASE WHEN treated = 0 AND post = 0 THEN n END) AS n_c0,
+            MAX(CASE WHEN treated = 0 AND post = 0 THEN r END) AS r_c0,
+            MAX(CASE WHEN treated = 0 AND post = 1 THEN n END) AS n_c1,
+            MAX(CASE WHEN treated = 0 AND post = 1 THEN r END) AS r_c1
+        FROM cells
+    )
+    SELECT n_t0, n_t1, n_c0, n_c1,
+           ROUND(CAST(r_t0 AS DOUBLE) / n_t0, 6) AS rate_treat_pre,
+           ROUND(CAST(r_t1 AS DOUBLE) / n_t1, 6) AS rate_treat_post,
+           ROUND(CAST(r_c0 AS DOUBLE) / n_c0, 6) AS rate_ctrl_pre,
+           ROUND(CAST(r_c1 AS DOUBLE) / n_c1, 6) AS rate_ctrl_post,
+           ROUND((CAST(r_t1 AS DOUBLE) / n_t1 - CAST(r_t0 AS DOUBLE) / n_t0)
+                 - (CAST(r_c1 AS DOUBLE) / n_c1 - CAST(r_c0 AS DOUBLE) / n_c0),
+                 6) AS did_estimate
+    FROM wide
+    """,
+    doc="Difference-in-differences (Card & Krueger 1994's workhorse "
+    "design) on the fact table: treatment = line items discounted "
+    f"above {_Q107_DISC:.0%}, outcome = return rate, periods split at "
+    f"ship year {_Q107_YEAR}. DiD = (treat_post - treat_pre) - "
+    "(ctrl_post - ctrl_pre) nets out both the time trend common to "
+    "all lines and the level difference between discounted and "
+    "full-price lines — the first causal-inference readout in the "
+    "query library (the A/B family e24/e43 randomizes; DiD is what "
+    "you run when the 'assignment' was a business decision, under "
+    "the parallel-trends caveat the doc carries). All four cells are "
+    "exact integer (n, returns) pairs off ONE fact scan with map-"
+    "side combine; the four rates and their double-difference are "
+    "identical IEEE division/subtraction sequences in both engines, "
+    "rounded 6dp. Scale: a 4-cell rollup and a 1-row pivot — nothing "
+    "after the scan depends on data size.",
+)
+def q107_did_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_discount") > _Q107_DISC, 1).otherwise(0).alias("treated"),
+        F.when(F.year("l_shipdate") >= _Q107_YEAR, 1).otherwise(0).alias("post"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    cells = li.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ret").cast("bigint").alias("r"),
+    )
+
+    def cell(t: int, p: int, col: str, name: str):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col(col))
+        ).alias(name)
+
+    wide = cells.agg(
+        cell(1, 0, "n", "n_t0"),
+        cell(1, 0, "r", "r_t0"),
+        cell(1, 1, "n", "n_t1"),
+        cell(1, 1, "r", "r_t1"),
+        cell(0, 0, "n", "n_c0"),
+        cell(0, 0, "r", "r_c0"),
+        cell(0, 1, "n", "n_c1"),
+        cell(0, 1, "r", "r_c1"),
+    )
+    rt0 = F.col("r_t0").cast("double") / F.col("n_t0")
+    rt1 = F.col("r_t1").cast("double") / F.col("n_t1")
+    rc0 = F.col("r_c0").cast("double") / F.col("n_c0")
+    rc1 = F.col("r_c1").cast("double") / F.col("n_c1")
+    return wide.select(
+        "n_t0",
+        "n_t1",
+        "n_c0",
+        "n_c1",
+        fround(rt0, 6).alias("rate_treat_pre"),
+        fround(rt1, 6).alias("rate_treat_post"),
+        fround(rc0, 6).alias("rate_ctrl_pre"),
+        fround(rc1, 6).alias("rate_ctrl_post"),
+        fround((rt1 - rt0) - (rc1 - rc0), 6).alias("did_estimate"),
+    )

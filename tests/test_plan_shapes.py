@@ -1180,3 +1180,30 @@ def test_x15_single_fact_scan(spark):
     # formatted mode prints each scan twice (tree + node detail): count
     # unique scan locations instead
     assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["s29_mmr_diversity_gain", "q106_woe_return_risk", "q107_did_return_rate"],
+)
+def test_round9_batch3_avoid_cartesian(spark, name):
+    """Third round-9 batch: s29's set-membership joins are broadcast
+    equi-joins on (q_id, pick), q106's brand dim and totals ride
+    broadcasts, q107 is a 4-cell rollup + pivot — no CartesianProduct
+    anywhere."""
+    assert "CartesianProduct" not in plan_of(spark, name)
+
+
+def test_q107_single_fact_scan(spark):
+    """q107 must read lineitem ONCE: all four DiD cells come off one
+    map-side-combinable rollup, never per-cell scans unioned."""
+    plan = plan_of(spark, "q107_did_return_rate")
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_t69_panel_broadcast_single_token_rollup(spark):
+    """t69's function-word panel joins back as a broadcast; the
+    (source, token) rollup happens once — no CartesianProduct, no
+    nested-loop pair blowup."""
+    plan = plan_of(spark, "t69_burrows_delta")
+    assert "CartesianProduct" not in plan, plan

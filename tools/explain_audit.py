@@ -126,6 +126,10 @@ AUDIT = [
     ("x15_sample_quantiles", "one rollup carries both counters; window walks the dollar grid; 5 rows"),
     ("d21_dedup_consensus", "three banded/blocked pair stages unioned at pair grain; <=7-row rollup"),
     ("q105_wasserstein_drift", "(year,dollar) rollup + broadcast pair fan-out; DECIMAL(38,0) CDF-gap sums"),
+    ("s29_mmr_diversity_gain", "reuses s27's persisted frames; broadcast set-membership joins; 5 rows"),
+    ("q106_woe_return_risk", "fact-dim broadcast join into 25-key rollup; totals broadcast back"),
+    ("q107_did_return_rate", "4-cell rollup with map-side combine; 1-row pivot after the scan"),
+    ("t69_burrows_delta", "(source,token) rollup once; top-30 panel broadcast; sources^2 x 30 pair terms"),
 ]
 
 

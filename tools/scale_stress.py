@@ -89,6 +89,7 @@ OP_TABLES = {
     "hits_g13": {"lineitem", "orders"},
     "bootstrap_q97": {"orders"},
     "winnowing_t63": {"documents"},
+    "wasserstein_q105": {"orders"},
 }
 
 
@@ -762,6 +763,52 @@ def main() -> None:
             )
             return sel.agg(F.sum("ns")).collect()[0][0]
 
+        def wasserstein_q105():
+            # replication shifts keys, not dates: the (year, dollar)
+            # grid stays RANGE-bounded while rows_in grows k-fold —
+            # exactly the boundedness claim q105's doc makes
+            base = (
+                orders.select(
+                    F.year("o_orderdate").cast("int").alias("yr"),
+                    F.floor(F.col("o_totalprice")).cast("bigint").alias("v"),
+                )
+                .groupBy("yr", "v")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            )
+            yrs = base.select("yr").distinct()
+            pairs = (
+                yrs.alias("a")
+                .join(yrs.alias("b"), F.expr("a.yr + 1 = b.yr"))
+                .select(F.col("a.yr").alias("ya"), F.col("b.yr").alias("yb"))
+            )
+            grid = (
+                base.join(
+                    F.broadcast(pairs),
+                    (F.col("yr") == F.col("ya")) | (F.col("yr") == F.col("yb")),
+                )
+                .groupBy("ya", "yb", "v")
+                .agg(
+                    F.sum(F.when(F.col("yr") == F.col("ya"), F.col("cnt")).otherwise(0)).alias("ca"),
+                    F.sum(F.when(F.col("yr") == F.col("yb"), F.col("cnt")).otherwise(0)).alias("cb"),
+                )
+            )
+            wc = W.partitionBy("ya").orderBy("v")
+            wn = W.partitionBy("ya")
+            cum = grid.select(
+                "ya",
+                F.sum("ca").over(wc).alias("cum_a"),
+                F.sum("cb").over(wc).alias("cum_b"),
+                F.sum("ca").over(wn).alias("n_a"),
+                F.sum("cb").over(wn).alias("n_b"),
+                F.coalesce(F.lead("v").over(wc) - F.col("v"), F.lit(0)).alias("dv"),
+            )
+            term = (
+                F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+                .cast("decimal(38,0)")
+                * F.col("dv").cast("decimal(38,0)")
+            )
+            return cum.groupBy("ya").agg(F.sum(term).alias("s")).count()
+
         op_max_scale = {"ppjoin_t09": 16, "dup_spans_t40": 16}
         for name, fn, rows_in in (
             ("join_agg", join_agg, n_li),
@@ -792,6 +839,7 @@ def main() -> None:
             ("hits_g13", hits_g13, n_li),
             ("bootstrap_q97", bootstrap_q97, n_ord),
             ("winnowing_t63", winnowing_t63, n_doc),
+            ("wasserstein_q105", wasserstein_q105, n_ord),
         ):
             if only_ops is not None and name not in only_ops:
                 continue
