@@ -182,6 +182,7 @@ HEADLINE = [
     "q106_woe_return_risk",
     "q107_did_return_rate",
     "t69_burrows_delta",
+    "m11_image_dhash",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

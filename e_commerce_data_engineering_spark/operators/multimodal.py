@@ -912,3 +912,69 @@ def rescale_audio(
 
     auds = assets.filter(F.col("modality") == "audio")
     return auds.mapInPandas(_rescale_batch, assets.schema)
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("dhash_bits", T.StringType(), False),
+        T.StructField("n_set_bits", T.LongType(), False),
+    ]
+)
+
+DHASH_GRID = 8  # 8 rows x (8+1) sample columns -> 64 gradient bits
+
+
+def dhash_from_pixels(px, grid: int = DHASH_GRID) -> tuple[str, int]:
+    """64-bit difference-hash from an (h, w, >=3) uint8 pixel array:
+    per row, sample ``grid + 1`` luma points nearest-neighbor style at
+    (cx·w//(grid+1), cy·h//grid) and set the bit when the left sample's
+    BT.601 luma (x1000 int, same scaling as ``ahash_from_pixels``)
+    strictly exceeds its right neighbour — the HORIZONTAL-GRADIENT
+    fingerprint (dHash): invariant to global brightness/contrast
+    shifts that flip ahash bits wholesale, because only the SIGN of
+    each local gradient survives. Integer-exact, division-free,
+    defined for any image size (narrow images repeat sample columns,
+    giving deterministic 0 bits at the duplicates)."""
+    h, w = px.shape[0], px.shape[1]
+    bits = []
+    for cy in range(grid):
+        y = cy * h // grid
+        row = []
+        for cx in range(grid + 1):
+            x = cx * w // (grid + 1)
+            r, g, b = int(px[y, x, 0]), int(px[y, x, 1]), int(px[y, x, 2])
+            row.append(299 * r + 587 * g + 114 * b)
+        bits.extend("1" if row[cx] > row[cx + 1] else "0" for cx in range(grid))
+    s = "".join(bits)
+    return s, s.count("1")
+
+
+def image_dhash(assets: DataFrame, grid: int = DHASH_GRID) -> DataFrame:
+    """Difference-hash fingerprints for every PNG asset — the gradient
+    companion to ``image_ahash``, same REAL stdlib decode inside Arrow
+    ``mapInPandas``, same shuffle-free narrow-map scale shape, same
+    JPEG exclusion (lossy decode is codec-exact but not
+    generator-reproducible)."""
+
+    def _dhash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(content)
+                if b[:8] != b"\x89PNG\r\n\x1a\n":
+                    continue
+                px = png_decode(b)
+                bits, popcount = dhash_from_pixels(px, grid)
+                out.append(
+                    (int(asset_id), px.shape[1], px.shape[0], bits, popcount)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "width", "height", "dhash_bits", "n_set_bits"],
+            )
+
+    imgs = assets.filter(F.col("modality") == "image")
+    return imgs.mapInPandas(_dhash_batch, DHASH_SCHEMA)

@@ -2206,3 +2206,71 @@ def d21_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.groupBy("in_minhash", "in_simhash", "in_winnow").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs")
     )
+
+
+# ---------------------------------------------------------------------------
+# m11 — image difference-hash (dHash) from real decode (round 9):
+# m07's gradient companion, hash-checked through the generator's
+# closed-form pixels
+# ---------------------------------------------------------------------------
+
+_M11_XA = "(((c.cell % 8) * w) // 9)"
+_M11_XB = "((((c.cell % 8) + 1) * w) // 9)"
+_M11_Y = "(((c.cell // 8) * h) // 8)"
+
+
+def _m11_lum(x: str, y: str) -> str:
+    # BT.601 x1000 luma of the make_real_assets closed-form pixel at
+    # (x, y): R=(7x+13y+seed), G=(31x+seed), B=17y, all mod 256 — the
+    # SAME arithmetic the m07/m08 oracles pin against the real decoder
+    return (
+        f"(299 * (({x} * 7 + {y} * 13 + seed) % 256)"
+        f" + 587 * (({x} * 31 + seed) % 256)"
+        f" + 114 * (({y} * 17) % 256))"
+    )
+
+
+@query(
+    "m11_image_dhash",
+    oracle=f"""
+    WITH imgs AS (
+        SELECT i AS asset_id,
+               4 + i % 13 AS w, 3 + i % 9 AS h, 42 + i AS seed
+        FROM (SELECT unnest(generate_series(0, 119)) AS i) t
+        WHERE i % 3 = 0 AND (i // 3) % 2 = 0
+    ),
+    bits AS (
+        SELECT asset_id, w, h, c.cell,
+               CASE WHEN {_m11_lum(_M11_XA, _M11_Y)}
+                         > {_m11_lum(_M11_XB, _M11_Y)}
+                    THEN 1 ELSE 0 END AS bit
+        FROM imgs, (SELECT unnest(generate_series(0, 63)) AS cell) c
+    )
+    SELECT asset_id,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           string_agg(CAST(bit AS VARCHAR), '' ORDER BY cell) AS dhash_bits,
+           CAST(SUM(bit) AS BIGINT) AS n_set_bits
+    FROM bits GROUP BY asset_id, w, h
+    """,
+    doc="Difference-hash (dHash) fingerprints from REAL image decode — "
+    "m07's gradient companion: per 8-row grid, 9 nearest-neighbor "
+    "luma samples, bit = left sample strictly brighter than its right "
+    "neighbour. Where the average hash compares every cell to the "
+    "GLOBAL mean (so a brightness/contrast shift can flip many bits "
+    "at once), dHash keeps only the sign of each LOCAL gradient — "
+    "the standard second opinion an image-dedup stack runs beside "
+    "ahash before trusting a match. Same hash-checked-despite-a-"
+    "codec discipline as m07: PNG bytes go through the stdlib "
+    "zlib-inflate + filter-reconstruction decoder inside Arrow "
+    "mapInPandas, while the oracle regenerates the identical pixels "
+    "ARITHMETICALLY from the make_real_assets closed form (R=7x+13y+"
+    "seed, G=31x+seed, B=17y mod 256) — a one-pixel decode error "
+    "flips the hash. JPEG assets excluded (m03 pins their decode "
+    "parity). Scale: shuffle-free narrow map, one 64-bit row per "
+    "image; band-blocked pairing rides the m08 machinery.",
+)
+def m11_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import image_dhash, make_real_assets
+
+    assets = make_real_assets(spark, 120)
+    return image_dhash(assets)

@@ -114,6 +114,7 @@ _PRIORITY: tuple[str, ...] = (
     "q106_woe_return_risk",
     "q107_did_return_rate",
     "t69_burrows_delta",
+    "m11_image_dhash",
     # --- already driver-recorded: round-8 block (all 37 recorded in
     # CORRECTNESS_r08), youngest first.
     "t63_winnowing_fingerprints",

@@ -1441,3 +1441,32 @@ def test_asof_nearest_picks_closer_side_and_ties_backward(spark):
         ).collect()
     }
     assert set(tol) == {1, 2}
+
+
+def test_dhash_upscale_invariant_and_brightness_stable():
+    """dHash's floor-sampling commutes with exact integer upscales
+    (floor(floor(2a/9)/2) == floor(a/9)), and a uniform brightness
+    shift adds the same constant to both sides of every gradient
+    comparison — so both transforms preserve all 64 bits. ahash shares
+    the brightness property but dHash gets it LOCALLY per gradient,
+    which is the reason it rides beside m07 in a dedup stack."""
+    import numpy as np
+
+    from e_commerce_data_engineering_spark.operators.multimodal import (
+        dhash_from_pixels,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 200, size=(11, 13, 3), dtype=np.uint8)
+    bits, pop = dhash_from_pixels(px)
+    assert len(bits) == 64 and pop == bits.count("1") and 0 < pop < 64
+
+    # exact nearest-neighbor integer upscales sample the same pixels
+    for k in (2, 3):
+        up = resize_nearest(px, 13 * k, 11 * k)
+        assert dhash_from_pixels(up)[0] == bits, k
+
+    # uniform brightness shift (no clipping: values < 200 + 50)
+    brighter = (px.astype(np.int64) + 50).astype(np.uint8)
+    assert dhash_from_pixels(brighter)[0] == bits

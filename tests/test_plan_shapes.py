@@ -1207,3 +1207,10 @@ def test_t69_panel_broadcast_single_token_rollup(spark):
     nested-loop pair blowup."""
     plan = plan_of(spark, "t69_burrows_delta")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_m11_dhash_is_shuffle_free(spark):
+    """m11 is a narrow Arrow map over asset bytes — one output row per
+    image, NO shuffle exchange anywhere (the m07 scale shape)."""
+    plan = plan_of(spark, "m11_image_dhash")
+    assert "Exchange" not in plan, plan

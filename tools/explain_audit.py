@@ -130,6 +130,7 @@ AUDIT = [
     ("q106_woe_return_risk", "fact-dim broadcast join into 25-key rollup; totals broadcast back"),
     ("q107_did_return_rate", "4-cell rollup with map-side combine; 1-row pivot after the scan"),
     ("t69_burrows_delta", "(source,token) rollup once; top-30 panel broadcast; sources^2 x 30 pair terms"),
+    ("m11_image_dhash", "shuffle-free Arrow narrow map; real PNG decode; one 64-bit row per image"),
 ]
 
 

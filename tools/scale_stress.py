@@ -764,6 +764,8 @@ def main() -> None:
             return sel.agg(F.sum("ns")).collect()[0][0]
 
         def wasserstein_q105():
+            from pyspark.sql import Window as W
+
             # replication shifts keys, not dates: the (year, dollar)
             # grid stays RANGE-bounded while rows_in grows k-fold —
             # exactly the boundedness claim q105's doc makes
