@@ -1410,7 +1410,9 @@ def s16_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = ranked_cells.filter(F.col("rn") == 1).select("vec_id", "cell")
     cell_sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("sz"))
-    n_total = e.count()
+    # corpus size rides as a broadcast 1-row frame — plan builders stay
+    # lazy (no bare actions; the m08 round-7 ADVICE applied everywhere)
+    tot = e.agg(F.count(F.lit(1)).cast("bigint").alias("_nt"))
     nps = spark.createDataFrame([(p,) for p in S16_NPROBES], "np int")
     probes = (
         ranked_cells.filter(F.col("vec_id") < N_QUERY_VECS)
@@ -1478,9 +1480,16 @@ def s16_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(
                 F.sum("n_hit").cast("double") / F.lit(float(N_QUERY_VECS * TOP_K)), 6
             ).alias("recall_at_k"),
+            F.sum("n_scanned").alias("_ns"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "np",
+            "n_hits",
+            "recall_at_k",
             fround(
-                F.sum("n_scanned").cast("double")
-                / F.lit(float(n_total))
+                F.col("_ns").cast("double")
+                / F.col("_nt").cast("double")
                 / F.lit(float(N_QUERY_VECS)),
                 6,
             ).alias("scan_fraction"),
