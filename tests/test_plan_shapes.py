@@ -1214,3 +1214,24 @@ def test_m11_dhash_is_shuffle_free(spark):
     image, NO shuffle exchange anywhere (the m07 scale shape)."""
     plan = plan_of(spark, "m11_image_dhash")
     assert "Exchange" not in plan, plan
+
+
+def test_no_bare_actions_in_plan_builders():
+    """Plan builders must stay LAZY: no .collect() anywhere in plans/,
+    and no driver-side scalar actions of the `x = df.count()` shape
+    (GroupedData.count() chained inside a plan is fine — it's a lazy
+    aggregate). Scalars ride broadcast 1-row frames instead (the s16/
+    m08 cleanups)."""
+    import re
+    from pathlib import Path
+
+    plans = Path(__file__).resolve().parent.parent / (
+        "e_commerce_data_engineering_spark/plans"
+    )
+    bad = []
+    assign_count = re.compile(r"=\s*[A-Za-z_][A-Za-z_0-9]*\.count\(\)")
+    for src in sorted(plans.glob("*.py")):
+        for i, line in enumerate(src.read_text().splitlines(), 1):
+            if ".collect()" in line or assign_count.search(line):
+                bad.append(f"{src.name}:{i}: {line.strip()}")
+    assert not bad, "\n".join(bad)
