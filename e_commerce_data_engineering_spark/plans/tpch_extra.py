@@ -3654,7 +3654,7 @@ def q100_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM daily d CROSS JOIN cp
         GROUP BY 1, 2, 3
     )
-    SELECT n AS n_days, change_day,
+    SELECT n AS n_days, strftime(change_day, '%Y-%m-%d') AS change_day,
            CAST(k2 AS DOUBLE) / 2.0 AS k_stat,
            (FLOOR(2.0 * EXP(-1.5 * CAST(k2 AS DOUBLE) * k2
                 / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n))
@@ -3730,7 +3730,7 @@ def q101_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = F.col("n").cast("double")
     return halves.select(
         F.col("n").alias("n_days"),
-        "change_day",
+        F.date_format("change_day", "yyyy-MM-dd").alias("change_day"),
         (F.col("k2").cast("double") / 2.0).alias("k_stat"),
         fround(
             2.0
