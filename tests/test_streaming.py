@@ -2154,3 +2154,24 @@ def test_sample_quantile_stream_matches_batch(spark, tmp_path):
         for r in read_sample_quantiles(spark, state).collect()
     }
     assert got_q2 == got_q
+
+
+def test_bottomk_sample_small_group_keeps_all(spark):
+    """A group with fewer than k rows keeps EVERY row (the sample IS
+    the population, like KMV's n < k exhaustive regime) and its
+    quantile fences reduce to the exact group quantiles."""
+    from e_commerce_data_engineering_spark.operators.sketch import (
+        bottomk_quantiles,
+        bottomk_sample,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 30), ("a", 3, 20), ("b", 4, 7)],
+        "grp string, k_id long, v long",
+    )
+    s = bottomk_sample(df, "grp", "k_id", "v", k=16)
+    assert s.count() == 4
+    q = {r["grp"]: (r["n_sample"], r["p50_est"], r["p99_est"])
+         for r in bottomk_quantiles(s).collect()}
+    assert q["a"] == (3, 20, 30)   # exact type-1 quantiles of {10,20,30}
+    assert q["b"] == (1, 7, 7)
