@@ -183,6 +183,8 @@ HEADLINE = [
     "q107_did_return_rate",
     "t69_burrows_delta",
     "m11_image_dhash",
+    "x16_priority_sample_totals",
+    "q108_icc_customer",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

@@ -2667,3 +2667,129 @@ def x15_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         fence(99, "cum", "n", "p99_exact"),
         fence(99, "cum_s", "n_s", "p99_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x16 — priority sampling: the weighted-sample subset-sum estimator
+# (Duffield–Lund–Thorup), audited against the exact totals (round 9)
+# ---------------------------------------------------------------------------
+
+_X16_K = 64  # sample size per group
+_X16_M = 2147483647
+_X16_A = 48271
+
+
+@query(
+    "x16_priority_sample_totals",
+    oracle=f"""
+    WITH items AS (
+        SELECT l_returnflag AS flag,
+               l_orderkey * 10 + l_linenumber AS key,
+               CAST(FLOOR(l_extendedprice) AS BIGINT) + 1 AS w
+        FROM lineitem
+    ),
+    pri AS (
+        SELECT flag, key, w,
+               CAST(w AS DOUBLE) * {_X16_M}
+                   / (((key % {_X16_M}) * {_X16_A}) % {_X16_M} + 1) AS p
+        FROM items
+    ),
+    ranked AS (
+        SELECT flag, key, w, p,
+               ROW_NUMBER() OVER (PARTITION BY flag
+                                  ORDER BY p DESC, key) AS rn
+        FROM pri
+    ),
+    tau AS (
+        SELECT flag, MAX(CASE WHEN rn = {_X16_K} + 1 THEN p END) AS t
+        FROM ranked WHERE rn <= {_X16_K} + 1 GROUP BY flag
+    ),
+    est AS (
+        SELECT r.flag,
+               SUM(CAST(FLOOR(
+                   CASE WHEN CAST(r.w AS DOUBLE) > tau.t
+                        THEN CAST(r.w AS DOUBLE) ELSE tau.t END
+                   * 1000.0 + 0.5) AS HUGEINT)) AS sq
+        FROM ranked r JOIN tau ON tau.flag = r.flag
+        WHERE r.rn <= {_X16_K}
+        GROUP BY r.flag
+    ),
+    exact AS (
+        SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(w) AS BIGINT) AS exact_total
+        FROM items GROUP BY flag
+    )
+    SELECT e.flag, e.n_items, e.exact_total,
+           ROUND(CAST(est.sq AS DOUBLE) / 1000.0, 3) AS est_total,
+           ROUND((CAST(est.sq AS DOUBLE) / 1000.0 - e.exact_total)
+                 / e.exact_total, 6) AS rel_err
+    FROM exact e JOIN est ON est.flag = e.flag
+    """,
+    doc="Priority sampling (Duffield, Lund & Thorup 2007 — the "
+    f"variance-optimal weighted sample): per return flag, keep the "
+    f"{_X16_K} line items with the largest priority w/u (u = a "
+    "deterministic MINSTD hash mapped to (0,1], so both engines draw "
+    "the SAME 'randomness'), set tau to the (k+1)-th priority, and "
+    "estimate the group's total dollars as sum(max(w, tau)) over the "
+    "sample — the estimator is unbiased for ANY subset sum, which is "
+    "what makes it the sketch of choice for 'total spend of slice X "
+    "from a 64-row sample' questions at 100 TB. The audit reads the "
+    "estimate beside the exact group total and the signed relative "
+    "error. Engine discipline: priorities are the identical IEEE "
+    "division of exact int64 products (w*M stays under 2^53), "
+    "max(w, tau) terms quantize to 1e-3 BEFORE the k-term sum in "
+    "DECIMAL(38,0)/HUGEINT (tau can reach w*M/small-h scale, so the "
+    "quantized grid must carry >int64 headroom), and the display "
+    "division happens once. Scale: the rank window shuffles on flag "
+    "(3 groups; at production grain the group key is the slice key), "
+    "everything after rn <= k+1 is k-row bounded; 3 output rows.",
+)
+def x16_priority_sample_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("key"),
+        (F.floor(F.col("l_extendedprice")).cast("bigint") + 1).alias("w"),
+    )
+    pri = li.withColumn(
+        "p",
+        F.col("w").cast("double")
+        * _X16_M
+        / (((F.col("key") % _X16_M) * _X16_A) % _X16_M + 1),
+    )
+    ranked = pri.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("flag").orderBy(F.col("p").desc(), "key")),
+    ).filter(F.col("rn") <= _X16_K + 1)
+    tau = ranked.groupBy("flag").agg(
+        F.max(F.when(F.col("rn") == _X16_K + 1, F.col("p"))).alias("t")
+    )
+    est = (
+        ranked.filter(F.col("rn") <= _X16_K)
+        .join(F.broadcast(tau), "flag")
+        .select(
+            "flag",
+            F.floor(
+                F.greatest(F.col("w").cast("double"), F.col("t")) * 1000.0
+                + F.lit(0.5)
+            )
+            .cast("decimal(38,0)")
+            .alias("tq"),
+        )
+        .groupBy("flag")
+        .agg(F.sum("tq").alias("sq"))
+    )
+    exact = li.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("w").cast("bigint").alias("exact_total"),
+    )
+    return exact.join(F.broadcast(est), "flag").select(
+        "flag",
+        "n_items",
+        "exact_total",
+        fround(F.col("sq").cast("double") / 1000.0, 3).alias("est_total"),
+        fround(
+            (F.col("sq").cast("double") / 1000.0 - F.col("exact_total"))
+            / F.col("exact_total"),
+            6,
+        ).alias("rel_err"),
+    )

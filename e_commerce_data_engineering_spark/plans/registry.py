@@ -115,6 +115,8 @@ _PRIORITY: tuple[str, ...] = (
     "q107_did_return_rate",
     "t69_burrows_delta",
     "m11_image_dhash",
+    "x16_priority_sample_totals",
+    "q108_icc_customer",
     # --- already driver-recorded: round-8 block (all 37 recorded in
     # CORRECTNESS_r08), youngest first.
     "t63_winnowing_fingerprints",

@@ -4269,3 +4269,109 @@ def q107_did_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(rc1, 6).alias("rate_ctrl_post"),
         fround((rt1 - rt0) - (rc1 - rc0), 6).alias("did_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q108 — one-way random-effects ANOVA / intraclass correlation: how much
+# of order-value variance is customer-level? (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q108_icc_customer",
+    oracle="""
+    WITH per AS (
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS s,
+               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)
+                        * CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS ss
+        FROM orders GROUP BY 1
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS a,
+               CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(s) AS BIGINT) AS st,
+               CAST(SUM(ss) AS HUGEINT) AS sst,
+               CAST(SUM((CAST(s AS HUGEINT) * s * 1000000) // n) AS HUGEINT) AS t1,
+               CAST(SUM(n * n) AS BIGINT) AS sn2
+        FROM per
+    )
+    SELECT a AS n_customers, nn AS n_orders,
+           ROUND((CAST(t1 AS DOUBLE) / 1000000.0
+                  - CAST(st AS DOUBLE) * st / nn) / (a - 1), 4) AS ms_between,
+           ROUND((CAST(sst AS DOUBLE) - CAST(t1 AS DOUBLE) / 1000000.0)
+                 / (nn - a), 4) AS ms_within,
+           ROUND(((CAST(t1 AS DOUBLE) / 1000000.0
+                   - CAST(st AS DOUBLE) * st / nn) / (a - 1))
+                 / ((CAST(sst AS DOUBLE) - CAST(t1 AS DOUBLE) / 1000000.0)
+                    / (nn - a)), 4) AS f_stat,
+           ROUND((CAST(nn AS DOUBLE) - CAST(sn2 AS DOUBLE) / nn)
+                 / (a - 1), 6) AS k0,
+           ROUND((((CAST(t1 AS DOUBLE) / 1000000.0
+                    - CAST(st AS DOUBLE) * st / nn) / (a - 1))
+                  - ((CAST(sst AS DOUBLE) - CAST(t1 AS DOUBLE) / 1000000.0)
+                     / (nn - a)))
+                 / (((CAST(t1 AS DOUBLE) / 1000000.0
+                      - CAST(st AS DOUBLE) * st / nn) / (a - 1))
+                    + (((CAST(nn AS DOUBLE) - CAST(sn2 AS DOUBLE) / nn)
+                        / (a - 1)) - 1)
+                      * ((CAST(sst AS DOUBLE) - CAST(t1 AS DOUBLE) / 1000000.0)
+                         / (nn - a))), 6) AS icc
+    FROM agg
+    """,
+    doc="One-way random-effects ANOVA on order value grouped by "
+    "customer, read out as the intraclass correlation ICC(1) "
+    "(Fisher's variance decomposition; Shrout & Fleiss 1979 "
+    "conventions, unbalanced-design k0 per Searle): 'how much of "
+    "order-value variance lives BETWEEN customers' — the number that "
+    "decides whether customer-level features are worth engineering "
+    "and whether per-customer stratification (q82) will pay. Engine "
+    "discipline: per-customer (n, S, SS) are exact integer dollar "
+    "sums; the one rational per group, S_i^2/n_i, becomes the exact "
+    "integer (S_i^2 * 1e6) div n_i — both engines floor-divide int64 "
+    "— accumulated in DECIMAL(38,0)/HUGEINT; every displayed stat is "
+    "then an identical IEEE expression over those exact aggregates, "
+    "rounded 4-6dp. Scale: ONE customer-grain rollup with map-side "
+    "combine, then a single-row fold — the grand totals never touch "
+    "a window; 1 output row.",
+)
+def q108_icc_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.floor(F.col("o_totalprice")).cast("bigint").alias("v")
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("ss"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("a"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("s").cast("bigint").alias("st"),
+        F.sum(F.col("ss").cast("decimal(38,0)")).alias("sst"),
+        F.sum(
+            F.expr("(cast(s as decimal(38,0)) * s * 1000000) div n").cast(
+                "decimal(38,0)"
+            )
+        ).alias("t1"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sn2"),
+    )
+    t1d = F.col("t1").cast("double") / 1_000_000.0
+    std = F.col("st").cast("double")
+    ssb = t1d - std * F.col("st") / F.col("nn")
+    ssw = F.col("sst").cast("double") - t1d
+    msb = ssb / (F.col("a") - 1)
+    msw = ssw / (F.col("nn") - F.col("a"))
+    k0 = (F.col("nn").cast("double") - F.col("sn2").cast("double") / F.col("nn")) / (
+        F.col("a") - 1
+    )
+    return agg.select(
+        F.col("a").alias("n_customers"),
+        F.col("nn").alias("n_orders"),
+        fround(msb, 4).alias("ms_between"),
+        fround(msw, 4).alias("ms_within"),
+        fround(msb / msw, 4).alias("f_stat"),
+        fround(k0, 6).alias("k0"),
+        fround((msb - msw) / (msb + (k0 - 1) * msw), 6).alias("icc"),
+    )

@@ -1235,3 +1235,21 @@ def test_no_bare_actions_in_plan_builders():
             if ".collect()" in line or assign_count.search(line):
                 bad.append(f"{src.name}:{i}: {line.strip()}")
     assert not bad, "\n".join(bad)
+
+
+@pytest.mark.parametrize(
+    "name", ["x16_priority_sample_totals", "q108_icc_customer"]
+)
+def test_round9_batch4_avoid_cartesian(spark, name):
+    """Fourth round-9 batch: x16's tau and estimate ride broadcast
+    3-row frames back onto the exact totals, q108 is a customer
+    rollup folded to one row — no CartesianProduct anywhere."""
+    assert "CartesianProduct" not in plan_of(spark, name)
+
+
+def test_q108_single_scan_no_window(spark):
+    """q108's grand totals come from a two-level aggregate — one fact
+    scan, NO window (the single-partition-window trap never appears)."""
+    plan = plan_of(spark, "q108_icc_customer")
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert "Window" not in plan, plan

@@ -131,6 +131,8 @@ AUDIT = [
     ("q107_did_return_rate", "4-cell rollup with map-side combine; 1-row pivot after the scan"),
     ("t69_burrows_delta", "(source,token) rollup once; top-30 panel broadcast; sources^2 x 30 pair terms"),
     ("m11_image_dhash", "shuffle-free Arrow narrow map; real PNG decode; one 64-bit row per image"),
+    ("x16_priority_sample_totals", "rank window on the slice key; everything past rn<=k+1 is k-row bounded"),
+    ("q108_icc_customer", "one customer-grain rollup with map-side combine; single-row fold, no window"),
 ]
 
 
