@@ -500,3 +500,81 @@ def bottomk_quantiles(sample: DataFrame, pcts: tuple[int, ...] = (50, 90, 99)) -
             .alias(f"p{p}_est")
         )
     return cum.groupBy("grp").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Priority sample (Duffield-Lund-Thorup): fixed-size WEIGHTED sample
+# whose tau-threshold estimator is unbiased for any subset sum
+# ---------------------------------------------------------------------------
+
+
+def priority_of(key: Column, w: Column) -> Column:
+    """Priority w/u with u = (MINSTD(key)+1)/M in (0,1] — deterministic,
+    engine-portable 'randomness', identical IEEE division of exact
+    int64 products (w*M must stay under 2^53)."""
+    return (
+        w.cast("double")
+        * BOTTOMK_M
+        / ((key.cast("bigint") % BOTTOMK_M) * BOTTOMK_A % BOTTOMK_M + 1)
+    )
+
+
+def priority_sample(
+    df: DataFrame, group_col: str, key_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Keep the k+1 highest-priority rows per group — the whole sketch
+    state. Carrying k+1 (not k) makes the summary MERGEABLE: the
+    top-(k+1) of a union equals the top-(k+1) of the union of
+    per-shard top-(k+1) sets, and row k+1 is exactly the tau the
+    estimator needs. Columns out: (grp, key, w, p, k)."""
+    from pyspark.sql import Window as W
+
+    pri = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(key_col).cast("bigint").alias("key"),
+        F.col(weight_col).cast("bigint").alias("w"),
+    ).withColumn("p", priority_of(F.col(key_col), F.col(weight_col)))
+    wr = W.partitionBy("grp").orderBy(F.col("p").desc(), "key")
+    return (
+        pri.withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") <= k + 1)
+        .select("grp", "key", "w", "p", F.lit(k).cast("int").alias("k"))
+    )
+
+
+def priority_estimate(sample: DataFrame) -> DataFrame:
+    """Tau-threshold subset-sum estimate from a (merged) priority
+    sample: tau = the (k+1)-th priority, estimate = sum over the top-k
+    of max(w, tau), each term quantized to 1e-3 into DECIMAL(38,0)
+    before the sum (tau carries w*M/h headroom past int64). k comes
+    from the state rows."""
+    from pyspark.sql import Window as W
+
+    wr = W.partitionBy("grp").orderBy(F.col("p").desc(), "key")
+    ranked = sample.withColumn("_rn", F.row_number().over(wr)).filter(
+        F.col("_rn") <= F.col("k") + 1
+    )
+    tau = ranked.groupBy("grp").agg(
+        F.max(F.when(F.col("_rn") == F.col("k") + 1, F.col("p"))).alias("t")
+    )
+    return (
+        ranked.filter(F.col("_rn") <= F.col("k"))
+        .join(F.broadcast(tau), "grp")
+        .select(
+            "grp",
+            "k",
+            F.floor(
+                F.greatest(F.col("w").cast("double"), F.coalesce("t", F.lit(0.0)))
+                * 1000.0
+                + F.lit(0.5)
+            )
+            .cast("decimal(38,0)")
+            .alias("tq"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sample"),
+            F.max("k").cast("int").alias("k"),
+            (F.sum("tq").cast("double") / 1000.0).alias("est_total"),
+        )
+    )

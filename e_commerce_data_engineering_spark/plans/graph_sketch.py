@@ -2742,54 +2742,34 @@ _X16_A = 48271
     "quantized grid must carry >int64 headroom), and the display "
     "division happens once. Scale: the rank window shuffles on flag "
     "(3 groups; at production grain the group key is the slice key), "
-    "everything after rn <= k+1 is k-row bounded; 3 output rows.",
+    "everything after rn <= k+1 is k-row bounded; 3 output rows. "
+    "Caveat carried with the sketch: the DLT variance bound assumes "
+    "INDEPENDENT uniforms per item — rows sharing a key share their "
+    "MINSTD uniform (this corpus's (orderkey, linenumber) pairs do "
+    "collide), so duplicates enter the sample together; a production "
+    "deployment salts the key to full row grain.",
 )
 def x16_priority_sample_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the SAME operators/sketch core the streaming priority-sample
+    # store folds through — one source of truth for the sketch math
+    from ..operators.sketch import priority_estimate, priority_sample
+
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("key"),
         (F.floor(F.col("l_extendedprice")).cast("bigint") + 1).alias("w"),
     )
-    pri = li.withColumn(
-        "p",
-        F.col("w").cast("double")
-        * _X16_M
-        / (((F.col("key") % _X16_M) * _X16_A) % _X16_M + 1),
-    )
-    ranked = pri.withColumn(
-        "rn",
-        F.row_number().over(W.partitionBy("flag").orderBy(F.col("p").desc(), "key")),
-    ).filter(F.col("rn") <= _X16_K + 1)
-    tau = ranked.groupBy("flag").agg(
-        F.max(F.when(F.col("rn") == _X16_K + 1, F.col("p"))).alias("t")
-    )
-    est = (
-        ranked.filter(F.col("rn") <= _X16_K)
-        .join(F.broadcast(tau), "flag")
-        .select(
-            "flag",
-            F.floor(
-                F.greatest(F.col("w").cast("double"), F.col("t")) * 1000.0
-                + F.lit(0.5)
-            )
-            .cast("decimal(38,0)")
-            .alias("tq"),
-        )
-        .groupBy("flag")
-        .agg(F.sum("tq").alias("sq"))
-    )
-    exact = li.groupBy("flag").agg(
+    est = priority_estimate(priority_sample(li, "flag", "key", "w", _X16_K))
+    exact = li.groupBy(F.col("flag").alias("grp")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
         F.sum("w").cast("bigint").alias("exact_total"),
     )
-    return exact.join(F.broadcast(est), "flag").select(
-        "flag",
+    return exact.join(F.broadcast(est), "grp").select(
+        F.col("grp").alias("flag"),
         "n_items",
         "exact_total",
-        fround(F.col("sq").cast("double") / 1000.0, 3).alias("est_total"),
+        fround(F.col("est_total"), 3).alias("est_total"),
         fround(
-            (F.col("sq").cast("double") / 1000.0 - F.col("exact_total"))
-            / F.col("exact_total"),
-            6,
+            (F.col("est_total") - F.col("exact_total")) / F.col("exact_total"), 6
         ).alias("rel_err"),
     )

@@ -1770,3 +1770,63 @@ def read_sample_quantiles(spark: SparkSession, state_dir: str) -> DataFrame:
     from ..operators.sketch import bottomk_quantiles
 
     return bottomk_quantiles(read_sample_state(spark, state_dir))
+
+
+def start_priority_sample_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int = 64,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Streaming twin of the x16 priority sample as store #6: each
+    micro-batch reduces its rows to the per-group top-(k+1) priorities
+    (``operators/sketch.priority_sample`` — the SAME core x16 runs)
+    and writes that partial under ``batch_id=N`` with overwrite. The
+    k+1-row summary is MERGEABLE exactly like bottom-k: the top-(k+1)
+    of a union equals the top-(k+1) of the union of per-shard
+    top-(k+1) sets, and row k+1 of the MERGED sample is the global
+    tau the estimator needs — so the read side reproduces the one-pass
+    batch estimate exactly, never approximately. State is O(k) rows
+    per (group, drained batch); k rides IN the state rows."""
+    from ..operators.sketch import priority_sample
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+    def _partial(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        priority_sample(batch_df, group_col, key_col, weight_col, k).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/batch_id={epoch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(_partial)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_priority_estimates(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Fold the streamed per-batch priority-sample partials (union →
+    re-rank → tau-threshold estimate) through the SAME
+    ``operators/sketch.priority_estimate`` core x16 uses — batch/stream
+    parity by construction. No key-dedup on read: each source row lands
+    in exactly one drained batch (a replayed epoch OVERWRITES its own
+    partial), and the item key need not be unique — the testdata's
+    (orderkey, linenumber) pairs genuinely collide, and two distinct
+    rows sharing a key are two distinct sample items, exactly as the
+    one-pass batch sample treats them."""
+    from ..operators.sketch import priority_estimate
+
+    return priority_estimate(spark.read.parquet(state_dir))
