@@ -185,6 +185,7 @@ HEADLINE = [
     "m11_image_dhash",
     "x16_priority_sample_totals",
     "q108_icc_customer",
+    "q109_theil_inequality",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

@@ -117,6 +117,7 @@ _PRIORITY: tuple[str, ...] = (
     "m11_image_dhash",
     "x16_priority_sample_totals",
     "q108_icc_customer",
+    "q109_theil_inequality",
     # --- already driver-recorded: round-8 block (all 37 recorded in
     # CORRECTNESS_r08), youngest first.
     "t63_winnowing_fingerprints",

@@ -4375,3 +4375,120 @@ def q108_icc_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(k0, 6).alias("k0"),
         fround((msb - msw) / (msb + (k0 - 1) * msw), 6).alias("icc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q109 — Theil index of customer-spend inequality, decomposed within /
+# between market segments (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q109_theil_inequality",
+    oracle="""
+    WITH cust AS (
+        SELECT o.o_custkey,
+               c.c_mktsegment AS segment,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice) AS BIGINT)) AS BIGINT) AS s
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    seg AS (
+        SELECT segment,
+               CAST(COUNT(*) AS BIGINT) AS ng,
+               CAST(SUM(s) AS BIGINT) AS sg
+        FROM cust GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(sg) AS BIGINT) AS st
+        FROM seg
+    ),
+    terms AS (
+        SELECT c.segment,
+               CAST(FLOOR(CAST(c.s AS DOUBLE)
+                          * LN(CAST(c.s AS DOUBLE) * g.ng / g.sg)
+                          * 1000000.0 + 0.5) AS HUGEINT) AS tq
+        FROM cust c JOIN seg g ON g.segment = c.segment
+    ),
+    w AS (
+        SELECT segment, SUM(tq) AS wq FROM terms GROUP BY 1
+    )
+    SELECT g.segment,
+           g.ng AS n_customers,
+           g.sg AS total_dollars,
+           ROUND(CAST(g.sg AS DOUBLE) / t.st, 6) AS spend_share,
+           ROUND(CAST(w.wq AS DOUBLE) / 1000000.0 / g.sg, 6) AS theil_within,
+           ROUND(CAST(g.sg AS DOUBLE) / t.st
+                 * LN((CAST(g.sg AS DOUBLE) / t.st)
+                      / (CAST(g.ng AS DOUBLE) / t.n)), 6) AS between_term
+    FROM seg g
+    JOIN w ON w.segment = g.segment
+    CROSS JOIN tot t
+    """,
+    doc="Theil's T index of customer-spend inequality with its "
+    "within/between decomposition over market segments (Theil 1967; "
+    "Shorrocks 1980 proved generalized-entropy indices are the ONLY "
+    "additively decomposable ones — the property Gini (e33) and HHI "
+    "(q90) lack, and the reason analysts reach for Theil when the "
+    "question is 'is the concentration inside segments or between "
+    "them'): T = sum_g share_g*T_g + sum_g share_g*ln(share_g/"
+    "popshare_g). Per-customer terms s_i*ln(s_i*N_g/S_g) are "
+    "identical IEEE sequences over exact integer dollar sums, "
+    "quantized to 1e-6 micro-units BEFORE the segment sum in "
+    "HUGEINT/DECIMAL(38,0) (sum-order discipline); each segment's "
+    "T_g and between-share term divide back once at display. Scale: "
+    "one customer-grain rollup (map-side combine), a 5-row segment "
+    "rollup broadcast back onto the customer grain for the term "
+    "pass, a 1-row totals broadcast; 5 output rows.",
+)
+def q109_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.floor(F.col("o_totalprice")).cast("bigint").alias("v")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cust = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("o_custkey"), F.col("c_mktsegment").alias("segment"))
+        .agg(F.sum("v").cast("bigint").alias("s"))
+    )
+    seg = cust.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("s").cast("bigint").alias("sg"),
+    )
+    tot = seg.agg(
+        F.sum("ng").cast("bigint").alias("n"), F.sum("sg").cast("bigint").alias("st")
+    )
+    terms = cust.join(F.broadcast(seg), "segment").select(
+        "segment",
+        F.floor(
+            F.col("s").cast("double")
+            * F.log(F.col("s").cast("double") * F.col("ng") / F.col("sg"))
+            * 1_000_000.0
+            + F.lit(0.5)
+        )
+        .cast("decimal(38,0)")
+        .alias("tq"),
+    )
+    w = terms.groupBy("segment").agg(F.sum("tq").alias("wq"))
+    return (
+        seg.join(w, "segment")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            F.col("ng").alias("n_customers"),
+            F.col("sg").alias("total_dollars"),
+            fround(F.col("sg").cast("double") / F.col("st"), 6).alias("spend_share"),
+            fround(
+                F.col("wq").cast("double") / 1_000_000.0 / F.col("sg"), 6
+            ).alias("theil_within"),
+            fround(
+                F.col("sg").cast("double")
+                / F.col("st")
+                * F.log(
+                    (F.col("sg").cast("double") / F.col("st"))
+                    / (F.col("ng").cast("double") / F.col("n"))
+                ),
+                6,
+            ).alias("between_term"),
+        )
+    )

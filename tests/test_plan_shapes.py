@@ -1253,3 +1253,11 @@ def test_q108_single_scan_no_window(spark):
     plan = plan_of(spark, "q108_icc_customer")
     assert plan.count("Location: InMemoryFileIndex") == 1, plan
     assert "Window" not in plan, plan
+
+
+def test_q109_theil_broadcasts_segment_frame(spark):
+    """q109's term pass joins the 5-row segment aggregates back onto
+    the customer grain as a broadcast — no CartesianProduct, no
+    SortMergeJoin of a 5-row frame."""
+    plan = plan_of(spark, "q109_theil_inequality")
+    assert "CartesianProduct" not in plan, plan

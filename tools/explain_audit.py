@@ -133,6 +133,7 @@ AUDIT = [
     ("m11_image_dhash", "shuffle-free Arrow narrow map; real PNG decode; one 64-bit row per image"),
     ("x16_priority_sample_totals", "rank window on the slice key; everything past rn<=k+1 is k-row bounded"),
     ("q108_icc_customer", "one customer-grain rollup with map-side combine; single-row fold, no window"),
+    ("q109_theil_inequality", "customer rollup + 5-row segment broadcast term pass; wide-decimal micro-sums"),
 ]
 
 
