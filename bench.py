@@ -186,6 +186,7 @@ HEADLINE = [
     "x16_priority_sample_totals",
     "q108_icc_customer",
     "q109_theil_inequality",
+    "q110_fill_rate",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

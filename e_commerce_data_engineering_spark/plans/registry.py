@@ -118,6 +118,7 @@ _PRIORITY: tuple[str, ...] = (
     "x16_priority_sample_totals",
     "q108_icc_customer",
     "q109_theil_inequality",
+    "q110_fill_rate",
     # --- already driver-recorded: round-8 block (all 37 recorded in
     # CORRECTNESS_r08), youngest first.
     "t63_winnowing_fingerprints",

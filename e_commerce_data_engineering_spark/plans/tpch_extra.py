@@ -4492,3 +4492,122 @@ def q109_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("between_term"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q110 — achieved service level of the q103 reorder policy: cycle
+# service vs unit fill rate (round 9; q103's grading consumer)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q110_fill_rate",
+    oracle="""
+    WITH weekly AS (
+        SELECT p.p_brand AS brand,
+               CAST(DATE_TRUNC('week', l.l_shipdate) AS DATE) AS week,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS demand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT brand, demand, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM weekly GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT brand, demand, cnt,
+               SUM(cnt) OVER (PARTITION BY brand ORDER BY demand) AS cum,
+               SUM(cnt) OVER (PARTITION BY brand) AS n
+        FROM grid
+    ),
+    fence AS (
+        SELECT brand, CAST(MAX(n) AS BIGINT) AS n_weeks,
+               MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN demand END) AS p95
+        FROM cum GROUP BY brand
+    ),
+    served AS (
+        SELECT g.brand,
+               CAST(SUM(CASE WHEN g.demand <= f.p95 THEN g.cnt ELSE 0 END)
+                    AS BIGINT) AS wk_cov,
+               CAST(SUM(g.cnt * CASE WHEN g.demand <= f.p95
+                                     THEN g.demand ELSE f.p95 END)
+                    AS BIGINT) AS units_served,
+               CAST(SUM(g.cnt * g.demand) AS BIGINT) AS units_demanded
+        FROM grid g JOIN fence f ON f.brand = g.brand
+        GROUP BY 1
+    )
+    SELECT f.brand, f.n_weeks, f.p95 AS p95_weekly, s.wk_cov AS weeks_covered,
+           ROUND(CAST(s.wk_cov AS DOUBLE) / f.n_weeks, 6) AS cycle_service,
+           ROUND(CAST(s.units_served AS DOUBLE) / s.units_demanded, 6)
+               AS unit_fill_rate
+    FROM fence f JOIN served s ON s.brand = f.brand
+    """,
+    doc="Grades the q103 reorder policy on its own history (the "
+    "m07->m08 consumer pattern applied to inventory): stock each "
+    "brand to its P95 weekly demand and replay every historical week "
+    "— cycle service level (fraction of weeks fully covered, the "
+    "alpha service measure the P95 fence TARGETS, so it should read "
+    ">= 0.95 by construction — a value below means the fence logic "
+    "broke) beside the stricter UNIT fill rate (fraction of demanded "
+    "units served = sum min(demand, P95) / sum demand, the beta "
+    "measure customers actually feel; the classical alpha-vs-beta "
+    "distinction, Silver-Pyke-Peterson). Both rates are exact "
+    "integer ratios off the SAME (brand, demand-value) grid q103 "
+    "builds — the replay never touches week rows, only grid cells "
+    "weighted by cnt. Scale: identical to q103 (one fact rollup, "
+    "grid-bounded windows, broadcast part dim); 25 output rows.",
+)
+def q110_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    weekly = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("week", F.col("l_shipdate")).cast("date").alias("week"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("demand"))
+    )
+    grid = weekly.groupBy("brand", "demand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wc = W.partitionBy("brand").orderBy("demand")
+    wn = W.partitionBy("brand")
+    cum = grid.select(
+        "brand",
+        "demand",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    fence = cum.groupBy("brand").agg(
+        F.max("n").cast("bigint").alias("n_weeks"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(95 * n + 99) div 100"), F.col("demand"))
+        ).alias("p95"),
+    )
+    served = (
+        grid.join(F.broadcast(fence), "brand")
+        .groupBy("brand")
+        .agg(
+            F.sum(F.when(F.col("demand") <= F.col("p95"), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("wk_cov"),
+            F.sum(F.col("cnt") * F.least(F.col("demand"), F.col("p95")))
+            .cast("bigint")
+            .alias("units_served"),
+            F.sum(F.col("cnt") * F.col("demand")).cast("bigint").alias("units_demanded"),
+        )
+    )
+    return fence.join(served, "brand").select(
+        "brand",
+        "n_weeks",
+        F.col("p95").alias("p95_weekly"),
+        F.col("wk_cov").alias("weeks_covered"),
+        fround(F.col("wk_cov").cast("double") / F.col("n_weeks"), 6).alias(
+            "cycle_service"
+        ),
+        fround(
+            F.col("units_served").cast("double") / F.col("units_demanded"), 6
+        ).alias("unit_fill_rate"),
+    )

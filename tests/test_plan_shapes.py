@@ -1261,3 +1261,11 @@ def test_q109_theil_broadcasts_segment_frame(spark):
     SortMergeJoin of a 5-row frame."""
     plan = plan_of(spark, "q109_theil_inequality")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q110_replay_stays_on_grid(spark):
+    """q110 replays the policy over (brand, demand-value) grid CELLS —
+    the fence joins back as a broadcast, never a CartesianProduct or a
+    second week-grain pass."""
+    plan = plan_of(spark, "q110_fill_rate")
+    assert "CartesianProduct" not in plan, plan

@@ -134,6 +134,7 @@ AUDIT = [
     ("x16_priority_sample_totals", "rank window on the slice key; everything past rn<=k+1 is k-row bounded"),
     ("q108_icc_customer", "one customer-grain rollup with map-side combine; single-row fold, no window"),
     ("q109_theil_inequality", "customer rollup + 5-row segment broadcast term pass; wide-decimal micro-sums"),
+    ("q110_fill_rate", "q103's grid replayed cell-wise; fences broadcast; 25 rows, no week-grain pass"),
 ]
 
 
