@@ -1830,3 +1830,46 @@ def read_priority_estimates(spark: SparkSession, state_dir: str) -> DataFrame:
     from ..operators.sketch import priority_estimate
 
     return priority_estimate(spark.read.parquet(state_dir))
+
+
+def stream_stream_left_outer_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the attribution completeness
+    companion to ``stream_stream_interval_join``: every purchase emits
+    EXACTLY once, joined to a same-user click up to ``within`` before
+    it when one exists, and null-extended once the watermark PROVES no
+    such click can still arrive (Spark holds the purchase in state
+    until min(both sides' watermarks) passes the join window, then
+    emits the null row — the mechanism that makes outer results
+    correct rather than racy). Both sides carry watermarks and the
+    condition bounds event-time distance in both directions, so state
+    expires with the window; unmatched-rate monitoring (how many
+    conversions have NO attributable impression) falls straight out of
+    the null rows."""
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+        "leftOuter",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "purchase_value",
+        "click_ts",
+        "click_value",
+    )

@@ -2262,3 +2262,68 @@ def test_priority_sample_stream_matches_batch(spark, tmp_path):
         for r in read_priority_estimates(spark, state).collect()
     }
     assert got2 == got
+
+
+def test_stream_stream_left_outer_join_emits_null_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream: the matched purchase emits joined; the
+    unmatched one emits NULL-extended only once the watermark (advanced
+    by later sentinel events on both streams, processed in a separate
+    micro-batch via maxFilesPerTrigger=1) proves no attributing click
+    can still arrive."""
+    import time as _time
+
+    from e_commerce_data_engineering_spark.streaming.pipeline import (
+        stream_stream_left_outer_join,
+    )
+
+    csrc = tmp_path / "lo-clicks"
+    psrc = tmp_path / "lo-purch"
+    csrc.mkdir(), psrc.mkdir()
+    spark.createDataFrame(
+        [_event(0, user=1, etype="click", value=1.0)], EVENT_SCHEMA
+    ).write.parquet(str(csrc / "a"))
+    spark.createDataFrame(
+        [
+            _event(20, user=1, etype="purchase", value=9.0),
+            _event(50, user=2, etype="purchase", value=7.0),
+        ],
+        EVENT_SCHEMA,
+    ).write.parquet(str(psrc / "a"))
+    _time.sleep(1.1)  # sentinel files must land in a LATER trigger
+    spark.createDataFrame(
+        [_event(300, user=900, etype="click", value=0.0)], EVENT_SCHEMA
+    ).write.parquet(str(csrc / "b"))
+    spark.createDataFrame(
+        [_event(300, user=901, etype="purchase", value=0.0)], EVENT_SCHEMA
+    ).write.parquet(str(psrc / "b"))
+
+    cs = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(csrc / "*"))
+    )
+    ps = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(psrc / "*"))
+    )
+    q = (
+        stream_stream_left_outer_join(ps, cs, within="30 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lo_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (
+            r["user_id"],
+            r["purchase_ts"].minute,
+            r["click_ts"].minute if r["click_ts"] is not None else None,
+        )
+        for r in spark.sql("SELECT * FROM lo_out WHERE user_id < 900").collect()
+    }
+    # u1@20 attributed to click@0; u2@50 proven unattributable (the
+    # sentinel events pushed min-watermark to 240 > 50+30)
+    assert rows == {(1, 20, 0), (2, 50, None)}, rows
