@@ -187,6 +187,7 @@ HEADLINE = [
     "q108_icc_customer",
     "q109_theil_inequality",
     "q110_fill_rate",
+    "e45_orphan_conversions",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

@@ -3096,3 +3096,90 @@ def e43_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rnk").cast("bigint").alias("bh_rank"),
         (F.col("rnk") <= F.coalesce(F.col("km"), F.lit(0))).alias("rejected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e45 — orphan conversions by hour of day (round 9): the batch twin of
+# the left-outer stream-stream attribution join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e45_orphan_conversions",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts, strftime(ts, '%H') AS hh
+        FROM events WHERE event_type = 'purchase'
+    ),
+    flagged AS (
+        SELECT hh,
+               CASE WHEN EXISTS (
+                   SELECT 1 FROM events v
+                   WHERE v.event_type = 'view'
+                     AND v.user_id = p.user_id
+                     AND epoch_ms(v.ts) >= epoch_ms(p.ts) - 7200000
+                     AND epoch_ms(v.ts) <= epoch_ms(p.ts)
+               ) THEN 0 ELSE 1 END AS orphan
+        FROM p
+    )
+    SELECT hh AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(orphan) AS BIGINT) AS n_orphans,
+           ROUND(CAST(SUM(orphan) AS DOUBLE) / COUNT(*), 6) AS orphan_rate
+    FROM flagged
+    GROUP BY 1
+    """,
+    doc="Orphan-conversion rate by hour of day — the batch twin of the "
+    "left-outer stream-stream attribution join's null rows: a purchase "
+    "is an ORPHAN when the user has no view in the 2 hours before it, "
+    "and the hourly profile tells attribution engineering where the "
+    "holes cluster (overnight orphans = tracking gaps; business-hours "
+    "orphans = genuinely view-less conversions). Spark side: a LEFT "
+    "ANTI join on user_id with the event-time range as the join "
+    "residual — user-keyed, one shuffle per side, never a time cross "
+    "join; the oracle is the equivalent correlated NOT EXISTS. Rates "
+    "are exact integer ratios, 6dp. Scale: both sides shuffle once on "
+    "user_id (the same co-partitioning every attribution query here "
+    "uses); the anti join's per-key work is views-per-user bounded; "
+    "24 output rows.",
+)
+def e45_orphan_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.date_format("ts", "HH").alias("hh"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    attributed = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (
+            F.unix_millis(F.col("v_ts").cast("timestamp"))
+            >= F.unix_millis(F.col("p_ts").cast("timestamp")) - 7_200_000
+        )
+        & (
+            F.unix_millis(F.col("v_ts").cast("timestamp"))
+            <= F.unix_millis(F.col("p_ts").cast("timestamp"))
+        ),
+        "left_anti",
+    )
+    orphans = attributed.groupBy("hh").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orphans")
+    )
+    totals = p.groupBy("hh").agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
+    return (
+        totals.join(F.broadcast(orphans), "hh", "left")
+        .select(
+            F.col("hh").alias("hour_of_day"),
+            "n_purchases",
+            F.coalesce(F.col("n_orphans"), F.lit(0)).cast("bigint").alias("n_orphans"),
+            fround(
+                F.coalesce(F.col("n_orphans"), F.lit(0)).cast("double")
+                / F.col("n_purchases"),
+                6,
+            ).alias("orphan_rate"),
+        )
+    )

@@ -119,6 +119,7 @@ _PRIORITY: tuple[str, ...] = (
     "q108_icc_customer",
     "q109_theil_inequality",
     "q110_fill_rate",
+    "e45_orphan_conversions",
     # --- already driver-recorded: round-8 block (all 37 recorded in
     # CORRECTNESS_r08), youngest first.
     "t63_winnowing_fingerprints",

@@ -1269,3 +1269,11 @@ def test_q110_replay_stays_on_grid(spark):
     second week-grain pass."""
     plan = plan_of(spark, "q110_fill_rate")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_e45_orphan_screen_is_anti_join(spark):
+    """e45's attribution screen must be a user-keyed LEFT ANTI join
+    with the time range as a residual — never a time cross join."""
+    plan = plan_of(spark, "e45_orphan_conversions")
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan

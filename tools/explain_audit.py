@@ -135,6 +135,7 @@ AUDIT = [
     ("q108_icc_customer", "one customer-grain rollup with map-side combine; single-row fold, no window"),
     ("q109_theil_inequality", "customer rollup + 5-row segment broadcast term pass; wide-decimal micro-sums"),
     ("q110_fill_rate", "q103's grid replayed cell-wise; fences broadcast; 25 rows, no week-grain pass"),
+    ("e45_orphan_conversions", "user-keyed LEFT ANTI with time-range residual; never a time cross join"),
 ]
 
 
