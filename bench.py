@@ -188,6 +188,7 @@ HEADLINE = [
     "q109_theil_inequality",
     "q110_fill_rate",
     "e45_orphan_conversions",
+    "t71_lm_quality_agreement",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

@@ -120,6 +120,7 @@ _PRIORITY: tuple[str, ...] = (
     "q109_theil_inequality",
     "q110_fill_rate",
     "e45_orphan_conversions",
+    "t71_lm_quality_agreement",
     # --- already driver-recorded: round-8 block (all 37 recorded in
     # CORRECTNESS_r08), youngest first.
     "t63_winnowing_fingerprints",

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from ..functions import text as X
 from ..sources.tables import load_table
 from .money import fround, sql_fround
-from .registry import query
+from .registry import QUERIES, query
 
 # DuckDB-side tokenization mirroring functions.text.tokens
 _DUCK_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -5219,13 +5219,13 @@ def t66_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T67_D = 0.75  # absolute discount (the Chen & Goodman 1998 default)
 
 
-@query(
-    "t67_kneser_ney",
-    oracle=f"""{_SQL_T23_SCORED},
+# doc-grain Kneser-Ney bit totals — shared VERBATIM by t67's source
+# rollup and t71's quality-agreement readout (the _S27_WITH pattern)
+_SQL_KN_DOC = f"""{_SQL_T23_SCORED},
     n1w1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS f1 FROM bi GROUP BY w1),
     n1w2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS f2 FROM bi GROUP BY w2),
     ntypes AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM bi),
-    kn AS (
+    kn AS MATERIALIZED (
         SELECT b.doc_id,
                CAST(COUNT(*) AS BIGINT) AS nb,
                CAST(SUM(CAST(FLOOR(
@@ -5240,7 +5240,12 @@ _T67_D = 0.75  # absolute discount (the Chen & Goodman 1998 default)
         JOIN n1w2 ON b.w2 = n1w2.w2
         CROSS JOIN ntypes
         GROUP BY b.doc_id
-    ),
+    )"""
+
+
+@query(
+    "t67_kneser_ney",
+    oracle=f"""{_SQL_KN_DOC},
     per AS (
         SELECT d.source,
                CAST(SUM(kn.nb) AS BIGINT) AS n_bigrams,
@@ -5280,6 +5285,36 @@ _T67_D = 0.75  # absolute discount (the Chen & Goodman 1998 default)
 )
 def t67_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    kn = _kn_doc_bits(d)
+    addk = _bigram_doc_bits(d).select("doc_id", F.col("_qb").alias("ak_bits"))
+    per = (
+        kn.join(addk, "doc_id")
+        .join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("nb").cast("bigint").alias("n_bigrams"),
+            F.sum("kn_bits").cast("bigint").alias("knb"),
+            F.sum("ak_bits").cast("bigint").alias("akb"),
+        )
+    )
+    nb = F.col("n_bigrams")
+    return per.select(
+        "source",
+        "n_bigrams",
+        fround(F.col("knb").cast("double") / nb / 1_000_000.0, 4).alias("kn_avg_bits"),
+        fround(F.col("akb").cast("double") / nb / 1_000_000.0, 4).alias(
+            "addk_avg_bits"
+        ),
+        fround(
+            (F.col("akb").cast("double") - F.col("knb")) / nb / 1_000_000.0, 4
+        ).alias("bits_saved"),
+    )
+
+
+def _kn_doc_bits(d: DataFrame) -> DataFrame:
+    """Doc-grain interpolated Kneser-Ney bit totals (doc_id, nb,
+    kn_bits) — the shared stage behind t67's source rollup and t71's
+    tercile-agreement readout (mirrors the _SQL_KN_DOC oracle text)."""
     toks = X.tokens(F.col("text"))
     big = (
         d.select("doc_id", toks.alias("_t"))
@@ -5310,7 +5345,7 @@ def t67_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1_000_000.0
         + F.lit(0.5)
     ).cast("bigint")
-    kn = (
+    return (
         big.join(bi, ["w1", "w2"])
         .join(uni, "w1")
         .join(F.broadcast(n1w1), "w1")
@@ -5321,29 +5356,6 @@ def t67_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("nb"),
             F.sum(kn_q).cast("bigint").alias("kn_bits"),
         )
-    )
-    addk = _bigram_doc_bits(d).select("doc_id", F.col("_qb").alias("ak_bits"))
-    per = (
-        kn.join(addk, "doc_id")
-        .join(d.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
-        .agg(
-            F.sum("nb").cast("bigint").alias("n_bigrams"),
-            F.sum("kn_bits").cast("bigint").alias("knb"),
-            F.sum("ak_bits").cast("bigint").alias("akb"),
-        )
-    )
-    nb = F.col("n_bigrams")
-    return per.select(
-        "source",
-        "n_bigrams",
-        fround(F.col("knb").cast("double") / nb / 1_000_000.0, 4).alias("kn_avg_bits"),
-        fround(F.col("akb").cast("double") / nb / 1_000_000.0, 4).alias(
-            "addk_avg_bits"
-        ),
-        fround(
-            (F.col("akb").cast("double") - F.col("knb")) / nb / 1_000_000.0, 4
-        ).alias("bits_saved"),
     )
 
 
@@ -5551,4 +5563,161 @@ def t69_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tq").cast("bigint").cast("double") / _T69_K / 1_000_000.0,
             6,
         ).alias("delta")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t71 — do the KN language model and the heuristic quality score agree?
+# Cohen's kappa between their doc terciles (round 9; t67 + t06 consumer)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t71_lm_quality_agreement",
+    oracle=f"""{_SQL_KN_DOC},
+    q AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(FLOOR(quality * 10000.0 + 0.5) AS BIGINT) // 100 AS qk
+        FROM ({QUERIES["t06_quality_score"].oracle}) tq
+    ),
+    lmk AS MATERIALIZED (SELECT doc_id, (kn_bits // nb) // 10000 AS lk FROM kn),
+    lg AS (SELECT lk, CAST(COUNT(*) AS BIGINT) AS cnt FROM lmk GROUP BY lk),
+    lc AS (SELECT lk, SUM(cnt) OVER (ORDER BY lk) AS cum,
+                  SUM(cnt) OVER () AS n FROM lg),
+    lf AS (SELECT MIN(CASE WHEN cum >= (n + 2) // 3 THEN lk END) AS f1,
+                  MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN lk END) AS f2
+           FROM lc),
+    qg AS (SELECT qk, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM q JOIN lmk USING (doc_id) GROUP BY qk),
+    qc AS (SELECT qk, SUM(cnt) OVER (ORDER BY qk) AS cum,
+                  SUM(cnt) OVER () AS n FROM qg),
+    qf AS (SELECT MIN(CASE WHEN cum >= (n + 2) // 3 THEN qk END) AS f1,
+                  MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN qk END) AS f2
+           FROM qc),
+    b AS (
+        SELECT CASE WHEN l.lk <= lf.f1 THEN 0
+                    WHEN l.lk <= lf.f2 THEN 1 ELSE 2 END AS lb,
+               CASE WHEN q.qk <= qf.f1 THEN 0
+                    WHEN q.qk <= qf.f2 THEN 1 ELSE 2 END AS qb
+        FROM lmk l JOIN q ON q.doc_id = l.doc_id
+        CROSS JOIN lf CROSS JOIN qf
+    ),
+    ct AS (SELECT lb, qb, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN lb = qb THEN c ELSE 0 END) AS BIGINT)
+                       AS na
+            FROM ct),
+    r AS (SELECT lb AS k, CAST(SUM(c) AS BIGINT) AS rk FROM ct GROUP BY lb),
+    cc AS (SELECT qb AS k, CAST(SUM(c) AS BIGINT) AS ck FROM ct GROUP BY qb),
+    pe AS (SELECT CAST(SUM(r.rk * cc.ck) AS BIGINT) AS pes
+           FROM r JOIN cc ON cc.k = r.k)
+    SELECT tot.n AS n_docs, tot.na AS n_agree,
+           ROUND(CAST(tot.na AS DOUBLE) / tot.n, 6) AS p_agree,
+           ROUND(CAST(pe.pes AS DOUBLE) / tot.n / tot.n, 6) AS p_chance,
+           ROUND((CAST(tot.na AS DOUBLE) / tot.n
+                  - CAST(pe.pes AS DOUBLE) / tot.n / tot.n)
+                 / (1.0 - CAST(pe.pes AS DOUBLE) / tot.n / tot.n), 6) AS kappa
+    FROM tot CROSS JOIN pe
+    """,
+    doc="Do the two quality signals agree on which documents are bad? "
+    "Cohen's kappa (1960; the t60 machinery) between per-doc terciles "
+    "of the Kneser-Ney LM's bits-per-bigram (t67's doc-grain stage, "
+    "embedded VERBATIM — fluency as a model sees it) and of t06's "
+    "heuristic quality score (length/stopword/token-shape rules) — "
+    "the calibration readout a curation stack runs before replacing "
+    "cheap heuristics with an LM filter, or before trusting either "
+    "alone (low kappa = the two filters would delete DIFFERENT "
+    "documents; Sharma et al.'s Dolma and the RefinedWeb ablations "
+    "both hinge on exactly this disagreement). Engine discipline: LM "
+    "keys are exact integer CENTIBITS per bigram (kn_bits div nb div "
+    "1e4 — the t64 coarsened-grid lesson), heuristic keys exact "
+    "integer centi-quality; tercile fences are (n+2) div 3 integer "
+    "ceil-division cumulative fences; po/pe/kappa are identical IEEE "
+    "expressions over exact cross-tab counts. Scale: the doc-grain KN "
+    "stage is t67's (vocab-grain shuffles, broadcast count dims); the "
+    "fence windows walk the bounded centibit/centi-quality GRIDS, "
+    "never the doc population; 1 output row.",
+)
+def t71_lm_quality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    # persisted: the KN chain (bigram explode + vocab joins) feeds the
+    # fence grid, the t06 restriction, AND the bucket join — without
+    # the cut it re-executes once per consumer
+    lmk = (
+        _kn_doc_bits(d)
+        .select("doc_id", F.expr("(kn_bits div nb) div 10000").alias("lk"))
+        .persist()
+    )
+    q = (
+        t06_quality_score(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr("CAST(FLOOR(quality * 10000.0 + 0.5) AS BIGINT) div 100").alias(
+                "qk"
+            ),
+        )
+        .join(lmk.select("doc_id"), "doc_id")
+        .persist()
+    )
+
+    def fences(keyed: DataFrame, key: str) -> DataFrame:
+        g = keyed.groupBy(key).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        # global cumulative window over the BOUNDED key grid (centibit /
+        # centi-quality cells), never the doc population
+        cum = g.select(
+            key,
+            F.sum("cnt").over(W.orderBy(key)).alias("cum"),
+            F.sum("cnt").over(W.partitionBy(F.lit(1))).alias("n"),
+        )
+        return cum.agg(
+            F.min(F.when(F.col("cum") >= F.expr("(n + 2) div 3"), F.col(key))).alias(
+                "f1"
+            ),
+            F.min(
+                F.when(F.col("cum") >= F.expr("(2 * n + 2) div 3"), F.col(key))
+            ).alias("f2"),
+        )
+
+    lf = fences(lmk, "lk")
+    qf = fences(q, "qk")
+    b = (
+        lmk.join(q, "doc_id")
+        .crossJoin(F.broadcast(lf))
+        .crossJoin(F.broadcast(qf.select(F.col("f1").alias("g1"), F.col("f2").alias("g2"))))
+        .select(
+            F.when(F.col("lk") <= F.col("f1"), 0)
+            .when(F.col("lk") <= F.col("f2"), 1)
+            .otherwise(2)
+            .alias("lb"),
+            F.when(F.col("qk") <= F.col("g1"), 0)
+            .when(F.col("qk") <= F.col("g2"), 1)
+            .otherwise(2)
+            .alias("qb"),
+        )
+    )
+    ct = b.groupBy("lb", "qb").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = ct.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("lb") == F.col("qb"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+    )
+    r = ct.groupBy(F.col("lb").alias("k")).agg(F.sum("c").cast("bigint").alias("rk"))
+    cc = ct.groupBy(F.col("qb").alias("k")).agg(F.sum("c").cast("bigint").alias("ck"))
+    pe = r.join(cc, "k").agg(
+        F.sum(F.col("rk") * F.col("ck")).cast("bigint").alias("pes")
+    )
+    po = F.col("na").cast("double") / F.col("n")
+    pc = F.col("pes").cast("double") / F.col("n") / F.col("n")
+    return (
+        tot.crossJoin(F.broadcast(pe))
+        .select(
+            F.col("n").alias("n_docs"),
+            F.col("na").alias("n_agree"),
+            fround(po, 6).alias("p_agree"),
+            fround(pc, 6).alias("p_chance"),
+            fround((po - pc) / (1.0 - pc), 6).alias("kappa"),
+        )
     )

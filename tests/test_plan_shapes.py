@@ -1277,3 +1277,12 @@ def test_e45_orphan_screen_is_anti_join(spark):
     plan = plan_of(spark, "e45_orphan_conversions")
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_t71_reuses_cached_kn_stage(spark):
+    """t71's fence grids, t06 restriction, and bucket join must all
+    read the PERSISTED doc-grain KN frame (InMemoryTableScan), never
+    re-run the bigram explode per consumer; no CartesianProduct."""
+    plan = plan_of(spark, "t71_lm_quality_agreement")
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan, plan

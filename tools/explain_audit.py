@@ -136,6 +136,7 @@ AUDIT = [
     ("q109_theil_inequality", "customer rollup + 5-row segment broadcast term pass; wide-decimal micro-sums"),
     ("q110_fill_rate", "q103's grid replayed cell-wise; fences broadcast; 25 rows, no week-grain pass"),
     ("e45_orphan_conversions", "user-keyed LEFT ANTI with time-range residual; never a time cross join"),
+    ("t71_lm_quality_agreement", "persisted KN doc stage feeds fences + buckets; grids bounded, 1 row out"),
 ]
 
 
