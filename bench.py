@@ -189,6 +189,7 @@ HEADLINE = [
     "q110_fill_rate",
     "e45_orphan_conversions",
     "t71_lm_quality_agreement",
+    "x17_cms_join_size",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

@@ -2773,3 +2773,98 @@ def x16_priority_sample_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_total") - F.col("exact_total")) / F.col("exact_total"), 6
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x17 — join-size estimation from two CMS sketches (round 9): the
+# query-optimizer readout, audited against the exact join size
+# ---------------------------------------------------------------------------
+
+_X17_UID = "CAST(user_id AS VARCHAR)"
+_SQL_BUCKET_U = sql_portable_bucket(_X17_UID, "d.d", CMS_P_WIDTH)
+
+
+@query(
+    "x17_cms_join_size",
+    oracle=f"""
+    WITH a AS (SELECT user_id FROM events WHERE event_type = 'view'),
+    b AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+    d AS (SELECT unnest(range({CMS_P_DEPTH})) AS d),
+    ga AS (
+        SELECT d.d AS depth, {_SQL_BUCKET_U} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS ca
+        FROM a CROSS JOIN d GROUP BY 1, 2
+    ),
+    gb AS (
+        SELECT d.d AS depth, {_SQL_BUCKET_U} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cb
+        FROM b CROSS JOIN d GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT ga.depth, CAST(SUM(ga.ca * gb.cb) AS BIGINT) AS e
+        FROM ga JOIN gb ON gb.depth = ga.depth AND gb.bucket = ga.bucket
+        GROUP BY 1
+    ),
+    exact AS (
+        SELECT CAST(SUM(av.c * bv.c) AS BIGINT) AS j
+        FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM a GROUP BY 1) av
+        JOIN (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1) bv
+          ON bv.user_id = av.user_id
+    )
+    SELECT exact.j AS exact_join_size,
+           CAST(MIN(est.e) AS BIGINT) AS est_join_size,
+           ROUND(CAST(MIN(est.e) AS DOUBLE) / exact.j, 6) AS over_ratio
+    FROM est CROSS JOIN exact
+    GROUP BY exact.j
+    """,
+    doc="Equi-join size estimation from two count-min sketches — the "
+    "number a query optimizer wants BEFORE running the join: |A ⋈ B "
+    "on user_id| = sum_u f_A(u)·f_B(u), estimated as min over the "
+    f"{CMS_P_DEPTH} shared-hash depths of the bucket-wise dot product "
+    "of the two sketch grids (the CMS inner-product estimator, "
+    "Cormode & Muthukrishnan 2005 §4.2 — a one-sided OVERestimate, "
+    "like the point estimator), audited against the exact join size "
+    "on the same event streams (views ⋈ purchases per user: the "
+    "self-join every attribution query here pays). Everything is "
+    "exact integer arithmetic on the engine-portable hash family "
+    f"(x05's {CMS_P_DEPTH}x{CMS_P_WIDTH} grid), so the estimate — "
+    "not a float approximation of it — is under the hash gate, and "
+    "over_ratio reads the estimator's slack at this width. Scale: "
+    "TWO fixed-size sketch grids replace the user-grain join; the "
+    "sketches are mergeable (bucket-wise adds) so each side can be "
+    "sketched where it lives; the exact side is the audit you stop "
+    "running at 100 TB. 1 output row.",
+)
+def x17_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import cms_build_portable
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    ga = cms_build_portable(a, "uid", CMS_P_DEPTH, CMS_P_WIDTH).select(
+        "depth", "bucket", F.col("cnt").alias("ca")
+    )
+    gb = cms_build_portable(b, "uid", CMS_P_DEPTH, CMS_P_WIDTH).select(
+        "depth", "bucket", F.col("cnt").alias("cb")
+    )
+    est = (
+        ga.join(gb, ["depth", "bucket"])
+        .groupBy("depth")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("e"))
+        .agg(F.min("e").cast("bigint").alias("est"))
+    )
+    av = a.groupBy("uid").agg(F.count(F.lit(1)).cast("bigint").alias("c_a"))
+    bv = b.groupBy("uid").agg(F.count(F.lit(1)).cast("bigint").alias("c_b"))
+    exact = (
+        av.join(bv, "uid")
+        .agg(F.sum(F.col("c_a") * F.col("c_b")).cast("bigint").alias("j"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        F.col("j").alias("exact_join_size"),
+        F.col("est").alias("est_join_size"),
+        fround(F.col("est").cast("double") / F.col("j"), 6).alias("over_ratio"),
+    )

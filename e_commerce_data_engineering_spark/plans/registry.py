@@ -121,6 +121,7 @@ _PRIORITY: tuple[str, ...] = (
     "q110_fill_rate",
     "e45_orphan_conversions",
     "t71_lm_quality_agreement",
+    "x17_cms_join_size",
     # --- already driver-recorded: round-8 block (all 37 recorded in
     # CORRECTNESS_r08), youngest first.
     "t63_winnowing_fingerprints",

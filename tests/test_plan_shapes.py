@@ -1286,3 +1286,11 @@ def test_t71_reuses_cached_kn_stage(spark):
     plan = plan_of(spark, "t71_lm_quality_agreement")
     assert "InMemoryTableScan" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_x17_estimate_rides_sketch_grids(spark):
+    """x17's estimate joins two fixed-size sketch grids on (depth,
+    bucket) — no CartesianProduct, and the only data-sized stages are
+    the two event scans feeding the grids."""
+    plan = plan_of(spark, "x17_cms_join_size")
+    assert "CartesianProduct" not in plan, plan

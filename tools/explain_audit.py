@@ -137,6 +137,7 @@ AUDIT = [
     ("q110_fill_rate", "q103's grid replayed cell-wise; fences broadcast; 25 rows, no week-grain pass"),
     ("e45_orphan_conversions", "user-keyed LEFT ANTI with time-range residual; never a time cross join"),
     ("t71_lm_quality_agreement", "persisted KN doc stage feeds fences + buckets; grids bounded, 1 row out"),
+    ("x17_cms_join_size", "two fixed 3x272 sketch grids replace the user-grain join; bucket-wise dot"),
 ]
 
 
