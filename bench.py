@@ -1,11 +1,14 @@
 #!/usr/bin/env python3
 """Benchmark harness: runs the headline query set at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints TWO JSON lines — first the full
+per-query map (also written to BENCHLOG.json), then a compact (<1 KB)
+summary as the FINAL line so a tail-capture of stdout always contains a
+whole parseable record:
 
   {"metric": "headline_total_sec", "value": N, "unit": "sec",
-   "headline_r3_subset_sec": M,
-   "queries": {"q01_pricing_summary": s, ...}, "sf": 0.1}
+   "headline_r3_subset_sec": M, "n_queries": K,
+   "slowest10": {"d21_dedup_consensus": s, ...}, "sf": 0.1}
 
 ``headline_r3_subset_sec`` sums the FIXED 24-query set benched in every
 round since round 3 — the round-over-round comparable number (the full
@@ -294,6 +297,28 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     r3_subset = round(sum(t for n, t in timings.items() if n in R3_SUBSET), 3)
+    # The driver keeps only the LAST ~2000 chars of stdout, and the full
+    # per-query map outgrew that in round 7 (BENCH_r07..r09 all recorded
+    # "parsed": null). So: the full map goes on its OWN line first (for
+    # humans / the in-repo BENCHLOG), and the FINAL line is a compact
+    # (<1 KB) summary — totals plus the top-10 slowest entries — that is
+    # guaranteed to fit whole inside the tail capture.
+    full = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "headline_r3_subset_sec": r3_subset,
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(full))
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCHLOG.json"), "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line above still has the map
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
@@ -301,7 +326,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "headline_r3_subset_sec": r3_subset,
-                "queries": timings,
+                "n_queries": len(timings),
+                "slowest10": slowest,
                 "sf": sf,
             }
         )

@@ -2705,10 +2705,15 @@ _X16_A = 48271
         FROM ranked WHERE rn <= {_X16_K} + 1 GROUP BY flag
     ),
     est AS (
+        -- COALESCE(tau.t, 0.0) mirrors priority_estimate's
+        -- F.coalesce('t', lit(0.0)): with <= k items in a group the
+        -- (k+1)-th priority is absent, tau is NULL, and the estimate
+        -- must degrade to the EXACT sum of weights, not NULL.
         SELECT r.flag,
                SUM(CAST(FLOOR(
-                   CASE WHEN CAST(r.w AS DOUBLE) > tau.t
-                        THEN CAST(r.w AS DOUBLE) ELSE tau.t END
+                   CASE WHEN CAST(r.w AS DOUBLE) > COALESCE(tau.t, 0.0)
+                        THEN CAST(r.w AS DOUBLE)
+                        ELSE COALESCE(tau.t, 0.0) END
                    * 1000.0 + 0.5) AS HUGEINT)) AS sq
         FROM ranked r JOIN tau ON tau.flag = r.flag
         WHERE r.rn <= {_X16_K}

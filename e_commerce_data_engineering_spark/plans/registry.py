@@ -85,21 +85,38 @@ def _load_all_modules() -> None:
 # already-recorded query. Run it every round; the driver only re-checks
 # the front of this list.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-9 front block: never-driver-recorded additions go here,
-    # oracle-backed before rows-only. CORRECTNESS_r08 recorded every
-    # round-8 name (cumulative driver record 302/302 through r8), so the
-    # front is clear for round-9. ROUND-10 NOTE: rotate BEFORE adding —
-    # check CORRECTNESS_r09 for which of these got recorded and move the
-    # recorded ones into a labelled block below (youngest first).
-    "q91_mann_whitney",  # fell off _PRIORITY in a past rotation; never
-    # driver-recorded (absent from CORRECTNESS_r01..r08) — front of the
-    # round-9 window so it finally gets an official record
-    # round-9 additions (all oracle-backed): value-grid rank stats on
-    # the fact table, inventory quantiles, FDR-controlled A/A suite,
-    # MMR diversified rerank, effective dimensionality, Kneser-Ney LM,
-    # vocabulary-richness constants
+    # --- round-10 front block: never-driver-recorded additions go
+    # here, oracle-backed before rows-only. CORRECTNESS_r09 recorded
+    # every round-9 name plus q91 (cumulative driver record 326/326
+    # through r9), so the front is clear for round-10. Fix-ups to
+    # already-recorded queries whose VALUES changed this round (q100
+    # Kendall de-halved, q101 Pettitt de-halved — ADVICE r9 highs) are
+    # re-listed right after the new names so the driver re-records the
+    # corrected outputs officially. ROUND-11 NOTE: rotate BEFORE adding
+    # — check CORRECTNESS_r10 and move recorded names below (youngest
+    # first).
+    "m12_image_phash",
+    "m13_phash_neardup_pairs",
+    "q111_page_hinkley",
+    "q112_mann_kendall_trend",
+    "q113_newsvendor_fractile",
+    "q114_jarque_bera",
+    "q115_eoq_policy",
+    "t72_vocab_richness",
+    "t73_charset_anomaly_screen",
+    "t74_tokenizer_fertility",
+    "e46_session_type_entropy",
+    "s30_rank_biased_overlap",
+    "s31_query_likelihood",
+    "d22_tfidf_cosine_pairs",
+    "x18_cms_broadcast_decision",
+    "g14_triangle_support",
+    # value-corrected this round (ADVICE r9): re-record officially
     "q100_kendall_tau",
     "q101_pettitt_changepoint",
+    # --- already driver-recorded: round-9 block (all 25 recorded in
+    # CORRECTNESS_r09, incl. the long-missing q91), youngest first.
+    "q91_mann_whitney",
     "q102_runs_test",
     "q103_safety_stock",
     "e43_bh_fdr",

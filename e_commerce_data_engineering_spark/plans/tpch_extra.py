@@ -3503,7 +3503,7 @@ def q99_concentration_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
            (FLOOR((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
                / SQRT((CAST(n0x2 AS DOUBLE) - CAST(t1x2 AS DOUBLE))
                     * (CAST(n0x2 AS DOUBLE) - CAST(t2x2 AS DOUBLE)) / 4.0)
-               / 2.0 * 1000000.0 + 0.5) / 1000000.0) AS tau_b
+               * 1000000.0 + 0.5) / 1000000.0) AS tau_b
     FROM stats
     """,
     doc="Kendall's tau-b rank correlation (Kendall 1938) between "
@@ -3520,7 +3520,10 @@ def q99_concentration_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cast the same exact integer to the same double before the final "
     "tau, which quantizes to 1e-6. Doubled counts (n0x2 = 2*n0, "
     "t1x2 = 2*n1) keep every intermediate an exact integer; the /4 "
-    "under the sqrt and the final /2 undo the doubling. Scale: the "
+    "under the sqrt fully undoes the doubling — "
+    "(2n0-2n1)(2n0-2n2)/4 = (n0-n1)(n0-n2) exactly (a spurious "
+    "trailing /2 halved tau through round 9; fixed round 10, pinned "
+    "by test_q100_tau_perfect_concordance). Scale: the "
     "only data-sized stage is the grid rollup; everything after is "
     "O(grid^2) = constant.",
 )
@@ -3593,7 +3596,6 @@ def q100_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("n0x2").cast("double") - F.col("t2x2").cast("double"))
             / 4.0
         )
-        / 2.0
     )
     return stats.select(
         "flag",
@@ -3655,8 +3657,8 @@ def q100_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2, 3
     )
     SELECT n AS n_days, strftime(change_day, '%Y-%m-%d') AS change_day,
-           CAST(k2 AS DOUBLE) / 2.0 AS k_stat,
-           (FLOOR(2.0 * EXP(-1.5 * CAST(k2 AS DOUBLE) * k2
+           CAST(k2 AS DOUBLE) AS k_stat,
+           (FLOOR(2.0 * EXP(-6.0 * CAST(k2 AS DOUBLE) * k2
                 / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n))
                * 1000000.0 + 0.5) / 1000000.0) AS p_value,
            (FLOOR(CAST(sb AS DOUBLE) / nb + 0.5) / 100.0) AS mean_before,
@@ -3669,9 +3671,13 @@ def q100_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     "locates the most likely break and p ~ 2 exp(-6K^2/(n^3+n^2)) "
     "screens it. The O(n^2) sign double-sum collapses through the "
     "rank identity U_t = 2 S_t - t(n+1) with MIDRANKS for ties, and "
-    "midranks come off the revenue VALUE grid (2*cum - cnt + 1 keeps "
-    "everything integer by carrying DOUBLED ranks; k_stat halves at "
-    "display). Both global windows walk the DAY grid, bounded by the "
+    "midranks come off the revenue VALUE grid (rank2 = 2*cum - cnt + 1 "
+    "= 2*midrank keeps everything integer; since s2 = 2*S_t, "
+    "u2 = s2 - t(n+1) IS U_t exactly — no halving at display; a "
+    "spurious /2 understated K and quartered the exponent through "
+    "round 9, fixed round 10 and pinned by "
+    "test_q101_pettitt_step_series). Both global windows walk the DAY "
+    "grid, bounded by the "
     "calendar (~2.4k rows) however many orders exist — the only "
     "data-sized stage is the per-day rollup with map-side combine. "
     "Earliest day wins argmax ties; before/after means are exact "
@@ -3731,11 +3737,11 @@ def q101_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return halves.select(
         F.col("n").alias("n_days"),
         F.date_format("change_day", "yyyy-MM-dd").alias("change_day"),
-        (F.col("k2").cast("double") / 2.0).alias("k_stat"),
+        F.col("k2").cast("double").alias("k_stat"),
         fround(
             2.0
             * F.exp(
-                -1.5 * F.col("k2").cast("double") * F.col("k2")
+                -6.0 * F.col("k2").cast("double") * F.col("k2")
                 / (nd * nd * nd + nd * nd)
             ),
             6,

@@ -1677,7 +1677,16 @@ def read_misra_gries_summary(
     report a wrong err_bound by passing a k that differs from the one
     the store was built with; the parameter remains only as a fallback
     for pre-k snapshots and is ignored when the column is present."""
-    st = spark.read.option("basePath", state_dir).parquet(state_dir)
+    # mergeSchema: a store upgraded in place has old batch_id partitions
+    # WITHOUT the stamped k column and new ones WITH it; without schema
+    # merge Spark may infer from a pre-k footer and silently take the
+    # fallback path (or surface null k) even though the latest snapshot
+    # is stamped.
+    st = (
+        spark.read.option("basePath", state_dir)
+        .option("mergeSchema", "true")
+        .parquet(state_dir)
+    )
     mx = st.agg(F.max("batch_id").alias("m")).collect()[0]["m"]
     latest = st.filter(F.col("batch_id") == mx)
     if "k" in latest.columns:
