@@ -978,3 +978,117 @@ def image_dhash(assets: DataFrame, grid: int = DHASH_GRID) -> DataFrame:
 
     imgs = assets.filter(F.col("modality") == "image")
     return imgs.mapInPandas(_dhash_batch, DHASH_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("phash_bits", T.StringType(), False),
+        T.StructField("n_set_bits", T.LongType(), False),
+    ]
+)
+
+PHASH_N = 16  # luma sample grid (N x N) feeding the DCT
+PHASH_LOW = 8  # keep the top-left LOW x LOW DCT block (63 AC bits)
+
+# DCT-II basis rows k = 0..7 over t = 0..15, QUANTIZED to integers:
+# round(cos(pi * (2t+1) * k / (2N)) * 10^4). The quantized table — not
+# libm cos at runtime — IS the definition, embedded verbatim here and
+# in the m12 oracle SQL, so the fingerprint is integer-exact and
+# engine-independent (libm cos may differ in the last ulp across
+# platforms; a table of ints cannot). Magnitudes stay inside int64:
+# |C[u][v]| <= max_luma * (sum|B_u|) * (sum|B_v|) <= 2.55e5 * (1.6e5)^2
+# = 6.6e15, and the 63-way mean cross-multiplication 63*C vs S adds
+# another factor 63 -> 4.2e17, still < 2^63.
+PHASH_BASIS: tuple[tuple[int, ...], ...] = (
+    (10000, 10000, 10000, 10000, 10000, 10000, 10000, 10000,
+     10000, 10000, 10000, 10000, 10000, 10000, 10000, 10000),
+    (9952, 9569, 8819, 7730, 6344, 4714, 2903, 980,
+     -980, -2903, -4714, -6344, -7730, -8819, -9569, -9952),
+    (9808, 8315, 5556, 1951, -1951, -5556, -8315, -9808,
+     -9808, -8315, -5556, -1951, 1951, 5556, 8315, 9808),
+    (9569, 6344, 980, -4714, -8819, -9952, -7730, -2903,
+     2903, 7730, 9952, 8819, 4714, -980, -6344, -9569),
+    (9239, 3827, -3827, -9239, -9239, -3827, 3827, 9239,
+     9239, 3827, -3827, -9239, -9239, -3827, 3827, 9239),
+    (8819, 980, -7730, -9569, -2903, 6344, 9952, 4714,
+     -4714, -9952, -6344, 2903, 9569, 7730, -980, -8819),
+    (8315, -1951, -9808, -5556, 5556, 9808, 1951, -8315,
+     -8315, 1951, 9808, 5556, -5556, -9808, -1951, 8315),
+    (7730, -4714, -9569, 980, 9952, 2903, -8819, -6344,
+     6344, 8819, -2903, -9952, -980, 9569, 4714, -7730),
+)
+
+
+def phash_from_pixels(px) -> tuple[str, int]:
+    """63-bit perceptual DCT hash (pHash) from an (h, w, >=3) uint8
+    pixel array, integer-exact end to end:
+
+    1. sample an N x N (16 x 16) luma grid nearest-neighbor style at
+       (cx*w//N, cy*h//N), luma = 299R + 587G + 114B (x1000 int — the
+       same scaling as ahash/dhash);
+    2. 2-D DCT-II restricted to the top-left 8 x 8 block via the
+       QUANTIZED integer basis: C = B · L · Bᵀ (all int64);
+    3. drop the DC term C[0][0]; bit(u,v) = 1 iff 63·C[u][v] > S where
+       S = sum of the 63 AC coefficients (the mean comparison
+       cross-multiplied, so no division, no floats — the pHash.org
+       "mean of the low block excluding DC" rule made exact).
+
+    Bits are emitted u-major ((0,1), (0,2), .., (7,7)) as a 63-char
+    string. Captures the coarse spectral shape, so it survives
+    brightness shifts that flip many ahash bits and smooth resampling
+    that perturbs point-sampled dhash gradients."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    n = PHASH_N
+    lum = np.empty((n, n), dtype=np.int64)
+    for cy in range(n):
+        y = cy * h // n
+        for cx in range(n):
+            x = cx * w // n
+            lum[cy, cx] = (
+                299 * int(px[y, x, 0])
+                + 587 * int(px[y, x, 1])
+                + 114 * int(px[y, x, 2])
+            )
+    basis = np.asarray(PHASH_BASIS, dtype=np.int64)  # (8, 16)
+    # C[u][v] = sum_{x,y} L[y][x] * B[u][x] * B[v][y]; rows of `lum`
+    # are y, columns x, so C = (B @ L.T) @ B.T with exact int64.
+    coef = (basis @ lum.T) @ basis.T  # (8, 8), coef[u][v]
+    flat = coef.reshape(-1)[1:]  # drop DC, u-major order
+    s = int(flat.sum())
+    bits = "".join("1" if 63 * int(c) > s else "0" for c in flat)
+    return bits, bits.count("1")
+
+
+def image_phash(assets: DataFrame) -> DataFrame:
+    """Perceptual DCT-hash fingerprints for every PNG asset — the
+    spectral member of the hash triptych (m07 ahash = global mean,
+    m11 dhash = local gradient, m12 phash = low-frequency spectrum).
+    Same REAL stdlib PNG decode inside Arrow ``mapInPandas``, same
+    shuffle-free narrow-map scale shape (one 63-bit row per image),
+    same JPEG exclusion (lossy decode is codec-exact but not
+    generator-reproducible)."""
+
+    def _phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(content)
+                if b[:8] != b"\x89PNG\r\n\x1a\n":
+                    continue
+                px = png_decode(b)
+                bits, popcount = phash_from_pixels(px)
+                out.append(
+                    (int(asset_id), px.shape[1], px.shape[0], bits, popcount)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "width", "height", "phash_bits", "n_set_bits"],
+            )
+
+    imgs = assets.filter(F.col("modality") == "image")
+    return imgs.mapInPandas(_phash_batch, PHASH_SCHEMA)

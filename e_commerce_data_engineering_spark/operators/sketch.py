@@ -578,3 +578,19 @@ def priority_estimate(sample: DataFrame) -> DataFrame:
             (F.sum("tq").cast("double") / 1000.0).alias("est_total"),
         )
     )
+
+
+def broadcast_decision(
+    build_rows, row_bytes: int = 128, threshold_bytes: int = 131072
+):
+    """Join-strategy pick from an (estimated or exact) build-side row
+    count: 'broadcast' when rows x row_bytes fits under the threshold,
+    'shuffle' otherwise — the same rule Spark's planner applies with
+    table statistics (spark.sql.autoBroadcastJoinThreshold), exposed
+    here so sketch-derived cardinalities (CMS join-size estimates, KMV
+    distinct counts) can drive the pick BEFORE any statistics exist.
+    ``build_rows`` is a Column; returns a string Column."""
+    est_bytes = build_rows.cast("bigint") * F.lit(row_bytes)
+    return F.when(est_bytes <= F.lit(threshold_bytes), F.lit("broadcast")).otherwise(
+        F.lit("shuffle")
+    )

@@ -2274,3 +2274,224 @@ def m11_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = make_real_assets(spark, 120)
     return image_dhash(assets)
+
+
+# ---------------------------------------------------------------------------
+# m12 — image perceptual DCT hash (pHash) from real decode (round 10):
+# completes the hash triptych (m07 ahash / m11 dhash / m12 phash)
+# ---------------------------------------------------------------------------
+
+from ..operators.multimodal import PHASH_BASIS  # noqa: E402
+
+# the quantized basis as a SQL VALUES table: (k, t, b) for k 0..7, t 0..15
+_M12_BASIS_VALUES = ", ".join(
+    f"({k}, {t}, {b})"
+    for k, row in enumerate(PHASH_BASIS)
+    for t, b in enumerate(row)
+)
+
+
+def _m12_lum(x: str, y: str) -> str:
+    # same closed-form make_real_assets pixel arithmetic as _m11_lum
+    return (
+        f"(299 * (({x} * 7 + {y} * 13 + seed) % 256)"
+        f" + 587 * (({x} * 31 + seed) % 256)"
+        f" + 114 * (({y} * 17) % 256))"
+    )
+
+
+@query(
+    "m12_image_phash",
+    oracle=f"""
+    WITH imgs AS (
+        SELECT i AS asset_id,
+               4 + i % 13 AS w, 3 + i % 9 AS h, 42 + i AS seed
+        FROM (SELECT unnest(generate_series(0, 119)) AS i) t
+        WHERE i % 3 = 0 AND (i // 3) % 2 = 0
+    ),
+    basis AS (SELECT * FROM (VALUES {_M12_BASIS_VALUES}) AS v(k, t, b)),
+    lum AS (
+        SELECT asset_id, w, h, gx.t AS cx, gy.t AS cy,
+               CAST({_m12_lum("((gx.t * w) // 16)", "((gy.t * h) // 16)")}
+                   AS BIGINT) AS luma
+        FROM imgs,
+             (SELECT unnest(generate_series(0, 15)) AS t) gx,
+             (SELECT unnest(generate_series(0, 15)) AS t) gy
+    ),
+    dct AS (
+        SELECT l.asset_id, ANY_VALUE(l.w) AS w, ANY_VALUE(l.h) AS h,
+               bu.k AS u, bv.k AS v,
+               CAST(SUM(l.luma * bu.b * bv.b) AS BIGINT) AS c
+        FROM lum l
+        JOIN basis bu ON bu.t = l.cx
+        JOIN basis bv ON bv.t = l.cy
+        GROUP BY l.asset_id, bu.k, bv.k
+    ),
+    ac AS (SELECT * FROM dct WHERE NOT (u = 0 AND v = 0)),
+    tot AS (SELECT asset_id, CAST(SUM(c) AS BIGINT) AS s FROM ac GROUP BY 1),
+    bits AS (
+        SELECT a.asset_id, a.w, a.h, a.u * 8 + a.v AS idx,
+               CASE WHEN 63 * a.c > t.s THEN 1 ELSE 0 END AS bit
+        FROM ac a JOIN tot t ON t.asset_id = a.asset_id
+    )
+    SELECT asset_id,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           string_agg(CAST(bit AS VARCHAR), '' ORDER BY idx) AS phash_bits,
+           CAST(SUM(bit) AS BIGINT) AS n_set_bits
+    FROM bits GROUP BY asset_id, w, h
+    """,
+    doc="Perceptual DCT hash (pHash) fingerprints from REAL image "
+    "decode — the spectral member of the perceptual-hash triptych "
+    "(m07 ahash = global-mean, m11 dhash = local-gradient, m12 = "
+    "low-frequency spectrum): 16x16 nearest-neighbor luma grid, 2-D "
+    "DCT-II restricted to the top-left 8x8 block, bit = AC "
+    "coefficient above the mean of the 63 ACs (cross-multiplied, "
+    "division-free). The DCT basis is a QUANTIZED INTEGER TABLE "
+    "(round(cos * 1e4)) embedded verbatim in the operator AND this "
+    "oracle — the table IS the definition, so the hash is integer-"
+    "exact and independent of libm cos. Same hash-checked-despite-a-"
+    "codec discipline as m07/m11: Spark decodes genuine PNG bytes "
+    "(stdlib zlib inflate + filter reconstruction) inside Arrow "
+    "mapInPandas while the oracle regenerates the identical pixels "
+    "arithmetically from the make_real_assets closed form and "
+    "replays the integer DCT in SQL — a one-pixel decode error or "
+    "one wrong basis entry flips the hash. JPEG assets excluded "
+    "(m03 pins their decode parity). Scale: shuffle-free narrow map, "
+    "one 63-bit row per image; banded pairing is m13.",
+)
+def m12_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import image_phash, make_real_assets
+
+    assets = make_real_assets(spark, 120)
+    return image_phash(assets)
+
+
+# ---------------------------------------------------------------------------
+# m13 — image near-duplicate pairs on the m12 spectral fingerprints
+# (round 10): the m08 banding discipline on the 63-bit pHash
+# ---------------------------------------------------------------------------
+
+M13_BANDS = 7  # 7 x 9-bit bands over the 63-bit phash
+M13_MAX_HAM = 6  # pigeonhole: Hamming <= 6 guarantees >= 1 equal band
+
+
+@query(
+    "m13_phash_neardup_pairs",
+    oracle=f"""
+    WITH imgs AS (
+        SELECT i AS asset_id,
+               4 + i % 13 AS w, 3 + i % 9 AS h, 42 + i AS seed
+        FROM (SELECT unnest(generate_series(0, 119)) AS i) t
+        WHERE i % 3 = 0 AND (i // 3) % 2 = 0
+    ),
+    basis AS (SELECT * FROM (VALUES {_M12_BASIS_VALUES}) AS v(k, t, b)),
+    lum AS (
+        SELECT asset_id, gx.t AS cx, gy.t AS cy,
+               CAST({_m12_lum("((gx.t * w) // 16)", "((gy.t * h) // 16)")}
+                   AS BIGINT) AS luma
+        FROM imgs,
+             (SELECT unnest(generate_series(0, 15)) AS t) gx,
+             (SELECT unnest(generate_series(0, 15)) AS t) gy
+    ),
+    dct AS (
+        SELECT l.asset_id, bu.k AS u, bv.k AS v,
+               CAST(SUM(l.luma * bu.b * bv.b) AS BIGINT) AS c
+        FROM lum l
+        JOIN basis bu ON bu.t = l.cx
+        JOIN basis bv ON bv.t = l.cy
+        GROUP BY l.asset_id, bu.k, bv.k
+    ),
+    ac AS (SELECT * FROM dct WHERE NOT (u = 0 AND v = 0)),
+    tot AS (SELECT asset_id, CAST(SUM(c) AS BIGINT) AS s FROM ac GROUP BY 1),
+    fp0 AS (
+        SELECT a.asset_id,
+               CAST(SUM(CASE WHEN 63 * a.c > t.s
+                             THEN CAST(1 AS BIGINT) << (63 - (a.u * 8 + a.v))
+                             ELSE 0 END) AS BIGINT) AS fp
+        FROM ac a JOIN tot t ON t.asset_id = a.asset_id
+        GROUP BY a.asset_id
+    ),
+    fp AS (
+        SELECT asset_id, fp FROM fp0
+        UNION ALL
+        SELECT asset_id + 1000, fp FROM fp0
+    ),
+    bands AS (
+        SELECT asset_id, fp, c.c AS c,
+               (fp >> (9 * (6 - c.c))) & 511 AS bv
+        FROM fp CROSS JOIN (SELECT unnest(range({M13_BANDS})) AS c) c
+    ),
+    cand AS (
+        SELECT DISTINCT a.asset_id AS id_a, b.asset_id AS id_b,
+               a.fp AS fa, b.fp AS fb
+        FROM bands a JOIN bands b
+          ON a.c = b.c AND a.bv = b.bv AND a.asset_id < b.asset_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(fa, fb)) <= {M13_MAX_HAM}
+    """,
+    doc="Image near-duplicate pairs on m12's spectral fingerprints — "
+    "the shipped consumer of the pHash, m08's banding discipline on "
+    "the 63-bit spectrum hash. Corpus = the 20 m12 PNGs PLUS a x2 "
+    "nearest-neighbor upscaled re-encode of each "
+    "(operators/multimodal.upscale_assets): different bytes, "
+    "IDENTICAL pHash, because the 16x16 luma grid samples the same "
+    "source pixel on the upscale — with w' = 2w the sample is "
+    "floor(floor(cx*2w/16)/2) = floor(cx*w/16) by the nested-floor "
+    f"identity — and an identical grid feeds an identical DCT. "
+    f"Pairing: {M13_BANDS} x 9-bit bands over the 63-bit fingerprint "
+    f"packed into ONE bigint, equi-join on (band, value), exact "
+    f"Hamming verify <= {M13_MAX_HAM} (pigeonhole-complete at 7 "
+    "bands) — never an all-pairs compare. HASH-CHECKED end-to-end: "
+    "the oracle regenerates pixels arithmetically, replays the "
+    "integer DCT, derives the variant fingerprints from the floor "
+    "identity, and re-runs the banding in SQL; any corruption in the "
+    "real decode->resample->encode->decode loop breaks the match. "
+    "Scale: one 63-bit row per image, equi band join (candidates ~ "
+    "bucket collisions, not n^2).",
+)
+def m13_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import image_phash, make_real_assets, upscale_assets
+
+    assets = make_real_assets(spark, 120).select(
+        "asset_id", "modality", "content", "meta"
+    )
+    both = assets.unionByName(upscale_assets(assets, factor=2, id_offset=1000))
+    fp = (
+        image_phash(both)
+        .select(
+            "asset_id",
+            F.conv(F.col("phash_bits"), 2, 10).cast("bigint").alias("fp"),
+        )
+        .persist()
+        # lazy: the band fanout below reuses fp; the decode pipeline
+        # materializes once at the consumer's first action
+    )
+    bands = fp.select(
+        "asset_id",
+        "fp",
+        F.explode(F.sequence(F.lit(0), F.lit(M13_BANDS - 1))).alias("c"),
+    ).withColumn("bv", F.expr("shiftright(fp, 9 * (6 - c)) & 511"))
+    a = bands.select(
+        F.col("asset_id").alias("id_a"), F.col("fp").alias("fa"), "c", "bv"
+    )
+    b = bands.select(
+        F.col("asset_id").alias("id_b"),
+        F.col("fp").alias("fb"),
+        F.col("c").alias("_c2"),
+        F.col("bv").alias("_v2"),
+    )
+    cand = (
+        a.join(
+            b,
+            (a["c"] == b["_c2"]) & (a["bv"] == b["_v2"]) & (a["id_a"] < b["id_b"]),
+        )
+        .select("id_a", "id_b", "fa", "fb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return cand.filter(ham <= M13_MAX_HAM).select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    )

@@ -2873,3 +2873,143 @@ def x17_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est").alias("est_join_size"),
         fround(F.col("est").cast("double") / F.col("j"), 6).alias("over_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x18 — CMS-driven broadcast-vs-shuffle decision (round 10): x17's
+# join-size estimator wired into the optimizer-facing strategy pick
+# ---------------------------------------------------------------------------
+
+X18_DEPTH, X18_WIDTH = 3, 8192  # wider grid than x05/x17: join-size
+# estimates feed a DECISION, so the inner-product collision term
+# n_a*n_b/width must sit well under the exact size at the test tiers
+X18_ROW_BYTES = 128  # documented per-row byte proxy for the build side
+X18_BCAST_BYTES = 131072  # 128 KiB — a scaled-down stand-in for
+# Spark's 10 MB autoBroadcastJoinThreshold, chosen so the sf0.001 /
+# sf0.01 tiers exercise BOTH branches (nation/supplier broadcast,
+# orders shuffle) instead of degenerating to one label
+
+# (dim table, fact table, dim key, fact key) — the star-schema joins
+# every TPC-H-shaped query here pays, smallest build side first
+_X18_PAIRS = (
+    ("nation", "customer", "n_nationkey", "c_nationkey"),
+    ("supplier", "lineitem", "s_suppkey", "l_suppkey"),
+    ("customer", "orders", "c_custkey", "o_custkey"),
+    ("part", "lineitem", "p_partkey", "l_partkey"),
+    ("orders", "lineitem", "o_orderkey", "l_orderkey"),
+)
+
+
+def _x18_pair_sql(dim: str, fact: str, dkey: str, fkey: str) -> str:
+    bucket_d = sql_portable_bucket(f"CAST({dkey} AS VARCHAR)", "d.d", X18_WIDTH)
+    bucket_f = sql_portable_bucket(f"CAST({fkey} AS VARCHAR)", "d.d", X18_WIDTH)
+    return f"""
+    SELECT '{dim}_x_{fact}' AS pair,
+           br.n AS build_rows,
+           br.n * {X18_ROW_BYTES} AS build_bytes_est,
+           exact.j AS exact_join_size,
+           est.e AS est_join_size,
+           ROUND(CAST(est.e AS DOUBLE) / exact.j, 6) AS over_ratio,
+           CASE WHEN br.n * {X18_ROW_BYTES} <= {X18_BCAST_BYTES}
+                THEN 'broadcast' ELSE 'shuffle' END AS strategy
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {dim}) br
+    CROSS JOIN (
+        SELECT CAST(MIN(e) AS BIGINT) AS e FROM (
+            SELECT CAST(SUM(ga.c * gb.c) AS BIGINT) AS e
+            FROM (SELECT d.d AS depth, {bucket_d} AS bucket,
+                         CAST(COUNT(*) AS BIGINT) AS c
+                  FROM {dim},
+                       (SELECT unnest(range({X18_DEPTH})) AS d) d
+                  GROUP BY 1, 2) ga
+            JOIN (SELECT d.d AS depth, {bucket_f} AS bucket,
+                         CAST(COUNT(*) AS BIGINT) AS c
+                  FROM {fact},
+                       (SELECT unnest(range({X18_DEPTH})) AS d) d
+                  GROUP BY 1, 2) gb
+              ON gb.depth = ga.depth AND gb.bucket = ga.bucket
+            GROUP BY ga.depth
+        )
+    ) est
+    CROSS JOIN (
+        SELECT CAST(SUM(av.c * bv.c) AS BIGINT) AS j
+        FROM (SELECT {dkey} AS k, CAST(COUNT(*) AS BIGINT) AS c
+              FROM {dim} GROUP BY 1) av
+        JOIN (SELECT {fkey} AS k, CAST(COUNT(*) AS BIGINT) AS c
+              FROM {fact} GROUP BY 1) bv ON bv.k = av.k
+    ) exact
+    """
+
+
+@query(
+    "x18_cms_broadcast_decision",
+    oracle=" UNION ALL ".join(
+        _x18_pair_sql(*p) for p in _X18_PAIRS
+    ),
+    doc="The x17 estimator promoted to a DECISION: for every star-"
+    "schema join this engine runs (nation->customer, supplier/part/"
+    "orders->lineitem, customer->orders), estimate the join output "
+    "size as the CMS inner product (Cormode & Muthukrishnan 2005 "
+    f"S4.2, {X18_DEPTH}x{X18_WIDTH} portable grid — wider than x05's "
+    "so the collision term n_a*n_b/width stays well under the exact "
+    "size) and pick the physical strategy the way Spark's planner "
+    "does with statistics: broadcast when build_rows x "
+    f"{X18_ROW_BYTES} B fits under the {X18_BCAST_BYTES} B threshold "
+    "(a scaled-down stand-in for the 10 MB default so the test tiers "
+    "exercise both branches), shuffle otherwise "
+    "(operators/sketch.broadcast_decision — the same helper a "
+    "statistics-free ingest would call on sketch-derived counts; "
+    "tests pin that the decision FLIPS exactly at the threshold). "
+    "exact_join_size audits the estimate (over_ratio = slack); at "
+    "100 TB the exact side is dropped and the sketches — mergeable, "
+    "built where each side lives — are all the planner sees. Scale: "
+    "two fixed-size grids per pair replace key-grain joins; one "
+    "output row per candidate join.",
+)
+def x18_cms_broadcast_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import broadcast_decision, cms_build_portable
+
+    out = None
+    for dim, fact, dkey, fkey in _X18_PAIRS:
+        d = load_table(spark, sf_dir, dim).select(
+            F.col(dkey).cast("string").alias("k")
+        )
+        f_ = load_table(spark, sf_dir, fact).select(
+            F.col(fkey).cast("string").alias("k")
+        )
+        ga = cms_build_portable(d, "k", X18_DEPTH, X18_WIDTH).select(
+            "depth", "bucket", F.col("cnt").alias("ca")
+        )
+        gb = cms_build_portable(f_, "k", X18_DEPTH, X18_WIDTH).select(
+            "depth", "bucket", F.col("cnt").alias("cb")
+        )
+        est = (
+            ga.join(gb, ["depth", "bucket"])
+            .groupBy("depth")
+            .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("e"))
+            .agg(F.min("e").cast("bigint").alias("e"))
+        )
+        av = d.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("c_a"))
+        bv = f_.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("c_b"))
+        exact = av.join(bv, "k").agg(
+            F.sum(F.col("c_a") * F.col("c_b")).cast("bigint").alias("j")
+        )
+        br = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        row = (
+            br.crossJoin(F.broadcast(est))
+            .crossJoin(F.broadcast(exact))
+            .select(
+                F.lit(f"{dim}_x_{fact}").alias("pair"),
+                F.col("n").alias("build_rows"),
+                (F.col("n") * X18_ROW_BYTES).alias("build_bytes_est"),
+                F.col("j").alias("exact_join_size"),
+                F.col("e").alias("est_join_size"),
+                fround(F.col("e").cast("double") / F.col("j"), 6).alias(
+                    "over_ratio"
+                ),
+                broadcast_decision(
+                    F.col("n"), X18_ROW_BYTES, X18_BCAST_BYTES
+                ).alias("strategy"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -438,3 +438,40 @@ def test_kcore_raises_when_max_iter_exhausted(spark):
     df = spark.createDataFrame(path, ["u", "v"])
     with pytest.raises(RuntimeError, match="did not converge"):
         kcore(df, 2, max_iter=2).collect()
+
+
+def test_broadcast_decision_flips_at_threshold(spark):
+    """x18's strategy pick (operators/sketch.broadcast_decision) must
+    flip from broadcast to shuffle EXACTLY where the size estimate
+    crosses the threshold — rows*row_bytes == threshold still
+    broadcasts (Spark's own <= semantics), one row more shuffles."""
+    from e_commerce_data_engineering_spark.operators.sketch import broadcast_decision
+
+    at = 1024  # threshold / row_bytes: 1024 rows * 128 B == 128 KiB
+    df = spark.createDataFrame(
+        [(at - 1,), (at,), (at + 1,), (10_000_000,)], ["n"]
+    ).select("n", broadcast_decision(F.col("n"), 128, 131072).alias("strategy"))
+    got = {r["n"]: r["strategy"] for r in df.collect()}
+    assert got[at - 1] == "broadcast"
+    assert got[at] == "broadcast"  # boundary inclusive
+    assert got[at + 1] == "shuffle"
+    assert got[10_000_000] == "shuffle"
+
+
+def test_x18_cms_estimate_ranks_join_sizes(spark, sf_dir):
+    """The CMS inner-product estimate must (a) never undershoot the
+    exact join size (one-sided estimator) and (b) preserve the exact
+    sizes' ORDER across the five star joins — the property the
+    broadcast decision actually leans on when no statistics exist."""
+    from e_commerce_data_engineering_spark.plans.graph_sketch import (
+        x18_cms_broadcast_decision,
+    )
+
+    rows = x18_cms_broadcast_decision(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert {r["strategy"] for r in rows} == {"broadcast", "shuffle"}
+    for r in rows:
+        assert r["est_join_size"] >= r["exact_join_size"], r["pair"]
+    by_exact = sorted(rows, key=lambda r: r["exact_join_size"])
+    ests = [r["est_join_size"] for r in by_exact]
+    assert ests == sorted(ests)
