@@ -80,6 +80,29 @@ def clear_frame_cache(cache_key: str | None = None) -> int:
     return n
 
 
+def token_frame(
+    df: DataFrame, id_col: str, text_col: str, cache_key: str | None = None
+) -> DataFrame:
+    """(_id, _tk) persisted tokens frame — the SHARED first stage of
+    every text-dedup family (minhash shingles, simhash votes,
+    winnowing k-grams all start from the same whitespace tokens).
+    Cached under its own key so a consensus query (d21) that runs
+    three families tokenizes the corpus ONCE, while each family run
+    standalone still builds exactly this frame. Input is fanned out
+    first: one small parquet file must not become one task doing all
+    the hashing."""
+
+    def build():
+        return [
+            fan_out(df)
+            .select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk"))
+            .persist()
+        ]
+
+    key = ("tokens", cache_key, id_col, text_col) if cache_key else None
+    return _cached(df, key, build)
+
+
 def _shingle_frame(
     df: DataFrame, id_col: str, text_col: str, n: int, cache_key: str | None = None
 ):
@@ -87,21 +110,18 @@ def _shingle_frame(
     materialized steps (tokens, then zip_with window) so per-row cost
     is one tokenize + O(n) array passes — not the O(n*len) inlined
     recompute Catalyst's projection collapse would otherwise produce.
-    Input is fanned out first: one small parquet file must not become
-    one task doing all the hashing."""
+    The tokens stage comes from ``token_frame`` (own cache entry), so
+    the other dedup families can share it."""
 
     def build():
-        base = (
-            fan_out(df)
-            .select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk"))
-            .persist()
-        )
-        sh = (
-            base.select("_id", F.array_distinct(shingles_zip(F.col("_tk"), n)).alias("_sh"))
+        base = token_frame(df, id_col, text_col, cache_key)
+        return [
+            base.select(
+                "_id", F.array_distinct(shingles_zip(F.col("_tk"), n)).alias("_sh")
+            )
             .filter(F.size("_sh") > 0)
             .persist()
-        )
-        return [sh, base]
+        ]
 
     key = ("shingles", cache_key, id_col, text_col, n) if cache_key else None
     return _cached(df, key, build)

@@ -966,15 +966,25 @@ _D10_BIT_HASH = sql_portable_hash("('b' || CAST(b.i AS VARCHAR) || ':' || tok)")
     "the production d02 keeps 64-bit xxhash64 signatures.",
 )
 def d10_portable_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import token_frame
+
+    d = load_table(spark, sf_dir, "documents")
+    return _d10_pairs_from_tokens(token_frame(d, "doc_id", "text", cache_key=sf_dir))
+
+
+def _d10_pairs_from_tokens(tok: DataFrame) -> DataFrame:
+    """d10's pair stage over a pre-tokenized (_id, _tk) frame — split
+    out so the shared ``token_frame`` (one tokenize of the corpus,
+    cached per sf_dir) feeds minhash, simhash AND winnowing in the d21
+    consensus instead of each family re-splitting the text."""
     from ..operators.similarity import _bind
     from ..operators.sketch import portable_hash
 
-    d = load_table(spark, sf_dir, "documents")
     # one row per doc: the 48 per-bit vote sums are built as an ARRAY by
     # native HOFs (per token: 48 parities, folded with element-wise add)
     # instead of exploding tokens x bits into 48x the rows — same math
     # as the oracle, ~5x less row volume
-    toks = F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
+    toks = F.array_distinct(F.col("_tk"))
     zeros = F.transform(
         F.sequence(F.lit(0), F.lit(D10_BITS - 1)), lambda b: F.lit(0).cast("bigint")
     )
@@ -1014,7 +1024,9 @@ def d10_portable_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # persist (lazy) — the chunk fanout below reuses sg; materialized
     # once at the consumer's first action, no eager action in a builder
-    sig = d.select("doc_id", _bind(votes, sig_of).alias("sg")).persist()
+    sig = tok.select(
+        F.col("_id").alias("doc_id"), _bind(votes, sig_of).alias("sg")
+    ).persist()
     chunks = sig.select(
         "doc_id",
         "sg",

@@ -4925,10 +4925,19 @@ _D20_MIN_SHARED = 3  # pairs must share >= 3 winnowed fingerprints
     "the guarantee means recall does not depend on sketch luck.",
 )
 def d20_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import token_frame
+
     d = load_table(spark, sf_dir, "documents")
-    toks = X.tokens(F.col("text"))
+    tok = token_frame(d, "doc_id", "text", cache_key=sf_dir)
+    return _d20_pairs_from_tokens(tok)
+
+
+def _d20_pairs_from_tokens(tok: DataFrame) -> DataFrame:
+    """d20's fingerprint-pair stage over a pre-tokenized (_id, _tk)
+    frame — split out so the d21 consensus shares ONE tokenize of the
+    corpus across its three dedup families (see dedup.token_frame)."""
     sel = (
-        d.select("doc_id", toks.alias("ts"))
+        tok.select(F.col("_id").alias("doc_id"), F.col("_tk").alias("ts"))
         .filter(F.size("ts") >= _WINNOW_W + 1)
         .select(
             "doc_id",

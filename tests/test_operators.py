@@ -1220,18 +1220,20 @@ def test_dedup_frame_cache_eviction_unpersists(spark):
     assert frame.storageLevel.useMemory
     keys = [k for k in _FRAME_CACHE if "evict-frame-test" in k]
     before = len(keys)
-    assert before >= 1
-    # the build pins an inner tokens frame as a projection-collapse
-    # barrier; eviction must release it too, or storage grows by one
+    # the shingle build pins its tokens stage as a projection-collapse
+    # barrier; since round 10 that frame is its OWN cache entry
+    # ("tokens", ...) shared by the simhash/winnowing families (d21),
+    # and eviction must release it too, or storage grows by one
     # tokenized corpus per swept corpus (round-4 ADVICE)
-    aux = [f for k in keys for f in _FRAME_CACHE[k][1:]]
-    assert aux, "shingle build should track its inner tokens frame"
-    assert all(f.storageLevel.useMemory for f in aux)
+    assert before >= 2, "expected separate tokens + shingles entries"
+    assert any(k[1] == "tokens" for k in keys)
+    tracked = [f for k in keys for f in _FRAME_CACHE[k]]
+    assert all(f.storageLevel.useMemory for f in tracked)
     n = clear_frame_cache("evict-frame-test")
     assert n == before
     assert not any("evict-frame-test" in k for k in _FRAME_CACHE)
     assert not frame.storageLevel.useMemory
-    assert all(not f.storageLevel.useMemory for f in aux)
+    assert all(not f.storageLevel.useMemory for f in tracked)
 
 
 def test_cached_rejects_bare_dataframe(spark):
