@@ -99,12 +99,12 @@ _PRIORITY: tuple[str, ...] = (
     "m13_phash_neardup_pairs",
     "q111_page_hinkley",
     "q112_mann_kendall_trend",
-    "q113_newsvendor_fractile",
+    "q113_turning_points",
     "q114_jarque_bera",
     "q115_eoq_policy",
     "t72_vocab_richness",
     "t73_charset_anomaly_screen",
-    "t74_tokenizer_fertility",
+    "t74_char_bigram_entropy",
     "e46_session_type_entropy",
     "s30_rank_biased_overlap",
     "s31_query_likelihood",

@@ -4617,3 +4617,555 @@ def q110_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("units_served").cast("double") / F.col("units_demanded"), 6
         ).alias("unit_fill_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q111 — Page–Hinkley drift detection on the daily revenue series
+# (round 10): e23's CUSUM is the offline argmax scan; this is the
+# ONLINE detector (running-min form with a drift allowance)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q111_page_hinkley",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) // 100 AS x
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s FROM daily),
+    seq AS (
+        SELECT day,
+               ROW_NUMBER() OVER (ORDER BY day) AS t,
+               CAST(SUM(x) OVER (ORDER BY day) AS BIGINT) AS cum,
+               n, s
+        FROM daily CROSS JOIN tot
+    ),
+    v AS (
+        SELECT day, t, n,
+               n * cum - t * s - t * (s // 100) AS vi,
+               t * s - n * cum - t * (s // 100) AS vd
+        FROM seq
+    ),
+    ph AS (
+        SELECT day, n,
+               vi - MIN(vi) OVER (ORDER BY day) AS pi,
+               vd - MIN(vd) OVER (ORDER BY day) AS pd
+        FROM v
+    ),
+    mx AS (SELECT MAX(pi) AS mi, MAX(pd) AS md, MAX(n) AS n FROM ph)
+    SELECT mx.n AS n_days,
+           (FLOOR(CAST(mx.mi AS DOUBLE) / mx.n * 10000.0 + 0.5) / 10000.0)
+               AS ph_increase,
+           strftime((SELECT MIN(day) FROM ph WHERE pi = mx.mi), '%Y-%m-%d')
+               AS increase_day,
+           (FLOOR(CAST(mx.md AS DOUBLE) / mx.n * 10000.0 + 0.5) / 10000.0)
+               AS ph_decrease,
+           strftime((SELECT MIN(day) FROM ph WHERE pd = mx.md), '%Y-%m-%d')
+               AS decrease_day
+    FROM mx
+    """,
+    doc="Page–Hinkley drift detector (Page 1954, the running-min form "
+    "every streaming-drift library ships) on the daily revenue "
+    "series: U_t = sum_{i<=t}(x_i - xbar - delta) and "
+    "PH_t = U_t - min_{s<=t} U_s, reported at its max for both "
+    "directions with the argmax day — e23's CUSUM is the offline "
+    "argmax |cusum| scan against the global mean; PH is the ONLINE "
+    "alarm statistic (the running minimum resets the baseline after "
+    "every dip, so a late shift is not masked by early history). "
+    "Everything stays EXACT INTEGER by multiplying through by n: "
+    "v_t = n*cum_t - t*S - t*(S div 100) (the last term is the "
+    "delta = mean/100 drift allowance, integer-divided identically "
+    "on both engines); the single division by n happens once at "
+    "display. Windows walk the calendar-bounded day grid (~2.4k "
+    "rows however many orders exist); the only data-sized stage is "
+    "the per-day rollup with map-side combine. On this uniform "
+    "synthetic series both PH maxima are noise-sized — the "
+    "calibrated null readout, like q101.",
+)
+def q111_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # integer dollars: exact cents sum, then integer `div` (a BIGINT/100
+    # in Spark would be a double divide)
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+            " div 100"
+        ).alias("x")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    seq = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n",
+        F.row_number().over(W.orderBy("day")).cast("bigint").alias("t"),
+        F.sum("x").over(W.orderBy("day")).cast("bigint").alias("cum"),
+        "s",
+    )
+    v = seq.select(
+        "day",
+        "n",
+        (F.col("n") * F.col("cum") - F.col("t") * F.col("s")
+         - F.col("t") * F.expr("s div 100")).alias("vi"),
+        (F.col("t") * F.col("s") - F.col("n") * F.col("cum")
+         - F.col("t") * F.expr("s div 100")).alias("vd"),
+    )
+    ph = v.select(
+        "day",
+        "n",
+        (F.col("vi") - F.min("vi").over(W.orderBy("day"))).alias("pi"),
+        (F.col("vd") - F.min("vd").over(W.orderBy("day"))).alias("pd"),
+    ).persist()
+    mx = ph.agg(
+        F.max("pi").alias("mi"), F.max("pd").alias("md"), F.max("n").alias("n")
+    )
+    inc = (
+        ph.join(F.broadcast(mx.select("mi")), F.col("pi") == F.col("mi"))
+        .agg(F.min("day").alias("inc_day"))
+    )
+    dec = (
+        ph.join(F.broadcast(mx.select("md")), F.col("pd") == F.col("md"))
+        .agg(F.min("day").alias("dec_day"))
+    )
+    return (
+        mx.crossJoin(F.broadcast(inc))
+        .crossJoin(F.broadcast(dec))
+        .select(
+            F.col("n").alias("n_days"),
+            fround(F.col("mi").cast("double") / F.col("n"), 4).alias("ph_increase"),
+            F.date_format("inc_day", "yyyy-MM-dd").alias("increase_day"),
+            fround(F.col("md").cast("double") / F.col("n"), 4).alias("ph_decrease"),
+            F.date_format("dec_day", "yyyy-MM-dd").alias("decrease_day"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q112 — Mann–Kendall trend test on the daily revenue series (round 10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q112_mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) // 100 AS x
+        FROM orders GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+                   AS s_stat
+        FROM daily a JOIN daily b ON b.day > a.day
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    ties AS (
+        SELECT CAST(COALESCE(SUM(c * (c - 1) * (2 * c + 5)), 0) AS BIGINT)
+                   AS tie_term
+        FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM daily GROUP BY 1)
+        WHERE c > 1
+    ),
+    var18 AS (
+        SELECT nn.n, s.s_stat,
+               nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term AS v18
+        FROM nn CROSS JOIN ties CROSS JOIN s
+    )
+    SELECT n AS n_days, s_stat,
+           CAST(v18 AS DOUBLE) / 18.0 AS var_s,
+           (FLOOR((CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                        WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                        ELSE 0.0 END / SQRT(CAST(v18 AS DOUBLE) / 18.0))
+               * 1000000.0 + 0.5) / 1000000.0) AS z,
+           CASE WHEN CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                          WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                          ELSE 0.0 END / SQRT(CAST(v18 AS DOUBLE) / 18.0)
+                     > 1.96 THEN 'increasing'
+                WHEN CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                          WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                          ELSE 0.0 END / SQRT(CAST(v18 AS DOUBLE) / 18.0)
+                     < -1.96 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM var18
+    """,
+    doc="Mann–Kendall monotone-trend test (Mann 1945, Kendall 1975 — "
+    "the nonparametric trend screen hydrology and sales forecasting "
+    "default to): S = sum of sign(x_j - x_i) over all day pairs "
+    "i < j, tie-corrected variance Var(S) = [n(n-1)(2n+5) - "
+    "sum t(t-1)(2t+5)]/18 over tied revenue values, continuity-"
+    "corrected z = (S -/+ 1)/sqrt(Var). The pair double-sum runs on "
+    "the CALENDAR-BOUNDED day grid (~2.4k days -> ~3M cell pairs "
+    "however many orders exist — q100's grid discipline applied to "
+    "the time axis), tie masses come off the revenue value grid, and "
+    "S / Var(S)'s 18-denominator stay exact integers; the only "
+    "doubles are one division and one sqrt, identical IEEE ops on "
+    "both engines. q77 (Theil–Sen) estimates the SLOPE; this tests "
+    "the HYPOTHESIS. Trend verdict at the 1.96 two-sided fence. "
+    "Scale: daily rollup with map-side combine, then constant-size "
+    "grid work.",
+)
+def q112_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+            " div 100"
+        ).alias("x")
+    ).persist()
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    s = (
+        a.join(b, F.col("db") > F.col("da"))
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    var18 = (
+        nn.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(s))
+        .withColumn(
+            "v18",
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.col("tie_term"),
+        )
+    )
+    zc = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double"))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double"))
+        .otherwise(F.lit(0.0))
+    ) / F.sqrt(F.col("v18").cast("double") / 18.0)
+    return var18.select(
+        F.col("n").alias("n_days"),
+        "s_stat",
+        (F.col("v18").cast("double") / 18.0).alias("var_s"),
+        fround(zc, 6).alias("z"),
+        F.when(zc > 1.96, F.lit("increasing"))
+        .when(zc < -1.96, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q113 — turning-points randomness test on daily revenue (round 10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q113_turning_points",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) // 100 AS x
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT x,
+               LAG(x) OVER (ORDER BY day) AS xp,
+               LEAD(x) OVER (ORDER BY day) AS xn
+        FROM daily
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN xp IS NOT NULL AND xn IS NOT NULL
+                              AND (x - xp) * (xn - x) < 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_turning
+        FROM lagged
+    )
+    SELECT n AS n_days, n_turning,
+           (FLOOR(2.0 * (n - 2) / 3.0 * 10000.0 + 0.5) / 10000.0)
+               AS expected_turning,
+           (FLOOR((CAST(n_turning AS DOUBLE) - 2.0 * (n - 2) / 3.0)
+               / SQRT((16.0 * n - 29.0) / 90.0) * 10000.0 + 0.5) / 10000.0)
+               AS z,
+           CASE WHEN ABS((CAST(n_turning AS DOUBLE) - 2.0 * (n - 2) / 3.0)
+                    / SQRT((16.0 * n - 29.0) / 90.0)) > 1.96
+                THEN 'non_random' ELSE 'random' END AS verdict
+    FROM agg
+    """,
+    doc="Turning-points test for series randomness (Kendall & Stuart — "
+    "the classic complement to q102's median-crossing runs test): an "
+    "interior day is a turning point when (x_t - x_{t-1}) * "
+    "(x_{t+1} - x_t) < 0, i.e. a strict local peak or trough; under "
+    "i.i.d. the count is asymptotically normal with mean 2(n-2)/3 "
+    "and variance (16n-29)/90. The runs test sees only the median "
+    "DICHOTOMY (long one-sided excursions); turning points see "
+    "LOCAL oscillation (too many = negative autocorrelation, too "
+    "few = smoothness/trend) — together they screen a series from "
+    "both ends. One lag + one lead window over the calendar-bounded "
+    "day grid; the turning count and n are exact integers, the only "
+    "doubles are the fixed-constant mean/variance formulas and one "
+    "sqrt, identical IEEE on both engines. Two-sided 1.96 verdict.",
+)
+def q113_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+            " div 100"
+        ).alias("x")
+    )
+    lagged = daily.select(
+        "x",
+        F.lag("x").over(W.orderBy("day")).alias("xp"),
+        F.lead("x").over(W.orderBy("day")).alias("xn"),
+    )
+    agg = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                F.col("xp").isNotNull()
+                & F.col("xn").isNotNull()
+                & ((F.col("x") - F.col("xp")) * (F.col("xn") - F.col("x")) < 0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_turning"),
+    )
+    nd = F.col("n").cast("double")
+    z = (F.col("n_turning").cast("double") - 2.0 * (nd - 2) / 3.0) / F.sqrt(
+        (16.0 * nd - 29.0) / 90.0
+    )
+    return agg.select(
+        F.col("n").alias("n_days"),
+        "n_turning",
+        fround(2.0 * (nd - 2) / 3.0, 4).alias("expected_turning"),
+        fround(z, 4).alias("z"),
+        F.when(F.abs(z) > 1.96, F.lit("non_random"))
+        .otherwise(F.lit("random"))
+        .alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q114 — Jarque–Bera normality test on daily revenue (round 10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q114_jarque_bera",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) // 100000 AS x
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s FROM daily),
+    dev AS (
+        SELECT n, CAST(n AS HUGEINT) * x - s AS d
+        FROM daily CROSS JOIN tot
+    ),
+    mom AS (
+        SELECT MAX(n) AS n,
+               SUM(d * d) AS m2,
+               SUM(d * d * d) AS m3,
+               SUM(d * d * d * d) AS m4
+        FROM dev
+    ),
+    st AS (
+        SELECT n,
+               SQRT(CAST(n AS DOUBLE)) * CAST(m3 AS DOUBLE)
+                   / POWER(CAST(m2 AS DOUBLE), 1.5) AS skew,
+               CAST(n AS DOUBLE) * CAST(m4 AS DOUBLE)
+                   / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3.0 AS exk
+        FROM mom
+    )
+    SELECT n AS n_days,
+           (FLOOR(skew * 1000000.0 + 0.5) / 1000000.0) AS skewness,
+           (FLOOR(exk * 1000000.0 + 0.5) / 1000000.0) AS ex_kurtosis,
+           (FLOOR(CAST(n AS DOUBLE) / 6.0 * (skew * skew + exk * exk / 4.0)
+               * 10000.0 + 0.5) / 10000.0) AS jb_stat,
+           (FLOOR(EXP(-(CAST(n AS DOUBLE) / 6.0
+                * (skew * skew + exk * exk / 4.0)) / 2.0)
+               * 1000000.0 + 0.5) / 1000000.0) AS p_value
+    FROM st
+    """,
+    doc="Jarque–Bera normality test (Jarque & Bera 1980) on the daily "
+    "revenue series: JB = n/6 * (skew^2 + ex_kurtosis^2/4), with the "
+    "chi-square(2) survival p = exp(-JB/2) — closed form, no special "
+    "functions, so the p-value is exactly expressible on both "
+    "engines (unlike normal-CDF tests, which stop at z). Moments "
+    "are EXACT integers via the q101 multiply-through trick taken "
+    "to 4th power: the series is quantized to hundreds of dollars "
+    "(x = cents div 1e5 — at that scale d = n*x - S stays ~1e8, so "
+    "d^4 sums stay under DECIMAL(38,0)/HUGEINT), deviations never "
+    "touch a non-integer mean, and skew/kurtosis come from three "
+    "integer power sums cast to double once (skew = sqrt(n)*M3/"
+    "M2^1.5, kurt = n*M4/M2^2 — scale-invariant in d, so the n "
+    "multipliers cancel). Single calendar-bounded aggregation after "
+    "the daily rollup. The uniform synthetic series is platykurtic "
+    "(negative excess kurtosis), so JB rejects — the readout "
+    "documents WHY a gaussianity assumption would mislead here.",
+)
+def q114_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+            " div 100000"
+        ).alias("x")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "n",
+        (F.col("n").cast("decimal(13,0)") * F.col("x") - F.col("s"))
+        .cast("decimal(13,0)")
+        .alias("d"),
+    )
+    mom = dev.select(
+        "n",
+        F.col("d"),
+        (F.col("d") * F.col("d")).cast("decimal(27,0)").alias("d2"),
+    ).agg(
+        F.max("n").alias("n"),
+        F.sum("d2").cast("decimal(38,0)").alias("m2"),
+        F.sum(F.expr("CAST(d2 * d AS DECIMAL(38,0))")).cast("decimal(38,0)").alias("m3"),
+        F.sum(F.expr("CAST(d2 * d2 AS DECIMAL(38,0))")).cast("decimal(38,0)").alias("m4"),
+    )
+    nd = F.col("n").cast("double")
+    skew = (
+        F.sqrt(nd)
+        * F.col("m3").cast("double")
+        / F.pow(F.col("m2").cast("double"), F.lit(1.5))
+    )
+    exk = (
+        nd * F.col("m4").cast("double")
+        / (F.col("m2").cast("double") * F.col("m2").cast("double"))
+        - 3.0
+    )
+    st = mom.select("n", skew.alias("skew"), exk.alias("exk"))
+    jb = F.col("n").cast("double") / 6.0 * (
+        F.col("skew") * F.col("skew") + F.col("exk") * F.col("exk") / 4.0
+    )
+    return st.select(
+        F.col("n").alias("n_days"),
+        fround(F.col("skew"), 6).alias("skewness"),
+        fround(F.col("exk"), 6).alias("ex_kurtosis"),
+        fround(jb, 4).alias("jb_stat"),
+        fround(F.exp(-jb / 2.0), 6).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q115 — EOQ (economic order quantity) policy per brand (round 10)
+# ---------------------------------------------------------------------------
+
+Q115_ORDER_COST = 100.0  # fixed cost per replenishment order
+Q115_HOLD_RATE = 0.2  # annual holding cost as a fraction of unit cost
+
+
+@query(
+    "q115_eoq_policy",
+    oracle=f"""
+    WITH demand AS (
+        SELECT p.p_brand AS brand,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_demand,
+               CAST(SUM(CAST(FLOOR(p.p_retailprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS price_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1
+    ),
+    pol AS (
+        SELECT brand, total_demand, n_lines,
+               CAST(price_cents AS DOUBLE) / n_lines / 100.0 AS unit_cost
+        FROM demand
+    )
+    SELECT brand, total_demand,
+           (FLOOR(unit_cost * 100.0 + 0.5) / 100.0) AS unit_cost,
+           (FLOOR(SQRT(2.0 * total_demand * {Q115_ORDER_COST}
+                / ({Q115_HOLD_RATE} * unit_cost)) * 100.0 + 0.5) / 100.0)
+               AS eoq,
+           (FLOOR(CAST(total_demand AS DOUBLE)
+                / SQRT(2.0 * total_demand * {Q115_ORDER_COST}
+                     / ({Q115_HOLD_RATE} * unit_cost)) * 100.0 + 0.5) / 100.0)
+               AS orders_per_period
+    FROM pol
+    ORDER BY total_demand DESC, brand
+    LIMIT 10
+    """,
+    doc="EOQ replenishment policy (Harris 1913 — the square-root rule "
+    "every inventory system starts from) per part brand: EOQ = "
+    f"sqrt(2*D*S/H) with S = {Q115_ORDER_COST} fixed order cost and "
+    f"H = {Q115_HOLD_RATE} * unit cost annual holding; "
+    "orders_per_period = D/EOQ is the implied replenishment "
+    "frequency. Demand D = exact integer quantity sum from the "
+    "lineitem fact; unit cost = line-weighted mean retail price "
+    "from EXACT cents sums, divided once. Complements q103 (safety "
+    "stock = how much buffer) and q110 (fill rate = service "
+    "achieved): EOQ answers how much to ORDER per cycle. One "
+    "broadcast-joined rollup (part is the small side), top-10 "
+    "brands by demand with brand tiebreak; doubles appear only in "
+    "the final sqrt/divisions, identical IEEE on both engines.",
+)
+def q115_eoq_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    demand = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias(
+                "total_demand"
+            ),
+            F.sum(
+                F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("price_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+    unit_cost = F.col("price_cents").cast("double") / F.col("n_lines") / 100.0
+    eoq = F.sqrt(
+        2.0
+        * F.col("total_demand")
+        * Q115_ORDER_COST
+        / (Q115_HOLD_RATE * unit_cost)
+    )
+    return (
+        demand.select(
+            "brand",
+            "total_demand",
+            fround(unit_cost, 2).alias("unit_cost"),
+            fround(eoq, 2).alias("eoq"),
+            fround(F.col("total_demand").cast("double") / eoq, 2).alias(
+                "orders_per_period"
+            ),
+        )
+        .orderBy(F.desc("total_demand"), "brand")
+        .limit(10)
+    )
