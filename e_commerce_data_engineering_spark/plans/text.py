@@ -5730,3 +5730,322 @@ def t71_lm_quality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround((po - pc) / (1.0 - pc), 6).alias("kappa"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t72 — classical vocabulary-richness battery per source (round 10):
+# Honoré's R, Sichel's S, Brunet's W — the hapax/dis-legomena readouts
+# t68 (Yule K / Herdan C) and t44 (Heaps) do NOT cover
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t72_vocab_richness",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    c AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY source, tok
+    ),
+    t AS (
+        SELECT source,
+               CAST(SUM(cnt) AS BIGINT)                               AS n,
+               CAST(COUNT(*) AS BIGINT)                               AS v,
+               CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+               CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2
+        FROM c GROUP BY source
+    )
+    SELECT source, n AS n_tokens, v AS vocab, v1 AS hapax, v2 AS dis_legomena,
+           {sql_fround(
+               "100.0 * ln(CAST(n AS DOUBLE))"
+               " / (1.0 - CAST(v1 AS DOUBLE) / v)", 4
+           )} AS honore_r,
+           {sql_fround("CAST(v2 AS DOUBLE) / v", 6)} AS sichel_s,
+           {sql_fround(
+               "POWER(CAST(n AS DOUBLE), POWER(CAST(v AS DOUBLE), -0.165))", 4
+           )} AS brunet_w
+    FROM t
+    """,
+    doc="Per-source classical vocabulary-richness battery: Honoré's R = "
+    "100·ln(N)/(1 − V1/V) (Honoré 1979 — rises with hapax share), "
+    "Sichel's S = V2/V (Sichel 1975 — the dis-legomena proportion, "
+    "famously stable across text sizes), and Brunet's W = N^(V^−0.165) "
+    "(Brunet 1978 — FALLS with richness, the length-robust index "
+    "stylometry defaults to). Completes the richness shelf next to "
+    "t68's Yule K / Herdan C (frequency-moment views) and t44's Heaps "
+    "exponent (growth view): these three are the HAPAX-SENSITIVE "
+    "views — a source whose V1 share collapses under template "
+    "boilerplate moves R and W long before K notices. N, V, V1, V2 "
+    "are exact int64 from one (source, token) count shuffle, so both "
+    "engines evaluate identical doubles through ln/pow; the only "
+    "data-sized stage is the count rollup with map-side combine — "
+    "Heaps'-law-safe, no vocab broadcast, no window.",
+)
+def t72_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(X.tokens(F.col("text"))).alias("tok"))
+    c = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    t = c.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).cast("bigint").alias("v1"),
+        F.sum(F.when(F.col("cnt") == 2, 1).otherwise(0)).cast("bigint").alias("v2"),
+    )
+    dn = F.col("n").cast("double")
+    dv = F.col("v").cast("double")
+    return t.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("vocab"),
+        F.col("v1").alias("hapax"),
+        F.col("v2").alias("dis_legomena"),
+        fround(
+            F.lit(100.0) * F.log(dn) / (F.lit(1.0) - F.col("v1").cast("double") / dv),
+            4,
+        ).alias("honore_r"),
+        fround(F.col("v2").cast("double") / dv, 6).alias("sichel_s"),
+        fround(F.pow(dn, F.pow(dv, F.lit(-0.165))), 4).alias("brunet_w"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t73 — charset anomaly screen (round 10): the character-class hygiene
+# pass a crawl pipeline runs before tokenization — non-[a-z ] bytes,
+# whitespace-ratio outliers (2-sigma fence), oversized tokens
+# ---------------------------------------------------------------------------
+
+_T73_Q = 1_000_000  # 1e-6 space-ratio quantization (exact-int fence math)
+
+
+@query(
+    "t73_charset_anomaly_screen",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT source,
+               CAST(length(text) AS BIGINT) AS n,
+               CAST(length(text) - length(replace(text, ' ', ''))
+                   AS BIGINT) AS spaces,
+               CAST(length(regexp_replace(text, '[a-z ]', '', 'g'))
+                   AS BIGINT) AS nonword,
+               CAST(COALESCE(list_max(list_transform({_DUCK_TOKS},
+                   x -> length(x))), 0) AS BIGINT) AS max_tok
+        FROM documents
+    ),
+    r AS (
+        SELECT source, n, nonword, max_tok,
+               CAST(FLOOR(CAST(spaces AS DOUBLE) / n * {_T73_Q} + 0.5)
+                   AS BIGINT) AS ri
+        FROM per_doc WHERE n > 0
+    ),
+    fence AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(ri) AS BIGINT) AS s,
+               CAST(SUM(ri * ri) AS BIGINT) AS q
+        FROM r
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN nonword > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonword_docs,
+           CAST(SUM(CASE WHEN
+                   (CAST(m AS DOUBLE) * ri - s) * (CAST(m AS DOUBLE) * ri - s)
+                   > 4.0 * (CAST(m AS DOUBLE) * q - CAST(s AS DOUBLE) * s)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_space_outliers,
+           CAST(MAX(max_tok) AS BIGINT) AS max_token_len,
+           {sql_fround(
+               f"CAST(SUM(ri) AS DOUBLE) / {_T73_Q} / COUNT(*)", 4
+           )} AS avg_space_ratio
+    FROM r CROSS JOIN fence
+    GROUP BY source
+    """,
+    doc="Charset anomaly screen per source — the hygiene pass a crawl "
+    "pipeline runs BEFORE tokenization: (1) docs containing any byte "
+    "outside [a-z ] (mojibake/markup/control channel — zero on this "
+    "clean synthetic corpus, the calibrated null readout like q111), "
+    "(2) whitespace-ratio outliers under a corpus-wide 2-sigma fence "
+    "(run-on text or space-stuffed spam), (3) the longest token seen "
+    "per source (URL/base64 blobs masquerading as words). The fence "
+    "is EXACT: ratios are 1e-6-quantized BIGINTs, the corpus moment "
+    "frame (m, S=Σr, Q=Σr²) is one broadcast 1-row aggregate, and "
+    "the outlier test (m·r − S)² > 4(mQ − S²) is the variance "
+    "inequality multiplied through by m² — both engines evaluate the "
+    "identical double expression from identical exact integers, so "
+    "the fence can never flip the hash (at 100 TB the r² moments "
+    "ride DECIMAL(38,0) partials, same plan). One scan, one 1-row "
+    "broadcast, one per-source rollup — no window, no second pass.",
+)
+def t73_charset_anomaly_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n = F.length("text").cast("bigint")
+    spaces = (F.length("text") - F.length(F.translate(F.col("text"), " ", ""))).cast(
+        "bigint"
+    )
+    nonword = F.length(F.regexp_replace(F.col("text"), "[a-z ]", "")).cast("bigint")
+    max_tok = F.coalesce(
+        F.array_max(F.transform(X.tokens(F.col("text")), lambda x: F.length(x))),
+        F.lit(0),
+    ).cast("bigint")
+    per_doc = d.select(
+        "source",
+        n.alias("n"),
+        spaces.alias("spaces"),
+        nonword.alias("nonword"),
+        max_tok.alias("max_tok"),
+    )
+    r = per_doc.filter(F.col("n") > 0).select(
+        "source",
+        "nonword",
+        "max_tok",
+        F.floor(F.col("spaces").cast("double") / F.col("n") * _T73_Q + F.lit(0.5))
+        .cast("bigint")
+        .alias("ri"),
+    )
+    fence = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("ri").cast("bigint").alias("s"),
+        F.sum(F.col("ri") * F.col("ri")).cast("bigint").alias("q"),
+    )
+    dm = F.col("m").cast("double")
+    lhs = (dm * F.col("ri") - F.col("s")) * (dm * F.col("ri") - F.col("s"))
+    rhs = F.lit(4.0) * (dm * F.col("q") - F.col("s").cast("double") * F.col("s"))
+    return (
+        r.crossJoin(F.broadcast(fence))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("nonword") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_nonword_docs"),
+            F.sum(F.when(lhs > rhs, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_space_outliers"),
+            F.max("max_tok").cast("bigint").alias("max_token_len"),
+            fround(
+                F.sum("ri").cast("double") / _T73_Q / F.count(F.lit(1)), 4
+            ).alias("avg_space_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# t74 — character-bigram entropy per language (round 10): the
+# byte-level signal under t07's word-level language-ID — char bigram
+# distributions separate languages even on unseen vocabulary
+# ---------------------------------------------------------------------------
+
+_T74_Q = 1_000_000_000.0  # 1e-9 quantization of each -p·ln p term
+
+
+@query(
+    "t74_char_bigram_entropy",
+    oracle=f"""
+    WITH bg AS (
+        SELECT lang, substring(text, CAST(i AS INTEGER), 2) AS b
+        FROM (SELECT lang, text,
+                     unnest(generate_series(1, length(text) - 1)) AS i
+              FROM documents WHERE length(text) >= 2) src
+    ),
+    c2 AS (
+        SELECT lang, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY lang, b
+    ),
+    t AS (
+        SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS v2
+        FROM c2 GROUP BY lang
+    ),
+    h2 AS (
+        SELECT c2.lang,
+               CAST(SUM(CAST(FLOOR(
+                   -(CAST(cnt AS DOUBLE) / tot)
+                   * ln(CAST(cnt AS DOUBLE) / tot) * {_T74_Q} + 0.5
+               ) AS BIGINT)) AS BIGINT) AS qh2
+        FROM c2 JOIN t USING (lang) GROUP BY c2.lang
+    ),
+    c1 AS (
+        SELECT lang, substring(b, 1, 1) AS ch, CAST(SUM(cnt) AS BIGINT) AS cnt
+        FROM c2 GROUP BY lang, substring(b, 1, 1)
+    ),
+    h1 AS (
+        SELECT c1.lang,
+               CAST(SUM(CAST(FLOOR(
+                   -(CAST(cnt AS DOUBLE) / tot)
+                   * ln(CAST(cnt AS DOUBLE) / tot) * {_T74_Q} + 0.5
+               ) AS BIGINT)) AS BIGINT) AS qh1
+        FROM c1 JOIN t USING (lang) GROUP BY c1.lang
+    )
+    SELECT t.lang, tot AS n_bigrams, v2 AS n_distinct_bigrams,
+           {sql_fround(f"CAST(qh2 AS DOUBLE) / {_T74_Q}", 6)} AS bigram_entropy,
+           {sql_fround(f"CAST(qh2 - qh1 AS DOUBLE) / {_T74_Q}", 6)} AS cond_entropy,
+           {sql_fround(f"exp(CAST(qh2 AS DOUBLE) / {_T74_Q})", 4)} AS perplexity
+    FROM t JOIN h2 USING (lang) JOIN h1 USING (lang)
+    """,
+    doc="Per-language character-bigram entropy — the byte-level "
+    "language signature under t07's word-level stopword language-ID: "
+    "H2 (Shannon entropy of the bigram distribution), the conditional "
+    "next-char entropy H(c2|c1) = H2 − H1 via the chain rule (H1 is "
+    "the first-char marginal derived from the SAME bigram counts, so "
+    "no second corpus pass), and the bigram perplexity exp(H2) — "
+    "Shannon's 1951 printed-English measurement run as a corpus "
+    "rollup. Char n-gram profiles are the classic language-ID "
+    "features (Cavnar & Trenkle 1994) precisely because they work on "
+    "unseen vocabulary; a lang whose cond_entropy drifts between "
+    "snapshots has changed register or picked up contamination. "
+    "Every -p·ln p term is 1e-9-quantized before the per-lang sum "
+    "(t51 discipline) so addition order can never flip the hash. "
+    "Scale: bigram explosion is per-row HOF work (one substr lateral, "
+    "no shuffle until the (lang, bigram) count — alphabet² keys max), "
+    "then two KB-sized rollups; corpus-linear like t63.",
+)
+def t74_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bg = d.filter(F.length("text") >= 2).select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 1),
+                lambda i: F.col("text").substr(i, F.lit(2)),
+            )
+        ).alias("b"),
+    )
+    c2 = bg.groupBy("lang", "b").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    t = c2.groupBy("lang").agg(
+        F.sum("cnt").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("v2"),
+    )
+
+    def qterm(cnt):
+        p = cnt.cast("double") / F.col("tot")
+        return F.floor(-p * F.log(p) * _T74_Q + F.lit(0.5)).cast("bigint")
+
+    h2 = (
+        c2.join(t.select("lang", "tot"), "lang")
+        .select("lang", qterm(F.col("cnt")).alias("qt"))
+        .groupBy("lang")
+        .agg(F.sum("qt").cast("bigint").alias("qh2"))
+    )
+    c1 = c2.groupBy("lang", F.col("b").substr(1, 1).alias("ch")).agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+    h1 = (
+        c1.join(t.select("lang", "tot"), "lang")
+        .select("lang", qterm(F.col("cnt")).alias("qt"))
+        .groupBy("lang")
+        .agg(F.sum("qt").cast("bigint").alias("qh1"))
+    )
+    qh2 = F.col("qh2").cast("double") / _T74_Q
+    return (
+        t.join(h2, "lang")
+        .join(h1, "lang")
+        .select(
+            "lang",
+            F.col("tot").alias("n_bigrams"),
+            F.col("v2").alias("n_distinct_bigrams"),
+            fround(qh2, 6).alias("bigram_entropy"),
+            fround((F.col("qh2") - F.col("qh1")).cast("double") / _T74_Q, 6).alias(
+                "cond_entropy"
+            ),
+            fround(F.exp(qh2), 4).alias("perplexity"),
+        )
+    )
