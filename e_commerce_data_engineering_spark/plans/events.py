@@ -3183,3 +3183,140 @@ def e45_orphan_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("orphan_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e46 — per-session event-type entropy by session size (round 10):
+# how MIXED a session's behavior is — the composition dial next to
+# e03's pure size readout and e36's type-affinity matrix
+# ---------------------------------------------------------------------------
+
+_E46_Q = 1_000_000_000.0  # 1e-9 quantization of each -p·ln p term
+
+
+@query(
+    "e46_session_type_entropy",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > {SESSION_GAP_MS}
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_type,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    ),
+    tc AS (
+        SELECT user_id, session_id, event_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM sessions GROUP BY user_id, session_id, event_type
+    ),
+    tot AS (
+        SELECT user_id, session_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM tc GROUP BY user_id, session_id
+    ),
+    ps AS (
+        SELECT t.user_id, t.session_id, ANY_VALUE(n_events) AS n_events,
+               ANY_VALUE(n_types) AS n_types,
+               CAST(SUM(CAST(FLOOR(
+                   -(CAST(cnt AS DOUBLE) / n_events)
+                   * ln(CAST(cnt AS DOUBLE) / n_events) * {_E46_Q} + 0.5
+               ) AS BIGINT)) AS BIGINT) AS qh
+        FROM tc t JOIN tot USING (user_id, session_id)
+        GROUP BY t.user_id, t.session_id
+    )
+    SELECT CASE WHEN n_events <= 1 THEN '1'
+                WHEN n_events <= 3 THEN '2-3'
+                WHEN n_events <= 7 THEN '4-7'
+                ELSE '8+' END AS size_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           {sql_fround(f"CAST(SUM(qh) AS DOUBLE) / {_E46_Q} / COUNT(*)", 6)}
+               AS avg_type_entropy,
+           {sql_fround(f"CAST(MAX(qh) AS DOUBLE) / {_E46_Q}", 6)}
+               AS max_type_entropy,
+           {sql_fround("CAST(SUM(n_types) AS DOUBLE) / COUNT(*)", 4)}
+               AS avg_n_types
+    FROM ps
+    GROUP BY 1
+    """,
+    doc="Per-session event-type Shannon entropy, rolled up by session "
+    "size bucket — the COMPOSITION dial next to e03's size readout: a "
+    "session of 8 pageviews and a session mixing view/cart/purchase "
+    "have the same e03 row but opposite entropy, and the bucket "
+    "breakdown separates 'long sessions are mixed journeys' from "
+    "'long sessions are monotone scrolling' (singleton sessions pin "
+    "bucket '1' at exactly 0 — the built-in calibration row). Every "
+    "-p·ln p term is 1e-9-quantized per (session, type) BEFORE the "
+    "per-session sum (t51 discipline), and the bucket rollup averages "
+    "the exact BIGINT qh values, so both engines agree bit-for-bit. "
+    "Scale: sessionization is e03's lag + cumsum windows (one shuffle "
+    "on user_id, state bounded per user), then two count rollups on "
+    "the (session, type) grain and a 4-row bucket agg — nothing "
+    "data-sized beyond the session shuffle itself.",
+)
+def e46_session_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    prev_ms = F.lag(ms).over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(prev_ms.isNull() | ((ms - prev_ms) > SESSION_GAP_MS), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    wsum = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sessions = flagged.select(
+        "user_id",
+        "event_type",
+        F.sum("new_session").over(wsum).alias("session_id"),
+    )
+    tc = sessions.groupBy("user_id", "session_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = tc.groupBy("user_id", "session_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    p = F.col("cnt").cast("double") / F.col("n_events")
+    qt = F.floor(-p * F.log(p) * _E46_Q + F.lit(0.5)).cast("bigint")
+    ps = (
+        tc.join(tot, ["user_id", "session_id"])
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.first("n_events").alias("n_events"),
+            F.first("n_types").alias("n_types"),
+            F.sum(qt).cast("bigint").alias("qh"),
+        )
+    )
+    bucket = (
+        F.when(F.col("n_events") <= 1, "1")
+        .when(F.col("n_events") <= 3, "2-3")
+        .when(F.col("n_events") <= 7, "4-7")
+        .otherwise("8+")
+    )
+    return ps.groupBy(bucket.alias("size_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        fround(F.sum("qh").cast("double") / _E46_Q / F.count(F.lit(1)), 6).alias(
+            "avg_type_entropy"
+        ),
+        fround(F.max("qh").cast("double") / _E46_Q, 6).alias("max_type_entropy"),
+        fround(F.sum("n_types").cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_n_types"
+        ),
+    )

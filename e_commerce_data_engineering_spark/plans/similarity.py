@@ -3159,3 +3159,264 @@ def s29_mmr_diversity_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# s30 — rank-biased overlap between the cosine and raw-dot rankings
+# (round 10): Webber et al. 2010's top-weighted list-similarity measure,
+# the right way to compare two retrieval orderings (Kendall/Spearman
+# over-weight the tail a user never sees)
+# ---------------------------------------------------------------------------
+
+S30_K = 10  # evaluation depth
+S30_P = 0.9  # RBO persistence (the standard "user examines ~10" setting)
+# suffix[m] = sum_{d=m..K} (1-p)·p^(d-1)/d, 1e-12-quantized: a match
+# whose WORSE rank is m contributes to the overlap term at every depth
+# d >= m, so per-match lookup replaces the depth explode entirely.
+_S30_Q = 10**12
+S30_SUFFIXQ: tuple[int, ...] = tuple(
+    round(sum((1.0 - S30_P) * S30_P ** (d - 1) / d for d in range(m, S30_K + 1)) * _S30_Q)
+    for m in range(1, S30_K + 1)
+)
+_S30_SUFFIX_SQL = "[" + ", ".join(str(v) for v in S30_SUFFIXQ) + "]"
+
+
+@query(
+    "s30_rank_biased_overlap",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id < {N_QUERY_VECS}),
+    c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+    scored AS (
+        SELECT q_id, c_id,
+               {_SQL_DOT_QC} / ({_SQL_NORM_Q} * {_SQL_NORM_C}) AS cos_sim,
+               {_SQL_DOT_QC} AS dot_sim
+        FROM q CROSS JOIN c
+        WHERE q_id <> c_id
+    ),
+    ranked AS (
+        SELECT q_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cos_sim DESC, c_id) AS ra,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY dot_sim DESC, c_id) AS rb
+        FROM scored
+    ),
+    matches AS (
+        SELECT q_id,
+               CAST(COUNT(*) AS BIGINT) AS n_common,
+               CAST(SUM(({_S30_SUFFIX_SQL})[
+                   CAST(GREATEST(ra, rb) AS INTEGER)]) AS BIGINT) AS qs
+        FROM ranked
+        WHERE ra <= {S30_K} AND rb <= {S30_K}
+        GROUP BY q_id
+    )
+    SELECT q.q_id,
+           CAST(COALESCE(m.n_common, 0) AS BIGINT) AS n_common,
+           {sql_fround(
+               f"CAST(COALESCE(m.n_common, 0) AS DOUBLE) / {S30_K}", 4
+           )} AS agreement_at_k,
+           {sql_fround(
+               f"CAST(COALESCE(m.qs, 0) AS DOUBLE) / {_S30_Q}.0", 6
+           )} AS rbo
+    FROM (SELECT DISTINCT q_id FROM q) q LEFT JOIN matches m USING (q_id)
+    """,
+    doc=f"Rank-biased overlap at depth {S30_K} (Webber, Moffat & Zobel "
+    f"2010, p={S30_P}) between each probe's exact-cosine ranking and "
+    "its raw-dot-product ranking — the quantitative answer to 'does "
+    "skipping normalization change what the user SEES?' (it does "
+    "exactly when candidate norms vary; s03 measures that spread). "
+    "RBO = Σ_d (1−p)p^(d−1)·|A_d∩B_d|/d over-weights the top the way "
+    "a user reads a result list, unlike Kendall/Spearman which pay "
+    "the invisible tail. Both rankings come from ONE scored frame "
+    "with two row_number windows (no self-join); a matched item with "
+    "worse-rank m contributes the precomputed suffix weight "
+    "Σ_{{d≥m}} w_d/d, so the depth dimension never explodes — and the "
+    "suffix table is 1e-12-quantized INTEGER literals injected into "
+    "both engines, making the rank-biased sum order-independent and "
+    "hash-exact. Scale: s02's broadcast-probe scoring (probe count "
+    "is fixed), two windows on the probe grain, K-bounded match set.",
+)
+def s30_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    dotp = dot(F.col("q_emb"), F.col("c_emb"))
+    cos = dotp / (l2_norm(F.col("q_emb")) * l2_norm(F.col("c_emb")))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", cos.alias("cos_sim"), dotp.alias("dot_sim"))
+    )
+    ranked = scored.select(
+        "q_id",
+        F.row_number()
+        .over(W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "c_id"))
+        .alias("ra"),
+        F.row_number()
+        .over(W.partitionBy("q_id").orderBy(F.col("dot_sim").desc(), "c_id"))
+        .alias("rb"),
+    )
+    suffix = F.array(*[F.lit(v) for v in S30_SUFFIXQ])
+    matches = (
+        ranked.filter((F.col("ra") <= S30_K) & (F.col("rb") <= S30_K))
+        .select(
+            "q_id",
+            F.element_at(suffix, F.greatest("ra", "rb").cast("int")).alias("w"),
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum("w").cast("bigint").alias("qs"),
+        )
+    )
+    probes = q.select("q_id").distinct()
+    return probes.join(matches, "q_id", "left").select(
+        "q_id",
+        F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint").alias("n_common"),
+        fround(
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("double") / S30_K, 4
+        ).alias("agreement_at_k"),
+        fround(
+            F.coalesce(F.col("qs"), F.lit(0)).cast("double") / float(_S30_Q), 6
+        ).alias("rbo"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# s31 — Dirichlet-smoothed query-likelihood retrieval (round 10): the
+# language-modeling ranker next to t30's BM25 and s12's RRF fusion
+# ---------------------------------------------------------------------------
+
+S31_MU = 2000.0  # Dirichlet prior mass (Zhai & Lafferty's standard default)
+S31_TOPN = 20
+_S31_Q = 1_000_000_000.0  # 1e-9 per-term log-score quantization
+
+
+def _sql_s31() -> str:
+    from .text import BM25_TERMS, _DUCK_TOKS
+
+    terms_in = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+    stats AS (SELECT CAST(SUM(len(ts)) AS BIGINT) AS coll_len FROM toks),
+    cf AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf
+        FROM (SELECT unnest(ts) AS tok FROM toks) t
+        WHERE tok IN ({terms_in})
+        GROUP BY tok
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(ts) AS tok FROM toks) t
+        WHERE tok IN ({terms_in})
+        GROUP BY doc_id, tok
+    ),
+    cand AS (
+        SELECT DISTINCT t.doc_id, len(ts) AS dl
+        FROM tf t JOIN toks USING (doc_id)
+    ),
+    grid AS (SELECT doc_id, dl, tok, cf FROM cand CROSS JOIN cf),
+    scored AS (
+        SELECT g.doc_id,
+               CAST(FLOOR(ln(
+                   (CAST(COALESCE(t.tf, 0) AS DOUBLE)
+                    + {S31_MU} * CAST(g.cf AS DOUBLE) / coll_len)
+                   / (CAST(g.dl AS DOUBLE) + {S31_MU})
+               ) * {_S31_Q} + 0.5) AS BIGINT) AS sq,
+               CASE WHEN t.tf IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM grid g
+        LEFT JOIN tf t ON t.doc_id = g.doc_id AND t.tok = g.tok
+        CROSS JOIN stats
+    ),
+    total AS (
+        SELECT doc_id, CAST(SUM(sq) AS BIGINT) AS score_q,
+               CAST(SUM(hit) AS BIGINT) AS n_terms_hit
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms_hit, score_q,
+           CAST(ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS BIGINT)
+               AS rank
+    FROM total
+    ORDER BY score_q DESC, doc_id
+    LIMIT {S31_TOPN}
+    """
+
+
+def _s31_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as X
+    from .text import BM25_TERMS
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", X.tokens(F.col("text")).alias("ts"))
+    stats = toks.agg(F.sum(F.size("ts")).cast("bigint").alias("coll_len"))
+    exploded = toks.select(
+        "doc_id", F.size("ts").alias("dl"), F.explode("ts").alias("tok")
+    ).filter(F.col("tok").isin(*BM25_TERMS))
+    cf = exploded.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("cf"))
+    tf = exploded.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"), F.first("dl").alias("dl")
+    )
+    cand = tf.select("doc_id", "dl").distinct()
+    grid = cand.crossJoin(F.broadcast(cf))
+    j = (
+        grid.join(tf.select("doc_id", "tok", "tf"), ["doc_id", "tok"], "left")
+        .crossJoin(F.broadcast(stats))
+    )
+    sq = F.floor(
+        F.log(
+            (
+                F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+                + F.lit(S31_MU) * F.col("cf").cast("double") / F.col("coll_len")
+            )
+            / (F.col("dl").cast("double") + F.lit(S31_MU))
+        )
+        * _S31_Q
+        + F.lit(0.5)
+    ).cast("bigint")
+    total = (
+        j.select(
+            "doc_id",
+            sq.alias("sq"),
+            F.when(F.col("tf").isNotNull(), 1).otherwise(0).alias("hit"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("sq").cast("bigint").alias("score_q"),
+            F.sum("hit").cast("bigint").alias("n_terms_hit"),
+        )
+    )
+    top = total.orderBy(F.col("score_q").desc(), "doc_id").limit(S31_TOPN)
+    # single-partition window is intentional: input is the top-N frame
+    w = W.orderBy(F.col("score_q").desc(), "doc_id")
+    return top.select(
+        "doc_id",
+        "n_terms_hit",
+        "score_q",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )
+
+
+_S31_DOC = (
+    f"Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty "
+    f"2001, mu={S31_MU:g}): rank documents by sum over query terms of "
+    "log((tf + mu*p(t|C)) / (dl + mu)) — the language-modeling ranker "
+    "next to t30's BM25 (probabilistic) and s12's RRF fusion, "
+    "completing the classic lexical-ranker triptych a retrieval stack "
+    "A/B-tests. Smoothing means ABSENT terms still score (the "
+    "collection model fills in), so scoring runs on a candidates x "
+    "query-term grid: candidate docs (>= 1 hit) cross the broadcast "
+    "3-row term frame, left-joined against exact-integer tf. Each "
+    "per-(doc, term) log score is 1e-9-quantized BEFORE the per-doc "
+    "sum (t30 discipline) so ranking is an integer sort both engines "
+    "replay identically; top-N with doc_id tiebreak is "
+    "TakeOrderedAndProject. Scale: the IN-list prunes the exploded "
+    "token stream before any shuffle; the grid is |candidates| x "
+    "|query| rows — the inverted-index posting layout, never "
+    "corpus-sized."
+)
+
+query("s31_query_likelihood", oracle=_sql_s31(), doc=_S31_DOC)(_s31_impl)
