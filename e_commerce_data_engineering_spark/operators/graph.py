@@ -185,6 +185,64 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+def edge_triangle_support(edges: DataFrame) -> DataFrame:
+    """Per-EDGE triangle support over an undirected graph given as its
+    CANONICAL edge list (columns ``u`` < ``v``): for every edge, the
+    number of triangles it participates in — the k-truss building block
+    (Cohen 2008). Zero-support edges are kept (left join), since the
+    2-truss boundary is exactly the support-0 set.
+
+    Same degree-orientation wedge enumeration as ``triangle_counts``
+    (each triangle found exactly once), but instead of exploding the
+    NODE set {a,b,c} we explode the three CANONICAL EDGES
+    (min(a,b),max(a,b)), (min(a,c),max(a,c)), (b,c) and count per edge.
+    All equi-joins and aggregates — no cartesian stage anywhere."""
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("_un"), F.col("d").alias("_ud"))
+    dv = deg.select(F.col("node").alias("_vn"), F.col("d").alias("_vd"))
+    u_first = (F.col("_ud") < F.col("_vd")) | (
+        (F.col("_ud") == F.col("_vd")) & (F.col("u") < F.col("v"))
+    )
+    ori = (
+        edges.join(du, edges["u"] == du["_un"])
+        .join(dv, edges["v"] == dv["_vn"])
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    e1 = ori.select(F.col("src").alias("_s1"), F.col("dst").alias("_d1"))
+    e2 = ori.select(F.col("src").alias("_s2"), F.col("dst").alias("_d2"))
+    wedges = e1.join(
+        e2, (F.col("_s1") == F.col("_s2")) & (F.col("_d1") < F.col("_d2"))
+    ).select(F.col("_s1").alias("a"), F.col("_d1").alias("b"), F.col("_d2").alias("c"))
+    tri = wedges.join(
+        edges.select(F.col("u").alias("b"), F.col("v").alias("c")), ["b", "c"], "left_semi"
+    )
+    tri_edges = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+                ),
+                F.struct(
+                    F.least("a", "c").alias("u"), F.greatest("a", "c").alias("v")
+                ),
+                F.struct(F.col("b").alias("u"), F.col("c").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    sup = tri_edges.groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
+    return edges.join(sup, ["u", "v"], "left").select(
+        "u", "v", F.coalesce(F.col("support"), F.lit(0)).cast("bigint").alias("support")
+    )
+
+
 def kcore(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
     """Nodes of the ``k``-core of an undirected graph — the maximal
     subgraph where every node has degree >= k — given the CANONICAL

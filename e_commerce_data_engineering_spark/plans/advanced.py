@@ -2507,3 +2507,134 @@ def m13_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(ham <= M13_MAX_HAM).select(
         "id_a", "id_b", ham.cast("int").alias("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# d22 — TF-IDF shingle-cosine near-dup pairs (round 10): the WEIGHTED
+# similarity family member — d09 (MinHash≈Jaccard) and d10 (SimHash)
+# treat every shingle equally; TF-IDF cosine discounts boilerplate
+# shingles by their document frequency (the SpotSigs/CDC weighting)
+# ---------------------------------------------------------------------------
+
+D22_DF_MIN, D22_DF_MAX = 2, 20  # posting-list blocking band
+D22_COS = 0.6  # near-dup decision threshold
+_D22_Q = 1_000_000.0  # 1e-6 tf-idf weight quantization
+
+
+@query(
+    "d22_tfidf_cosine_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+    sh AS (
+        SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        FROM (SELECT doc_id, ts AS toks,
+                     unnest(generate_series(1, len(ts) - 2)) AS i
+              FROM toks WHERE len(ts) >= 3) t
+    ),
+    tf AS (
+        SELECT doc_id, s, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM sh GROUP BY doc_id, s
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+    idf AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY s),
+    w AS (
+        SELECT doc_id, s,
+               CAST(FLOOR(tf * ln(CAST(n AS DOUBLE) / df) * {_D22_Q} + 0.5)
+                   AS BIGINT) AS wq
+        FROM tf JOIN idf USING (s) CROSS JOIN n
+        WHERE df BETWEEN {D22_DF_MIN} AND {D22_DF_MAX}
+    ),
+    nrm AS (
+        SELECT doc_id, CAST(SUM(wq * wq) AS BIGINT) AS nq FROM w GROUP BY doc_id
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(a.wq * b.wq) AS BIGINT) AS dotq,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_shared,
+           {sql_fround(
+               "CAST(dotq AS DOUBLE) / (sqrt(na.nq) * sqrt(nb.nq))", 6
+           )} AS cosine
+    FROM pairs
+    JOIN nrm na ON na.doc_id = doc_a
+    JOIN nrm nb ON nb.doc_id = doc_b
+    WHERE CAST(dotq AS DOUBLE) / (sqrt(na.nq) * sqrt(nb.nq)) >= {D22_COS}
+    """,
+    doc=f"TF-IDF-weighted shingle-cosine near-dup pairs (cos >= "
+    f"{D22_COS}): each doc is a vector over its 3-gram shingles "
+    "weighted tf·ln(N/df), and candidate pairs come from the shingle "
+    "POSTING-LIST join restricted to the df in "
+    f"[{D22_DF_MIN}, {D22_DF_MAX}] band — the SpotSigs/CDC trick "
+    "(Theobald et al., SIGIR'08): df=1 shingles match nothing, "
+    "high-df shingles are boilerplate that both carries ~zero idf "
+    "weight AND quadratic join fanout, so the band bounds pair "
+    "generation at Σ df² per shingle while keeping the "
+    "discriminative mass. Complements d09 (MinHash — unweighted "
+    "Jaccard) and d10 (SimHash — unweighted Hamming) as the WEIGHTED "
+    "family member; on the planted-dup corpus all three agree (d21 "
+    "measures the overlap). Weights are 1e-6-quantized BIGINTs, so "
+    "dot products and norms are exact integer sums — addition order "
+    "can never flip the hash — and the single double division "
+    "happens once per surviving pair. Scale: posting join fanout is "
+    f"df-capped at {D22_DF_MAX}; everything else is "
+    "(doc, shingle)-grain rollups with map-side combine.",
+)
+def d22_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as X
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", X.tokens(F.col("text")).alias("ts")).filter(
+        F.size("ts") >= 3
+    )
+    sh = toks.select(
+        "doc_id", F.explode(X.shingles_zip(F.col("ts"), 3)).alias("s")
+    )
+    tf = sh.groupBy("doc_id", "s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    n = tf.agg(F.count_distinct("doc_id").cast("bigint").alias("n"))
+    idf = tf.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    w = (
+        tf.join(idf, "s")
+        .filter((F.col("df") >= D22_DF_MIN) & (F.col("df") <= D22_DF_MAX))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "s",
+            F.floor(
+                F.col("tf")
+                * F.log(F.col("n").cast("double") / F.col("df"))
+                * _D22_Q
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("wq"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sum(F.col("wq") * F.col("wq")).cast("bigint").alias("nq")
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), "s", F.col("wq").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("_sb"), F.col("wq").alias("wb"))
+    pairs = (
+        a.join(b, (a["s"] == b["_sb"]) & (a["doc_a"] < b["doc_b"]))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).cast("bigint").alias("dotq"),
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+        )
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nq").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nq").alias("nb"))
+    cosine = F.col("dotq").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cosine >= D22_COS)
+        .select("doc_a", "doc_b", "n_shared", fround(cosine, 6).alias("cosine"))
+    )

@@ -3013,3 +3013,79 @@ def x18_cms_broadcast_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# g14 — per-edge triangle support histogram (round 10): the k-truss
+# readout over the co-purchase projection — g04 counts triangles per
+# NODE; support counts them per EDGE, the quantity truss decomposition
+# and strong-tie detection actually peel on
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "g14_triangle_support",
+    oracle=f"""
+    WITH co AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity >= {G04_MIN_QTY}
+    ),
+    ed AS (
+        SELECT a.s AS u, b.s AS v
+        FROM co a JOIN co b ON a.c = b.c AND a.s < b.s
+        GROUP BY a.s, b.s HAVING COUNT(*) >= {G04_MIN_SHARED}
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS d
+        FROM (SELECT u AS node FROM ed UNION ALL SELECT v AS node FROM ed)
+        GROUP BY node
+    ),
+    ori AS (
+        SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst
+        FROM ed e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ),
+    tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM ori e1 JOIN ori e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        JOIN ed e3 ON e3.u = e1.dst AND e3.v = e2.dst
+    ),
+    tri_edges AS (
+        SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM tri
+        UNION ALL SELECT LEAST(a, c), GREATEST(a, c) FROM tri
+        UNION ALL SELECT b, c FROM tri
+    ),
+    sup AS (
+        SELECT e.u, e.v, CAST(COUNT(t.u) AS BIGINT) AS support
+        FROM ed e LEFT JOIN tri_edges t ON t.u = e.u AND t.v = e.v
+        GROUP BY e.u, e.v
+    )
+    SELECT support,
+           CAST(COUNT(*) AS BIGINT) AS n_edges
+    FROM sup
+    GROUP BY support
+    """,
+    doc="Per-edge triangle-support histogram over the thresholded "
+    "supplier co-purchase projection — the k-truss readout (Cohen "
+    "2008): an edge with support s survives into the (s+2)-truss, so "
+    "this histogram IS the truss-decomposition profile (support-0 "
+    "edges are weak ties no triangle reinforces; the high-support "
+    "tail is the cohesive core g06's k-core only approximates). g04 "
+    "aggregates the same triangles per NODE; this explodes each "
+    "triangle's three CANONICAL edges instead "
+    "(operators/graph.edge_triangle_support) and left-joins back to "
+    "the edge list so zero-support edges are counted. Same "
+    "degree-orientation wedge plan as g04 (Suri & Vassilvitskii "
+    "WWW'11) — oriented out-degree O(sqrt(m)) bounds the wedge "
+    "fanout; the histogram output is support-bounded, a few dozen "
+    "rows regardless of graph size.",
+)
+def g14_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import edge_triangle_support
+
+    edges = copurchase_edges(spark, sf_dir)
+    sup = edge_triangle_support(edges)
+    return sup.groupBy("support").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges")
+    )
