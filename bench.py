@@ -193,6 +193,27 @@ HEADLINE = [
     "e45_orphan_conversions",
     "t71_lm_quality_agreement",
     "x17_cms_join_size",
+    # round-10 additions: DCT pHash + banded pairs, CMS-driven join
+    # strategy pick, online drift detectors, exact trend/normality
+    # tests, EOQ policy, richness battery, charset screen, char-bigram
+    # entropy, session composition, RBO, Dirichlet QL ranking, weighted
+    # shingle cosine, per-edge truss support
+    "m12_image_phash",
+    "m13_phash_neardup_pairs",
+    "x18_cms_broadcast_decision",
+    "q111_page_hinkley",
+    "q112_mann_kendall_trend",
+    "q113_turning_points",
+    "q114_jarque_bera",
+    "q115_eoq_policy",
+    "t72_vocab_richness",
+    "t73_charset_anomaly_screen",
+    "t74_char_bigram_entropy",
+    "e46_session_type_entropy",
+    "s30_rank_biased_overlap",
+    "s31_query_likelihood",
+    "d22_tfidf_cosine_pairs",
+    "g14_triangle_support",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

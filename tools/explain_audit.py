@@ -138,6 +138,23 @@ AUDIT = [
     ("e45_orphan_conversions", "user-keyed LEFT ANTI with time-range residual; never a time cross join"),
     ("t71_lm_quality_agreement", "persisted KN doc stage feeds fences + buckets; grids bounded, 1 row out"),
     ("x17_cms_join_size", "two fixed 3x272 sketch grids replace the user-grain join; bucket-wise dot"),
+    # round-10 additions
+    ("m12_image_phash", "DCT-II as a fixed 64-term literal basis; shuffle-free Arrow map, 64 bits/image"),
+    ("m13_phash_neardup_pairs", "pigeonhole 4x16-bit band equi-join on pHash; exact Hamming verify only on candidates"),
+    ("x18_cms_broadcast_decision", "two CMS grids fold to one join-size estimate; the decision row is sketch-only"),
+    ("q111_page_hinkley", "exact-integer PH statistic; running-min windows walk the day grid only"),
+    ("q112_mann_kendall_trend", "S from integer midrank identities on the day grid; no pairwise day join"),
+    ("q113_turning_points", "two lags over the day grid; peak/trough counts fold to one row"),
+    ("q114_jarque_bera", "central moments via one raw-moment fold; wide-decimal sums, 1 row out"),
+    ("q115_eoq_policy", "brand-grain demand rollup; EOQ formula on the 25-row frame, no window"),
+    ("t72_vocab_richness", "one (source,token) count shuffle; hapax/dis-legomena flags fold map-side"),
+    ("t73_charset_anomaly_screen", "per-row charclass lengths; 1-row moment broadcast; exact-int 2-sigma fence"),
+    ("t74_char_bigram_entropy", "per-row substr explode, alphabet^2-keyed counts; chain-rule H1 from same frame"),
+    ("e46_session_type_entropy", "e03's lag+cumsum session windows; quantized entropy on (session,type) grain"),
+    ("s30_rank_biased_overlap", "one scored frame, two rank windows; suffix-weight lookup kills the depth explode"),
+    ("s31_query_likelihood", "candidates x 3-term grid left-joins exact tf; integer sort, TakeOrdered cut"),
+    ("d22_tfidf_cosine_pairs", "df-banded posting join; integer dot/norm sums; division only per surviving pair"),
+    ("g14_triangle_support", "g04's oriented wedge join; triangle edges exploded, histogram is support-bounded"),
 ]
 
 
