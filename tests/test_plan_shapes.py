@@ -1294,3 +1294,82 @@ def test_x17_estimate_rides_sketch_grids(spark):
     the two event scans feeding the grids."""
     plan = plan_of(spark, "x17_cms_join_size")
     assert "CartesianProduct" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["m12_image_phash", "m13_phash_neardup_pairs", "x18_cms_broadcast_decision",
+     "q111_page_hinkley", "q112_mann_kendall_trend", "q113_turning_points",
+     "q114_jarque_bera", "q115_eoq_policy"],
+)
+def test_round10_batch1_avoid_cartesian(spark, name):
+    """First round-10 batch: m13's candidates come from the 4x16-bit
+    pHash band equi-join, x18's decision row folds two fixed sketch
+    grids, the q111-q115 stat tests ride calendar/brand-grain rollups
+    with broadcast 1-row moment frames — no CartesianProduct anywhere
+    (broadcast single-row/tiny-frame fan-outs compile to
+    BroadcastNestedLoopJoin, which is the intended shape)."""
+    assert "CartesianProduct" not in plan_of(spark, name)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["t72_vocab_richness", "t73_charset_anomaly_screen",
+     "t74_char_bigram_entropy", "e46_session_type_entropy",
+     "s30_rank_biased_overlap", "s31_query_likelihood",
+     "d22_tfidf_cosine_pairs", "g14_triangle_support"],
+)
+def test_round10_batch2_avoid_cartesian(spark, name):
+    """Second round-10 batch: t72-t74 are (source|lang, token)-grain
+    rollups, e46 rides e03's session windows, s30's two rankings come
+    from ONE scored frame (two windows, no self-join), s31's term grid
+    crosses a broadcast 3-row frame, d22's pairs ride the df-banded
+    posting join, g14 the oriented wedge join — no CartesianProduct."""
+    assert "CartesianProduct" not in plan_of(spark, name)
+
+
+def test_t73_fence_is_single_row_broadcast(spark):
+    """t73's corpus moment frame (m, S, Q) must join back as a
+    broadcast 1-row aggregate, never shuffle the doc grain against
+    it."""
+    plan = plan_of(spark, "t73_charset_anomaly_screen")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_s30_rankings_share_one_scored_frame(spark):
+    """s30 must derive BOTH rankings from one scored frame via two
+    row_number windows — the plan has exactly one embeddings-scan pair
+    (probe + candidates), not four."""
+    plan = plan_of(spark, "s30_rank_biased_overlap")
+    import re as _re
+    scans = len(_re.findall(r"Scan parquet", plan))
+    # formatted mode prints each scan TWICE (tree + node detail); probe
+    # + candidate + zero-match-guard probe = 3 reads of embeddings max
+    assert scans <= 6, f"{scans // 2} scans\n{plan}"
+
+
+def test_s31_term_grid_is_broadcast(spark):
+    """s31's candidates x query-term grid crosses a broadcast 3-row cf
+    frame and the 1-row collection stats — both must be broadcast
+    joins."""
+    plan = plan_of(spark, "s31_query_likelihood")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_d22_pairs_ride_posting_equi_join(spark):
+    """d22's candidate pairs must come from the shingle-keyed posting
+    equi-join (SortMergeJoin or shuffled hash on the shingle column),
+    never a CartesianProduct; the final cut keeps TakeOrdered out (it
+    is a filter, so no global sort either)."""
+    plan = plan_of(spark, "d22_tfidf_cosine_pairs")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_g14_histogram_reuses_wedge_plan(spark):
+    """g14's support histogram ends in a tiny support-keyed aggregate;
+    the triangle stage underneath is g04's oriented wedge join — no
+    CartesianProduct, closing edge via LeftSemi."""
+    plan = plan_of(spark, "g14_triangle_support")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -51,6 +51,37 @@ def replicate(spark, table: str, k: int, out_dir: str, key_cols: list[str], ts_c
     return n * k
 
 
+def replicate_salted_documents(spark, k: int, out_dir: str) -> int:
+    """Documents replicated K times with doc_id shifts AND a per-replica
+    alphabet permutation applied to the text (F.translate): replicas are
+    DISJOINT corpora, each carrying sf0.1's planted near-dup structure,
+    so banded pair generation should scale ~linearly in K — the
+    complementary readout to ``replicate``'s exact-clone worst case
+    (where the PAIR OUTPUT itself is quadratic in clone-cluster size and
+    the greedy/CC operators, not pair enumeration, are the scale path).
+    Token shapes are preserved (letters map to letters, space fixed), so
+    shingle statistics per replica match the base corpus."""
+    import random
+
+    base = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    n = base.count()
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    parts = []
+    for i in range(k):
+        letters = list(alpha)
+        random.Random(i).shuffle(letters)
+        perm = "".join(letters)
+        df = base.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        if i > 0:
+            df = df.withColumn("text", F.translate(F.col("text"), alpha, perm))
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(max(32, k)).write.mode("overwrite").parquet(out_dir)
+    return n * k
+
+
 def timed(fn):
     t0 = time.perf_counter()
     rows = fn()
@@ -90,6 +121,7 @@ OP_TABLES = {
     "bootstrap_q97": {"orders"},
     "winnowing_t63": {"documents"},
     "wasserstein_q105": {"orders"},
+    "minhash_pairs_d09": {"documents_salted"},
 }
 
 
@@ -131,6 +163,11 @@ def main() -> None:
         if "embeddings" in needed:
             n_em = replicate(spark, "embeddings", k, f"{root}/embeddings", ["vec_id"])
             emb = spark.read.parquet(f"{root}/embeddings")
+        n_docsalt = 0
+        docs_salted = None
+        if "documents_salted" in needed:
+            n_docsalt = replicate_salted_documents(spark, k, f"{root}/documents_salted")
+            docs_salted = spark.read.parquet(f"{root}/documents_salted")
 
         # join + aggregate (the core relational path)
         def join_agg():
@@ -811,6 +848,16 @@ def main() -> None:
             )
             return cum.groupBy("ya").agg(F.sum(term).alias("s")).count()
 
+        # d09's banded pair stage (signature -> band bucket -> verified
+        # Jaccard) over K disjoint salted replicas: pairs out grow ~K,
+        # buckets stay base-corpus-sized, so wall should track K
+        def minhash_pairs_d09():
+            from e_commerce_data_engineering_spark.operators.dedup import (
+                minhash_lsh_pairs_portable,
+            )
+
+            return minhash_lsh_pairs_portable(docs_salted, "doc_id", "text").count()
+
         op_max_scale = {"ppjoin_t09": 16, "dup_spans_t40": 16}
         for name, fn, rows_in in (
             ("join_agg", join_agg, n_li),
@@ -842,6 +889,7 @@ def main() -> None:
             ("bootstrap_q97", bootstrap_q97, n_ord),
             ("winnowing_t63", winnowing_t63, n_doc),
             ("wasserstein_q105", wasserstein_q105, n_ord),
+            ("minhash_pairs_d09", minhash_pairs_d09, n_docsalt),
         ):
             if only_ops is not None and name not in only_ops:
                 continue
