@@ -214,6 +214,7 @@ HEADLINE = [
     "s31_query_likelihood",
     "d22_tfidf_cosine_pairs",
     "g14_triangle_support",
+    "q116_spearman_rho",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

@@ -111,6 +111,7 @@ _PRIORITY: tuple[str, ...] = (
     "d22_tfidf_cosine_pairs",
     "x18_cms_broadcast_decision",
     "g14_triangle_support",
+    "q116_spearman_rho",
     # value-corrected this round (ADVICE r9): re-record officially
     "q100_kendall_tau",
     "q101_pettitt_changepoint",

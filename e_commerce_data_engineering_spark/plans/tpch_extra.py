@@ -5169,3 +5169,133 @@ def q115_eoq_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_demand"), "brand")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# q116 — Spearman's rho between discount and quantity on the VALUE GRID
+# (round 10): the midrank-Pearson companion to q100's Kendall tau-b —
+# same grid, same exact-integer discipline, the OTHER rank correlation
+# every stats library reports
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q116_spearman_rho",
+    oracle="""
+    WITH cells AS (
+        SELECT l_returnflag AS flag,
+               CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS d,
+               CAST(l_quantity AS BIGINT) AS q,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2, 3
+    ),
+    dm AS (
+        SELECT flag, d,
+               2 * SUM(td) OVER (PARTITION BY flag ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - td + 1 AS rd2
+        FROM (SELECT flag, d, CAST(SUM(c) AS BIGINT) AS td
+              FROM cells GROUP BY 1, 2) m
+    ),
+    qm AS (
+        SELECT flag, q,
+               2 * SUM(tq) OVER (PARTITION BY flag ORDER BY q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - tq + 1 AS rq2
+        FROM (SELECT flag, q, CAST(SUM(c) AS BIGINT) AS tq
+              FROM cells GROUP BY 1, 2) m
+    ),
+    sums AS (
+        SELECT c.flag,
+               CAST(SUM(c.c) AS BIGINT) AS n,
+               CAST(SUM(CAST(c.c AS HUGEINT) * rd2) AS HUGEINT) AS sa,
+               CAST(SUM(CAST(c.c AS HUGEINT) * rq2) AS HUGEINT) AS sb,
+               CAST(SUM(CAST(c.c AS HUGEINT) * rd2 * rd2) AS HUGEINT) AS saa,
+               CAST(SUM(CAST(c.c AS HUGEINT) * rq2 * rq2) AS HUGEINT) AS sbb,
+               CAST(SUM(CAST(c.c AS HUGEINT) * rd2 * rq2) AS HUGEINT) AS sab
+        FROM cells c
+        JOIN dm ON dm.flag = c.flag AND dm.d = c.d
+        JOIN qm ON qm.flag = c.flag AND qm.q = c.q
+        GROUP BY c.flag
+    )
+    SELECT flag, n,
+           (FLOOR((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                   - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+               / SQRT((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                       - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+               * 1000000.0 + 0.5) / 1000000.0) AS rho_s
+    FROM sums
+    """,
+    doc="Spearman's rho between discount and quantity per return flag "
+    "— Pearson correlation of MIDRANKS (the tie-correct form; Kendall "
+    "1948 ch.3), read next to q100's tau-b: tau counts pair "
+    "inversions, rho measures rank-distance, and a gap between them "
+    "flags heavy tie structure or outlier ranks. Midranks never touch "
+    "row grain: on the 11x50 (discount, quantity) VALUE GRID the "
+    "midrank of value v is (cum count through v) - (count at v)/2 + "
+    "1/2, so DOUBLED midranks rd2 = 2*cum - t + 1 are exact integers "
+    "off a window over the <=11/<=50-row margin frames, and the "
+    "Pearson formula is scale-invariant so the 2x never needs "
+    "undoing. All five moment sums accumulate c*rd2*rq2-sized exact "
+    "integers in DECIMAL(38,0)/HUGEINT (rank products are O(n^2) per "
+    "row, n^3 summed — past int64 by sf10); both engines then divide "
+    "identical doubles, 1e-6-quantized. Scale: one map-side-"
+    "combinable grid rollup is the only data-sized stage; margins, "
+    "windows, and the moment fold are all grid-bounded.",
+)
+def q116_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint").alias("d"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wd = W.partitionBy("flag").orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    dm = (
+        cells.groupBy("flag", "d")
+        .agg(F.sum("c").cast("bigint").alias("td"))
+        .select(
+            "flag",
+            "d",
+            (F.lit(2) * F.sum("td").over(wd) - F.col("td") + 1).alias("rd2"),
+        )
+    )
+    wq = W.partitionBy("flag").orderBy("q").rowsBetween(W.unboundedPreceding, W.currentRow)
+    qm = (
+        cells.groupBy("flag", "q")
+        .agg(F.sum("c").cast("bigint").alias("tq"))
+        .select(
+            "flag",
+            "q",
+            (F.lit(2) * F.sum("tq").over(wq) - F.col("tq") + 1).alias("rq2"),
+        )
+    )
+    dec = "decimal(38,0)"
+    cc = F.col("c").cast(dec)
+    sums = (
+        cells.join(F.broadcast(dm), ["flag", "d"])
+        .join(F.broadcast(qm), ["flag", "q"])
+        .groupBy("flag")
+        .agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.sum(cc * F.col("rd2")).cast(dec).alias("sa"),
+            F.sum(cc * F.col("rq2")).cast(dec).alias("sb"),
+            F.sum(cc * F.col("rd2") * F.col("rd2")).cast(dec).alias("saa"),
+            F.sum(cc * F.col("rq2") * F.col("rq2")).cast(dec).alias("sbb"),
+            F.sum(cc * F.col("rd2") * F.col("rq2")).cast(dec).alias("sab"),
+        )
+    )
+    dn = F.col("n").cast("double")
+    num = dn * F.col("sab").cast("double") - F.col("sa").cast("double") * F.col(
+        "sb"
+    ).cast("double")
+    va = dn * F.col("saa").cast("double") - F.col("sa").cast("double") * F.col(
+        "sa"
+    ).cast("double")
+    vb = dn * F.col("sbb").cast("double") - F.col("sb").cast("double") * F.col(
+        "sb"
+    ).cast("double")
+    rho = F.floor(num / F.sqrt(va * vb) * 1000000.0 + F.lit(0.5)) / 1000000.0
+    return sums.select("flag", "n", rho.alias("rho_s"))

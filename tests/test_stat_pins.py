@@ -80,3 +80,22 @@ def test_q101_pettitt_step_series(spark, stat_sf_dir):
     assert row["p_value"] == pytest.approx(p, abs=1e-6)
     assert row["mean_before"] == pytest.approx(100.0)
     assert row["mean_after"] == pytest.approx(200.0)
+
+
+def test_q116_rho_perfect_monotone(spark, stat_sf_dir):
+    """Spearman's rho on the same constructed frame: flag A's tie-free
+    perfectly increasing ranks give rho = +1 exactly, flag B's
+    perfectly decreasing ranks give rho = -1 — a halving/doubling slip
+    in the midrank identity or the moment formula cannot survive this
+    pin (the q100 lesson: both engines shared the bug, so only a
+    closed-form pin catches it)."""
+    from e_commerce_data_engineering_spark.plans.tpch_extra import (
+        q116_spearman_rho,
+    )
+
+    out = {
+        r["flag"]: r for r in q116_spearman_rho(spark, stat_sf_dir).collect()
+    }
+    assert out["A"]["n"] == 10 and out["B"]["n"] == 10
+    assert out["A"]["rho_s"] == pytest.approx(1.0)
+    assert out["B"]["rho_s"] == pytest.approx(-1.0)

@@ -155,6 +155,7 @@ AUDIT = [
     ("s31_query_likelihood", "candidates x 3-term grid left-joins exact tf; integer sort, TakeOrdered cut"),
     ("d22_tfidf_cosine_pairs", "df-banded posting join; integer dot/norm sums; division only per surviving pair"),
     ("g14_triangle_support", "g04's oriented wedge join; triangle edges exploded, histogram is support-bounded"),
+    ("q116_spearman_rho", "midranks off grid-margin windows; five wide-decimal moment sums, 3 rows out"),
 ]
 
 
