@@ -1882,3 +1882,133 @@ def stream_stream_left_outer_join(
         "click_ts",
         "click_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming store #7 (round 10): per-side count-min sketch pair — the
+# x17/x18 join-size estimator fed from a STREAM, so the broadcast-vs-
+# shuffle pick exists before any table statistics do
+# ---------------------------------------------------------------------------
+
+
+def start_cms_pair_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema,
+    depth: int = 3,
+    width: int = 8192,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    sides: tuple[tuple[str, str], ...] = (("view", "a"), ("purchase", "b")),
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Streaming twin of x17/x18's CMS join-size machinery: each
+    micro-batch builds ONE count-min grid partial PER SIDE (the rows of
+    each ``sides`` event type, keyed by ``key_col``) through the SAME
+    ``operators/sketch.cms_build_portable`` core the batch queries use,
+    and writes it under ``side=<label>/batch_id=N`` with overwrite —
+    the exactly-once discipline of the KMV/AMS/Count-Sketch stores (a
+    replayed epoch rewrites its own partial, never double-counts).
+
+    The CMS grid is ADDITIVE (bucket-wise exact int64 sums), so the
+    folded stream grid EQUALS the batch grid over the union of drained
+    rows — parity is exact equality, and the derived join-size estimate
+    and broadcast/shuffle pick (``read_join_size_estimate``) match the
+    batch x18 decision by construction. State per drained micro-batch
+    is at most ``len(sides) * depth * width`` integers regardless of
+    stream volume — the point: two KB-sized mergeable grids, built
+    where each stream lives, give the optimizer |A ⋈ B| before any
+    statistics exist."""
+    from ..operators.sketch import cms_build_portable
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+    def _partial(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        for etype, label in sides:
+            side = batch_df.filter(F.col(type_col) == etype).select(
+                F.col(key_col).cast("string").alias("k")
+            )
+            cms_build_portable(side, "k", depth, width).write.mode(
+                "overwrite"
+            ).parquet(f"{state_dir}/side={label}/batch_id={epoch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(_partial)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms_pair_state(
+    spark: SparkSession, state_dir: str, side: str
+) -> DataFrame:
+    """Fold one side's per-batch CMS partials by (depth, bucket)
+    addition — the sketch's merge — back into a single grid, exact
+    int64, equality-comparable to the batch ``cms_build_portable`` over
+    the union of that side's drained rows."""
+    return (
+        spark.read.parquet(f"{state_dir}/side={side}")
+        .groupBy("depth", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def read_join_size_estimate(
+    spark: SparkSession,
+    state_dir: str,
+    row_bytes: int = 128,
+    threshold_bytes: int = 131072,
+) -> DataFrame:
+    """The x17 inner-product estimate + x18 strategy pick computed from
+    STREAM state alone: |A ⋈ B| ≈ min over depths of the bucket-wise
+    grid dot product (Cormode–Muthukrishnan §4.2), and the
+    broadcast-vs-shuffle decision from the smaller side's EXACT total
+    row count — which the grid itself carries (each depth row sums to
+    N_side, so one depth's bucket sum recovers it exactly). One row
+    out: (n_a, n_b, est_join_size, build_side, strategy)."""
+    from ..operators.sketch import broadcast_decision
+
+    ga = read_cms_pair_state(spark, state_dir, "a").select(
+        "depth", "bucket", F.col("cnt").alias("ca")
+    )
+    gb = read_cms_pair_state(spark, state_dir, "b").select(
+        "depth", "bucket", F.col("cnt").alias("cb")
+    )
+    est = (
+        ga.join(gb, ["depth", "bucket"])
+        .groupBy("depth")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("e"))
+        .agg(F.min("e").cast("bigint").alias("est_join_size"))
+    )
+    na = (
+        ga.filter(F.col("depth") == 0)
+        .agg(F.sum("ca").cast("bigint").alias("n_a"))
+    )
+    nb = (
+        gb.filter(F.col("depth") == 0)
+        .agg(F.sum("cb").cast("bigint").alias("n_b"))
+    )
+    build = F.when(F.col("n_a") <= F.col("n_b"), F.lit("a")).otherwise(F.lit("b"))
+    build_rows = F.least("n_a", "n_b")
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(est))
+        .select(
+            "n_a",
+            "n_b",
+            "est_join_size",
+            build.alias("build_side"),
+            broadcast_decision(
+                build_rows, row_bytes=row_bytes, threshold_bytes=threshold_bytes
+            ).alias("strategy"),
+        )
+    )

@@ -2327,3 +2327,117 @@ def test_stream_stream_left_outer_join_emits_null_after_watermark(spark, tmp_pat
     # u1@20 attributed to click@0; u2@50 proven unattributable (the
     # sentinel events pushed min-watermark to 240 > 50+30)
     assert rows == {(1, 20, 0), (2, 50, None)}, rows
+
+
+def test_cms_pair_stream_matches_batch_and_decision(spark, tmp_path):
+    """Batch/stream parity for the CMS pair store (#7): events streamed
+    in micro-batches, per-side per-batch grid partials folded read-side
+    by (depth, bucket) addition, must EQUAL (exact int64) the batch
+    cms_build_portable grid over each side's full row set; the derived
+    x17 inner-product join-size estimate must equal the batch estimate;
+    and the x18 strategy pick must FLIP with the threshold (broadcast
+    when the build side fits, shuffle when it does not) — the
+    optimizer-facing readout computed from stream state alone. Replay
+    with the same checkpoint changes nothing."""
+    import json as _json
+
+    from e_commerce_data_engineering_spark.operators.sketch import (
+        cms_build_portable,
+    )
+    from e_commerce_data_engineering_spark.sources.tables import load_table
+    from e_commerce_data_engineering_spark.streaming.pipeline import (
+        read_cms_pair_state,
+        read_join_size_estimate,
+        start_cms_pair_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select("user_id", "event_type")
+    rows = [(r["user_id"], r["event_type"]) for r in ev.collect()]
+    src = tmp_path / "cms-src"
+    src.mkdir()
+    third = max(1, len(rows) // 3)
+    for i in range(3):
+        chunk = rows[i * third :] if i == 2 else rows[i * third : (i + 1) * third]
+        (src / f"part{i}.jsonl").write_text(
+            "\n".join(
+                _json.dumps({"user_id": u, "event_type": t}) for u, t in chunk
+            )
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    state = str(tmp_path / "cms-state")
+    ckpt = str(tmp_path / "cms-ckpt")
+    depth, width = 3, 1024
+
+    def _run():
+        q = start_cms_pair_stream(
+            spark, str(src), state, ckpt, schema, depth=depth, width=width
+        )
+        q.awaitTermination(120)
+
+    _run()
+
+    # grid parity per side, exact int64 equality
+    for etype, label in (("view", "a"), ("purchase", "b")):
+        batch_side = ev.filter(F.col("event_type") == etype).select(
+            F.col("user_id").cast("string").alias("k")
+        )
+        want = {
+            (r["depth"], r["bucket"]): r["cnt"]
+            for r in cms_build_portable(batch_side, "k", depth, width).collect()
+        }
+        got = {
+            (r["depth"], r["bucket"]): r["cnt"]
+            for r in read_cms_pair_state(spark, state, label).collect()
+        }
+        assert got == want, f"side {label} grid mismatch"
+
+    # estimate parity + exact side totals off the grid
+    est_row = read_join_size_estimate(spark, state).collect()[0]
+    n_a = ev.filter(F.col("event_type") == "view").count()
+    n_b = ev.filter(F.col("event_type") == "purchase").count()
+    assert est_row["n_a"] == n_a and est_row["n_b"] == n_b
+    exact_join = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("ca"))
+        .join(
+            ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("cb")),
+            "user_id",
+        )
+        .agg(F.sum(F.col("ca") * F.col("cb")))
+        .collect()[0][0]
+    )
+    # CMS inner product over-estimates, never under
+    assert est_row["est_join_size"] >= exact_join
+
+    # the decision flips exactly with the threshold
+    build_rows = min(n_a, n_b)
+    tight = read_join_size_estimate(
+        spark, state, row_bytes=128, threshold_bytes=build_rows * 128
+    ).collect()[0]
+    assert tight["strategy"] == "broadcast"
+    over = read_join_size_estimate(
+        spark, state, row_bytes=128, threshold_bytes=build_rows * 128 - 1
+    ).collect()[0]
+    assert over["strategy"] == "shuffle"
+
+    # replay: same checkpoint, nothing new to drain -> state unchanged
+    before = sorted(
+        (r["depth"], r["bucket"], r["cnt"])
+        for r in read_cms_pair_state(spark, state, "a").collect()
+    )
+    _run()
+    after = sorted(
+        (r["depth"], r["bucket"], r["cnt"])
+        for r in read_cms_pair_state(spark, state, "a").collect()
+    )
+    assert before == after
