@@ -215,6 +215,10 @@ HEADLINE = [
     "d22_tfidf_cosine_pairs",
     "g14_triangle_support",
     "q116_spearman_rho",
+    "q117_cramers_v",
+    "q118_newsvendor_cost",
+    "e47_intersession_gaps",
+    "s32_lexical_rbo",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

@@ -3320,3 +3320,187 @@ def e46_session_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_n_types"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# e47 — between-session return-time distribution vs the exponential
+# model (round 10): e27 measures WITHIN-session inter-event gaps; this
+# measures the user's RETURN time across sessions, and grades the
+# memoryless model a marketer's "win-back after N hours" rule assumes
+# ---------------------------------------------------------------------------
+
+_E47_BOUNDS_H = (0.5, 5.5, 23.5, 167.5)  # excess-hour bucket fences
+_E47_LABELS = ("lt_1h", "1h_6h", "6h_24h", "24h_7d", "ge_7d")
+
+
+def _e47_bucket_sql() -> str:
+    ms = [int(b * 3_600_000) for b in _E47_BOUNDS_H]
+    return (
+        f"CASE WHEN excess_ms < {ms[0]} THEN '{_E47_LABELS[0]}' "
+        f"WHEN excess_ms < {ms[1]} THEN '{_E47_LABELS[1]}' "
+        f"WHEN excess_ms < {ms[2]} THEN '{_E47_LABELS[2]}' "
+        f"WHEN excess_ms < {ms[3]} THEN '{_E47_LABELS[3]}' "
+        f"ELSE '{_E47_LABELS[4]}' END"
+    )
+
+
+def _e47_model_sql() -> str:
+    """exp(-lam*a) - exp(-lam*b) per bucket, b=inf for the tail."""
+    bounds = list(_E47_BOUNDS_H)
+    cases = []
+    prev = 0.0
+    for i, lab in enumerate(_E47_LABELS):
+        a = prev
+        if i < len(bounds):
+            b = bounds[i]
+            cases.append(
+                f"WHEN bucket = '{lab}' THEN exp(-lam * {a}) - exp(-lam * {b})"
+            )
+            prev = b
+        else:
+            cases.append(f"WHEN bucket = '{lab}' THEN exp(-lam * {a})")
+    return "CASE " + " ".join(cases) + " END"
+
+
+@query(
+    "e47_intersession_gaps",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > {SESSION_GAP_MS}
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    ),
+    bounds AS (
+        SELECT user_id, session_id,
+               CAST(MIN(epoch_ms(ts)) AS BIGINT) AS start_ms,
+               CAST(MAX(epoch_ms(ts)) AS BIGINT) AS end_ms
+        FROM sessions GROUP BY user_id, session_id
+    ),
+    gaps AS (
+        SELECT LEAD(start_ms) OVER (PARTITION BY user_id ORDER BY session_id)
+                   - end_ms - {SESSION_GAP_MS} AS excess_ms
+        FROM bounds
+        QUALIFY excess_ms IS NOT NULL
+    ),
+    lamf AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(excess_ms) AS BIGINT) AS s,
+               CAST(COUNT(*) AS DOUBLE) * 3600000.0 / SUM(excess_ms) AS lam
+        FROM gaps
+    ),
+    hist AS (
+        SELECT {_e47_bucket_sql()} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps
+        FROM gaps GROUP BY 1
+    )
+    SELECT bucket, n_gaps,
+           {sql_fround("CAST(n_gaps AS DOUBLE) / n", 6)} AS obs_share,
+           {sql_fround(_e47_model_sql(), 6)} AS model_share
+    FROM hist CROSS JOIN lamf
+    """,
+    doc="Between-session return-time distribution per bucket, graded "
+    "against the exponential (memoryless) return model: sessionize "
+    "with e03's 30-min gap machinery, take each session's end -> next "
+    "session's start EXCESS over the gap threshold (the shifted "
+    "support — raw gaps are >= 30 min by construction), fit the "
+    "one-parameter exponential by MLE (lambda = n/mean excess, from "
+    "exact integer millisecond sums), and report observed vs model "
+    "mass per bucket. Where obs_share exceeds model_share in the "
+    "tail, returns are heavier-tailed than memoryless — the "
+    "empirical fact behind win-back campaign timing (and the reason "
+    "e40 fits power-law tails elsewhere). Bucket assignment is exact "
+    "integer-ms comparison; lambda is one division from exact "
+    "integers so both engines evaluate identical doubles through "
+    "exp, 1e-6-rounded. Scale: e03's user-keyed session windows are "
+    "the only data-sized stages; the histogram is 5 rows and the "
+    "model pass is bucket-grain.",
+)
+def e47_intersession_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    prev_ms = F.lag(ms).over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(prev_ms.isNull() | ((ms - prev_ms) > SESSION_GAP_MS), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    wsum = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sessions = flagged.select(
+        "user_id",
+        ms.alias("ts_ms"),
+        F.sum("new_session").over(wsum).alias("session_id"),
+    )
+    bounds = sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts_ms").cast("bigint").alias("start_ms"),
+        F.max("ts_ms").cast("bigint").alias("end_ms"),
+    )
+    wnext = W.partitionBy("user_id").orderBy("session_id")
+    gaps = (
+        bounds.select(
+            (
+                F.lead("start_ms").over(wnext)
+                - F.col("end_ms")
+                - F.lit(SESSION_GAP_MS)
+            ).alias("excess_ms")
+        )
+        .filter(F.col("excess_ms").isNotNull())
+    )
+    lamf = gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("excess_ms").cast("bigint").alias("s"),
+        (
+            F.count(F.lit(1)).cast("double")
+            * F.lit(3600000.0)
+            / F.sum("excess_ms")
+        ).alias("lam"),
+    )
+    bms = [int(b * 3_600_000) for b in _E47_BOUNDS_H]
+    bucket = (
+        F.when(F.col("excess_ms") < bms[0], _E47_LABELS[0])
+        .when(F.col("excess_ms") < bms[1], _E47_LABELS[1])
+        .when(F.col("excess_ms") < bms[2], _E47_LABELS[2])
+        .when(F.col("excess_ms") < bms[3], _E47_LABELS[3])
+        .otherwise(_E47_LABELS[4])
+    )
+    hist = gaps.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps")
+    )
+    model = F.lit(None).cast("double")
+    prev = 0.0
+    expr = None
+    for i, lab in enumerate(_E47_LABELS):
+        a = prev
+        if i < len(_E47_BOUNDS_H):
+            b = _E47_BOUNDS_H[i]
+            val = F.exp(-F.col("lam") * a) - F.exp(-F.col("lam") * b)
+            prev = b
+        else:
+            val = F.exp(-F.col("lam") * a)
+        expr = F.when(F.col("bucket") == lab, val) if expr is None else expr.when(
+            F.col("bucket") == lab, val
+        )
+    model = expr
+    return hist.crossJoin(F.broadcast(lamf)).select(
+        "bucket",
+        "n_gaps",
+        fround(F.col("n_gaps").cast("double") / F.col("n"), 6).alias("obs_share"),
+        fround(model, 6).alias("model_share"),
+    )

@@ -112,6 +112,10 @@ _PRIORITY: tuple[str, ...] = (
     "x18_cms_broadcast_decision",
     "g14_triangle_support",
     "q116_spearman_rho",
+    "q117_cramers_v",
+    "q118_newsvendor_cost",
+    "e47_intersession_gaps",
+    "s32_lexical_rbo",
     # value-corrected this round (ADVICE r9): re-record officially
     "q100_kendall_tau",
     "q101_pettitt_changepoint",

@@ -3420,3 +3420,74 @@ _S31_DOC = (
 )
 
 query("s31_query_likelihood", oracle=_sql_s31(), doc=_S31_DOC)(_s31_impl)
+
+
+# ---------------------------------------------------------------------------
+# s32 — rank-biased overlap between the two LEXICAL rankers (round 10):
+# do BM25 (t30) and Dirichlet query-likelihood (s31) agree on what to
+# retrieve? The ranker-A/B readout, by the same RBO machinery as s30
+# ---------------------------------------------------------------------------
+
+S32_K = 20  # both rankers emit top-20
+_S32_SUFFIXQ: tuple[int, ...] = tuple(
+    round(sum((1.0 - S30_P) * S30_P ** (d - 1) / d for d in range(m, S32_K + 1)) * _S30_Q)
+    for m in range(1, S32_K + 1)
+)
+_S32_SUFFIX_SQL = "[" + ", ".join(str(v) for v in _S32_SUFFIXQ) + "]"
+
+
+def _sql_s32() -> str:
+    from .registry import QUERIES
+
+    bm = QUERIES["t30_bm25_topk"].oracle
+    ql = QUERIES["s31_query_likelihood"].oracle
+    return f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_common,
+           (FLOOR(CAST(COUNT(*) AS DOUBLE) / {S32_K} * 10000.0 + 0.5)
+               / 10000.0) AS agreement_at_k,
+           (FLOOR(CAST(COALESCE(SUM(({_S32_SUFFIX_SQL})[
+                   CAST(GREATEST(a.rank, b.rank) AS INTEGER)]), 0) AS DOUBLE)
+               / {_S30_Q}.0 * 1000000.0 + 0.5) / 1000000.0) AS rbo
+    FROM ({bm}) a JOIN ({ql}) b USING (doc_id)
+    """
+
+
+def _s32_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import t30_bm25_topk
+
+    bm = t30_bm25_topk(spark, sf_dir).select("doc_id", F.col("rank").alias("ra"))
+    ql = _s31_impl(spark, sf_dir).select("doc_id", F.col("rank").alias("rb"))
+    suffix = F.array(*[F.lit(v) for v in _S32_SUFFIXQ])
+    m = bm.join(ql, "doc_id").select(
+        F.element_at(suffix, F.greatest("ra", "rb").cast("int")).alias("w")
+    )
+    return m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        fround(F.count(F.lit(1)).cast("double") / S32_K, 4).alias(
+            "agreement_at_k"
+        ),
+        fround(
+            F.coalesce(F.sum("w"), F.lit(0)).cast("double") / float(_S30_Q), 6
+        ).alias("rbo"),
+    )
+
+
+_S32_DOC = (
+    f"Rank-biased overlap at depth {S32_K} (p={S30_P}) between the two "
+    "LEXICAL rankers this engine ships — t30's BM25 and s31's "
+    "Dirichlet query-likelihood — on the same fixed query: the "
+    "ranker-A/B readout an IR team runs before swapping scoring "
+    "functions (Webber et al. 2010 §6 is literally this use case). "
+    "Both inputs are integer-quantized score rankings with doc_id "
+    "tiebreaks, so the joined rank pairs are engine-exact; the "
+    "top-weighted overlap then reuses s30's precomputed 1e-12 integer "
+    "suffix-weight table (a match's worse rank m contributes "
+    "sum_(d>=m) w_d/d), making the RBO sum order-independent. A low "
+    "value here with a high s30 says the VECTOR pipeline is stable "
+    "but the lexical scorers disagree — exactly the calibration "
+    "t71 surfaces for quality filters. Scale: both ranker plans are "
+    "top-N-bounded (TakeOrderedAndProject); the overlap join touches "
+    f"<= {S32_K} rows a side."
+)
+
+query("s32_lexical_rbo", oracle=_sql_s32(), doc=_S32_DOC)(_s32_impl)

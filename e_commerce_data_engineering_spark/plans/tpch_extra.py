@@ -5299,3 +5299,278 @@ def q116_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     rho = F.floor(num / F.sqrt(va * vb) * 1000000.0 + F.lit(0.5)) / 1000000.0
     return sums.select("flag", "n", rho.alias("rho_s"))
+
+
+# ---------------------------------------------------------------------------
+# q117 — Cramér's V / Tschuprow's T association between order priority
+# and order status (round 10): the EFFECT-SIZE companion to the t34
+# chi-square INDEPENDENCE test — significance says "is there any
+# association"; these say "how strong", on a [0,1] scale sample size
+# cannot inflate
+# ---------------------------------------------------------------------------
+
+_Q117_Q = 1_000_000_000.0  # 1e-9 per-cell chi2 term quantization
+
+
+@query(
+    "q117_cramers_v",
+    oracle=f"""
+    WITH cells AS (
+        SELECT o_orderpriority AS pri, o_orderstatus AS st,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT pri, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+    ct AS (SELECT st, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT pri) AS BIGINT) AS r,
+                   CAST(COUNT(DISTINCT st) AS BIGINT) AS k
+            FROM cells),
+    terms AS (
+        SELECT CAST(FLOOR(
+                   CAST((CAST(n AS HUGEINT) * o - CAST(rt AS HUGEINT) * ct)
+                        * (CAST(n AS HUGEINT) * o - CAST(rt AS HUGEINT) * ct)
+                       AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * rt * ct)
+                   * {_Q117_Q} + 0.5) AS BIGINT) AS qt
+        FROM cells JOIN rt USING (pri) JOIN ct USING (st) CROSS JOIN tot
+    ),
+    chi AS (SELECT CAST(SUM(qt) AS BIGINT) AS qchi FROM terms)
+    SELECT n,
+           CAST(r AS INTEGER) AS n_rows_cat,
+           CAST(k AS INTEGER) AS n_cols_cat,
+           {sql_fround(f"CAST(qchi AS DOUBLE) / {_Q117_Q}", 6)} AS chi2,
+           {sql_fround(
+               f"SQRT(CAST(qchi AS DOUBLE) / {_Q117_Q}"
+               " / (CAST(n AS DOUBLE) * (LEAST(r, k) - 1)))", 6
+           )} AS cramers_v,
+           {sql_fround(
+               f"SQRT(CAST(qchi AS DOUBLE) / {_Q117_Q}"
+               " / (CAST(n AS DOUBLE) * SQRT(CAST((r - 1) * (k - 1) AS DOUBLE))))",
+               6
+           )} AS tschuprow_t
+    FROM tot CROSS JOIN chi
+    """,
+    doc="Cramér's V and Tschuprow's T between order priority and order "
+    "status — the [0,1]-normalized ASSOCIATION effect sizes (Cramér "
+    "1946 §21.9; Tschuprow 1925) read next to a chi-square test's "
+    "p-value: at 100 TB every independence test rejects (n inflates "
+    "chi2 without bound), so the effect size is the only number worth "
+    "alerting on. chi2 is computed cell-wise from the identity "
+    "(n·o − rt·ct)²/(n·rt·ct) — numerator an exact "
+    "DECIMAL(38,0)/HUGEINT product of count aggregates, one double "
+    "division per cell, each term 1e-9-quantized before the 15-term "
+    "sum (order independence). V divides by min(r,k)−1, T by "
+    "sqrt((r−1)(k−1)) — identical on square tables, diverging on "
+    "rectangular ones (the reason both are reported). On this "
+    "uniform synthetic table both read ≈ 0 — the calibrated null, "
+    "like q111/t73's zero channels. Scale: one map-side-combinable "
+    "(priority, status) rollup is the only data-sized stage; margins "
+    "and the 15-cell term pass are grid-bounded.",
+)
+def q117_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("pri"), F.col("o_orderstatus").alias("st")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    rt = cells.groupBy("pri").agg(F.sum("o").cast("bigint").alias("rt"))
+    ct = cells.groupBy("st").agg(F.sum("o").cast("bigint").alias("ct"))
+    tot = cells.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.count_distinct("pri").cast("bigint").alias("r"),
+        F.count_distinct("st").cast("bigint").alias("k"),
+    )
+    dec = "decimal(38,0)"
+    num = (
+        F.col("n").cast(dec) * F.col("o").cast(dec)
+        - F.col("rt").cast(dec) * F.col("ct").cast(dec)
+    )
+    qt = F.floor(
+        (num * num).cast("double")
+        / (F.col("n").cast("double") * F.col("rt") * F.col("ct"))
+        * _Q117_Q
+        + F.lit(0.5)
+    ).cast("bigint")
+    chi = (
+        cells.join(F.broadcast(rt), "pri")
+        .join(F.broadcast(ct), "st")
+        .crossJoin(F.broadcast(tot))
+        .select(qt.alias("qt"))
+        .agg(F.sum("qt").cast("bigint").alias("qchi"))
+    )
+    c2 = F.col("qchi").cast("double") / _Q117_Q
+    dn = F.col("n").cast("double")
+    return (
+        tot.crossJoin(F.broadcast(chi))
+        .select(
+            "n",
+            F.col("r").cast("int").alias("n_rows_cat"),
+            F.col("k").cast("int").alias("n_cols_cat"),
+            fround(c2, 6).alias("chi2"),
+            fround(
+                F.sqrt(c2 / (dn * (F.least("r", "k") - F.lit(1)))), 6
+            ).alias("cramers_v"),
+            fround(
+                F.sqrt(
+                    c2
+                    / (
+                        dn
+                        * F.sqrt(
+                            ((F.col("r") - 1) * (F.col("k") - 1)).cast("double")
+                        )
+                    )
+                ),
+                6,
+            ).alias("tschuprow_t"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q118 — newsvendor order quantity graded by its exact expected cost
+# (round 10): q103 picks a fence from a SERVICE target; this picks it
+# from COSTS (critical ratio Cu/(Cu+Co)) and then grades the decision
+# by expected overage/underage on the same empirical grid — the q110
+# "policy graded on its own history" pattern applied to the newsvendor
+# ---------------------------------------------------------------------------
+
+Q118_CU = 40  # underage cost per unit (lost margin)
+Q118_CO = 10  # overage cost per unit (holding/salvage loss)
+# critical ratio Cu/(Cu+Co) = 0.8 -> order to the empirical P80
+
+
+@query(
+    "q118_newsvendor_cost",
+    oracle=f"""
+    WITH weekly AS (
+        SELECT p.p_brand AS brand,
+               CAST(DATE_TRUNC('week', l.l_shipdate) AS DATE) AS week,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS demand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT brand, demand, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM weekly GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT brand, demand, cnt,
+               SUM(cnt) OVER (PARTITION BY brand ORDER BY demand) AS cum,
+               SUM(cnt) OVER (PARTITION BY brand) AS n
+        FROM grid
+    ),
+    fence AS (
+        SELECT brand, CAST(MAX(n) AS BIGINT) AS n_weeks,
+               MIN(CASE WHEN cum >= ({Q118_CU} * n + {Q118_CU + Q118_CO} - 1)
+                       // {Q118_CU + Q118_CO}
+                   THEN demand END) AS qstar
+        FROM cum GROUP BY brand
+    ),
+    graded AS (
+        SELECT g.brand, f.n_weeks, f.qstar,
+               CAST(SUM(CASE WHEN g.demand < f.qstar
+                    THEN (f.qstar - g.demand) * g.cnt ELSE 0 END) AS BIGINT)
+                   AS over_n,
+               CAST(SUM(CASE WHEN g.demand > f.qstar
+                    THEN (g.demand - f.qstar) * g.cnt ELSE 0 END) AS BIGINT)
+                   AS under_n
+        FROM grid g JOIN fence f ON f.brand = g.brand
+        GROUP BY g.brand, f.n_weeks, f.qstar
+    )
+    SELECT brand, n_weeks, qstar,
+           {sql_fround("CAST(over_n AS DOUBLE) / n_weeks", 4)} AS e_overage_units,
+           {sql_fround("CAST(under_n AS DOUBLE) / n_weeks", 4)} AS e_underage_units,
+           {sql_fround(
+               f"({Q118_CO}.0 * over_n + {Q118_CU}.0 * under_n) / n_weeks", 4
+           )} AS e_cost
+    FROM graded
+    """,
+    doc=f"Newsvendor order quantity per brand graded by its exact "
+    f"expected cost: Q* is the empirical critical fractile "
+    f"Cu/(Cu+Co) = {Q118_CU}/{Q118_CU + Q118_CO} of weekly demand "
+    "(Arrow–Harris–Marschak 1951 — the optimal single-period order "
+    "under asymmetric over/under costs), found by the SAME exact "
+    "integer ceil-division fence discipline as q103's P95; then the "
+    "decision is GRADED on the distribution that produced it (the "
+    "q110 pattern): E[overage] = Σ_(d<Q*)(Q*−d)p(d) and E[underage] "
+    "= Σ_(d>Q*)(d−Q*)p(d) accumulate as n-scaled exact integer sums "
+    "over the (brand, demand) VALUE grid — no float until the final "
+    "per-week division — so the reported expected cost is the true "
+    "empirical optimum's cost, not a normal approximation. q103 "
+    "answers 'stock for a 95% service target'; this answers 'stock "
+    "where the margin/holding cost trade-off says', and the gap "
+    "between the two fences is the price of the service promise. "
+    "Scale: identical shape to q103 — one (brand, week) rollup with "
+    "map-side combine, broadcast part dim, windows and the grading "
+    "join walk the grid only.",
+)
+def q118_newsvendor_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    weekly = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("week", F.col("l_shipdate")).cast("date").alias("week"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("demand"))
+    )
+    grid = weekly.groupBy("brand", "demand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wcum = W.partitionBy("brand").orderBy("demand")
+    wall = W.partitionBy("brand")
+    cr_num, cr_den = Q118_CU, Q118_CU + Q118_CO
+    cum = grid.select(
+        "brand",
+        "demand",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    fence = cum.groupBy("brand").agg(
+        F.max("n").cast("bigint").alias("n_weeks"),
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.expr(f"({cr_num} * n + {cr_den - 1}) div {cr_den}"),
+                F.col("demand"),
+            )
+        ).alias("qstar"),
+    )
+    graded = (
+        grid.join(F.broadcast(fence), "brand")
+        .groupBy("brand", "n_weeks", "qstar")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("demand") < F.col("qstar"),
+                    (F.col("qstar") - F.col("demand")) * F.col("cnt"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("over_n"),
+            F.sum(
+                F.when(
+                    F.col("demand") > F.col("qstar"),
+                    (F.col("demand") - F.col("qstar")) * F.col("cnt"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("under_n"),
+        )
+    )
+    nw = F.col("n_weeks").cast("double")
+    return graded.select(
+        "brand",
+        "n_weeks",
+        "qstar",
+        fround(F.col("over_n").cast("double") / nw, 4).alias("e_overage_units"),
+        fround(F.col("under_n").cast("double") / nw, 4).alias("e_underage_units"),
+        fround(
+            (F.lit(float(Q118_CO)) * F.col("over_n")
+             + F.lit(float(Q118_CU)) * F.col("under_n")) / nw,
+            4,
+        ).alias("e_cost"),
+    )

@@ -156,6 +156,10 @@ AUDIT = [
     ("d22_tfidf_cosine_pairs", "df-banded posting join; integer dot/norm sums; division only per surviving pair"),
     ("g14_triangle_support", "g04's oriented wedge join; triangle edges exploded, histogram is support-bounded"),
     ("q116_spearman_rho", "midranks off grid-margin windows; five wide-decimal moment sums, 3 rows out"),
+    ("q117_cramers_v", "15-cell contingency rollup; wide-decimal chi2 terms; effect sizes on 1 row"),
+    ("q118_newsvendor_cost", "q103's grid with a cost fractile; exact n-scaled overage/underage grading"),
+    ("e47_intersession_gaps", "session-bound windows; exact-ms excess gaps; 5-bucket model calibration"),
+    ("s32_lexical_rbo", "two TakeOrdered ranker plans joined at <=20 rows; integer suffix-weight RBO"),
 ]
 
 
