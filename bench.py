@@ -219,6 +219,7 @@ HEADLINE = [
     "q118_newsvendor_cost",
     "e47_intersession_gaps",
     "s32_lexical_rbo",
+    "g15_truss_peel",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

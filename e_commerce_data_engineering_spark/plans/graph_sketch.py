@@ -3089,3 +3089,133 @@ def g14_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sup.groupBy("support").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_edges")
     )
+
+
+# ---------------------------------------------------------------------------
+# g15 — k-truss peel trajectory (round 10): g14 measures per-edge
+# support once; the truss decomposition PEELS on it — drop edges whose
+# support falls below k-2, recompute, repeat. Two statically-unrolled
+# rounds (the g06/g03 pattern that keeps the fixpoint SQL-expressible)
+# ---------------------------------------------------------------------------
+
+G15_K = 3  # 3-truss: every surviving edge needs support >= 1
+
+
+def _g15_support_ctes(ed: str, pfx: str) -> str:
+    """CTE chain computing per-edge triangle support over edge set
+    ``ed`` (canonical u < v), emitting ``{pfx}sup`` — the same
+    degree-orientation wedge plan as g04/g14, parametrized so the
+    unrolled peel rounds can reuse it verbatim."""
+    return f"""
+    {pfx}deg AS MATERIALIZED (
+        SELECT node, COUNT(*) AS d
+        FROM (SELECT u AS node FROM {ed} UNION ALL SELECT v AS node FROM {ed})
+        GROUP BY node
+    ),
+    {pfx}ori AS MATERIALIZED (
+        SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst
+        FROM {ed} e JOIN {pfx}deg du ON du.node = e.u
+        JOIN {pfx}deg dv ON dv.node = e.v
+    ),
+    {pfx}tri AS MATERIALIZED (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM {pfx}ori e1 JOIN {pfx}ori e2
+          ON e1.src = e2.src AND e1.dst < e2.dst
+        JOIN {ed} e3 ON e3.u = e1.dst AND e3.v = e2.dst
+    ),
+    {pfx}te AS (
+        SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM {pfx}tri
+        UNION ALL SELECT LEAST(a, c), GREATEST(a, c) FROM {pfx}tri
+        UNION ALL SELECT b, c FROM {pfx}tri
+    ),
+    {pfx}sup AS MATERIALIZED (
+        SELECT e.u, e.v, CAST(COUNT(t.u) AS BIGINT) AS support
+        FROM {ed} e LEFT JOIN {pfx}te t ON t.u = e.u AND t.v = e.v
+        GROUP BY e.u, e.v
+    )"""
+
+
+@query(
+    "g15_truss_peel",
+    oracle=f"""
+    WITH co AS MATERIALIZED (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity >= {G04_MIN_QTY}
+    ),
+    ed AS MATERIALIZED (
+        SELECT a.s AS u, b.s AS v
+        FROM co a JOIN co b ON a.c = b.c AND a.s < b.s
+        GROUP BY a.s, b.s HAVING COUNT(*) >= {G04_MIN_SHARED}
+    ),
+    {_g15_support_ctes("ed", "r1")},
+    ed2 AS MATERIALIZED (SELECT u, v FROM r1sup WHERE support >= {G15_K - 2}),
+    {_g15_support_ctes("ed2", "r2")},
+    ed3 AS MATERIALIZED (SELECT u, v FROM r2sup WHERE support >= {G15_K - 2})
+    SELECT * FROM (
+        SELECT 1 AS round,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ed) AS edges_in,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ed2) AS edges_alive,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ed)
+                   - (SELECT CAST(COUNT(*) AS BIGINT) FROM ed2) AS dropped
+        UNION ALL
+        SELECT 2,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ed2),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ed3),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ed2)
+                   - (SELECT CAST(COUNT(*) AS BIGINT) FROM ed3)
+        ) t
+    """,
+    doc=f"{G15_K}-truss peel trajectory over the supplier co-purchase "
+    "projection: two statically-unrolled rounds of drop-edges-with-"
+    f"support < {G15_K - 2}, recompute support, repeat (Cohen 2008's "
+    "truss decomposition; the g06 unrolling pattern keeps the "
+    "fixpoint hash-checkable) — round counts (edges_in, edges_alive, "
+    "dropped) ARE the peel trajectory: a second-round drop > 0 would "
+    "mean removing a weak edge destroyed triangles supporting OTHER "
+    "edges (on this projection the peel CONVERGES after round 1 — "
+    "dropped=0 in round 2 is the verified fixpoint certificate, not "
+    "a vacuous row). Each round is the same degree-orientation wedge plan as "
+    "g04/g14 (operators/graph.edge_triangle_support on the Spark "
+    "side), so per-round cost is bounded by oriented out-degree "
+    "O(sqrt(m)) wedge fanout; production would iterate to fixpoint "
+    "with operators/graph-style convergence detection, same "
+    "per-round plan. 2 rows out.",
+)
+def g15_truss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import edge_triangle_support
+
+    # Both rounds' counts come from the two SUPPORT frames directly
+    # (c0 and c1 are one aggregate over sup1; c2 one over sup2), so the
+    # wedge machinery runs exactly twice — never re-executed per count.
+    alive = F.col("support") >= G15_K - 2
+    # localCheckpoint (the operators/graph round discipline, NOT just
+    # persist): round 2's wedge plan references ed2 four times — a flat
+    # materialized frame keeps Catalyst from re-deriving the whole
+    # projection + round-1 chain per reference.
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    sup1 = edge_triangle_support(edges).localCheckpoint(eager=False)
+    ed2 = sup1.filter(alive).select("u", "v").localCheckpoint(eager=False)
+    sup2 = edge_triangle_support(ed2)
+    agg1 = sup1.agg(
+        F.count(F.lit(1)).cast("bigint").alias("c0"),
+        F.sum(F.when(alive, 1).otherwise(0)).cast("bigint").alias("c1"),
+    )
+    agg2 = sup2.agg(
+        F.sum(F.when(alive, 1).otherwise(0)).cast("bigint").alias("c2")
+    )
+    base = agg1.crossJoin(F.broadcast(agg2)).persist()
+    r1 = base.select(
+        F.lit(1).alias("round"),
+        F.col("c0").alias("edges_in"),
+        F.col("c1").alias("edges_alive"),
+        (F.col("c0") - F.col("c1")).alias("dropped"),
+    )
+    r2 = base.select(
+        F.lit(2).alias("round"),
+        F.col("c1").alias("edges_in"),
+        F.col("c2").alias("edges_alive"),
+        (F.col("c1") - F.col("c2")).alias("dropped"),
+    )
+    return r1.unionByName(r2)

@@ -116,6 +116,7 @@ _PRIORITY: tuple[str, ...] = (
     "q118_newsvendor_cost",
     "e47_intersession_gaps",
     "s32_lexical_rbo",
+    "g15_truss_peel",
     # value-corrected this round (ADVICE r9): re-record officially
     "q100_kendall_tau",
     "q101_pettitt_changepoint",

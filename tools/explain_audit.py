@@ -160,6 +160,7 @@ AUDIT = [
     ("q118_newsvendor_cost", "q103's grid with a cost fractile; exact n-scaled overage/underage grading"),
     ("e47_intersession_gaps", "session-bound windows; exact-ms excess gaps; 5-bucket model calibration"),
     ("s32_lexical_rbo", "two TakeOrdered ranker plans joined at <=20 rows; integer suffix-weight RBO"),
+    ("g15_truss_peel", "two unrolled support rounds on checkpointed edge frames; counts off the support frames"),
 ]
 
 
