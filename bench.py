@@ -220,6 +220,7 @@ HEADLINE = [
     "e47_intersession_gaps",
     "s32_lexical_rbo",
     "g15_truss_peel",
+    "m14_shot_boundaries",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

@@ -596,6 +596,60 @@ def extract_video_frames(assets: DataFrame, every_ms: int = 250) -> DataFrame:
     return vids.mapInPandas(_frames_batch, VIDEO_FRAME_SCHEMA)
 
 
+VIDEO_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ms", T.IntegerType(), False),
+        T.StructField("phash_bits", T.StringType(), False),
+        T.StructField("n_set_bits", T.IntegerType(), False),
+    ]
+)
+
+
+def video_frame_phash(assets: DataFrame, every_ms: int = 250) -> DataFrame:
+    """Per-FRAME perceptual DCT hash over real video decode: the same
+    MJPEG-in-AVI parse + baseline-JPEG frame decode as
+    ``extract_video_frames``, feeding each decoded frame's pixels
+    through ``phash_from_pixels`` (m12's integer-exact 63-bit spectral
+    hash). One 63-bit row per sampled frame — the signature stream a
+    shot-boundary detector (m14) or cross-video frame-dedup runs on;
+    pHash is the right hash here because JPEG blocking noise perturbs
+    point-sampled ahash/dhash bits but barely moves the low-frequency
+    spectrum. Non-AVI/non-MJPEG video rows raise loudly (the
+    extract_video_frames discipline). Scale shape: shuffle-free narrow
+    Arrow map over asset-partitioned bytes; output rows are bounded by
+    total video duration / every_ms."""
+    from .avi import avi_decode_frame, avi_frame_ms, avi_parse
+
+    def _phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                info = avi_parse(bytes(content))
+                frame_dur_ms = 1000 * info["scale"] / info["rate"]
+                wanted: list[int] = []
+                for ts in range(0, info["duration_ms"] + 1, every_ms):
+                    idx = min(int(ts / frame_dur_ms), info["n_frames"] - 1)
+                    if idx not in wanted:
+                        wanted.append(idx)
+                for idx in wanted:
+                    px = avi_decode_frame(info, idx)
+                    bits, pop = phash_from_pixels(px)
+                    out.append(
+                        (int(asset_id), idx, avi_frame_ms(info, idx), bits, pop)
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "frame_idx", "frame_ms", "phash_bits", "n_set_bits",
+                ],
+            )
+
+    vids = assets.filter(F.col("modality") == "video").select("asset_id", "content")
+    return vids.mapInPandas(_phash_batch, VIDEO_PHASH_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType(), False),

@@ -2638,3 +2638,65 @@ def d22_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cosine >= D22_COS)
         .select("doc_a", "doc_b", "n_shared", fround(cosine, 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# m14 — video shot-boundary detection from per-frame pHash (round 10):
+# the signature-stream consumer of operators/multimodal.video_frame_phash
+# — m05 reads mean luma per frame (the black-frame signal); this reads
+# the SPECTRAL change between consecutive frames (the cut signal)
+# ---------------------------------------------------------------------------
+
+M14_CUT_HAM = 8  # consecutive-frame pHash Hamming >= 8 marks a cut
+# (measured bimodal on the generator corpus: smooth motion <= 4,
+# cross-seed scene jumps >= 8 — the classic shot-boundary threshold gap)
+
+
+@query(
+    "m14_shot_boundaries",
+    oracle=None,  # REAL MJPEG pixel decode feeds the per-frame pHash —
+    # SQL engines cannot replay a Huffman/IDCT codec; frame-hash parity
+    # vs a direct python decode of the same AVI bytes is pinned in
+    # tests/test_operators.py (the m05 discipline)
+    doc="Video shot-boundary detection: per-frame 63-bit pHash "
+    "(operators/multimodal.video_frame_phash — real MJPEG decode, "
+    "m12's integer-exact DCT hash per frame), then per-video "
+    "lag + bit_count(xor) Hamming between CONSECUTIVE frame "
+    f"signatures; a distance >= {M14_CUT_HAM} is a cut (pHash is the "
+    "standard shot-change feature precisely because JPEG blocking "
+    "noise and smooth motion barely move the low-frequency spectrum "
+    "while a scene change rewrites it — the measured distance "
+    "distribution on this corpus is bimodal with nothing in [5, 7]). "
+    "Output per video: frames sampled, cuts detected, max and mean "
+    "consecutive distance — the shot-segmentation manifest a video "
+    "curation pipeline fans out to per-shot sampling (m04) and "
+    "dedup (m13). Scale: decode is a shuffle-free narrow Arrow map; "
+    "the lag window is keyed per asset (state = one 63-bit signature "
+    "per stream), and the rollup is asset-grain.",
+)
+def m14_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.multimodal import make_real_assets, video_frame_phash
+
+    assets = make_real_assets(spark, 120)
+    fp = video_frame_phash(assets).select(
+        "asset_id",
+        "frame_idx",
+        F.conv(F.col("phash_bits"), 2, 10).cast("bigint").alias("fp"),
+    )
+    w = W.partitionBy("asset_id").orderBy("frame_idx")
+    dist = F.bit_count(F.col("fp").bitwiseXOR(F.lag("fp").over(w)))
+    per_frame = fp.select("asset_id", dist.alias("dist"))
+    return per_frame.groupBy("asset_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum(F.when(F.col("dist") >= M14_CUT_HAM, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cuts"),
+        F.max("dist").cast("int").alias("max_dist"),
+        fround(
+            F.sum(F.coalesce(F.col("dist"), F.lit(0))).cast("double")
+            / F.greatest(F.count("dist"), F.lit(1)),
+            4,
+        ).alias("mean_dist"),
+    )

@@ -117,6 +117,7 @@ _PRIORITY: tuple[str, ...] = (
     "e47_intersession_gaps",
     "s32_lexical_rbo",
     "g15_truss_peel",
+    "m14_shot_boundaries",
     # value-corrected this round (ADVICE r9): re-record officially
     "q100_kendall_tau",
     "q101_pettitt_changepoint",

@@ -1472,3 +1472,43 @@ def test_dhash_upscale_invariant_and_brightness_stable():
     # uniform brightness shift (no clipping: values < 200 + 50)
     brighter = (px.astype(np.int64) + 50).astype(np.uint8)
     assert dhash_from_pixels(brighter)[0] == bits
+
+
+def test_video_frame_phash_matches_direct_decode(spark):
+    """video_frame_phash's distributed per-frame signatures must equal
+    a driver-side decode of the same AVI bytes through the SAME
+    phash_from_pixels core (frame-hash parity, the m05 discipline);
+    and the m14 consumer's bimodal premise holds: no consecutive-frame
+    Hamming distance falls in the [5, 7] dead zone between smooth
+    motion and a cut on this corpus."""
+    from e_commerce_data_engineering_spark.operators.avi import (
+        avi_decode_frame,
+        avi_parse,
+    )
+    from e_commerce_data_engineering_spark.operators.multimodal import (
+        make_real_assets,
+        phash_from_pixels,
+        video_frame_phash,
+    )
+    from e_commerce_data_engineering_spark.plans.advanced import M14_CUT_HAM
+
+    assets = make_real_assets(spark, 30)
+    raw = {
+        r["asset_id"]: bytes(r["content"])
+        for r in assets.filter(F.col("modality") == "video").collect()
+    }
+    got = video_frame_phash(assets).collect()
+    assert {r["asset_id"] for r in got} == set(raw)
+    by_asset: dict[int, list] = {}
+    for r in got:
+        info = avi_parse(raw[r["asset_id"]])
+        px = avi_decode_frame(info, r["frame_idx"])
+        bits, pop = phash_from_pixels(px)
+        assert r["phash_bits"] == bits and r["n_set_bits"] == pop
+        by_asset.setdefault(r["asset_id"], []).append((r["frame_idx"], bits))
+    # dead-zone check behind M14_CUT_HAM
+    for frames in by_asset.values():
+        frames.sort()
+        for (_, a), (_, b) in zip(frames, frames[1:]):
+            d = sum(x != y for x, y in zip(a, b))
+            assert d <= 4 or d >= M14_CUT_HAM, d

@@ -161,6 +161,7 @@ AUDIT = [
     ("e47_intersession_gaps", "session-bound windows; exact-ms excess gaps; 5-bucket model calibration"),
     ("s32_lexical_rbo", "two TakeOrdered ranker plans joined at <=20 rows; integer suffix-weight RBO"),
     ("g15_truss_peel", "two unrolled support rounds on checkpointed edge frames; counts off the support frames"),
+    ("m14_shot_boundaries", "narrow Arrow decode map; asset-keyed lag window; asset-grain cut rollup"),
 ]
 
 
