@@ -221,6 +221,7 @@ HEADLINE = [
     "s32_lexical_rbo",
     "g15_truss_peel",
     "m14_shot_boundaries",
+    "q119_ses_forecast",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

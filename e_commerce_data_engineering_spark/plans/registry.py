@@ -118,6 +118,7 @@ _PRIORITY: tuple[str, ...] = (
     "s32_lexical_rbo",
     "g15_truss_peel",
     "m14_shot_boundaries",
+    "q119_ses_forecast",
     # value-corrected this round (ADVICE r9): re-record officially
     "q100_kendall_tau",
     "q101_pettitt_changepoint",

@@ -5574,3 +5574,162 @@ def q118_newsvendor_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("e_cost"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q119 — exponential-smoothing demand forecast graded against the naive
+# forecaster (round 10): the FORECASTING member of the inventory shelf
+# (q103 safety stock / q110 fill rate / q115 EOQ / q118 newsvendor all
+# consume a demand forecast; this produces one and scores it)
+# ---------------------------------------------------------------------------
+
+Q119_ALPHA = 0.3
+Q119_LAGS = 32  # truncated SES kernel length
+_Q119_WQ = 1_000_000_000
+# wq[d] = round(alpha * (1-alpha)^(d-1) * 1e9), d = 1..LAGS — the SES
+# kernel as integer literals injected into BOTH engines; truncation at
+# 32 lags discards < (1-alpha)^32 ~ 1e-5 of the mass, and per-row
+# renormalization by the sum of USED weights makes early weeks exact
+# rather than biased
+Q119_WQS: tuple[int, ...] = tuple(
+    round(Q119_ALPHA * (1.0 - Q119_ALPHA) ** (d - 1) * _Q119_WQ)
+    for d in range(1, Q119_LAGS + 1)
+)
+_Q119_WQ_SQL = "[" + ", ".join(str(v) for v in Q119_WQS) + "]"
+_Q119_EQ = 1_000_000.0  # 1e-6 per-week absolute-error quantization
+
+
+@query(
+    "q119_ses_forecast",
+    oracle=f"""
+    WITH weekly AS (
+        SELECT p.p_brand AS brand,
+               CAST(DATE_TRUNC('week', l.l_shipdate) AS DATE) AS week,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS x
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT brand, x,
+               CAST(ROW_NUMBER() OVER (PARTITION BY brand ORDER BY week)
+                   AS BIGINT) AS rn
+        FROM weekly
+    ),
+    kernel AS (
+        SELECT t.brand, t.rn, t.x,
+               CAST(SUM(s.x * ({_Q119_WQ_SQL})[
+                   CAST(t.rn - s.rn AS INTEGER)]) AS BIGINT) AS fq,
+               CAST(SUM(({_Q119_WQ_SQL})[
+                   CAST(t.rn - s.rn AS INTEGER)]) AS BIGINT) AS wq,
+               MAX(CASE WHEN s.rn = t.rn - 1 THEN s.x END) AS prev_x
+        FROM seq t JOIN seq s
+          ON s.brand = t.brand
+         AND t.rn - s.rn BETWEEN 1 AND {Q119_LAGS}
+        GROUP BY t.brand, t.rn, t.x
+    ),
+    errs AS (
+        SELECT brand,
+               CAST(FLOOR(ABS(CAST(x AS DOUBLE) - CAST(fq AS DOUBLE) / wq)
+                   * {_Q119_EQ} + 0.5) AS BIGINT) AS eq_ses,
+               CAST(ABS(x - prev_x) AS BIGINT) AS e_naive
+        FROM kernel
+    )
+    SELECT brand,
+           CAST(COUNT(*) AS BIGINT) AS n_weeks_scored,
+           {sql_fround(f"CAST(SUM(eq_ses) AS DOUBLE) / {_Q119_EQ} / COUNT(*)", 4)}
+               AS mae_ses,
+           {sql_fround("CAST(SUM(e_naive) AS DOUBLE) / COUNT(*)", 4)}
+               AS mae_naive,
+           {sql_fround(
+               f"CAST(SUM(eq_ses) AS DOUBLE) / {_Q119_EQ} / SUM(e_naive)", 6
+           )} AS mae_ratio
+    FROM errs GROUP BY brand
+    """,
+    doc=f"One-step-ahead exponential-smoothing forecast of weekly "
+    f"brand demand, graded against the naive last-value forecaster "
+    f"(alpha={Q119_ALPHA}): SES's recursion unrolls to the geometric "
+    "kernel sum_j alpha(1-alpha)^(j-1) x_(t-j), truncated at "
+    f"{Q119_LAGS} lags (<1e-5 of the mass) and injected into BOTH "
+    "engines as the same 1e-9 integer weight literals, with per-row "
+    "renormalization by the sum of USED weights so early weeks are "
+    "exact — the trick that turns a sequential recursion into one "
+    "bounded band join over the (brand, week-index) grid, "
+    "shuffle-parallel where the textbook loop is not. MAE(SES)/"
+    "MAE(naive) < 1 is the Hyndman-style skill score that justifies "
+    "shipping the forecast into q103/q115/q118's policies; per-week "
+    "absolute errors quantize to 1e-6 integers before the brand sum "
+    "(order independence). Scale: the only data-sized stage is the "
+    "(brand, week) rollup; the band self-join is grid x 32 rows, and "
+    "the naive baseline rides the same join (the rn-1 term) — no "
+    "second pass, no window over data grain.",
+)
+def q119_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    weekly = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li["l_partkey"] == p["p_partkey"],
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("week", F.col("l_shipdate")).cast("date").alias("week"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("x"))
+    )
+    seq = weekly.select(
+        "brand",
+        "x",
+        F.row_number()
+        .over(W.partitionBy("brand").orderBy("week"))
+        .cast("bigint")
+        .alias("rn"),
+    )
+    t = seq.select(
+        F.col("brand"), F.col("x"), F.col("rn")
+    )
+    s = seq.select(
+        F.col("brand").alias("_b"),
+        F.col("x").alias("sx"),
+        F.col("rn").alias("srn"),
+    )
+    warr = F.array(*[F.lit(v) for v in Q119_WQS])
+    d = (F.col("rn") - F.col("srn")).cast("int")
+    kernel = (
+        t.join(
+            s,
+            (t["brand"] == s["_b"])
+            & ((t["rn"] - s["srn"]) >= 1)
+            & ((t["rn"] - s["srn"]) <= Q119_LAGS),
+        )
+        .groupBy("brand", "rn", "x")
+        .agg(
+            F.sum(F.col("sx") * F.element_at(warr, d)).cast("bigint").alias("fq"),
+            F.sum(F.element_at(warr, d)).cast("bigint").alias("wq"),
+            F.max(F.when(F.col("srn") == F.col("rn") - 1, F.col("sx"))).alias(
+                "prev_x"
+            ),
+        )
+    )
+    eq_ses = F.floor(
+        F.abs(F.col("x").cast("double") - F.col("fq").cast("double") / F.col("wq"))
+        * _Q119_EQ
+        + F.lit(0.5)
+    ).cast("bigint")
+    errs = kernel.select(
+        "brand",
+        eq_ses.alias("eq_ses"),
+        F.abs(F.col("x") - F.col("prev_x")).cast("bigint").alias("e_naive"),
+    )
+    return errs.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_weeks_scored"),
+        fround(
+            F.sum("eq_ses").cast("double") / _Q119_EQ / F.count(F.lit(1)), 4
+        ).alias("mae_ses"),
+        fround(F.sum("e_naive").cast("double") / F.count(F.lit(1)), 4).alias(
+            "mae_naive"
+        ),
+        fround(
+            F.sum("eq_ses").cast("double") / _Q119_EQ / F.sum("e_naive"), 6
+        ).alias("mae_ratio"),
+    )

@@ -162,6 +162,7 @@ AUDIT = [
     ("s32_lexical_rbo", "two TakeOrdered ranker plans joined at <=20 rows; integer suffix-weight RBO"),
     ("g15_truss_peel", "two unrolled support rounds on checkpointed edge frames; counts off the support frames"),
     ("m14_shot_boundaries", "narrow Arrow decode map; asset-keyed lag window; asset-grain cut rollup"),
+    ("q119_ses_forecast", "SES recursion as a 32-lag band join over the week grid; integer kernel literals"),
 ]
 
 
