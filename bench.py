@@ -222,6 +222,7 @@ HEADLINE = [
     "g15_truss_peel",
     "m14_shot_boundaries",
     "q119_ses_forecast",
+    "q120_brown_forsythe",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

@@ -119,6 +119,7 @@ _PRIORITY: tuple[str, ...] = (
     "g15_truss_peel",
     "m14_shot_boundaries",
     "q119_ses_forecast",
+    "q120_brown_forsythe",
     # value-corrected this round (ADVICE r9): re-record officially
     "q100_kendall_tau",
     "q101_pettitt_changepoint",

@@ -163,6 +163,7 @@ AUDIT = [
     ("g15_truss_peel", "two unrolled support rounds on checkpointed edge frames; counts off the support frames"),
     ("m14_shot_boundaries", "narrow Arrow decode map; asset-keyed lag window; asset-grain cut rollup"),
     ("q119_ses_forecast", "SES recursion as a 32-lag band join over the week grid; integer kernel literals"),
+    ("q120_brown_forsythe", "median fence on the (segment,dollar) grid; exact z-moment rollups; 1-row F"),
 ]
 
 
