@@ -223,6 +223,7 @@ HEADLINE = [
     "m14_shot_boundaries",
     "q119_ses_forecast",
     "q120_brown_forsythe",
+    "q121_abc_xyz",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

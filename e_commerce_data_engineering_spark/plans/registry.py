@@ -120,6 +120,7 @@ _PRIORITY: tuple[str, ...] = (
     "m14_shot_boundaries",
     "q119_ses_forecast",
     "q120_brown_forsythe",
+    "q121_abc_xyz",
     # value-corrected this round (ADVICE r9): re-record officially
     "q100_kendall_tau",
     "q101_pettitt_changepoint",

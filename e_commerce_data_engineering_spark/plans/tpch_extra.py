@@ -5866,3 +5866,144 @@ def q120_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("int").alias("n_groups"),
         f_bf.alias("f_bf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q121 — ABC-XYZ inventory matrix (round 10): the two-axis
+# classification every planning system starts from — ABC ranks brands
+# by revenue CONTRIBUTION (q87's Pareto axis), XYZ by demand
+# VARIABILITY (the q103/q118/q119 shelf's CV axis); the cell decides
+# the policy (AX: automate; CZ: make-to-order)
+# ---------------------------------------------------------------------------
+
+Q121_A_PCT, Q121_B_PCT = 50, 80  # cumulative revenue fences (A <= 50 < B <= 80)
+Q121_X_BP, Q121_Y_BP = 4300, 4700  # CV fences in basis points (X < .43 < Y < .47)
+
+
+@query(
+    "q121_abc_xyz",
+    oracle=f"""
+    WITH weekly AS (
+        SELECT p.p_brand AS brand,
+               CAST(DATE_TRUNC('week', l.l_shipdate) AS DATE) AS wk,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS x
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ),
+    cv AS (
+        SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s,
+               CAST(SUM(x * x) AS BIGINT) AS q
+        FROM weekly GROUP BY brand
+    ),
+    rev AS (
+        SELECT p.p_brand AS brand,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS cents
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT brand, cents,
+               CAST(SUM(cents) OVER (ORDER BY cents DESC, brand) AS BIGINT)
+                   AS cum,
+               CAST(SUM(cents) OVER () AS BIGINT) AS tot
+        FROM rev
+    ),
+    abc AS (
+        SELECT brand, cents, tot,
+               CASE WHEN 100 * cum <= {Q121_A_PCT} * tot THEN 'A'
+                    WHEN 100 * cum <= {Q121_B_PCT} * tot THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked
+    )
+    SELECT a.brand, a.abc_class,
+           CASE WHEN (CAST(c.n AS DOUBLE) * c.q - CAST(c.s AS DOUBLE) * c.s)
+                     * 100000000.0
+                     < {Q121_X_BP}.0 * {Q121_X_BP} * CAST(c.s AS DOUBLE) * c.s
+                THEN 'X'
+                WHEN (CAST(c.n AS DOUBLE) * c.q - CAST(c.s AS DOUBLE) * c.s)
+                     * 100000000.0
+                     < {Q121_Y_BP}.0 * {Q121_Y_BP} * CAST(c.s AS DOUBLE) * c.s
+                THEN 'Y' ELSE 'Z' END AS xyz_class,
+           {sql_fround(
+               "SQRT(CAST(c.n AS DOUBLE) * c.q - CAST(c.s AS DOUBLE) * c.s)"
+               " / c.s", 4
+           )} AS demand_cv,
+           {sql_fround("100.0 * a.cents / a.tot", 4)} AS revenue_pct
+    FROM abc a JOIN cv c ON c.brand = a.brand
+    """,
+    doc="ABC-XYZ classification of the 25 brands — the two-axis matrix "
+    "inventory planning starts from (Silver–Pyke–Peterson ch.2): ABC "
+    f"ranks by cumulative revenue share (A <= {Q121_A_PCT}%, B <= "
+    f"{Q121_B_PCT}% — q87's Pareto logic at brand grain, fences as "
+    "exact integer cents comparisons 100·cum <= pct·total), XYZ by "
+    "weekly-demand coefficient of variation (X/Y fences at "
+    f"{Q121_X_BP}/{Q121_Y_BP} basis points; the class test is the "
+    "VARIANCE inequality cross-multiplied — (nΣx²−(Σx)²)·10^8 < "
+    "bp²·(Σx)² — evaluated on identical doubles from exact int64 "
+    "moment sums, so the boundary can never flip between engines). "
+    "The joint cell prescribes the policy: AX items get q119's "
+    "forecast + q103's automated reorder; CZ items get q118's "
+    "make-to-order newsvendor. Scale: two brand-grain rollups with "
+    "map-side combine (broadcast part dim); ranking windows walk the "
+    "25-row brand frame.",
+)
+def q121_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    weekly = j.groupBy(
+        F.col("p_brand").alias("brand"),
+        F.date_trunc("week", F.col("l_shipdate")).cast("date").alias("wk"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("x"))
+    cv = weekly.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    rev = j.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.sum(cents).cast("bigint").alias("cents")
+    )
+    wrank = W.orderBy(F.col("cents").desc(), "brand").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    # single-partition windows are intentional: input is the 25-row
+    # brand revenue frame
+    ranked = rev.select(
+        "brand",
+        "cents",
+        F.sum("cents").over(wrank).cast("bigint").alias("cum"),
+        F.sum("cents").over(W.orderBy(F.lit(1)).rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )).cast("bigint").alias("tot"),
+    )
+    abc = (
+        F.when(100 * F.col("cum") <= Q121_A_PCT * F.col("tot"), "A")
+        .when(100 * F.col("cum") <= Q121_B_PCT * F.col("tot"), "B")
+        .otherwise("C")
+    )
+    var_num = (
+        F.col("n").cast("double") * F.col("q")
+        - F.col("s").cast("double") * F.col("s")
+    )
+    s2 = F.col("s").cast("double") * F.col("s")
+    xyz = (
+        F.when(var_num * 100000000.0 < float(Q121_X_BP) * Q121_X_BP * s2, "X")
+        .when(var_num * 100000000.0 < float(Q121_Y_BP) * Q121_Y_BP * s2, "Y")
+        .otherwise("Z")
+    )
+    return (
+        ranked.select("brand", abc.alias("abc_class"), "cents", "tot")
+        .join(cv, "brand")
+        .select(
+            "brand",
+            "abc_class",
+            xyz.alias("xyz_class"),
+            fround(F.sqrt(var_num) / F.col("s"), 4).alias("demand_cv"),
+            fround(F.lit(100.0) * F.col("cents") / F.col("tot"), 4).alias(
+                "revenue_pct"
+            ),
+        )
+    )

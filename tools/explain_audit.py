@@ -164,6 +164,7 @@ AUDIT = [
     ("m14_shot_boundaries", "narrow Arrow decode map; asset-keyed lag window; asset-grain cut rollup"),
     ("q119_ses_forecast", "SES recursion as a 32-lag band join over the week grid; integer kernel literals"),
     ("q120_brown_forsythe", "median fence on the (segment,dollar) grid; exact z-moment rollups; 1-row F"),
+    ("q121_abc_xyz", "two brand-grain rollups, broadcast dim; rank windows on the 25-row frame"),
 ]
 
 
