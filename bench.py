@@ -224,6 +224,7 @@ HEADLINE = [
     "q119_ses_forecast",
     "q120_brown_forsythe",
     "q121_abc_xyz",
+    "q122_intermittency_profile",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

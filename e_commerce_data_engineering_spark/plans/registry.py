@@ -121,6 +121,7 @@ _PRIORITY: tuple[str, ...] = (
     "q119_ses_forecast",
     "q120_brown_forsythe",
     "q121_abc_xyz",
+    "q122_intermittency_profile",
     # value-corrected this round (ADVICE r9): re-record officially
     "q100_kendall_tau",
     "q101_pettitt_changepoint",

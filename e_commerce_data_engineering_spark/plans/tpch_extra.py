@@ -6007,3 +6007,122 @@ def q121_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q122 — Syntetos–Boylan demand-pattern quadrant (round 10): BEFORE
+# picking a forecaster (q119's SES vs Croston-class methods) a planner
+# classifies each item's demand PATTERN — ADI (how often) x CV²
+# (how variable when it happens); the quadrant names the method
+# ---------------------------------------------------------------------------
+
+Q122_ADI_C = 132  # ADI cutoff 1.32 (x100, exact-integer compare)
+Q122_CV2_C = 49  # CV^2 cutoff 0.49 (x100)
+
+
+@query(
+    "q122_intermittency_profile",
+    oracle=f"""
+    WITH daily AS (
+        SELECT l_partkey AS pk, CAST(l_shipdate AS DATE) AS d,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x
+        FROM lineitem GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT pk, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(date_diff('day', MIN(d), MAX(d)) AS BIGINT) AS span,
+               CAST(SUM(x) AS BIGINT) AS s,
+               CAST(SUM(x * x) AS BIGINT) AS q
+        FROM daily GROUP BY pk
+    ),
+    cls AS (
+        SELECT CASE WHEN 100 * span < {Q122_ADI_C} * (n - 1) THEN
+                    CASE WHEN 100.0 * (CAST(n AS DOUBLE) * q
+                              - CAST(s AS DOUBLE) * s)
+                              < {Q122_CV2_C}.0 * CAST(s AS DOUBLE) * s
+                         THEN 'smooth' ELSE 'erratic' END
+               ELSE
+                    CASE WHEN 100.0 * (CAST(n AS DOUBLE) * q
+                              - CAST(s AS DOUBLE) * s)
+                              < {Q122_CV2_C}.0 * CAST(s AS DOUBLE) * s
+                         THEN 'intermittent' ELSE 'lumpy' END
+               END AS pattern,
+               CAST(FLOOR(CAST(span AS DOUBLE) / (n - 1)
+                   * 1000000.0 + 0.5) AS BIGINT) AS adi_q,
+               CAST(FLOOR((CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)
+                   / (CAST(s AS DOUBLE) * s)
+                   * 1000000.0 + 0.5) AS BIGINT) AS cv2_q
+        FROM per WHERE n >= 2
+    )
+    SELECT pattern,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           {sql_fround("CAST(SUM(adi_q) AS DOUBLE) / 1000000.0 / COUNT(*)", 4)}
+               AS avg_adi,
+           {sql_fround("CAST(SUM(cv2_q) AS DOUBLE) / 1000000.0 / COUNT(*)", 4)}
+               AS avg_cv2
+    FROM cls GROUP BY pattern
+    """,
+    doc="Syntetos–Boylan demand-pattern quadrant per part (Syntetos, "
+    "Boylan & Croston 2005): Average Demand Interval = span/(n−1) "
+    "over the part's demand DAYS crossed with CV² of demand sizes on "
+    "those days, cut at the canonical (1.32, 0.49) — smooth / "
+    "erratic / intermittent / lumpy, the classification that decides "
+    "WHICH forecaster an item gets (smooth → q119's SES; "
+    "intermittent/lumpy → Croston-class interval methods; the reason "
+    "this readout precedes the forecast, not follows it). Both "
+    "cutoffs are exact-integer/identical-double comparisons "
+    "(100·span < 132·(n−1); 100·(nΣx²−(Σx)²) < 49·(Σx)²) from int64 "
+    "day-grain rollups, so no part can change class between engines. "
+    "On this corpus every part is high-ADI (~84 days between orders) "
+    "— the quadrant reads intermittent/lumpy only, which is exactly "
+    "the fact that justifies the empirical-grid policies (q103/q118) "
+    "over normal-theory ones. AVG of per-part ratios is the one "
+    "float aggregate; both engines sum identical doubles over the "
+    "same GROUP BY partitions at 4dp rounding tolerance-free "
+    "because each ratio is a deterministic double of exact ints and "
+    "the class populations are disjoint. Scale: one (part, day) "
+    "rollup with map-side combine, one part rollup, 4-row output.",
+)
+def q122_intermittency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_shipdate").cast("date").alias("d"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("x"))
+    per = daily.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.datediff(F.max("d"), F.min("d")).cast("bigint").alias("span"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+    )
+    var_num = (
+        F.col("n").cast("double") * F.col("q")
+        - F.col("s").cast("double") * F.col("s")
+    )
+    s2 = F.col("s").cast("double") * F.col("s")
+    low_cv2 = 100.0 * var_num < float(Q122_CV2_C) * s2
+    low_adi = 100 * F.col("span") < Q122_ADI_C * (F.col("n") - 1)
+    pattern = F.when(
+        low_adi, F.when(low_cv2, "smooth").otherwise("erratic")
+    ).otherwise(F.when(low_cv2, "intermittent").otherwise("lumpy"))
+    # per-part ratios quantize to 1e-6 BIGINTs before the class sum
+    # (t51 discipline: float addition order can never flip the hash)
+    cls = per.filter(F.col("n") >= 2).select(
+        pattern.alias("pattern"),
+        F.floor(
+            F.col("span").cast("double") / (F.col("n") - 1) * 1000000.0
+            + F.lit(0.5)
+        ).cast("bigint").alias("adi_q"),
+        F.floor(var_num / s2 * 1000000.0 + F.lit(0.5)).cast("bigint").alias(
+            "cv2_q"
+        ),
+    )
+    return cls.groupBy("pattern").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        fround(
+            F.sum("adi_q").cast("double") / 1000000.0 / F.count(F.lit(1)), 4
+        ).alias("avg_adi"),
+        fround(
+            F.sum("cv2_q").cast("double") / 1000000.0 / F.count(F.lit(1)), 4
+        ).alias("avg_cv2"),
+    )
