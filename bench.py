@@ -225,6 +225,7 @@ HEADLINE = [
     "q120_brown_forsythe",
     "q121_abc_xyz",
     "q122_intermittency_profile",
+    "t75_uncertainty_coefficient",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

@@ -122,6 +122,7 @@ _PRIORITY: tuple[str, ...] = (
     "q120_brown_forsythe",
     "q121_abc_xyz",
     "q122_intermittency_profile",
+    "t75_uncertainty_coefficient",
     # value-corrected this round (ADVICE r9): re-record officially
     "q100_kendall_tau",
     "q101_pettitt_changepoint",

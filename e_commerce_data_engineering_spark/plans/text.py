@@ -6049,3 +6049,122 @@ def t74_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.exp(qh2), 4).alias("perplexity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t75 — Theil's uncertainty coefficient between language and source
+# (round 10): the INFORMATION-theoretic association pair next to
+# q117's chi-square effect sizes — U(lang|source) answers "what
+# fraction of language uncertainty does knowing the source remove?",
+# and unlike V it is ASYMMETRIC (predicting lang from source is not
+# predicting source from lang)
+# ---------------------------------------------------------------------------
+
+_T75_Q = 1_000_000_000.0  # 1e-9 quantization of each -p·ln p term
+
+
+@query(
+    "t75_uncertainty_coefficient",
+    oracle=f"""
+    WITH cells AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+    hl AS (
+        SELECT CAST(SUM(CAST(FLOOR(
+            -(CAST(cl AS DOUBLE) / n) * ln(CAST(cl AS DOUBLE) / n)
+            * {_T75_Q} + 0.5) AS BIGINT)) AS BIGINT) AS q
+        FROM (SELECT lang, CAST(SUM(c) AS BIGINT) AS cl FROM cells GROUP BY 1)
+        CROSS JOIN tot
+    ),
+    hs AS (
+        SELECT CAST(SUM(CAST(FLOOR(
+            -(CAST(cs AS DOUBLE) / n) * ln(CAST(cs AS DOUBLE) / n)
+            * {_T75_Q} + 0.5) AS BIGINT)) AS BIGINT) AS q
+        FROM (SELECT source, CAST(SUM(c) AS BIGINT) AS cs
+              FROM cells GROUP BY 1)
+        CROSS JOIN tot
+    ),
+    hls AS (
+        SELECT CAST(SUM(CAST(FLOOR(
+            -(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+            * {_T75_Q} + 0.5) AS BIGINT)) AS BIGINT) AS q
+        FROM cells CROSS JOIN tot
+    )
+    SELECT n AS n_docs,
+           {sql_fround(f"CAST(hl.q AS DOUBLE) / {_T75_Q}", 6)} AS h_lang,
+           {sql_fround(f"CAST(hs.q AS DOUBLE) / {_T75_Q}", 6)} AS h_source,
+           {sql_fround(
+               f"CAST(hl.q + hs.q - hls.q AS DOUBLE) / {_T75_Q}", 6
+           )} AS mutual_info,
+           {sql_fround(
+               "CAST(hl.q + hs.q - hls.q AS DOUBLE) / hl.q", 6
+           )} AS u_lang_given_source,
+           {sql_fround(
+               "CAST(hl.q + hs.q - hls.q AS DOUBLE) / hs.q", 6
+           )} AS u_source_given_lang,
+           {sql_fround(
+               "2.0 * (hl.q + hs.q - hls.q) / (CAST(hl.q AS DOUBLE) + hs.q)", 6
+           )} AS u_symmetric
+    FROM tot CROSS JOIN hl CROSS JOIN hs CROSS JOIN hls
+    """,
+    doc="Theil's uncertainty coefficient between language and source "
+    "(Theil 1970): U(lang|source) = I(lang;source)/H(lang), the "
+    "fraction of language ENTROPY removed by knowing the source — "
+    "the information-theoretic association reading next to q117's "
+    "chi-square effect sizes, and ASYMMETRIC where Cramér's V is "
+    "not (a source catalog that pins language is not a language "
+    "that pins source). I = H(lang) + H(source) − H(lang,source) "
+    "assembled from three entropy rollups over the SAME (lang, "
+    "source) count grid — each -p·ln p term 1e-9-quantized before "
+    "its sum (t51 discipline), and the three quantized entropies "
+    "combine in INTEGER space before the single display division, "
+    "so both engines agree bit-for-bit. Near-zero U here is the "
+    "calibrated null (the generator assigns languages independently "
+    "of source — t34's chi-square already failed to reject). Scale: "
+    "one ~100-cell grid rollup with map-side combine; everything "
+    "after is KB-sized.",
+)
+def t75_uncertainty_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = cells.agg(F.sum("c").cast("bigint").alias("n"))
+
+    def qent(df, cnt_col):
+        p = F.col(cnt_col).cast("double") / F.col("n")
+        term = F.floor(-p * F.log(p) * _T75_Q + F.lit(0.5)).cast("bigint")
+        return df.crossJoin(F.broadcast(tot)).agg(
+            F.sum(term).cast("bigint").alias("q")
+        )
+
+    hl = qent(
+        cells.groupBy("lang").agg(F.sum("c").cast("bigint").alias("cl")), "cl"
+    ).select(F.col("q").alias("ql"))
+    hs = qent(
+        cells.groupBy("source").agg(F.sum("c").cast("bigint").alias("cs")), "cs"
+    ).select(F.col("q").alias("qs"))
+    hls = qent(cells, "c").select(F.col("q").alias("qls"))
+    mi = F.col("ql") + F.col("qs") - F.col("qls")
+    return (
+        tot.crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hs))
+        .crossJoin(F.broadcast(hls))
+        .select(
+            F.col("n").alias("n_docs"),
+            fround(F.col("ql").cast("double") / _T75_Q, 6).alias("h_lang"),
+            fround(F.col("qs").cast("double") / _T75_Q, 6).alias("h_source"),
+            fround(mi.cast("double") / _T75_Q, 6).alias("mutual_info"),
+            fround(mi.cast("double") / F.col("ql"), 6).alias(
+                "u_lang_given_source"
+            ),
+            fround(mi.cast("double") / F.col("qs"), 6).alias(
+                "u_source_given_lang"
+            ),
+            fround(
+                F.lit(2.0) * mi / (F.col("ql").cast("double") + F.col("qs")), 6
+            ).alias("u_symmetric"),
+        )
+    )

@@ -166,6 +166,7 @@ AUDIT = [
     ("q120_brown_forsythe", "median fence on the (segment,dollar) grid; exact z-moment rollups; 1-row F"),
     ("q121_abc_xyz", "two brand-grain rollups, broadcast dim; rank windows on the 25-row frame"),
     ("q122_intermittency_profile", "(part,day) rollup with map-side combine; exact-int class fences; 4-row out"),
+    ("t75_uncertainty_coefficient", "one ~100-cell grid; three quantized entropy folds combine in integer space"),
 ]
 
 
