@@ -1373,3 +1373,29 @@ def test_g14_histogram_reuses_wedge_plan(spark):
     plan = plan_of(spark, "g14_triangle_support")
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q116_spearman_rho", "q117_cramers_v", "q118_newsvendor_cost",
+     "e47_intersession_gaps", "s32_lexical_rbo", "q119_ses_forecast",
+     "q120_brown_forsythe", "q121_abc_xyz", "q122_intermittency_profile",
+     "t75_uncertainty_coefficient"],
+)
+def test_round10_batch3_avoid_cartesian(spark, name):
+    """Late round-10 batch: q116's midranks ride broadcast grid
+    margins, q118/q121/q122 are brand/part-grain rollups with
+    broadcast dims and fences, q119's SES kernel is a bounded band
+    equi-join, s32 joins two TakeOrdered ranker outputs, t75 folds
+    three entropies off one grid — broadcast 1-row/tiny fan-outs
+    compile to BroadcastNestedLoopJoin, never CartesianProduct."""
+    assert "CartesianProduct" not in plan_of(spark, name)
+
+
+def test_q119_kernel_is_band_equi_join(spark):
+    """q119's SES kernel must ride a brand-keyed band join (the rn
+    distance is a residual on the brand equi-join) — no
+    CartesianProduct, no data-grain window."""
+    plan = plan_of(spark, "q119_ses_forecast")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan
