@@ -226,6 +226,7 @@ HEADLINE = [
     "q121_abc_xyz",
     "q122_intermittency_profile",
     "t75_uncertainty_coefficient",
+    "q123_seasonal_mann_kendall",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

@@ -123,6 +123,7 @@ _PRIORITY: tuple[str, ...] = (
     "q121_abc_xyz",
     "q122_intermittency_profile",
     "t75_uncertainty_coefficient",
+    "q123_seasonal_mann_kendall",
     # value-corrected this round (ADVICE r9): re-record officially
     "q100_kendall_tau",
     "q101_pettitt_changepoint",

@@ -6126,3 +6126,137 @@ def q122_intermittency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cv2_q").cast("double") / 1000000.0 / F.count(F.lit(1)), 4
         ).alias("avg_cv2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q123 — seasonal Mann–Kendall (Hirsch–Slack) on monthly revenue
+# (round 10): q112 tests the raw daily series, where seasonality reads
+# as noise; the seasonal variant compares each calendar month ONLY
+# with the same month of other years, so an annual cycle can neither
+# mask nor fake a trend
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q123_seasonal_mann_kendall",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+               CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) // 100 AS x
+        FROM orders GROUP BY 1, 2
+    ),
+    per_block AS (
+        SELECT a.mo,
+               CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+                   AS s_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM monthly a JOIN monthly b ON b.mo = a.mo AND b.yr > a.yr
+        GROUP BY a.mo
+    ),
+    blocks AS (
+        SELECT mo, CAST(COUNT(*) AS BIGINT) AS n_b FROM monthly GROUP BY mo
+    ),
+    agg AS (
+        SELECT CAST(SUM(p.s_b) AS BIGINT) AS s_tot,
+               CAST(SUM(b.n_b * (b.n_b - 1) * (2 * b.n_b + 5)) AS BIGINT)
+                   AS v18,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(SUM(b.n_b) AS BIGINT) AS n_months
+        FROM per_block p JOIN blocks b ON b.mo = p.mo
+    )
+    SELECT n_months, CAST(n_blocks AS INTEGER) AS n_blocks, s_tot,
+           CAST(v18 AS DOUBLE) / 18.0 AS var_s,
+           (FLOOR((CASE WHEN s_tot > 0 THEN CAST(s_tot - 1 AS DOUBLE)
+                        WHEN s_tot < 0 THEN CAST(s_tot + 1 AS DOUBLE)
+                        ELSE 0.0 END / SQRT(CAST(v18 AS DOUBLE) / 18.0))
+               * 1000000.0 + 0.5) / 1000000.0) AS z,
+           CASE WHEN CASE WHEN s_tot > 0 THEN CAST(s_tot - 1 AS DOUBLE)
+                          WHEN s_tot < 0 THEN CAST(s_tot + 1 AS DOUBLE)
+                          ELSE 0.0 END / SQRT(CAST(v18 AS DOUBLE) / 18.0)
+                     > 1.96 THEN 'increasing'
+                WHEN CASE WHEN s_tot > 0 THEN CAST(s_tot - 1 AS DOUBLE)
+                          WHEN s_tot < 0 THEN CAST(s_tot + 1 AS DOUBLE)
+                          ELSE 0.0 END / SQRT(CAST(v18 AS DOUBLE) / 18.0)
+                     < -1.96 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM agg
+    """,
+    doc="Seasonal Mann–Kendall trend test (Hirsch & Slack 1984 — the "
+    "variant hydrology standardized for cyclic series): within each "
+    "calendar-month block, S_m sums sign(x_j − x_i) over same-month "
+    "year pairs only; S = ΣS_m, Var(S) = Σ n_m(n_m−1)(2n_m+5)/18 "
+    "(blocks independent under H0; monthly totals here are tie-free "
+    "by construction, cents-exact), continuity-corrected z as in "
+    "q112. Cross-month comparisons — the ones an annual cycle "
+    "corrupts — never enter, which is why this variant exists: q112 "
+    "on a seasonal series inflates variance and buries real drift. "
+    "Revenue folds to the ~84-cell (year, month) grid with map-side "
+    "combine; the same-month pair join is 12 blocks × ~21 pairs — "
+    "constant work after the rollup, all exact integers until the "
+    "final z division. Completes the trend shelf: q77 slope, q112 "
+    "raw-series test, q113 randomness screen, q123 seasonal test.",
+)
+def q123_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+            " div 100"
+        ).alias("x")
+    )
+    a = monthly.select(
+        F.col("mo"), F.col("yr").alias("ya"), F.col("x").alias("xa")
+    )
+    b = monthly.select(
+        F.col("mo").alias("_mo"), F.col("yr").alias("yb"), F.col("x").alias("xb")
+    )
+    per_block = (
+        a.join(b, (a["mo"] == b["_mo"]) & (b["yb"] > a["ya"]))
+        .groupBy("mo")
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_b")
+        )
+    )
+    blocks = monthly.groupBy("mo").agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))
+    agg = (
+        per_block.join(blocks, "mo")
+        .agg(
+            F.sum("s_b").cast("bigint").alias("s_tot"),
+            F.sum(
+                F.col("n_b") * (F.col("n_b") - 1) * (2 * F.col("n_b") + 5)
+            )
+            .cast("bigint")
+            .alias("v18"),
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum("n_b").cast("bigint").alias("n_months"),
+        )
+    )
+    var_s = F.col("v18").cast("double") / 18.0
+    zc = (
+        F.when(F.col("s_tot") > 0, (F.col("s_tot") - 1).cast("double"))
+        .when(F.col("s_tot") < 0, (F.col("s_tot") + 1).cast("double"))
+        .otherwise(F.lit(0.0))
+    ) / F.sqrt(var_s)
+    return agg.select(
+        "n_months",
+        F.col("n_blocks").cast("int").alias("n_blocks"),
+        "s_tot",
+        var_s.alias("var_s"),
+        (F.floor(zc * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("z"),
+        F.when(zc > 1.96, "increasing")
+        .when(zc < -1.96, "decreasing")
+        .otherwise("no_trend")
+        .alias("trend"),
+    )

@@ -167,6 +167,7 @@ AUDIT = [
     ("q121_abc_xyz", "two brand-grain rollups, broadcast dim; rank windows on the 25-row frame"),
     ("q122_intermittency_profile", "(part,day) rollup with map-side combine; exact-int class fences; 4-row out"),
     ("t75_uncertainty_coefficient", "one ~100-cell grid; three quantized entropy folds combine in integer space"),
+    ("q123_seasonal_mann_kendall", "84-cell (year,month) grid; same-month pair join only; exact-int S and Var"),
 ]
 
 
