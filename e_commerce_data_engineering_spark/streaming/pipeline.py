@@ -1884,6 +1884,50 @@ def stream_stream_left_outer_join(
     )
 
 
+def stream_stream_full_outer_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the
+    stream-side outer-join menu (inner: ``stream_stream_interval_join``,
+    left: ``stream_stream_left_outer_join``): every purchase AND every
+    click emits exactly once — joined when an attributable pair exists,
+    null-extended on its own side once min(both watermarks) passes the
+    join window and PROVES the partner can no longer arrive. The two
+    null populations are different business readouts: null-click rows
+    are unattributable conversions (the left join's signal), null-
+    purchase rows are impressions that never converted within the
+    window — the numerator of a true streaming conversion-rate without
+    a separate counting pass. Same bounded-state shape as the other
+    two: both sides watermarked, event-time distance bounded in both
+    directions, state expires with the window."""
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+        "fullOuter",
+    ).select(
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+        "purchase_ts",
+        "purchase_value",
+        "click_ts",
+        "click_value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming store #7 (round 10): per-side count-min sketch pair — the
 # x17/x18 join-size estimator fed from a STREAM, so the broadcast-vs-

@@ -2441,3 +2441,74 @@ def test_cms_pair_stream_matches_batch_and_decision(spark, tmp_path):
         for r in read_cms_pair_state(spark, state, "a").collect()
     )
     assert before == after
+
+
+def test_stream_stream_full_outer_join_emits_nulls_both_sides(spark, tmp_path):
+    """FULL OUTER stream-stream: the matched pair emits joined; the
+    unmatched purchase null-extends on the click side AND the
+    unmatched click null-extends on the purchase side — each only
+    once the sentinel-advanced min-watermark proves its partner can
+    no longer arrive (the two null populations are unattributable
+    conversions and never-converted impressions respectively)."""
+    import time as _time
+
+    from e_commerce_data_engineering_spark.streaming.pipeline import (
+        stream_stream_full_outer_join,
+    )
+
+    csrc = tmp_path / "fo-clicks"
+    psrc = tmp_path / "fo-purch"
+    csrc.mkdir(), psrc.mkdir()
+    spark.createDataFrame(
+        [
+            _event(0, user=1, etype="click", value=1.0),
+            _event(10, user=3, etype="click", value=2.0),  # never converts
+        ],
+        EVENT_SCHEMA,
+    ).write.parquet(str(csrc / "a"))
+    spark.createDataFrame(
+        [
+            _event(20, user=1, etype="purchase", value=9.0),
+            _event(50, user=2, etype="purchase", value=7.0),  # no click
+        ],
+        EVENT_SCHEMA,
+    ).write.parquet(str(psrc / "a"))
+    _time.sleep(1.1)  # sentinels land in a LATER trigger
+    spark.createDataFrame(
+        [_event(300, user=900, etype="click", value=0.0)], EVENT_SCHEMA
+    ).write.parquet(str(csrc / "b"))
+    spark.createDataFrame(
+        [_event(300, user=901, etype="purchase", value=0.0)], EVENT_SCHEMA
+    ).write.parquet(str(psrc / "b"))
+
+    cs = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(csrc / "*"))
+    )
+    ps = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(psrc / "*"))
+    )
+    q = (
+        stream_stream_full_outer_join(ps, cs, within="30 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("fo_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (
+            r["user_id"],
+            r["purchase_ts"].minute if r["purchase_ts"] is not None else None,
+            r["click_ts"].minute if r["click_ts"] is not None else None,
+        )
+        for r in spark.sql("SELECT * FROM fo_out WHERE user_id < 900").collect()
+    }
+    # u1: attributed pair; u2: conversion with no impression (click
+    # side null); u3: impression that never converted (purchase side
+    # null) — all three emitted exactly once
+    assert rows == {(1, 20, 0), (2, 50, None), (3, None, 10)}, rows
