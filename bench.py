@@ -227,6 +227,7 @@ HEADLINE = [
     "q122_intermittency_profile",
     "t75_uncertainty_coefficient",
     "q123_seasonal_mann_kendall",
+    "d23_weighted_dedup_agreement",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

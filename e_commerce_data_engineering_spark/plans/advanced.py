@@ -2700,3 +2700,79 @@ def m14_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d23 — weighted vs unweighted dedup agreement (round 10): does the NEW
+# TF-IDF cosine family (d22, df-weighted) flag the same pairs as the
+# MinHash family (d09, unweighted Jaccard)? The 2-family membership
+# matrix, same pair-universe technique as d21's 3-family consensus
+# ---------------------------------------------------------------------------
+
+_D23_M_SQL = _REG["d09_portable_minhash_pairs"].oracle
+# d22 registers later in this module's import order at definition time,
+# so its oracle is fetched lazily inside a builder function
+
+
+def _d23_oracle() -> str:
+    w_sql = _REG["d22_tfidf_cosine_pairs"].oracle
+    return f"""
+    WITH u AS (
+        SELECT id_a, id_b,
+               MAX(m) = 1 AS in_minhash,
+               MAX(w) = 1 AS in_tfidf
+        FROM (
+            SELECT id_a, id_b, 1 AS m, 0 AS w FROM ({_D23_M_SQL})
+            UNION ALL
+            SELECT doc_a, doc_b, 0, 1 FROM ({w_sql})
+        ) t
+        GROUP BY id_a, id_b
+    )
+    SELECT in_minhash, in_tfidf,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM u GROUP BY in_minhash, in_tfidf
+    """
+
+
+def _d23_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = d09_portable_minhash_pairs(spark, sf_dir).select(
+        "id_a", "id_b", F.lit(1).alias("m"), F.lit(0).alias("w")
+    )
+    w = d22_tfidf_cosine_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        F.lit(0).alias("m"),
+        F.lit(1).alias("w"),
+    )
+    u = (
+        m.unionByName(w)
+        .groupBy("id_a", "id_b")
+        .agg(
+            (F.max("m") == 1).alias("in_minhash"),
+            (F.max("w") == 1).alias("in_tfidf"),
+        )
+    )
+    return u.groupBy("in_minhash", "in_tfidf").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+
+
+_D23_DOC = (
+    "Agreement matrix between the UNWEIGHTED and WEIGHTED near-dup "
+    "families: d09's MinHash pairs (estimating set Jaccard — every "
+    "shingle equal) unioned at pair grain with d22's TF-IDF cosine "
+    "pairs (df-weighted — boilerplate shingles discounted), rolled up "
+    "by joint membership (d21's technique applied to the new family). "
+    "Pairs only ONE family flags are exactly where weighting matters: "
+    "minhash-only pairs share bulk boilerplate that idf discounts to "
+    "nothing; tfidf-only pairs share few but highly distinctive "
+    "shingles that Jaccard dilutes. Both component pipelines are "
+    "embedded verbatim (subquery composition of the REGISTERED "
+    "oracles, the d21/s32 pattern), so this readout is hash-checked "
+    "end to end on top of already-hash-checked parts. Scale: union of "
+    "two banded/df-bounded pair stages + a <=3-row rollup — cost is "
+    "the sum of the (shared-token-frame) components, no new shuffle "
+    "shape."
+)
+
+query("d23_weighted_dedup_agreement", oracle=_d23_oracle(), doc=_D23_DOC)(_d23_impl)

@@ -124,6 +124,7 @@ _PRIORITY: tuple[str, ...] = (
     "q122_intermittency_profile",
     "t75_uncertainty_coefficient",
     "q123_seasonal_mann_kendall",
+    "d23_weighted_dedup_agreement",
     # value-corrected this round (ADVICE r9): re-record officially
     "q100_kendall_tau",
     "q101_pettitt_changepoint",

@@ -168,6 +168,7 @@ AUDIT = [
     ("q122_intermittency_profile", "(part,day) rollup with map-side combine; exact-int class fences; 4-row out"),
     ("t75_uncertainty_coefficient", "one ~100-cell grid; three quantized entropy folds combine in integer space"),
     ("q123_seasonal_mann_kendall", "84-cell (year,month) grid; same-month pair join only; exact-int S and Var"),
+    ("d23_weighted_dedup_agreement", "two banded pair stages unioned at pair grain; <=3-row membership rollup"),
 ]
 
 
