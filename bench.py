@@ -227,7 +227,11 @@ HEADLINE = [
     "q122_intermittency_profile",
     "t75_uncertainty_coefficient",
     "q123_seasonal_mann_kendall",
-    "d23_weighted_dedup_agreement",
+    # d23 is deliberately NOT in HEADLINE: it is the run-occasionally
+    # COMPOSITION of d09 + d22, both of which are benched individually
+    # above — benching the composition under clearCache double-pays
+    # their full cold pipelines (measured 51 s) without exercising any
+    # new plan shape (same reasoning keeps most one-off audits out).
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every
