@@ -232,6 +232,7 @@ HEADLINE = [
     # above — benching the composition under clearCache double-pays
     # their full cold pipelines (measured 51 s) without exercising any
     # new plan shape (same reasoning keeps most one-off audits out).
+    "x20_cms_error_envelope",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

@@ -3219,3 +3219,104 @@ def g15_truss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c1") - F.col("c2")).alias("dropped"),
     )
     return r1.unionByName(r2)
+
+
+# ---------------------------------------------------------------------------
+# x20 — CMS error-envelope audit (round 10): x05 shows the estimates;
+# this GRADES the sketch against its own theoretical guarantee — for
+# every vocabulary token, err = est − exact is within ceil(e·N/width)
+# with probability >= 1 − e^−depth, and the audit measures how much of
+# that envelope the real stream actually uses
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x20_cms_error_envelope",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+            AS token
+        FROM documents
+    ),
+    exact AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        FROM toks GROUP BY token
+    ),
+    n AS (SELECT CAST(SUM(exact_cnt) AS BIGINT) AS n FROM exact),
+    grid AS (
+        SELECT d.d AS depth, {_SQL_BUCKET_T} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks, (SELECT unnest(generate_series(0, {CMS_P_DEPTH - 1})) AS d) d
+        GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT token, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est
+        FROM (
+            SELECT e.token, d.d AS depth, {_SQL_BUCKET_E} AS bucket
+            FROM exact e,
+                 (SELECT unnest(generate_series(0, {CMS_P_DEPTH - 1})) AS d) d
+        ) p LEFT JOIN grid USING (depth, bucket)
+        GROUP BY token
+    ),
+    errs AS (
+        SELECT e.token, est - exact_cnt AS err
+        FROM exact e JOIN est USING (token)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM errs) AS n_tokens,
+           n.n AS stream_len,
+           CAST(FLOOR(exp(1.0) * n.n / {CMS_P_WIDTH}) AS BIGINT) AS bound,
+           (SELECT CAST(MAX(err) AS BIGINT) FROM errs) AS max_err,
+           (SELECT CAST(SUM(err) AS BIGINT) FROM errs) AS total_err,
+           (SELECT CAST(SUM(CASE WHEN CAST(err AS DOUBLE)
+                    <= exp(1.0) * n.n / {CMS_P_WIDTH} THEN 1 ELSE 0 END)
+               AS BIGINT) FROM errs) AS n_within_bound
+    FROM n
+    """,
+    doc="CMS error-envelope audit over the FULL token vocabulary: for "
+    "every token, err = cms_est − exact (nonnegative by "
+    "construction), graded against the Cormode–Muthukrishnan "
+    "guarantee err <= e·N/width with probability >= 1 − e^−depth per "
+    "probe. x05 reports the estimates; this reports how much of the "
+    "theoretical envelope the stream actually consumes (max_err and "
+    "total_err vs the bound) — the reading that decides whether a "
+    "narrower grid would do, the same budget question x18 answers "
+    "for join sizing. The sketch-build and probe path are the exact "
+    "x05 portable-hash pipeline (same grid CTEs), so the whole audit "
+    "is hash-checked; the only transcendental is exp(1.0), evaluated "
+    "identically by both engines into one floor'd bound. Scale: the "
+    "grid fold is the one stream-sized stage (map-side combinable); "
+    "the probe join is vocab-sized; output is one row.",
+)
+def x20_cms_error_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import cms_build_portable, cms_estimate_portable
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("token")
+    )
+    exact = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    n = exact.agg(F.sum("exact_cnt").cast("bigint").alias("n"))
+    grid = cms_build_portable(toks, "token", CMS_P_DEPTH, CMS_P_WIDTH)
+    est = cms_estimate_portable(
+        grid, exact.select("token"), "token", CMS_P_DEPTH, CMS_P_WIDTH
+    )
+    errs = (
+        exact.join(est, "token")
+        .select((F.col("est") - F.col("exact_cnt")).alias("err"))
+        .crossJoin(F.broadcast(n))
+    )
+    bound = F.exp(F.lit(1.0)) * F.col("n") / CMS_P_WIDTH
+    return errs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.max("n").cast("bigint").alias("stream_len"),
+        F.floor(F.max(bound)).cast("bigint").alias("bound"),
+        F.max("err").cast("bigint").alias("max_err"),
+        F.sum("err").cast("bigint").alias("total_err"),
+        F.sum(F.when(F.col("err").cast("double") <= bound, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_within_bound"),
+    )

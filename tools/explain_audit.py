@@ -169,6 +169,7 @@ AUDIT = [
     ("t75_uncertainty_coefficient", "one ~100-cell grid; three quantized entropy folds combine in integer space"),
     ("q123_seasonal_mann_kendall", "84-cell (year,month) grid; same-month pair join only; exact-int S and Var"),
     ("d23_weighted_dedup_agreement", "two banded pair stages unioned at pair grain; <=3-row membership rollup"),
+    ("x20_cms_error_envelope", "one stream-sized grid fold; vocab-sized probe join; 1-row envelope audit"),
 ]
 
 
