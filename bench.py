@@ -233,6 +233,7 @@ HEADLINE = [
     # their full cold pipelines (measured 51 s) without exercising any
     # new plan shape (same reasoning keeps most one-off audits out).
     "x20_cms_error_envelope",
+    "t76_lang_bigram_distance",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

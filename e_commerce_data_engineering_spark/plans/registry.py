@@ -126,6 +126,7 @@ _PRIORITY: tuple[str, ...] = (
     "q123_seasonal_mann_kendall",
     "d23_weighted_dedup_agreement",
     "x20_cms_error_envelope",
+    "t76_lang_bigram_distance",
     # value-corrected this round (ADVICE r9): re-record officially
     "q100_kendall_tau",
     "q101_pettitt_changepoint",

@@ -6168,3 +6168,118 @@ def t75_uncertainty_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("u_symmetric"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t76 — language distance matrix via char-bigram JS divergence
+# (round 10): t74 measures each language's bigram ENTROPY; this
+# measures how far the languages sit from EACH OTHER in bigram space —
+# the Cavnar–Trenkle n-gram-profile distance that makes char-level
+# language-ID work, as a corpus rollup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t76_lang_bigram_distance",
+    oracle=f"""
+    WITH bg AS (
+        SELECT lang, substring(text, CAST(i AS INTEGER), 2) AS b
+        FROM (SELECT lang, text,
+                     unnest(generate_series(1, length(text) - 1)) AS i
+              FROM documents WHERE length(text) >= 2) src
+    ),
+    c AS (
+        SELECT lang, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY 1, 2
+    ),
+    t AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tot FROM c GROUP BY lang),
+    p AS (
+        SELECT c.lang, c.b, CAST(c.cnt AS DOUBLE) / t.tot AS p
+        FROM c JOIN t ON c.lang = t.lang
+    ),
+    shared AS (
+        SELECT a.lang AS lang_a, b2.lang AS lang_b,
+               CAST(FLOOR((
+                   0.5 * a.p * ln(a.p / ((a.p + b2.p) / 2))
+                 + 0.5 * b2.p * ln(b2.p / ((a.p + b2.p) / 2))
+                 - 0.5 * {_T47_LN2} * (a.p + b2.p)
+               ) * {_T47_Q} + 0.5) AS BIGINT) AS q_term
+        FROM p a JOIN p b2 ON a.b = b2.b AND a.lang < b2.lang
+    ),
+    sums AS (
+        SELECT lang_a, lang_b, CAST(SUM(q_term) AS BIGINT) AS q
+        FROM shared GROUP BY lang_a, lang_b
+    ),
+    pairs AS (
+        SELECT a.lang AS lang_a, b2.lang AS lang_b
+        FROM t a JOIN t b2 ON a.lang < b2.lang
+    )
+    SELECT pairs.lang_a, pairs.lang_b,
+           {sql_fround(
+               f"{_T47_LN2} + CAST(COALESCE(q, 0) AS DOUBLE) / {_T47_Q}", 6
+           )} AS js_nats
+    FROM pairs LEFT JOIN sums
+      ON pairs.lang_a = sums.lang_a AND pairs.lang_b = sums.lang_b
+    """,
+    doc="Pairwise Jensen–Shannon divergence between the languages' "
+    "character-BIGRAM distributions — the n-gram-profile distance "
+    "(Cavnar & Trenkle 1994) that explains WHY char-level "
+    "language-ID separates these languages, sitting beside t74 (each "
+    "language's own bigram entropy) and t47 (token-level JS between "
+    "SOURCES): languages pairs reading near ln2 share almost no "
+    "bigram mass; a pair drifting toward 0 across corpus snapshots "
+    "means cross-language contamination. Same shared-support "
+    "identity as t47 (JS = ln2 + Σ_shared[term − 0.5·ln2·(pa+pb)]): "
+    "an INNER equi-join on the (lang, bigram) count table, no "
+    "densified alphabet² grid, ln2 pinned as the same IEEE literal "
+    "on both engines, per-bigram terms 1e-9-quantized before the "
+    "per-pair sum. Scale: the bigram explode is per-row HOF work; "
+    "the count table is bounded by langs × alphabet², so the shared "
+    "join and the 10-pair rollup are constant-size after the scan.",
+)
+def t76_lang_bigram_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bg = d.filter(F.length("text") >= 2).select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 1),
+                lambda i: F.col("text").substr(i, F.lit(2)),
+            )
+        ).alias("b"),
+    )
+    c = bg.groupBy("lang", "b").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    t = c.groupBy("lang").agg(F.sum("cnt").cast("bigint").alias("tot"))
+    p = c.join(t, "lang").select(
+        "lang", "b", (F.col("cnt").cast("double") / F.col("tot")).alias("p")
+    )
+    a = p.select(F.col("lang").alias("lang_a"), "b", F.col("p").alias("pa"))
+    b2 = p.select(
+        F.col("lang").alias("lang_b"),
+        F.col("b").alias("b_b"),
+        F.col("p").alias("pb"),
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    term = (
+        0.5 * F.col("pa") * F.log(F.col("pa") / m)
+        + 0.5 * F.col("pb") * F.log(F.col("pb") / m)
+        - 0.5 * _T47_LN2 * (F.col("pa") + F.col("pb"))
+    )
+    q_term = F.floor(term * _T47_Q + 0.5).cast("bigint")
+    sums = (
+        a.join(b2, (F.col("b") == F.col("b_b")) & (F.col("lang_a") < F.col("lang_b")))
+        .select("lang_a", "lang_b", q_term.alias("q_term"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.sum("q_term").cast("bigint").alias("q"))
+    )
+    pairs = (
+        t.select(F.col("lang").alias("lang_a"))
+        .crossJoin(F.broadcast(t.select(F.col("lang").alias("lang_b"))))
+        .filter(F.col("lang_a") < F.col("lang_b"))
+    )
+    return pairs.join(sums, ["lang_a", "lang_b"], "left").select(
+        "lang_a",
+        "lang_b",
+        fround(
+            _T47_LN2 + F.coalesce(F.col("q"), F.lit(0)).cast("double") / _T47_Q, 6
+        ).alias("js_nats"),
+    )

@@ -170,6 +170,7 @@ AUDIT = [
     ("q123_seasonal_mann_kendall", "84-cell (year,month) grid; same-month pair join only; exact-int S and Var"),
     ("d23_weighted_dedup_agreement", "two banded pair stages unioned at pair grain; <=3-row membership rollup"),
     ("x20_cms_error_envelope", "one stream-sized grid fold; vocab-sized probe join; 1-row envelope audit"),
+    ("t76_lang_bigram_distance", "alphabet^2-bounded count table; shared-bigram inner join; 10-pair rollup"),
 ]
 
 
