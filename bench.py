@@ -234,6 +234,7 @@ HEADLINE = [
     # new plan shape (same reasoning keeps most one-off audits out).
     "x20_cms_error_envelope",
     "t76_lang_bigram_distance",
+    "q124_xbar_control_chart",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

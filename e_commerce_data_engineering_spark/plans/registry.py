@@ -127,6 +127,7 @@ _PRIORITY: tuple[str, ...] = (
     "d23_weighted_dedup_agreement",
     "x20_cms_error_envelope",
     "t76_lang_bigram_distance",
+    "q124_xbar_control_chart",
     # value-corrected this round (ADVICE r9): re-record officially
     "q100_kendall_tau",
     "q101_pettitt_changepoint",

@@ -6260,3 +6260,136 @@ def q123_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("no_trend")
         .alias("trend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q124 — Shewhart X-bar / R control chart on daily order counts with
+# weekly subgroups (round 10): the SPC readout — q98's MAD screen asks
+# "which days are weird?"; a control chart asks "is the PROCESS in
+# control?", with limits derived from within-subgroup range (the
+# short-term voice of the process), not total variance
+# ---------------------------------------------------------------------------
+
+# Shewhart constants for subgroup size n=7 (ASTM E2587 / Montgomery
+# table VI): injected as the SAME literals into both engines
+Q124_D2 = 2.704  # E[R]/sigma for n=7
+Q124_A2 = 0.419  # 3/(d2*sqrt(7)) rounded per the standard table
+Q124_D3 = 0.076  # lower R-chart factor
+Q124_D4 = 1.924  # upper R-chart factor
+
+
+@query(
+    "q124_xbar_control_chart",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    sub AS (
+        SELECT CAST(DATE_TRUNC('week', day) AS DATE) AS wk,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s,
+               CAST(MAX(x) - MIN(x) AS BIGINT) AS r
+        FROM daily GROUP BY 1
+    ),
+    full7 AS (SELECT * FROM sub WHERE n = 7),
+    lim AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(s) AS BIGINT) AS ss,
+               CAST(SUM(r) AS BIGINT) AS sr
+        FROM full7
+    ),
+    graded AS (
+        SELECT f.wk, f.s, f.r, l.k, l.ss, l.sr,
+               CAST(l.ss AS DOUBLE) / l.k / 7.0 AS xbar,
+               CAST(l.sr AS DOUBLE) / l.k AS rbar
+        FROM full7 f CROSS JOIN lim l
+    )
+    SELECT CAST(MAX(k) AS BIGINT) AS n_subgroups,
+           {sql_fround("MAX(xbar)", 4)} AS center,
+           {sql_fround(f"MAX(xbar + {Q124_A2} * rbar)", 4)} AS ucl_x,
+           {sql_fround(f"MAX(xbar - {Q124_A2} * rbar)", 4)} AS lcl_x,
+           {sql_fround(f"MAX({Q124_D4} * rbar)", 4)} AS ucl_r,
+           CAST(SUM(CASE WHEN CAST(s AS DOUBLE) / 7.0
+                    > xbar + {Q124_A2} * rbar
+                    OR CAST(s AS DOUBLE) / 7.0
+                    < xbar - {Q124_A2} * rbar THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_xbar_violations,
+           CAST(SUM(CASE WHEN CAST(r AS DOUBLE) > {Q124_D4} * rbar
+                    OR CAST(r AS DOUBLE) < {Q124_D3} * rbar
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_range_violations
+    FROM graded
+    """,
+    doc="Shewhart X-bar / R control chart on daily order volume with "
+    "calendar-week subgroups of 7 (Shewhart 1931; constants d2/A2/"
+    "D3/D4 for n=7 from the standard SPC tables, injected as "
+    "IDENTICAL literals into both engines): center = grand mean of "
+    "full weeks, limits = xbar ± A2·Rbar and [D3, D4]·Rbar — "
+    "control limits from the WITHIN-week range, the short-term "
+    "process voice, which is the entire point of Shewhart charting "
+    "(a trend inflates total variance but not within-subgroup "
+    "range, so drifting processes alarm instead of widening their "
+    "own limits). Violations counted for both charts; partial weeks "
+    "are excluded (n=7 exactly) so every subgroup range is "
+    "comparable. All aggregates are exact integers — s, r, ΣR are "
+    "int64; the constants multiply identical doubles — so violation "
+    "counts can never differ between engines. Complements q98 "
+    "(MAD residual screen — outlier DAYS) and q111 (Page–Hinkley — "
+    "drift ALARM) as the capability/process-control member. Scale: "
+    "one daily rollup with map-side combine; everything after walks "
+    "the ~350-row week grid.",
+)
+def q124_xbar_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    sub = daily.groupBy(
+        F.date_trunc("week", F.col("day")).cast("date").alias("wk")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        (F.max("x") - F.min("x")).cast("bigint").alias("r"),
+    )
+    full7 = sub.filter(F.col("n") == 7)
+    lim = full7.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("s").cast("bigint").alias("ss"),
+        F.sum("r").cast("bigint").alias("sr"),
+    )
+    xbar = F.col("ss").cast("double") / F.col("k") / 7.0
+    rbar = F.col("sr").cast("double") / F.col("k")
+    graded = full7.crossJoin(F.broadcast(lim)).select(
+        "s",
+        "r",
+        "k",
+        xbar.alias("xbar"),
+        rbar.alias("rbar"),
+    )
+    mean7 = F.col("s").cast("double") / 7.0
+    return graded.agg(
+        F.max("k").cast("bigint").alias("n_subgroups"),
+        fround(F.max("xbar"), 4).alias("center"),
+        fround(F.max(F.col("xbar") + Q124_A2 * F.col("rbar")), 4).alias("ucl_x"),
+        fround(F.max(F.col("xbar") - Q124_A2 * F.col("rbar")), 4).alias("lcl_x"),
+        fround(F.max(Q124_D4 * F.col("rbar")), 4).alias("ucl_r"),
+        F.sum(
+            F.when(
+                (mean7 > F.col("xbar") + Q124_A2 * F.col("rbar"))
+                | (mean7 < F.col("xbar") - Q124_A2 * F.col("rbar")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_xbar_violations"),
+        F.sum(
+            F.when(
+                (F.col("r").cast("double") > Q124_D4 * F.col("rbar"))
+                | (F.col("r").cast("double") < Q124_D3 * F.col("rbar")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_range_violations"),
+    )
