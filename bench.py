@@ -235,6 +235,7 @@ HEADLINE = [
     "x20_cms_error_envelope",
     "t76_lang_bigram_distance",
     "q124_xbar_control_chart",
+    "x21_theta_intersection",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

@@ -3320,3 +3320,184 @@ def x20_cms_error_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_within_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x21 — theta-sketch INTERSECTION + Jaccard between audience pairs
+# (round 10): x14 reports the difference (A∖B) side of the theta set
+# algebra; this reports the overlap side — est |A∩B| and Jaccard from
+# the SAME K-row union sketch, with the exact audit you stop running
+# at 100 TB
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x21_theta_intersection",
+    oracle=f"""
+    WITH aud AS (
+        SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS uid
+        FROM events
+    ),
+    hv AS (
+        SELECT DISTINCT event_type, {_X14_H} AS hv FROM aud
+    ),
+    sk AS (
+        SELECT event_type, hv FROM (
+            SELECT event_type, hv,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+            FROM hv
+        ) r WHERE rn <= {X14_K}
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    pr AS (SELECT a.event_type AS ta, b.event_type AS tb
+           FROM types a JOIN types b ON a.event_type < b.event_type),
+    m AS (
+        SELECT pr.ta, pr.tb, s.hv,
+               MAX(CASE WHEN s.event_type = pr.ta THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN s.event_type = pr.tb THEN 1 ELSE 0 END) AS in_b
+        FROM pr JOIN sk s ON s.event_type IN (pr.ta, pr.tb)
+        GROUP BY pr.ta, pr.tb, s.hv
+    ),
+    rk AS (
+        SELECT ta, tb, in_a, in_b, hv,
+               ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY hv) AS rn
+        FROM m
+    ),
+    ag AS (
+        SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS cnt, MAX(hv) AS kth,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+        FROM rk WHERE rn <= {X14_K} GROUP BY ta, tb
+    ),
+    ag2 AS (
+        SELECT ta, tb, cnt, n_both,
+               CASE WHEN cnt < {X14_K} THEN CAST(cnt AS DOUBLE)
+                    ELSE CAST({X14_K - 1} AS DOUBLE) * {_X09_P} / kth
+               END AS est_union
+        FROM ag
+    ),
+    flags AS (
+        SELECT pr.ta, pr.tb, a.uid,
+               MAX(CASE WHEN a.event_type = pr.ta THEN 1 ELSE 0 END) AS has_a,
+               MAX(CASE WHEN a.event_type = pr.tb THEN 1 ELSE 0 END) AS has_b
+        FROM pr JOIN aud a ON a.event_type IN (pr.ta, pr.tb)
+        GROUP BY pr.ta, pr.tb, a.uid
+    ),
+    ex AS (
+        SELECT ta, tb,
+               CAST(SUM(has_a * has_b) AS BIGINT) AS exact_inter,
+               CAST(COUNT(*) AS BIGINT) AS exact_union
+        FROM flags GROUP BY ta, tb
+    )
+    SELECT ag2.ta AS type_a, ag2.tb AS type_b, n_both,
+           {sql_fround(
+               f"CAST(n_both AS DOUBLE) / LEAST({X14_K}, cnt)", 6
+           )} AS est_jaccard,
+           {sql_fround(
+               f"CAST(n_both AS DOUBLE) / LEAST({X14_K}, cnt) * est_union", 4
+           )} AS est_intersection,
+           exact_inter,
+           {sql_fround(
+               "CAST(exact_inter AS DOUBLE) / exact_union", 6
+           )} AS exact_jaccard
+    FROM ag2 JOIN ex ON ex.ta = ag2.ta AND ex.tb = ag2.tb
+    """,
+    doc="Theta-sketch audience INTERSECTION and Jaccard per event-type "
+    "pair — the overlap side of the set algebra whose difference side "
+    "x14 reports, from the SAME construction: per-type bottom-K KMV "
+    "sketches merge into the pair's union sketch (K smallest of the "
+    "union), membership flags ride along, and |A∩B| ≈ (n_both/K)·"
+    "|A∪B|-hat (the standard theta intersection estimator: the union "
+    "sketch is a uniform sample of A∪B, so the flagged fraction "
+    "estimates the Jaccard, Dasgupta et al. 2016). The exact "
+    "intersection/Jaccard audit runs beside it — the column you stop "
+    "computing at 100 TB, where the K-row sketches (mergeable, built "
+    "where each audience lives) are all that ships. All sketch-side "
+    "quantities are exact integers on the portable hash family, so "
+    "the ESTIMATE itself sits under the hash gate (x17's discipline). "
+    "Scale: per-type K-row state, pair work bounded by types² x K; "
+    "the audience scan is the only data-sized stage.",
+)
+def x21_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import kmv_hash
+
+    e = load_table(spark, sf_dir, "events")
+    aud = e.select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    ).distinct()
+    hv = aud.select("event_type", kmv_hash(F.col("uid")).alias("hv")).distinct()
+    sk = (
+        hv.withColumn(
+            "rn", F.row_number().over(W.partitionBy("event_type").orderBy("hv"))
+        )
+        .filter(F.col("rn") <= X14_K)
+        .select("event_type", "hv")
+    )
+    types = e.select("event_type").distinct()
+    pr = types.select(F.col("event_type").alias("ta")).join(
+        types.select(F.col("event_type").alias("tb")), F.col("ta") < F.col("tb")
+    )
+    m = (
+        F.broadcast(pr)
+        .join(
+            sk,
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "hv")
+        .agg(
+            F.max(F.when(F.col("event_type") == F.col("ta"), 1).otherwise(0)).alias(
+                "in_a"
+            ),
+            F.max(F.when(F.col("event_type") == F.col("tb"), 1).otherwise(0)).alias(
+                "in_b"
+            ),
+        )
+    )
+    rk = m.withColumn(
+        "rn", F.row_number().over(W.partitionBy("ta", "tb").orderBy("hv"))
+    ).filter(F.col("rn") <= X14_K)
+    ag = rk.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.max("hv").alias("kth"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_both"),
+    )
+    est_union = F.when(
+        F.col("cnt") < X14_K, F.col("cnt").cast("double")
+    ).otherwise(F.lit(float(X14_K - 1)) * F.lit(1_000_000_007) / F.col("kth"))
+    ag2 = ag.withColumn("est_union", est_union)
+    flags = (
+        F.broadcast(pr)
+        .join(
+            aud,
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "uid")
+        .agg(
+            F.max(F.when(F.col("event_type") == F.col("ta"), 1).otherwise(0)).alias(
+                "has_a"
+            ),
+            F.max(F.when(F.col("event_type") == F.col("tb"), 1).otherwise(0)).alias(
+                "has_b"
+            ),
+        )
+    )
+    ex = flags.groupBy("ta", "tb").agg(
+        F.sum(F.col("has_a") * F.col("has_b")).cast("bigint").alias("exact_inter"),
+        F.count(F.lit(1)).cast("bigint").alias("exact_union"),
+    )
+    jac = F.col("n_both").cast("double") / F.least(F.lit(X14_K), F.col("cnt"))
+    return (
+        ag2.join(ex, ["ta", "tb"])
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "n_both",
+            fround(jac, 6).alias("est_jaccard"),
+            fround(jac * F.col("est_union"), 4).alias("est_intersection"),
+            "exact_inter",
+            fround(
+                F.col("exact_inter").cast("double") / F.col("exact_union"), 6
+            ).alias("exact_jaccard"),
+        )
+    )

@@ -128,6 +128,7 @@ _PRIORITY: tuple[str, ...] = (
     "x20_cms_error_envelope",
     "t76_lang_bigram_distance",
     "q124_xbar_control_chart",
+    "x21_theta_intersection",
     # value-corrected this round (ADVICE r9): re-record officially
     "q100_kendall_tau",
     "q101_pettitt_changepoint",

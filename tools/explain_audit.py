@@ -172,6 +172,7 @@ AUDIT = [
     ("x20_cms_error_envelope", "one stream-sized grid fold; vocab-sized probe join; 1-row envelope audit"),
     ("t76_lang_bigram_distance", "alphabet^2-bounded count table; shared-bigram inner join; 10-pair rollup"),
     ("q124_xbar_control_chart", "daily rollup; week-grid subgroups; broadcast 1-row limit frame; 1 row out"),
+    ("x21_theta_intersection", "K-row union sketches per type pair; flagged-fraction estimator; exact audit beside"),
 ]
 
 
