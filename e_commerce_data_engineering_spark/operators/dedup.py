@@ -51,12 +51,30 @@ def _check_frames(frames) -> list[DataFrame]:
     return frames
 
 
+def _frames_live(frames: list[DataFrame]) -> bool:
+    """True iff every frame the build persisted still carries a live
+    persist marker. ``spark.catalog.clearCache()`` (bench.py runs it
+    before every query) evicts the CacheManager entries WITHOUT this
+    dict noticing — handing the stale frames back would make a
+    consensus query (d21) recompute the shared token/shingle lineage
+    once per family instead of once total (measured: 50.6 s official
+    vs 6.6-15.6 s solo in round 10). Rebuilding on a dead marker
+    restores the sharing under any cache-clearing context."""
+    try:
+        return all(
+            f.storageLevel.useMemory or f.storageLevel.useDisk for f in frames
+        )
+    except Exception:  # session stopped / frame invalid -> rebuild
+        return False
+
+
 def _cached(df: DataFrame, key: tuple | None, build) -> DataFrame:
     """``build()`` returns ``[primary, *aux]`` persisted frames."""
     if key is None:
         return _check_frames(build())[0]
     full_key = (df.sparkSession.sparkContext.applicationId, *key)
-    if full_key not in _FRAME_CACHE:
+    if full_key not in _FRAME_CACHE or not _frames_live(_FRAME_CACHE[full_key]):
+        _FRAME_CACHE.pop(full_key, None)
         _FRAME_CACHE[full_key] = _check_frames(build())
     return _FRAME_CACHE[full_key][0]
 

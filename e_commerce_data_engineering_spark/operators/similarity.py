@@ -308,6 +308,15 @@ def cached_ivf_index(
     key = (vectors.sparkSession.sparkContext.applicationId, cache_key, nlist, seed)
     if rebuild and key in _IVF_CACHE:
         _IVF_CACHE.pop(key)[0].unpersist()
+    if key in _IVF_CACHE:
+        # A spark.catalog.clearCache() in the caller's context (bench.py
+        # runs one per query) evicts the persist marker without this
+        # dict noticing; re-persist so consumers don't silently
+        # recompute the assignment pass per probe (dedup._frames_live
+        # is the same guard for the text-dedup frames).
+        sl = _IVF_CACHE[key][0].storageLevel
+        if not (sl.useMemory or sl.useDisk):
+            _IVF_CACHE[key][0].persist()
     if key not in _IVF_CACHE:
         assigned, centroids = ivf_index(vectors, nlist, id_col, vec_col, seed)
         _IVF_CACHE[key] = (assigned.persist(), centroids)

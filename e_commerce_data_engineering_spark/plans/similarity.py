@@ -2668,35 +2668,34 @@ def s26_abtt_retrieval_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id", "c_id", cos_orig.alias("cos_orig"), cos_proj.alias("cos_proj")
         )
     )
-    ro = pairs.withColumn(
-        "rn_o",
-        F.row_number().over(W.partitionBy("q_id").orderBy(F.col("cos_orig").desc(), "c_id")),
-    ).filter(F.col("rn_o") <= TOP_K)
-    rp = pairs.select(
-        F.col("q_id").alias("_q2"),
-        F.col("c_id").alias("_c2"),
+    # Single pass over `pairs`: both rankings share partitionBy(q_id), so
+    # computing them on the same frame costs ONE shuffle + two sorts instead
+    # of evaluating the broadcast-cross-join scoring subtree once per join
+    # side (the round-10 2x regression, VERDICT r10 item #1a).
+    ranked = pairs.select(
+        "q_id",
+        "c_id",
+        "cos_orig",
+        "cos_proj",
+        F.row_number()
+        .over(W.partitionBy("q_id").orderBy(F.col("cos_orig").desc(), "c_id"))
+        .alias("rn_o"),
         F.row_number()
         .over(W.partitionBy("q_id").orderBy(F.col("cos_proj").desc(), "c_id"))
         .alias("rn_p"),
-    ).filter(F.col("rn_p") <= TOP_K)
-    return (
-        ro.join(
-            rp,
-            (F.col("_q2") == F.col("q_id")) & (F.col("_c2") == F.col("c_id")),
-            "left",
+    ).filter(F.col("rn_o") <= TOP_K)
+    return ranked.groupBy("q_id").agg(
+        F.count(F.when(F.col("rn_p") <= TOP_K, F.lit(1)))
+        .cast("bigint")
+        .alias("n_overlap"),
+        F.sum(
+            F.floor(
+                F.abs(F.col("cos_orig") - F.col("cos_proj")) * 1_000_000.0
+                + F.lit(0.5)
+            ).cast("bigint")
         )
-        .groupBy("q_id")
-        .agg(
-            F.count("_c2").cast("bigint").alias("n_overlap"),
-            F.sum(
-                F.floor(
-                    F.abs(F.col("cos_orig") - F.col("cos_proj")) * 1_000_000.0
-                    + F.lit(0.5)
-                ).cast("bigint")
-            )
-            .cast("bigint")
-            .alias("shift_q"),
-        )
+        .cast("bigint")
+        .alias("shift_q"),
     )
 
 
