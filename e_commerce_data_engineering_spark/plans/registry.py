@@ -85,16 +85,23 @@ def _load_all_modules() -> None:
 # already-recorded query. Run it every round; the driver only re-checks
 # the front of this list.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-10 front block: never-driver-recorded additions go
-    # here, oracle-backed before rows-only. CORRECTNESS_r09 recorded
-    # every round-9 name plus q91 (cumulative driver record 326/326
-    # through r9), so the front is clear for round-10. Fix-ups to
-    # already-recorded queries whose VALUES changed this round (q100
-    # Kendall de-halved, q101 Pettitt de-halved — ADVICE r9 highs) are
-    # re-listed right after the new names so the driver re-records the
-    # corrected outputs officially. ROUND-11 NOTE: rotate BEFORE adding
-    # — check CORRECTNESS_r10 and move recorded names below (youngest
-    # first).
+    # --- round-11 front block: never-driver-recorded additions go
+    # here, oracle-backed before rows-only. CORRECTNESS_r10 recorded
+    # all 34 round-10 names plus the value-corrected q100/q101 and 14
+    # re-checks (cumulative driver record 360/360 through r10), so the
+    # front is clear for round-11. Plan-changed-this-round queries
+    # whose VALUES are unchanged but whose physical plan was rebuilt
+    # (s26 single-pass ranking, d21 live-frame cache — VERDICT r10
+    # item #1) are re-listed right after the new names so the driver
+    # re-records them officially against the new plans. ROUND-12 NOTE:
+    # rotate BEFORE adding — check CORRECTNESS_r11 and move recorded
+    # names below (youngest first).
+    # (round-11 additions land here)
+    # plan-changed this round (VERDICT r10 #1): re-record officially
+    "s26_abtt_retrieval_shift",
+    "d21_dedup_consensus",
+    # --- already driver-recorded: round-10 block (all 34 + q100/q101
+    # recorded in CORRECTNESS_r10), youngest first.
     "m12_image_phash",
     "m13_phash_neardup_pairs",
     "q111_page_hinkley",
@@ -129,7 +136,6 @@ _PRIORITY: tuple[str, ...] = (
     "t76_lang_bigram_distance",
     "q124_xbar_control_chart",
     "x21_theta_intersection",
-    # value-corrected this round (ADVICE r9): re-record officially
     "q100_kendall_tau",
     "q101_pettitt_changepoint",
     # --- already driver-recorded: round-9 block (all 25 recorded in
@@ -143,7 +149,6 @@ _PRIORITY: tuple[str, ...] = (
     "t67_kneser_ney",
     "t68_yule_k",
     "x15_sample_quantiles",
-    "d21_dedup_consensus",
     "q105_wasserstein_drift",
     "s29_mmr_diversity_gain",
     "q106_woe_return_risk",
@@ -170,7 +175,6 @@ _PRIORITY: tuple[str, ...] = (
     "a04_asof_nearest",
     "t65_rake_keywords",
     "t66_readability",
-    "s26_abtt_retrieval_shift",
     "q99_concentration_ratios",
     "m10_portable_audio_pairs",
     "t57_bpe_apply",
