@@ -541,6 +541,24 @@ VIDEO_FRAME_SCHEMA = T.StructType(
 )
 
 
+def sampled_frame_indices(info: dict, every_ms: int) -> list[int]:
+    """Ordered, deduplicated frame indices sampled every ``every_ms``
+    from a parsed AVI's timeline (a timestamp past the last frame
+    clamps to it). SHARED by ``extract_video_frames`` and
+    ``video_frame_phash`` — m14's shot-boundary premise is that both
+    operators decode IDENTICAL frames, so the selection rule lives in
+    exactly one place (ADVICE r10: the copy-paste twin could drift)."""
+    frame_dur_ms = 1000 * info["scale"] / info["rate"]
+    wanted: list[int] = []
+    seen: set[int] = set()
+    for ts in range(0, info["duration_ms"] + 1, every_ms):
+        idx = min(int(ts / frame_dur_ms), info["n_frames"] - 1)
+        if idx not in seen:
+            seen.add(idx)
+            wanted.append(idx)
+    return wanted
+
+
 def extract_video_frames(assets: DataFrame, every_ms: int = 250) -> DataFrame:
     """REAL video pixel decode via mapInPandas: MJPEG-in-AVI container
     parse (operators/avi.py) + per-frame baseline-JPEG decode, sampling
@@ -562,13 +580,7 @@ def extract_video_frames(assets: DataFrame, every_ms: int = 250) -> DataFrame:
             out = []
             for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
                 info = avi_parse(bytes(content))
-                frame_dur_ms = 1000 * info["scale"] / info["rate"]
-                wanted: list[int] = []
-                for ts in range(0, info["duration_ms"] + 1, every_ms):
-                    idx = min(int(ts / frame_dur_ms), info["n_frames"] - 1)
-                    if idx not in wanted:
-                        wanted.append(idx)
-                for idx in wanted:
+                for idx in sampled_frame_indices(info, every_ms):
                     px = avi_decode_frame(info, idx)
                     luma = (
                         0.299 * px[:, :, 0].astype(np.float64)
@@ -627,13 +639,7 @@ def video_frame_phash(assets: DataFrame, every_ms: int = 250) -> DataFrame:
             out = []
             for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
                 info = avi_parse(bytes(content))
-                frame_dur_ms = 1000 * info["scale"] / info["rate"]
-                wanted: list[int] = []
-                for ts in range(0, info["duration_ms"] + 1, every_ms):
-                    idx = min(int(ts / frame_dur_ms), info["n_frames"] - 1)
-                    if idx not in wanted:
-                        wanted.append(idx)
-                for idx in wanted:
+                for idx in sampled_frame_indices(info, every_ms):
                     px = avi_decode_frame(info, idx)
                     bits, pop = phash_from_pixels(px)
                     out.append(

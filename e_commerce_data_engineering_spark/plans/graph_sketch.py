@@ -2223,7 +2223,7 @@ def x14_theta_sketch_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est_union = F.when(
         F.col("cnt") < X14_K, F.col("cnt").cast("double")
-    ).otherwise(F.lit(float(X14_K - 1)) * F.lit(1_000_000_007) / F.col("kth"))
+    ).otherwise(F.lit(float(X14_K - 1)) * F.lit(float(_X09_P)) / F.col("kth"))
     ag2 = ag.withColumn("est_union", est_union)
     flags = (
         F.broadcast(pr)
@@ -3463,7 +3463,7 @@ def x21_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est_union = F.when(
         F.col("cnt") < X14_K, F.col("cnt").cast("double")
-    ).otherwise(F.lit(float(X14_K - 1)) * F.lit(1_000_000_007) / F.col("kth"))
+    ).otherwise(F.lit(float(X14_K - 1)) * F.lit(float(_X09_P)) / F.col("kth"))
     ag2 = ag.withColumn("est_union", est_union)
     flags = (
         F.broadcast(pr)

@@ -1998,11 +1998,27 @@ def read_cms_pair_state(
     """Fold one side's per-batch CMS partials by (depth, bucket)
     addition — the sketch's merge — back into a single grid, exact
     int64, equality-comparable to the batch ``cms_build_portable`` over
-    the union of that side's drained rows."""
-    return (
-        spark.read.parquet(f"{state_dir}/side={side}")
-        .groupBy("depth", "bucket")
-        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    the union of that side's drained rows. A side that never drained a
+    row (no matching events yet, or every micro-batch was empty) has no
+    partials on disk — that is an EMPTY grid, not an error, so the read
+    degrades to zero rows instead of raising AnalysisException."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    try:
+        grid = spark.read.parquet(f"{state_dir}/side={side}")
+    except Exception:  # AnalysisException: PATH_NOT_FOUND -> empty grid
+        grid = spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("depth", LongType()),
+                    StructField("bucket", LongType()),
+                    StructField("cnt", LongType()),
+                ]
+            ),
+        )
+    return grid.groupBy("depth", "bucket").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
     )
 
 
@@ -2027,19 +2043,20 @@ def read_join_size_estimate(
     gb = read_cms_pair_state(spark, state_dir, "b").select(
         "depth", "bucket", F.col("cnt").alias("cb")
     )
+    # Disjoint grids (no shared (depth, bucket)) mean the estimator's
+    # dot product is 0 at every depth — min-over-depths of an empty set
+    # must read 0, not NULL; same for a side with no drained rows.
     est = (
         ga.join(gb, ["depth", "bucket"])
         .groupBy("depth")
         .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("e"))
-        .agg(F.min("e").cast("bigint").alias("est_join_size"))
+        .agg(F.coalesce(F.min("e"), F.lit(0)).cast("bigint").alias("est_join_size"))
     )
-    na = (
-        ga.filter(F.col("depth") == 0)
-        .agg(F.sum("ca").cast("bigint").alias("n_a"))
+    na = ga.filter(F.col("depth") == 0).agg(
+        F.coalesce(F.sum("ca"), F.lit(0)).cast("bigint").alias("n_a")
     )
-    nb = (
-        gb.filter(F.col("depth") == 0)
-        .agg(F.sum("cb").cast("bigint").alias("n_b"))
+    nb = gb.filter(F.col("depth") == 0).agg(
+        F.coalesce(F.sum("cb"), F.lit(0)).cast("bigint").alias("n_b")
     )
     build = F.when(F.col("n_a") <= F.col("n_b"), F.lit("a")).otherwise(F.lit("b"))
     build_rows = F.least("n_a", "n_b")

@@ -2443,6 +2443,39 @@ def test_cms_pair_stream_matches_batch_and_decision(spark, tmp_path):
     assert before == after
 
 
+def test_cms_pair_state_degrades_when_side_never_drained(spark, tmp_path):
+    """ADVICE r10: a side that never drained any rows has NO partials
+    on disk — the state read must degrade to an empty grid (zero rows)
+    instead of raising AnalysisException, and the join-size estimate
+    over one-or-both missing sides must read 0, not NULL."""
+    from e_commerce_data_engineering_spark.streaming.pipeline import (
+        read_cms_pair_state,
+        read_join_size_estimate,
+    )
+
+    state = str(tmp_path / "cms-state-empty")
+    # both sides missing entirely
+    assert read_cms_pair_state(spark, state, "a").count() == 0
+    est = read_join_size_estimate(spark, state).collect()[0]
+    assert est["n_a"] == 0 and est["n_b"] == 0
+    assert est["est_join_size"] == 0
+
+    # one side present, the other never drained: estimate is 0 (the
+    # estimator's dot product over a missing grid), not NULL
+    from e_commerce_data_engineering_spark.operators.sketch import (
+        cms_build_portable,
+    )
+
+    side_a = spark.createDataFrame([("u1",), ("u2",)], ["k"])
+    cms_build_portable(side_a, "k", 4, 32).write.mode("overwrite").parquet(
+        f"{state}/side=a/batch_id=0"
+    )
+    est2 = read_join_size_estimate(spark, state).collect()[0]
+    assert est2["n_a"] == 2 and est2["n_b"] == 0
+    assert est2["est_join_size"] == 0
+    assert est2["build_side"] == "b"
+
+
 def test_stream_stream_full_outer_join_emits_nulls_both_sides(spark, tmp_path):
     """FULL OUTER stream-stream: the matched pair emits joined; the
     unmatched purchase null-extends on the click side AND the
