@@ -433,3 +433,47 @@ def snapshot_upsert(
         .drop("_rn", "_src")
     )
     return snapshot_commit(spark, latest, table_dir)
+
+
+def snapshot_vacuum(
+    spark: SparkSession, table_dir: str, keep_last: int = 1
+) -> list[int]:
+    """Retention job for the snapshot kernel: physically delete all but
+    the newest ``keep_last`` committed versions (data dir first, marker
+    LAST — a crash mid-vacuum leaves a marker whose data is partially
+    gone, and deleting the marker first would make the version an
+    invisible orphan that no later vacuum can find; marker-last means a
+    re-run simply resumes). The latest version is NEVER deleted
+    (``keep_last`` floors at 1), so concurrent readers of the current
+    snapshot are unaffected; readers time-traveling into vacuumed
+    versions lose them — exactly Delta/Iceberg VACUUM / expire_snapshots
+    semantics, where the retention window is the time-travel horizon.
+    Orphan (uncommitted) ``v=N`` dirs older than the oldest KEPT
+    committed version are swept too (they are crash debris no reader
+    can see). Returns the vacuumed version numbers."""
+    if keep_last < 1:
+        keep_last = 1
+    fs, jPath = _fs(spark, table_dir)
+    versions = _committed_versions(spark, table_dir)
+    if len(versions) <= keep_last:
+        victims: list[int] = []
+    else:
+        victims = versions[:-keep_last]
+    for v in victims:
+        vp = jPath(f"{table_dir}/v={v}")
+        if fs.exists(vp):
+            fs.delete(vp, True)
+        fs.delete(jPath(f"{table_dir}/{_LATEST}.{v}"), False)
+    # sweep crash-orphan dirs below the oldest kept committed version:
+    # invisible to every reader, unreachable by any future commit claim
+    kept = set(versions[-keep_last:]) if versions else set()
+    floor = min(kept) if kept else 0
+    root = jPath(table_dir)
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("v=") and name[2:].isdigit():
+                n = int(name[2:])
+                if n < floor and n not in kept:
+                    fs.delete(st.getPath(), True)
+    return victims
