@@ -6,6 +6,7 @@ plan properties that correctness tests can't see."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from e_commerce_data_engineering_spark.plans.registry import all_queries
 
@@ -1399,3 +1400,88 @@ def test_q119_kernel_is_band_equi_join(spark):
     plan = plan_of(spark, "q119_ses_forecast")
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_cms_steered_join_flips_physical_plan(spark):
+    """VERDICT r10 #4: the CMS-derived cardinality must STEER the
+    physical plan, not just report a string. With the planner's own
+    auto-broadcast disabled (no table statistics — the statistics-free
+    ingest scenario the sketch exists for), cms_steered_join plans
+    BroadcastHashJoin when the sketch-recovered build count fits the
+    threshold and SortMergeJoin when it doesn't; the threshold is the
+    only thing that changes between the two plans."""
+    from e_commerce_data_engineering_spark.operators.sketch import (
+        cms_steered_join,
+    )
+    from e_commerce_data_engineering_spark.sources.tables import load_table
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        nation = load_table(spark, SF, "nation").select("n_nationkey", "n_name")
+        cust = load_table(spark, SF, "customer").select(
+            "c_custkey", F.col("c_nationkey").alias("n_nationkey")
+        )
+        n_build = nation.count()  # 25
+
+        bcast = cms_steered_join(
+            cust, nation, "n_nationkey", threshold_bytes=n_build * 128
+        )
+        p1 = bcast._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in p1, p1
+
+        shuf = cms_steered_join(
+            cust, nation, "n_nationkey", threshold_bytes=n_build * 128 - 1
+        )
+        p2 = shuf._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in p2 and "BroadcastHashJoin" not in p2, p2
+
+        # both strategies compute the same join
+        assert bcast.count() == shuf.count() == cust.count()
+
+        # pre-built grid path (the streaming-state shape): decision
+        # comes from the handed-in sketch, build is never re-scanned
+        from e_commerce_data_engineering_spark.operators.sketch import (
+            cms_build_portable,
+        )
+
+        grid = cms_build_portable(
+            nation.select(F.col("n_nationkey").cast("string").alias("k")),
+            "k", 4, 64,
+        )
+        pre = cms_steered_join(
+            cust, nation, "n_nationkey", grid=grid,
+            threshold_bytes=n_build * 128,
+        )
+        assert "BroadcastHashJoin" in pre._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_round11_batch_shapes(spark):
+    """Round-11 batch: q125 is a single orders scan with a 10-group
+    aggregate (no window, no join on the fact grain); e48's Ljung-Box
+    has NO window anywhere (lag alignment is the gap-safe day-index
+    equi-join); m15's pixel fan-out is a narrow Arrow map (no window,
+    no cartesian); s33 broadcasts the tiny query/tau/block-index frames
+    and never goes cartesian beyond the deliberate broadcast probe."""
+    p = plan_of(spark, "q125_benford_second_digit")
+    assert p.count("Location: InMemoryFileIndex") <= 2, p  # orders scanned for digits + total
+    assert "Window" not in p and "CartesianProduct" not in p, p
+
+    p = plan_of(spark, "e48_ljung_box")
+    assert "Window" not in p and "CartesianProduct" not in p, p
+
+    p = plan_of(spark, "m15_image_entropy")
+    assert "Window" not in p and "CartesianProduct" not in p, p
+    assert "MapInPandas" in p or "mapInPandas" in p, p
+
+    p = plan_of(spark, "s33_norm_pruned_topk")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+    p = plan_of(spark, "x22_cms_steered_join_audit")
+    assert "CartesianProduct" not in p, p

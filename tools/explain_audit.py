@@ -173,6 +173,12 @@ AUDIT = [
     ("t76_lang_bigram_distance", "alphabet^2-bounded count table; shared-bigram inner join; 10-pair rollup"),
     ("q124_xbar_control_chart", "daily rollup; week-grid subgroups; broadcast 1-row limit frame; 1 row out"),
     ("x21_theta_intersection", "K-row union sketches per type pair; flagged-fraction estimator; exact audit beside"),
+    # round-11 additions
+    ("x22_cms_steered_join_audit", "sketch-steered joins: CMS count picks broadcast vs shuffle at plan-build time"),
+    ("m15_image_entropy", "decode-only Arrow map; (asset, <=256 bin) histogram shuffle; quantized entropy fold"),
+    ("q125_benford_second_digit", "exact-cents digit projection; one 10-group aggregate; shared-literal expectations"),
+    ("e48_ljung_box", "gap-safe lag equi-join on the daily frame; exact int64 centered moments; no window"),
+    ("s33_norm_pruned_topk", "max-norm block index prunes whole blocks; exact dots only on survivors; TakeOrdered-free windows"),
 ]
 
 
@@ -201,6 +207,51 @@ def main() -> None:
                 break
         out += [f"## {name}", "", f"_{why} ({QUERIES[name].doc[:120]}...)_", "", "```"]
         out += lines[:cut] + ["… (details truncated; run the tool for the full dump)", "```", ""]
+
+    # cms_steered_join (operators/sketch.py): BOTH physical shapes under a
+    # statistics-free planner (auto-broadcast off — the scenario the sketch
+    # decision exists for). Evidence behind
+    # tests/test_plan_shapes.py::test_cms_steered_join_flips_physical_plan.
+    from pyspark.sql import functions as F  # noqa: E402
+
+    from e_commerce_data_engineering_spark.operators.sketch import (  # noqa: E402
+        cms_steered_join,
+    )
+    from e_commerce_data_engineering_spark.sources.tables import load_table  # noqa: E402
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    nation = load_table(spark, SF, "nation").select("n_nationkey", "n_name")
+    cust = load_table(spark, SF, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("n_nationkey")
+    )
+    n_build = nation.count()
+    for label, thresh in (
+        ("broadcast (sketch count fits threshold)", n_build * 128),
+        ("shuffle (sketch count over threshold)", n_build * 128 - 1),
+    ):
+        df = cms_steered_join(cust, nation, "n_nationkey", threshold_bytes=thresh)
+        plan = df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        lines = plan.splitlines()
+        cut = len(lines)
+        for i, l in enumerate(lines):
+            if i > 0 and l.startswith("(") and int(l.split(")")[0][1:] or 0) > 8:
+                cut = i
+                break
+        out += [
+            f"## cms_steered_join — {label}",
+            "",
+            "_CMS-recovered build-side count picks the join strategy at plan-build"
+            " time; auto-broadcast disabled so the sketch decision is the ONLY"
+            " thing steering the plan (VERDICT r10 #4)._",
+            "",
+            "```",
+        ]
+        out += lines[:cut] + ["… (details truncated; run the tool for the full dump)", "```", ""]
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.enabled")
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "EXPLAINS.md"), "w") as f:
         f.write("\n".join(out))
     print(f"wrote EXPLAINS.md ({len(AUDIT)} plans)")
