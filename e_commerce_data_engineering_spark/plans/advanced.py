@@ -2142,7 +2142,7 @@ def a04_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the three pair stages are embedded as subqueries so the oracle replays
 # the IDENTICAL pipelines the individual queries already hash-check
-from . import text as _text_mod  # registers d20 before the lookup below
+from . import text_stats as _text_mod  # registers d20 before the lookup below
 from .registry import QUERIES as _REG
 
 _D21_M_SQL = _REG["d09_portable_minhash_pairs"].oracle
@@ -2190,7 +2190,7 @@ _D21_W_SQL = _REG["d20_winnowing_pairs"].oracle
     "emits <= 7 rows.",
 )
 def d21_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .text import d20_winnowing_pairs as _d20
+    from .text_stats import d20_winnowing_pairs as _d20
 
     m = d09_portable_minhash_pairs(spark, sf_dir).select(
         "id_a", "id_b", F.lit(1).alias("m"), F.lit(0).alias("s"), F.lit(0).alias("w")
@@ -2776,3 +2776,105 @@ _D23_DOC = (
 )
 
 query("d23_weighted_dedup_agreement", oracle=_d23_oracle(), doc=_D23_DOC)(_d23_impl)
+
+
+# ---------------------------------------------------------------------------
+# m15 — per-image luma-histogram entropy from real decode (round 11):
+# the blank/flat/low-information screen, hash-checked through the
+# generator's closed-form pixels (the m07/m11/m12 oracle pattern)
+# ---------------------------------------------------------------------------
+
+_M15_Q = 1_000_000_000.0  # 1e-9 quantization of -p·ln p terms (t51 pattern)
+_M15_LUMA = (
+    "299 * ((x * 7 + y * 13 + seed) % 256)"
+    " + 587 * ((x * 31 + seed) % 256)"
+    " + 114 * ((y * 17) % 256)"
+)
+
+
+@query(
+    "m15_image_entropy",
+    oracle=f"""
+    WITH imgs AS (
+        SELECT i AS asset_id,
+               4 + i % 13 AS w, 3 + i % 9 AS h, 42 + i AS seed
+        FROM (SELECT unnest(generate_series(0, 119)) AS i) t
+        WHERE i % 3 = 0 AND (i // 3) % 2 = 0
+    ),
+    px AS (
+        SELECT asset_id, ({_M15_LUMA}) // 1000 AS bin
+        FROM imgs,
+             (SELECT unnest(generate_series(0, 15)) AS x) xs,
+             (SELECT unnest(generate_series(0, 10)) AS y) ys
+        WHERE x < w AND y < h
+    ),
+    c AS (
+        SELECT asset_id, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM px GROUP BY asset_id, bin
+    ),
+    t AS (
+        SELECT asset_id, CAST(SUM(cnt) AS BIGINT) AS n_pixels,
+               CAST(COUNT(*) AS BIGINT) AS n_bins
+        FROM c GROUP BY asset_id
+    ),
+    q AS (
+        SELECT c.asset_id,
+               CAST(SUM(CAST(FLOOR(
+                   -(CAST(cnt AS DOUBLE) / n_pixels)
+                   * ln(CAST(cnt AS DOUBLE) / n_pixels) * {_M15_Q} + 0.5
+               ) AS BIGINT)) AS BIGINT) AS qh
+        FROM c JOIN t ON c.asset_id = t.asset_id
+        GROUP BY c.asset_id
+    )
+    SELECT t.asset_id, n_pixels, n_bins,
+           {sql_fround(f"CAST(qh AS DOUBLE) / {_M15_Q}", 6)} AS entropy_nats
+    FROM t JOIN q ON t.asset_id = q.asset_id
+    """,
+    doc="Per-image Shannon entropy of the 256-bin integer-luma "
+    "histogram from REAL pixel decode: every PNG asset's bytes go "
+    "through the stdlib inflate+unfilter decoder inside an Arrow "
+    "mapInPandas map that emits ONE (asset_id, 1000x-luma) row per "
+    "pixel (operators/multimodal.png_pixel_lumas) — the Python stays "
+    "decode-only; binning, counting and the entropy fold are all "
+    "JVM-side aggregates. This is the blank-frame / flat-texture / "
+    "low-information screen an image curation pipeline runs before "
+    "spending encoder-embedding compute (near-zero entropy = solid "
+    "fills and test cards; the multimodal twin of t06's text quality "
+    "score). Hash-checked end-to-end through the generator's "
+    "closed-form pixels (the m07/m11/m12 pattern): the oracle replays "
+    "R=(7x+13y+s)%256, G=(31x+s)%256, B=17y%256 per pixel, so a "
+    "single mis-decoded byte anywhere in the zlib/filter chain flips "
+    "the hash. Every -p·ln p term is quantized to a 1e-9 BIGINT "
+    "before the per-asset sum (t51 discipline: addition order cannot "
+    "flip the hash; p is an exact integer ratio). Scale: pixel "
+    "fan-out is a narrow map bounded by image area; the histogram "
+    "shuffle is (asset, <=256 bins) grain.",
+)
+def m15_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import make_real_assets, png_pixel_lumas
+
+    assets = make_real_assets(spark, 120)
+    px = png_pixel_lumas(assets).select(
+        "asset_id", F.expr("luma_x1000 div 1000").alias("bin")
+    )
+    c = px.groupBy("asset_id", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    t = c.groupBy("asset_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_pixels"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+    )
+    p = F.col("cnt").cast("double") / F.col("n_pixels")
+    q_term = F.floor(-p * F.log(p) * _M15_Q + 0.5).cast("bigint")
+    q = (
+        c.join(t.select("asset_id", "n_pixels"), "asset_id")
+        .select("asset_id", q_term.alias("qt"))
+        .groupBy("asset_id")
+        .agg(F.sum("qt").cast("bigint").alias("qh"))
+    )
+    return t.join(q, "asset_id").select(
+        "asset_id",
+        "n_pixels",
+        "n_bins",
+        fround(F.col("qh").cast("double") / _M15_Q, 6).alias("entropy_nats"),
+    )

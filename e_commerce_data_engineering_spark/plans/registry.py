@@ -55,12 +55,14 @@ def _load_all_modules() -> None:
     from . import reference  # noqa: F401
     from . import events  # noqa: F401
     from . import text  # noqa: F401
+    from . import text_stats  # noqa: F401
     from . import similarity  # noqa: F401
     from . import advanced  # noqa: F401
     from . import scalar_batteries  # noqa: F401
     from . import extended  # noqa: F401
     from . import graph_sketch  # noqa: F401
     from . import tpch_extra  # noqa: F401
+    from . import tpch_stats  # noqa: F401
 
 
 # Iteration order of all_queries()/all_oracles() is a FIXED, COMMITTED
@@ -97,6 +99,11 @@ _PRIORITY: tuple[str, ...] = (
     # rotate BEFORE adding — check CORRECTNESS_r11 and move recorded
     # names below (youngest first).
     # (round-11 additions land here)
+    "x22_cms_steered_join_audit",
+    "m15_image_entropy",
+    "q125_benford_second_digit",
+    "e48_ljung_box",
+    "s33_norm_pruned_topk",
     # plan-changed this round (VERDICT r10 #1): re-record officially
     "s26_abtt_retrieval_shift",
     "d21_dedup_consensus",

@@ -12,7 +12,7 @@ import math
 
 import pytest
 
-from e_commerce_data_engineering_spark.plans.tpch_extra import (
+from e_commerce_data_engineering_spark.plans.tpch_stats import (
     q100_kendall_tau,
     q101_pettitt_changepoint,
 )
@@ -89,7 +89,7 @@ def test_q116_rho_perfect_monotone(spark, stat_sf_dir):
     in the midrank identity or the moment formula cannot survive this
     pin (the q100 lesson: both engines shared the bug, so only a
     closed-form pin catches it)."""
-    from e_commerce_data_engineering_spark.plans.tpch_extra import (
+    from e_commerce_data_engineering_spark.plans.tpch_stats import (
         q116_spearman_rho,
     )
 
