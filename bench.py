@@ -236,6 +236,12 @@ HEADLINE = [
     "t76_lang_bigram_distance",
     "q124_xbar_control_chart",
     "x21_theta_intersection",
+    # round-11 additions
+    "x22_cms_steered_join_audit",
+    "m15_image_entropy",
+    "q125_benford_second_digit",
+    "e48_ljung_box",
+    "s33_norm_pruned_topk",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

@@ -1152,3 +1152,58 @@ def image_phash(assets: DataFrame) -> DataFrame:
 
     imgs = assets.filter(F.col("modality") == "image")
     return imgs.mapInPandas(_phash_batch, PHASH_SCHEMA)
+
+
+PIXEL_LUMA_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("luma_x1000", T.LongType(), False),
+    ]
+)
+
+
+def png_pixel_lumas(assets: DataFrame) -> DataFrame:
+    """Per-PIXEL integer luma rows from REAL PNG decode: every PNG
+    asset's bytes go through ``png_decode`` (zlib inflate + full filter
+    reconstruction) inside Arrow ``mapInPandas`` batches, emitting one
+    (asset_id, luma_x1000) row per pixel with luma_x1000 = 299R + 587G
+    + 114B — the ITU-R BT.601 weights kept as EXACT integers (x1000)
+    so every downstream statistic (histogram bins, entropy terms) is
+    engine-reproducible against the generator's closed-form pixels.
+    JPEG assets are skipped (lossy decode is codec-exact but not
+    generator-reproducible — the m07/image_ahash rule).
+
+    Scale shape: shuffle-free narrow map; the pixel fan-out is bounded
+    by image area, and everything after it (histogram groupBy, entropy
+    fold) stays JVM-side — the Python stays decode-only."""
+
+    def _luma_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = []
+            lumas = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(content)
+                if b[:8] != b"\x89PNG\r\n\x1a\n":
+                    continue
+                px = png_decode(b).astype(np.int64)
+                lu = (
+                    299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+                ).ravel()
+                ids.append(np.full(lu.size, int(asset_id), dtype=np.int64))
+                lumas.append(lu)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "asset_id": np.concatenate(ids),
+                        "luma_x1000": np.concatenate(lumas),
+                    }
+                )
+            else:
+                yield pd.DataFrame({"asset_id": [], "luma_x1000": []}).astype(
+                    {"asset_id": "int64", "luma_x1000": "int64"}
+                )
+
+    pngs = assets.filter(F.col("modality") == "image").select("asset_id", "content")
+    return pngs.mapInPandas(_luma_batch, PIXEL_LUMA_SCHEMA)

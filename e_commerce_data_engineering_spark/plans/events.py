@@ -3504,3 +3504,156 @@ def e47_intersession_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("n_gaps").cast("double") / F.col("n"), 6).alias("obs_share"),
         fround(model, 6).alias("model_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e48 — Ljung–Box portmanteau whiteness test (round 11): e34's ACF
+# battery folded into the single is-this-series-white verdict
+# ---------------------------------------------------------------------------
+
+_E48_MAX_LAG = 7  # weekly horizon, matching e34
+_E48_Q = 1_000_000_000.0  # 1e-9 quantization of per-lag Q terms
+# chi-square 0.95 critical value at df=7 — SHARED plan literal
+_E48_CRIT = "14.067140449340169"
+
+
+@query(
+    "e48_ljung_box",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS didx,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS s
+        FROM daily GROUP BY 1
+    ),
+    den AS (
+        SELECT d.event_type,
+               CAST(SUM((t.n * d.c - t.s) * (t.n * d.c - t.s)) AS BIGINT) AS dd
+        FROM daily d JOIN tot t ON d.event_type = t.event_type
+        GROUP BY 1
+    ),
+    lagged AS (
+        SELECT d.event_type, l.lag, d.didx + l.lag AS key, d.c AS x
+        FROM daily d,
+             (SELECT unnest(generate_series(1, {_E48_MAX_LAG})) AS lag) l
+    ),
+    num AS (
+        SELECT a.event_type, a.lag,
+               CAST(SUM((t.n * a.x - t.s) * (t.n * b.c - t.s)) AS BIGINT) AS nn
+        FROM lagged a
+        JOIN daily b ON b.event_type = a.event_type AND b.didx = a.key
+        JOIN tot t ON t.event_type = a.event_type
+        GROUP BY 1, 2
+    ),
+    terms AS (
+        SELECT n.event_type,
+               CAST(SUM(CAST(FLOOR(
+                   CAST(t.n AS DOUBLE) * (t.n + 2)
+                   * POWER(CAST(nn AS DOUBLE) / dd, 2) / (t.n - n.lag)
+                   * {_E48_Q} + 0.5
+               ) AS BIGINT)) AS BIGINT) AS qq,
+               CAST(COUNT(*) AS BIGINT) AS n_lags
+        FROM num n
+        JOIN tot t ON t.event_type = n.event_type
+        JOIN den d ON d.event_type = n.event_type
+        GROUP BY 1
+    )
+    SELECT t.event_type, t.n AS n_days, terms.n_lags,
+           {sql_fround(f"CAST(qq AS DOUBLE) / {_E48_Q}", 6)} AS lb_q,
+           CAST(qq AS DOUBLE) / {_E48_Q} > {_E48_CRIT} AS reject_white
+    FROM terms JOIN tot t ON t.event_type = terms.event_type
+    """,
+    doc=f"Ljung–Box portmanteau test (1978) of the daily event-count "
+    f"series per event type, lags 1..{_E48_MAX_LAG}: Q = n(n+2) * sum "
+    "rho_k^2/(n-k) against the chi-square 0.95 critical value at df="
+    f"{_E48_MAX_LAG} — e34 reports the per-lag ACF dial, this folds "
+    "it into the single is-there-ANY-autocorrelation verdict a "
+    "forecasting pipeline gates on before trusting residuals (white "
+    "noise -> q79/q119's models have extracted all structure; reject "
+    "-> a rhythm remains to model). Rho uses the standard "
+    "fixed-mean ACF: numerator and denominator are EXACT int64 "
+    "moments of (n*c - S) — the n^2-scaled centered counts, so no "
+    "mean double enters any sum — and lag alignment is e34's "
+    "gap-safe day-index equi-join. Each lag's Q term is quantized to "
+    "a 1e-9 BIGINT before the per-type sum (t51 discipline), and the "
+    "critical value is a shared plan literal. Scale: one (type, day) "
+    f"rollup, a {_E48_MAX_LAG}-fold explode of that daily frame, one "
+    "co-partitioned self-join, two type-grain rollups — no window.",
+)
+def e48_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "didx"
+        ),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+    )
+    cen = F.col("n") * F.col("c") - F.col("s")
+    den = (
+        daily.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(F.sum(cen * cen).cast("bigint").alias("dd"))
+    )
+    lags = spark.range(1, _E48_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    lagged = daily.crossJoin(F.broadcast(lags)).select(
+        "event_type",
+        "lag",
+        (F.col("didx") + F.col("lag")).alias("key"),
+        F.col("c").alias("x"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("_et2"),
+        F.col("didx").alias("_didx2"),
+        F.col("c").alias("y"),
+    )
+    num = (
+        lagged.join(
+            b, (lagged["event_type"] == b["_et2"]) & (lagged["key"] == b["_didx2"])
+        )
+        .join(tot, "event_type")
+        .groupBy("event_type", "lag")
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("x") - F.col("s"))
+                * (F.col("n") * F.col("y") - F.col("s"))
+            )
+            .cast("bigint")
+            .alias("nn")
+        )
+    )
+    dn = F.col("n").cast("double")
+    q_term = F.floor(
+        dn
+        * (F.col("n") + 2)
+        * F.pow(F.col("nn").cast("double") / F.col("dd"), F.lit(2.0))
+        / (F.col("n") - F.col("lag"))
+        * _E48_Q
+        + 0.5
+    ).cast("bigint")
+    terms = (
+        num.join(tot, "event_type")
+        .join(den, "event_type")
+        .select("event_type", q_term.alias("qt"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("qt").cast("bigint").alias("qq"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lags"),
+        )
+    )
+    lb = F.col("qq").cast("double") / _E48_Q
+    return terms.join(tot, "event_type").select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "n_lags",
+        fround(lb, 6).alias("lb_q"),
+        (lb > float(_E48_CRIT)).alias("reject_white"),
+    )

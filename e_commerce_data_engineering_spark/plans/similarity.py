@@ -3490,3 +3490,155 @@ _S32_DOC = (
 )
 
 query("s32_lexical_rbo", oracle=_sql_s32(), doc=_S32_DOC)(_s32_impl)
+
+
+# ---------------------------------------------------------------------------
+# s33 — EXACT inner-product top-k with Cauchy–Schwarz block pruning
+# (round 11): the provable-skip MIPS scan — ANN-grade cost, exact-grade
+# guarantee
+# ---------------------------------------------------------------------------
+
+_S33_BLOCK = 8  # vectors per pruning block (vec_id div 8)
+
+
+@query(
+    "s33_norm_pruned_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, embedding, {_SQL_NORM_E} AS nrm,
+               vec_id // {_S33_BLOCK} AS blk
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_n
+        FROM v WHERE vec_id < {N_QUERY_VECS}
+    ),
+    probe AS (
+        SELECT q_id, c_id, ip,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ip DESC, c_id) AS rn
+        FROM (
+            SELECT q.q_id, c.vec_id AS c_id,
+                   {_SQL_DOT_QC.replace("c_emb", "c.embedding")} AS ip
+            FROM q CROSS JOIN v c
+            WHERE c.blk = 0 AND c.vec_id <> q.q_id
+        )
+    ),
+    tau AS (SELECT q_id, ip AS t FROM probe WHERE rn = {TOP_K}),
+    bmax AS (SELECT blk, MAX(nrm) AS bn FROM v GROUP BY blk),
+    kept AS (
+        SELECT q.q_id, bmax.blk
+        FROM q JOIN tau ON tau.q_id = q.q_id
+        CROSS JOIN bmax
+        WHERE q.q_n * bmax.bn >= tau.t
+    ),
+    kc AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS blocks_kept FROM kept GROUP BY q_id),
+    bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS blocks_total FROM bmax),
+    scanned AS (
+        SELECT k.q_id, c.vec_id AS c_id,
+               {_SQL_DOT_QC.replace("c_emb", "c.embedding")} AS ip
+        FROM kept k
+        JOIN v c ON c.blk = k.blk
+        JOIN q ON q.q_id = k.q_id
+        WHERE c.vec_id <> k.q_id
+    ),
+    ranked AS (
+        SELECT q_id, c_id, ip,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ip DESC, c_id) AS rn
+        FROM scanned
+    )
+    SELECT r.q_id, r.c_id, CAST(r.rn AS INTEGER) AS rn,
+           {sql_fround("r.ip", 6)} AS ip,
+           kc.blocks_kept, bt.blocks_total
+    FROM ranked r JOIN kc ON kc.q_id = r.q_id CROSS JOIN bt
+    WHERE r.rn <= {TOP_K}
+    """,
+    doc="EXACT maximum-inner-product top-k with Cauchy–Schwarz block "
+    "pruning — the provable middle path between s02's full scan and "
+    "the recall-probabilistic ANN family: a per-block max-norm index "
+    f"(blocks of {_S33_BLOCK} by vec_id) plus a lower bound tau_q "
+    f"(the {TOP_K}-th best exact score inside block 0) lets every "
+    "block with |q| * max_norm(block) < tau_q be SKIPPED with zero "
+    "recall risk, because dot(q,c) <= |q||c| bounds every candidate "
+    "in it; block 0 is always kept (its own max-norm bound dominates "
+    "tau_q), so the guarantee is self-consistent and the output is "
+    "bit-identical to the unpruned scan. blocks_kept / blocks_total "
+    "per query is the audit dial: on this near-isotropic corpus norms "
+    "concentrate so pruning is modest, but on real embedding stores "
+    "norm spread is the first free win before IVF/PQ (Teflioudi & "
+    "Gemulla 2016 LEMP; Li et al. FEXIPRO). All scores and bounds are "
+    "left-fold double dots (the s02 shape), identical IEEE on both "
+    "engines; the strict < prune means a boundary tie keeps the "
+    "block on both sides. Scale: the max-norm index is one narrow "
+    "rollup of O(n/block) rows; a pruned block costs ONE comparison "
+    "instead of block_size dot products — at 100 TB the index rides "
+    "in the parquet footer stats of a vec-norm column and pruning "
+    "becomes partition skipping.",
+)
+def s33_norm_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        "embedding",
+        l2_norm(F.col("embedding")).alias("nrm"),
+        F.expr(f"vec_id div {_S33_BLOCK}").alias("blk"),
+    )
+    q = v.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_n"),
+    )
+    c0 = v.filter(F.col("blk") == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    ipx = dot(F.col("q_emb"), F.col("c_emb"))
+    probe = (
+        F.broadcast(q)
+        .crossJoin(c0)
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", ipx.alias("ip"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.col("ip").desc(), "c_id")
+            ),
+        )
+    )
+    tau = probe.filter(F.col("rn") == TOP_K).select("q_id", F.col("ip").alias("t"))
+    bmax = v.groupBy("blk").agg(F.max("nrm").alias("bn"))
+    kept = (
+        F.broadcast(q.select("q_id", "q_n"))
+        .join(F.broadcast(tau), "q_id")
+        .crossJoin(F.broadcast(bmax))
+        .filter(F.col("q_n") * F.col("bn") >= F.col("t"))
+        .select("q_id", "blk")
+    )
+    kc = kept.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("blocks_kept")
+    )
+    bt = bmax.agg(F.count(F.lit(1)).cast("bigint").alias("blocks_total"))
+    cand = v.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "blk")
+    scanned = (
+        F.broadcast(kept)
+        .join(cand, "blk")
+        .join(F.broadcast(q), "q_id")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", ipx.alias("ip"))
+    )
+    ranked = scanned.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("q_id").orderBy(F.col("ip").desc(), "c_id")
+        ),
+    ).filter(F.col("rn") <= TOP_K)
+    return (
+        ranked.join(F.broadcast(kc), "q_id")
+        .crossJoin(F.broadcast(bt))
+        .select(
+            "q_id",
+            "c_id",
+            "rn",
+            fround(F.col("ip"), 6).alias("ip"),
+            "blocks_kept",
+            "blocks_total",
+        )
+    )
