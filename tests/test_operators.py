@@ -1512,3 +1512,55 @@ def test_video_frame_phash_matches_direct_decode(spark):
         for (_, a), (_, b) in zip(frames, frames[1:]):
             d = sum(x != y for x, y in zip(a, b))
             assert d <= 4 or d >= M14_CUT_HAM, d
+
+
+def test_minhash_dedupe_greedy_matches_python_replica(spark):
+    """The greedy keep/drop DECISION of minhash_dedupe (doc removed iff
+    any LSH bucket it occupies contains a smaller id) differentially
+    checked against a transparent pure-Python replay of the same rule
+    over the operator's own (id, band, bucket) assignments — the
+    banding itself is covered by the d01/d09 recall + hash gates; this
+    pins the decision plan (groupBy min + join + filter) that has no
+    SQL oracle (d03 is rows-only)."""
+    from collections import defaultdict
+
+    from e_commerce_data_engineering_spark.operators.dedup import (
+        _shingle_frame,
+        _signature_frame,
+        minhash_dedupe,
+    )
+
+    docs = _docs_with_dupes(spark)
+    kept = {r["doc_id"] for r in minhash_dedupe(docs, "doc_id", "text").collect()}
+
+    # replay: same signatures -> same banding as the operator (16 bands
+    # of 4 rows over 64 perms), greedy min-id rule in plain Python
+    num_hashes, bands = 64, 16
+    r_ = num_hashes // bands
+    sig = _signature_frame(_shingle_frame(docs, "doc_id", "text", 3), num_hashes)
+    from pyspark.sql import functions as F
+
+    banded = sig.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(b, F.slice(F.col("_sig"), b * r_ + 1, r_)),
+            )
+        ).alias("_band", "_bucket"),
+    ).collect()
+    bucket_members = defaultdict(set)
+    doc_buckets = defaultdict(set)
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    for row in banded:
+        bucket_members[(row["_band"], row["_bucket"])].add(row["_id"])
+        doc_buckets[row["_id"]].add((row["_band"], row["_bucket"]))
+    expect = {
+        i
+        for i in all_ids
+        if all(min(bucket_members[b]) >= i for b in doc_buckets[i])
+    }
+    assert kept == expect
+    # sanity: the planted exact copies (id+100000) must have been dropped
+    assert all(i + 100000 not in kept for i in range(10))
+    assert all(i in kept for i in range(10))
