@@ -122,6 +122,13 @@ OP_TABLES = {
     "winnowing_t63": {"documents"},
     "wasserstein_q105": {"orders"},
     "minhash_pairs_d09": {"documents_salted"},
+    # registry-direct ops (VERDICT r10 #5): these time the PRODUCTION
+    # plan builders against a replica root laid out like an sf dir
+    # ({root}/reg_sf/<table>.parquet), not an inline re-implementation
+    "abtt_s26": {"reg_embeddings"},
+    "spectral_s25": {"reg_embeddings"},
+    "cross_dup_d19": {"salted_sf"},
+    "cms_decision_x18": {"reg_relational"},
 }
 
 
@@ -168,6 +175,39 @@ def main() -> None:
         if "documents_salted" in needed:
             n_docsalt = replicate_salted_documents(spark, k, f"{root}/documents_salted")
             docs_salted = spark.read.parquet(f"{root}/documents_salted")
+
+        # registry-direct replica roots: laid out as sf dirs so the
+        # production plan builders run UNCHANGED against them
+        reg_sf = f"{root}/reg_sf"
+        salted_sf = f"{root}/salted_sf"
+        n_reg_em = n_reg_li = n_salt_docs = 0
+        if "reg_embeddings" in needed:
+            n_reg_em = replicate(
+                spark, "embeddings", k, f"{reg_sf}/embeddings.parquet", ["vec_id"]
+            )
+        if "salted_sf" in needed:
+            # SALTED text (disjoint fingerprint vocabularies per replica):
+            # d19's collision join sees K disjoint corpora -> pair space
+            # grows ~K, the cross-source-matrix scale path; exact clones
+            # would grow it K^2 (that worst case is greedy_lsh_dedupe's
+            # row, where pair enumeration is avoided entirely)
+            n_salt_docs = replicate_salted_documents(
+                spark, k, f"{salted_sf}/documents.parquet"
+            )
+        if "reg_relational" in needed:
+            # all six x18 tables with CONSISTENT key shifts so every
+            # dim->fact join keeps its K-replica structure
+            for tbl, keys in (
+                ("nation", ["n_nationkey"]),
+                ("supplier", ["s_suppkey", "s_nationkey"]),
+                ("customer", ["c_custkey", "c_nationkey"]),
+                ("part", ["p_partkey"]),
+                ("orders", ["o_orderkey", "o_custkey"]),
+                ("lineitem", ["l_orderkey", "l_suppkey", "l_partkey"]),
+            ):
+                n = replicate(spark, tbl, k, f"{reg_sf}/{tbl}.parquet", keys)
+                if tbl == "lineitem":
+                    n_reg_li = n
 
         # join + aggregate (the core relational path)
         def join_agg():
@@ -858,6 +898,37 @@ def main() -> None:
 
             return minhash_lsh_pairs_portable(docs_salted, "doc_id", "text").count()
 
+        # registry-direct ops: the committed production plans, timed
+        # against the replica sf roots (VERDICT r10 #5 - the ×256 scale
+        # curves for the remaining BENCH slowest-10 families)
+        def abtt_s26():
+            from e_commerce_data_engineering_spark.plans.similarity import (
+                s26_abtt_retrieval_shift,
+            )
+
+            return s26_abtt_retrieval_shift(spark, reg_sf).count()
+
+        def spectral_s25():
+            from e_commerce_data_engineering_spark.plans.similarity import (
+                s25_top_component,
+            )
+
+            return s25_top_component(spark, reg_sf).count()
+
+        def cross_dup_d19():
+            from e_commerce_data_engineering_spark.plans.advanced import (
+                d19_cross_source_dup_matrix,
+            )
+
+            return d19_cross_source_dup_matrix(spark, salted_sf).count()
+
+        def cms_decision_x18():
+            from e_commerce_data_engineering_spark.plans.graph_sketch import (
+                x18_cms_broadcast_decision,
+            )
+
+            return x18_cms_broadcast_decision(spark, reg_sf).count()
+
         op_max_scale = {"ppjoin_t09": 16, "dup_spans_t40": 16}
         for name, fn, rows_in in (
             ("join_agg", join_agg, n_li),
@@ -890,6 +961,10 @@ def main() -> None:
             ("winnowing_t63", winnowing_t63, n_doc),
             ("wasserstein_q105", wasserstein_q105, n_ord),
             ("minhash_pairs_d09", minhash_pairs_d09, n_docsalt),
+            ("abtt_s26", abtt_s26, n_reg_em),
+            ("spectral_s25", spectral_s25, n_reg_em),
+            ("cross_dup_d19", cross_dup_d19, n_salt_docs),
+            ("cms_decision_x18", cms_decision_x18, n_reg_li),
         ):
             if only_ops is not None and name not in only_ops:
                 continue
