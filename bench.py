@@ -242,6 +242,9 @@ HEADLINE = [
     "q125_benford_second_digit",
     "e48_ljung_box",
     "s33_norm_pruned_topk",
+    "g16_clustering_coefficient",
+    "q127_croston_forecast",
+    "e49_retention_decay",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

@@ -3657,3 +3657,149 @@ def e48_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(lb, 6).alias("lb_q"),
         (lb > float(_E48_CRIT)).alias("reject_white"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e49 — retention decay fit (round 11): e29's cohort triangle folded
+# into the one decay constant a growth model actually consumes
+# ---------------------------------------------------------------------------
+
+_E49_Q = 1_000_000_000.0  # 1e-9 quantization of ln(retention) terms
+_E49_LN2 = "0.6931471805599453"  # shared plan literal (t47 discipline)
+
+
+@query(
+    "e49_retention_decay",
+    oracle=f"""
+    WITH f AS (
+        SELECT user_id,
+               CAST(floor((epoch(MIN(ts)) - {_E29_ORIGIN}) / {_E29_WEEK}) AS BIGINT)
+                 AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    sz AS (
+        SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM f GROUP BY cohort_week
+    ),
+    a AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(floor((epoch(e.ts) - {_E29_ORIGIN}) / {_E29_WEEK}) AS BIGINT)
+                 AS active_week
+        FROM events e JOIN f ON e.user_id = f.user_id
+    ),
+    mx AS (SELECT MAX(active_week) AS max_week FROM a),
+    cell AS (
+        SELECT cohort_week, active_week - cohort_week AS w,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM a GROUP BY cohort_week, active_week
+    ),
+    pooled AS (
+        SELECT c.w,
+               CAST(SUM(c.n_active) AS BIGINT) AS act,
+               CAST(SUM(sz.cohort_size) AS BIGINT) AS base
+        FROM cell c
+        JOIN sz ON sz.cohort_week = c.cohort_week
+        CROSS JOIN mx
+        WHERE c.w >= 1 AND c.cohort_week + c.w <= mx.max_week
+        GROUP BY c.w
+    ),
+    pts AS (
+        SELECT w,
+               CAST(FLOOR(ln(CAST(act AS DOUBLE) / base) * {_E49_Q} + 0.5)
+                   AS BIGINT) AS qy
+        FROM pooled WHERE act > 0
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(w) AS BIGINT) AS sw,
+               CAST(SUM(w * w) AS BIGINT) AS sww,
+               CAST(SUM(qy) AS BIGINT) AS sy,
+               CAST(SUM(w * qy) AS BIGINT) AS swy
+        FROM pts
+    )
+    SELECT n AS n_offsets,
+           {sql_fround(
+               f"(CAST(n AS DOUBLE) * swy - CAST(sw AS DOUBLE) * sy)"
+               f" / (CAST(n AS DOUBLE) * sww - CAST(sw AS DOUBLE) * sw)"
+               f" / {_E49_Q}", 6)} AS slope,
+           {sql_fround(
+               f"(CAST(sy AS DOUBLE) / {_E49_Q}"
+               f" - (CAST(n AS DOUBLE) * swy - CAST(sw AS DOUBLE) * sy)"
+               f" / (CAST(n AS DOUBLE) * sww - CAST(sw AS DOUBLE) * sw)"
+               f" / {_E49_Q} * sw) / n", 6)} AS intercept,
+           CASE WHEN (CAST(n AS DOUBLE) * swy - CAST(sw AS DOUBLE) * sy) < 0
+                THEN {sql_fround(
+                    f"-{_E49_LN2} / ((CAST(n AS DOUBLE) * swy"
+                    f" - CAST(sw AS DOUBLE) * sy)"
+                    f" / (CAST(n AS DOUBLE) * sww - CAST(sw AS DOUBLE) * sw)"
+                    f" / {_E49_Q})", 6)}
+                END AS half_life_weeks
+    FROM m
+    """,
+    doc="Exponential retention-decay fit over e29's cohort triangle: "
+    "pooled retention per week offset (each offset pools ONLY the "
+    "cohorts old enough to have reached it — the right-censoring "
+    "guard that keeps young cohorts from faking a cliff), then an "
+    "exact-moment OLS of ln(retention) on offset — slope, intercept "
+    "and the half-life -ln2/slope a growth model plugs into LTV math "
+    "(q85's revenue curve is the spend side of this user-count "
+    "curve). Every ln term is quantized to a 1e-9 BIGINT before any "
+    "sum, all four OLS moments are exact int64, and the slope is one "
+    "identically-shaped double expression (the q81 OLS discipline) — "
+    "engine-identical before rounding; ln2 is a shared plan literal; "
+    "half-life is NULL unless the fitted slope is genuinely negative "
+    "(the CASE guards a growing 'retention'). Scale: one per-user "
+    "MIN reduce, one (user, week) distinct — both user-keyed "
+    "shuffles — then everything lives on the offset grid, which the "
+    "CALENDAR bounds.",
+)
+def e49_retention_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = lambda ts: F.floor((ts.cast("double") - _E29_ORIGIN) / _E29_WEEK).cast("bigint")  # noqa: E731
+    f = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    sz = f.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    a = (
+        ev.join(f, "user_id")
+        .select("user_id", "cohort_week", week(F.col("ts")).alias("active_week"))
+        .distinct()
+    )
+    mx = a.agg(F.max("active_week").alias("max_week"))
+    cell = a.groupBy(
+        "cohort_week", (F.col("active_week") - F.col("cohort_week")).alias("w")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    pooled = (
+        cell.join(sz, "cohort_week")
+        .crossJoin(F.broadcast(mx))
+        .filter((F.col("w") >= 1) & (F.col("cohort_week") + F.col("w") <= F.col("max_week")))
+        .groupBy("w")
+        .agg(
+            F.sum("n_active").cast("bigint").alias("act"),
+            F.sum("cohort_size").cast("bigint").alias("base"),
+        )
+    )
+    qy = F.floor(
+        F.log(F.col("act").cast("double") / F.col("base")) * _E49_Q + 0.5
+    ).cast("bigint")
+    pts = pooled.filter(F.col("act") > 0).select("w", qy.alias("qy"))
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("w").cast("bigint").alias("sw"),
+        F.sum(F.col("w") * F.col("w")).cast("bigint").alias("sww"),
+        F.sum("qy").cast("bigint").alias("sy"),
+        F.sum(F.col("w") * F.col("qy")).cast("bigint").alias("swy"),
+    )
+    dn = F.col("n").cast("double")
+    num = dn * F.col("swy") - F.col("sw").cast("double") * F.col("sy")
+    den = dn * F.col("sww") - F.col("sw").cast("double") * F.col("sw")
+    slope = num / den / _E49_Q
+    intercept = (F.col("sy").cast("double") / _E49_Q - slope * F.col("sw")) / dn
+    return m.select(
+        F.col("n").alias("n_offsets"),
+        fround(slope, 6).alias("slope"),
+        fround(intercept, 6).alias("intercept"),
+        F.when(num < 0, fround(-F.lit(float(_E49_LN2)) / slope, 6)).alias(
+            "half_life_weeks"
+        ),
+    )

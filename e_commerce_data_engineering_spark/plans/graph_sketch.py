@@ -3570,3 +3570,114 @@ def x22_cms_steered_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# g16 — local clustering coefficient by degree (round 11): the
+# curvature readout over g04's triangle machinery
+# ---------------------------------------------------------------------------
+
+_G16_Q = 1_000_000_000.0  # 1e-9 quantization of per-node cc terms
+
+
+@query(
+    "g16_clustering_coefficient",
+    oracle=f"""
+    WITH co AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity >= {G04_MIN_QTY}
+    ),
+    ed AS (
+        SELECT a.s AS u, b.s AS v
+        FROM co a JOIN co b ON a.c = b.c AND a.s < b.s
+        GROUP BY a.s, b.s HAVING COUNT(*) >= {G04_MIN_SHARED}
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM ed UNION ALL SELECT v AS node FROM ed)
+        GROUP BY node
+    ),
+    ori AS (
+        SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst
+        FROM ed e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ),
+    tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM ori e1 JOIN ori e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        JOIN ed e3 ON e3.u = e1.dst AND e3.v = e2.dst
+    ),
+    tcnt AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS t
+        FROM (SELECT a AS node FROM tri
+              UNION ALL SELECT b AS node FROM tri
+              UNION ALL SELECT c AS node FROM tri)
+        GROUP BY node
+    ),
+    cc AS (
+        SELECT deg.node, deg.d, COALESCE(tcnt.t, 0) AS t,
+               2.0 * COALESCE(tcnt.t, 0) / (deg.d * (deg.d - 1)) AS cc
+        FROM deg LEFT JOIN tcnt ON tcnt.node = deg.node
+        WHERE deg.d >= 2
+    )
+    SELECT d AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(t) AS BIGINT) AS sum_triangles,
+           {sql_fround(
+               f"CAST(SUM(CAST(FLOOR(cc * {_G16_Q} + 0.5) AS BIGINT)) AS DOUBLE)"
+               f" / COUNT(*) / {_G16_Q}", 6)} AS avg_cc
+    FROM cc GROUP BY d
+    """,
+    doc="Local clustering coefficient cc_v = 2*T_v / (d_v*(d_v-1)) over "
+    "the supplier co-purchase projection, rolled up by exact degree — "
+    "the graph-curvature readout (Watts & Strogatz 1998) that says "
+    "whether high-degree suppliers sit inside dense communities "
+    "(cc stays flat as d grows) or act as bridges between otherwise "
+    "separate customer pools (cc ~ 1/d, the hierarchical signature "
+    "Ravasz & Barabasi 2003 measured) — the decision input for "
+    "whether community detection (g08) will find anything. Reuses "
+    "g04's degree-oriented triangle machinery verbatim (operators/"
+    "graph.triangle_counts; wedge fanout bounded O(sqrt(m)) by "
+    "orientation); nodes with zero triangles enter at cc = 0 through "
+    "a left join, so the average is over ALL degree-eligible nodes, "
+    "not just triangle-bearing ones. Per-node cc terms are quantized "
+    "to 1e-9 BIGINTs before the per-degree mean (t51 discipline). "
+    "Scale: the projection + one wedge join (g04's measured x256 "
+    "shape) and two node-grain rollups; output is bounded by the "
+    "distinct-degree count.",
+)
+def g16_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_counts
+
+    edges = copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    t = triangle_counts(edges).select(
+        "node", F.col("n_triangles").cast("bigint").alias("t")
+    )
+    cc_nodes = (
+        deg.filter(F.col("d") >= 2)
+        .join(t, "node", "left")
+        .select(
+            "d",
+            F.coalesce(F.col("t"), F.lit(0)).alias("t"),
+            (
+                F.lit(2.0)
+                * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1))
+            ).alias("cc"),
+        )
+    )
+    q_term = F.floor(F.col("cc") * _G16_Q + 0.5).cast("bigint")
+    return cc_nodes.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum("t").cast("bigint").alias("sum_triangles"),
+        fround(
+            F.sum(q_term).cast("double") / F.count(F.lit(1)) / _G16_Q, 6
+        ).alias("avg_cc"),
+    )

@@ -104,6 +104,9 @@ _PRIORITY: tuple[str, ...] = (
     "q125_benford_second_digit",
     "e48_ljung_box",
     "s33_norm_pruned_topk",
+    "g16_clustering_coefficient",
+    "q127_croston_forecast",
+    "e49_retention_decay",
     # plan-changed this round (VERDICT r10 #1): re-record officially
     "s26_abtt_retrieval_shift",
     "d21_dedup_consensus",

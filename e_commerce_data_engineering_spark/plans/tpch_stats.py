@@ -3545,3 +3545,172 @@ def q125_benford_second_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_term"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q127 — Croston intermittent-demand forecast (round 11): q119's SES
+# kernel applied the way sparse demand actually requires — to sizes and
+# intervals separately (Croston 1972)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q127_croston_forecast",
+    oracle=f"""
+    WITH daily AS (
+        SELECT p.p_brand AS brand,
+               datediff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE))
+                   AS didx,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS z
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ),
+    occ AS (
+        SELECT brand, didx, z,
+               CAST(ROW_NUMBER() OVER (PARTITION BY brand ORDER BY didx)
+                   AS BIGINT) AS rn,
+               CAST(didx - LAG(didx) OVER (PARTITION BY brand ORDER BY didx)
+                   AS BIGINT) AS p
+        FROM daily WHERE z > 0
+    ),
+    kernel AS (
+        SELECT t.brand, t.rn, t.z, t.p,
+               CAST(SUM(s.z * ({_Q119_WQ_SQL})[CAST(t.rn - s.rn AS INTEGER)])
+                   AS BIGINT) AS fqz,
+               CAST(SUM(({_Q119_WQ_SQL})[CAST(t.rn - s.rn AS INTEGER)])
+                   AS BIGINT) AS wqz,
+               CAST(SUM(CASE WHEN s.p IS NOT NULL THEN s.p
+                   * ({_Q119_WQ_SQL})[CAST(t.rn - s.rn AS INTEGER)] END)
+                   AS BIGINT) AS fqp,
+               CAST(SUM(CASE WHEN s.p IS NOT NULL THEN
+                   ({_Q119_WQ_SQL})[CAST(t.rn - s.rn AS INTEGER)] END)
+                   AS BIGINT) AS wqp,
+               MAX(CASE WHEN s.rn = t.rn - 1 THEN s.z END) AS prev_z,
+               MAX(CASE WHEN s.rn = t.rn - 1 THEN s.p END) AS prev_p
+        FROM occ t JOIN occ s
+          ON s.brand = t.brand
+         AND t.rn - s.rn BETWEEN 1 AND {Q119_LAGS}
+        WHERE t.rn >= 3
+        GROUP BY t.brand, t.rn, t.z, t.p
+    ),
+    errs AS (
+        SELECT brand,
+               CAST(FLOOR(ABS(
+                   (CAST(fqz AS DOUBLE) / wqz) / (CAST(fqp AS DOUBLE) / wqp)
+                   - CAST(z AS DOUBLE) / p) * {_Q119_EQ} + 0.5) AS BIGINT)
+                   AS eq_croston,
+               CAST(FLOOR(ABS(
+                   CAST(prev_z AS DOUBLE) / prev_p
+                   - CAST(z AS DOUBLE) / p) * {_Q119_EQ} + 0.5) AS BIGINT)
+                   AS eq_naive
+        FROM kernel WHERE wqp IS NOT NULL AND prev_p IS NOT NULL
+    )
+    SELECT brand,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           {sql_fround(f"CAST(SUM(eq_croston) AS DOUBLE) / {_Q119_EQ} / COUNT(*)", 4)}
+               AS mae_croston,
+           {sql_fround(f"CAST(SUM(eq_naive) AS DOUBLE) / {_Q119_EQ} / COUNT(*)", 4)}
+               AS mae_naive,
+           {sql_fround("CAST(SUM(eq_croston) AS DOUBLE) / SUM(eq_naive)", 6)}
+               AS mae_ratio
+    FROM errs GROUP BY brand
+    """,
+    doc=f"Croston's method (1972) for intermittent demand, per brand: "
+    "SES smooths demand SIZES and inter-demand INTERVALS as two "
+    "separate series at demand-occurrence grain, and the demand-rate "
+    "forecast is their ratio — the estimator q122's intermittency "
+    "profile exists to justify (plain SES over a zero-inflated daily "
+    "series chases zeros; Croston's split is the standard fix "
+    "inventory systems ship). Both recursions unroll to q119's "
+    f"truncated geometric kernel (the SAME {Q119_LAGS} integer weight "
+    "literals injected into both engines, per-row renormalized by "
+    "used weights), so the sequential textbook loop becomes ONE "
+    "bounded band self-join over the occurrence grid carrying both "
+    "series — sizes always, intervals masked where undefined (the "
+    "first occurrence has no gap). Graded one-step-ahead against the "
+    "naive previous-rate forecaster; per-occurrence absolute errors "
+    "quantize to 1e-6 integers before the brand sum. Scale: the only "
+    "data-sized stage is the (brand, day) rollup; occurrences are a "
+    "filtered projection of it, the band join is grid x 32, and both "
+    "kernel sums ride one join — no second pass.",
+)
+def q127_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    daily = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li["l_partkey"] == p["p_partkey"],
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("didx"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("z"))
+    )
+    wb = W.partitionBy("brand").orderBy("didx")
+    occ = daily.filter(F.col("z") > 0).select(
+        "brand",
+        "z",
+        F.row_number().over(wb).cast("bigint").alias("rn"),
+        (F.col("didx") - F.lag("didx").over(wb)).cast("bigint").alias("p"),
+    )
+    t = occ.select("brand", "z", "rn", "p")
+    s = occ.select(
+        F.col("brand").alias("_b"),
+        F.col("z").alias("sz"),
+        F.col("rn").alias("srn"),
+        F.col("p").alias("sp"),
+    )
+    warr = F.array(*[F.lit(v) for v in Q119_WQS])
+    wgt = F.element_at(warr, (F.col("rn") - F.col("srn")).cast("int"))
+    kernel = (
+        t.filter(F.col("rn") >= 3)
+        .join(
+            s,
+            (t["brand"] == s["_b"])
+            & ((t["rn"] - s["srn"]) >= 1)
+            & ((t["rn"] - s["srn"]) <= Q119_LAGS),
+        )
+        .groupBy("brand", "rn", "z", "p")
+        .agg(
+            F.sum(F.col("sz") * wgt).cast("bigint").alias("fqz"),
+            F.sum(wgt).cast("bigint").alias("wqz"),
+            F.sum(F.when(F.col("sp").isNotNull(), F.col("sp") * wgt))
+            .cast("bigint")
+            .alias("fqp"),
+            F.sum(F.when(F.col("sp").isNotNull(), wgt))
+            .cast("bigint")
+            .alias("wqp"),
+            F.max(F.when(F.col("srn") == F.col("rn") - 1, F.col("sz"))).alias(
+                "prev_z"
+            ),
+            F.max(F.when(F.col("srn") == F.col("rn") - 1, F.col("sp"))).alias(
+                "prev_p"
+            ),
+        )
+    )
+    rate = (F.col("fqz").cast("double") / F.col("wqz")) / (
+        F.col("fqp").cast("double") / F.col("wqp")
+    )
+    actual = F.col("z").cast("double") / F.col("p")
+    naive = F.col("prev_z").cast("double") / F.col("prev_p")
+    errs = kernel.filter(
+        F.col("wqp").isNotNull() & F.col("prev_p").isNotNull()
+    ).select(
+        "brand",
+        F.floor(F.abs(rate - actual) * _Q119_EQ + 0.5).cast("bigint").alias("eq_c"),
+        F.floor(F.abs(naive - actual) * _Q119_EQ + 0.5).cast("bigint").alias("eq_n"),
+    )
+    return errs.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        fround(
+            F.sum("eq_c").cast("double") / _Q119_EQ / F.count(F.lit(1)), 4
+        ).alias("mae_croston"),
+        fround(
+            F.sum("eq_n").cast("double") / _Q119_EQ / F.count(F.lit(1)), 4
+        ).alias("mae_naive"),
+        fround(F.sum("eq_c").cast("double") / F.sum("eq_n"), 6).alias("mae_ratio"),
+    )

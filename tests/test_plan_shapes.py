@@ -1485,3 +1485,20 @@ def test_round11_batch_shapes(spark):
 
     p = plan_of(spark, "x22_cms_steered_join_audit")
     assert "CartesianProduct" not in p, p
+
+
+def test_round11_batch2_shapes(spark):
+    """Second round-11 batch: g16 reuses g04's oriented wedge join (no
+    cartesian, no window past the projection); q127's band self-join is
+    occurrence-grid-sized with one data-sized rollup; e49's fit is
+    windows-free past the (user, week) distinct and never cartesian
+    beyond the broadcast 1-row max-week frame."""
+    p = plan_of(spark, "g16_clustering_coefficient")
+    assert "CartesianProduct" not in p, p
+
+    p = plan_of(spark, "q127_croston_forecast")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p  # part dim broadcast
+
+    p = plan_of(spark, "e49_retention_decay")
+    assert "CartesianProduct" not in p, p

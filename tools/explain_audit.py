@@ -179,6 +179,9 @@ AUDIT = [
     ("q125_benford_second_digit", "exact-cents digit projection; one 10-group aggregate; shared-literal expectations"),
     ("e48_ljung_box", "gap-safe lag equi-join on the daily frame; exact int64 centered moments; no window"),
     ("s33_norm_pruned_topk", "max-norm block index prunes whole blocks; exact dots only on survivors; TakeOrdered-free windows"),
+    ("g16_clustering_coefficient", "g04's oriented wedge join reused; left-join zero-triangle nodes; degree-grain rollup"),
+    ("q127_croston_forecast", "occurrence-grid band join carries BOTH Croston series; one (brand,day) rollup is data-sized"),
+    ("e49_retention_decay", "censoring-guarded offset pooling; exact int64 OLS moments; 1-row fit"),
 ]
 
 
