@@ -2073,3 +2073,61 @@ def read_join_size_estimate(
             ).alias("strategy"),
         )
     )
+
+
+def start_snapshot_sink_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    version_col: str,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Streaming sink INTO the snapshot-table kernel (round 11): each
+    drained micro-batch MERGES through ``operators.layout.
+    snapshot_upsert``, publishing one new immutable version per epoch —
+    the streaming half of the lakehouse story. Readers keep snapshot
+    isolation DURING ingestion (a reader planned at version N still
+    reads N after epoch N+1 commits), every micro-batch is a
+    time-travel point (``snapshot_read(version)``), and
+    ``snapshot_vacuum`` bounds history by retention.
+
+    Exactly-once versioning via an EPOCH LEDGER: after a successful
+    commit the handler creates ``_epoch.<id>`` (one atomic empty-file
+    create, the same primitive as the version markers); a replayed
+    epoch — Structured Streaming re-runs the last batch when the
+    offset write raced a crash — finds its ledger entry and skips.
+    The ledger is written AFTER the commit, so the one crash window
+    (between commit and ledger) degrades to a duplicate VERSION whose
+    table STATE is identical — the keep-latest merge is content-
+    idempotent — i.e. at-least-once versions, exactly-once state,
+    never lost or doubled rows. This is `_delta_log`'s txn-id dedup
+    reduced to its kernel."""
+    from ..operators.layout import _fs, snapshot_upsert
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+    def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        fs, jPath = _fs(sess, table_dir)
+        ledger = jPath(f"{table_dir}/_epoch.{epoch_id}")
+        if fs.exists(ledger):
+            return  # replayed epoch: its version is already committed
+        snapshot_upsert(sess, table_dir, batch_df, key_col, version_col)
+        out = fs.create(ledger, True)
+        out.close()
+
+    return (
+        stream.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

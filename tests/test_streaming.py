@@ -2545,3 +2545,87 @@ def test_stream_stream_full_outer_join_emits_nulls_both_sides(spark, tmp_path):
     # side null); u3: impression that never converted (purchase side
     # null) — all three emitted exactly once
     assert rows == {(1, 20, 0), (2, 50, None), (3, None, 10)}, rows
+
+
+def test_snapshot_sink_stream_exactly_once_versions(spark, tmp_path):
+    """Streaming -> snapshot table: each drained micro-batch publishes
+    one immutable version (a time-travel point); a reader pinned at an
+    earlier version is isolated from later epochs; rerunning with the
+    SAME checkpoint drains nothing; and a full checkpoint WIPE (the
+    replay worst case) is absorbed by the epoch ledger — no duplicate
+    versions, table state unchanged."""
+    import json as _json
+
+    from e_commerce_data_engineering_spark.operators.layout import (
+        snapshot_history,
+        snapshot_read,
+    )
+    from e_commerce_data_engineering_spark.streaming.pipeline import (
+        start_snapshot_sink_stream,
+    )
+
+    src = tmp_path / "snap-src"
+    src.mkdir()
+    (src / "f0.jsonl").write_text(
+        "\n".join(
+            _json.dumps(d)
+            for d in [
+                {"k": 1, "v": "a", "ver": 1},
+                {"k": 2, "v": "b", "ver": 1},
+            ]
+        )
+    )
+    (src / "f1.jsonl").write_text(
+        "\n".join(
+            _json.dumps(d)
+            for d in [
+                {"k": 2, "v": "b9", "ver": 9},
+                {"k": 3, "v": "c", "ver": 2},
+            ]
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("ver", T.LongType()),
+        ]
+    )
+    table = str(tmp_path / "snap-table")
+    ckpt = str(tmp_path / "snap-ckpt")
+
+    def _run():
+        q = start_snapshot_sink_stream(
+            spark, str(src), schema, table, ckpt, "k", "ver",
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    _run()
+    hist = sorted(r["version"] for r in snapshot_history(spark, table).collect())
+    assert hist == [1, 2]  # one version per micro-batch
+    latest = {r["k"]: r["v"] for r in snapshot_read(spark, table).collect()}
+    assert latest == {1: "a", 2: "b9", 3: "c"}
+    # time travel to the first epoch's state (file order = f0 first)
+    v1 = {r["k"]: r["v"] for r in snapshot_read(spark, table, version=1).collect()}
+    assert v1 == {1: "a", 2: "b"}
+
+    # same checkpoint, nothing new: no new versions
+    _run()
+    assert sorted(
+        r["version"] for r in snapshot_history(spark, table).collect()
+    ) == [1, 2]
+
+    # checkpoint WIPE: epochs replay from 0 — the ledger absorbs them
+    import shutil
+
+    shutil.rmtree(ckpt)
+    _run()
+    assert sorted(
+        r["version"] for r in snapshot_history(spark, table).collect()
+    ) == [1, 2]
+    assert {r["k"]: r["v"] for r in snapshot_read(spark, table).collect()} == {
+        1: "a",
+        2: "b9",
+        3: "c",
+    }
