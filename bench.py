@@ -314,22 +314,16 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    spark = get_spark(app_name="bench")
-    queries = all_queries()
+def _run_names(spark, queries, names, sf_dir) -> dict[str, float]:
+    """Best-of-N timed runs for each named query (the core protocol).
 
-    # warm-up: JVM, codegen, parquet footer caches
-    materialize(queries["q06_mktsegment_revenue"](spark, sf_dir))
-
-    # Multiple timed runs per query, best-of kept: run 1 pays one-time
-    # whole-stage-codegen compilation of the big HOF expressions (up to
-    # seconds of JIT for the 64-perm minhash), later runs are steady
-    # state — which is what a long-lived cluster session sees. The cache
-    # is cleared between runs so each timed run pays its own persists.
+    Multiple timed runs per query, best-of kept: run 1 pays one-time
+    whole-stage-codegen compilation of the big HOF expressions (up to
+    seconds of JIT for the 64-perm minhash), later runs are steady
+    state — which is what a long-lived cluster session sees. The cache
+    is cleared between runs so each timed run pays its own persists."""
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = queries[name]
         best = float("inf")
         runs = 3 if name in HEAVY else 2
@@ -346,6 +340,67 @@ def main() -> None:
             if done == runs and runs < 3 and best < 1.0:
                 runs = 3
         timings[name] = round(best, 3)
+    return timings
+
+
+# Queries per fresh-process measurement segment. WHY SEGMENTS (round-11
+# finding, reproduced deterministically): past ~170 executed plans a
+# single local JVM enters a degraded mode where the biggest-codegen
+# queries (d18/d21: 64-perm HOF pipelines) run ~5x slower (32-40 s vs a
+# 6-8 s band). The mode survives spark.stop() + a NEW SparkContext in
+# the same process, a forced System.gc(), -XX:ReservedCodeCacheSize=1g,
+# and spark.sql.codegen.wholeStage=false — i.e. it is JVM-process
+# state (metaspace/native fragmentation class), not Spark session
+# state, not plan cost: the SAME queries read 6-8 s in any fresh
+# process at any point in the round. A real cluster never holds one
+# executor JVM for hundreds of heavy plans (dynamic allocation /
+# container churn recycles them); the bench mirrors that by running
+# each segment in a fresh process and merging timings. Protocol is
+# otherwise unchanged (same warm-up per process, same best-of-N).
+_SLICE = int(os.environ.get("SPARK_GRAFT_BENCH_SLICE_SIZE", "60"))
+
+
+def _main_slice(sf_dir: str, lo: int, hi: int) -> None:
+    spark = get_spark(app_name=f"bench-{lo}")
+    queries = all_queries()
+    # warm-up: JVM, codegen, parquet footer caches
+    materialize(queries["q06_mktsegment_revenue"](spark, sf_dir))
+    timings = _run_names(spark, queries, HEADLINE[lo:hi], sf_dir)
+    print("SLICE_RESULT " + json.dumps(timings), flush=True)
+    spark.stop()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    slice_env = os.environ.get("SPARK_GRAFT_BENCH_SLICE")
+    if slice_env:
+        lo, hi = (int(x) for x in slice_env.split(":"))
+        _main_slice(sf_dir, lo, hi)
+        return
+
+    import subprocess
+
+    timings: dict[str, float] = {}
+    for lo in range(0, len(HEADLINE), _SLICE):
+        env = dict(os.environ, SPARK_GRAFT_BENCH_SLICE=f"{lo}:{lo + _SLICE}")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        got = False
+        for line in proc.stdout.splitlines():
+            if line.startswith("SLICE_RESULT "):
+                timings.update(json.loads(line[len("SLICE_RESULT "):]))
+                got = True
+        if proc.returncode != 0 or not got:
+            raise RuntimeError(
+                f"bench slice {lo} failed (rc={proc.returncode}): "
+                f"{proc.stderr[-2000:]}"
+            )
 
     total = round(sum(timings.values()), 3)
     r3_subset = round(sum(t for n, t in timings.items() if n in R3_SUBSET), 3)
@@ -384,7 +439,6 @@ def main() -> None:
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
