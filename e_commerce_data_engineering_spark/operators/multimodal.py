@@ -440,6 +440,62 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(_audio_batch, AUDIO_FEATURE_SCHEMA)
 
 
+AUDIO_MOMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("sum_sq", T.LongType(), True),
+        T.StructField("zero_crossings", T.IntegerType(), True),
+        T.StructField("peak_abs", T.IntegerType(), True),
+    ]
+)
+
+
+def audio_pcm_moments(assets: DataFrame) -> DataFrame:
+    """INTEGER PCM moments of WAV assets — the hash-checkable twin of
+    ``extract_audio_features`` (m15's discipline brought to audio):
+    sum of squared int16 samples (exact bigint), zero-crossing count
+    (signbit flips: v<0 vs v>=0, matching numpy signbit on the float
+    samples), and peak |sample|. Because every output is an integer
+    over the RAW int16 grid (no /32768 float normalization), a SQL
+    oracle that regenerates the generator's closed-form samples
+    arithmetically must agree bit-for-bit — one sample decoded wrong
+    flips sum_sq. Downstream queries derive RMS as sqrt(sum_sq/n)
+    (IEEE sqrt is correctly rounded, so both engines agree). Non-WAV
+    rows yield nulls. Bound: sum_sq <= n * 32767^2 — int64-safe to
+    ~8.6e9 samples (~3 days of 16 kHz mono) per asset."""
+
+    def _moments_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(content)
+                if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    with wave.open(io.BytesIO(b)) as w:
+                        sr, width, n = w.getframerate(), w.getsampwidth(), w.getnframes()
+                        frames = w.readframes(n)
+                    if width == 2:
+                        v = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+                        sum_sq = int(np.sum(v * v))
+                        zc = int(np.count_nonzero((v[1:] < 0) != (v[:-1] < 0)))
+                        peak = int(np.max(np.abs(v))) if len(v) else 0
+                        out.append((asset_id, sr, len(v), sum_sq, zc, peak))
+                        continue
+                out.append((asset_id, None, None, None, None, None))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "sample_rate", "n_samples",
+                    "sum_sq", "zero_crossings", "peak_abs",
+                ],
+            )
+
+    return assets.mapInPandas(_moments_batch, AUDIO_MOMENT_SCHEMA)
+
+
 SPECTRAL_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType(), False),

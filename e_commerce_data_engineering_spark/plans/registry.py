@@ -87,18 +87,40 @@ def _load_all_modules() -> None:
 # already-recorded query. Run it every round; the driver only re-checks
 # the front of this list.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-11 front block: never-driver-recorded additions go
-    # here, oracle-backed before rows-only. CORRECTNESS_r10 recorded
-    # all 34 round-10 names plus the value-corrected q100/q101 and 14
-    # re-checks (cumulative driver record 360/360 through r10), so the
-    # front is clear for round-11. Plan-changed-this-round queries
-    # whose VALUES are unchanged but whose physical plan was rebuilt
-    # (s26 single-pass ranking, d21 live-frame cache — VERDICT r10
-    # item #1) are re-listed right after the new names so the driver
-    # re-records them officially against the new plans. ROUND-12 NOTE:
-    # rotate BEFORE adding — check CORRECTNESS_r11 and move recorded
-    # names below (youngest first).
-    # (round-11 additions land here)
+    # --- round-12 front block: never-driver-recorded additions go
+    # here, oracle-backed before rows-only. CORRECTNESS_r11 recorded
+    # all 8 round-11 names + the s26/d21 re-records + 40 rotations
+    # (cumulative driver record through r11: 49/50 hash-pass, m14
+    # no_oracle by design), so the front is clear for round-12.
+    # (round-12 additions land here)
+    "g17_pagerank",
+    "t77_zipf_slope",
+    "e50_hazard_rate",
+    "d24_containment_pairs",
+    "m16_audio_rms_zcr",
+    "s34_idf_soft_jaccard",
+    "q129_steered_nation_volume",
+    "x23_linear_counting",
+    # Plan-changed this round (VERDICT r11 #1b): the shared token/
+    # shingle/signature frames now write-through to scratch parquet
+    # (operators/dedup._cached disk tier), so every d-family consumer's
+    # physical plan changed (values unchanged). Re-record officially,
+    # bench tails first.
+    "d18_minhash_band_tuning",
+    "d21_dedup_consensus",
+    "d09_portable_minhash_pairs",
+    "d14_lsh_scurve",
+    "d15_minhash_estimator_calibration",
+    "d20_winnowing_pairs",
+    "d10_portable_simhash_pairs",
+    "d01_minhash_lsh_pairs",
+    "d02_simhash_pairs",
+    "d05_cc_dedupe",
+    # s29: round-12 re-banded (VERDICT r11 #3) — re-record beside the
+    # d-family so the official record carries the current number
+    "s29_mmr_diversity_gain",
+    # --- already driver-recorded: round-11 block (all 8 + s26/d21
+    # re-records in CORRECTNESS_r11), youngest first.
     "x22_cms_steered_join_audit",
     "m15_image_entropy",
     "q125_benford_second_digit",
@@ -107,11 +129,9 @@ _PRIORITY: tuple[str, ...] = (
     "g16_clustering_coefficient",
     "q127_croston_forecast",
     "e49_retention_decay",
-    # plan-changed this round (VERDICT r10 #1): re-record officially
     "s26_abtt_retrieval_shift",
-    "d21_dedup_consensus",
-    # --- already driver-recorded: round-10 block (all 34 + q100/q101
-    # recorded in CORRECTNESS_r10), youngest first.
+    # --- round-10 block (all 34 + q100/q101 recorded in
+    # CORRECTNESS_r10), youngest first.
     "m12_image_phash",
     "m13_phash_neardup_pairs",
     "q111_page_hinkley",

@@ -1502,3 +1502,43 @@ def test_round11_batch2_shapes(spark):
 
     p = plan_of(spark, "e49_retention_decay")
     assert "CartesianProduct" not in p, p
+
+
+def test_q129_steered_plan_flips_and_matches_q36(spark):
+    """VERDICT r11 #5: the sketch decision integrated into a REAL query
+    path — q129 is q36's Q7 shape with the supplier dim→fact join
+    planned through cms_steered_join. With auto-broadcast off (the
+    no-statistics scenario), the supplier join flips broadcast↔shuffle
+    on the sketch threshold alone, and both physical choices produce
+    q36's exact rows."""
+    from e_commerce_data_engineering_spark.plans.extended import _q36_plan
+    from e_commerce_data_engineering_spark.sources.tables import load_table
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        n_supp = load_table(spark, SF, "supplier").count()
+
+        bcast = _q36_plan(spark, SF, steered=True, threshold_bytes=n_supp * 128)
+        p1 = bcast._jdf.queryExecution().executedPlan().toString()
+
+        shuf = _q36_plan(spark, SF, steered=True, threshold_bytes=n_supp * 128 - 1)
+        p2 = shuf._jdf.queryExecution().executedPlan().toString()
+
+        # identical plans except the supplier join: one broadcast join
+        # becomes one sort-merge join when the sketch says "too big"
+        # (the lineitem-orders fact join is sort-merge in BOTH plans)
+        assert p1.count("BroadcastHashJoin") == p2.count("BroadcastHashJoin") + 1, (
+            p1, p2,
+        )
+        assert p2.count("SortMergeJoin") == p1.count("SortMergeJoin") + 1, (p1, p2)
+
+        rows_ref = sorted(map(tuple, _q36_plan(spark, SF, steered=False).collect()))
+        assert sorted(map(tuple, bcast.collect())) == rows_ref
+        assert sorted(map(tuple, shuf.collect())) == rows_ref
+        assert len(rows_ref) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
