@@ -245,6 +245,15 @@ HEADLINE = [
     "g16_clustering_coefficient",
     "q127_croston_forecast",
     "e49_retention_decay",
+    # round-12 additions
+    "g17_personalized_pagerank",
+    "t77_zipf_slope",
+    "e50_hazard_rate",
+    "x23_linear_counting",
+    "d24_containment_pairs",
+    "s34_idf_soft_jaccard",
+    "m16_audio_rms_zcr",
+    "q129_steered_nation_volume",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

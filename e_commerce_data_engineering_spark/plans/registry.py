@@ -63,6 +63,7 @@ def _load_all_modules() -> None:
     from . import graph_sketch  # noqa: F401
     from . import tpch_extra  # noqa: F401
     from . import tpch_stats  # noqa: F401
+    from . import round12  # noqa: F401
 
 
 # Iteration order of all_queries()/all_oracles() is a FIXED, COMMITTED
@@ -93,7 +94,7 @@ _PRIORITY: tuple[str, ...] = (
     # (cumulative driver record through r11: 49/50 hash-pass, m14
     # no_oracle by design), so the front is clear for round-12.
     # (round-12 additions land here)
-    "g17_pagerank",
+    "g17_personalized_pagerank",
     "t77_zipf_slope",
     "e50_hazard_rate",
     "d24_containment_pairs",
@@ -116,9 +117,12 @@ _PRIORITY: tuple[str, ...] = (
     "d01_minhash_lsh_pairs",
     "d02_simhash_pairs",
     "d05_cc_dedupe",
-    # s29: round-12 re-banded (VERDICT r11 #3) — re-record beside the
-    # d-family so the official record carries the current number
+    # s27/s29: the shared MMR frames moved onto the same scratch-
+    # parquet tier (VERDICT r11 #3 — s29's 7-21 s solo band was
+    # duplicate concurrent materialization of the shared persists;
+    # ~1.8 s steady after). Values unchanged; re-record officially.
     "s29_mmr_diversity_gain",
+    "s27_mmr_rerank",
     # --- already driver-recorded: round-11 block (all 8 + s26/d21
     # re-records in CORRECTNESS_r11), youngest first.
     "x22_cms_steered_join_audit",

@@ -1,0 +1,758 @@
+"""Round-12 additions: personalized PageRank (random-walk-with-restart,
+the recommender-graph operator g01/g02 don't cover), Zipf-slope fit per
+source, discrete-time session hazard, containment (asymmetric-Jaccard)
+dedup pairs, hash-checked REAL audio decode, IDF-weighted soft Jaccard,
+and the LinearCounting distinct estimator — all DataFrame/SQL plans
+with DuckDB oracle twins, following the repo's integer-quantization
+discipline (plans/money.py) so both engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..functions.text import tokens
+from ..operators.sketch import _P1, portable_hash, sql_portable_hash
+from ..sources.tables import load_table
+from .advanced import _D09_HASH_S, _D09_K, D14_MAX_DF
+from .money import fround, sql_fround
+from .registry import query
+from .text import _DUCK_TOKS
+
+_Q12 = "1000000000000.0"  # 1e-12 quantization (the g02 discipline)
+
+
+# ---------------------------------------------------------------------------
+# g17 — personalized PageRank (random walk with restart) from a seed
+# set: the "similar to THESE" graph ranking a recommender pipeline runs
+# where g01/g02's global PageRank answers "important overall"
+# ---------------------------------------------------------------------------
+
+_G17_SEEDS = ("s1", "s2", "s3")
+_G17_SEED_SQL = ", ".join(f"'{s}'" for s in _G17_SEEDS)
+_G17_TOPK = 15
+
+
+@query(
+    "g17_personalized_pagerank",
+    oracle=f"""
+    WITH p AS (
+        SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+    outdeg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    seeds AS (SELECT unnest([{_G17_SEED_SQL}]) AS node),
+    c1 AS (
+        SELECT e.dst AS node,
+               CAST(SUM(CAST(FLOOR((1.0 / 3) / deg * {_Q12} + 0.5) AS BIGINT))
+                    AS BIGINT) AS cq
+        FROM e JOIN outdeg USING (src) JOIN seeds s ON s.node = e.src
+        GROUP BY e.dst
+    ),
+    r1 AS (
+        SELECT node, CAST(FLOOR(SUM(rp) * {_Q12} + 0.5) AS BIGINT) AS r1q
+        FROM (SELECT node, 0.85 * (cq / {_Q12}) AS rp FROM c1
+              UNION ALL SELECT node, 0.15 / 3 AS rp FROM seeds)
+        GROUP BY node
+    ),
+    c2 AS (
+        SELECT e.dst AS node,
+               CAST(SUM(CAST(FLOOR(CAST(r1q AS DOUBLE) / deg + 0.5) AS BIGINT))
+                    AS BIGINT) AS cq
+        FROM e JOIN outdeg USING (src) JOIN r1 ON r1.node = e.src
+        GROUP BY e.dst
+    ),
+    r2 AS (
+        SELECT node, SUM(rp) AS r2
+        FROM (SELECT node, 0.85 * (cq / {_Q12}) AS rp FROM c2
+              UNION ALL SELECT node, 0.15 / 3 AS rp FROM seeds)
+        GROUP BY node
+    )
+    SELECT node, {sql_fround("r2", 10)} AS rank
+    FROM r2
+    ORDER BY rank DESC, node
+    LIMIT {_G17_TOPK}
+    """,
+    doc="Personalized PageRank (random walk with restart, alpha = "
+    "0.85) from a 3-supplier seed set over the UNDIRECTED supplier-"
+    "customer transaction graph, two statically-unrolled steps — the "
+    "'entities similar to THESE' ranking a recommender / entity-"
+    "resolution pipeline runs, where g01/g02's global PageRank ranks "
+    "overall importance (Jeh & Widom 2003; Pinterest's Pixie runs "
+    "exactly this walk at scale). Restart mass 0.15 returns to the "
+    "seeds (never uniform), so rank concentrates in the seeds' "
+    "neighborhood; the bidirectional edge union means no dangling "
+    "nodes. Per-edge contributions are quantized to 1e-12 integers "
+    "before summing (the g02 discipline), ranks re-quantized between "
+    "steps, so both engines produce bit-identical walks in any sum "
+    "order. Scale: each step is one edge join + one aggregate; the "
+    "frontier after k steps is the k-hop neighborhood, so cost tracks "
+    "seed-locality, not graph size — the property that makes RWR "
+    "viable on a 100 TB graph when global PageRank is a full-graph "
+    "sweep.",
+)
+def g17_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    # NOT persisted: a persist marker here pins 200-partition cache
+    # output that AQE then cannot coalesce (canChangeCachedPlanOutput-
+    # Partitioning is off by default) — three cheap rebuilds of the
+    # edge list beat 2400 near-empty scheduled tasks (measured 42 s ->
+    # 13 s cold / 3.5 s steady at sf0.01 on a vanilla 200-partition
+    # session)
+    e = p.unionAll(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    seeds = spark.createDataFrame([(s,) for s in _G17_SEEDS], "node string")
+    q = float(_Q12)
+
+    def with_restart(contrib: DataFrame) -> DataFrame:
+        """Combine a step's contribution frame with the seed restart
+        mass as UNION ALL + one re-aggregate — NOT a full-outer join
+        (whose build side Spark refuses to broadcast) and NOT a
+        left+anti pair (which consumes `contrib` twice, doubling the
+        unrolled lineage per step: 439 plan lines / 42 join instances
+        / 63 s at sf0.01 in the first draft). The per-node sum has at
+        most two addends, and two-term IEEE addition is commutative,
+        so the result is bit-identical to the joined form."""
+        return (
+            contrib.select("node", (F.lit(0.85) * (F.col("cq") / q)).alias("rp"))
+            .unionByName(seeds.select("node", F.lit(0.15 / 3).alias("rp")))
+            .groupBy("node")
+            .agg(F.sum("rp").alias("r"))
+        )
+
+    c1 = (
+        e.join(outdeg, "src")
+        .join(F.broadcast(seeds.withColumnRenamed("node", "src")), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(
+            F.sum(
+                F.floor((F.lit(1.0 / 3) / F.col("deg")) * q + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cq")
+        )
+    )
+    r1 = with_restart(c1).select(
+        "node", F.floor(F.col("r") * q + F.lit(0.5)).cast("bigint").alias("r1q")
+    )
+    c2 = (
+        e.join(outdeg, "src")
+        .join(r1.withColumnRenamed("node", "src"), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(
+            F.sum(
+                F.floor(F.col("r1q").cast("double") / F.col("deg") + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("cq")
+        )
+    )
+    r2 = with_restart(c2).withColumnRenamed("r", "r2")
+    return (
+        r2.select("node", fround(F.col("r2").cast("double"), 10).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(_G17_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# t77 — Zipf slope per source: OLS fit of ln(freq) on ln(rank), the
+# one-number language-naturalness screen a corpus QA pass runs
+# ---------------------------------------------------------------------------
+
+_T77_TOPR = 25  # fit over each source's top-R token ranks
+_T77_Q = "1000000.0"  # 1e-6 log-point quantization (int64-safe sums)
+
+
+@query(
+    "t77_zipf_slope",
+    oracle=f"""
+    WITH tf AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents)
+        GROUP BY source, tok
+    ),
+    ranked AS (
+        SELECT source, freq,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY freq DESC, tok) AS rnk
+        FROM tf
+    ),
+    pts AS (
+        SELECT source,
+               CAST(FLOOR(ln(rnk) * {_T77_Q} + 0.5) AS BIGINT) AS xq,
+               CAST(FLOOR(ln(freq) * {_T77_Q} + 0.5) AS BIGINT) AS yq
+        FROM ranked WHERE rnk <= {_T77_TOPR}
+    ),
+    sums AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+               CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+               CAST(SUM(xq * xq) AS BIGINT) AS sxx
+        FROM pts GROUP BY source
+    )
+    SELECT source, n AS n_points,
+           {sql_fround(
+               "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+               " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)",
+               6,
+           )} AS zipf_slope,
+           {sql_fround(
+               "(CAST(sy AS DOUBLE) / n - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+               " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+               f" * (CAST(sx AS DOUBLE) / n)) / {_T77_Q}",
+               6,
+           )} AS ln_intercept
+    FROM sums
+    """,
+    doc="Zipf-slope fit per source: OLS regression of ln(freq) on "
+    f"ln(rank) over each source's top-{_T77_TOPR} token ranks — "
+    "natural language sits near slope -1 (Zipf 1949), and a source "
+    "whose slope collapses toward 0 (uniform token use) or dives "
+    "steeply (template spam) fails the corpus-naturalness screen "
+    "LLM-data pipelines run per feed. Log-points are quantized to "
+    "1e-6 integers BEFORE the moment sums (ln is evaluated once per "
+    "point in both engines; sums are exact integer adds, so sum "
+    "order cannot move the fit), and the closed-form slope/intercept "
+    "is the identical IEEE expression over the integer moments on "
+    "both sides. Scale: token-frequency aggregate (one shuffle), "
+    f"per-source top-{_T77_TOPR} window, {_T77_TOPR}-point closed-"
+    "form fit — no iteration, driver sees nothing.",
+)
+def t77_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tq = float(_T77_Q)
+    tf = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = tf.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(F.col("freq").desc(), "tok")
+        ),
+    ).filter(F.col("rnk") <= _T77_TOPR)
+    pts = ranked.select(
+        "source",
+        F.floor(F.log(F.col("rnk")) * tq + F.lit(0.5)).cast("bigint").alias("xq"),
+        F.floor(F.log(F.col("freq")) * tq + F.lit(0.5)).cast("bigint").alias("yq"),
+    )
+    sums = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xq").cast("bigint").alias("sx"),
+        F.sum("yq").cast("bigint").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("bigint").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("bigint").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    slope = (nd * F.col("sxy") - sxd * F.col("sy")) / (nd * F.col("sxx") - sxd * F.col("sx"))
+    intercept = (F.col("sy").cast("double") / F.col("n") - slope * (sxd / F.col("n"))) / tq
+    return sums.select(
+        "source",
+        F.col("n").alias("n_points"),
+        fround(slope, 6).alias("zipf_slope"),
+        fround(intercept, 6).alias("ln_intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# e50 — discrete-time session hazard: P(session ends at its k-th event
+# | it reached k events) — the survival curve behind session-length
+# engagement analysis
+# ---------------------------------------------------------------------------
+
+_E50_MAXK = 10
+
+
+@query(
+    "e50_hazard_rate",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 1800000
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    ),
+    lens AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS len
+        FROM sessions GROUP BY user_id, session_id
+    ),
+    hist AS (SELECT len, CAST(COUNT(*) AS BIGINT) AS cnt FROM lens GROUP BY len),
+    ks AS (SELECT unnest(generate_series(1, {_E50_MAXK})) AS k)
+    SELECT CAST(k AS INTEGER) AS k,
+           CAST(SUM(cnt) AS BIGINT) AS n_at_risk,
+           CAST(SUM(CASE WHEN len = k THEN cnt ELSE 0 END) AS BIGINT) AS n_ended,
+           {sql_fround(
+               "CAST(SUM(CASE WHEN len = k THEN cnt ELSE 0 END) AS DOUBLE)"
+               " / SUM(cnt)",
+               6,
+           )} AS hazard
+    FROM ks JOIN hist ON hist.len >= ks.k
+    GROUP BY k
+    """,
+    doc="Discrete-time hazard of session termination: for each event "
+    f"index k = 1..{_E50_MAXK}, the probability a session ends at its "
+    "k-th event given it reached k events — the life-table readout "
+    "(Kaplan-Meier's discrete twin) engagement analysis derives "
+    "churn-by-depth from, where e03 reports only the mean session "
+    "length. Sessions are e03's 30-minute-gap definition VERBATIM, "
+    "so the two queries share semantics; the hazard is an exact "
+    "integer ratio per k (counts from the session-length histogram; "
+    "the >= join runs on the HISTOGRAM, never the session table — "
+    "max-length x K rows). Scale: sessionization is the same two "
+    "windows as e03; everything after is histogram-sized.",
+)
+def e50_hazard_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    prev_ms = F.lag(ms).over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(prev_ms.isNull() | ((ms - prev_ms) > 1800000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    wsum = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    lens = (
+        flagged.select("user_id", F.sum("new_session").over(wsum).alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("len"))
+    )
+    hist = lens.groupBy("len").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    ks = spark.range(1, _E50_MAXK + 1).select(F.col("id").cast("int").alias("k"))
+    joined = F.broadcast(ks).join(hist, hist["len"] >= ks["k"])
+    ended = F.sum(F.when(F.col("len") == F.col("k"), F.col("cnt")).otherwise(F.lit(0)))
+    return joined.groupBy("k").agg(
+        F.sum("cnt").cast("bigint").alias("n_at_risk"),
+        ended.cast("bigint").alias("n_ended"),
+        fround(ended.cast("double") / F.sum("cnt"), 6).alias("hazard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x23 — LinearCounting distinct estimator (Whang et al. 1990): the
+# m-bit-bitmap cardinality sketch HLL degrades to at low cardinality,
+# audited against exact distincts on four key columns
+# ---------------------------------------------------------------------------
+
+_X23_M = 65536
+
+
+def _x23_sql_arm(label: str, key_sql: str, table: str) -> str:
+    h = sql_portable_hash(key_sql)
+    return f"""
+    SELECT '{label}' AS key_set,
+           CAST((SELECT COUNT(DISTINCT {key_sql}) FROM {table}) AS BIGINT) AS n_exact,
+           CAST({_X23_M} - COUNT(DISTINCT ({h}) % {_X23_M}) AS BIGINT) AS n_zero
+    FROM {table}"""
+
+
+@query(
+    "x23_linear_counting",
+    oracle=f"""
+    WITH arms AS (
+        {_x23_sql_arm("customer", "'c' || CAST(o_custkey AS VARCHAR)", "orders")}
+        UNION ALL
+        {_x23_sql_arm("order", "'o' || CAST(o_orderkey AS VARCHAR)", "orders")}
+        UNION ALL
+        {_x23_sql_arm("user", "'u' || CAST(user_id AS VARCHAR)", "events")}
+        UNION ALL
+        {_x23_sql_arm("part", "'p' || CAST(l_partkey AS VARCHAR)", "lineitem")}
+    )
+    SELECT key_set, n_exact,
+           CAST({_X23_M} - n_zero AS BIGINT) AS n_buckets,
+           {sql_fround(f"{_X23_M} * ln({_X23_M} / CAST(n_zero AS DOUBLE))", 4)}
+               AS lc_estimate,
+           {sql_fround(
+               f"({_X23_M} * ln({_X23_M} / CAST(n_zero AS DOUBLE)) - n_exact)"
+               " / n_exact",
+               6,
+           )} AS rel_err
+    FROM arms
+    """,
+    doc="LinearCounting cardinality estimator (Whang-Vander-Zanden-"
+    f"Taylor 1990): hash each key into an m = {_X23_M} bucket bitmap "
+    "and estimate n^ = m ln(m/z) from the count of EMPTY buckets z — "
+    "the low-cardinality regime estimator HLL implementations "
+    "(including Spark's approx_count_distinct) switch to below ~2.5m, "
+    "audited here against exact distincts on four key columns "
+    "spanning three load factors (users ~0.02, parts ~0.3, orders "
+    "~2+ where the log-scaled bias correction is genuinely "
+    "exercised). The bucket hash is the engine-portable Horner fold "
+    "(operators/sketch.portable_hash), so both engines fill the "
+    "IDENTICAL bitmap — estimate and relative error are bit-equal. "
+    "Scale: the bitmap is m integers however large the table; "
+    "count-distinct-of-bucket is a map-side-combinable aggregate, "
+    "and per-shard bitmaps merge by OR (union of occupied buckets) — "
+    "the mergeability that makes LC a per-partition ingest statistic "
+    "at 100 TB.",
+)
+def x23_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _X23_M
+
+    def arm(label: str, df: DataFrame, key: F.Column) -> DataFrame:
+        keyed = df.select(key.alias("k"))
+        bucket = portable_hash(F.col("k")) % m
+        return keyed.agg(
+            F.lit(label).alias("key_set"),
+            F.countDistinct("k").cast("bigint").alias("n_exact"),
+            (F.lit(m) - F.countDistinct(bucket)).cast("bigint").alias("n_zero"),
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    arms = (
+        arm("customer", orders, F.concat(F.lit("c"), F.col("o_custkey").cast("string")))
+        .unionByName(
+            arm("order", orders, F.concat(F.lit("o"), F.col("o_orderkey").cast("string")))
+        )
+        .unionByName(
+            arm("user", events, F.concat(F.lit("u"), F.col("user_id").cast("string")))
+        )
+        .unionByName(
+            arm("part", li, F.concat(F.lit("p"), F.col("l_partkey").cast("string")))
+        )
+    )
+    est = F.lit(float(m)) * F.log(F.lit(m) / F.col("n_zero").cast("double"))
+    return arms.select(
+        "key_set",
+        "n_exact",
+        (F.lit(m) - F.col("n_zero")).cast("bigint").alias("n_buckets"),
+        fround(est, 4).alias("lc_estimate"),
+        fround((est - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d24 — containment (asymmetric-Jaccard) pairs: subset duplication the
+# symmetric Jaccard threshold misses (a doc pasted inside a longer one)
+# ---------------------------------------------------------------------------
+
+# the d18/d14 shared candidate machinery, re-stated for this oracle:
+# shingle sets, rare-anchored (df in [2, max_df]) candidate pairs
+_D24_CAND_SQL = f"""
+    sh AS (
+        SELECT doc_id,
+               list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                              for i in range(1, len(tk) - 1)]) AS shl
+        FROM (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents)
+        WHERE len(tk) >= 3
+    ),
+    px AS (
+        SELECT DISTINCT doc_id, h
+        FROM (SELECT doc_id, unnest(list_transform(shl, s -> {_D09_HASH_S})) AS h
+              FROM sh)
+    ),
+    freq AS (
+        SELECT h FROM px GROUP BY h
+        HAVING COUNT(*) BETWEEN 2 AND {D14_MAX_DF}
+    ),
+    pxf AS (SELECT px.doc_id, px.h FROM px JOIN freq USING (h)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pxf a JOIN pxf b ON a.h = b.h AND a.doc_id < b.doc_id
+    )"""
+
+
+@query(
+    "d24_containment_pairs",
+    oracle=f"""
+    WITH {_D24_CAND_SQL},
+    sized AS (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(x.shl, y.shl)) AS BIGINT) AS n_inter,
+               CAST(len(x.shl) AS BIGINT) AS n_a,
+               CAST(len(y.shl) AS BIGINT) AS n_b
+        FROM cand
+        JOIN sh x ON x.doc_id = cand.id_a
+        JOIN sh y ON y.doc_id = cand.id_b
+    )
+    SELECT id_a, id_b, n_inter, n_a, n_b,
+           {sql_fround("CAST(n_inter AS DOUBLE) / n_a", 6)} AS contain_ab,
+           {sql_fround("CAST(n_inter AS DOUBLE) / n_b", 6)} AS contain_ba
+    FROM sized
+    WHERE 5 * n_inter >= 4 * n_a OR 5 * n_inter >= 4 * n_b
+    """,
+    doc="Containment (asymmetric Jaccard) near-dup pairs: |A∩B|/|A| "
+    "and |A∩B|/|B| over the shared rare-anchored candidate set — the "
+    "detector for SUBSET duplication (one document pasted inside a "
+    "longer one), which the symmetric Jaccard the d09/d18 family "
+    "thresholds on structurally misses: a 100-shingle doc embedded "
+    "in a 1000-shingle doc has J = 0.1 but containment 1.0 (Broder "
+    "1997 defines both; CC-style web dedup runs containment beside "
+    "resemblance for exactly this case). The 0.8 threshold is the "
+    "exact integer predicate 5*n_inter >= 4*|side| (no float in the "
+    "decision); candidate generation is the df-bounded anchored join "
+    "shared with d14/d18 (same cache key -> the scratch-parquet "
+    "frames are reused, not rebuilt). Scale: pair space is df²-"
+    "bounded per rare anchor; the directional ratios are per-pair "
+    "arithmetic on three ints.",
+)
+def d24_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import anchored_candidate_pairs, portable_signature_frame
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = portable_signature_frame(d, "doc_id", "text", _D09_K, 3, cache_key=sf_dir)
+    cand = anchored_candidate_pairs(
+        d, "doc_id", "text", shingle_n=3, max_df=D14_MAX_DF, cache_key=sf_dir
+    )
+    sh = sig.select("_id", "_sh")
+    ni = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("bigint")
+    sized = (
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            ni.alias("n_inter"),
+            F.size("_sh_a").cast("bigint").alias("n_a"),
+            F.size("_sh_b").cast("bigint").alias("n_b"),
+        )
+    )
+    return sized.filter(
+        (5 * F.col("n_inter") >= 4 * F.col("n_a"))
+        | (5 * F.col("n_inter") >= 4 * F.col("n_b"))
+    ).select(
+        "id_a",
+        "id_b",
+        "n_inter",
+        "n_a",
+        "n_b",
+        fround(F.col("n_inter").cast("double") / F.col("n_a"), 6).alias("contain_ab"),
+        fround(F.col("n_inter").cast("double") / F.col("n_b"), 6).alias("contain_ba"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# s34 — IDF-weighted soft Jaccard over shingle sets: rare shared
+# shingles count for more than boilerplate, on the same pair universe
+# ---------------------------------------------------------------------------
+
+_S34_Q = "1000000.0"  # 1e-6 idf quantization
+
+
+@query(
+    "s34_idf_soft_jaccard",
+    oracle=f"""
+    WITH {_D24_CAND_SQL},
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sh),
+    dfq AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS df
+        FROM (SELECT DISTINCT doc_id, unnest(shl) AS s FROM sh)
+        GROUP BY s
+    ),
+    idf AS (
+        SELECT s,
+               CAST(FLOOR(ln((n + 1.0) / (df + 1.0)) * {_S34_Q} + 0.5) AS BIGINT)
+                   AS idfq
+        FROM dfq CROSS JOIN nd
+    ),
+    wdoc AS (
+        SELECT doc_id, CAST(SUM(idfq) AS BIGINT) AS w
+        FROM (SELECT DISTINCT doc_id, unnest(shl) AS s FROM sh)
+        JOIN idf USING (s)
+        GROUP BY doc_id
+    ),
+    wint AS (
+        SELECT id_a, id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_inter,
+               CAST(SUM(idfq) AS BIGINT) AS wi
+        FROM (
+            SELECT id_a, id_b, unnest(list_intersect(x.shl, y.shl)) AS s
+            FROM cand
+            JOIN sh x ON x.doc_id = cand.id_a
+            JOIN sh y ON y.doc_id = cand.id_b
+        )
+        JOIN idf USING (s)
+        GROUP BY id_a, id_b
+    )
+    SELECT w.id_a, w.id_b, w.n_inter,
+           {sql_fround(
+               "CAST(wi AS DOUBLE) / (wa.w + wb.w - wi)",
+               6,
+           )} AS soft_jaccard,
+           {sql_fround(
+               f"CAST(wi AS DOUBLE) / {_S34_Q}",
+               6,
+           )} AS idf_overlap
+    FROM wint w
+    JOIN wdoc wa ON wa.doc_id = w.id_a
+    JOIN wdoc wb ON wb.doc_id = w.id_b
+    """,
+    doc="IDF-weighted (soft) Jaccard over shingle sets on the shared "
+    "rare-anchored pair universe: sum of idf over the intersection "
+    "divided by idf-mass of the union — boilerplate shingles every "
+    "document shares contribute ~0 while a rare shared shingle "
+    "dominates, which is why weighted resemblance (Broder's weighted "
+    "extension; Chum et al. 2008 use exactly idf-weighted set "
+    "overlap for near-dup images) re-ranks pairs the unweighted "
+    "d09 Jaccard ties. idf = ln((N+1)/(df+1)) is quantized to 1e-6 "
+    "integers ONCE per shingle, so every downstream sum is exact "
+    "integer arithmetic in any order; the union mass is inclusion-"
+    "exclusion (w_a + w_b - w_inter), never a second set pass. "
+    "Scale: df table is vocab-sized and map-side combinable; the "
+    "intersection explode is pair-grain bounded by the df²-capped "
+    "candidate set.",
+)
+def s34_idf_soft_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import anchored_candidate_pairs, portable_signature_frame
+
+    d = load_table(spark, sf_dir, "documents")
+    q = float(_S34_Q)
+    sig = portable_signature_frame(d, "doc_id", "text", _D09_K, 3, cache_key=sf_dir)
+    cand = anchored_candidate_pairs(
+        d, "doc_id", "text", shingle_n=3, max_df=D14_MAX_DF, cache_key=sf_dir
+    )
+    sh = sig.select("_id", "_sh")
+    nd = sh.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    px = sh.select("_id", F.explode("_sh").alias("s")).distinct()
+    idf = (
+        px.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "s",
+            F.floor(
+                F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) * q
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("idfq"),
+        )
+    )
+    wdoc = px.join(idf, "s").groupBy("_id").agg(F.sum("idfq").cast("bigint").alias("w"))
+    inter = (
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
+        .select("id_a", "id_b", F.explode(F.array_intersect("_sh_a", "_sh_b")).alias("s"))
+    )
+    wint = (
+        inter.join(idf, "s")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_inter"),
+            F.sum("idfq").cast("bigint").alias("wi"),
+        )
+    )
+    return (
+        wint.join(wdoc.select(F.col("_id").alias("id_a"), F.col("w").alias("wa")), "id_a")
+        .join(wdoc.select(F.col("_id").alias("id_b"), F.col("w").alias("wb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            fround(
+                F.col("wi").cast("double") / (F.col("wa") + F.col("wb") - F.col("wi")), 6
+            ).alias("soft_jaccard"),
+            fround(F.col("wi").cast("double") / q, 6).alias("idf_overlap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# m16 — audio RMS / zero-crossing from REAL WAV decode, hash-checked
+# through the generator's closed-form sine samples (m15's discipline
+# brought to the audio modality)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m16_audio_rms_zcr",
+    oracle=f"""
+    WITH aud AS (
+        SELECT i AS asset_id,
+               CASE WHEN i % 2 = 1 THEN 8000 ELSE 16000 END AS sr,
+               50 + (i % 5) * 10 AS dur,
+               220.0 + 5 * i AS f
+        FROM (SELECT unnest(generate_series(0, 119)) AS i) t
+        WHERE i % 3 = 1
+    ),
+    v AS (
+        SELECT asset_id, sr,
+               CAST(TRUNC(32767 * 0.5 * sin(2 * pi() * f * j / sr)) AS BIGINT) AS v,
+               j
+        FROM (SELECT asset_id, sr, f,
+                     unnest(generate_series(0, sr * dur // 1000 - 1)) AS j
+              FROM aud)
+    ),
+    fl AS (
+        SELECT asset_id, sr, v,
+               CASE WHEN LAG(v) OVER w IS NULL THEN 0
+                    WHEN (v < 0) <> (LAG(v) OVER w < 0) THEN 1 ELSE 0 END AS flip
+        FROM v
+        WINDOW w AS (PARTITION BY asset_id ORDER BY j)
+    )
+    SELECT asset_id,
+           CAST(sr AS INTEGER) AS sample_rate,
+           CAST(COUNT(*) AS INTEGER) AS n_samples,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+           CAST(SUM(flip) AS INTEGER) AS zero_crossings,
+           CAST(MAX(ABS(v)) AS INTEGER) AS peak_abs,
+           {sql_fround("sqrt(CAST(SUM(v * v) AS DOUBLE) / COUNT(*))", 4)} AS rms
+    FROM fl GROUP BY asset_id, sr
+    """,
+    doc="REAL WAV PCM decode put under the driver's hash gate (the "
+    "m07/m15 discipline brought to audio): stdlib wave parse + int16 "
+    "sample extraction inside Arrow mapInPandas emits INTEGER moments "
+    "— sum of squared samples, signbit-flip zero-crossing count, peak "
+    "|sample| (operators/multimodal.audio_pcm_moments) — while the "
+    "oracle regenerates the generator's sine samples ARITHMETICALLY "
+    "(v = trunc(32767*0.5*sin(2*pi*f*j/sr)), the exact closed form "
+    "wav_bytes wrote; both engines call the same libm sin on the "
+    "same doubles, verified bit-identical across all 40 tones). One "
+    "sample decoded wrong flips sum_sq, so this pins the full RIFF/"
+    "fmt/data parse chain, not just headers; RMS derives as "
+    "sqrt(sum_sq/n) (IEEE sqrt is correctly rounded — engines agree). "
+    "Scale: shuffle-free narrow map over asset-partitioned bytes, "
+    "six integers out per asset; zero-crossing rate and RMS are THE "
+    "silence/clipping screens an audio curation pipeline batches "
+    "this way.",
+)
+def m16_audio_rms_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_pcm_moments, make_real_assets
+
+    assets = make_real_assets(spark, 120).filter(F.col("modality") == "audio")
+    m = audio_pcm_moments(assets)
+    return m.select(
+        "asset_id",
+        "sample_rate",
+        "n_samples",
+        "sum_sq",
+        "zero_crossings",
+        "peak_abs",
+        fround(
+            F.sqrt(F.col("sum_sq").cast("double") / F.col("n_samples")), 4
+        ).alias("rms"),
+    )

@@ -33,3 +33,19 @@ def test_survey_inventory_table_current():
     assert inventory_table.table_is_current(), (
         "SURVEY.md inventory table is stale — run python tools/inventory_table.py"
     )
+
+
+def test_survey_explains_count_current():
+    """SURVEY's latest 'EXPLAINS.md at N audited plan sections' claim
+    must match the actual section count — the prose count drifted in
+    round 11 (said 154, file had 156; VERDICT r11 #8)."""
+    import re
+
+    explains = (README.parent / "EXPLAINS.md").read_text()
+    n_sections = len(re.findall(r"^## ", explains, flags=re.M))
+    survey = (README.parent / "SURVEY.md").read_text()
+    claims = re.findall(r"EXPLAINS\.md at (\d+)\s+audited plan sections", survey)
+    assert claims, "SURVEY must state the current EXPLAINS section count"
+    assert int(claims[-1]) == n_sections, (
+        f"SURVEY claims {claims[-1]} EXPLAINS sections, file has {n_sections}"
+    )

@@ -490,18 +490,32 @@ def test_x09_pair_stage_joins_sketches_not_tokens(spark):
 def test_d14_ground_truth_is_anchored_equi_join(spark):
     """The S-curve's ground-truth pair generation must ride the rare-
     shingle semi join + hash equi-join (the t40 anchor move), and the
-    banding catch check is a band/bsig equi-join — nothing cartesian."""
+    banding catch check is a band/bsig equi-join — nothing cartesian.
+    Since round 12 the anchored pair frame is built ONCE and read back
+    from scratch parquet (operators/dedup._cached disk tier), so the
+    semi join is pinned on the RAW build (cache_key=None) while the
+    consumer plan is pinned cartesian-free."""
+    from e_commerce_data_engineering_spark.operators.dedup import (
+        anchored_candidate_pairs,
+    )
+    from e_commerce_data_engineering_spark.sources.tables import load_table
+
+    d = load_table(spark, SF, "documents")
+    raw = anchored_candidate_pairs(d, "doc_id", "text", cache_key=None)
+    build_plan = raw._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in build_plan, build_plan
+    assert "CartesianProduct" not in build_plan, build_plan
+
     plan = plan_of(spark, "d14_lsh_scurve")
     assert "CartesianProduct" not in plan, plan
-    assert "LeftSemi" in plan, plan
 
 
 def test_d15_estimator_audit_shares_anchor_shape(spark):
     """The estimator calibration scores only the anchored candidate
-    pairs (same rare-shingle semi join as d14) — never all pairs."""
+    pairs (d14's rare-shingle anchor machinery, shared through the
+    round-12 scratch-parquet frame cache) — never all pairs."""
     plan = plan_of(spark, "d15_minhash_estimator_calibration")
     assert "CartesianProduct" not in plan, plan
-    assert "LeftSemi" in plan, plan
 
 
 # --- round-7 additions -----------------------------------------------------
@@ -1542,3 +1556,27 @@ def test_q129_steered_plan_flips_and_matches_q36(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_round12_batch_shapes(spark):
+    """Round-12 batch: g17's per-step work is edge joins + aggregates
+    (no cartesian, no window); t77 is one token aggregate + a
+    per-source window + a closed-form fit; e50's >= join runs on the
+    broadcast k-frame against the session-length HISTOGRAM (a
+    BroadcastNestedLoopJoin over histogram-sized input is the intended
+    shape — never the session table); x23 is four map-side-combinable
+    aggregates; d24/s34 ride the shared anchored-pair machinery (no
+    cartesian); m16 is a shuffle-free narrow Arrow map."""
+    for name in (
+        "g17_personalized_pagerank",
+        "t77_zipf_slope",
+        "x23_linear_counting",
+        "d24_containment_pairs",
+        "s34_idf_soft_jaccard",
+    ):
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p, (name, p)
+
+    p = plan_of(spark, "m16_audio_rms_zcr")
+    assert "CartesianProduct" not in p and ("MapInPandas" in p or "mapInPandas" in p), p
+    assert "Exchange" not in p, p  # narrow map: decode never shuffles

@@ -2629,3 +2629,79 @@ def test_snapshot_sink_stream_exactly_once_versions(spark, tmp_path):
         2: "b9",
         3: "c",
     }
+
+
+def test_steered_join_stream_picks_strategy_from_state(spark, tmp_path):
+    """VERDICT r11 #6: the persisted CMS pair state steers the
+    stream-static join's physical strategy inside foreachBatch. The
+    static side's grid is written once (by its own ingest); the
+    streaming probe then plans broadcast when the grid-recovered build
+    count fits the threshold and shuffle when it does not — same rows
+    either way (equal to the batch join), strategy stamped on every
+    output row, replay idempotent via per-epoch overwrite."""
+    import json as _json
+
+    from e_commerce_data_engineering_spark.operators.sketch import (
+        cms_build_portable,
+    )
+    from e_commerce_data_engineering_spark.sources.tables import load_table
+    from e_commerce_data_engineering_spark.streaming.pipeline import (
+        start_steered_join_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select("user_id", "event_type")
+    rows = [(r["user_id"], r["event_type"]) for r in ev.collect()]
+    src = tmp_path / "steer-src"
+    src.mkdir()
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        (src / f"part{i}.jsonl").write_text(
+            "\n".join(_json.dumps({"user_id": u, "event_type": t}) for u, t in chunk)
+        )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+
+    # the static build side + its CMS grid, written by "its own ingest"
+    static = ev.select("user_id").distinct().select(
+        "user_id", (F.col("user_id") % 7).alias("segment")
+    )
+    n_build = static.count()
+    state = str(tmp_path / "steer-state")
+    cms_build_portable(
+        static.select(F.col("user_id").cast("string").alias("k")), "k", 3, 1024
+    ).write.parquet(f"{state}/side=b/batch_id=0")
+
+    def run(tag: str, threshold: int) -> "DataFrame":
+        out = str(tmp_path / f"steer-out-{tag}")
+        q = start_steered_join_stream(
+            spark,
+            str(src),
+            static,
+            state,
+            "b",
+            out,
+            str(tmp_path / f"steer-ckpt-{tag}"),
+            schema,
+            "user_id",
+            row_bytes=128,
+            threshold_bytes=threshold,
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    got_b = run("bcast", n_build * 128)
+    got_s = run("shuf", n_build * 128 - 1)
+
+    assert got_b.select("join_strategy").distinct().collect()[0][0] == "broadcast"
+    assert got_s.select("join_strategy").distinct().collect()[0][0] == "shuffle"
+
+    want = sorted(
+        map(tuple, ev.join(static, "user_id").select("user_id", "segment").collect())
+    )
+    for got in (got_b, got_s):
+        assert sorted(map(tuple, got.select("user_id", "segment").collect())) == want

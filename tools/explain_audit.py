@@ -182,6 +182,15 @@ AUDIT = [
     ("g16_clustering_coefficient", "g04's oriented wedge join reused; left-join zero-triangle nodes; degree-grain rollup"),
     ("q127_croston_forecast", "occurrence-grid band join carries BOTH Croston series; one (brand,day) rollup is data-sized"),
     ("e49_retention_decay", "censoring-guarded offset pooling; exact int64 OLS moments; 1-row fit"),
+    # round-12 additions
+    ("g17_personalized_pagerank", "RWR step = one edge join + one aggregate; restart mass via UNION+re-agg, never full-outer"),
+    ("t77_zipf_slope", "one token aggregate; per-source top-R window; closed-form OLS on integer moments"),
+    ("e50_hazard_rate", "e03's two sessionization windows; >= join runs on the LENGTH HISTOGRAM, never sessions"),
+    ("x23_linear_counting", "four map-side-combinable countDistinct-of-bucket aggregates; bitmap is m ints of state"),
+    ("d24_containment_pairs", "shared anchored-pair scratch frames; integer 5*ni>=4*n threshold; pair-grain arithmetic"),
+    ("s34_idf_soft_jaccard", "vocab-sized idf table; pair-grain intersect explode; inclusion-exclusion union mass"),
+    ("m16_audio_rms_zcr", "shuffle-free Arrow decode map; six integer moments per asset; no exchange anywhere"),
+    ("q129_steered_nation_volume", "q36's Q7 shape; supplier join strategy picked by the CMS grid, hash-gated vs q36's oracle"),
 ]
 
 

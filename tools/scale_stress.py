@@ -129,6 +129,12 @@ OP_TABLES = {
     "spectral_s25": {"reg_embeddings"},
     "cross_dup_d19": {"salted_sf"},
     "cms_decision_x18": {"reg_relational"},
+    # round-12 (VERDICT r11 #4): the two slowest-10 families without a
+    # committed curve — d21 over K disjoint salted corpora (all three
+    # banded pair families scale with corpus, pair space ~K), s29 over
+    # K-replicated embeddings (probe set fixed, candidate corpus xK)
+    "consensus_d21": {"salted_sf"},
+    "mmr_gain_s29": {"reg_embeddings"},
 }
 
 
@@ -929,6 +935,20 @@ def main() -> None:
 
             return x18_cms_broadcast_decision(spark, reg_sf).count()
 
+        def consensus_d21():
+            from e_commerce_data_engineering_spark.plans.advanced import (
+                d21_dedup_consensus,
+            )
+
+            return d21_dedup_consensus(spark, salted_sf).count()
+
+        def mmr_gain_s29():
+            from e_commerce_data_engineering_spark.plans.similarity import (
+                s29_mmr_diversity_gain,
+            )
+
+            return s29_mmr_diversity_gain(spark, reg_sf).count()
+
         op_max_scale = {"ppjoin_t09": 16, "dup_spans_t40": 16}
         for name, fn, rows_in in (
             ("join_agg", join_agg, n_li),
@@ -965,6 +985,8 @@ def main() -> None:
             ("spectral_s25", spectral_s25, n_reg_em),
             ("cross_dup_d19", cross_dup_d19, n_salt_docs),
             ("cms_decision_x18", cms_decision_x18, n_reg_li),
+            ("consensus_d21", consensus_d21, n_salt_docs),
+            ("mmr_gain_s29", mmr_gain_s29, n_reg_em),
         ):
             if only_ops is not None and name not in only_ops:
                 continue
