@@ -254,6 +254,10 @@ HEADLINE = [
     "s34_idf_soft_jaccard",
     "m16_audio_rms_zcr",
     "q129_steered_nation_volume",
+    "t78_heaps_shingle_growth",
+    "e51_markov_transitions",
+    "q130_rfm_segments",
+    "x24_bloom_prefilter",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

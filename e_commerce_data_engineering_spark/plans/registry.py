@@ -102,6 +102,10 @@ _PRIORITY: tuple[str, ...] = (
     "s34_idf_soft_jaccard",
     "q129_steered_nation_volume",
     "x23_linear_counting",
+    "t78_heaps_shingle_growth",
+    "e51_markov_transitions",
+    "q130_rfm_segments",
+    "x24_bloom_prefilter",
     # Plan-changed this round (VERDICT r11 #1b): the shared token/
     # shingle/signature frames now write-through to scratch parquet
     # (operators/dedup._cached disk tier), so every d-family consumer's

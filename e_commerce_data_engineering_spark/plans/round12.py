@@ -756,3 +756,388 @@ def m16_audio_rms_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("sum_sq").cast("double") / F.col("n_samples")), 4
         ).alias("rms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t78 — Heaps'-law fit on shingle types per source: does vocabulary
+# keep growing (natural text) or saturate (template spam)?
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t78_heaps_shingle_growth",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, source,
+               len(tk) - 2 AS occ,
+               list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                              for i in range(1, len(tk) - 1)]) AS shl
+        FROM (SELECT doc_id, source, {_DUCK_TOKS} AS tk FROM documents)
+        WHERE len(tk) >= 3
+    ),
+    firstocc AS (
+        SELECT source, MIN(doc_id) AS fd
+        FROM (SELECT DISTINCT doc_id, source, unnest(shl) AS s FROM sh)
+        GROUP BY source, s
+    ),
+    newv AS (
+        SELECT source, fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS nv
+        FROM firstocc GROUP BY source, fd
+    ),
+    curve AS (
+        SELECT sh.source,
+               SUM(sh.occ) OVER w AS n,
+               SUM(COALESCE(nv, 0)) OVER w AS v
+        FROM sh LEFT JOIN newv
+          ON newv.source = sh.source AND newv.doc_id = sh.doc_id
+        WINDOW w AS (PARTITION BY sh.source ORDER BY sh.doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    pts AS (
+        SELECT source,
+               CAST(FLOOR(ln(n) * {_T77_Q} + 0.5) AS BIGINT) AS xq,
+               CAST(FLOOR(ln(v) * {_T77_Q} + 0.5) AS BIGINT) AS yq
+        FROM curve WHERE v >= 1 AND n >= 1
+    ),
+    sums AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+               CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+               CAST(SUM(xq * xq) AS BIGINT) AS sxx
+        FROM pts GROUP BY source
+    )
+    SELECT source, n AS n_points,
+           {sql_fround(
+               "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+               " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)",
+               6,
+           )} AS heaps_beta,
+           {sql_fround(
+               "(CAST(sy AS DOUBLE) / n - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+               " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+               f" * (CAST(sx AS DOUBLE) / n)) / {_T77_Q}",
+               6,
+           )} AS ln_k
+    FROM sums
+    """,
+    doc="Heaps'-law fit per source over SHINGLE types (the token "
+    "vocabulary is a closed 31-word set by construction, so 3-gram "
+    "types are where this corpus's vocabulary genuinely grows): OLS "
+    "of ln V(n) on ln n along each source's doc_id-ordered growth "
+    "curve, where n = cumulative shingle occurrences and V = "
+    "cumulative distinct types. Natural text sits at beta ~ 0.4-0.6 "
+    "(Heaps 1978); beta -> 0 means the source recycles templates "
+    "(dedup it harder), beta -> 1 means near-random strings (garbage "
+    "screen) — t77's Zipf slope and this are the two sides of the "
+    "same law (Lü et al. 2010). New-type attribution is exact: each "
+    "type counts at its FIRST doc (min doc_id within source), so the "
+    "curve is one groupBy + one cumulative window, never a per-"
+    "prefix recount; log-points quantize to 1e-6 integers before the "
+    "moment sums (t77's discipline). Scale: first-occurrence is a "
+    "min-aggregate over the exploded type postings (map-side "
+    "combinable); the window runs over doc-grain rows.",
+)
+def t78_heaps_shingle_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingles_of
+
+    d = load_table(spark, sf_dir, "documents")
+    tq = float(_T77_Q)
+    tk = tokens(F.col("text"))
+    sh = d.select(
+        "doc_id",
+        "source",
+        (F.size(tk) - 2).alias("occ"),
+        shingles_of(F.col("text"), 3).alias("shl"),
+    ).filter(F.size(tk) >= 3)
+    firstocc = (
+        sh.select("source", "doc_id", F.explode("shl").alias("s"))
+        .distinct()
+        .groupBy("source", "s")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    newv = firstocc.groupBy("source", F.col("fd").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nv")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    curve = (
+        sh.join(newv, ["source", "doc_id"], "left")
+        .select(
+            "source",
+            "doc_id",
+            F.sum("occ").over(w).alias("n"),
+            F.sum(F.coalesce(F.col("nv"), F.lit(0))).over(w).alias("v"),
+        )
+    )
+    pts = curve.filter((F.col("v") >= 1) & (F.col("n") >= 1)).select(
+        "source",
+        F.floor(F.log(F.col("n")) * tq + F.lit(0.5)).cast("bigint").alias("xq"),
+        F.floor(F.log(F.col("v")) * tq + F.lit(0.5)).cast("bigint").alias("yq"),
+    )
+    sums = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xq").cast("bigint").alias("sx"),
+        F.sum("yq").cast("bigint").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("bigint").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("bigint").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    slope = (nd * F.col("sxy") - sxd * F.col("sy")) / (nd * F.col("sxx") - sxd * F.col("sx"))
+    lnk = (F.col("sy").cast("double") / F.col("n") - slope * (sxd / F.col("n"))) / tq
+    return sums.select(
+        "source",
+        F.col("n").alias("n_points"),
+        fround(slope, 6).alias("heaps_beta"),
+        fround(lnk, 6).alias("ln_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# e51 — first-order Markov transition matrix between event types: the
+# behavioral grammar of the clickstream
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e51_markov_transitions",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_type AS cur,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    tr AS (
+        SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM seq WHERE nxt IS NOT NULL
+        GROUP BY cur, nxt
+    ),
+    tot AS (SELECT cur, CAST(SUM(cnt) AS BIGINT) AS t FROM tr GROUP BY cur)
+    SELECT tr.cur, tr.nxt, tr.cnt,
+           {sql_fround("CAST(tr.cnt AS DOUBLE) / t", 6)} AS p
+    FROM tr JOIN tot ON tot.cur = tr.cur
+    """,
+    doc="First-order Markov transition matrix between event types: "
+    "P(next = j | current = i) from each user's ts-ordered event "
+    "sequence — the behavioral grammar (view->click->purchase vs "
+    "view->error->exit) that funnel analysis (e21's last-touch) "
+    "summarizes away; row-normalized counts are the MLE of the chain "
+    "(Anderson & Goodman 1957). Transitions never cross users (the "
+    "LEAD partitions by user_id), ordering ties break on event_id so "
+    "the sequence is engine-deterministic, and probabilities are "
+    "exact integer ratios. Scale: one window over the user-clustered "
+    "event stream + a |types|² aggregate — the same shape as e03's "
+    "sessionizer, output bounded by the type-vocabulary square.",
+)
+def e51_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    tr = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    tot = tr.groupBy("cur").agg(F.sum("cnt").cast("bigint").alias("t"))
+    return tr.join(F.broadcast(tot), "cur").select(
+        "cur",
+        "nxt",
+        "cnt",
+        fround(F.col("cnt").cast("double") / F.col("t"), 6).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q130 — RFM segmentation: the classic recency/frequency/monetary
+# quartile grid marketing pipelines cut customers by
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q130_rfm_segments",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS recency,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey, monetary_cents,
+               NTILE(4) OVER (ORDER BY recency DESC, o_custkey) AS r,
+               NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+               NTILE(4) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m
+        FROM cust
+    )
+    SELECT CAST(r AS INTEGER) AS r, CAST(f AS INTEGER) AS f,
+           CAST(m AS INTEGER) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {sql_fround(
+               "CAST(SUM(monetary_cents) AS DOUBLE) / COUNT(*) / 100.0", 4
+           )} AS avg_monetary
+    FROM scored GROUP BY r, f, m
+    """,
+    doc="RFM segmentation (Hughes 1994 — the marketing-analytics "
+    "workhorse): per customer, recency = latest order date, frequency "
+    "= order count, monetary = lifetime value in exact cents; each "
+    "dimension quartiled by NTILE(4) (1 = best) and the 4x4x4 grid "
+    "rolled up with its population and mean value — champions sit at "
+    "(1,1,1), at-risk big spenders at (4,1,1), the cells a win-back "
+    "campaign targets. Determinism: every NTILE rides a TOTAL order "
+    "(metric direction + o_custkey tiebreak), and NTILE's ceil-first "
+    "bucket-size rule is identical in both engines; monetary is "
+    "integer cents end-to-end, so cell means are exact ratios. Scale: "
+    "one customer-grain aggregate off orders, three window passes "
+    "over the customer frame (fact-table never re-scanned), 64-cell "
+    "output.",
+)
+def q130_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("recency"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    scored = cust.select(
+        "o_custkey",
+        "monetary_cents",
+        F.ntile(4).over(W.orderBy(F.col("recency").desc(), "o_custkey")).alias("r"),
+        F.ntile(4).over(W.orderBy(F.col("frequency").desc(), "o_custkey")).alias("f"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("monetary_cents").desc(), "o_custkey"))
+        .alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        fround(
+            F.sum("monetary_cents").cast("double") / F.count(F.lit(1)) / 100.0, 4
+        ).alias("avg_monetary"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x24 — Bloom-filter join prefilter: k-hash bitmap membership with the
+# measured vs theoretical false-positive rate
+# ---------------------------------------------------------------------------
+
+_X24_M = 8192  # bits
+_X24_K = 3  # hash functions (double hashing, the Kirsch-Mitzenmacher trick)
+
+
+def _x24_pos_sql(key_sql: str, i: str) -> str:
+    from ..operators.sketch import sql_portable_bucket
+
+    return sql_portable_bucket(key_sql, i, _X24_M)
+
+
+@query(
+    "x24_bloom_prefilter",
+    oracle=f"""
+    WITH build AS (
+        SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k
+        FROM customer WHERE c_acctbal < 0
+    ),
+    probe AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+    bits AS (
+        SELECT DISTINCT {_x24_pos_sql("k", "i")} AS pos
+        FROM build, (SELECT unnest(generate_series(0, {_X24_K - 1})) AS i) t
+    ),
+    hits AS (
+        SELECT p.k, COUNT(DISTINCT i) AS n_hit
+        FROM probe p, (SELECT unnest(generate_series(0, {_X24_K - 1})) AS i) t
+        JOIN bits ON bits.pos = {_x24_pos_sql("p.k", "i")}
+        GROUP BY p.k
+    ),
+    passed AS (SELECT k FROM hits WHERE n_hit = {_X24_K}),
+    counts AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM build) AS n_build,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM probe) AS n_probe,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM probe
+                WHERE k IN (SELECT k FROM build)) AS n_true,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM passed) AS n_passed
+    )
+    SELECT n_build, n_probe, n_true, n_passed,
+           CAST(n_passed - n_true AS BIGINT) AS n_false_pos,
+           {sql_fround(
+               "CAST(n_passed - n_true AS DOUBLE) / (n_probe - n_true)", 6
+           )} AS fp_rate,
+           {sql_fround(
+               f"pow(1.0 - exp(-{_X24_K}.0 * n_build / {_X24_M}.0), {_X24_K})", 6
+           )} AS fp_theory
+    FROM counts
+    """,
+    doc="Bloom-filter join prefilter audited end-to-end: the negative-"
+    f"balance customer keys populate an m = {_X24_M}-bit filter via "
+    f"k = {_X24_K} double-hashed positions (Kirsch-Mitzenmacher 2006 "
+    "— two portable Horner hashes generate all k, the same "
+    "sql_portable_bucket primitive as the CMS grid), and the order "
+    "probe side passes when ALL k bits are set — the runtime-filter "
+    "pattern engines push below shuffles to skip never-matching rows "
+    "(Spark's own InBloomFilter runtime filter, Impala/Trino's "
+    "broadcast runtime filters). Output: measured false-positive "
+    "rate beside Bloom's (1970) theoretical (1 - e^(-kn/m))^k — the "
+    "sizing check a 100 TB pre-filter deployment reads first. The "
+    "bit set is position rows (<= m), broadcastable next to any "
+    "probe scan; membership is k equi-joins, never a scan of the "
+    "build side per probe row.",
+)
+def x24_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import _portable_bucket
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    build = (
+        cust.filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").cast("string").alias("k"))
+        .distinct()
+    )
+    probe = orders.select(F.col("o_custkey").cast("string").alias("k")).distinct()
+    idx = spark.range(_X24_K).select(F.col("id").cast("bigint").alias("i"))
+    bits = (
+        build.crossJoin(F.broadcast(idx))
+        .select(_portable_bucket(F.col("k"), F.col("i"), _X24_M).alias("pos"))
+        .distinct()
+    )
+    hits = (
+        probe.crossJoin(F.broadcast(idx))
+        .select("k", "i", _portable_bucket(F.col("k"), F.col("i"), _X24_M).alias("pos"))
+        .join(F.broadcast(bits), "pos")
+        .groupBy("k")
+        .agg(F.countDistinct("i").alias("n_hit"))
+    )
+    passed = hits.filter(F.col("n_hit") == _X24_K)
+    n_build = build.agg(F.count(F.lit(1)).cast("bigint").alias("n_build"))
+    n_probe = probe.agg(F.count(F.lit(1)).cast("bigint").alias("n_probe"))
+    n_true = (
+        probe.join(build, "k", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    )
+    n_passed = passed.agg(F.count(F.lit(1)).cast("bigint").alias("n_passed"))
+    fp = (F.col("n_passed") - F.col("n_true")).cast("double") / (
+        F.col("n_probe") - F.col("n_true")
+    )
+    theory = F.pow(
+        F.lit(1.0) - F.exp(F.lit(-float(_X24_K)) * F.col("n_build") / F.lit(float(_X24_M))),
+        F.lit(_X24_K),
+    )
+    return (
+        n_build.crossJoin(F.broadcast(n_probe))
+        .crossJoin(F.broadcast(n_true))
+        .crossJoin(F.broadcast(n_passed))
+        .select(
+            "n_build",
+            "n_probe",
+            "n_true",
+            "n_passed",
+            (F.col("n_passed") - F.col("n_true")).cast("bigint").alias("n_false_pos"),
+            fround(fp, 6).alias("fp_rate"),
+            fround(theory, 6).alias("fp_theory"),
+        )
+    )

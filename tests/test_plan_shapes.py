@@ -1580,3 +1580,23 @@ def test_round12_batch_shapes(spark):
     p = plan_of(spark, "m16_audio_rms_zcr")
     assert "CartesianProduct" not in p and ("MapInPandas" in p or "mapInPandas" in p), p
     assert "Exchange" not in p, p  # narrow map: decode never shuffles
+
+
+def test_round12_batch2_shapes(spark):
+    """Second round-12 batch: t78's growth curve is one min-aggregate
+    over the exploded type postings + one doc-grain window (no
+    cartesian); e51 is one LEAD window + a types² aggregate; q130 is a
+    customer-grain aggregate + three windows — the orders fact is
+    scanned ONCE; x24's membership check is broadcast equi-joins on
+    the bit-position frame (the k-index fan-outs are deliberate tiny
+    broadcasts, never a data-sized cartesian)."""
+    for name in (
+        "t78_heaps_shingle_growth",
+        "e51_markov_transitions",
+        "x24_bloom_prefilter",
+    ):
+        assert "CartesianProduct" not in plan_of(spark, name), name
+
+    p = plan_of(spark, "q130_rfm_segments")
+    assert "CartesianProduct" not in p, p
+    assert p.count("Location: InMemoryFileIndex") == 1, p  # one orders scan

@@ -191,6 +191,10 @@ AUDIT = [
     ("s34_idf_soft_jaccard", "vocab-sized idf table; pair-grain intersect explode; inclusion-exclusion union mass"),
     ("m16_audio_rms_zcr", "shuffle-free Arrow decode map; six integer moments per asset; no exchange anywhere"),
     ("q129_steered_nation_volume", "q36's Q7 shape; supplier join strategy picked by the CMS grid, hash-gated vs q36's oracle"),
+    ("t78_heaps_shingle_growth", "first-occurrence min-aggregate over type postings; one doc-grain cumulative window; closed-form fit"),
+    ("e51_markov_transitions", "one LEAD window over user-clustered events; types^2 aggregate; broadcast row totals"),
+    ("q130_rfm_segments", "ONE orders scan; customer-grain aggregate; three NTILE windows over the customer frame"),
+    ("x24_bloom_prefilter", "bit-position frame broadcast beside the probe; k equi-joins, countDistinct(i)=k membership"),
 ]
 
 
