@@ -411,6 +411,7 @@ def snapshot_upsert(
     updates: DataFrame,
     key_col: str,
     version_col: str,
+    evolve_schema: bool = False,
 ) -> int:
     """Keep-latest-by-key MERGE published as a NEW snapshot version:
     same merge semantics as ``upsert_parquet`` (highest version_col per
@@ -418,14 +419,27 @@ def snapshot_upsert(
     result commits through ``snapshot_commit`` — so the pre-merge table
     remains readable at its old version during AND after the merge
     (readers never block, time travel keeps the audit trail). One
-    shuffle on the key. Returns the new version number."""
+    shuffle on the key. Returns the new version number.
+
+    ``evolve_schema=True`` is Delta/Iceberg mergeSchema semantics: a
+    column only the updates carry is ADDED to the table (pre-existing
+    rows read NULL for it); a column the updates omit survives with
+    NULL on updated rows. The default (False) stays strict — a schema
+    mismatch raises instead of silently widening, the right posture
+    for a production ingest whose schema is a contract. Each committed
+    version keeps ITS OWN schema on disk (one parquet dir per
+    version), so time travel into a pre-evolution version reads the
+    pre-evolution schema — exactly Delta's behavior. Type CHANGES are
+    not evolution (union still raises on incompatible types)."""
     from pyspark.sql import Window as W
 
     try:
         current = snapshot_read(spark, table_dir).withColumn("_src", F.lit(0))
     except ValueError:
         current = updates.limit(0).withColumn("_src", F.lit(0))
-    merged = current.unionByName(updates.withColumn("_src", F.lit(1)))
+    merged = current.unionByName(
+        updates.withColumn("_src", F.lit(1)), allowMissingColumns=evolve_schema
+    )
     w = W.partitionBy(key_col).orderBy(F.col(version_col).desc(), F.col("_src").desc())
     latest = (
         merged.withColumn("_rn", F.row_number().over(w))

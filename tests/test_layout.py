@@ -365,3 +365,49 @@ def test_snapshot_vacuum_retention_and_read_isolation(spark, tmp_path):
     assert snapshot_vacuum(spark, t, keep_last=2) == []
     assert snapshot_vacuum(spark, t, keep_last=0) == [2]
     assert {r["v"] for r in snapshot_read(spark, t).collect()} == {"z"}
+
+
+def test_snapshot_upsert_schema_evolution(spark, tmp_path):
+    """evolve_schema=True is mergeSchema: an updates-only column is
+    added (old rows read NULL), an omitted column survives with NULL
+    on updated rows, each version keeps ITS OWN on-disk schema (time
+    travel into the pre-evolution version reads the old schema), and
+    the strict default still raises on mismatch."""
+    import pytest as _pytest
+
+    from e_commerce_data_engineering_spark.operators.layout import (
+        snapshot_commit,
+        snapshot_read,
+        snapshot_upsert,
+    )
+
+    t = str(tmp_path / "snap-evolve")
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "k int, v string, ver int"
+    )
+    snapshot_commit(spark, base, t)
+
+    # new column `score` arrives with the updates
+    upd = spark.createDataFrame(
+        [(2, "b9", 9, 0.5), (3, "c", 2, 0.7)], "k int, v string, ver int, score double"
+    )
+    # strict default: schema mismatch must raise, not silently widen
+    with _pytest.raises(Exception):
+        snapshot_upsert(spark, t, upd, "k", "ver")
+
+    v = snapshot_upsert(spark, t, upd, "k", "ver", evolve_schema=True)
+    assert v == 2
+    now = {r["k"]: (r["v"], r["score"]) for r in snapshot_read(spark, t).collect()}
+    assert now == {1: ("a", None), 2: ("b9", 0.5), 3: ("c", 0.7)}
+    # time travel: the pre-evolution version keeps the OLD schema
+    old = snapshot_read(spark, t, version=1)
+    assert "score" not in old.columns
+    assert {r["k"] for r in old.collect()} == {1, 2}
+
+    # updates OMITTING a column: updated rows read NULL for it,
+    # untouched rows keep their value
+    upd2 = spark.createDataFrame([(3, 3, 9.9)], "k int, ver int, score double")
+    v2 = snapshot_upsert(spark, t, upd2, "k", "ver", evolve_schema=True)
+    assert v2 == 3
+    got = {r["k"]: (r["v"], r["score"]) for r in snapshot_read(spark, t).collect()}
+    assert got == {1: ("a", None), 2: ("b9", 0.5), 3: (None, 9.9)}
