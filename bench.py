@@ -258,6 +258,7 @@ HEADLINE = [
     "e51_markov_transitions",
     "q130_rfm_segments",
     "x24_bloom_prefilter",
+    "m17_jpeg_qtable_readback",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

@@ -496,6 +496,71 @@ def audio_pcm_moments(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(_moments_batch, AUDIO_MOMENT_SCHEMA)
 
 
+DQT_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("table_id", T.IntegerType(), False),
+        T.StructField("n_entries", T.IntegerType(), False),
+        T.StructField("sum_q", T.LongType(), False),
+        T.StructField("checksum", T.LongType(), False),
+    ]
+)
+
+
+def jpeg_dqt_stats(assets: DataFrame) -> DataFrame:
+    """REAL JPEG DQT (quantization table) marker parse — header-only,
+    no entropy decode: walk the marker stream to SOS, extract every
+    8-bit quantization table in its STORED (zigzag) order, and emit
+    integer digests per (asset, table): entry count, sum of the 64
+    values, and the position-weighted checksum sum((i+1)*q[i]) — one
+    byte read wrong anywhere in the SOI->SOS chain moves the checksum.
+    This is the metadata pass an image-curation pipeline runs to
+    estimate compression quality WITHOUT decoding pixels (the qtable
+    is the quality fingerprint; libjpeg/ImageMagick estimate quality
+    from exactly these sums). Non-JPEG rows emit nothing."""
+
+    def _dqt_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(content)
+                if b[:2] != b"\xff\xd8":
+                    continue
+                pos = 2
+                while pos + 4 <= len(b):
+                    if b[pos] != 0xFF:
+                        break
+                    marker = b[pos + 1]
+                    if marker in (0xD9, 0xDA):  # EOI / SOS: tables done
+                        break
+                    seglen = int.from_bytes(b[pos + 2 : pos + 4], "big")
+                    data = b[pos + 4 : pos + 2 + seglen]
+                    if marker == 0xDB:
+                        i = 0
+                        while i + 65 <= len(data) + 1 and i < len(data):
+                            prec, tid = data[i] >> 4, data[i] & 15
+                            if prec != 0:
+                                raise ValueError("16-bit qtable: not baseline")
+                            vals = data[i + 1 : i + 65]
+                            out.append(
+                                (
+                                    asset_id,
+                                    tid,
+                                    len(vals),
+                                    sum(vals),
+                                    sum((j + 1) * v for j, v in enumerate(vals)),
+                                )
+                            )
+                            i += 65
+                    pos += 2 + seglen
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "table_id", "n_entries", "sum_q", "checksum"],
+            )
+
+    return assets.mapInPandas(_dqt_batch, DQT_SCHEMA)
+
+
 SPECTRAL_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType(), False),

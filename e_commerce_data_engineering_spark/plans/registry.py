@@ -106,6 +106,7 @@ _PRIORITY: tuple[str, ...] = (
     "e51_markov_transitions",
     "q130_rfm_segments",
     "x24_bloom_prefilter",
+    "m17_jpeg_qtable_readback",
     # Plan-changed this round (VERDICT r11 #1b): the shared token/
     # shingle/signature frames now write-through to scratch parquet
     # (operators/dedup._cached disk tier), so every d-family consumer's

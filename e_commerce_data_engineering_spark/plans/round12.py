@@ -1141,3 +1141,67 @@ def x24_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(theory, 6).alias("fp_theory"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# m17 — JPEG quantization-table readback: header-only quality
+# fingerprint, hash-checked against the encoder's Annex-K arithmetic
+# ---------------------------------------------------------------------------
+
+
+def _m17_expected() -> list[tuple[int, int, int]]:
+    """(table_id, sum_q, checksum) the DQT parse must recover: the
+    encoder's own Annex-K tables scaled by quality 90, read in stored
+    (zigzag) order — computed from operators/jpeg.py's constants, so
+    encoder and oracle cannot drift apart."""
+    from ..operators.jpeg import _QT_CHROMA, _QT_LUMA, _ZZ_FLAT, _scale_qt
+
+    rows = []
+    for tid, base in ((0, _QT_LUMA), (1, _QT_CHROMA)):
+        flat = _scale_qt(base, 90).reshape(-1)
+        zz = [int(flat[i]) for i in _ZZ_FLAT]
+        rows.append((tid, sum(zz), sum((i + 1) * v for i, v in enumerate(zz))))
+    return rows
+
+
+@query(
+    "m17_jpeg_qtable_readback",
+    oracle=f"""
+    SELECT CAST(table_id AS INTEGER) AS table_id,
+           CAST(n_assets AS BIGINT) AS n_assets,
+           CAST(sum_q AS BIGINT) AS sum_q,
+           CAST(checksum AS BIGINT) AS checksum,
+           CAST(n_distinct AS BIGINT) AS n_distinct
+    FROM (VALUES
+        (0, 20, {_m17_expected()[0][1]}, {_m17_expected()[0][2]}, 1),
+        (1, 20, {_m17_expected()[1][1]}, {_m17_expected()[1][2]}, 1)
+    ) AS t(table_id, n_assets, sum_q, checksum, n_distinct)
+    """,
+    doc="JPEG quantization-table readback — the header-only quality "
+    "fingerprint an image-curation pipeline reads to filter on "
+    "compression quality WITHOUT decoding pixels (the qtable "
+    "determines quality; libjpeg/ImageMagick estimate Q from exactly "
+    "these sums): the REAL marker-stream parse (SOI->SOS walk, DQT "
+    "payloads in stored zigzag order, operators/multimodal."
+    "jpeg_dqt_stats) must recover, for every one of the 20 JPEG "
+    "assets, bit-for-bit the tables the encoder wrote — Annex-K "
+    "bases scaled by the libjpeg quality-90 rule floor((b*20+50)/"
+    "100) clipped to [1,255] — and the oracle states those digests "
+    "from the encoder's OWN constants (operators/jpeg.py), so a "
+    "one-byte parse slip or a scaling drift moves the checksum. "
+    "n_distinct = 1 pins that ALL assets carry the identical table "
+    "(same quality). Scale: header-only narrow map — bytes read per "
+    "asset are O(header), never the entropy-coded body; no shuffle "
+    "until the 2-group digest rollup.",
+)
+def m17_jpeg_qtable_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import jpeg_dqt_stats, make_real_assets
+
+    assets = make_real_assets(spark, 120).filter(F.col("modality") == "image")
+    dqt = jpeg_dqt_stats(assets)
+    return dqt.groupBy("table_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+        F.max("sum_q").cast("bigint").alias("sum_q"),
+        F.max("checksum").cast("bigint").alias("checksum"),
+        F.countDistinct("sum_q", "checksum").cast("bigint").alias("n_distinct"),
+    )

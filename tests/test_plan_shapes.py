@@ -1600,3 +1600,11 @@ def test_round12_batch2_shapes(spark):
     p = plan_of(spark, "q130_rfm_segments")
     assert "CartesianProduct" not in p, p
     assert p.count("Location: InMemoryFileIndex") == 1, p  # one orders scan
+
+
+def test_m17_header_only_narrow_map(spark):
+    """m17's DQT readback is a shuffle-free narrow Arrow map until the
+    2-group digest rollup — no pixel decode, no cartesian."""
+    p = plan_of(spark, "m17_jpeg_qtable_readback")
+    assert "CartesianProduct" not in p, p
+    assert "MapInPandas" in p or "mapInPandas" in p, p

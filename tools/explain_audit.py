@@ -195,6 +195,7 @@ AUDIT = [
     ("e51_markov_transitions", "one LEAD window over user-clustered events; types^2 aggregate; broadcast row totals"),
     ("q130_rfm_segments", "ONE orders scan; customer-grain aggregate; three NTILE windows over the customer frame"),
     ("x24_bloom_prefilter", "bit-position frame broadcast beside the probe; k equi-joins, countDistinct(i)=k membership"),
+    ("m17_jpeg_qtable_readback", "header-only DQT parse in a narrow Arrow map; 2-group digest rollup; no pixel decode"),
 ]
 
 
