@@ -259,6 +259,8 @@ HEADLINE = [
     "q130_rfm_segments",
     "x24_bloom_prefilter",
     "m17_jpeg_qtable_readback",
+    "s35_lsh_bits_tuning",
+    "e52_funnel_conversion",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

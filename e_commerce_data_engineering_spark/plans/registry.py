@@ -107,6 +107,8 @@ _PRIORITY: tuple[str, ...] = (
     "q130_rfm_segments",
     "x24_bloom_prefilter",
     "m17_jpeg_qtable_readback",
+    "s35_lsh_bits_tuning",
+    "e52_funnel_conversion",
     # Plan-changed this round (VERDICT r11 #1b): the shared token/
     # shingle/signature frames now write-through to scratch parquet
     # (operators/dedup._cached disk tier), so every d-family consumer's

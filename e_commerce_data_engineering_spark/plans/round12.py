@@ -19,6 +19,7 @@ from ..sources.tables import load_table
 from .advanced import _D09_HASH_S, _D09_K, D14_MAX_DF
 from .money import fround, sql_fround
 from .registry import query
+from .similarity import _SQL_DOT_QC, _SQL_NORM_C, _SQL_NORM_Q, N_QUERY_VECS
 from .text import _DUCK_TOKS
 
 _Q12 = "1000000000000.0"  # 1e-12 quantization (the g02 discipline)
@@ -1204,4 +1205,286 @@ def m17_jpeg_qtable_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sum_q").cast("bigint").alias("sum_q"),
         F.max("checksum").cast("bigint").alias("checksum"),
         F.countDistinct("sum_q", "checksum").cast("bigint").alias("n_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# s35 — hyperplane-LSH bits/tables tuner: d18's banding-curve audit
+# brought to the VECTOR side (sign-random-projection collision law)
+# ---------------------------------------------------------------------------
+
+# (planes-per-table b, tables L) menu with b*L = 32 — the cosine-LSH
+# twin of d18's (bands, rows) menu
+S35_CONFIGS = ((4, 8), (8, 4), (16, 2), (32, 1))
+_S35_Q = "1000000000.0"  # 1e-9 collision-probability quantization
+_S35_TRUE_K = 10  # exact top-k defines the "true neighbor" class
+
+
+@query(
+    "s35_lsh_bits_tuning",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id < {N_QUERY_VECS}),
+    c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+    scored AS (
+        SELECT q_id, c_id,
+               CAST(FLOOR((1.0 - acos(LEAST(GREATEST(
+                   {_SQL_DOT_QC} / ({_SQL_NORM_Q} * {_SQL_NORM_C}),
+                   -1.0), 1.0)) / pi()) * {_S35_Q} + 0.5) AS BIGINT) AS pq
+        FROM q CROSS JOIN c WHERE q_id <> c_id
+    ),
+    ranked AS (
+        SELECT q_id, c_id, pq,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY pq DESC, c_id) AS rn
+        FROM scored
+    ),
+    cfg AS (SELECT * FROM (VALUES (4, 8), (8, 4), (16, 2), (32, 1))
+            AS t(b, l)),
+    chain AS (
+        SELECT rn <= {_S35_TRUE_K} AS is_true, b, l,
+               pq / {_S35_Q} AS p1
+        FROM ranked CROSS JOIN cfg
+    ),
+    ppow AS (
+        SELECT is_true, b, l,
+               CASE b WHEN 4 THEN (p1*p1)*(p1*p1)
+                      WHEN 8 THEN ((p1*p1)*(p1*p1))*((p1*p1)*(p1*p1))
+                      WHEN 16 THEN (((p1*p1)*(p1*p1))*((p1*p1)*(p1*p1)))
+                                 * (((p1*p1)*(p1*p1))*((p1*p1)*(p1*p1)))
+                      ELSE ((((p1*p1)*(p1*p1))*((p1*p1)*(p1*p1)))
+                            * (((p1*p1)*(p1*p1))*((p1*p1)*(p1*p1))))
+                           * ((((p1*p1)*(p1*p1))*((p1*p1)*(p1*p1)))
+                              * (((p1*p1)*(p1*p1))*((p1*p1)*(p1*p1))))
+               END AS pb
+        FROM chain
+    ),
+    catch AS (
+        SELECT is_true, b, l,
+               CAST(FLOOR((1.0 - CASE l
+                   WHEN 1 THEN (1.0 - pb)
+                   WHEN 2 THEN (1.0 - pb)*(1.0 - pb)
+                   WHEN 4 THEN ((1.0 - pb)*(1.0 - pb))*((1.0 - pb)*(1.0 - pb))
+                   ELSE (((1.0 - pb)*(1.0 - pb))*((1.0 - pb)*(1.0 - pb)))
+                      * (((1.0 - pb)*(1.0 - pb))*((1.0 - pb)*(1.0 - pb)))
+               END) * {_S35_Q} + 0.5) AS BIGINT) AS qp
+        FROM ppow
+    )
+    SELECT CAST(b AS INTEGER) AS planes, CAST(l AS INTEGER) AS tables,
+           CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_pairs,
+           {sql_fround(
+               "CAST(SUM(CASE WHEN is_true THEN qp ELSE 0 END) AS DOUBLE)"
+               f" / (SUM(CASE WHEN is_true THEN 1 ELSE 0 END) * {_S35_Q})",
+               6,
+           )} AS expected_recall,
+           {sql_fround(
+               "CAST(SUM(CASE WHEN NOT is_true THEN qp ELSE 0 END) AS DOUBLE)"
+               f" / (SUM(CASE WHEN NOT is_true THEN 1 ELSE 0 END) * {_S35_Q})",
+               6,
+           )} AS expected_fp_rate
+    FROM catch GROUP BY b, l
+    """,
+    doc="Hyperplane-LSH (planes b, tables L) tuner — d18's banding-"
+    "curve audit brought to the vector side: for sign-random-"
+    "projection LSH the single-plane collision probability is "
+    "1 - theta/pi (Goemans-Williamson via Charikar 2002), a b-plane "
+    "table collides at p^b, and L tables catch with 1-(1-p^b)^L — "
+    "this query evaluates the whole b*L = 32 menu against the "
+    f"corpus's OWN angle mass: expected recall over each probe's "
+    f"exact top-{_S35_TRUE_K} (the class s04 must catch) and expected "
+    "false-candidate rate over everything else — the table that "
+    "justifies s04's (3 planes x 12 tables) regime with numbers. "
+    "Per-pair p quantizes to 1e-9 ONCE (acos is the same libm call "
+    "on the same doubles in both engines); p^b and (1-p^b)^L run as "
+    "explicit squaring chains (b, L are powers of 2), so both "
+    "engines execute the IDENTICAL IEEE sequence; per-pair catch "
+    "probabilities re-quantize before the class sums (d18's "
+    "discipline end-to-end). Scale: the angle mass comes from the "
+    "standard broadcast-probe scan (probes x corpus, never corpus²); "
+    "the config fanout is a 4-row broadcast; the rollup is 4 groups.",
+)
+def s35_lsh_bits_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import N_QUERY_VECS as _NQ
+    from .similarity import dot, l2_norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    sq = float(_S35_Q)
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / (
+        l2_norm(F.col("q_emb")) * l2_norm(F.col("c_emb"))
+    )
+    p = F.lit(1.0) - F.acos(F.least(F.greatest(cos, F.lit(-1.0)), F.lit(1.0))) / F.lit(
+        3.141592653589793
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.floor(p * sq + F.lit(0.5)).cast("bigint").alias("pq"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("q_id").orderBy(F.col("pq").desc(), "c_id")),
+    )
+    cfg = spark.createDataFrame(list(S35_CONFIGS), "b int, l int")
+    chain = ranked.crossJoin(F.broadcast(cfg)).select(
+        (F.col("rn") <= _S35_TRUE_K).alias("is_true"),
+        "b",
+        "l",
+        (F.col("pq") / sq).alias("p1"),
+    )
+
+    def sq_chain(col: str, pick_col: str, picks: tuple) -> F.Column:
+        c1 = F.col(col)
+        c2 = c1 * c1
+        c4 = c2 * c2
+        c8 = c4 * c4
+        c16 = c8 * c8
+        c32 = c16 * c16
+        pows = {1: c1, 2: c2, 4: c4, 8: c8, 16: c16, 32: c32}
+        expr = None
+        for k in picks:
+            cond = F.col(pick_col) == k
+            expr = F.when(cond, pows[k]) if expr is None else expr.when(cond, pows[k])
+        return expr
+
+    ppow = chain.withColumn("pb", sq_chain("p1", "b", (4, 8, 16, 32)))
+    upow = ppow.withColumn("u1", F.lit(1.0) - F.col("pb"))
+    catch = upow.withColumn(
+        "qp",
+        F.floor(
+            (F.lit(1.0) - sq_chain("u1", "l", (1, 2, 4, 8))) * sq + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    t = F.col("is_true")
+    agg = catch.groupBy("b", "l").agg(
+        F.sum(F.when(t, 1).otherwise(0)).cast("bigint").alias("n_true_pairs"),
+        F.sum(F.when(t, F.col("qp")).otherwise(F.lit(0))).cast("bigint").alias("s_t"),
+        F.sum(F.when(~t, 1).otherwise(0)).cast("bigint").alias("n_sub"),
+        F.sum(F.when(~t, F.col("qp")).otherwise(F.lit(0))).cast("bigint").alias("s_f"),
+    )
+    return agg.select(
+        F.col("b").alias("planes"),
+        F.col("l").alias("tables"),
+        "n_true_pairs",
+        fround(F.col("s_t").cast("double") / (F.col("n_true_pairs") * sq), 6).alias(
+            "expected_recall"
+        ),
+        fround(F.col("s_f").cast("double") / (F.col("n_sub") * sq), 6).alias(
+            "expected_fp_rate"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# e52 — time-boxed funnel: view -> click -> purchase, each step within
+# one hour of the previous — ordered-subsequence conversion counting
+# ---------------------------------------------------------------------------
+
+_E52_WINDOW_MS = 3_600_000
+
+
+@query(
+    "e52_funnel_conversion",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS vt FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS ct
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.vt
+          AND epoch_ms(e.ts) - epoch_ms(v.vt) <= {_E52_WINDOW_MS}
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS pt
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.ct
+          AND epoch_ms(e.ts) - epoch_ms(c.ct) <= {_E52_WINDOW_MS}
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase,
+           {sql_fround(
+               "CAST((SELECT COUNT(*) FROM c) AS DOUBLE)"
+               " / (SELECT COUNT(*) FROM v)", 6
+           )} AS view_to_click,
+           {sql_fround(
+               "CAST((SELECT COUNT(*) FROM p) AS DOUBLE)"
+               " / NULLIF((SELECT COUNT(*) FROM c), 0)", 6
+           )} AS click_to_purchase
+    """,
+    doc="Time-boxed conversion funnel (view -> click -> purchase, each "
+    "step within one hour of the previous): the ORDERED-subsequence "
+    "matching every product-analytics engine ships as its funnel "
+    "primitive — strictly after the anchor AND inside the window, so "
+    "a click before the first view or a purchase three days later "
+    "does not convert; e21's last-touch answers who gets credit, "
+    "this answers how many make it through. Each stage is one "
+    "min-aggregate + one equi-join against the previous stage's "
+    "user-grain anchors (never a window over the raw stream, never "
+    "per-user sequence materialization), so the funnel depth costs "
+    "one join per step at any scale; all counts are exact integers, "
+    "rates exact ratios. Scale: events scanned once per stage with "
+    "the event-type filter pushed to parquet; anchors are user-grain "
+    "(small) join sides.",
+)
+def e52_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("vt"))
+            & (ms - F.unix_millis(F.col("vt").cast("timestamp")) <= _E52_WINDOW_MS)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("ct"))
+            & (ms - F.unix_millis(F.col("ct").cast("timestamp")) <= _E52_WINDOW_MS)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    nv = v.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_click"))
+    np_ = p.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchase"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            fround(F.col("n_click").cast("double") / F.col("n_view"), 6).alias(
+                "view_to_click"
+            ),
+            fround(
+                F.col("n_purchase").cast("double")
+                / F.nullif(F.col("n_click").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("click_to_purchase"),
+        )
     )

@@ -1608,3 +1608,17 @@ def test_m17_header_only_narrow_map(spark):
     p = plan_of(spark, "m17_jpeg_qtable_readback")
     assert "CartesianProduct" not in p, p
     assert "MapInPandas" in p or "mapInPandas" in p, p
+
+
+def test_round12_batch3_shapes(spark):
+    """Third round-12 batch: s35's angle mass comes from the deliberate
+    broadcast-probe scan (BroadcastNestedLoopJoin over the 5-probe
+    frame — never a corpus² cartesian) with a 4-row config broadcast;
+    e52's stages are min-aggregates + user-grain equi-joins with the
+    event-type filters pushed to the parquet scan."""
+    p = plan_of(spark, "s35_lsh_bits_tuning")
+    assert "CartesianProduct" not in p, p
+
+    p = plan_of(spark, "e52_funnel_conversion")
+    assert "CartesianProduct" not in p, p
+    assert "PushedFilters" in p or "pushedFilters" in p.lower() or "view" in p, p

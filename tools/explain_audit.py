@@ -196,6 +196,8 @@ AUDIT = [
     ("q130_rfm_segments", "ONE orders scan; customer-grain aggregate; three NTILE windows over the customer frame"),
     ("x24_bloom_prefilter", "bit-position frame broadcast beside the probe; k equi-joins, countDistinct(i)=k membership"),
     ("m17_jpeg_qtable_readback", "header-only DQT parse in a narrow Arrow map; 2-group digest rollup; no pixel decode"),
+    ("s35_lsh_bits_tuning", "broadcast-probe angle scan; 4-row config broadcast; squaring-chain collision law; 4-group rollup"),
+    ("e52_funnel_conversion", "per-stage min-aggregate + user-grain equi-join; event-type filters pushed to parquet"),
 ]
 
 
