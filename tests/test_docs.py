@@ -44,7 +44,7 @@ def test_survey_explains_count_current():
     explains = (README.parent / "EXPLAINS.md").read_text()
     n_sections = len(re.findall(r"^## ", explains, flags=re.M))
     survey = (README.parent / "SURVEY.md").read_text()
-    claims = re.findall(r"EXPLAINS\.md at (\d+)\s+audited plan sections", survey)
+    claims = re.findall(r"EXPLAINS\.md at\s+(\d+)\s+audited plan sections", survey)
     assert claims, "SURVEY must state the current EXPLAINS section count"
     assert int(claims[-1]) == n_sections, (
         f"SURVEY claims {claims[-1]} EXPLAINS sections, file has {n_sections}"
