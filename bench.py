@@ -261,6 +261,12 @@ HEADLINE = [
     "m17_jpeg_qtable_readback",
     "s35_lsh_bits_tuning",
     "e52_funnel_conversion",
+    "q131_stratified_split",
+    "t79_concat_chunk_packing",
+    "g18_core_decomposition",
+    "q132_scd2_priority_runs",
+    "s36_sq_bits_recall",
+    "m18_audio_silence_runs",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

@@ -496,6 +496,62 @@ def audio_pcm_moments(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(_moments_batch, AUDIO_MOMENT_SCHEMA)
 
 
+AUDIO_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("j", T.IntegerType(), False),
+        T.StructField("v", T.IntegerType(), False),
+    ]
+)
+
+
+def audio_pcm_samples(assets: DataFrame) -> DataFrame:
+    """REAL WAV decode to SAMPLE GRAIN: (asset_id, sample_rate, j, v)
+    with v the raw int16 PCM value at frame j — decode is the ONLY
+    Python step; every analysis over the samples (silence runs,
+    clipping censuses, envelope stats) stays JVM-side as windows and
+    aggregates, which is the Spark-first division of labor for
+    multimodal columns: Arrow-batch the codec, express the analytics
+    declaratively. Non-WAV / non-int16 rows are dropped (audio-only
+    consumers filter upstream anyway). The fan-out is bounded and
+    known (sample_rate x duration rows per asset); at 100 TB the same
+    map runs per asset-partition with no shuffle — sample rows carry
+    their asset key, so downstream windows partition on it.
+    """
+
+    def _samples_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, srs, js, vs = [], [], [], []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(content)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    continue
+                with wave.open(io.BytesIO(b)) as w:
+                    sr, width, n = w.getframerate(), w.getsampwidth(), w.getnframes()
+                    frames = w.readframes(n)
+                if width != 2:
+                    continue
+                v = np.frombuffer(frames, dtype="<i2").astype(np.int32)
+                ids.append(np.full(len(v), asset_id, dtype=np.int64))
+                srs.append(np.full(len(v), sr, dtype=np.int32))
+                js.append(np.arange(len(v), dtype=np.int32))
+                vs.append(v)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "asset_id": np.concatenate(ids),
+                        "sample_rate": np.concatenate(srs),
+                        "j": np.concatenate(js),
+                        "v": np.concatenate(vs),
+                    }
+                )
+
+    return assets.mapInPandas(_samples_batch, AUDIO_SAMPLE_SCHEMA)
+
+
 DQT_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType(), False),

@@ -64,6 +64,7 @@ def _load_all_modules() -> None:
     from . import tpch_extra  # noqa: F401
     from . import tpch_stats  # noqa: F401
     from . import round12  # noqa: F401
+    from . import round12b  # noqa: F401
 
 
 # Iteration order of all_queries()/all_oracles() is a FIXED, COMMITTED
@@ -94,6 +95,12 @@ _PRIORITY: tuple[str, ...] = (
     # (cumulative driver record through r11: 49/50 hash-pass, m14
     # no_oracle by design), so the front is clear for round-12.
     # (round-12 additions land here)
+    "q131_stratified_split",
+    "t79_concat_chunk_packing",
+    "g18_core_decomposition",
+    "q132_scd2_priority_runs",
+    "s36_sq_bits_recall",
+    "m18_audio_silence_runs",
     "g17_personalized_pagerank",
     "t77_zipf_slope",
     "e50_hazard_rate",

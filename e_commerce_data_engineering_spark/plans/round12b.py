@@ -1,0 +1,693 @@
+"""Round-12 second batch: the training-data-pipeline operators a
+pretraining corpus build runs between dedup and tokenization — a
+deterministic hash-based train/val/test split, GPT-style
+concatenate-then-chunk sequence packing, a scalar-quantization
+bits sweep (the memory-for-recall trade every production vector
+store makes), a graded k-core (onion) decomposition of the transaction
+graph, and an SCD2 run-length dimension history — all DataFrame/SQL
+plans with DuckDB oracle twins under the repo's integer-quantization
+discipline (plans/money.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..functions.text import tokens
+from ..sources.tables import load_table
+from .money import fround, sql_fround
+from .registry import query
+from .similarity import EMBEDDING_DIM, N_QUERY_VECS
+
+_Q12 = "1000000000000.0"  # 1e-12 term quantization (the g02 discipline)
+
+
+# ---------------------------------------------------------------------------
+# q131 — deterministic stratified train/val/test split
+# ---------------------------------------------------------------------------
+
+_SPLIT_MULT = 2654435761  # Knuth's 2^32 / phi multiplicative constant
+_SPLIT_MOD = 4294967296  # 2^32
+
+
+@query(
+    "q131_stratified_split",
+    oracle=f"""
+    WITH s AS (
+        SELECT lang, n_chars,
+               CASE WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD} % 100 < 90 THEN 'train'
+                    WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD} % 100 < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    g AS (
+        SELECT lang, split, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM s GROUP BY lang, split
+    )
+    SELECT lang, split, n_docs, total_chars,
+           {sql_fround("100.0 * n_docs / SUM(n_docs) OVER (PARTITION BY lang)", 4)}
+               AS pct_of_lang
+    FROM g
+    ORDER BY lang, split
+    """,
+    doc="Deterministic hash-based train/val/test split (90/5/5), "
+    "stratified report by language: bucket = doc_id * 2654435761 mod "
+    "2^32 mod 100 — Knuth's multiplicative hash, pure int64 "
+    "arithmetic so both engines agree bit-for-bit and the assignment "
+    "is REPRODUCIBLE independent of row order, partitioning, or "
+    "engine (the property a training pipeline needs so that re-runs, "
+    "backfills, and a different engine all put the same document in "
+    "the same split — a random() split has none of these). The "
+    "stratification report is the leakage/balance audit: per "
+    "(lang, split) doc and char counts plus each split's share of "
+    "its language. Scale: one scan, one groupBy, one tiny window — "
+    "the split column itself would be written once as a partition "
+    "key; no shuffle grows with corpus size beyond the groupBy.",
+)
+def q131_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id") * F.lit(_SPLIT_MULT), F.lit(_SPLIT_MOD)), F.lit(100)
+    )
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    g = (
+        d.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    lang_w = W.partitionBy("lang")
+    return g.select(
+        "lang",
+        "split",
+        "n_docs",
+        "total_chars",
+        fround(
+            F.lit(100.0) * F.col("n_docs") / F.sum("n_docs").over(lang_w), 4
+        ).alias("pct_of_lang"),
+    ).orderBy("lang", "split")
+
+
+# ---------------------------------------------------------------------------
+# t79 — GPT-style concat-then-chunk sequence packing audit
+# ---------------------------------------------------------------------------
+
+_T79_BUDGET = 2048  # tokens per packed sequence
+
+_T79_TOKS = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+
+
+@query(
+    "t79_concat_chunk_packing",
+    oracle=f"""
+    WITH d AS (
+        SELECT source, doc_id, {_T79_TOKS} AS tok FROM documents
+    ),
+    c AS (
+        SELECT source, doc_id, tok,
+               SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM d
+    ),
+    f AS (
+        SELECT source, tok, cum, cum - tok AS strt,
+               CASE WHEN tok > 0
+                         AND (cum - 1) // {_T79_BUDGET} > (cum - tok) // {_T79_BUDGET}
+                    THEN 1 ELSE 0 END AS straddle
+        FROM c
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS total_tokens,
+           CAST((SUM(tok) - 1) // {_T79_BUDGET} + 1 AS BIGINT) AS n_chunks,
+           CAST(SUM(straddle) AS BIGINT) AS straddling_docs,
+           {sql_fround(f"100.0 * (SUM(tok) - ((SUM(tok) - 1) // {_T79_BUDGET}) * {_T79_BUDGET}) / {_T79_BUDGET}", 4)}
+               AS tail_fill_pct
+    FROM f
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Concatenate-then-chunk sequence packing audit (the GPT-2/GPT-3 "
+    "pretraining layout: per shard, documents are concatenated in a "
+    "canonical order and the token stream is cut every B = 2048 "
+    "tokens): per source — the shard key — the number of packed "
+    "sequences the corpus yields, how many documents straddle a chunk "
+    "boundary (each straddler loses cross-boundary attention context; "
+    "the fraction is the packing-quality metric), and the fill of the "
+    "final partial chunk. One window cumsum per shard gives every "
+    "document its [start, end) token interval; a document straddles "
+    "iff floor((end-1)/B) > floor(start/B) — pure integer arithmetic, "
+    "bit-identical across engines. Scale: the cumsum is a single "
+    "per-shard sort (the same order the packer itself needs), then "
+    "one groupBy; nothing is materialized at token grain — the audit "
+    "runs on counts, not the 100 TB token stream itself.",
+)
+def t79_concat_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(tokens(F.col("text"))).alias("tok")
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    c = d.select("source", "tok", F.sum("tok").over(w).alias("cum"))
+    b = F.lit(_T79_BUDGET)
+    straddle = (
+        (F.col("tok") > 0)
+        & (F.expr(f"(cum - 1) DIV {_T79_BUDGET}") > F.expr(f"(cum - tok) DIV {_T79_BUDGET}"))
+    ).cast("int")
+    f = c.select("source", "tok", straddle.alias("straddle"))
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("total_tokens"),
+            F.sum("straddle").alias("straddling"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.col("total_tokens").alias("total_tokens"),
+            ((F.col("total_tokens") - 1) / b).cast("long").alias("n_chunks_floor"),
+            F.col("straddling"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            (F.col("n_chunks_floor") + 1).alias("n_chunks"),
+            F.col("straddling").cast("long").alias("straddling_docs"),
+            fround(
+                F.lit(100.0)
+                * (F.col("total_tokens") - F.col("n_chunks_floor") * b)
+                / b,
+                4,
+            ).alias("tail_fill_pct"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# g18 — graded k-core (onion) decomposition of the repeat-business graph
+# ---------------------------------------------------------------------------
+
+_G18_LEVELS = (2, 4, 6)
+
+_G18_EDGES_SQL = """
+    p AS (
+        SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 HAVING COUNT(DISTINCT o_orderkey) >= 2
+    ),
+    e0 AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p)
+"""
+
+
+def _g18_sql_level(k: int, prev: str, out: str) -> str:
+    """One peel: nodes of ``prev`` with degree >= k survive into ``out``."""
+    return f"""
+    a{k} AS (
+        SELECT src AS node FROM {prev} GROUP BY src HAVING COUNT(*) >= {k}
+    ),
+    {out} AS (
+        SELECT src, dst FROM {prev}
+        WHERE src IN (SELECT node FROM a{k}) AND dst IN (SELECT node FROM a{k})
+    )"""
+
+
+@query(
+    "g18_core_decomposition",
+    oracle=f"""
+    WITH {_G18_EDGES_SQL},
+    {_g18_sql_level(2, "e0", "e2")},
+    {_g18_sql_level(4, "e2", "e4")},
+    {_g18_sql_level(6, "e4", "e6")}
+    SELECT core_k, kind, n_nodes, n_halfedges FROM (
+        SELECT 2 AS core_k, substr(src, 1, 1) AS kind,
+               COUNT(DISTINCT src) AS n_nodes, COUNT(*) AS n_halfedges
+        FROM e2 GROUP BY 2
+        UNION ALL
+        SELECT 4, substr(src, 1, 1), COUNT(DISTINCT src), COUNT(*) FROM e4 GROUP BY 2
+        UNION ALL
+        SELECT 6, substr(src, 1, 1), COUNT(DISTINCT src), COUNT(*) FROM e6 GROUP BY 2
+    ) t
+    ORDER BY core_k, kind
+    """,
+    doc="Graded k-core (onion) decomposition of the UNDIRECTED repeat-"
+    "business graph (supplier-customer pairs with >= 2 distinct "
+    "orders — the relationship graph, not the transaction graph): "
+    "ascending-k peel schedule k = 2, 4, 6, where each level peels "
+    "nodes of degree < k from the previous level's survivors and "
+    "restricts edges to the surviving set. Peeling the (k-1)-core at "
+    "threshold k is exactly how the full core decomposition is "
+    "computed incrementally (Batagelj-Zaversnik 2003; distributed "
+    "form in Montresor et al. 2013) — each level is one degree "
+    "groupBy + one two-sided semi-join, the Pregel-free shape that "
+    "runs on any Spark cluster. g06_kcore_prune is the single-k kin "
+    "(fixed k=3, two rounds, co-purchase projection; its production "
+    "fixpoint is operators/graph.kcore) — this query instead walks "
+    "the k-AXIS, yielding the decomposition PROFILE a graph-"
+    "cohesion report needs. Output: nodes and half-edges "
+    "surviving each level, split by node kind (supplier vs customer) "
+    "— the cohesion profile of the business graph. Scale: degree "
+    "counting and semi-joins shuffle on the node key only; state "
+    "between levels is the shrinking edge list itself, never a "
+    "driver-side structure.",
+)
+def g18_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .agg(F.countDistinct("o_orderkey").alias("n_ord"))
+        .filter(F.col("n_ord") >= 2)
+        .select("src", "dst")
+    )
+    # Hash-cluster on src at default parallelism BEFORE the union-persist
+    # (the g17 lesson: a bare persist pins 200-partition cache output AQE
+    # cannot coalesce, and clustering on src feeds every per-level degree
+    # groupBy exchange-free).
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    e = (
+        p.unionAll(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(n_parts, "src")
+        .persist()
+    )
+    levels = []
+    cur = e
+    for k in _G18_LEVELS:
+        alive = cur.groupBy("src").count().filter(F.col("count") >= k).select(
+            F.col("src").alias("node")
+        )
+        cur = (
+            cur.join(alive, cur["src"] == alive["node"], "left_semi")
+            .join(alive, cur["dst"] == alive["node"], "left_semi")
+        )
+        levels.append(
+            cur.groupBy(F.substring("src", 1, 1).alias("kind")).agg(
+                F.countDistinct("src").alias("n_nodes"),
+                F.count(F.lit(1)).alias("n_halfedges"),
+            ).select(F.lit(k).alias("core_k"), "kind", "n_nodes", "n_halfedges")
+        )
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionAll(lvl)
+    return out.orderBy("core_k", "kind")
+
+
+# ---------------------------------------------------------------------------
+# q132 — SCD2 run-length history of order priority per customer
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q132_scd2_priority_runs",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+               CASE WHEN LAG(o_orderpriority) OVER w IS NULL
+                         OR LAG(o_orderpriority) OVER w <> o_orderpriority
+                    THEN 1 ELSE 0 END AS chg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    isl AS (
+        SELECT o_custkey, o_orderpriority,
+               SUM(chg) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM o
+    ),
+    runs AS (
+        SELECT o_custkey, o_orderpriority, island, COUNT(*) AS run_len
+        FROM isl GROUP BY o_custkey, o_orderpriority, island
+    )
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_runs,
+           CAST(SUM(run_len) AS BIGINT) AS n_orders,
+           CAST(MAX(run_len) AS BIGINT) AS max_run,
+           {sql_fround("CAST(SUM(run_len) AS DOUBLE) / COUNT(*)", 4)} AS avg_run,
+           {sql_fround("100.0 * SUM(CASE WHEN run_len = 1 THEN 1 ELSE 0 END) / COUNT(*)", 4)}
+               AS pct_singleton
+    FROM runs
+    GROUP BY priority
+    ORDER BY priority
+    """,
+    doc="SCD2 (slowly-changing-dimension type 2) history build via gaps-"
+    "and-islands: per customer, orders in date order collapse into "
+    "maximal runs of unchanged o_orderpriority — lag() flags each "
+    "change, a running sum of flags numbers the islands, and one "
+    "groupBy per (customer, island) yields the validity intervals a "
+    "warehouse would store as [effective_from, effective_to) rows "
+    "(Kimball's type-2 dimension, the standard change-history "
+    "pattern). The report aggregates run-length statistics per "
+    "priority: run counts, the longest streak, mean streak length, "
+    "and the share of one-order streaks (attribute churn rate). "
+    "Scale: both windows share ONE sort (same partition/order key), "
+    "so the whole history build is a single per-customer shuffle + "
+    "sort — the same cost as writing the SCD2 table itself.",
+)
+def q132_scd2_priority_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = (
+        F.when(
+            F.lag("o_orderpriority").over(w).isNull()
+            | (F.lag("o_orderpriority").over(w) != F.col("o_orderpriority")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg")
+    )
+    isl = o.select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority", chg).select(
+        "o_custkey",
+        "o_orderpriority",
+        F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("island"),
+    )
+    runs = isl.groupBy("o_custkey", "o_orderpriority", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        runs.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.sum("run_len").alias("n_orders"),
+            F.max("run_len").alias("max_run"),
+            fround(F.sum("run_len").cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_run"
+            ),
+            fround(
+                F.lit(100.0)
+                * F.sum((F.col("run_len") == 1).cast("int"))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("pct_singleton"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# s36 — int8 scalar-quantization recall (asymmetric / ADC scoring)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# s36 — scalar-quantization bits sweep: recall + dot error per grid
+# ---------------------------------------------------------------------------
+
+_S36_K = 10
+_S36_BITS = (4, 8)  # FAISS SQ4 / SQ8 grids: 15- and 255-step uniform
+
+
+@query(
+    "s36_sq_bits_recall",
+    oracle=f"""
+    WITH grids AS (
+        SELECT unnest([{", ".join(str(b) for b in _S36_BITS)}]) AS bits
+    ),
+    dims AS (
+        SELECT i AS d,
+               MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+               MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+        FROM embeddings, range(1, {EMBEDDING_DIM + 1}) t(i)
+        GROUP BY i
+    ),
+    sc AS (
+        SELECT bits, d, mn,
+               (mx - mn) / CAST(2 ** bits - 1 AS DOUBLE) AS s
+        FROM dims CROSS JOIN grids
+    ),
+    cexp AS (
+        SELECT vec_id AS c_id, d, CAST(embedding[d] AS DOUBLE) AS v
+        FROM embeddings, range(1, {EMBEDDING_DIM + 1}) t(d)
+    ),
+    crec AS (
+        SELECT bits, c_id, cexp.d, v,
+               CASE WHEN s > 0
+                    THEN mn + FLOOR((v - mn) / s + 0.5) * s
+                    ELSE mn END AS recon
+        FROM cexp JOIN sc ON cexp.d = sc.d
+    ),
+    qexp AS (
+        SELECT vec_id AS q_id, d, CAST(embedding[d] AS DOUBLE) AS qv
+        FROM embeddings, range(1, {EMBEDDING_DIM + 1}) t(d)
+        WHERE vec_id < {N_QUERY_VECS}
+    ),
+    terms AS (
+        SELECT bits, q_id, c_id,
+               CAST(FLOOR((qv * recon) * {_Q12} + 0.5) AS BIGINT) AS adc_t,
+               CAST(FLOOR((qv * v) * {_Q12} + 0.5) AS BIGINT) AS ex_t
+        FROM qexp JOIN crec ON qexp.d = crec.d
+        WHERE q_id <> c_id
+    ),
+    dots AS (
+        SELECT bits, q_id, c_id,
+               CAST(SUM(adc_t) AS BIGINT) AS adc_q,
+               CAST(SUM(ex_t) AS BIGINT) AS ex_q
+        FROM terms GROUP BY bits, q_id, c_id
+    ),
+    ranked AS (
+        SELECT bits, q_id, c_id, adc_q, ex_q,
+               ROW_NUMBER() OVER (PARTITION BY bits, q_id ORDER BY adc_q DESC, c_id) AS rn_adc,
+               ROW_NUMBER() OVER (PARTITION BY bits, q_id ORDER BY ex_q DESC, c_id) AS rn_ex
+        FROM dots
+    )
+    SELECT CAST(bits AS INTEGER) AS bits, q_id,
+           {sql_fround(f"SUM(CASE WHEN rn_adc <= {_S36_K} AND rn_ex <= {_S36_K} THEN 1 ELSE 0 END) / {_S36_K}.0", 4)}
+               AS recall_at_10,
+           {sql_fround(f"SUM(CASE WHEN rn_ex <= {_S36_K} THEN ABS(adc_q - ex_q) ELSE 0 END) / {_S36_K}.0 / {_Q12}", 6)}
+               AS mean_abs_err_top10
+    FROM ranked
+    GROUP BY bits, q_id
+    ORDER BY bits, q_id
+    """,
+    doc="Scalar-quantization bits sweep — the memory-for-recall trade "
+    "every production vector store ships (FAISS SQ4/SQ8, Lucene "
+    "int8_hnsw, Milvus SQ), measured as a curve: per-dimension "
+    "[min, max] over the corpus defines a (2^bits - 1)-step uniform "
+    "grid; candidates are stored as codes (8x / 4x smaller than "
+    "float32) and scored ASYMMETRICALLY — full-precision query "
+    "against reconstructed candidate, the ADC mode of Jegou et al. "
+    "2011 that keeps most of the accuracy. Per (bits, probe): "
+    "recall@10 of the quantized top-10 against the exact inner-"
+    "product top-10, and mean |dot error| over the exact top-10 "
+    "pricing the grid coarseness — at 4 bits recall visibly dips "
+    "below 1.0 on this corpus, at 8 bits it holds 1.0, which IS the "
+    "capacity-planning answer. Every product term is quantized to "
+    "1e-12 integers before summing, so both engines produce bit-"
+    "identical scores in any sum order. Scale: dimension stats are "
+    "one narrow posexplode groupBy (parquet-footer territory at "
+    "rest); scoring joins a broadcast 5x64 probe table to the "
+    "element-grain candidate stream — no cross join materializes "
+    "full vectors, and the code table is the 4-8x-smaller scan a "
+    "100 TB index actually reads.",
+)
+def s36_sq_bits_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    exp = e.select(
+        F.col("vec_id"), F.posexplode("embedding").alias("p", "vf")
+    ).select("vec_id", (F.col("p") + 1).alias("d"), F.col("vf").cast("double").alias("v"))
+    dims = exp.groupBy("d").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    grids = spark.range(0).sparkSession.createDataFrame(
+        [(b,) for b in _S36_BITS], "bits int"
+    )
+    sc = dims.crossJoin(F.broadcast(grids)).select(
+        "bits",
+        "d",
+        "mn",
+        (
+            (F.col("mx") - F.col("mn"))
+            / (F.pow(F.lit(2.0), F.col("bits").cast("double")) - F.lit(1.0))
+        ).alias("s"),
+    )
+    crec = (
+        exp.withColumnRenamed("vec_id", "c_id")
+        .join(F.broadcast(sc), "d")
+        .select(
+            "bits",
+            "c_id",
+            "d",
+            "v",
+            F.when(
+                F.col("s") > 0,
+                F.col("mn")
+                + F.floor((F.col("v") - F.col("mn")) / F.col("s") + F.lit(0.5))
+                * F.col("s"),
+            )
+            .otherwise(F.col("mn"))
+            .alias("recon"),
+        )
+    )
+    qexp = exp.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), "d", F.col("v").alias("qv")
+    )
+    terms = (
+        crec.join(F.broadcast(qexp), "d")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "bits",
+            "q_id",
+            "c_id",
+            F.floor((F.col("qv") * F.col("recon")) * F.lit(float(_Q12)) + F.lit(0.5))
+            .cast("long")
+            .alias("adc_t"),
+            F.floor((F.col("qv") * F.col("v")) * F.lit(float(_Q12)) + F.lit(0.5))
+            .cast("long")
+            .alias("ex_t"),
+        )
+    )
+    dots = terms.groupBy("bits", "q_id", "c_id").agg(
+        F.sum("adc_t").alias("adc_q"), F.sum("ex_t").alias("ex_q")
+    )
+    ranked = dots.select(
+        "bits",
+        "q_id",
+        "adc_q",
+        "ex_q",
+        F.row_number()
+        .over(W.partitionBy("bits", "q_id").orderBy(F.col("adc_q").desc(), "c_id"))
+        .alias("rn_adc"),
+        F.row_number()
+        .over(W.partitionBy("bits", "q_id").orderBy(F.col("ex_q").desc(), "c_id"))
+        .alias("rn_ex"),
+    )
+    k = F.lit(_S36_K)
+    return (
+        ranked.groupBy("bits", "q_id")
+        .agg(
+            fround(
+                F.sum(((F.col("rn_adc") <= k) & (F.col("rn_ex") <= k)).cast("int"))
+                / k.cast("double"),
+                4,
+            ).alias("recall_at_10"),
+            fround(
+                F.sum(
+                    F.when(
+                        F.col("rn_ex") <= k, F.abs(F.col("adc_q") - F.col("ex_q"))
+                    ).otherwise(F.lit(0))
+                )
+                / k.cast("double")
+                / F.lit(float(_Q12)),
+                6,
+            ).alias("mean_abs_err_top10"),
+        )
+        .orderBy("bits", "q_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# m18 — audio silence runs from real per-sample PCM decode
+# ---------------------------------------------------------------------------
+
+_M18_THRESH = 3277  # |int16| below this (~10% FS) counts as silence
+
+
+@query(
+    "m18_audio_silence_runs",
+    oracle=f"""
+    WITH aud AS (
+        SELECT i AS asset_id,
+               CASE WHEN i % 2 = 1 THEN 8000 ELSE 16000 END AS sr,
+               50 + (i % 5) * 10 AS dur,
+               220.0 + 5 * i AS f
+        FROM (SELECT unnest(generate_series(0, 119)) AS i) t
+        WHERE i % 3 = 1
+    ),
+    v AS (
+        SELECT asset_id,
+               CAST(TRUNC(32767 * 0.5 * sin(2 * pi() * f * j / sr)) AS BIGINT) AS v,
+               j
+        FROM (SELECT asset_id, sr, f,
+                     unnest(generate_series(0, sr * dur // 1000 - 1)) AS j
+              FROM aud)
+    ),
+    sil AS (
+        SELECT asset_id, j,
+               j - ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY j) AS grp
+        FROM v WHERE ABS(v) < {_M18_THRESH}
+    ),
+    runs AS (
+        SELECT asset_id, grp, COUNT(*) AS run_len
+        FROM sil GROUP BY asset_id, grp
+    ),
+    runstats AS (
+        SELECT asset_id, COUNT(*) AS n_runs, CAST(MAX(run_len) AS BIGINT) AS max_run
+        FROM runs GROUP BY asset_id
+    ),
+    tot AS (
+        SELECT asset_id, COUNT(*) AS n_samples,
+               CAST(SUM(CASE WHEN ABS(v) < {_M18_THRESH} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_silent
+        FROM v GROUP BY asset_id
+    )
+    SELECT tot.asset_id, n_samples, n_silent, n_runs, max_run,
+           {sql_fround("100.0 * n_silent / n_samples", 4)} AS silence_pct
+    FROM tot JOIN runstats ON tot.asset_id = runstats.asset_id
+    ORDER BY tot.asset_id
+    """,
+    doc="Silence-run detection over REAL per-sample WAV PCM decode — "
+    "the segmentation primitive an audio-curation pipeline runs to "
+    "trim leading/trailing silence and drop dead clips: samples with "
+    "|int16| < 3277 (~10 %% full scale) are silent; maximal silent "
+    "runs come from the classic gaps-and-islands (j - row_number "
+    "per asset = constant within a run) — entirely JVM-side windows "
+    "over the sample grain the decode map emits "
+    "(operators/multimodal.audio_pcm_samples: decode is the ONLY "
+    "Python step; the analytics are declarative). The oracle "
+    "regenerates the generator's closed-form sine arithmetically "
+    "(the m16 discipline — trunc(32767*0.5*sin(2*pi*f*j/sr)), libm "
+    "sin verified bit-identical across engines) and runs the SAME "
+    "windows, so one sample decoded wrong flips a run boundary. "
+    "Output per clip: sample/silence counts, run count, longest run, "
+    "silence share. Scale: sample rows carry the asset key, so the "
+    "islands window partitions per asset with no cross-asset "
+    "shuffle; run grain collapses immediately to per-asset stats.",
+)
+def m18_audio_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_pcm_samples, make_real_assets
+
+    assets = make_real_assets(spark, 120).filter(F.col("modality") == "audio")
+    s = audio_pcm_samples(assets).select("asset_id", "j", "v")
+    sil = s.filter(F.abs(F.col("v")) < _M18_THRESH).select(
+        "asset_id",
+        "j",
+        (
+            F.col("j")
+            - F.row_number().over(W.partitionBy("asset_id").orderBy("j"))
+        ).alias("grp"),
+    )
+    runs = sil.groupBy("asset_id", "grp").agg(F.count(F.lit(1)).alias("run_len"))
+    runstats = runs.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("n_runs"), F.max("run_len").alias("max_run")
+    )
+    tot = s.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum((F.abs(F.col("v")) < _M18_THRESH).cast("int")).alias("n_silent"),
+    )
+    return (
+        tot.join(runstats, "asset_id")
+        .select(
+            "asset_id",
+            "n_samples",
+            "n_silent",
+            "n_runs",
+            "max_run",
+            fround(F.lit(100.0) * F.col("n_silent") / F.col("n_samples"), 4).alias(
+                "silence_pct"
+            ),
+        )
+        .orderBy("asset_id")
+    )

@@ -1622,3 +1622,41 @@ def test_round12_batch3_shapes(spark):
     p = plan_of(spark, "e52_funnel_conversion")
     assert "CartesianProduct" not in p, p
     assert "PushedFilters" in p or "pushedFilters" in p.lower() or "view" in p, p
+
+
+def test_round12_batch4_shapes(spark):
+    """Fourth round-12 batch (training-data-pipeline ops): q131's split
+    is pure column arithmetic — one scan, one groupBy, one tiny
+    window, no join at all; t79's packing audit is one per-source
+    window sort + one groupBy; q132's two windows share ONE
+    partition/order key so the whole SCD2 build is a single sort (one
+    Sort node below the windows, no second exchange between them);
+    g18's per-level peel is degree aggregates + LeftSemi restrictions
+    (no cartesian); s36's scoring joins are broadcast probe/grid
+    frames against the element-grain stream (BroadcastHashJoin, never
+    a vector-grain cartesian)."""
+    p = plan_of(spark, "q131_stratified_split")
+    assert "CartesianProduct" not in p and "Join" not in p, p
+
+    p = plan_of(spark, "t79_concat_chunk_packing")
+    assert "CartesianProduct" not in p and "Join" not in p, p
+
+    p = plan_of(spark, "q132_scd2_priority_runs")
+    assert "CartesianProduct" not in p, p
+    # lag-flag window and cumsum window collapse onto one sort order:
+    # exactly one exchange keyed on the customer column
+    assert p.count("hashpartitioning(o_custkey") == 1, p
+
+    p = plan_of(spark, "g18_core_decomposition")
+    assert "CartesianProduct" not in p, p
+    assert "LeftSemi" in p, p
+
+    p = plan_of(spark, "s36_sq_bits_recall")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+    # m18: decode map emits sample grain; islands/count windows stay
+    # asset-partitioned (no cross-asset shuffle key), no cartesian
+    p = plan_of(spark, "m18_audio_silence_runs")
+    assert "CartesianProduct" not in p, p
+    assert "MapInPandas" in p or "mapInPandas" in p, p

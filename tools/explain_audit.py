@@ -198,6 +198,12 @@ AUDIT = [
     ("m17_jpeg_qtable_readback", "header-only DQT parse in a narrow Arrow map; 2-group digest rollup; no pixel decode"),
     ("s35_lsh_bits_tuning", "broadcast-probe angle scan; 4-row config broadcast; squaring-chain collision law; 4-group rollup"),
     ("e52_funnel_conversion", "per-stage min-aggregate + user-grain equi-join; event-type filters pushed to parquet"),
+    ("q131_stratified_split", "join-free split: int64 hash arithmetic in the scan projection; one groupBy + tiny window"),
+    ("t79_concat_chunk_packing", "one per-source window cumsum (the packer's own sort); integer chunk arithmetic; one groupBy"),
+    ("g18_core_decomposition", "ascending-k peel: per-level degree groupBy + two LeftSemi restrictions on the cached edge frame"),
+    ("q132_scd2_priority_runs", "lag-flag and island-cumsum windows share ONE customer-keyed sort; run grain never leaves the shuffle"),
+    ("s36_sq_bits_recall", "element-grain scoring; broadcast 128-row grid + 320-row probe frames; integer ADC sums; no cartesian"),
+    ("m18_audio_silence_runs", "decode-only Arrow map to sample grain; islands window partitions per asset; run grain collapses at once"),
 ]
 
 
