@@ -449,6 +449,40 @@ def snapshot_upsert(
     return snapshot_commit(spark, latest, table_dir)
 
 
+def snapshot_compact(
+    spark: SparkSession, table_dir: str, target_file_bytes: int = 128 << 20
+) -> int:
+    """OPTIMIZE for the snapshot kernel: rewrite the LATEST committed
+    version's data into ~``target_file_bytes``-sized files and publish
+    the rewrite as a NEW committed version — logically a no-op (same
+    rows), physically the small-files cure. Because the rewrite goes
+    through ``snapshot_commit``, readers of the old version are never
+    disturbed and the pre-compaction layout stays time-travelable
+    until a vacuum prunes it — exactly Delta OPTIMIZE / Iceberg
+    rewrite_data_files semantics (bin-pack flavor). The rewrite uses
+    ``coalesce`` (no shuffle: each output task concatenates whole
+    input files, the same plan a 100 TB per-partition compaction job
+    wants) sized from the version's actual on-disk bytes. Idempotent:
+    if the latest version already has <= the target file count the
+    call returns it unchanged, so a scheduled compactor converges
+    instead of rewriting forever. Returns the (new or unchanged
+    latest) version number."""
+    versions = _committed_versions(spark, table_dir)
+    if not versions:
+        raise ValueError(f"snapshot table {table_dir} has no committed version")
+    latest = versions[-1]
+    hist = {
+        r["version"]: (r["n_files"], r["total_bytes"])
+        for r in snapshot_history(spark, table_dir).collect()
+    }
+    n_files, total_bytes = hist[latest]
+    target_n = max(1, -(-total_bytes // max(1, target_file_bytes)))
+    if n_files <= target_n:
+        return latest
+    compacted = snapshot_read(spark, table_dir, latest).coalesce(int(target_n))
+    return snapshot_commit(spark, compacted, table_dir)
+
+
 def snapshot_vacuum(
     spark: SparkSession, table_dir: str, keep_last: int = 1
 ) -> list[int]:

@@ -411,3 +411,50 @@ def test_snapshot_upsert_schema_evolution(spark, tmp_path):
     assert v2 == 3
     got = {r["k"]: (r["v"], r["score"]) for r in snapshot_read(spark, t).collect()}
     assert got == {1: ("a", None), 2: ("b9", 0.5), 3: (None, 9.9)}
+
+
+def test_snapshot_compact_bin_packs_latest_version(spark, tmp_path):
+    """snapshot_compact is OPTIMIZE for the snapshot kernel: the latest
+    version's many small files are rewritten into ~target-sized files
+    as a NEW committed version with byte-identical rows; the old
+    layout stays time-travelable; a second call converges (no endless
+    rewrite)."""
+    import os
+
+    from e_commerce_data_engineering_spark.operators.layout import (
+        snapshot_commit,
+        snapshot_compact,
+        snapshot_history,
+        snapshot_read,
+    )
+
+    t = str(tmp_path / "snap")
+    df = spark.range(0, 10_000).selectExpr("id AS k", "CAST(id % 7 AS STRING) AS v")
+    snapshot_commit(spark, df.repartition(16), t)
+    hist0 = {r["version"]: r["n_files"] for r in snapshot_history(spark, t).collect()}
+    assert hist0[1] == 16
+
+    # huge target => everything packs into one file, as a NEW version
+    v2 = snapshot_compact(spark, t, target_file_bytes=1 << 30)
+    assert v2 == 2
+    hist = {r["version"]: r["n_files"] for r in snapshot_history(spark, t).collect()}
+    assert hist[2] == 1 and hist[1] == 16  # old layout untouched
+
+    # logically a no-op: identical row multiset, identical schema
+    a = sorted(map(tuple, snapshot_read(spark, t, 1).collect()))
+    b = sorted(map(tuple, snapshot_read(spark, t, 2).collect()))
+    assert a == b
+    assert snapshot_read(spark, t, 1).schema == snapshot_read(spark, t, 2).schema
+
+    # idempotent: already at/below target => returns latest, no commit
+    assert snapshot_compact(spark, t, target_file_bytes=1 << 30) == 2
+    markers = {n for n in os.listdir(t) if n.startswith("_latest.")}
+    assert markers == {"_latest.1", "_latest.2"}
+
+    # sized targeting: ask for ~quarter-of-total bytes per file => 4-ish
+    # files (ceil division), never more than the source file count
+    total = {r["version"]: r["total_bytes"] for r in snapshot_history(spark, t).collect()}[2]
+    v3 = snapshot_compact(spark, t, target_file_bytes=max(1, total // 4))
+    hist3 = {r["version"]: r["n_files"] for r in snapshot_history(spark, t).collect()}
+    assert v3 == 2  # 1 file <= ceil target of >=4 files: converged, no rewrite
+    assert set(hist3) == {1, 2}
