@@ -267,6 +267,8 @@ HEADLINE = [
     "q132_scd2_priority_runs",
     "s36_sq_bits_recall",
     "m18_audio_silence_runs",
+    "q133_zorder_file_skipping",
+    "g19_degree_assortativity",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

@@ -101,6 +101,8 @@ _PRIORITY: tuple[str, ...] = (
     "q132_scd2_priority_runs",
     "s36_sq_bits_recall",
     "m18_audio_silence_runs",
+    "q133_zorder_file_skipping",
+    "g19_degree_assortativity",
     "g17_personalized_pagerank",
     "t77_zipf_slope",
     "e50_hazard_rate",

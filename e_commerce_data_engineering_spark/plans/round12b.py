@@ -691,3 +691,330 @@ def m18_audio_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("asset_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q133 — Z-order vs linear layout: file-skipping audit on footer stats
+# ---------------------------------------------------------------------------
+
+_Q133_BITS = 8  # 256 bucket ids per dimension
+_Q133_ROWS = 512  # rows per simulated file / row group
+
+
+def _sql_interleave(xc: str, yc: str, bits: int = _Q133_BITS) -> str:
+    """Bit-interleave SQL twin of operators/layout.zorder_value: x on
+    even positions, y on odd — generated from the same loop."""
+    parts = []
+    for i in range(bits):
+        parts.append(f"((({xc} >> {i}) & 1) << {2 * i})")
+        parts.append(f"((({yc} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(parts) + ")"
+
+
+@query(
+    "q133_zorder_file_skipping",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey AS ck,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+        FROM orders
+    ),
+    st AS (
+        SELECT MIN(ck) AS minc, MAX(ck) AS maxc, MIN(day) AS mind, MAX(day) AS maxd
+        FROM o
+    ),
+    z AS (
+        SELECT o_orderkey, bx, by, {_sql_interleave("bx", "by")} AS zv
+        FROM (
+            SELECT o_orderkey,
+                   ((ck - minc) * 256) // (maxc - minc + 1) AS bx,
+                   ((day - mind) * 256) // (maxd - mind + 1) AS by
+            FROM o CROSS JOIN st
+        )
+    ),
+    fz AS (
+        SELECT (ROW_NUMBER() OVER (ORDER BY zv, o_orderkey) - 1) // {_Q133_ROWS}
+                   AS bucket,
+               bx, by
+        FROM z
+    ),
+    ft AS (
+        SELECT (ROW_NUMBER() OVER (ORDER BY by, o_orderkey) - 1) // {_Q133_ROWS}
+                   AS bucket,
+               bx, by
+        FROM z
+    ),
+    stats AS (
+        SELECT 'zorder' AS layout, bucket,
+               MIN(bx) AS min_bx, MAX(bx) AS max_bx,
+               MIN(by) AS min_by, MAX(by) AS max_by
+        FROM fz GROUP BY bucket
+        UNION ALL
+        SELECT 'linear', bucket, MIN(bx), MAX(bx), MIN(by), MAX(by)
+        FROM ft GROUP BY bucket
+    ),
+    probes AS (
+        SELECT p.probe, p.has_c, p.has_d,
+               ((minc + ((maxc - minc) * 2) // 6 - minc) * 256)
+                   // (maxc - minc + 1) AS pbx,
+               ((mind + ((maxd - mind) * 3) // 8 - mind) * 256)
+                   // (maxd - mind + 1) AS pby0,
+               LEAST(((mind + ((maxd - mind) * 3) // 8 + 30 - mind) * 256)
+                   // (maxd - mind + 1), 255) AS pby1
+        FROM (VALUES ('cust_point', 1, 0),
+                     ('date_range', 0, 1),
+                     ('cust_and_date', 1, 1)) p(probe, has_c, has_d)
+        CROSS JOIN st
+    )
+    SELECT layout, probe,
+           COUNT(*) AS n_buckets,
+           CAST(SUM(CASE WHEN (has_c = 0 OR pbx BETWEEN min_bx AND max_bx)
+                          AND (has_d = 0 OR (pby1 >= min_by AND pby0 <= max_by))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+           {sql_fround("100.0 * (COUNT(*) - SUM(CASE WHEN (has_c = 0 OR pbx BETWEEN min_bx AND max_bx) AND (has_d = 0 OR (pby1 >= min_by AND pby0 <= max_by)) THEN 1 ELSE 0 END)) / COUNT(*)", 4)}
+               AS skip_pct
+    FROM stats CROSS JOIN probes
+    GROUP BY layout, probe
+    ORDER BY layout, probe
+    """,
+    doc="Z-order vs linear layout file-skipping audit — the measured "
+    "WHY behind operators/layout.zorder_write: orders are bucketized "
+    "to a 256x256 (customer, day) grid, laid out two ways into "
+    f"{_Q133_ROWS}-row simulated files (Z-curve interleave — the SAME "
+    "bit-interleave zorder_value emits, replicated in SQL — vs pure "
+    "date order), and each layout keeps per-file min/max stats, "
+    "exactly what parquet row-group footers store. Three probe "
+    "shapes — customer point, 30-day range, and both — count the "
+    "files whose stat ranges overlap the predicate (the files a "
+    "reader must scan). The output IS the Z-order trade, measured: "
+    "the date-sorted layout prunes date probes perfectly but scans "
+    "EVERY file for the customer-only probe (its bx stats span the "
+    "grid), while Z-order skips the large majority of files for "
+    "BOTH single-column probes at a small cost on the pure date "
+    "probe — Delta/Iceberg's stated rationale for OPTIMIZE ZORDER, "
+    "reproduced on footer stats. Pure integer arithmetic end-to-end "
+    "(grid ids, interleave, row-number bucketing) — bit-identical "
+    "across engines. Scale: the global sort is the write-side job "
+    "(one range-partitioned sort per table rewrite); the audit reads "
+    "only file-grain stats — at 100 TB that is a parquet-footer "
+    "scan, not a data scan.",
+)
+def q133_zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import zorder_value
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("ck"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day"),
+    )
+    st = o.agg(
+        F.min("ck").alias("minc"),
+        F.max("ck").alias("maxc"),
+        F.min("day").alias("mind"),
+        F.max("day").alias("maxd"),
+    )
+    b = o.crossJoin(F.broadcast(st)).select(
+        "o_orderkey",
+        ((F.col("ck") - F.col("minc")) * 256 / (F.col("maxc") - F.col("minc") + 1))
+        .cast("long")
+        .alias("bx"),
+        ((F.col("day") - F.col("mind")) * 256 / (F.col("maxd") - F.col("mind") + 1))
+        .cast("long")
+        .alias("by"),
+    )
+    z = b.select(
+        "o_orderkey",
+        "bx",
+        "by",
+        zorder_value([F.col("bx"), F.col("by")], bits=_Q133_BITS).alias("zv"),
+    )
+    def _file_stats(frame, order_cols, layout):
+        f = frame.select(
+            ((F.row_number().over(W.orderBy(*order_cols)) - 1) / _Q133_ROWS)
+            .cast("long")
+            .alias("bucket"),
+            "bx",
+            "by",
+        )
+        return f.groupBy("bucket").agg(
+            F.min("bx").alias("min_bx"),
+            F.max("bx").alias("max_bx"),
+            F.min("by").alias("min_by"),
+            F.max("by").alias("max_by"),
+        ).select(F.lit(layout).alias("layout"), "*")
+
+    stats = _file_stats(z, ["zv", "o_orderkey"], "zorder").unionAll(
+        _file_stats(z, ["by", "o_orderkey"], "linear")
+    )
+    pr = spark.createDataFrame(
+        [("cust_point", 1, 0), ("date_range", 0, 1), ("cust_and_date", 1, 1)],
+        "probe string, has_c int, has_d int",
+    )
+    probes = pr.crossJoin(F.broadcast(st)).select(
+        "probe",
+        "has_c",
+        "has_d",
+        (
+            (
+                F.col("minc")
+                + ((F.col("maxc") - F.col("minc")) * 2 / 6).cast("long")
+                - F.col("minc")
+            )
+            * 256
+            / (F.col("maxc") - F.col("minc") + 1)
+        )
+        .cast("long")
+        .alias("pbx"),
+        (
+            (
+                F.col("mind")
+                + ((F.col("maxd") - F.col("mind")) * 3 / 8).cast("long")
+                - F.col("mind")
+            )
+            * 256
+            / (F.col("maxd") - F.col("mind") + 1)
+        )
+        .cast("long")
+        .alias("pby0"),
+        F.least(
+            (
+                (
+                    F.col("mind")
+                    + ((F.col("maxd") - F.col("mind")) * 3 / 8).cast("long")
+                    + 30
+                    - F.col("mind")
+                )
+                * 256
+                / (F.col("maxd") - F.col("mind") + 1)
+            ).cast("long"),
+            F.lit(255),
+        ).alias("pby1"),
+    )
+    hit = (
+        (
+            (F.col("has_c") == 0)
+            | F.col("pbx").between(F.col("min_bx"), F.col("max_bx"))
+        )
+        & (
+            (F.col("has_d") == 0)
+            | ((F.col("pby1") >= F.col("min_by")) & (F.col("pby0") <= F.col("max_by")))
+        )
+    ).cast("int")
+    return (
+        stats.crossJoin(F.broadcast(probes))
+        .groupBy("layout", "probe")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(hit).alias("n_scanned"),
+        )
+        .select(
+            "layout",
+            "probe",
+            "n_buckets",
+            "n_scanned",
+            fround(
+                F.lit(100.0)
+                * (F.col("n_buckets") - F.col("n_scanned"))
+                / F.col("n_buckets"),
+                4,
+            ).alias("skip_pct"),
+        )
+        .orderBy("layout", "probe")
+    )
+
+
+# ---------------------------------------------------------------------------
+# g19 — degree assortativity of the repeat-business graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "g19_degree_assortativity",
+    oracle=f"""
+    WITH {_G18_EDGES_SQL},
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM e0 GROUP BY src),
+    pairs AS (
+        SELECT dx.d AS x, dy.d AS y
+        FROM e0
+        JOIN deg dx ON e0.src = dx.node
+        JOIN deg dy ON e0.dst = dy.node
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pairs
+    )
+    SELECT n AS n_halfedges,
+           {sql_fround("CAST(sx AS DOUBLE) / n", 4)} AS mean_deg,
+           {sql_fround("(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))", 6)}
+               AS assortativity
+    FROM m
+    """,
+    doc="Degree assortativity coefficient (Newman 2002, Phys Rev Lett "
+    "89.208701): Pearson correlation of endpoint degrees over the "
+    "half-edge list of the UNDIRECTED repeat-business graph (g18's "
+    "edge universe) — negative r means hubs attach to low-degree "
+    "nodes (the disassortative signature of bipartite commerce "
+    "graphs, where high-degree suppliers serve long-tail customers), "
+    "positive r means a rich-club. All five moments are EXACT int64 "
+    "sums over integer degrees (the e48/e49 OLS discipline), folded "
+    "into the closed form only at the final 1-row projection, so "
+    "both engines agree bit-for-bit with no sum-order exposure. "
+    "Scale: two node-keyed equi-joins decorate each half-edge with "
+    "its endpoint degrees (shuffle on node id, the same partitioning "
+    "the degree groupBy just produced), then one map-side-combinable "
+    "aggregate — no adjacency materialization beyond the edge list.",
+)
+def g19_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .agg(F.countDistinct("o_orderkey").alias("n_ord"))
+        .filter(F.col("n_ord") >= 2)
+        .select("src", "dst")
+    )
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    e = (
+        p.unionAll(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(n_parts, "src")
+        .persist()
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    dx = deg.select(F.col("node").alias("xn"), F.col("d").alias("x"))
+    dy = deg.select(F.col("node").alias("yn"), F.col("d").alias("y"))
+    pairs = (
+        e.join(dx, e["src"] == dx["xn"])
+        .join(dy, e["dst"] == dy["yn"])
+        .select("x", "y")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nD = F.col("n").cast("double")
+    return m.select(
+        F.col("n").alias("n_halfedges"),
+        fround(F.col("sx").cast("double") / nD, 4).alias("mean_deg"),
+        fround(
+            (nD * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / F.sqrt(
+                (nD * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+                * (nD * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+            ),
+            6,
+        ).alias("assortativity"),
+    )

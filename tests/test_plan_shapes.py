@@ -1660,3 +1660,13 @@ def test_round12_batch4_shapes(spark):
     p = plan_of(spark, "m18_audio_silence_runs")
     assert "CartesianProduct" not in p, p
     assert "MapInPandas" in p or "mapInPandas" in p, p
+
+    # q133: the only cross joins are 1-row stats / 3-row probe
+    # broadcasts (never a data-sized cartesian); g19's moment joins
+    # are node-keyed equi-joins over the cached edge list
+    p = plan_of(spark, "q133_zorder_file_skipping")
+    assert "CartesianProduct" not in p, p
+
+    p = plan_of(spark, "g19_degree_assortativity")
+    assert "CartesianProduct" not in p, p
+    assert "InMemoryTableScan" in p, p  # edge frame reused via cache
