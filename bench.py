@@ -268,7 +268,7 @@ HEADLINE = [
     "s36_sq_bits_recall",
     "m18_audio_silence_runs",
     "q133_zorder_file_skipping",
-    "g19_degree_assortativity",
+    "g19_community_modularity",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

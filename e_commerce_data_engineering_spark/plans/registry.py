@@ -102,7 +102,7 @@ _PRIORITY: tuple[str, ...] = (
     "s36_sq_bits_recall",
     "m18_audio_silence_runs",
     "q133_zorder_file_skipping",
-    "g19_degree_assortativity",
+    "g19_community_modularity",
     "g17_personalized_pagerank",
     "t77_zipf_slope",
     "e50_hazard_rate",

@@ -19,6 +19,7 @@ from ..functions.text import tokens
 from ..sources.tables import load_table
 from .money import fround, sql_fround
 from .registry import query
+from .graph_sketch import _G03_EDGES_SQL
 from .similarity import EMBEDDING_DIM, N_QUERY_VECS
 
 _Q12 = "1000000000000.0"  # 1e-12 term quantization (the g02 discipline)
@@ -926,95 +927,184 @@ def q133_zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# g19 — degree assortativity of the repeat-business graph
+# g19 — Newman modularity of the g08 label-propagation partition
 # ---------------------------------------------------------------------------
+
+_G19_LPA_CTES = """
+    e2 AS (
+        SELECT src, dst FROM base
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM base
+    ),
+    l0 AS (
+        SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node,
+               CAST(s_nationkey AS BIGINT) AS lbl
+        FROM supplier
+        UNION ALL
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node,
+               CAST(c_nationkey AS BIGINT) AS lbl
+        FROM customer
+    ),
+    r1 AS (
+        SELECT e2.src AS node, nb.lbl, CAST(COUNT(*) AS BIGINT) AS c
+        FROM e2 JOIN l0 nb ON e2.dst = nb.node
+        GROUP BY e2.src, nb.lbl
+    ),
+    l1 AS (
+        SELECT node, lbl FROM (
+            SELECT node, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lbl) AS rn
+            FROM r1
+        ) WHERE rn = 1
+    ),
+    r2 AS (
+        SELECT e2.src AS node, nb.lbl, CAST(COUNT(*) AS BIGINT) AS c
+        FROM e2 JOIN l1 nb ON e2.dst = nb.node
+        GROUP BY e2.src, nb.lbl
+    ),
+    l2 AS (
+        SELECT node, lbl FROM (
+            SELECT node, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lbl) AS rn
+            FROM r2
+        ) WHERE rn = 1
+    )
+"""
 
 
 @query(
-    "g19_degree_assortativity",
+    "g19_community_modularity",
     oracle=f"""
-    WITH {_G18_EDGES_SQL},
-    deg AS (SELECT src AS node, COUNT(*) AS d FROM e0 GROUP BY src),
-    pairs AS (
-        SELECT dx.d AS x, dy.d AS y
-        FROM e0
-        JOIN deg dx ON e0.src = dx.node
-        JOIN deg dy ON e0.dst = dy.node
+    WITH base AS ({{edges}}),
+    {_G19_LPA_CTES},
+    lab AS (
+        SELECT e2.src, e2.dst, ls.lbl AS src_lbl, ld.lbl AS dst_lbl
+        FROM e2
+        JOIN l2 ls ON e2.src = ls.node
+        JOIN l2 ld ON e2.dst = ld.node
     ),
-    m AS (
-        SELECT COUNT(*) AS n,
-               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-               CAST(SUM(x * y) AS BIGINT) AS sxy,
-               CAST(SUM(x * x) AS BIGINT) AS sxx,
-               CAST(SUM(y * y) AS BIGINT) AS syy
-        FROM pairs
+    h AS (SELECT CAST(COUNT(*) AS BIGINT) AS hh FROM e2),
+    per_c AS (
+        SELECT src_lbl AS community,
+               CAST(SUM(CASE WHEN src_lbl = dst_lbl THEN 1 ELSE 0 END) AS BIGINT)
+                   AS intra_he,
+               CAST(COUNT(*) AS BIGINT) AS deg_sum
+        FROM lab GROUP BY src_lbl
+    ),
+    qc AS (
+        SELECT community,
+               CAST(FLOOR((CAST(intra_he AS DOUBLE) / hh
+                           - (CAST(deg_sum AS DOUBLE) / hh)
+                             * (CAST(deg_sum AS DOUBLE) / hh)) * {{q12}} + 0.5)
+                    AS BIGINT) AS qq
+        FROM per_c CROSS JOIN h
     )
-    SELECT n AS n_halfedges,
-           {sql_fround("CAST(sx AS DOUBLE) / n", 4)} AS mean_deg,
-           {sql_fround("(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))", 6)}
-               AS assortativity
-    FROM m
-    """,
-    doc="Degree assortativity coefficient (Newman 2002, Phys Rev Lett "
-    "89.208701): Pearson correlation of endpoint degrees over the "
-    "half-edge list of the UNDIRECTED repeat-business graph (g18's "
-    "edge universe) — negative r means hubs attach to low-degree "
-    "nodes (the disassortative signature of bipartite commerce "
-    "graphs, where high-degree suppliers serve long-tail customers), "
-    "positive r means a rich-club. All five moments are EXACT int64 "
-    "sums over integer degrees (the e48/e49 OLS discipline), folded "
-    "into the closed form only at the final 1-row projection, so "
-    "both engines agree bit-for-bit with no sum-order exposure. "
-    "Scale: two node-keyed equi-joins decorate each half-edge with "
-    "its endpoint degrees (shuffle on node id, the same partitioning "
-    "the degree groupBy just produced), then one map-side-combinable "
-    "aggregate — no adjacency materialization beyond the edge list.",
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+           CAST((SELECT hh FROM h) // 2 AS BIGINT) AS m_edges,
+           {sql_fround(f"CAST(SUM(qq) AS DOUBLE) / {_Q12}", 8)} AS q_modularity
+    FROM qc
+    """.format(edges=_G03_EDGES_SQL, q12=_Q12),
+    doc="Newman modularity Q of the g08 label-propagation partition — "
+    "the missing SCORE for the communities g08 detects (Newman & "
+    "Girvan 2004): Q = sum over communities of [intra-edge share - "
+    "(degree share)^2], computed on the half-edge list as Q = "
+    "sum_c[H_c/H - (D_c/H)^2] with H_c the intra-community half-"
+    "edges, D_c the community degree mass, H = 2m — all EXACT int64 "
+    "counts from two node-keyed label joins (the same decoration "
+    "shape g09 uses for degrees); each community's contribution is "
+    "quantized to 1e-12 integers before the final sum, so both "
+    "engines agree bit-for-bit regardless of community enumeration "
+    "order. Detection without evaluation is half an operator: this "
+    "is the number a pipeline thresholds to decide whether the "
+    "partition is real structure (Q well above 0) or noise. Scale: "
+    "the LPA rounds are |E|-shuffle each (g08's own cost); the "
+    "scoring pass adds two equi-joins + one community-grain "
+    "aggregate — no new asymptotics on a 100 TB graph.",
 )
-def g19_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+def g19_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    p = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy(
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    base = (
+        li.filter(F.col("l_quantity") >= 48)
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
             F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
         )
-        .agg(F.countDistinct("o_orderkey").alias("n_ord"))
-        .filter(F.col("n_ord") >= 2)
-        .select("src", "dst")
+        .distinct()
     )
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    e = (
-        p.unionAll(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e2 = (
+        base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .repartition(n_parts, "src")
         .persist()
     )
-    deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
-    dx = deg.select(F.col("node").alias("xn"), F.col("d").alias("x"))
-    dy = deg.select(F.col("node").alias("yn"), F.col("d").alias("y"))
-    pairs = (
-        e.join(dx, e["src"] == dx["xn"])
-        .join(dy, e["dst"] == dy["yn"])
-        .select("x", "y")
+    l0 = sup.select(
+        F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"),
+        F.col("s_nationkey").cast("bigint").alias("lbl"),
+    ).union(
+        cust.select(
+            F.concat(F.lit("c"), F.col("c_custkey")).alias("node"),
+            F.col("c_nationkey").cast("bigint").alias("lbl"),
+        )
     )
-    m = pairs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+
+    def lpa_round(labels: DataFrame) -> DataFrame:
+        nb = labels.select(F.col("node").alias("_nb"), F.col("lbl").alias("_nb_lbl"))
+        counts = (
+            e2.join(nb, e2["dst"] == nb["_nb"])
+            .groupBy(F.col("src").alias("node"), F.col("_nb_lbl").alias("lbl"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        w = W.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl"))
+        return (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+
+    # repartition-by-node before persist (the g17/g18 lesson: a bare
+    # persist pins the windows' 200-partition output; node-hashed cache
+    # output feeds both label joins exchange-free)
+    l2 = lpa_round(lpa_round(l0)).repartition(n_parts, "node").persist()
+    ls = l2.select(F.col("node").alias("sn"), F.col("lbl").alias("src_lbl"))
+    ld = l2.select(F.col("node").alias("dn"), F.col("lbl").alias("dst_lbl"))
+    lab = (
+        e2.join(ls, e2["src"] == ls["sn"])
+        .join(ld, e2["dst"] == ld["dn"])
+        .select("src_lbl", "dst_lbl")
     )
-    nD = F.col("n").cast("double")
-    return m.select(
-        F.col("n").alias("n_halfedges"),
-        fround(F.col("sx").cast("double") / nD, 4).alias("mean_deg"),
-        fround(
-            (nD * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
-            / F.sqrt(
-                (nD * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
-                * (nD * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
-            ),
-            6,
-        ).alias("assortativity"),
+    per_c = lab.groupBy(F.col("src_lbl").alias("community")).agg(
+        F.sum((F.col("src_lbl") == F.col("dst_lbl")).cast("int"))
+        .cast("bigint")
+        .alias("intra_he"),
+        F.count(F.lit(1)).cast("bigint").alias("deg_sum"),
+    )
+    h = e2.agg(F.count(F.lit(1)).cast("bigint").alias("hh"))
+    qc = per_c.crossJoin(F.broadcast(h)).select(
+        "hh",
+        F.floor(
+            (
+                F.col("intra_he").cast("double") / F.col("hh")
+                - (F.col("deg_sum").cast("double") / F.col("hh"))
+                * (F.col("deg_sum").cast("double") / F.col("hh"))
+            )
+            * F.lit(float(_Q12))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("qq"),
+    )
+    return qc.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        (F.first("hh") / 2).cast("bigint").alias("m_edges"),
+        fround(F.sum("qq").cast("double") / F.lit(float(_Q12)), 8).alias(
+            "q_modularity"
+        ),
     )

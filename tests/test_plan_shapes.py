@@ -1667,6 +1667,6 @@ def test_round12_batch4_shapes(spark):
     p = plan_of(spark, "q133_zorder_file_skipping")
     assert "CartesianProduct" not in p, p
 
-    p = plan_of(spark, "g19_degree_assortativity")
+    p = plan_of(spark, "g19_community_modularity")
     assert "CartesianProduct" not in p, p
-    assert "InMemoryTableScan" in p, p  # edge frame reused via cache
+    assert "InMemoryTableScan" in p, p  # edge + label frames ride the cache

@@ -205,7 +205,7 @@ AUDIT = [
     ("s36_sq_bits_recall", "element-grain scoring; broadcast 128-row grid + 320-row probe frames; integer ADC sums; no cartesian"),
     ("m18_audio_silence_runs", "decode-only Arrow map to sample grain; islands window partitions per asset; run grain collapses at once"),
     ("q133_zorder_file_skipping", "zorder_value interleave in the projection; two layout sorts; file-grain stats x 3-row probe broadcast"),
-    ("g19_degree_assortativity", "two node-keyed degree joins on the src-clustered edge cache; exact int64 moments; 1-row closed form"),
+    ("g19_community_modularity", "g08 LPA rounds + two node-keyed label joins on cached frames; 1e-12-quantized per-community Q terms"),
 ]
 
 
