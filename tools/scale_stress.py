@@ -145,6 +145,10 @@ OP_TABLES = {
     "winnowing_t63": {"documents"},
     "wasserstein_q105": {"orders"},
     "minhash_pairs_d09": {"documents_salted"},
+    "sq_bits_s36": {"reg_embeddings"},
+    "zorder_q133": {"reg_relational"},
+    "core_decomp_g18": {"reg_relational"},
+    "modularity_g19": {"reg_relational"},
     # registry-direct ops (VERDICT r10 #5): these time the PRODUCTION
     # plan builders against a replica root laid out like an sf dir
     # ({root}/reg_sf/<table>.parquet), not an inline re-implementation
@@ -972,6 +976,37 @@ def main() -> None:
 
             return s29_mmr_diversity_gain(spark, reg_sf).count()
 
+        # round-12 additions: the new-batch shapes with non-trivial
+        # scale behavior (element-grain SQ scoring, two global layout
+        # sorts, iterated peel joins, LPA + label joins)
+        def sq_bits_s36():
+            from e_commerce_data_engineering_spark.plans.round12b import (
+                s36_sq_bits_recall,
+            )
+
+            return s36_sq_bits_recall(spark, reg_sf).count()
+
+        def zorder_q133():
+            from e_commerce_data_engineering_spark.plans.round12b import (
+                q133_zorder_file_skipping,
+            )
+
+            return q133_zorder_file_skipping(spark, reg_sf).count()
+
+        def core_decomp_g18():
+            from e_commerce_data_engineering_spark.plans.round12b import (
+                g18_core_decomposition,
+            )
+
+            return g18_core_decomposition(spark, reg_sf).count()
+
+        def modularity_g19():
+            from e_commerce_data_engineering_spark.plans.round12b import (
+                g19_community_modularity,
+            )
+
+            return g19_community_modularity(spark, reg_sf).count()
+
         op_max_scale = {"ppjoin_t09": 16, "dup_spans_t40": 16}
         for name, fn, rows_in in (
             ("join_agg", join_agg, n_li),
@@ -1010,6 +1045,10 @@ def main() -> None:
             ("cms_decision_x18", cms_decision_x18, n_reg_li),
             ("consensus_d21", consensus_d21, n_salt_docs),
             ("mmr_gain_s29", mmr_gain_s29, n_reg_em),
+            ("sq_bits_s36", sq_bits_s36, n_reg_em),
+            ("zorder_q133", zorder_q133, n_reg_li),
+            ("core_decomp_g18", core_decomp_g18, n_reg_li),
+            ("modularity_g19", modularity_g19, n_reg_li),
         ):
             if only_ops is not None and name not in only_ops:
                 continue
