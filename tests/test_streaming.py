@@ -2705,3 +2705,89 @@ def test_steered_join_stream_picks_strategy_from_state(spark, tmp_path):
     )
     for got in (got_b, got_s):
         assert sorted(map(tuple, got.select("user_id", "segment").collect())) == want
+
+def test_snapshot_sink_stream_survives_compaction_and_vacuum(spark, tmp_path):
+    """Maintenance jobs interleave with streaming ingestion: a
+    snapshot_compact rewrites the seeded multi-file version WITHOUT
+    changing state, the stream then commits exactly-once ON TOP of the
+    compacted version (the compactor's version claims the next number,
+    so epoch-ledger dedup and the keep-latest merge are unaffected),
+    and a vacuum that prunes pre-compaction history never disturbs the
+    latest reader."""
+    import json as _json
+
+    from e_commerce_data_engineering_spark.operators.layout import (
+        snapshot_commit,
+        snapshot_compact,
+        snapshot_history,
+        snapshot_read,
+        snapshot_vacuum,
+    )
+    from e_commerce_data_engineering_spark.streaming.pipeline import (
+        start_snapshot_sink_stream,
+    )
+
+    table = str(tmp_path / "cs-table")
+    ckpt = str(tmp_path / "cs-ckpt")
+
+    # seed a deliberately fragmented v1 (the state a long-running
+    # ingest accumulates), then compact it to v2
+    seed = spark.range(200).selectExpr(
+        "id AS k", "concat('a', id) AS v", "CAST(1 AS LONG) AS ver"
+    )
+    assert snapshot_commit(spark, seed.repartition(8), table) == 1
+    v2 = snapshot_compact(spark, table, target_file_bytes=1 << 30)
+    assert v2 == 2
+    files = {r["version"]: r["n_files"] for r in snapshot_history(spark, table).collect()}
+    assert files == {1: 8, 2: 1}
+
+    # stream an update batch: the epoch merges ON TOP of the compacted
+    # version and claims version 3
+    src = tmp_path / "cs-src"
+    src.mkdir()
+    (src / "f1.jsonl").write_text(
+        "\n".join(
+            _json.dumps({"k": i, "v": f"b{i}", "ver": 2}) for i in range(100)
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("ver", T.LongType()),
+        ]
+    )
+
+    def _run():
+        q = start_snapshot_sink_stream(
+            spark, str(src), schema, table, ckpt, "k", "ver",
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    _run()
+    hist = sorted(r["version"] for r in snapshot_history(spark, table).collect())
+    assert hist == [1, 2, 3]
+    latest = {r["k"]: r["v"] for r in snapshot_read(spark, table).collect()}
+    assert len(latest) == 200
+    assert latest[0] == "b0" and latest[150] == "a150"
+
+    # replay worst case AFTER compaction: wipe the checkpoint — the
+    # epoch ledger absorbs the replayed epoch, state unchanged
+    import shutil
+
+    shutil.rmtree(ckpt)
+    _run()
+    assert sorted(
+        r["version"] for r in snapshot_history(spark, table).collect()
+    ) == [1, 2, 3]
+
+    # vacuum away pre-compaction history; latest state is untouched and
+    # the pruned versions are really gone
+    victims = snapshot_vacuum(spark, table, keep_last=1)
+    assert victims == [1, 2]
+    assert {r["k"]: r["v"] for r in snapshot_read(spark, table).collect()} == latest
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        snapshot_read(spark, table, version=1)
