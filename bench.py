@@ -269,6 +269,7 @@ HEADLINE = [
     "m18_audio_silence_runs",
     "q133_zorder_file_skipping",
     "g19_community_modularity",
+    "d25_symspell_blocking_recall",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

@@ -103,6 +103,7 @@ _PRIORITY: tuple[str, ...] = (
     "m18_audio_silence_runs",
     "q133_zorder_file_skipping",
     "g19_community_modularity",
+    "d25_symspell_blocking_recall",
     "g17_personalized_pagerank",
     "t77_zipf_slope",
     "e50_hazard_rate",

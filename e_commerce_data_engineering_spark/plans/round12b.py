@@ -1108,3 +1108,108 @@ def g19_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_modularity"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# d25 — SymSpell deletion-neighborhood join: the blocking recall audit
+# ---------------------------------------------------------------------------
+
+_D25_DELS = (
+    "list_concat([c_name], "
+    "list_transform(range(1, length(c_name) + 1), "
+    "i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1, 999)))"
+)
+
+
+@query(
+    "d25_symspell_blocking_recall",
+    oracle=f"""
+    WITH v AS (
+        SELECT c_custkey AS id, c_name AS name, c_nationkey AS nk,
+               c_mktsegment AS seg,
+               unnest({_D25_DELS}) AS var
+        FROM customer
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               a.name AS na, b.name AS nb,
+               a.nk AS nka, b.nk AS nkb, a.seg AS sega, b.seg AS segb
+        FROM v a JOIN v b ON a.var = b.var AND a.id < b.id
+    ),
+    truth AS (
+        SELECT id_a, id_b, nka, nkb, sega, segb
+        FROM cand WHERE levenshtein(na, nb) <= 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           CAST(SUM(CASE WHEN nka = nkb AND sega = segb THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_blocked_pairs,
+           {sql_fround("100.0 * SUM(CASE WHEN nka = nkb AND sega = segb THEN 1 ELSE 0 END) / COUNT(*)", 4)}
+               AS blocking_recall_pct
+    FROM truth
+    """,
+    doc="SymSpell deletion-neighborhood join (Garbe 2012) as a BLOCKING "
+    "RECALL AUDIT for entity resolution: every customer name emits "
+    "its length+1 single-deletion variants (plus itself); two names "
+    "within Levenshtein distance 1 MUST share a variant (deletion, "
+    "insertion, and substitution all collide on a common deletion), "
+    "so the variant equi-join is a COMPLETE distance-1 candidate "
+    "generator — no pair is missed, unlike attribute blocking. "
+    "Candidates are verified with one levenshtein() call (kills the "
+    "transposition-at-distance-2 collisions). The audit then scores "
+    "d11_fuzzy_name_pairs' production blocking scheme (same nation + "
+    "same market segment) against this full-recall truth set: "
+    "blocking_recall_pct IS the fraction of true fuzzy matches "
+    "attribute blocking keeps — the number an ER pipeline must know "
+    "before trusting its blocks (Papadakis et al. 2020 survey "
+    "discipline). Scale: variants grow the table ~20x but the join "
+    "is an equi-join on the variant string with small groups — never "
+    "the all-pairs product; SymSpell is THE spell-correction index "
+    "at dictionary scale for exactly this reason.",
+)
+def d25_symspell_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.explode(
+            F.expr(
+                "concat(array(c_name), "
+                "transform(sequence(1, length(c_name)), "
+                "i -> concat(substring(c_name, 1, i - 1), "
+                "substring(c_name, i + 1, 999))))"
+            )
+        ).alias("var"),
+    )
+    a = c.select(
+        F.col("id").alias("id_a"), F.col("name").alias("na"),
+        F.col("nk").alias("nka"), F.col("seg").alias("sega"), "var",
+    )
+    b = c.select(
+        F.col("id").alias("id_b"), F.col("name").alias("nb"),
+        F.col("nk").alias("nkb"), F.col("seg").alias("segb"),
+        F.col("var").alias("_var"),
+    )
+    cand = (
+        a.join(b, (a["var"] == b["_var"]) & (a["id_a"] < b["id_b"]))
+        .select("id_a", "id_b", "na", "nb", "nka", "nkb", "sega", "segb")
+        .distinct()
+    )
+    truth = cand.filter(F.levenshtein("na", "nb") <= 1)
+    blocked = ((F.col("nka") == F.col("nkb")) & (F.col("sega") == F.col("segb"))).cast(
+        "int"
+    )
+    # candidate count joins the 1-row truth stats as a broadcast 1-row
+    # frame — never a driver-side .count() inside the plan builder
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    stats = truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"),
+        F.sum(blocked).cast("bigint").alias("n_blocked_pairs"),
+        fround(F.lit(100.0) * F.sum(blocked) / F.count(F.lit(1)), 4).alias(
+            "blocking_recall_pct"
+        ),
+    )
+    return n_cand.crossJoin(F.broadcast(stats)).select(
+        "n_candidates", "n_true_pairs", "n_blocked_pairs", "blocking_recall_pct"
+    )

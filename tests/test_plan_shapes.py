@@ -1670,3 +1670,9 @@ def test_round12_batch4_shapes(spark):
     p = plan_of(spark, "g19_community_modularity")
     assert "CartesianProduct" not in p, p
     assert "InMemoryTableScan" in p, p  # edge + label frames ride the cache
+
+    # d25: candidate generation is an equi-join on the deletion
+    # variant (SortMergeJoin/ShuffledHashJoin on var), NEVER all-pairs;
+    # the only cross join is the 1-row stats broadcast
+    p = plan_of(spark, "d25_symspell_blocking_recall")
+    assert "CartesianProduct" not in p, p
