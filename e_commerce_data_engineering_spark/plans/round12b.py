@@ -291,9 +291,16 @@ def g18_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         alive = cur.groupBy("src").count().filter(F.col("count") >= k).select(
             F.col("src").alias("node")
         )
+        # persist EACH level's surviving edge frame (src-hashed): the
+        # next level and this level's census both read the cached frame
+        # instead of re-deriving the whole unrolled prefix — without
+        # this the three census branches re-expand the lineage into a
+        # ~350-exchange plan (the g17 42-join lesson, iterated)
         cur = (
             cur.join(alive, cur["src"] == alive["node"], "left_semi")
             .join(alive, cur["dst"] == alive["node"], "left_semi")
+            .repartition(n_parts, "src")
+            .persist()
         )
         levels.append(
             cur.groupBy(F.substring("src", 1, 1).alias("kind")).agg(
