@@ -270,6 +270,7 @@ HEADLINE = [
     "q133_zorder_file_skipping",
     "g19_community_modularity",
     "d25_symspell_blocking_recall",
+    "e53_position_attribution",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

@@ -104,6 +104,7 @@ _PRIORITY: tuple[str, ...] = (
     "q133_zorder_file_skipping",
     "g19_community_modularity",
     "d25_symspell_blocking_recall",
+    "e53_position_attribution",
     "g17_personalized_pagerank",
     "t77_zipf_slope",
     "e50_hazard_rate",

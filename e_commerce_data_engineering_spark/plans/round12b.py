@@ -1220,3 +1220,134 @@ def d25_symspell_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_cand.crossJoin(F.broadcast(stats)).select(
         "n_candidates", "n_true_pairs", "n_blocked_pairs", "blocking_recall_pct"
     )
+
+
+# ---------------------------------------------------------------------------
+# e53 — position-based (U-shaped) multi-touch attribution
+# ---------------------------------------------------------------------------
+
+_Q6 = "1000000.0"  # micro-dollar quantization for weighted credits
+
+
+@query(
+    "e53_position_attribution",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS p_inc,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS p_before
+        FROM events
+    ),
+    touches AS (
+        SELECT user_id, event_type AS channel,
+               COALESCE(p_before, 0) + 1 AS path,
+               ROW_NUMBER() OVER (PARTITION BY user_id, COALESCE(p_before, 0)
+                                  ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id, COALESCE(p_before, 0)) AS n
+        FROM seq WHERE event_type <> 'purchase'
+    ),
+    purchases AS (
+        SELECT user_id, p_inc AS idx,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM seq WHERE event_type = 'purchase'
+    ),
+    credits AS (
+        SELECT COALESCE(t.channel, 'direct') AS channel,
+               CAST(FLOOR(CAST(p.cents AS DOUBLE)
+                    * (CASE WHEN t.channel IS NULL THEN 1.0
+                            WHEN t.n = 1 THEN 1.0
+                            WHEN t.n = 2 THEN 0.5
+                            WHEN t.rn = 1 OR t.rn = t.n THEN 0.4
+                            ELSE 0.2 / (t.n - 2) END)
+                    * 10000.0 + 0.5) AS BIGINT) AS credit_q
+        FROM purchases p
+        LEFT JOIN touches t ON p.user_id = t.user_id AND p.idx = t.path
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           {sql_fround(f"CAST(SUM(credit_q) AS DOUBLE) / {_Q6}", 4)}
+               AS attributed_value
+    FROM credits
+    GROUP BY channel
+    ORDER BY channel
+    """,
+    doc="Position-based (U-shaped) multi-touch attribution — the 40/20/"
+    "40 model every marketing-analytics stack ships beside e21's "
+    "last-touch: each purchase's conversion path is the run of non-"
+    "purchase touches since the user's previous purchase (path id = "
+    "running purchase count, one cumulative window); within a path "
+    "the first and last touch each earn 40% of the purchase value, "
+    "the middle splits 20% evenly (1 touch takes all, 2 split "
+    "50/50), touchless purchases credit 'direct'. Weighted credits "
+    "are exact-cents x a closed-form double weight, quantized to "
+    "micro-dollars BEFORE summing (the money.py discipline extended "
+    "to fractional weights), so both engines agree bit-for-bit in "
+    "any aggregation order. Scale: the path segmentation rides the "
+    "SAME user-keyed sort e03/e21 pay; the credit join is user+path "
+    "equi-keyed — no path materialization beyond the touch rows "
+    "themselves.",
+)
+def e53_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    wb = W.partitionBy("user_id").orderBy("ts", "event_id")
+    is_p = (F.col("event_type") == "purchase").cast("int")
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.sum(is_p).over(wb.rowsBetween(W.unboundedPreceding, 0)).alias("p_inc"),
+        F.sum(is_p).over(wb.rowsBetween(W.unboundedPreceding, -1)).alias("p_before"),
+    )
+    tw = W.partitionBy("user_id", F.coalesce(F.col("p_before"), F.lit(0)))
+    touches = seq.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        (F.coalesce(F.col("p_before"), F.lit(0)) + 1).alias("path"),
+        F.row_number().over(tw.orderBy("ts", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(tw).alias("n"),
+    )
+    purchases = seq.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("p_inc").alias("idx"),
+        (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("cents"),
+    )
+    t = touches.alias("t")
+    p = purchases.alias("p")
+    weight = (
+        F.when(F.col("t.channel").isNull(), F.lit(1.0))
+        .when(F.col("t.n") == 1, F.lit(1.0))
+        .when(F.col("t.n") == 2, F.lit(0.5))
+        .when((F.col("t.rn") == 1) | (F.col("t.rn") == F.col("t.n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("t.n") - 2))
+    )
+    credits = p.join(
+        t,
+        (F.col("p.user_id") == F.col("t.user_id")) & (F.col("p.idx") == F.col("t.path")),
+        "left",
+    ).select(
+        F.coalesce(F.col("t.channel"), F.lit("direct")).alias("channel"),
+        F.floor(
+            F.col("p.cents").cast("double") * weight * F.lit(10000.0) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("credit_q"),
+    )
+    return (
+        credits.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+            fround(F.sum("credit_q").cast("double") / F.lit(float(_Q6)), 4).alias(
+                "attributed_value"
+            ),
+        )
+        .orderBy("channel")
+    )

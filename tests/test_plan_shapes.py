@@ -1676,3 +1676,8 @@ def test_round12_batch4_shapes(spark):
     # the only cross join is the 1-row stats broadcast
     p = plan_of(spark, "d25_symspell_blocking_recall")
     assert "CartesianProduct" not in p, p
+
+    # e53: path windows share the user-keyed sort; the credit join is
+    # a user+path equi-join (SortMergeJoin), never nested-loop
+    p = plan_of(spark, "e53_position_attribution")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
