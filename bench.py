@@ -271,6 +271,7 @@ HEADLINE = [
     "g19_community_modularity",
     "d25_symspell_blocking_recall",
     "e53_position_attribution",
+    "m19_asset_integrity",
 ]
 
 # The fixed cross-round comparison set: the 24 queries present in every

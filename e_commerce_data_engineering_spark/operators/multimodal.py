@@ -496,6 +496,96 @@ def audio_pcm_moments(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(_moments_batch, AUDIO_MOMENT_SCHEMA)
 
 
+def corrupt_assets(assets: DataFrame, mod: int = 5, flip_rem: int = 2, trunc_rem: int = 3) -> DataFrame:
+    """Deterministic corruption injector for integrity testing: assets
+    with ``asset_id % mod == flip_rem`` get ONE byte XOR-flipped (for
+    PNG at offset 45 — provably inside the IDAT payload for every
+    generated size, so the chunk CRC must catch it; for other formats
+    at len-10, inside checksum-free payload), and assets with
+    ``asset_id % mod == trunc_rem`` lose their last 7 bytes (kills
+    PNG's IEND, JPEG's EOI, and the RIFF size invariant). Everything
+    else passes through untouched. The pattern is pure arithmetic on
+    asset_id, so an oracle can enumerate the expected damage without
+    seeing the bytes."""
+
+    def _corrupt_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            contents = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(content)
+                r = asset_id % mod
+                if r == flip_rem and len(b) > 55:
+                    pos = 45 if b[:8] == b"\x89PNG\r\n\x1a\n" else len(b) - 10
+                    b = b[:pos] + bytes([b[pos] ^ 0xFF]) + b[pos + 1:]
+                elif r == trunc_rem and len(b) > 7:
+                    b = b[:-7]
+                contents.append(b)
+            out["content"] = contents
+            yield out
+
+    return assets.mapInPandas(_corrupt_batch, assets.schema)
+
+
+INTEGRITY_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("verdict", T.StringType(), False),
+    ]
+)
+
+
+def asset_integrity(assets: DataFrame) -> DataFrame:
+    """REAL structural/checksum validation per asset — the pre-decode
+    screen a 100 TB multimodal ingest runs to quarantine damaged blobs
+    before paying decode cost: PNG walks every chunk and verifies each
+    zlib.crc32 (one flipped payload byte => 'crc_mismatch'; missing/
+    mangled IEND or an over-running length => 'truncated'); JPEG
+    checks SOI..EOI framing; WAV/AVI check the RIFF size invariant
+    (size field == len-8). The verdicts also DOCUMENT the formats'
+    blind spots: a flipped byte inside WAV/AVI/JPEG payload is
+    structurally invisible (no checksum in the container) — exactly
+    why content-level hashes ride beside container checks in a real
+    pipeline. Narrow Arrow map, three columns out per asset."""
+
+    def _check(b: bytes) -> tuple[str, str]:
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            pos, saw_iend = 8, False
+            while pos + 8 <= len(b):
+                (ln,) = struct.unpack(">I", b[pos:pos + 4])
+                typ = b[pos + 4:pos + 8]
+                end = pos + 8 + ln + 4
+                if end > len(b):
+                    return "png", "truncated"
+                data = b[pos + 8:pos + 8 + ln]
+                (crc,) = struct.unpack(">I", b[pos + 8 + ln:end])
+                if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                    return "png", "crc_mismatch"
+                if typ == b"IEND":
+                    saw_iend = True
+                    break
+                pos = end
+            return "png", "ok" if saw_iend else "truncated"
+        if b[:2] == b"\xff\xd8":
+            return "jpeg", "ok" if b[-2:] == b"\xff\xd9" else "truncated"
+        if b[:4] == b"RIFF":
+            fmt = "wav" if b[8:12] == b"WAVE" else "avi"
+            (sz,) = struct.unpack("<I", b[4:8])
+            return fmt, "ok" if sz == len(b) - 8 else "truncated"
+        return "unknown", "malformed"
+
+    def _integrity_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                fmt, verdict = _check(bytes(content))
+                rows.append((asset_id, fmt, verdict))
+            yield pd.DataFrame(rows, columns=["asset_id", "fmt", "verdict"])
+
+    return assets.mapInPandas(_integrity_batch, INTEGRITY_SCHEMA)
+
+
 AUDIO_SAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType(), False),

@@ -105,6 +105,7 @@ _PRIORITY: tuple[str, ...] = (
     "g19_community_modularity",
     "d25_symspell_blocking_recall",
     "e53_position_attribution",
+    "m19_asset_integrity",
     "g17_personalized_pagerank",
     "t77_zipf_slope",
     "e50_hazard_rate",

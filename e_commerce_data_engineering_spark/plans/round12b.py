@@ -1351,3 +1351,61 @@ def e53_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# m19 — asset integrity screen: real checksum/structure verification
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m19_asset_integrity",
+    oracle="""
+    WITH a AS (
+        SELECT i,
+               CASE WHEN i % 3 = 0 THEN
+                        (CASE WHEN (i // 3) % 2 = 1 THEN 'jpeg' ELSE 'png' END)
+                    WHEN i % 3 = 1 THEN 'wav' ELSE 'avi' END AS fmt,
+               CASE WHEN i % 5 = 3 THEN 'truncated'
+                    WHEN i % 5 = 2 AND i % 3 = 0 AND (i // 3) % 2 = 0
+                         THEN 'crc_mismatch'
+                    ELSE 'ok' END AS verdict
+        FROM (SELECT unnest(generate_series(0, 119)) AS i) t
+    )
+    SELECT fmt, verdict, CAST(COUNT(*) AS BIGINT) AS n
+    FROM a GROUP BY fmt, verdict
+    ORDER BY fmt, verdict
+    """,
+    doc="Asset integrity screen over REAL container bytes with REAL "
+    "injected damage — the quarantine gate a multimodal ingest runs "
+    "before paying decode cost: operators/multimodal.corrupt_assets "
+    "deterministically flips one payload byte (asset_id % 5 == 2) or "
+    "truncates 7 tail bytes (% 5 == 3), and asset_integrity validates "
+    "structure for real — PNG walks every chunk and verifies each "
+    "zlib.crc32, JPEG checks SOI..EOI framing, WAV/AVI check the "
+    "RIFF size invariant. The oracle enumerates the expected verdict "
+    "per asset PURELY ARITHMETICALLY (the damage pattern is a "
+    "function of asset_id; the flip offset is provably inside PNG's "
+    "IDAT payload / other formats' checksum-free payload), so one "
+    "mis-implemented CRC walk or size check flips a count. The "
+    "result also DOCUMENTS the containers' blind spots, measured: "
+    "flipped bytes in JPEG/WAV/AVI read 'ok' (no checksum in the "
+    "container) while PNG catches them — why content hashes ride "
+    "beside container checks in production. Scale: two shuffle-free "
+    "narrow Arrow maps and one tiny groupBy; the screen is "
+    "embarrassingly parallel over asset partitions.",
+)
+def m19_asset_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        asset_integrity,
+        corrupt_assets,
+        make_real_assets,
+    )
+
+    assets = make_real_assets(spark, 120)
+    res = asset_integrity(corrupt_assets(assets))
+    return (
+        res.groupBy("fmt", "verdict")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("fmt", "verdict")
+    )

@@ -1564,3 +1564,41 @@ def test_minhash_dedupe_greedy_matches_python_replica(spark):
     # sanity: the planted exact copies (id+100000) must have been dropped
     assert all(i + 100000 not in kept for i in range(10))
     assert all(i in kept for i in range(10))
+
+
+def test_asset_integrity_catches_png_flip_but_not_wav(spark):
+    """The integrity screen's verdicts come from REAL checks: a single
+    flipped IDAT byte trips PNG's chunk CRC, the same flip in WAV PCM
+    is structurally invisible (no checksum in the container), and a
+    7-byte truncation breaks every format's framing."""
+    from e_commerce_data_engineering_spark.operators.multimodal import (
+        asset_integrity,
+        corrupt_assets,
+        make_real_assets,
+    )
+
+    # ids 0..9: i%5==2 -> flip (ids 2, 7), i%5==3 -> truncate (3, 8)
+    assets = make_real_assets(spark, 10)
+    out = {
+        r["asset_id"]: (r["fmt"], r["verdict"])
+        for r in asset_integrity(corrupt_assets(assets)).collect()
+    }
+    assert out[0] == ("png", "ok")
+    assert out[2][1] == "ok" and out[2][0] == "avi"  # flip in AVI: blind
+    assert out[7] == ("wav", "ok")  # flip in WAV PCM: blind spot
+    assert out[3] == ("jpeg", "truncated")
+    assert out[8] == ("avi", "truncated")
+    # an actually-flipped PNG byte must trip the CRC walk
+    flipped_png = {
+        i for i, (fmt, v) in out.items() if fmt == "png" and v == "crc_mismatch"
+    }
+    assert not flipped_png  # no png id is 2 or 3 mod 5 in 0..9 except...
+    # extend to 30 assets so a png (id 12: 12%3==0, (12//3)%2==0, 12%5==2)
+    # gets the flip treatment
+    assets30 = make_real_assets(spark, 30)
+    out30 = {
+        r["asset_id"]: (r["fmt"], r["verdict"])
+        for r in asset_integrity(corrupt_assets(assets30)).collect()
+    }
+    assert out30[12] == ("png", "crc_mismatch")
+    assert out30[18] == ("png", "truncated")

@@ -1681,3 +1681,9 @@ def test_round12_batch4_shapes(spark):
     # a user+path equi-join (SortMergeJoin), never nested-loop
     p = plan_of(spark, "e53_position_attribution")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+    # m19: corrupt -> verify are two narrow Arrow maps; no exchange
+    # until the tiny (fmt, verdict) rollup
+    p = plan_of(spark, "m19_asset_integrity")
+    assert "CartesianProduct" not in p, p
+    assert p.count("MapInPandas (") == 2, p  # tree nodes only

@@ -208,6 +208,7 @@ AUDIT = [
     ("g19_community_modularity", "g08 LPA rounds + two node-keyed label joins on cached frames; 1e-12-quantized per-community Q terms"),
     ("d25_symspell_blocking_recall", "deletion-variant equi-join (complete lev<=1 candidates); levenshtein verify; 1-row recall audit"),
     ("e53_position_attribution", "path segmentation on the e03/e21 user-keyed sort; user+path equi-join credits; micro-dollar integer sums"),
+    ("m19_asset_integrity", "two shuffle-free narrow Arrow maps (corrupt -> verify); tiny (fmt, verdict) rollup"),
 ]
 
 
