@@ -2148,6 +2148,7 @@ def start_snapshot_sink_stream(
     key_col: str,
     version_col: str,
     max_files_per_trigger: int = 1,
+    auto_compact_files: int | None = None,
 ) -> StreamingQuery:
     """Streaming sink INTO the snapshot-table kernel (round 11): each
     drained micro-batch MERGES through ``operators.layout.
@@ -2168,8 +2169,17 @@ def start_snapshot_sink_stream(
     table STATE is identical — the keep-latest merge is content-
     idempotent — i.e. at-least-once versions, exactly-once state,
     never lost or doubled rows. This is `_delta_log`'s txn-id dedup
-    reduced to its kernel."""
-    from ..operators.layout import _fs, snapshot_upsert
+    reduced to its kernel.
+
+    ``auto_compact_files``: when set, each epoch checks the freshly
+    committed version's file count and, past the threshold, runs
+    ``snapshot_compact`` inline — Delta's auto-OPTIMIZE reduced to the
+    same kernel. The compacted rewrite is its own committed version
+    (state-identical, so a crash between commit and compact merely
+    defers compaction to the next epoch), and because it runs AFTER
+    the epoch ledger write, a replayed epoch skips both the merge and
+    the rewrite."""
+    from ..operators.layout import _fs, snapshot_compact, snapshot_history, snapshot_upsert
 
     stream = (
         spark.readStream.schema(schema)
@@ -2188,6 +2198,11 @@ def start_snapshot_sink_stream(
         snapshot_upsert(sess, table_dir, batch_df, key_col, version_col)
         out = fs.create(ledger, True)
         out.close()
+        if auto_compact_files is not None:
+            hist = snapshot_history(sess, table_dir).collect()
+            latest = max(hist, key=lambda r: r["version"])
+            if latest["n_files"] > auto_compact_files:
+                snapshot_compact(sess, table_dir)
 
     return (
         stream.writeStream.foreachBatch(_commit)

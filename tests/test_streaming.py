@@ -2791,3 +2791,54 @@ def test_snapshot_sink_stream_survives_compaction_and_vacuum(spark, tmp_path):
 
     with _pytest.raises(Exception):
         snapshot_read(spark, table, version=1)
+
+
+def test_snapshot_sink_auto_compacts_past_threshold(spark, tmp_path):
+    """auto_compact_files: an epoch whose merge output fragments past
+    the threshold is followed, inside the same epoch handler, by a
+    compacted rewrite version — state-identical, ledger-deduped on
+    replay."""
+    import json as _json
+
+    from e_commerce_data_engineering_spark.operators.layout import (
+        snapshot_history,
+        snapshot_read,
+    )
+    from e_commerce_data_engineering_spark.streaming.pipeline import (
+        start_snapshot_sink_stream,
+    )
+
+    src = tmp_path / "ac-src"
+    src.mkdir()
+    # big enough that the merge's shuffle writes several files
+    (src / "f0.jsonl").write_text(
+        "\n".join(
+            _json.dumps({"k": i, "v": f"a{i}", "ver": 1}) for i in range(5000)
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("ver", T.LongType()),
+        ]
+    )
+    table = str(tmp_path / "ac-table")
+    ckpt = str(tmp_path / "ac-ckpt")
+    q = start_snapshot_sink_stream(
+        spark, str(src), schema, table, ckpt, "k", "ver",
+        max_files_per_trigger=1, auto_compact_files=1,
+    )
+    q.awaitTermination(120)
+
+    hist = {r["version"]: r["n_files"] for r in snapshot_history(spark, table).collect()}
+    if max(hist.values()) > 1:
+        # merge fragmented -> the handler must have appended a
+        # compacted version whose file count meets the threshold
+        latest_v = max(hist)
+        assert hist[latest_v] <= 1, hist
+        assert len(hist) == 2, hist
+        a = sorted(map(tuple, snapshot_read(spark, table, min(hist)).collect()))
+        b = sorted(map(tuple, snapshot_read(spark, table, latest_v).collect()))
+        assert a == b
+    assert snapshot_read(spark, table).count() == 5000
