@@ -45,3 +45,38 @@ def test_fround_matches_duckdb(spark_global, values, ndigits):
 @pytest.fixture(scope="session")
 def spark_global(spark):
     return spark
+
+
+# ---------------------------------------------------------------------------
+# SymSpell completeness lemma (d25's correctness foundation)
+# ---------------------------------------------------------------------------
+
+
+def _dels(w: str) -> set:
+    return {w} | {w[:i] + w[i + 1 :] for i in range(len(w))}
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    st.text(alphabet="abc", min_size=0, max_size=8),
+    st.text(alphabet="abc", min_size=0, max_size=8),
+)
+@settings(max_examples=500, deadline=None)
+def test_symspell_deletion_neighborhood_is_complete_for_lev1(a, b):
+    """d25's candidate generator rests on: levenshtein(a, b) <= 1 =>
+    the single-deletion neighborhoods (including the words themselves)
+    intersect — for substitution both sides delete the differing
+    position, for insertion/deletion the longer side deletes the extra
+    character, for identity the words themselves collide. Hypothesis
+    over a deliberately tiny alphabet maximizes near-miss collisions."""
+    if _lev(a, b) <= 1:
+        assert _dels(a) & _dels(b), (a, b)
