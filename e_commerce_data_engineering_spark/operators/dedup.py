@@ -333,14 +333,32 @@ def _minhash_lsh_pairs_build(
         .distinct()
     )
 
-    sh = sig.select("_id", "_sh")
-    verified = (
-        candidates.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
-        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
+    # POSTING-GRAIN verification (round 12): the intersection count
+    # comes from two (id, shingle) equi-joins instead of carrying both
+    # full shingle ARRAYS through the candidate shuffle — the array
+    # payload (tens of KB per candidate row at production widths) was
+    # the measured single-node spill ceiling at x256 (SCALING.md d21
+    # note). Posting rows are ~40 bytes, spill incrementally, and the
+    # per-pair count partial-aggregates map-side. Values are provably
+    # identical: shingles compare as exact strings either way.
+    post = sig.select("_id", F.explode("_sh").alias("_s"))
+    sizes = sig.select("_id", F.size("_sh").alias("_n"))
+    inter_cnt = (
+        candidates.join(
+            post.select(F.col("_id").alias("id_a"), "_s"), "id_a"
+        )
+        .join(
+            post.select(F.col("_id").alias("_idb"), F.col("_s").alias("_s_b")),
+            (F.col("id_b") == F.col("_idb")) & (F.col("_s") == F.col("_s_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
-    union = F.size("_sh_a") + F.size("_sh_b") - inter
-    jac = inter.cast("double") / union
+    verified = inter_cnt.join(
+        sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a"
+    ).join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+    union = F.col("_na") + F.col("_nb") - F.col("_inter")
+    jac = F.col("_inter").cast("double") / union
     return verified.filter(jac >= jaccard_threshold).select(
         "id_a", "id_b", F.round(jac, 4).alias("jaccard")
     )
@@ -444,12 +462,26 @@ def minhash_lsh_pairs_portable(
         .select("id_a", "id_b")
         .distinct()
     )
-    sh = sig.select("_id", "_sh")
-    verified = candidates.join(
-        sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a"
-    ).join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
-    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
-    union = F.size("_sh_a") + F.size("_sh_b") - inter
+    # posting-grain verification — see _minhash_lsh_pairs_build: the
+    # same exact counts without shipping shingle arrays per candidate
+    post = sig.select("_id", F.explode("_sh").alias("_s"))
+    sizes = sig.select("_id", F.size("_sh").alias("_n"))
+    inter_cnt = (
+        candidates.join(
+            post.select(F.col("_id").alias("id_a"), "_s"), "id_a"
+        )
+        .join(
+            post.select(F.col("_id").alias("_idb"), F.col("_s").alias("_s_b")),
+            (F.col("id_b") == F.col("_idb")) & (F.col("_s") == F.col("_s_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    verified = inter_cnt.join(
+        sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a"
+    ).join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+    inter = F.col("_inter")
+    union = F.col("_na") + F.col("_nb") - inter
     jac = inter.cast("double") / union
     return verified.filter(jac >= jaccard_threshold).select(
         "id_a",
