@@ -2027,14 +2027,36 @@ def d18_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d19_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import text as X
+    from ..operators.dedup import _cached, token_frame
 
     d = load_table(spark, sf_dir, "documents")
-    toks = X.tokens(F.col("text"))
-    h = (
-        d.filter(F.size(toks) >= 3)
-        .select("source", X.min_shingle_fingerprint(toks).alias("hh"))
-        .distinct()
-    )
+
+    # r12 optimization (guide §2.4/§4): the first draft evaluated the
+    # tokenize+shingle+md5 tower with tokens(text) INLINE — Catalyst's
+    # projection collapse re-ran the split() inside every element_at
+    # probe of shingles() — on ONE task (single small parquet file),
+    # and the un-persisted `h` re-ran all of it once per consumer (the
+    # per rollup plus BOTH pair-join sides = 3x). Measured 9.9 s solo
+    # at sf0.1. Now: the shared fanned-out token frame materializes
+    # _tk once (parallel, d-family cache key), the fingerprint is one
+    # O(len) pass over a bound column, source rides a broadcast dim
+    # join, and the distinct (source, fingerprint) frame lives on the
+    # scratch-parquet frame tier so its three consumers — two of them
+    # concurrently-started broadcast builds — read one materialized
+    # frame instead of racing to rebuild it (the s29 lesson).
+    def build_h():
+        tf = token_frame(d, "doc_id", "text", cache_key=sf_dir)
+        src = d.select(F.col("doc_id").alias("_id"), "source")
+        return [
+            tf.filter(F.size("_tk") >= 3)
+            .select("_id", X.min_shingle_fingerprint(F.col("_tk")).alias("hh"))
+            .join(F.broadcast(src), "_id")
+            .select("source", "hh")
+            .distinct()
+            .persist()
+        ]
+
+    h = _cached(d, ("d19-source-fp", sf_dir), build_h)
     per = h.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct"))
     a = h.select(F.col("source").alias("source_a"), "hh")
     b = h.select(F.col("source").alias("source_b"), F.col("hh").alias("_h2"))

@@ -2426,10 +2426,11 @@ _SQL_S25_CTES = f"""
     )"""
 
 
-def _s25_power_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Spark twin of ``_SQL_S25_CTES``: (u1, u2) frames of (i, u) — the
-    1e-6-integer-grid power iterates over the exact integer covariance."""
-    e = load_table(spark, sf_dir, "embeddings")
+def _s25_gram(e: DataFrame) -> DataFrame:
+    """The exact-integer covariance frame (i, j, s DECIMAL(38,0)) of
+    ``_SQL_S25_CTES``: one data pass emitting each row's 64x64
+    quantized outer product into a 4096-key map-side-combined
+    aggregate, then n*Spp - Sq_i*Sq_j on broadcast dim sums."""
     q = e.select(
         F.expr(
             "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint))"
@@ -2452,7 +2453,7 @@ def _s25_power_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
         .agg(F.sum("qv").cast("bigint").alias("sq"))
     )
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    s = (
+    return (
         spp.withColumn("i", F.expr(f"k div {EMBEDDING_DIM}"))
         .withColumn("j", F.expr(f"k % {EMBEDDING_DIM}"))
         .join(
@@ -2469,8 +2470,37 @@ def _s25_power_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
             "j",
             (dec("n") * dec("spp") - dec("sqi") * dec("sqj")).alias("s"),
         )
-        .persist()
     )
+
+
+def _s25_power_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Spark twin of ``_SQL_S25_CTES``: (u1, u2) frames of (i, u) — the
+    1e-6-integer-grid power iterates over the exact integer covariance.
+
+    r12 optimization (guide §1.2/§2.4): the covariance frame and both
+    power iterates ride the scratch-parquet frame tier
+    (operators/dedup._cached — the d18/d21/s27 pattern). Before, the
+    composed s25/s26 plans consumed the lazily-persisted `s` from four
+    subtrees (v1, the _step join, and the broadcast max/vec builds),
+    which raced to materialize it and re-ran the 4096-per-row outer-
+    product explode per subtree — measured 14.2 s for u2 after a
+    clearCache at sf0.1, ~1.5 s with the build forced once. The frames
+    are dim²/dim rows (4096/64) regardless of corpus size — the
+    "model artifact" a production ABTT pipeline computes once per
+    corpus snapshot and every consumer reads."""
+    from ..operators.dedup import _cached
+    from ..operators.layout import fan_out
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def build_s() -> list[DataFrame]:
+        # fan_out (guide §2.5 input skew): the embeddings parquet is ONE
+        # small file -> one scan task, so the 4096-per-row outer-product
+        # explode (the only data-proportional pass here) ran on a single
+        # core. On a real multi-split table fan_out is a no-op.
+        return [_s25_gram(fan_out(e)).persist()]
+
+    s = _cached(e, ("s25-gram", sf_dir), build_s)
 
     def _step(vec: DataFrame) -> DataFrame:
         # vec: (j, u bigint) -> (i, u bigint), renormalized to the 1e-6 grid
@@ -2488,16 +2518,30 @@ def _s25_power_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
             .alias("u"),
         )
 
-    # v1 = S . ones, renormalized (u1); v2 = S . u1, renormalized (u2)
-    v1 = s.groupBy("i").agg(F.sum("s").cast("double").alias("vd"))
-    m1 = v1.agg(F.max(F.abs(F.col("vd"))).alias("m"))
-    u1 = v1.crossJoin(F.broadcast(m1)).select(
-        "i",
-        F.floor(F.col("vd") / F.col("m") * 1_000_000.0 + F.lit(0.5))
-        .cast("bigint")
-        .alias("u"),
-    )
-    u2 = _step(u1.select(F.col("i").alias("j"), "u"))
+    # v1 = S . ones, renormalized (u1); v2 = S . u1, renormalized (u2).
+    # Both iterates are EMBEDDING_DIM-row frames consumed from several
+    # subtrees of the s25/s26 plans (join sides, broadcast ua/uu
+    # builds) — cached like `s` so each is computed once per process.
+    def build_u1() -> list[DataFrame]:
+        v1 = s.groupBy("i").agg(F.sum("s").cast("double").alias("vd"))
+        m1 = v1.agg(F.max(F.abs(F.col("vd"))).alias("m"))
+        return [
+            v1.crossJoin(F.broadcast(m1))
+            .select(
+                "i",
+                F.floor(F.col("vd") / F.col("m") * 1_000_000.0 + F.lit(0.5))
+                .cast("bigint")
+                .alias("u"),
+            )
+            .persist()
+        ]
+
+    u1 = _cached(e, ("s25-u1", sf_dir), build_u1)
+
+    def build_u2() -> list[DataFrame]:
+        return [_step(u1.select(F.col("i").alias("j"), "u")).persist()]
+
+    u2 = _cached(e, ("s25-u2", sf_dir), build_u2)
     return u1, u2
 
 
