@@ -120,7 +120,11 @@ def sql_portable_bucket(key_sql: str, depth_sql: str, width: int) -> str:
 
 
 def cms_build_portable(
-    df: DataFrame, key_col: str, depth: int, width: int
+    df: DataFrame,
+    key_col: str,
+    depth: int,
+    width: int,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """``cms_build`` on the portable hash family; (depth, width) given
     directly so the oracle can embed the same constants.
@@ -130,24 +134,35 @@ def cms_build_portable(
     weight the grid by cnt) and once total per key — h1/h2 are computed
     as columns before the depth explode instead of re-folding per depth
     row. Algebraically identical grid (sum of per-key counts), ~3·|keys
-    per distinct| less hash work."""
+    per distinct| less hash work.
+
+    ``group_cols`` builds one independent grid per group value in the
+    SAME pass (output gains those columns) — a caller sketching many
+    join candidates batches them through one shuffle instead of one
+    plan subtree per candidate (r12, guide §2.3 'aggregate before you
+    shuffle'). Empty tuple = the original single-grid behavior."""
+    g = list(group_cols)
     rows = F.array(*[F.lit(i) for i in range(depth)])
-    per_key = df.groupBy(F.col(key_col).alias("_k")).agg(F.count(F.lit(1)).alias("_c"))
+    per_key = df.groupBy(*g, F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
     hashed = per_key.select(
+        *g,
         "_c",
         _portable_hash(F.col("_k"), 31, _P1).alias("_h1"),
         _portable_hash(F.col("_k"), 131, _P2).alias("_h2"),
     )
     return (
-        hashed.select("_c", "_h1", "_h2", F.explode(rows).alias("depth"))
+        hashed.select(*g, "_c", "_h1", "_h2", F.explode(rows).alias("depth"))
         .select(
+            *g,
             "depth",
             ((F.col("_h1") + F.col("depth") * (F.lit(1) + F.col("_h2"))) % F.lit(width)).alias(
                 "bucket"
             ),
             "_c",
         )
-        .groupBy("depth", "bucket")
+        .groupBy(*g, "depth", "bucket")
         .agg(F.sum("_c").alias("cnt"))
     )
 

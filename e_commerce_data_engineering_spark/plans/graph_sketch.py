@@ -1282,12 +1282,30 @@ _G07_Q = "1000000000.0"  # 1e-9 quantization of 1/ln(deg) AA terms
     "TakeOrdered for the cut.",
 )
 def g07_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _cached
+
     li = load_table(spark, sf_dir, "lineitem")
-    e = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    dp = e.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("deg_p"))
-    ef = e.join(dp, "p").filter(F.col("deg_p") <= _G07_DF_CAP)
+
+    # r12 (guide §2.4): the df-capped bipartite edge list feeds the
+    # wedge self-join (both sides) AND the supplier-degree rollup —
+    # un-persisted, the lineitem distinct + degree-cap join re-ran once
+    # per consumer (6.2 s solo at sf0.1). One keyed build on the
+    # scratch-parquet tier; the inner distinct is persisted for the
+    # build's own two consumers (degree rollup + cap join) and released
+    # with the entry.
+    def build_ef():
+        e = (
+            li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+            .distinct()
+            .persist()
+        )
+        dp = e.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("deg_p"))
+        return [
+            e.join(dp, "p").filter(F.col("deg_p") <= _G07_DF_CAP).persist(),
+            e,
+        ]
+
+    ef = _cached(li, ("g07-edges", sf_dir), build_ef)
     ds = ef.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("deg_s"))
     q9 = float(_G07_Q)
     a = ef.select(F.col("p"), F.col("s").alias("s_a"), F.col("deg_p"))
@@ -2966,53 +2984,70 @@ def _x18_pair_sql(dim: str, fact: str, dkey: str, fkey: str) -> str:
     "output row per candidate join.",
 )
 def x18_cms_broadcast_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
     from ..operators.sketch import broadcast_decision, cms_build_portable
 
-    out = None
+    # r12 optimization (guide §2.3 "aggregate before you shuffle" /
+    # §2.4): the first draft built a separate plan subtree per star
+    # join — 5 pairs x (2 grid builds + est join + exact join + a
+    # count + 2 broadcast exchanges) ≈ 25 stages of fixed scheduling
+    # overhead, 5.1 s solo at sf0.1 for KB of data. Now all five
+    # candidate pairs batch through ONE pair-tagged grid build per
+    # side (cms_build_portable group_cols), ONE (pair, depth, bucket)
+    # est join, ONE (pair, key) exact join, and the build-side row
+    # count folds out of the exact rollup (n = SUM c_a) instead of its
+    # own aggregate. Identical integer arithmetic per pair — the
+    # oracle is unchanged.
+    dims, facts = [], []
     for dim, fact, dkey, fkey in _X18_PAIRS:
-        d = load_table(spark, sf_dir, dim).select(
-            F.col(dkey).cast("string").alias("k")
-        )
-        f_ = load_table(spark, sf_dir, fact).select(
-            F.col(fkey).cast("string").alias("k")
-        )
-        ga = cms_build_portable(d, "k", X18_DEPTH, X18_WIDTH).select(
-            "depth", "bucket", F.col("cnt").alias("ca")
-        )
-        gb = cms_build_portable(f_, "k", X18_DEPTH, X18_WIDTH).select(
-            "depth", "bucket", F.col("cnt").alias("cb")
-        )
-        est = (
-            ga.join(gb, ["depth", "bucket"])
-            .groupBy("depth")
-            .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("e"))
-            .agg(F.min("e").cast("bigint").alias("e"))
-        )
-        av = d.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("c_a"))
-        bv = f_.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("c_b"))
-        exact = av.join(bv, "k").agg(
-            F.sum(F.col("c_a") * F.col("c_b")).cast("bigint").alias("j")
-        )
-        br = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        row = (
-            br.crossJoin(F.broadcast(est))
-            .crossJoin(F.broadcast(exact))
-            .select(
-                F.lit(f"{dim}_x_{fact}").alias("pair"),
-                F.col("n").alias("build_rows"),
-                (F.col("n") * X18_ROW_BYTES).alias("build_bytes_est"),
-                F.col("j").alias("exact_join_size"),
-                F.col("e").alias("est_join_size"),
-                fround(F.col("e").cast("double") / F.col("j"), 6).alias(
-                    "over_ratio"
-                ),
-                broadcast_decision(
-                    F.col("n"), X18_ROW_BYTES, X18_BCAST_BYTES
-                ).alias("strategy"),
+        tag = F.lit(f"{dim}_x_{fact}").alias("pair")
+        dims.append(
+            load_table(spark, sf_dir, dim).select(
+                tag, F.col(dkey).cast("string").alias("k")
             )
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+        facts.append(
+            load_table(spark, sf_dir, fact).select(
+                tag, F.col(fkey).cast("string").alias("k")
+            )
+        )
+    dall = reduce(lambda a, b: a.unionByName(b), dims)
+    fall = reduce(lambda a, b: a.unionByName(b), facts)
+    ga = cms_build_portable(dall, "k", X18_DEPTH, X18_WIDTH, group_cols=("pair",)).select(
+        "pair", "depth", "bucket", F.col("cnt").alias("ca")
+    )
+    gb = cms_build_portable(fall, "k", X18_DEPTH, X18_WIDTH, group_cols=("pair",)).select(
+        "pair", "depth", "bucket", F.col("cnt").alias("cb")
+    )
+    est = (
+        ga.join(gb, ["pair", "depth", "bucket"])
+        .groupBy("pair", "depth")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("e"))
+        .groupBy("pair")
+        .agg(F.min("e").cast("bigint").alias("e"))
+    )
+    av = dall.groupBy("pair", "k").agg(F.count(F.lit(1)).cast("bigint").alias("c_a"))
+    bv = fall.groupBy("pair", "k").agg(F.count(F.lit(1)).cast("bigint").alias("c_b"))
+    exact = av.join(bv, ["pair", "k"]).groupBy("pair").agg(
+        F.sum(F.col("c_a") * F.col("c_b")).cast("bigint").alias("j")
+    )
+    nper = av.groupBy("pair").agg(F.sum("c_a").cast("bigint").alias("n"))
+    return (
+        nper.join(F.broadcast(est), "pair")
+        .join(F.broadcast(exact), "pair")
+        .select(
+            "pair",
+            F.col("n").alias("build_rows"),
+            (F.col("n") * X18_ROW_BYTES).alias("build_bytes_est"),
+            F.col("j").alias("exact_join_size"),
+            F.col("e").alias("est_join_size"),
+            fround(F.col("e").cast("double") / F.col("j"), 6).alias("over_ratio"),
+            broadcast_decision(F.col("n"), X18_ROW_BYTES, X18_BCAST_BYTES).alias(
+                "strategy"
+            ),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

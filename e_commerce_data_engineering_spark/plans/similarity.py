@@ -1209,8 +1209,27 @@ def _pq_encd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared PQ encode-distance stage (s15/s17/s19): unit-normalize,
     split into S15_M subspaces, join each subvector against the fixed
     codebook — returns (vec_id, m, code, d) with d the exact squared
-    distance to that codebook entry."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    distance to that codebook entry.
+
+    r12 (guide §2.4): rides the scratch-parquet frame tier — every
+    consumer (s15/s17/s19/s21/s22, usually from TWO subtrees each:
+    the argmin encode and the probe LUT) previously re-derived the
+    whole subspace-join stage from the single-split embeddings scan.
+    Fanned out, built once per process, narrow reload after any
+    clearCache — the 'encoded vectors table' a production IVFADC
+    serving path reads, never recomputes per query."""
+    from ..operators.dedup import _cached
+    from ..operators.layout import fan_out
+
+    e_raw = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _cached(
+        e_raw,
+        ("pq-encd", sf_dir),
+        lambda: [_pq_encd_build(fan_out(e_raw)).persist()],
+    )
+
+
+def _pq_encd_build(e: DataFrame) -> DataFrame:
     units = e.select(
         "vec_id",
         F.transform(
@@ -1239,8 +1258,24 @@ def _ivf_ranked_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared IVF coarse-quantizer stage (s15/s17/s20): distance of
     every vector to the fixed centroids, ranked per vector — returns
     (vec_id, cell, d, rn); rn=1 is the cell assignment, rn<=nprobe the
-    probe list."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probe list.
+
+    r12 (guide §2.4): same scratch-tier treatment as ``_pq_encd`` —
+    the centroid-distance crossJoin ran on ONE task (single-split
+    scan) once per consuming subtree (cell assignment + probe list =
+    2x per query). Built once per process, fanned out."""
+    from ..operators.dedup import _cached
+    from ..operators.layout import fan_out
+
+    e_raw = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _cached(
+        e_raw,
+        ("ivf-ranked-cells", sf_dir),
+        lambda: [_ivf_ranked_cells_build(fan_out(e_raw)).persist()],
+    )
+
+
+def _ivf_ranked_cells_build(e: DataFrame) -> DataFrame:
     cents = e.filter(F.col("vec_id") < S15_NLIST).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )
@@ -2106,14 +2141,28 @@ def s22_ann_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("found"),
         )
     )
-    agg = cells.groupBy("np", "ks").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_q"),
-        F.sum("found").cast("bigint").alias("sum_found"),
-        F.sum("n_scored").cast("bigint").alias("total_scored"),
-        F.sum(F.least(F.col("ks").cast("bigint"), F.col("n_scored"))).cast("bigint").alias(
-            "total_reranked"
-        ),
-    ).persist()
+    # r12 (guide §2.4): the 9-row frontier grid is consumed by the
+    # dominance self-join (both sides) AND the final readout — a lazy
+    # persist let the three subtrees race and re-run the whole ADC grid
+    # pipeline each; the scratch tier materializes it exactly once.
+    from ..operators.dedup import _cached
+
+    agg = _cached(
+        cells,
+        ("s22-agg", sf_dir),
+        lambda: [
+            cells.groupBy("np", "ks")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_q"),
+                F.sum("found").cast("bigint").alias("sum_found"),
+                F.sum("n_scored").cast("bigint").alias("total_scored"),
+                F.sum(F.least(F.col("ks").cast("bigint"), F.col("n_scored")))
+                .cast("bigint")
+                .alias("total_reranked"),
+            )
+            .persist()
+        ],
+    )
     a = agg.select(
         "np", "ks", "sum_found", (F.col("total_scored") + F.col("total_reranked")).alias("cost")
     )

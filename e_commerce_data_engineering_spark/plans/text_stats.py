@@ -2596,25 +2596,39 @@ def t69_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t71_lm_quality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    from ..operators.dedup import _cached
+
     d = load_table(spark, sf_dir, "documents")
-    # persisted: the KN chain (bigram explode + vocab joins) feeds the
-    # fence grid, the t06 restriction, AND the bucket join — without
-    # the cut it re-executes once per consumer
-    lmk = (
-        _kn_doc_bits(d)
-        .select("doc_id", F.expr("(kn_bits div nb) div 10000").alias("lk"))
-        .persist()
+    # r12 (guide §2.4): the KN chain (bigram explode + vocab joins)
+    # feeds the fence grid, the t06 restriction, AND the bucket join —
+    # and two of those consumers are broadcast builds that start
+    # concurrently, so a lazy persist let them race and re-execute the
+    # chain once per consumer (5.3 s solo at sf0.1). Both keyed frames
+    # now ride the scratch-parquet frame tier: built once per process,
+    # reloaded as a narrow scan after any clearCache.
+    lmk = _cached(
+        d,
+        ("t71-lmk", sf_dir),
+        lambda: [
+            _kn_doc_bits(d)
+            .select("doc_id", F.expr("(kn_bits div nb) div 10000").alias("lk"))
+            .persist()
+        ],
     )
-    q = (
-        t06_quality_score(spark, sf_dir)
-        .select(
-            "doc_id",
-            F.expr("CAST(FLOOR(quality * 10000.0 + 0.5) AS BIGINT) div 100").alias(
-                "qk"
-            ),
-        )
-        .join(lmk.select("doc_id"), "doc_id")
-        .persist()
+    q = _cached(
+        d,
+        ("t71-q", sf_dir),
+        lambda: [
+            t06_quality_score(spark, sf_dir)
+            .select(
+                "doc_id",
+                F.expr(
+                    "CAST(FLOOR(quality * 10000.0 + 0.5) AS BIGINT) div 100"
+                ).alias("qk"),
+            )
+            .join(lmk.select("doc_id"), "doc_id")
+            .persist()
+        ],
     )
 
     def fences(keyed: DataFrame, key: str) -> DataFrame:

@@ -649,10 +649,25 @@ def test_t51_entropy_is_two_rollups_no_broadcast_grid(spark):
 def test_s19_distortion_rides_broadcast_codebook(spark):
     """s19's encode stage is the shared s15 shape: subvectors joined
     against a BROADCAST codebook — no cartesian, no shuffle join for
-    the (m)-keyed codebook lookup."""
+    the (m)-keyed codebook lookup. Since r12 the encode stage lives on
+    the scratch-parquet frame tier, so the broadcast is asserted on the
+    BUILD plan (what actually executes once per process) and the
+    consuming query is pinned cartesian-free."""
     plan = plan_of(spark, "s19_pq_distortion")
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastHashJoin" in plan, plan
+
+    from e_commerce_data_engineering_spark.plans.similarity import _pq_encd_build
+    from e_commerce_data_engineering_spark.sources.tables import load_table
+
+    e = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    built = _pq_encd_build(e)
+    build_plan = built._jdf.queryExecution().explainString(
+        built._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "CartesianProduct" not in build_plan, build_plan
+    assert "BroadcastHashJoin" in build_plan, build_plan
 
 
 def test_q82_neyman_windows_ride_stratum_grain(spark):
