@@ -2338,17 +2338,32 @@ G11_TOP = 20
     "cuts without a global sort.",
 )
 def g11_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _cached
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    co = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    keep = co.groupBy("c").agg(F.count(F.lit(1)).alias("_bsz")).filter(
-        F.col("_bsz") <= G11_BASKET_CAP
-    ).select("c")
-    cof = co.join(keep, "c")
+
+    # r12 (guide §2.4): the capped purchase universe feeds the degree
+    # rollup AND both pair-join sides — un-materialized, the
+    # lineitem⋈orders distinct + basket-cap join re-ran once per
+    # consumer (3×). One keyed build on the scratch-parquet tier; the
+    # inner distinct persists for the build's own two consumers.
+    def build_cof():
+        co = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+            .distinct()
+            .persist()
+        )
+        keep = (
+            co.groupBy("c")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= G11_BASKET_CAP)
+            .select("c")
+        )
+        return [co.join(keep, "c").persist(), co]
+
+    cof = _cached(li, ("g11-cof", sf_dir), build_cof)
     deg = cof.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     a = cof.select("c", F.col("p").alias("p1"))
     b = cof.select(F.col("c").alias("_c2"), F.col("p").alias("p2"))

@@ -115,11 +115,21 @@ def g17_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the outdeg groupBy and the two per-step src-joins require, so the
     # cached frame feeds three consumers with no exchange and no
     # 200-task stages (sf0.1 bench: 7.5 s rebuilt-3x -> ~3 s cached).
+    # r12: the persist is additionally forced through the scratch-
+    # parquet frame tier — its three consumers start concurrently
+    # inside one composed plan and a LAZY persist let them race and
+    # each rebuild the lineitem⋈orders distinct (guide §2.4).
+    from ..operators.dedup import _cached
+
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    e = (
-        p.unionAll(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .repartition(n_parts, "src")
-        .persist()
+    e = _cached(
+        li,
+        ("g17-edges", sf_dir),
+        lambda: [
+            p.unionAll(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .repartition(n_parts, "src")
+            .persist()
+        ],
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     seeds = spark.createDataFrame([(s,) for s in _G17_SEEDS], "node string")

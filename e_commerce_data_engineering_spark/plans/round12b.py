@@ -223,6 +223,27 @@ def _g18_sql_level(k: int, prev: str, out: str) -> str:
     )"""
 
 
+def _g18_peel_level(cur: DataFrame, k: int, n_parts: int) -> list[DataFrame]:
+    """One ascending-k peel: restrict the half-edge frame to nodes of
+    degree >= k via two LeftSemi probes of the alive set. Returns the
+    [level frame, alive frame] pair for the scratch tier (alive is
+    persisted for the build's own two semi-join probes)."""
+    alive = (
+        cur.groupBy("src")
+        .count()
+        .filter(F.col("count") >= k)
+        .select(F.col("src").alias("node"))
+        .persist()
+    )
+    return [
+        cur.join(alive, cur["src"] == alive["node"], "left_semi")
+        .join(alive, cur["dst"] == alive["node"], "left_semi")
+        .repartition(n_parts, "src")
+        .persist(),
+        alive,
+    ]
+
+
 @query(
     "g18_core_decomposition",
     oracle=f"""
@@ -279,28 +300,32 @@ def g18_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the g17 lesson: a bare persist pins 200-partition cache output AQE
     # cannot coalesce, and clustering on src feeds every per-level degree
     # groupBy exchange-free).
+    # r12 (guide §2.4): every level rides the scratch-parquet frame
+    # tier — a LAZY per-level persist still let the level's consumers
+    # (the next level's alive rollup, both semi-join probes, the
+    # census) race and re-expand the whole unrolled prefix (a ~350-
+    # exchange pre-execution plan); the tier materializes each level
+    # exactly once per process, and the alive frame is persisted for
+    # the build's own two semi-join probes.
+    from ..operators.dedup import _cached
+
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    e = (
-        p.unionAll(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .repartition(n_parts, "src")
-        .persist()
+    e = _cached(
+        li,
+        ("g18-edges", sf_dir),
+        lambda: [
+            p.unionAll(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .repartition(n_parts, "src")
+            .persist()
+        ],
     )
     levels = []
     cur = e
     for k in _G18_LEVELS:
-        alive = cur.groupBy("src").count().filter(F.col("count") >= k).select(
-            F.col("src").alias("node")
-        )
-        # persist EACH level's surviving edge frame (src-hashed): the
-        # next level and this level's census both read the cached frame
-        # instead of re-deriving the whole unrolled prefix — without
-        # this the three census branches re-expand the lineage into a
-        # ~350-exchange plan (the g17 42-join lesson, iterated)
-        cur = (
-            cur.join(alive, cur["src"] == alive["node"], "left_semi")
-            .join(alive, cur["dst"] == alive["node"], "left_semi")
-            .repartition(n_parts, "src")
-            .persist()
+        cur = _cached(
+            li,
+            ("g18-level", k, sf_dir),
+            lambda cur=cur, k=k: _g18_peel_level(cur, k, n_parts),
         )
         levels.append(
             cur.groupBy(F.substring("src", 1, 1).alias("kind")).agg(

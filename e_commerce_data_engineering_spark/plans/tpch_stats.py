@@ -3651,11 +3651,25 @@ def q127_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("z"))
     )
     wb = W.partitionBy("brand").orderBy("didx")
-    occ = daily.filter(F.col("z") > 0).select(
-        "brand",
-        "z",
-        F.row_number().over(wb).cast("bigint").alias("rn"),
-        (F.col("didx") - F.lag("didx").over(wb)).cast("bigint").alias("p"),
+    # r12 (guide §2.4): the occurrence frame feeds BOTH sides of the
+    # lag-kernel self-join — un-materialized, the 600k-row join +
+    # daily rollup + window ran twice per run. Scratch-tier build
+    # (brand × active-day grain, small).
+    from ..operators.dedup import _cached
+
+    occ = _cached(
+        li,
+        ("q127-occ", sf_dir),
+        lambda: [
+            daily.filter(F.col("z") > 0)
+            .select(
+                "brand",
+                "z",
+                F.row_number().over(wb).cast("bigint").alias("rn"),
+                (F.col("didx") - F.lag("didx").over(wb)).cast("bigint").alias("p"),
+            )
+            .persist()
+        ],
     )
     t = occ.select("brand", "z", "rn", "p")
     s = occ.select(

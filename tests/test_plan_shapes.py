@@ -1664,7 +1664,23 @@ def test_round12_batch4_shapes(spark):
 
     p = plan_of(spark, "g18_core_decomposition")
     assert "CartesianProduct" not in p, p
-    assert "LeftSemi" in p, p
+    # since r12 each peel level lives on the scratch-parquet frame
+    # tier, so the LeftSemi restriction is pinned on the LEVEL BUILD
+    # plan (what executes once per process), not the cached readout
+    from e_commerce_data_engineering_spark.plans.round12b import _g18_peel_level
+    from e_commerce_data_engineering_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem").select(
+        F.col("l_suppkey").alias("src"), F.col("l_orderkey").alias("dst")
+    )
+    lvl = _g18_peel_level(li, 2, 8)[0]
+    bp = lvl._jdf.queryExecution().explainString(
+        lvl._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "LeftSemi" in bp, bp
+    assert "CartesianProduct" not in bp, bp
 
     p = plan_of(spark, "s36_sq_bits_recall")
     assert "CartesianProduct" not in p, p
