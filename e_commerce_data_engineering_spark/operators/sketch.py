@@ -647,6 +647,23 @@ def cms_steered_join(
     return df
 
 
+def cms_grid_counts(grids: DataFrame, group_col: str = "pair") -> dict:
+    """Recover every group's build-side row count from ONE grouped CMS
+    grid frame with a single driver action: each depth row of a grid
+    sums to N, so depth 0's bucket sum per group IS that group's exact
+    count. Bounded state — one bigint per group (r12: lets the x22
+    audit replace one sketch job + collect per candidate pair with one
+    batched action; the same discipline as ``cms_steered_join``'s
+    single collected row)."""
+    return {
+        r[group_col]: r["n"]
+        for r in grids.filter(F.col("depth") == 0)
+        .groupBy(group_col)
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n"))
+        .collect()
+    }
+
+
 def cms_steered_join_with_strategy(
     probe: DataFrame,
     build: DataFrame,
@@ -657,21 +674,31 @@ def cms_steered_join_with_strategy(
     width: int = 1024,
     row_bytes: int = 128,
     threshold_bytes: int = 131072,
+    build_rows: int | None = None,
 ) -> tuple[DataFrame, str]:
     """``cms_steered_join`` returning ``(joined, strategy)`` so a
     caller (the x22 audit query) can report WHICH physical strategy the
-    sketch picked alongside the join's result."""
-    if grid is None:
-        if key_col is None:
-            key_col = on if isinstance(on, str) else list(on)[0]
-        grid = cms_build_portable(
-            build.select(F.col(key_col).cast("string").alias("k")), "k", depth, width
+    sketch picked alongside the join's result.
+
+    ``build_rows`` lets a caller hand in an ALREADY-RECOVERED build
+    count (e.g. x22 recovers all five candidate pairs' counts from one
+    grouped grid build with a single driver action — r12, guide §2.3):
+    the decision arithmetic is unchanged, the per-call sketch job and
+    collect are skipped."""
+    if build_rows is not None:
+        n_build = int(build_rows)
+    else:
+        if grid is None:
+            if key_col is None:
+                key_col = on if isinstance(on, str) else list(on)[0]
+            grid = cms_build_portable(
+                build.select(F.col(key_col).cast("string").alias("k")), "k", depth, width
+            )
+        n_build = (
+            grid.filter(F.col("depth") == 0)
+            .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n"))
+            .collect()[0]["n"]
         )
-    n_build = (
-        grid.filter(F.col("depth") == 0)
-        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n"))
-        .collect()[0]["n"]
-    )
     if n_build * row_bytes <= threshold_bytes:
         return probe.join(F.broadcast(build), on), "broadcast"
     return probe.join(build, on), "shuffle"

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join_backward
 from ..operators.dedup import (
+    _cached,
     minhash_dedupe,
     minhash_lsh_pairs,
     minhash_lsh_pairs_portable,
@@ -1354,21 +1355,25 @@ def m08_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id", "modality", "content", "meta"
     )
     both = assets.unionByName(upscale_assets(assets, factor=2, id_offset=1000))
-    fp = (
-        image_ahash(both)
-        .select(
-            "asset_id",
-            F.conv(F.substring("ahash_bits", 1, 32), 2, 10)
-            .cast("bigint")
-            .alias("hi"),
-            F.conv(F.substring("ahash_bits", 33, 32), 2, 10)
-            .cast("bigint")
-            .alias("lo"),
-        )
-        .persist()
-        # lazy: the band fanout below reuses hi/lo; the decode pipeline
-        # materializes once at the consumer's first action (building
-        # the plan must not trigger the PNG decode — ADVICE r7)
+    # r12 (guide §2.4): the decoded aHash frame feeds both band-join
+    # sides — the lazy persist let them race and run the PNG decode
+    # twice inside one job. Scratch-tier build (240 rows).
+    fp = _cached(
+        both,
+        ("m08-fp", 120, 2),
+        lambda: [
+            image_ahash(both)
+            .select(
+                "asset_id",
+                F.conv(F.substring("ahash_bits", 1, 32), 2, 10)
+                .cast("bigint")
+                .alias("hi"),
+                F.conv(F.substring("ahash_bits", 33, 32), 2, 10)
+                .cast("bigint")
+                .alias("lo"),
+            )
+            .persist()
+        ],
     )
     bands = fp.select(
         "asset_id",
@@ -1627,7 +1632,14 @@ def m09_audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id", "modality", "content", "meta"
     )
     both = assets.unionByName(rescale_audio(assets, gain=0.4, id_offset=1000))
-    fp = audio_fingerprint(both).distinct()
+    # r12 (guide §2.4): the landmark fingerprints feed both pair-join
+    # sides — un-materialized, the real WAV decode + STFT ran twice
+    # inside one job. Scratch-tier build keyed by the asset params.
+    fp = _cached(
+        both,
+        ("m09-fp", M09_N_ASSETS),
+        lambda: [audio_fingerprint(both).distinct().persist()],
+    )
     a = fp.select(F.col("asset_id").alias("id_a"), "fp_hash")
     b = fp.select(F.col("asset_id").alias("id_b"), F.col("fp_hash").alias("_h2"))
     pairs = (
@@ -2493,15 +2505,21 @@ def m13_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id", "modality", "content", "meta"
     )
     both = assets.unionByName(upscale_assets(assets, factor=2, id_offset=1000))
-    fp = (
-        image_phash(both)
-        .select(
-            "asset_id",
-            F.conv(F.col("phash_bits"), 2, 10).cast("bigint").alias("fp"),
-        )
-        .persist()
-        # lazy: the band fanout below reuses fp; the decode pipeline
-        # materializes once at the consumer's first action
+    # r12 (guide §2.4): the decoded pHash frame feeds BOTH band-join
+    # sides — the lazy persist let them race and run the real PNG/JPEG
+    # decode pipeline twice inside one job. Scratch-tier build (240
+    # rows), keyed by the generated-asset params.
+    fp = _cached(
+        both,
+        ("m13-fp", 120, 2),
+        lambda: [
+            image_phash(both)
+            .select(
+                "asset_id",
+                F.conv(F.col("phash_bits"), 2, 10).cast("bigint").alias("fp"),
+            )
+            .persist()
+        ],
     )
     bands = fp.select(
         "asset_id",
@@ -2606,36 +2624,49 @@ _D22_Q = 1_000_000.0  # 1e-6 tf-idf weight quantization
 )
 def d22_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import text as X
+    from ..operators.dedup import token_frame
 
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", X.tokens(F.col("text")).alias("ts")).filter(
-        F.size("ts") >= 3
-    )
-    sh = toks.select(
-        "doc_id", F.explode(X.shingles_zip(F.col("ts"), 3)).alias("s")
-    )
-    tf = sh.groupBy("doc_id", "s").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
-    )
-    n = tf.agg(F.count_distinct("doc_id").cast("bigint").alias("n"))
-    idf = tf.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    w = (
-        tf.join(idf, "s")
-        .filter((F.col("df") >= D22_DF_MIN) & (F.col("df") <= D22_DF_MAX))
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "s",
-            F.floor(
-                F.col("tf")
-                * F.log(F.col("n").cast("double") / F.col("df"))
-                * _D22_Q
-                + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("wq"),
+
+    # r12 (guide §2.4): the tf rollup fed n/idf/w (3 subtrees) and the
+    # weight frame fed nrm + both posting-join sides (3 more) — the
+    # shingle explode re-ran per consumer. The weight frame now builds
+    # ONCE on the scratch tier from the shared d-family token frame;
+    # tf persists for the build's own three consumers.
+    def build_w():
+        tkf = token_frame(d, "doc_id", "text", cache_key=sf_dir)
+        toks = tkf.filter(F.size("_tk") >= 3).select(
+            F.col("_id").alias("doc_id"), F.col("_tk").alias("ts")
         )
-    )
+        sh = toks.select(
+            "doc_id", F.explode(X.shingles_zip(F.col("ts"), 3)).alias("s")
+        )
+        tf = sh.groupBy("doc_id", "s").agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf")
+        ).persist()
+        n = tf.agg(F.count_distinct("doc_id").cast("bigint").alias("n"))
+        idf = tf.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        return [
+            tf.join(idf, "s")
+            .filter((F.col("df") >= D22_DF_MIN) & (F.col("df") <= D22_DF_MAX))
+            .crossJoin(F.broadcast(n))
+            .select(
+                "doc_id",
+                "s",
+                F.floor(
+                    F.col("tf")
+                    * F.log(F.col("n").cast("double") / F.col("df"))
+                    * _D22_Q
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("wq"),
+            )
+            .persist(),
+            tf,
+        ]
+
+    w = _cached(d, ("d22-w", sf_dir), build_w)
     nrm = w.groupBy("doc_id").agg(
         F.sum(F.col("wq") * F.col("wq")).cast("bigint").alias("nq")
     )

@@ -2551,15 +2551,31 @@ _HITS_TOP = 15
 def g13_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    e = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
-        .distinct()
-        .persist()
+    # r12 (guide §2.4): the bipartite edge frame feeds every unrolled
+    # HITS step (4 subtrees) and a2 feeds both the authority readout
+    # and the h2 step — lazy persists raced and re-ran the
+    # lineitem⋈orders distinct per consumer. Scratch-tier builds.
+    from ..operators.dedup import _cached
+
+    e = _cached(
+        li,
+        ("g13-edges", sf_dir),
+        lambda: [
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+            .distinct()
+            .persist()
+        ],
     )
     a0 = e.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
     h1 = e.join(a0, "c").groupBy("s").agg(F.sum("a").cast("bigint").alias("h"))
-    a2 = e.join(h1, "s").groupBy("c").agg(F.sum("h").cast("bigint").alias("a"))
+    a2 = _cached(
+        li,
+        ("g13-a2", sf_dir),
+        lambda: [
+            e.join(h1, "s").groupBy("c").agg(F.sum("h").cast("bigint").alias("a")).persist()
+        ],
+    )
     h2 = e.join(a2, "c").groupBy("s").agg(F.sum("a").cast("bigint").alias("h"))
     # TakeOrderedAndProject cut FIRST; the single-partition rank window
     # then only ever sees _HITS_TOP rows
@@ -3596,8 +3612,32 @@ _X22_SQL = " UNION ALL ".join(_X22_SQL_PARTS)
     "plan Spark would run anyway, now with the right build side.",
 )
 def x22_cms_steered_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sketch import cms_steered_join_with_strategy
+    from functools import reduce
 
+    from ..operators.sketch import (
+        cms_build_portable,
+        cms_grid_counts,
+        cms_steered_join_with_strategy,
+    )
+
+    # r12 (guide §2.3): the five decision sketches batch through ONE
+    # pair-tagged grid build and ONE driver action (5 bigints of
+    # bounded state, via operators/sketch.cms_grid_counts) instead of
+    # one sketch job + collect per pair; the decision arithmetic and
+    # the steered joins are unchanged.
+    dall = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            load_table(spark, sf_dir, dim).select(
+                F.lit(f"{dim}_x_{fact}").alias("pair"),
+                F.col(dkey).cast("string").alias("k"),
+            )
+            for dim, fact, dkey, fkey in _X18_PAIRS
+        ],
+    )
+    counts = cms_grid_counts(
+        cms_build_portable(dall, "k", X18_DEPTH, X18_WIDTH, group_cols=("pair",))
+    )
     out = None
     for dim, fact, dkey, fkey in _X18_PAIRS:
         d = load_table(spark, sf_dir, dim).select(F.col(dkey).alias("_k"))
@@ -3610,6 +3650,7 @@ def x22_cms_steered_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             width=X18_WIDTH,
             row_bytes=X18_ROW_BYTES,
             threshold_bytes=X18_BCAST_BYTES,
+            build_rows=counts.get(f"{dim}_x_{fact}", 0),
         )
         row = joined.agg(
             F.count(F.lit(1)).cast("bigint").alias("join_rows")

@@ -1071,11 +1071,20 @@ def g19_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # r12 (guide §2.4): the edge frame feeds both LPA rounds AND the
+    # final label join (4 subtrees) — scratch-tier build so the
+    # lineitem⋈orders distinct runs once per process.
+    from ..operators.dedup import _cached
+
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    e2 = (
-        base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .repartition(n_parts, "src")
-        .persist()
+    e2 = _cached(
+        li,
+        ("g19-edges", sf_dir),
+        lambda: [
+            base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .repartition(n_parts, "src")
+            .persist()
+        ],
     )
     l0 = sup.select(
         F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"),
@@ -1103,8 +1112,13 @@ def g19_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # repartition-by-node before persist (the g17/g18 lesson: a bare
     # persist pins the windows' 200-partition output; node-hashed cache
-    # output feeds both label joins exchange-free)
-    l2 = lpa_round(lpa_round(l0)).repartition(n_parts, "node").persist()
+    # output feeds both label joins exchange-free); scratch-tiered so
+    # the two label-join sides read one materialized frame
+    l2 = _cached(
+        li,
+        ("g19-labels", sf_dir),
+        lambda: [lpa_round(lpa_round(l0)).repartition(n_parts, "node").persist()],
+    )
     ls = l2.select(F.col("node").alias("sn"), F.col("lbl").alias("src_lbl"))
     ld = l2.select(F.col("node").alias("dn"), F.col("lbl").alias("dst_lbl"))
     lab = (
@@ -1210,37 +1224,49 @@ def d25_symspell_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair-distinct shuffle slim 8-column rows down to two ints+string;
     # names/attrs decorate the ~|pairs| survivors afterwards (13.2 s ->
     # ~2.7 s steady at sf0.1 vs the wide-row first draft)
-    v = cust.select(
-        "id",
-        F.explode(
-            F.expr(
-                "concat(array(name), "
-                "transform(sequence(1, length(name)), "
-                "i -> concat(substring(name, 1, i - 1), "
-                "substring(name, i + 1, 999))))"
-            )
-        ).alias("var"),
-    )
-    a = v.select(F.col("id").alias("id_a"), "var")
-    b = v.select(F.col("id").alias("id_b"), F.col("var").alias("_var"))
-    pairs = (
-        a.join(b, (a["var"] == b["_var"]) & (a["id_a"] < b["id_b"]))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    ca = cust.select(
-        F.col("id").alias("_ia"), F.col("name").alias("na"),
-        F.col("nk").alias("nka"), F.col("seg").alias("sega"),
-    )
-    cb = cust.select(
-        F.col("id").alias("_ib"), F.col("name").alias("nb"),
-        F.col("nk").alias("nkb"), F.col("seg").alias("segb"),
-    )
-    cand = (
-        pairs.join(ca, pairs["id_a"] == ca["_ia"])
-        .join(cb, pairs["id_b"] == cb["_ib"])
-        .select("id_a", "id_b", "na", "nb", "nka", "nkb", "sega", "segb")
-    )
+    # r12 (guide §2.4): the variant stream fed both candidate-join
+    # sides and the decorated candidate frame fed the truth filter AND
+    # the candidate count — un-materialized, the deletion-neighborhood
+    # explode and the pair pipeline each ran twice. One scratch-tier
+    # build; the variant frame persists for the build's own two sides.
+    from ..operators.dedup import _cached
+
+    def build_cand():
+        v = cust.select(
+            "id",
+            F.explode(
+                F.expr(
+                    "concat(array(name), "
+                    "transform(sequence(1, length(name)), "
+                    "i -> concat(substring(name, 1, i - 1), "
+                    "substring(name, i + 1, 999))))"
+                )
+            ).alias("var"),
+        ).persist()
+        a = v.select(F.col("id").alias("id_a"), "var")
+        b = v.select(F.col("id").alias("id_b"), F.col("var").alias("_var"))
+        pairs = (
+            a.join(b, (a["var"] == b["_var"]) & (a["id_a"] < b["id_b"]))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        ca = cust.select(
+            F.col("id").alias("_ia"), F.col("name").alias("na"),
+            F.col("nk").alias("nka"), F.col("seg").alias("sega"),
+        )
+        cb = cust.select(
+            F.col("id").alias("_ib"), F.col("name").alias("nb"),
+            F.col("nk").alias("nkb"), F.col("seg").alias("segb"),
+        )
+        return [
+            pairs.join(ca, pairs["id_a"] == ca["_ia"])
+            .join(cb, pairs["id_b"] == cb["_ib"])
+            .select("id_a", "id_b", "na", "nb", "nka", "nkb", "sega", "segb")
+            .persist(),
+            v,
+        ]
+
+    cand = _cached(cust, ("d25-cand", sf_dir), build_cand)
     truth = cand.filter(F.levenshtein("na", "nb") <= 1)
     blocked = ((F.col("nka") == F.col("nkb")) & (F.col("sega") == F.col("segb"))).cast(
         "int"

@@ -541,41 +541,71 @@ def t54_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T55_PK = 32  # d17's prefix block width, reused for stage 2
 
 
-def _t55_chain(d: DataFrame) -> dict:
+def _t55_chain(d: DataFrame, cache_key: str | None = None) -> dict:
     """The t55 waterfall stage chain as a shared stage (t55 reports
     stage economics; t62 audits WHICH docs each stage removes):
-    returns s0 and the three removal frames, each (doc_id, len)."""
+    returns s0 and the three removal frames, each (doc_id, len).
+
+    r12 (guide §2.4): every stage's output rides the scratch-parquet
+    frame tier — each was consumed from 2-4 subtrees of the composed
+    t55/t62 plans (waterfall economics read all three removal frames,
+    t62 left-joins them all onto s0), and the lazy persists raced —
+    measured 3.8 s (t62) / 2.6 s (t55) solo at sf0.1 before, with the
+    exact-hash + prefix self-join + shingle-md5 chain re-running per
+    consumer."""
+    from ..operators.dedup import _cached
+
     s0 = d.select("doc_id", "text", F.length("text").cast("bigint").alias("len"))
-
     h = F.md5(F.col("text").cast("binary"))
-    ex_keep = s0.groupBy(h.alias("h")).agg(F.min("doc_id").alias("keeper"))
-    ex_rm = s0.select("doc_id", "len", h.alias("_h")).join(
-        ex_keep, F.col("_h") == ex_keep["h"]
-    ).filter(F.col("doc_id") > F.col("keeper")).select("doc_id", "len")
-    # s1 feeds its own self-join (two scan sides) plus two downstream
-    # stages — persist once or the exact-hash chain recomputes per
-    # consumer (the m08 persist discipline)
-    s1 = s0.join(ex_rm.select("doc_id"), "doc_id", "left_anti").persist()
+    key = (lambda *parts: (*parts, cache_key)) if cache_key else (lambda *parts: None)
 
-    blk = F.substring("text", 1, _T55_PK)
-    a = s1.select("doc_id", "len", "text", blk.alias("blk"))
-    b = s1.select(
-        F.col("len").alias("_len2"), F.col("text").alias("_t2"), blk.alias("_blk2")
-    )
-    pre_rm = (
-        a.join(b, (a["blk"] == b["_blk2"]) & (a["len"] < b["_len2"]))
-        .filter(F.col("_t2").startswith(F.col("text")))
-        .select("doc_id", "len")
-        .distinct()
-    )
-    s2 = s1.join(pre_rm.select("doc_id"), "doc_id", "left_anti")
+    def build_ex_rm():
+        ex_keep = s0.groupBy(h.alias("h")).agg(F.min("doc_id").alias("keeper"))
+        return [
+            s0.select("doc_id", "len", h.alias("_h"))
+            .join(ex_keep, F.col("_h") == ex_keep["h"])
+            .filter(F.col("doc_id") > F.col("keeper"))
+            .select("doc_id", "len")
+            .persist()
+        ]
 
-    toks = X.tokens(F.col("text"))
+    ex_rm = _cached(d, key("t55-ex-rm"), build_ex_rm)
+
+    def build_pre_rm():
+        # s1 feeds its own self-join (two scan sides): persist for the
+        # build's two consumers, released with the entry
+        s1 = s0.join(ex_rm.select("doc_id"), "doc_id", "left_anti").persist()
+        blk = F.substring("text", 1, _T55_PK)
+        a = s1.select("doc_id", "len", "text", blk.alias("blk"))
+        b = s1.select(
+            F.col("len").alias("_len2"), F.col("text").alias("_t2"), blk.alias("_blk2")
+        )
+        return [
+            a.join(b, (a["blk"] == b["_blk2"]) & (a["len"] < b["_len2"]))
+            .filter(F.col("_t2").startswith(F.col("text")))
+            .select("doc_id", "len")
+            .distinct()
+            .persist(),
+            s1,
+        ]
+
+    pre_rm = _cached(d, key("t55-pre-rm"), build_pre_rm)
+
+    def build_fp():
+        s2 = (
+            s0.join(ex_rm.select("doc_id"), "doc_id", "left_anti")
+            .join(pre_rm.select("doc_id"), "doc_id", "left_anti")
+        )
+        toks = X.tokens(F.col("text"))
+        return [
+            s2.filter(F.size(toks) >= 3)
+            .select("doc_id", "len", X.min_shingle_fingerprint(toks).alias("f"))
+            .persist()
+        ]
+
     # the shingle-md5 map is the expensive leaf and feeds both the
-    # keeper rollup and the removal join — persist or it runs twice
-    fp = s2.filter(F.size(toks) >= 3).select(
-        "doc_id", "len", X.min_shingle_fingerprint(toks).alias("f")
-    ).persist()
+    # keeper rollup and the removal join — tier-materialized once
+    fp = _cached(d, key("t55-fp"), build_fp)
     fp_keep = fp.groupBy("f").agg(F.min("doc_id").alias("keeper"))
     fp_rm = fp.join(fp_keep, "f").filter(F.col("doc_id") > F.col("keeper")).select(
         "doc_id", "len"
@@ -666,7 +696,7 @@ def _t55_chain(d: DataFrame) -> dict:
 )
 def t55_dedup_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    chain = _t55_chain(d)
+    chain = _t55_chain(d, cache_key=sf_dir)
     s0, ex_rm, pre_rm, fp_rm = (
         chain["s0"], chain["ex_rm"], chain["pre_rm"], chain["fp_rm"]
     )
@@ -1567,7 +1597,7 @@ def t61_ttr_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t62_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    chain = _t55_chain(d)
+    chain = _t55_chain(d, cache_key=sf_dir)
     qbp = _t58_qbp(d).select("doc_id", "qbp")
     ex_ids = chain["ex_rm"].select("doc_id").withColumn("_f1", F.lit(1))
     pre_ids = chain["pre_rm"].select("doc_id").withColumn("_f2", F.lit(1))
@@ -1587,14 +1617,23 @@ def t62_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("fate"),
         )
     )
-    g = (
-        labeled.join(qbp, "doc_id")
-        .groupBy("fate")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("qbp").cast("bigint").alias("sq"),
-            F.sum("len").cast("bigint").alias("sl"),
-        )
+    # r12: the 4-row fate rollup is consumed by the kept-baseline
+    # broadcast AND the final readout — tier-materialized once
+    from ..operators.dedup import _cached
+
+    g = _cached(
+        d,
+        ("t62-fates", sf_dir),
+        lambda: [
+            labeled.join(qbp, "doc_id")
+            .groupBy("fate")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("qbp").cast("bigint").alias("sq"),
+                F.sum("len").cast("bigint").alias("sl"),
+            )
+            .persist()
+        ],
     )
     kept = g.filter(F.col("fate") == "kept").select(
         F.col("sq").alias("ksq"), F.col("n_docs").alias("kn")
@@ -2898,6 +2937,32 @@ def t73_charset_anomaly_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T74_Q = 1_000_000_000.0  # 1e-9 quantization of each -p·ln p term
 
 
+def _char_bigram_counts(d: DataFrame, sf_dir: str) -> DataFrame:
+    """Shared (lang, bigram) -> count frame behind t74 (entropy) and
+    t76 (JS distance): the char-bigram explode is the only corpus-
+    proportional pass either query makes, and each consumed it from
+    3-4 plan subtrees (marginals, entropy terms, both self-join
+    sides). r12: one build per process on the scratch-parquet tier
+    (guide §2.4); output is alphabet²-bounded per language."""
+    from ..operators.dedup import _cached
+
+    def build():
+        bg = d.filter(F.length("text") >= 2).select(
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - 1),
+                    lambda i: F.col("text").substr(i, F.lit(2)),
+                )
+            ).alias("b"),
+        )
+        return [
+            bg.groupBy("lang", "b").agg(F.count(F.lit(1)).cast("bigint").alias("cnt")).persist()
+        ]
+
+    return _cached(d, ("char-bigrams", sf_dir), build)
+
+
 @query(
     "t74_char_bigram_entropy",
     oracle=f"""
@@ -2960,16 +3025,7 @@ _T74_Q = 1_000_000_000.0  # 1e-9 quantization of each -p·ln p term
 )
 def t74_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    bg = d.filter(F.length("text") >= 2).select(
-        "lang",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text") - 1),
-                lambda i: F.col("text").substr(i, F.lit(2)),
-            )
-        ).alias("b"),
-    )
-    c2 = bg.groupBy("lang", "b").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    c2 = _char_bigram_counts(d, sf_dir)
     t = c2.groupBy("lang").agg(
         F.sum("cnt").cast("bigint").alias("tot"),
         F.count(F.lit(1)).cast("bigint").alias("v2"),
@@ -3198,16 +3254,7 @@ def t75_uncertainty_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t76_lang_bigram_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    bg = d.filter(F.length("text") >= 2).select(
-        "lang",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text") - 1),
-                lambda i: F.col("text").substr(i, F.lit(2)),
-            )
-        ).alias("b"),
-    )
-    c = bg.groupBy("lang", "b").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    c = _char_bigram_counts(d, sf_dir)
     t = c.groupBy("lang").agg(F.sum("cnt").cast("bigint").alias("tot"))
     p = c.join(t, "lang").select(
         "lang", "b", (F.col("cnt").cast("double") / F.col("tot")).alias("p")
