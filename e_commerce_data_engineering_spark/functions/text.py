@@ -107,8 +107,14 @@ def shingles_zip(toks: Column, n: int = 3) -> Column:
 def min_shingle_fingerprint(toks: Column, n: int = 3) -> Column:
     """Deterministic doc fingerprint: min md5 over n-gram shingles —
     a 1-permutation MinHash usable for exact-duplicate and
-    high-overlap detection. Oracle-checkable (md5 is engine-portable)."""
-    return F.array_min(F.transform(shingles(toks, n), F.md5))
+    high-overlap detection. Oracle-checkable (md5 is engine-portable).
+
+    r12: built on ``shingles_zip`` (O(n) slice passes) instead of
+    ``shingles`` (O(n·len) element_at probes) — min over the same
+    element set, so values are identical, but an INLINE ``toks``
+    expression is no longer re-evaluated per element_at probe
+    (Catalyst's projection collapse made that the d19 10x trap)."""
+    return F.array_min(F.transform(shingles_zip(toks, n), F.md5))
 
 
 def quality_score(n_toks: Column, stop_ratio: Column, avg_token_len: Column) -> Column:
