@@ -24,6 +24,7 @@ def jaccard_similarity_join(
     text_col: str,
     threshold: float,
     group_cols: list[str] | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """All pairs with token-set Jaccard >= threshold → (id_a, id_b,
     jaccard). Exact (verified), corpus-wide (no blocking key needed).
@@ -43,32 +44,51 @@ def jaccard_similarity_join(
     guarantee; global frequency just minimizes candidates).
     """
     groups = list(group_cols or [])
-    base = (
-        fan_out(df)
-        .select(
-            F.col(id_col).alias("_id"),
-            *groups,
-            F.array_distinct(
-                F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
-            ).alias("_ts"),
+
+    # r12 (guide §2.4): the rarest-first ordered-set frame feeds the
+    # prefix fanout (both inverted-index join sides) AND both exact-
+    # verify set joins — 4 subtrees whose lazy persists raced and
+    # re-ran the tokenize + frequency-sort build per consumer. With a
+    # cache_key it rides the scratch-parquet frame tier (built once
+    # per process); without one the persists keep the old behavior.
+    def build_ordered():
+        base = (
+            fan_out(df)
+            .select(
+                F.col(id_col).alias("_id"),
+                *groups,
+                F.array_distinct(
+                    F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+                ).alias("_ts"),
+            )
+            .filter(F.size("_ts") > 0)
+            .persist()
         )
-        .filter(F.size("_ts") > 0)
-        .persist()
+        tok = base.select("_id", *groups, F.explode("_ts").alias("_tok"))
+        freq = tok.groupBy("_tok").agg(F.count("*").alias("_freq"))
+        # rarest-first total order per doc: sort (freq, token-hash)
+        # structs, then strip back to token hashes
+        return [
+            tok.join(freq, "_tok")
+            .groupBy("_id", *groups)
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_freq", "_tok"))),
+                    lambda s: s["_tok"],
+                ).alias("_ts")
+            )
+            .persist(),
+            base,
+        ]
+
+    from .dedup import _cached
+
+    key = (
+        ("ppjoin-ordered", cache_key, id_col, text_col, float(threshold), tuple(groups))
+        if cache_key
+        else None
     )
-    tok = base.select("_id", *groups, F.explode("_ts").alias("_tok"))
-    freq = tok.groupBy("_tok").agg(F.count("*").alias("_freq"))
-    # rarest-first total order per doc: sort (freq, token-hash) structs,
-    # then strip back to token hashes
-    ordered = (
-        tok.join(freq, "_tok")
-        .groupBy("_id", *groups)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_freq", "_tok"))), lambda s: s["_tok"]
-            ).alias("_ts")
-        )
-        .persist()
-    )
+    ordered = _cached(df, key, build_ordered)
     n = F.size("_ts")
     # epsilon-guarded ceil: 0.8*45 floats to 36.000000000000001 and a
     # naive ceil would shorten the prefix below the safe bound (losing

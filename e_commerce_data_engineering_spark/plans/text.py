@@ -143,7 +143,7 @@ def t05_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.setjoin import jaccard_similarity_join
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_similarity_join(d, "doc_id", "text", 0.5, group_cols=["source"])
+    pairs = jaccard_similarity_join(d, "doc_id", "text", 0.5, group_cols=["source"], cache_key=sf_dir)
     return pairs.select(
         F.col("id_a").alias("doc_a"),
         F.col("id_b").alias("doc_b"),
@@ -276,7 +276,7 @@ def t09_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.setjoin import jaccard_similarity_join
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_similarity_join(d, "doc_id", "text", T09_THRESHOLD)
+    pairs = jaccard_similarity_join(d, "doc_id", "text", T09_THRESHOLD, cache_key=sf_dir)
     return pairs.select("id_a", "id_b", fround(F.col("jaccard"), 4).alias("jaccard"))
 
 
