@@ -20,6 +20,14 @@ is computed and serialized (a count() would let Catalyst prune unused
 projections — for queries with no post-projection aggregate the timed
 plan degenerates to a parquet row-count scan). One warm-up query first
 so JVM/codegen warm-up isn't billed to the first headline entry.
+
+Per-query semantics (round 13, per the r12 verdict): the recorded
+``queries`` map is the TIER-WARM best-of-N — shared frames on the
+per-process scratch-parquet tier survive the clearCache between runs,
+so run 1 pays each frame build once and the best-of keeps the narrow
+read-back (the long-lived-session steady state). The build cost is NOT
+dropped: run 1's wall time is recorded per query as ``queries_cold``
+in BENCHLOG.json. See _run_names for the full mechanics.
 """
 
 from __future__ import annotations
@@ -341,15 +349,28 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _run_names(spark, queries, names, sf_dir) -> dict[str, float]:
+def _run_names(spark, queries, names, sf_dir) -> tuple[dict[str, float], dict[str, float]]:
     """Best-of-N timed runs for each named query (the core protocol).
 
-    Multiple timed runs per query, best-of kept: run 1 pays one-time
-    whole-stage-codegen compilation of the big HOF expressions (up to
-    seconds of JIT for the 64-perm minhash), later runs are steady
-    state — which is what a long-lived cluster session sees. The cache
-    is cleared between runs so each timed run pays its own persists."""
-    timings: dict[str, float] = {}
+    Returns ``(steady, cold)``: ``steady[name]`` is the best-of-N (the
+    recorded headline number, unchanged semantics since round 3) and
+    ``cold[name]`` is run 1's wall time.
+
+    MEASUREMENT SEMANTICS (made explicit in round 13, per the r12
+    verdict): ``spark.catalog.clearCache()`` between runs evicts every
+    in-memory persist, so each timed run re-runs its own persisted
+    subtrees — but shared frames on the per-process SCRATCH-PARQUET
+    tier (operators/dedup._cached) survive clearCache by design: run 1
+    pays the full frame build + parquet write, runs 2+ reload a narrow
+    parquet scan. The recorded best-of-N is therefore the TIER-WARM
+    steady state (what a long-lived session that materialized its
+    shared signature/index tables once actually sees), and the
+    one-per-process frame-build cost is recorded in ``cold`` — both
+    land in BENCHLOG.json (``queries`` = steady, ``queries_cold`` =
+    cold). Nothing survives a bench invocation: the tier is a
+    per-process tempdir removed at interpreter exit."""
+    steady: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in names:
         fn = queries[name]
         best = float("inf")
@@ -359,16 +380,34 @@ def _run_names(spark, queries, names, sf_dir) -> dict[str, float]:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if done == 0:
+                cold[name] = round(dt, 3)
+            best = min(best, dt)
             done += 1
             # sub-second entries sit inside scheduler-noise territory
             # (±2.5x observed run-to-run); give every one a third run
             # so a noisy sample can't masquerade as a plan regression
             if done == runs and runs < 3 and best < 1.0:
                 runs = 3
-        timings[name] = round(best, 3)
-    return timings
+        steady[name] = round(best, 3)
+    return steady, cold
 
+
+# Committed variance bands (r12 verdict #8) for the five queries whose
+# r12 driver-run numbers were one degraded segment (HEADLINE indices
+# 219-224: 2-5x their bands with ZERO code change; builder terminal had
+# them at band). (lo, hi) spans every clean 32-core record across
+# r11/r12 plus solo re-measurements with ~2x slack on the high side; a
+# recorded value above hi on a >=16-core run is flagged in BENCHLOG as
+# out_of_band — machine noise to re-measure, not a plan regression.
+VARIANCE_BANDS = {
+    "q118_newsvendor_cost": (0.6, 2.4),
+    "e47_intersession_gaps": (0.4, 1.6),
+    "s32_lexical_rbo": (0.7, 2.6),
+    "g15_truss_peel": (1.4, 4.2),
+    "q119_ses_forecast": (0.9, 2.8),
+}
 
 # Queries per fresh-process measurement segment. WHY SEGMENTS (round-11
 # finding, reproduced deterministically): past ~170 executed plans a
@@ -437,8 +476,28 @@ def _main_slice(sf_dir: str, names: list[str]) -> None:
     queries = all_queries()
     # warm-up: JVM, codegen, parquet footer caches
     materialize(queries["q06_mktsegment_revenue"](spark, sf_dir))
-    timings = _run_names(spark, queries, names, sf_dir)
+    # degraded-machine sentinel (r12 verdict #8): time the warm-up
+    # query once at segment start (post-JVM-warm-up steady state) and
+    # once after the segment's queries. A degraded machine/JVM shows
+    # up as the END sample far above the START sample — recorded per
+    # segment in BENCHLOG so a polluted segment is visible in the
+    # official record instead of masquerading as plan regressions
+    # (the r12 driver run had one such segment: q118/e47/s32/g15/q119
+    # at 2-5x their bands, zero code change).
+    t0 = time.perf_counter()
+    materialize(queries["q06_mktsegment_revenue"](spark, sf_dir))
+    sent_start = round(time.perf_counter() - t0, 3)
+    timings, cold = _run_names(spark, queries, names, sf_dir)
+    t0 = time.perf_counter()
+    materialize(queries["q06_mktsegment_revenue"](spark, sf_dir))
+    sent_end = round(time.perf_counter() - t0, 3)
     print("SLICE_RESULT " + json.dumps(timings), flush=True)
+    print("SLICE_COLD " + json.dumps(cold), flush=True)
+    print(
+        "SLICE_SENTINEL "
+        + json.dumps({"names": names[:1], "start": sent_start, "end": sent_end}),
+        flush=True,
+    )
     spark.stop()
 
 
@@ -454,6 +513,8 @@ def main() -> None:
     import subprocess
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    sentinels: list[dict] = []
     for seg in _segments():
         env = dict(os.environ, SPARK_GRAFT_BENCH_SLICE=",".join(seg))
         proc = subprocess.run(
@@ -467,6 +528,17 @@ def main() -> None:
             if line.startswith("SLICE_RESULT "):
                 timings.update(json.loads(line[len("SLICE_RESULT "):]))
                 got = True
+            elif line.startswith("SLICE_COLD "):
+                cold.update(json.loads(line[len("SLICE_COLD "):]))
+            elif line.startswith("SLICE_SENTINEL "):
+                s = json.loads(line[len("SLICE_SENTINEL "):])
+                s["segment"] = seg[0]
+                # flag, don't retry: a segment whose end-sentinel runs
+                # 2x its start-sentinel (plus scheduler-floor slack)
+                # ran on a degraded machine/JVM — its numbers are
+                # suspect regardless of plan quality
+                s["degraded"] = s["end"] > max(2.0 * s["start"], s["start"] + 0.5)
+                sentinels.append(s)
         if proc.returncode != 0 or not got:
             raise RuntimeError(
                 f"bench slice {seg[0]} failed (rc={proc.returncode}): "
@@ -475,6 +547,12 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     r3_subset = round(sum(t for n, t in timings.items() if n in R3_SUBSET), 3)
+    degraded = [s["segment"] for s in sentinels if s.get("degraded")]
+    out_of_band = {
+        n: (timings[n], VARIANCE_BANDS[n])
+        for n in VARIANCE_BANDS
+        if n in timings and timings[n] > VARIANCE_BANDS[n][1]
+    }
     # The driver keeps only the LAST ~2000 chars of stdout, and the full
     # per-query map outgrew that in round 7 (BENCH_r07..r09 all recorded
     # "parsed": null). So: the full map goes on its OWN line first (for
@@ -487,6 +565,13 @@ def main() -> None:
         "unit": "sec",
         "headline_r3_subset_sec": r3_subset,
         "queries": timings,
+        # run-1 wall time per query: prices the one-per-process
+        # scratch-tier frame builds the steady-state number excludes
+        # (see _run_names docstring — r12 verdict item #1)
+        "queries_cold": cold,
+        "sentinels": sentinels,
+        "degraded_segments": degraded,
+        "out_of_band": out_of_band,
         "sf": sf,
     }
     print(json.dumps(full))
@@ -506,6 +591,7 @@ def main() -> None:
                 "headline_r3_subset_sec": r3_subset,
                 "n_queries": len(timings),
                 "slowest10": slowest,
+                "n_degraded_segments": len(degraded),
                 "sf": sf,
             }
         )

@@ -15,6 +15,7 @@ import hashlib
 import os
 import shutil
 import tempfile
+import threading
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -62,6 +63,25 @@ _FRAME_CACHE: dict[tuple, list[DataFrame]] = {}
 # along so an empty frame (zero part files) still reads back typed.
 _DISK_PATHS: dict[tuple, tuple[str, "object"]] = {}
 _SCRATCH_ROOT: str | None = None
+
+# Per-key build locks (ADVICE r12): _cached is called from every query
+# family's plan builder, and a caller may legitimately build plans from
+# several driver threads (guide §2.6 overlapping-jobs pattern). Without
+# a lock two threads could both miss, double-run the expensive build,
+# and race the overwrite-parquet write to the SAME scratch path — the
+# second writer can delete part files the first one's read-back already
+# resolved. One lock per full_key serializes build/reload per entry
+# while leaving unrelated entries concurrent.
+_KEY_LOCKS: dict[tuple, threading.Lock] = {}
+_KEY_LOCKS_GUARD = threading.Lock()
+
+
+def _key_lock(full_key: tuple) -> threading.Lock:
+    with _KEY_LOCKS_GUARD:
+        lock = _KEY_LOCKS.get(full_key)
+        if lock is None:
+            lock = _KEY_LOCKS[full_key] = threading.Lock()
+        return lock
 
 
 def _scratch_dir(full_key: tuple) -> str:
@@ -116,30 +136,31 @@ def _cached(df: DataFrame, key: tuple | None, build) -> DataFrame:
         return _check_frames(build())[0]
     spark = df.sparkSession
     full_key = (spark.sparkContext.applicationId, *key)
-    cached = _FRAME_CACHE.get(full_key)
-    if cached is not None and _frames_live(cached):
-        return cached[0]
-    _FRAME_CACHE.pop(full_key, None)
-    disk = _DISK_PATHS.get(full_key)
-    if disk is not None and os.path.isdir(disk[0]):
-        path, schema = disk
-        reloaded = spark.read.schema(schema).parquet(path).persist()
-        _FRAME_CACHE[full_key] = [reloaded]
-        return reloaded
-    frames = _check_frames(build())
-    path = _scratch_dir(full_key)
-    try:
-        frames[0].write.mode("overwrite").parquet(path)
-    except Exception:
-        # scratch volume unavailable (read-only tmp, disk full): keep
-        # the memory-tier behavior — correctness never depends on disk
-        _FRAME_CACHE[full_key] = frames
-        return frames[0]
-    frames[0].unpersist()
-    primary = spark.read.schema(frames[0].schema).parquet(path).persist()
-    _DISK_PATHS[full_key] = (path, frames[0].schema)
-    _FRAME_CACHE[full_key] = [primary, *frames[1:]]
-    return primary
+    with _key_lock(full_key):
+        cached = _FRAME_CACHE.get(full_key)
+        if cached is not None and _frames_live(cached):
+            return cached[0]
+        _FRAME_CACHE.pop(full_key, None)
+        disk = _DISK_PATHS.get(full_key)
+        if disk is not None and os.path.isdir(disk[0]):
+            path, schema = disk
+            reloaded = spark.read.schema(schema).parquet(path).persist()
+            _FRAME_CACHE[full_key] = [reloaded]
+            return reloaded
+        frames = _check_frames(build())
+        path = _scratch_dir(full_key)
+        try:
+            frames[0].write.mode("overwrite").parquet(path)
+        except Exception:
+            # scratch volume unavailable (read-only tmp, disk full): keep
+            # the memory-tier behavior — correctness never depends on disk
+            _FRAME_CACHE[full_key] = frames
+            return frames[0]
+        frames[0].unpersist()
+        primary = spark.read.schema(frames[0].schema).parquet(path).persist()
+        _DISK_PATHS[full_key] = (path, frames[0].schema)
+        _FRAME_CACHE[full_key] = [primary, *frames[1:]]
+        return primary
 
 
 def clear_frame_cache(cache_key: str | None = None) -> int:
@@ -283,21 +304,18 @@ def minhash_lsh_pairs(
     rows/band r = num_hashes/bands; candidate recall follows the usual
     1-(1-s^r)^b S-curve. Verification recomputes true Jaccard on the
     shingle sets, so false positives from banding never escape.
+
+    The pair OUTPUT is deliberately NOT cached (r13, r12-verdict #7):
+    d01's declared result IS this frame, and tiering final results
+    would cross from intermediate caching into result caching. The
+    expensive shared stages (token/shingle/signature frames) keep
+    their scratch-tier entries via ``cache_key``; consumers that
+    iterate over the pairs (d05's connected components) persist their
+    own derived frames.
     """
     assert num_hashes % bands == 0
-    key = (
-        ("lsh_pairs", cache_key, num_hashes, bands, shingle_n, jaccard_threshold)
-        if cache_key
-        else None
-    )
-    return _cached(
-        df,
-        key,
-        lambda: [
-            _minhash_lsh_pairs_build(
-                df, id_col, text_col, num_hashes, bands, shingle_n, jaccard_threshold, cache_key
-            ).persist()
-        ],
+    return _minhash_lsh_pairs_build(
+        df, id_col, text_col, num_hashes, bands, shingle_n, jaccard_threshold, cache_key
     )
 
 

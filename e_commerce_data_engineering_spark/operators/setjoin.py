@@ -83,8 +83,12 @@ def jaccard_similarity_join(
 
     from .dedup import _cached
 
+    # threshold deliberately NOT in the key (ADVICE r12): the rarest-
+    # first ordered build is threshold-independent, so two queries over
+    # the same corpus at different thresholds share the frame instead
+    # of rebuilding it.
     key = (
-        ("ppjoin-ordered", cache_key, id_col, text_col, float(threshold), tuple(groups))
+        ("ppjoin-ordered", cache_key, id_col, text_col, tuple(groups))
         if cache_key
         else None
     )

